@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Scala Column API + SQL registration for graft's custom expressions.
+  *
+  * `register(spark)` makes every function callable from `spark.sql`
+  * (e.g. `SELECT cosine_distance(embedding, :q) ...`); the Column
+  * wrappers below work regardless of registration.
+  */
+object GraftFunctions {
+
+  def cosine_distance(a: Column, b: Column): Column =
+    binary(a, b, CosineDistance)
+  def cosine_similarity(a: Column, b: Column): Column =
+    binary(a, b, CosineSimilarity)
+  def dot_product(a: Column, b: Column): Column =
+    binary(a, b, DotProduct)
+  def l2_distance(a: Column, b: Column): Column =
+    binary(a, b, L2Distance)
+  def vector_norm(a: Column): Column = {
+    val s = activeSession
+    Bridge.column(VectorNorm(Bridge.expression(s, a)))
+  }
+
+  private def activeSession: SparkSession =
+    SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("no active SparkSession"))
+
+  private def binary(
+      a: Column,
+      b: Column,
+      f: (org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Column = {
+    val s = activeSession
+    Bridge.column(f(Bridge.expression(s, a), Bridge.expression(s, b)))
+  }
+
+  /** Register all graft SQL functions on the given session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "cosine_distance",
+      es => CosineDistance(es(0), es(1)))
+    Bridge.registerFunction(spark, "cosine_similarity",
+      es => CosineSimilarity(es(0), es(1)))
+    Bridge.registerFunction(spark, "dot_product",
+      es => DotProduct(es(0), es(1)))
+    Bridge.registerFunction(spark, "l2_distance",
+      es => L2Distance(es(0), es(1)))
+    Bridge.registerFunction(spark, "vector_norm",
+      es => VectorNorm(es(0)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Tight-loop float-vector kernels over Catalyst [[ArrayData]].
+  *
+  * Static methods so generated code (whole-stage codegen) can call them
+  * directly — the same pattern Spark's own higher-order functions use.
+  * All accumulation is in Double for cross-engine determinism (the
+  * DuckDB oracle also accumulates FLOAT[] math in double).
+  *
+  * Semantics mirror the reference's provisioned vector search: cosine
+  * distance over float32 vectors (reference:
+  * AzureCosmosDB/.../CosmosDBClientWrapper.cs:135-144 declares
+  * float32/1536/cosine; we generalize to any dimension).
+  */
+object VectorOps extends Serializable {
+
+  @inline private def checkDims(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${n} vs ${y.numElements()}")
+    }
+    n
+  }
+
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = checkDims(x, y)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    s
+  }
+
+  def norm(x: ArrayData): Double = {
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** 1 - cos(x, y); 1.0 when either vector has zero norm (degenerate). */
+  def cosineDistance(x: ArrayData, y: ArrayData): Double = {
+    val n = checkDims(x, y)
+    var d = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x.getFloat(i).toDouble
+      val b = y.getFloat(i).toDouble
+      d += a * b; nx += a * a; ny += b * b
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 1.0 else 1.0 - d / denom
+  }
+
+  def cosineSimilarity(x: ArrayData, y: ArrayData): Double =
+    1.0 - cosineDistance(x, y)
+
+  def l2Distance(x: ArrayData, y: ArrayData): Double = {
+    val n = checkDims(x, y)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+}

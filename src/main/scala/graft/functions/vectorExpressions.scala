@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Catalyst expressions for the vector-distance family (SURVEY §2 B1).
+  *
+  * Null-safe, dimension-checked, codegen'd: `doGenCode` emits a direct
+  * static call into [[VectorOps]], so these stay inside whole-stage
+  * codegen (no UDF/serialization overhead in the hot top-k path).
+  *
+  * Reference semantics source: the Cosmos embedding policy declares
+  * cosine/float32 (AzureCosmosDB/.../CosmosDBClientWrapper.cs:135-144)
+  * and the store query shape is `ORDER BY VectorDistance(...)` (README
+  * AzureCosmosDB/csharp/README.md:104-106).
+  */
+abstract class BinaryVectorExpression extends BinaryExpression with ExpectsInputTypes {
+  // note: inferred type — AbstractDataType is private[sql]
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  /** Name of the VectorOps method implementing this expression. */
+  protected def opName: String
+
+  override def nullSafeEval(a: Any, b: Any): Any = evalVec(
+    a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  protected def evalVec(x: ArrayData, y: ArrayData): Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // static forwarders on the object's mirror class keep the generated
+    // code a plain static call (stays inside whole-stage codegen)
+    val ops = VectorOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ops.$opName($a, $b);")
+  }
+}
+
+case class CosineDistance(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "cosine_distance"
+  override protected def opName: String = "cosineDistance"
+  override protected def evalVec(x: ArrayData, y: ArrayData): Double =
+    VectorOps.cosineDistance(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "cosine_similarity"
+  override protected def opName: String = "cosineSimilarity"
+  override protected def evalVec(x: ArrayData, y: ArrayData): Double =
+    VectorOps.cosineSimilarity(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "dot_product"
+  override protected def opName: String = "dot"
+  override protected def evalVec(x: ArrayData, y: ArrayData): Double =
+    VectorOps.dot(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "l2_distance"
+  override protected def opName: String = "l2Distance"
+  override protected def evalVec(x: ArrayData, y: ArrayData): Double =
+    VectorOps.l2Distance(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class VectorNorm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "vector_norm"
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = VectorOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ops.norm($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions._
+
+/** Tier B — the vector-search read path the reference provisions in its
+  * target stores (SURVEY §2.2). The store query shape is
+  * `SELECT TOP k ... ORDER BY VectorDistance(c.embedding, @q)`
+  * (AzureCosmosDB/csharp/README.md:104-106); here it lowers to
+  * a broadcast of the single query vector + `TakeOrderedAndProject`
+  * (partial top-k per partition, merged at the driver — shuffle-free).
+  *
+  * Oracle SQL forces double accumulation via generate_series so DuckDB
+  * and Spark agree bit-for-bit after ROUND(...,6).
+  */
+object VectorQueries {
+
+  /** Cosine in doubles, computed identically on the DuckDB side. */
+  private def oracleCosineTopK(k: Int, probeId: Long): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $probeId),
+       |pairs AS (
+       |  SELECT e.vec_id,
+       |         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+       |         CAST(UNNEST(q.qe) AS DOUBLE) AS y
+       |  FROM embeddings e, q
+       |)
+       |SELECT vec_id,
+       |       ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS dist
+       |FROM pairs GROUP BY vec_id
+       |ORDER BY dist, vec_id LIMIT $k""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    // B2: brute-force exact top-k by cosine distance.
+    "b2_vector_topk" -> QueryDef(oracleCosineTopK(10, 0)) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosine_distance(col("embedding"), col("qe")), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+
+    // B3: metadata filter + vector ordering (filter BEFORE the distance
+    // sort → partition pruning / pushdown applies to the scan).
+    "b3_vector_filtered_topk" -> QueryDef(
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pairs AS (
+         |  SELECT e.vec_id, e.label,
+         |         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+         |         CAST(UNNEST(q.qe) AS DOUBLE) AS y
+         |  FROM embeddings e, q
+         |  WHERE e.label < 5
+         |)
+         |SELECT vec_id, label,
+         |       ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS dist
+         |FROM pairs GROUP BY vec_id, label
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings").filter(col("label") < 5)
+      val q = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosine_distance(col("embedding"), col("qe")), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+
+    // B5: key/partition point lookup.
+    "b5_point_lookup" -> QueryDef(
+      """SELECT vec_id, label, ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e0
+        |FROM embeddings WHERE vec_id = 42 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .filter(col("vec_id") === 42)
+        .select(col("vec_id"), col("label"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
+        .orderBy(col("vec_id"))
+    },
+
+    // B1 exercised directly: norms and pairwise distance measures.
+    "b1_vector_measures" -> QueryDef(
+      """WITH pairs AS (
+        |  SELECT e.vec_id,
+        |         CAST(UNNEST(e.embedding) AS DOUBLE) AS x
+        |  FROM embeddings e
+        |)
+        |SELECT vec_id, ROUND(SQRT(SUM(x*x)), 6) AS nrm
+        |FROM pairs GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), round(vector_norm(col("embedding")), 6).as("nrm"))
+        .orderBy(col("vec_id"))
+    }
+  )
+}

@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify output
+parquet against DuckDB oracle SQL over the same testdata tables and
+compare values (columns sorted by name, rows in result order).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok = fail = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        exp = con.sql(sql).fetchall()
+        exp_cols = [d[0] for d in con.sql(sql).description]
+        got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        got = got_rel.fetchall()
+        got_cols = [d[0] for d in got_rel.description]
+        # driver compare: sort columns by name
+        ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
+        gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        if sorted(exp_cols) != sorted(got_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            fail += 1
+            continue
+        e = [tuple(r[i] for i in ei) for r in exp]
+        g = [tuple(r[i] for i in gi) for r in got]
+        if e == g:
+            print(f"ok   {name} ({len(e)} rows)")
+            ok += 1
+        else:
+            print(f"FAIL {name}: {len(g)} rows vs {len(e)} expected")
+            for i, (a, b) in enumerate(zip(e, g)):
+                if a != b:
+                    print(f"  row {i}: oracle={a} got={b}")
+                    if i > 3:
+                        break
+            fail += 1
+    except Exception as ex:
+        print(f"ERR  {name}: {ex}")
+        fail += 1
+print(f"\n{ok} ok, {fail} fail")
+sys.exit(1 if fail else 0)
