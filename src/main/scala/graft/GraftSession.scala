@@ -46,5 +46,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 can't map it to
+      // TimestampType directly (PARQUET_TYPE_ILLEGAL). Read nanos as
+      // LONG and convert with integer division: the raw value (~1.7e18)
+      // exceeds 2^53, so a double-typed `/` would silently lose
+      // microseconds; `div` keeps it exact.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** Register every harness table as a temp view on the session. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
 }

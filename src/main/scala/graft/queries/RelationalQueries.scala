@@ -1,0 +1,558 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Tier C — the relational surface (SURVEY §2.3, C1-C37).
+  *
+  * The reference's target stores (Cosmos NoSQL SQL dialect / Azure SQL)
+  * are full SQL engines; our engine owns that surface on Spark
+  * SQL/Catalyst. Every query here is declared with a deterministic
+  * DuckDB oracle form (total ORDER BY, floats ROUND()ed, types aligned
+  * with DuckDB result types: counts/lengths/row_numbers are BIGINT).
+  *
+  * Scale notes (100 TB design intent, verified on .explain):
+  *  - dimension joins (nation, region, part, date-dim) broadcast;
+  *  - fact-fact joins shuffle on their equi-keys and rely on AQE for
+  *    skew; no driver-side collect anywhere;
+  *  - window functions always carry a PARTITION BY except over
+  *    provably tiny inputs (see c10's date dimension);
+  *  - aggregates are partial (map-side combine) by construction.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // C1: parquet scan.
+    "c1_scan_count" -> QueryDef(
+      "SELECT COUNT(*) AS n FROM lineitem") { (s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+    },
+
+    // C2: projection — column pruning must reach the scan (ReadSchema
+    // carries just these two columns).
+    "c2_projection" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // C3: filter with =, >, IN — predicates push to the parquet scan.
+    "c3_filter" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_quantity > 30 AND l_returnflag IN ('A','R')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // C4: inner equi-join — shuffles both sides on the key (sort-merge /
+    // shuffled-hash picked by Catalyst; AQE may flip to broadcast at
+    // small SF, which is exactly right).
+    "c4_join_inner" -> QueryDef(
+      """SELECT o.o_orderkey, c.c_name FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+    },
+
+    // C5: broadcast join of a small dimension — explicit hint so the
+    // 25-row nation table never shuffles the customer side.
+    "c5_join_broadcast" -> QueryDef(
+      """SELECT n.n_name, COUNT(*) AS c FROM nation n
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("c"))
+        .orderBy("n_name")
+    },
+
+    // C6: left outer join; COUNT(o_orderkey) counts only matches.
+    "c6_join_left_outer" -> QueryDef(
+      """SELECT c.c_custkey, COUNT(o.o_orderkey) AS cnt FROM customer c
+        |LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("cnt"))
+        .orderBy("c_custkey")
+    },
+
+    // C7: anti join (NOT IN rewrite; o_custkey has no nulls in the
+    // harness data so anti-join and NOT IN agree).
+    "c7_join_anti" -> QueryDef(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // C7b: semi join.
+    "c7b_join_semi" -> QueryDef(
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    },
+
+    // C8: join with an extra non-equi conjunct — still an equi-join on
+    // l_partkey (hash/broadcast), the range predicate evaluates as a
+    // post-join filter; never a nested-loop.
+    "c8_join_range" -> QueryDef(
+      """SELECT p.p_partkey, COUNT(*) AS n FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity < p.p_size
+        |GROUP BY p.p_partkey ORDER BY p.p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey") &&
+          col("l_quantity") < col("p_size"))
+        .groupBy("p_partkey").agg(count(lit(1)).as("n"))
+        .orderBy("p_partkey")
+    },
+
+    // C9: cross join (5×5 — only ever sane on tiny inputs).
+    "c9_join_cross" -> QueryDef(
+      """SELECT r1.r_name AS name1, r2.r_name AS name2
+        |FROM region r1 CROSS JOIN region r2
+        |ORDER BY name1, name2""".stripMargin) { (s, dir) =>
+      val r1 = t(s, dir, "region").select(col("r_name").as("name1"))
+      val r2 = t(s, dir, "region").select(col("r_name").as("name2"))
+      r1.crossJoin(r2).orderBy("name1", "name2")
+    },
+
+    // C10: as-of style join (events ↔ latest order at ts). Naive form is
+    // |events| × |orders| nested-loop; we reduce the right side to a
+    // per-date running-max "step table" (≤ #distinct dates rows, a true
+    // date dimension that stays tiny at any fact scale), broadcast it,
+    // and fold with max(). The single-partition window is over that tiny
+    // dimension only.
+    "c10_asof_join" -> QueryDef(
+      """SELECT e.event_id, MAX(o.o_orderkey) AS last_order FROM events e
+        |JOIN orders o ON o.o_orderdate <= e.ts
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val perDate = t(s, dir, "orders")
+        .select(col("o_orderdate").cast("timestamp").as("d"), col("o_orderkey"))
+        .groupBy("d").agg(max("o_orderkey").as("mx"))
+      val cum = perDate.withColumn("cm",
+          max("mx").over(Window.orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("d", "cm")
+      val ev = t(s, dir, "events").select("event_id", "ts")
+      ev.join(broadcast(cum), col("d") <= col("ts"))
+        .groupBy("event_id").agg(max("cm").as("last_order"))
+        .orderBy("event_id")
+    },
+
+    // C11: hash aggregate, multiple measures (partial + final agg).
+    "c11_agg_hash" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       ROUND(SUM(l_extendedprice), 4) AS s,
+        |       ROUND(AVG(l_discount), 6) AS a
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 4).as("s"),
+          round(avg("l_discount"), 6).as("a"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // C12: distinct aggregate.
+    "c12_agg_distinct" -> QueryDef(
+      "SELECT COUNT(DISTINCT l_partkey) AS d FROM lineitem") { (s, dir) =>
+      t(s, dir, "lineitem").agg(countDistinct(col("l_partkey")).as("d"))
+    },
+
+    // C13: approx distinct (HLL) — engine capability; sketches differ
+    // across engines, so no hash oracle (driver records rows-only).
+    "c13_approx_distinct" -> QueryDef.rowsOnly { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("d"))
+    },
+
+    // C14: ROLLUP (Expand operator). NULLS FIRST pinned on both sides —
+    // Spark's ASC default is nulls-first, DuckDB's is nulls-last.
+    "c14_rollup" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // C14b: CUBE.
+    "c14b_cube" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // C15: HAVING (post-aggregation filter).
+    "c15_having" -> QueryDef(
+      """SELECT o_custkey, COUNT(*) AS n FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) > 2
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 2)
+        .orderBy("o_custkey")
+    },
+
+    // C16: ranking window (BIGINT rn to match DuckDB's row_number type).
+    "c16_window_rank" -> QueryDef(
+      """SELECT o_orderkey,
+        |       ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_orderdate, o_orderkey) AS rn
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          row_number().over(Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")).cast("long").as("rn"))
+        .orderBy("o_orderkey")
+    },
+
+    // C17: analytic window (lag).
+    "c17_window_lag" -> QueryDef(
+      """SELECT event_id,
+        |       LAG(event_type) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS prev
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          lag(col("event_type"), 1).over(Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")).as("prev"))
+        .orderBy("event_id")
+    },
+
+    // C18: frame spec (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
+    "c18_window_frame" -> QueryDef(
+      """SELECT event_id,
+        |       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS s
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          round(sum("value").over(Window.partitionBy("user_id")
+            .orderBy("ts", "event_id").rowsBetween(-2, Window.currentRow)), 4)
+            .as("s"))
+        .orderBy("event_id")
+    },
+
+    // C19: multi-key sort, DESC + tiebreak.
+    "c19_sort" -> QueryDef(
+      """SELECT o_orderkey FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey")
+    },
+
+    // C20: top-k — lowers to TakeOrderedAndProject (partial top-k per
+    // partition, merged at the driver; shuffle-free).
+    "c20_topk" -> QueryDef(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    },
+
+    // C21: UNION (distinct) across tables.
+    "c21_union" -> QueryDef(
+      """SELECT c_nationkey AS k FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy("k")
+    },
+
+    // C21b: UNION ALL + aggregate (keeps result deterministic).
+    "c21b_union_all" -> QueryDef(
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .unionAll(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // C22: INTERSECT (distinct semantics in both engines).
+    "c22_intersect" -> QueryDef(
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    },
+
+    // C22b: EXCEPT.
+    "c22b_except" -> QueryDef(
+      """SELECT c_nationkey AS k FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("k"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")
+    },
+
+    // C23: DISTINCT.
+    "c23_distinct" -> QueryDef(
+      "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus") { (s, dir) =>
+      t(s, dir, "orders").select("o_orderstatus").distinct()
+        .orderBy("o_orderstatus")
+    },
+
+    // C24: scalar subquery (Catalyst decorrelation) — exercised through
+    // the SQL entry point, which is the surface the stores expose.
+    "c24_scalar_subquery" -> QueryDef(
+      """SELECT o_orderkey FROM orders o
+        |WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey FROM orders o
+          |WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // C24b: correlated subquery.
+    "c24b_correlated_subquery" -> QueryDef(
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(
+        """SELECT c_custkey FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // C25: CASE WHEN.
+    "c25_case_when" -> QueryDef(
+      """SELECT event_id, CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END AS b
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("value") > 100, "hi").otherwise("lo").as("b"))
+        .orderBy("event_id")
+    },
+
+    // C26: string functions (BIGINT length to match DuckDB).
+    "c26_string_fns" -> QueryDef(
+      """SELECT doc_id, UPPER(SUBSTR(text, 1, 10)) AS h, LENGTH(text) AS l,
+        |       REPLACE(SUBSTR(text, 1, 20), ' ', '_') AS r,
+        |       TRIM(CONCAT('  ', SUBSTR(text, 1, 5), '  ')) AS tr
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          upper(substring(col("text"), 1, 10)).as("h"),
+          length(col("text")).cast("long").as("l"),
+          regexp_replace(substring(col("text"), 1, 20), " ", "_").as("r"),
+          trim(concat(lit("  "), substring(col("text"), 1, 5), lit("  "))).as("tr"))
+        .orderBy("doc_id")
+    },
+
+    // C27: date/time functions (INTEGER year on both sides).
+    "c27_date_fns" -> QueryDef(
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+        |       COUNT(*) AS n
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("y", "m")
+    },
+
+    // C28: math functions.
+    "c28_math_fns" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND(SQRT(l_extendedprice), 6) AS r,
+        |       CAST(FLOOR(l_quantity) AS BIGINT) AS f,
+        |       ROUND(LN(l_extendedprice), 6) AS lg,
+        |       CAST(ABS(l_orderkey) AS BIGINT) AS ab
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 6).as("r"),
+          floor(col("l_quantity")).cast("long").as("f"),
+          round(log(col("l_extendedprice")), 6).as("lg"),
+          abs(col("l_orderkey")).cast("long").as("ab"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // C29: array functions over the embedding column (1-based
+    // element_at matches DuckDB's 1-based [] indexing).
+    "c29_array_fns" -> QueryDef(
+      """SELECT vec_id, CAST(LENGTH(embedding) AS BIGINT) AS d,
+        |       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+        |       ROUND(CAST(embedding[64] AS DOUBLE), 6) AS elast
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("d"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+          round(element_at(col("embedding"), 64).cast("double"), 6).as("elast"))
+        .orderBy("vec_id")
+    },
+
+    // C30: struct + map construction and field access round-trip. The
+    // oracle reduces to the same scalar values (testdata has no native
+    // map column — SURVEY C30).
+    "c30_struct_map" -> QueryDef(
+      """SELECT event_id, event_type AS st, value AS mv
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          struct(col("event_type").as("et"), col("value").as("v")).as("pack"),
+          map(lit("k"), col("value")).as("m"))
+        .select(col("event_id"),
+          col("pack.et").as("st"),
+          element_at(col("m"), "k").as("mv"))
+        .orderBy("event_id")
+    },
+
+    // C31: JSON extraction (Spark get_json_object ≡ DuckDB json_extract).
+    "c31_json_fns" -> QueryDef(
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+
+    // C32: cast / coalesce / nullif.
+    "c32_cast_coalesce" -> QueryDef(
+      """SELECT event_id, COALESCE(NULLIF(event_type, 'error'), 'none') AS tp,
+        |       CAST(FLOOR(value) AS BIGINT) AS vi
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      // explicit FLOOR on both sides: DuckDB's double→int CAST rounds
+      // to nearest while Spark's truncates — pin the semantics instead.
+      t(s, dir, "events")
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("none")).as("tp"),
+          floor(col("value")).cast("long").as("vi"))
+        .orderBy("event_id")
+    },
+
+    // C33: tumbling window aggregate — built with the streaming-capable
+    // window() operator; NTZ output so both engines hash naive
+    // timestamps.
+    "c33_window_tumbling" -> QueryDef(
+      """SELECT date_trunc('hour', ts) AS w, event_type, COUNT(*) AS n,
+        |       ROUND(SUM(value), 4) AS s
+        |FROM events GROUP BY w, event_type ORDER BY w, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("s"))
+        .select(col("win.start").cast("timestamp_ntz").as("w"),
+          col("event_type"), col("n"), col("s"))
+        .orderBy("w", "event_type")
+    },
+
+    // C34: sliding window (10 min / 5 min slide): each event lands in
+    // exactly two windows; the oracle reproduces the epoch-aligned slide
+    // starts arithmetically.
+    "c34_window_sliding" -> QueryDef(
+      """SELECT make_timestamp(ws) AS w, COUNT(*) AS n, ROUND(SUM(value), 4) AS s
+        |FROM (SELECT (epoch_us(ts) // 300000000 - t.k) * 300000000 AS ws, value
+        |      FROM events, (VALUES (0), (1)) t(k))
+        |GROUP BY ws ORDER BY w""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("s"))
+        .select(col("win.start").cast("timestamp_ntz").as("w"), col("n"), col("s"))
+        .orderBy("w")
+    },
+
+    // C35: sessionization (30-min gap) via lag + cumulative sum; epoch
+    // microseconds on both sides avoid ns-vs-us precision skew. BIGINT
+    // session_id (DuckDB SUM(int) would be HUGEINT — cast there).
+    "c35_session_window" -> QueryDef(
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events)
+        |SELECT user_id,
+        |       CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS session_id,
+        |       tus
+        |FROM g ORDER BY user_id, tus""".stripMargin) { (s, dir) =>
+      val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val g = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("brk",
+          when(col("tus") - lag(col("tus"), 1).over(byTime) > 1800000000L, 1)
+            .otherwise(0))
+      g.select(col("user_id"),
+          sum("brk").over(Window.partitionBy("user_id").orderBy("tus")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long").as("session_id"),
+          col("tus"))
+        .orderBy("user_id", "tus")
+    },
+
+    // C36: dedup by key (batch form of streaming
+    // withWatermark+dropDuplicates; the streaming variant is exercised
+    // in the test suite).
+    "c36_dedup_by_key" -> QueryDef(
+      "SELECT COUNT(*) AS n FROM (SELECT DISTINCT event_id FROM events)") { (s, dir) =>
+      t(s, dir, "events")
+        .dropDuplicates("event_id")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // C37: last-writer-wins upsert semantics (mirrors A17's keyed MERGE)
+    // over a synthetic re-ingest: two ingest generations of the same
+    // keys collapse to the latest.
+    "c37_upsert_lww" -> QueryDef(
+      """SELECT doc_id, MAX(ingest_seq) AS last_seq FROM (
+        |  SELECT doc_id, 1 AS ingest_seq FROM documents
+        |  UNION ALL SELECT doc_id, 2 AS ingest_seq FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d1 = t(s, dir, "documents").select(col("doc_id"),
+        lit(1).as("ingest_seq"))
+      val d2 = t(s, dir, "documents").select(col("doc_id"),
+        lit(2).as("ingest_seq"))
+      d1.unionAll(d2)
+        .groupBy("doc_id").agg(max("ingest_seq").as("last_seq"))
+        .orderBy("doc_id")
+    }
+  )
+}
