@@ -24,6 +24,19 @@ object GraftFunctions {
     Bridge.column(VectorNorm(Bridge.expression(s, a)))
   }
 
+  def chunk_text(text: Column, maxTokens: Column, overlap: Column,
+      mode: Column): Column = {
+    val s = activeSession
+    Bridge.column(ChunkText(
+      Bridge.expression(s, text), Bridge.expression(s, maxTokens),
+      Bridge.expression(s, overlap), Bridge.expression(s, mode)))
+  }
+
+  def token_count(text: Column): Column = {
+    val s = activeSession
+    Bridge.column(TokenCount(Bridge.expression(s, text)))
+  }
+
   private def activeSession: SparkSession =
     SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
@@ -50,5 +63,9 @@ object GraftFunctions {
       es => L2Distance(es(0), es(1)))
     Bridge.registerFunction(spark, "vector_norm",
       es => VectorNorm(es(0)))
+    Bridge.registerFunction(spark, "chunk_text",
+      es => ChunkText(es(0), es(1), es(2), es(3)))
+    Bridge.registerFunction(spark, "token_count",
+      es => TokenCount(es(0)))
   }
 }
