@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.embed.Embedder
+import graft.extract.Extractor
+import graft.sink.ChunkStore
+
+/** Streaming ingestion (SURVEY A1/A2, §3.1-3.2): the reference's blob
+  * trigger becomes a Structured Streaming `binaryFile` source; each
+  * micro-batch runs the same route→extract→chunk→embed dataflow and
+  * MERGEs (partition-overwrite upsert) into the chunk store; deletes
+  * are detected as catalog-vs-listing anti-joins (the reference's
+  * delete handler was a TODO stub — A20 — completed here).
+  */
+object StreamingIngest {
+
+  /** Fixed schema of the binaryFile source (streaming sources require
+    * an explicit schema; SURVEY §1.1 item 1 / FIXTURES §2).
+    */
+  val binaryFileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+
+  /** Start an AvailableNow (or ProcessingTime) ingest over a
+    * directory of documents.
+    */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      store: ChunkStore,
+      embedder: Embedder,
+      extractor: Extractor,
+      cfg: IngestPipeline.Config = IngestPipeline.Config(),
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    store.ensure()
+    val files = spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .load(inputDir)
+      .select(col("path"), col("content"))
+
+    files.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, batch, inputDir, store, embedder, extractor, cfg)
+      }
+      .start()
+  }
+
+  /** One micro-batch: upsert new/changed docs, delete disappeared
+    * ones. Exposed for testing and for batch backfill ("the batch is a
+    * bounded stream").
+    */
+  def processBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      inputDir: String,
+      store: ChunkStore,
+      embedder: Embedder,
+      extractor: Extractor,
+      cfg: IngestPipeline.Config): Unit = {
+    import spark.implicits._
+    val files = batch.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val chunks =
+      IngestPipeline.embedChunks(
+        IngestPipeline.routeAndChunk(files, extractor, cfg), embedder, cfg)
+    if (!chunks.isEmpty) store.upsert(chunks.toDF())
+
+    // A2/A20: documents present in the store but gone from the source
+    // listing were deleted upstream. The collected url list is bounded
+    // by the number of *deleted* documents in this batch window.
+    val listing = spark.read.format("binaryFile").load(inputDir)
+      .select(col("path").as("document_url"))
+    val gone = store.read().select("document_url").distinct()
+      .join(listing, Seq("document_url"), "left_anti")
+      .as[String].collect()
+    if (gone.nonEmpty) store.delete(gone.toSeq)
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.embed.{DeterministicEmbedder, RetryPolicy, RetryableEmbeddingException, RetryingEmbedder, Embedder}
+import graft.extract.{StubAnalyzeExtractor, TextDecode}
+import graft.pipeline.IngestPipeline
+import graft.sink.ChunkStore
+
+class PipelineSpec extends SparkSpec {
+
+  test("deterministic embedder: unit norm, exact dim, pure") {
+    val e = DeterministicEmbedder(64)
+    val v1 = e.embed(Seq("hello world", "hello world", "other")).toIndexedSeq
+    assert(v1.forall(_.length == 64))
+    assert(v1(0).toSeq == v1(1).toSeq)
+    assert(v1(0).toSeq != v1(2).toSeq)
+    val norm = math.sqrt(v1(0).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
+
+  test("retrying embedder: retries retryable failures, rethrows at ceiling") {
+    class Flaky(failures: Int) extends Embedder {
+      var calls = 0
+      val dimensions = 4
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        calls += 1
+        if (calls <= failures) throw new RetryableEmbeddingException("429")
+        texts.map(_ => Array(1f, 0f, 0f, 0f))
+      }
+    }
+    var slept = 0L
+    val flaky = new Flaky(3)
+    val r = new RetryingEmbedder(flaky, RetryPolicy(5, 10), slept += _)
+    assert(r.embed(Seq("x")).head.length == 4)
+    assert(flaky.calls == 4)
+    assert(slept == 30)
+
+    val dead = new Flaky(100)
+    val r2 = new RetryingEmbedder(dead, RetryPolicy(2, 10), _ => ())
+    intercept[RetryableEmbeddingException](r2.embed(Seq("x")))
+    assert(dead.calls == 3) // initial + 2 retries
+  }
+
+  test("BOM-aware decode (A4)") {
+    val utf8bom = Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ "ab\ncd".getBytes(UTF_8)
+    assert(TextDecode.decodeLines(utf8bom) == Seq("ab", "cd"))
+    val utf16le = Array(0xff, 0xfe).map(_.toByte) ++
+      "xy".getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    assert(TextDecode.decode(utf16le) == "xy")
+    assert(TextDecode.decodeLines("a\r\nb\rc\nd".getBytes(UTF_8)) ==
+      Seq("a", "b", "c", "d"))
+  }
+
+  test("batch ingest over documents: chunks embed with dim + determinism") {
+    val docs = Tables(spark, sf(), "documents")
+    val out1 = IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(64)).cache()
+    assert(out1.count() == docs.count()) // ≤553-char docs → 1 chunk each
+    import org.apache.spark.sql.functions._
+    val bad = out1.filter(size(col("embedding")) =!= 64).count()
+    assert(bad == 0)
+    // determinism: second run bit-identical
+    val out2 = IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(64))
+    assert(out1.exceptAll(out2).count() == 0)
+    assert(out2.exceptAll(out1).count() == 0)
+    out1.unpersist()
+  }
+
+  test("extension routing: txt/md decode in-process, others extract (A3)") {
+    import spark.implicits._
+    val line = "word " * 30
+    val files = Seq(
+      ("a.txt", s"$line\n$line".getBytes(UTF_8)),
+      ("b.md", s"# title\n$line".getBytes(UTF_8)),
+      ("c.bin", s"$line\n$line\n$line".getBytes(UTF_8))).toDS()
+    val chunks = IngestPipeline.routeAndChunk(
+      files, StubAnalyzeExtractor(), IngestPipeline.Config(maxTokens = 40))
+      .collect()
+    assert(chunks.map(_.document_url).distinct.sorted.toSeq ==
+      Seq("a.txt", "b.md", "c.bin"))
+    // chunk ids dense per document
+    chunks.groupBy(_.document_url).foreach { case (_, cs) =>
+      assert(cs.map(_.chunk_id).sorted.toSeq == cs.indices.toSeq)
+    }
+  }
+
+  test("char chunking route carries page numbers (A11)") {
+    import spark.implicits._
+    val text = ("w" * 9 + " ") * 300 // 3000 chars of words
+    val files = Seq(("d.pdf", text.getBytes(UTF_8))).toDS()
+    val chunks = IngestPipeline.routeAndChunkChars(
+      files, StubAnalyzeExtractor(linesPerPage = 1), chunkSize = 500).collect()
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.page_number.isDefined))
+  }
+
+  test("chunk store: upsert is idempotent, append is not, delete works (A17/A18/A20)") {
+    val dir = Files.createTempDirectory("graft-store").toString + "/chunks"
+    val store = new ChunkStore(spark, dir)
+    val docs = Tables(spark, sf(), "documents").limit(20)
+    val chunks = IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16))
+
+    store.upsert(chunks)
+    val n1 = store.read().count()
+    store.upsert(chunks) // re-ingest: row count unchanged (idempotent)
+    assert(store.read().count() == n1)
+
+    store.append(chunks) // A18 semantics: duplicates
+    assert(store.read().count() == 2 * n1)
+
+    store.upsert(chunks) // upsert restores exactly-once per doc
+    assert(store.read().count() == n1)
+
+    // delete one document's chunks
+    val victim = store.read().select("document_url").distinct()
+      .orderBy("document_url").limit(1)
+      .collect().head.getString(0)
+    store.delete(Seq(victim))
+    val after = store.read()
+    assert(after.filter(after("document_url") === victim).count() == 0)
+    assert(after.select("document_url").distinct().count() == 19)
+  }
+
+  test("point lookup on the store prunes to one partition (B5)") {
+    val dir = Files.createTempDirectory("graft-store2").toString + "/chunks"
+    val store = new ChunkStore(spark, dir)
+    val docs = Tables(spark, sf(), "documents").limit(5)
+    store.upsert(IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16)))
+    val q = store.read().filter(org.apache.spark.sql.functions
+      .col("document_url") === "doc://0")
+    assert(q.count() >= 1)
+    // partition pruning: the physical scan should read 1 of 5 partitions
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("PartitionFilters: []"),
+      s"expected partition filters in: $scan")
+  }
+}

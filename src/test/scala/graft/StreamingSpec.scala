@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.embed.DeterministicEmbedder
+import graft.extract.StubAnalyzeExtractor
+import graft.pipeline.{IngestPipeline, StreamingIngest}
+import graft.sink.ChunkStore
+
+/** Streaming semantics (SURVEY A1/A2, C36, §5.6). */
+class StreamingSpec extends SparkSpec {
+
+  private def write(dir: Path, name: String, text: String): Unit =
+    Files.write(dir.resolve(name), text.getBytes(UTF_8))
+
+  test("binaryFile ingest: create + re-ingest idempotency + delete (A1/A2/A20)") {
+    val in = Files.createTempDirectory("graft-stream-in")
+    val storeDir = Files.createTempDirectory("graft-stream-store").toString + "/chunks"
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt")
+    val store = new ChunkStore(spark, storeDir)
+
+    write(in, "a.txt", "alpha text one\nalpha text two")
+    write(in, "b.txt", "beta text")
+
+    def runOnce(ck: String): Unit = {
+      val q = StreamingIngest.start(spark, in.toString, store,
+        DeterministicEmbedder(16), StubAnalyzeExtractor(),
+        IngestPipeline.Config(), checkpointDir = ck)
+      q.awaitTermination(60000)
+    }
+
+    runOnce(ckpt.toString + "/1")
+    val n1 = store.read().count()
+    assert(n1 > 0)
+    assert(store.read().select("document_url").distinct().count() == 2)
+
+    // second pass over unchanged input: no duplicates (keyed upsert)
+    runOnce(ckpt.toString + "/2")
+    assert(store.read().count() == n1)
+
+    // delete a file upstream → chunks disappear on the next batch
+    Files.delete(in.resolve("b.txt"))
+    runOnce(ckpt.toString + "/3")
+    val urls = store.read().select("document_url").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(urls.length == 1 && urls.head.endsWith("a.txt"))
+  }
+
+  test("streaming dedup with watermark drops duplicate keys (C36)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = input.toDS()
+      .toDF("event_id", "ts", "payload")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id")
+
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData((1L, t0, "a"), (2L, t0, "b"), (1L, t0, "dup"))
+    q.processAllAvailable()
+    input.addData((2L, t0, "dup2"), (3L, t0, "c"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    q.stop()
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("streaming tumbling window aggregation with watermark (C33)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input.toDS().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+
+    val q = agg.writeStream.format("memory")
+      .queryName("win_out").outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2024-01-01 00:10:00"), 1.0),
+      (ts("2024-01-01 00:50:00"), 2.0),
+      (ts("2024-01-01 01:10:00"), 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("n"), col("s"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    q.stop()
+    assert(rows == Seq(
+      ("2024-01-01 00:00:00", 2L, 3.0),
+      ("2024-01-01 01:00:00", 1L, 4.0)))
+  }
+}
