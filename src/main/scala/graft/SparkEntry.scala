@@ -10,7 +10,7 @@ object SparkEntry {
   /** All conformance queries, keyed by SURVEY §2 inventory id. */
   lazy val all: Map[String, QueryDef] =
     VectorQueries.defs ++ RelationalQueries.defs ++ ChunkQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++ LlmOpsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Slice 0: exact vector top-k via the custom cosine_distance expression.

@@ -37,6 +37,17 @@ object GraftFunctions {
     Bridge.column(TokenCount(Bridge.expression(s, text)))
   }
 
+  def simhash64(text: Column, shingleSize: Column): Column =
+    binary(text, shingleSize, SimHash64)
+
+  def minhash_signature(text: Column, numHashes: Column,
+      shingleSize: Column): Column = {
+    val s = activeSession
+    Bridge.column(MinHashSignature(
+      Bridge.expression(s, text), Bridge.expression(s, numHashes),
+      Bridge.expression(s, shingleSize)))
+  }
+
   private def activeSession: SparkSession =
     SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
@@ -67,5 +78,9 @@ object GraftFunctions {
       es => ChunkText(es(0), es(1), es(2), es(3)))
     Bridge.registerFunction(spark, "token_count",
       es => TokenCount(es(0)))
+    Bridge.registerFunction(spark, "simhash64",
+      es => SimHash64(es(0), es(1)))
+    Bridge.registerFunction(spark, "minhash_signature",
+      es => MinHashSignature(es(0), es(1), es(2)))
   }
 }

@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for content-hash expressions (SimHash — SURVEY D2's
+  * near-dup family). FNV-1a is public-domain arithmetic; SimHash per
+  * Charikar's SIGMOD'02 similarity-estimation scheme.
+  */
+object HashOps {
+
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit avalanche finalizer (splitmix64-style) — decorrelates the
+    * FNV base hash for double hashing.
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature in one pass (SURVEY D2): k min-hashes via the
+    * standard double-hashing scheme h_k = h1 + k·h2 over lowercase
+    * word shingles. Duplicate shingles don't affect a min, so no
+    * distinct-set is materialized. Plain JVM arithmetic — wraparound
+    * is intended (hash mixing), no ANSI overflow semantics involved.
+    */
+  def minhashSignature(
+      text: UTF8String,
+      numHashes: Int,
+      shingleSize: Int): ArrayData = {
+    val k = math.max(1, numHashes)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val words = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.nonEmpty) {
+      val n = math.max(1, shingleSize)
+      val end = math.max(1, words.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < end) {
+        sb.setLength(0)
+        var j = i
+        val stop = math.min(words.length, i + n)
+        while (j < stop) {
+          if (j > i) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        val h1 = fnv64(sb.toString)
+        val h2 = mix64(h1) | 1L
+        var h = h1
+        var m = 0
+        while (m < k) {
+          if (h < sig(m)) sig(m) = h
+          h += h2
+          m += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over lowercase word shingles: each shingle votes
+    * its hash bits up/down; the sign of each counter becomes the
+    * output bit. Near-identical texts land within a small Hamming
+    * distance.
+    */
+  def simhash64(text: UTF8String, shingleSize: Int): Long = {
+    val words = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return 0L
+    val n = math.max(1, shingleSize)
+    val counts = new Array[Int](64)
+    val end = math.max(1, words.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < end) {
+      sb.setLength(0)
+      var j = i
+      val stop = math.min(words.length, i + n)
+      while (j < stop) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      val h = fnv64(sb.toString)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** `simhash64(text, shingle_size)` → BIGINT (SURVEY D2). Hamming
+  * distance between signatures uses the built-in
+  * `bit_count(a ^ b)` — no custom expression needed there.
+  */
+case class SimHash64(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "simhash64"
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    HashOps.simhash64(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = HashOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (t, n) => s"${ev.value} = $ops.simhash64($t, $n);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `minhash_signature(text, num_hashes, shingle_size)` → ARRAY<BIGINT>
+  * (SURVEY D2). One pass over the shingles; the LSH banding layer
+  * folds this signature into bucket keys.
+  */
+case class MinHashSignature(
+    first: Expression,
+    second: Expression,
+    third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "minhash_signature"
+  override def inputTypes = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, k: Any, n: Any): Any =
+    HashOps.minhashSignature(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = HashOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev,
+      (t, k, n) => s"${ev.value} = $ops.minhashSignature($t, $k, $n);")
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression) =
+    copy(first = a, second = b, third = c)
+}

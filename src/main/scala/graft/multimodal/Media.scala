@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support (SURVEY D5): media travels as opaque
+  * BINARY content + typed metadata alongside text in one DataFrame;
+  * decode / feature-extraction stages run per-partition behind a
+  * pluggable trait (the same side-effecting-stage discipline as the
+  * OCR and embedding boundaries, §2.5).
+  *
+  * The actual codecs (image/audio/video) are NOT present in this
+  * container, so [[StubMediaDecoder]] is a clearly-marked
+  * deterministic fake; the Spark-side plumbing — schema, batch shape,
+  * partition-parallel decode — is real and tested.
+  */
+final case class MediaMeta(format: String, width: Int, height: Int)
+
+final case class MediaRow(
+    media_id: Long,
+    kind: String,            // image | audio | video
+    content: Array[Byte],
+    meta: MediaMeta)
+
+final case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Long,
+    features: Array[Float])
+
+trait MediaDecoder extends Serializable {
+  def featureDim: Int
+  /** Decode one media payload to a feature vector. Real
+    * implementations call into a codec; must be total (never throw on
+    * malformed bytes — return a zero vector).
+    */
+  def decode(kind: String, content: Array[Byte]): Array[Float]
+}
+
+/** Deterministic stand-in for the codec stage: features are byte
+  * histogram moments — stable, content-sensitive, codec-free.
+  */
+final case class StubMediaDecoder(featureDim: Int = 8) extends MediaDecoder {
+  override def decode(kind: String, content: Array[Byte]): Array[Float] = {
+    val f = new Array[Float](featureDim)
+    if (content.nonEmpty) {
+      var i = 0
+      while (i < content.length) {
+        f(i % featureDim) += (content(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val n = content.length.toFloat
+      var j = 0
+      while (j < featureDim) { f(j) = f(j) / n * featureDim; j += 1 }
+    }
+    f
+  }
+}
+
+object Media {
+
+  /** Partition-parallel decode/feature-extract stage (the Scala analog
+    * of a mapInPandas batch UDF: one decoder instance per task,
+    * batched row iteration, columnar-friendly output schema).
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+          decoder.decode(m.kind, m.content))
+      }
+    }
+  }
+
+  /** Demo corpus: wrap the harness documents' text bytes as media
+    * payloads (kind round-robins image/audio/video) — the plumbing
+    * under test is schema + partitioning, not the codec.
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(lit("stub").as("format"),
+          length(col("text")).as("width"),
+          lit(1).as("height")).as("meta"))
+      .as[MediaRow]
+  }
+}

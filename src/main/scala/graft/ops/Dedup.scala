@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{minhash_signature, simhash64}
+
+/** Deduplication operators for large-scale corpus curation
+  * (SURVEY §2.4 D1/D2): exact content-hash dedup, MinHash+LSH
+  * candidate generation with exact-Jaccard verification, SimHash
+  * near-dup pairing, and an exact word-set Jaccard join.
+  *
+  * Scale design:
+  *  - everything is expressed with built-in (codegen'd) higher-order
+  *    functions over arrays — shingling, MinHash, banding are all
+  *    per-row map work, no UDFs;
+  *  - the only shuffles are the band-bucket self-join (keys are
+  *    (band_idx, band_key), cardinality ≈ rows×bands, uniformly
+  *    hash-distributed — skew-free by construction) and the final
+  *    distinct;
+  *  - candidate verification joins text back by id (shuffle on id) and
+  *    evaluates exact Jaccard only on candidate pairs, which is the
+  *    whole point of LSH: O(candidates) ≪ O(n²).
+  */
+object Dedup {
+
+  /** Lowercased word `n`-shingles of a text column (distinct). Short
+    * texts (< n words) collapse to a single whole-text shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = split(lower(text), "\\s+")
+    array_distinct(filter(
+      transform(
+        sequence(lit(0), greatest(size(ws) - n, lit(0))),
+        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))),
+      s => length(s) > 0))
+  }
+
+  /** MinHash signature: k min-hashes in a single pass over the text's
+    * shingles (custom codegen'd expression — a nested higher-order
+    * formulation re-hashes every shingle per hash function and is
+    * orders of magnitude slower).
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int): Column =
+    minhash_signature(text, lit(numHashes), lit(shingleSize))
+
+  /** LSH band keys: the signature folds into `bands` keys of
+    * `numHashes / bands` rows each; two texts sharing any band key are
+    * candidates.
+    */
+  def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    val rows = math.max(1, numHashes / bands)
+    // xorshift-style fold: bit ops only, so ANSI overflow checking
+    // never trips (multiplicative mixing would overflow LongType)
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => aggregate(slice(sig, b * rows + lit(1), lit(rows)), lit(0L),
+        (acc, x) => shiftleft(acc, 13)
+          .bitwiseXOR(shiftrightunsigned(acc, 7))
+          .bitwiseXOR(x)))
+  }
+
+  /** D1: exact dedup by content hash — keep the smallest id per
+    * distinct content, count the duplicates.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("dups"))
+
+  /** D2: MinHash+LSH near-dup pairs, verified with exact Jaccard over
+    * the shingle sets. Returns (id1, id2, jaccard) for candidates with
+    * jaccard ≥ threshold. LSH bounds false negatives probabilistically;
+    * verification removes all false positives.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val sig = df.select(col(idCol).as("id"),
+      bandKeys(minhashSignature(col(textCol), numHashes, shingleSize),
+        numHashes, bands).as("bands"))
+
+    val buckets = sig.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+
+    candidates
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** D2 (SimHash flavor): near-dup pairs within a Hamming radius.
+    * Band trick: a 64-bit signature splits into 4×16-bit bands —
+    * Hamming distance ≤ 3 guarantees at least one identical band
+    * (pigeonhole), so the self-join is on exact band equality and the
+    * radius filter uses built-in bit_count on the XOR.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      shingleSize: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "4-band trick covers Hamming radius ≤ 3")
+    val sig = df.select(col(idCol).as("id"),
+      simhash64(col(textCol), lit(shingleSize)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 to 3).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bval")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-set Jaccard similarity join (the n-gram Jaccard
+    * operator at n=1; SQL-oracle-checkable). Quadratic in candidate
+    * rows — callers bound the input (or use [[minhashLshPairs]] as the
+    * scale path; this is its verification semantics standalone).
+    */
+  def wordJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+    val counts = words.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = words.as("a").join(words.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("ix"))
+    inter
+      .join(counts.select(col("id").as("id1"), col("n").as("n1")), "id1")
+      .join(counts.select(col("id").as("id2"), col("n").as("n2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(col("ix") * lit(1.0) / (col("n1") + col("n2") - col("ix")), 6)
+          .as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{cosine_distance, dot_product}
+
+/** Similarity search over embedding columns (SURVEY B2/D3/D6):
+  * brute-force exact k-NN as the correctness baseline, random
+  * hyperplane LSH bucketing as the scale path, and cosine near-dup
+  * pair detection.
+  *
+  * Scale design: probes broadcast (they are the small side by
+  * contract); the base table never shuffles for brute-force k-NN —
+  * per-partition partial top-k via the ranking window only shuffles
+  * (probe_id, dist) pairs, k per probe per partition. The LSH variant
+  * prunes the candidate set to matching buckets before exact rerank,
+  * turning O(|base|·|probes|) into O(candidates).
+  */
+object Similarity {
+
+  /** D3/B2: exact k-NN join — for every probe row, the k nearest base
+    * rows by cosine distance. Distances are rounded before ranking so
+    * ties break deterministically by neighbor id (and so results are
+    * reproducible across engines).
+    */
+  def knnJoinBrute(
+      base: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val b = base.select(col(idCol).as("nn_id"), col(vecCol).as("bv"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    b.crossJoin(broadcast(p))
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Random hyperplane signature (sign bits of `numPlanes` seeded
+    * Gaussian projections) as an integer bucket id. Deterministic in
+    * (seed, dim, numPlanes).
+    */
+  private def planes(dim: Int, numPlanes: Int, seed: Long): Seq[Seq[Float]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  def lshBucket(vecCol: org.apache.spark.sql.Column, dim: Int,
+      numPlanes: Int, seed: Long): org.apache.spark.sql.Column =
+    planes(dim, numPlanes, seed).zipWithIndex.map { case (pl, i) =>
+      when(dot_product(vecCol, typedlit(pl)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** D3 scale path: LSH-bucketed approximate k-NN with multi-probing.
+    * Candidates = base rows whose hyperplane bucket matches the
+    * probe's bucket OR any 1-bit flip of it (multi-probe recovers the
+    * neighbors lost to a single near-zero projection); exact cosine
+    * rerank within the candidates. Candidate set shrinks
+    * ~(planes+1)/2^planes of the base; near-duplicate vectors (the D6
+    * workload) collide with high probability.
+    */
+  def lshAnnJoin(
+      base: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val b = base.select(col(idCol).as("nn_id"), col(vecCol).as("bv"),
+      lshBucket(col(vecCol), dim, numPlanes, seed).as("bucket"))
+    val flips = lit(0) +: (0 until numPlanes).map(i => lit(1 << i))
+    val p = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        lshBucket(col(vecCol), dim, numPlanes, seed).as("bucket0"))
+      .select(col("probe_id"), col("pv"),
+        explode(array(flips.map(f => col("bucket0").bitwiseXOR(f)): _*))
+          .as("bucket"))
+    b.join(broadcast(p), "bucket")
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
+      // a pair can match via several probed buckets → dedup by key
+      .groupBy(col("probe_id"), col("nn_id")).agg(min(col("dist")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** D6: embedding-cosine near-duplicate pairs within a distance
+    * threshold. Quadratic in rows — callers bound the input or go
+    * through [[lshAnnJoin]] buckets first at scale.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxDistance: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine_distance(col("v1"), col("v2")), 6).as("dist"))
+      .filter(col("dist") <= maxDistance)
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.embed.DeterministicEmbedder
+import graft.multimodal.{Media, StubMediaDecoder}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Tier D — LLM-data-pipeline operators through the conformance gate
+  * (SURVEY §2.4) plus the Tier B full-text surface (B4). Oracle
+  * wherever ANSI SQL can express the semantics; hash-family operators
+  * (MinHash/SimHash/LSH) are engine-deterministic but engine-specific,
+  * so they ship rows-only here and are pinned by unit tests instead.
+  */
+object LlmOpsQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // D1: exact dedup by content hash over a synthetic re-upload (the
+    // union makes every text appear twice — dedup must collapse them).
+    "d1_exact_dedup" -> QueryDef(
+      """SELECT MIN(doc_id) AS keeper, COUNT(*) AS dups
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |GROUP BY sha256(text) ORDER BY keeper""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val doubled = d.select(col("doc_id"), col("text"))
+        .unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactDedup(doubled, "doc_id", "text")
+        .select(col("keeper"), col("dups"))
+        .orderBy("keeper")
+    },
+
+    // D2 (MinHash+LSH): candidates + verified Jaccard. Signature
+    // hashes are engine-specific → rows-only; recall is pinned by
+    // DedupSpec against planted near-duplicates.
+    "d2_minhash_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val edited = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail edit")).as("text"))
+      Dedup.minhashLshPairs(
+          d.select(col("doc_id"), col("text")).unionAll(edited),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("id1", "id2")
+    },
+
+    // D2 (SimHash): near-dup pairs within Hamming radius 3.
+    "d2b_simhash_neardup" -> QueryDef.rowsOnly { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val edited = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" x")).as("text"))
+      Dedup.simhashPairs(
+          d.select(col("doc_id"), col("text")).unionAll(edited),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy("id1", "id2")
+    },
+
+    // D2 (exact flavor): word-set Jaccard join — fully SQL-checkable.
+    "d2c_word_jaccard" -> QueryDef(
+      """WITH w AS (SELECT DISTINCT doc_id AS id, UNNEST(string_split(text, ' ')) AS w
+        |           FROM documents WHERE doc_id < 50),
+        |c AS (SELECT id, COUNT(*) AS n FROM w GROUP BY id),
+        |i AS (SELECT a.id AS id1, b.id AS id2, COUNT(*) AS ix
+        |      FROM w a JOIN w b ON a.w = b.w AND a.id < b.id GROUP BY 1, 2)
+        |SELECT id1, id2, ROUND(ix * 1.0 / (c1.n + c2.n - ix), 6) AS jac
+        |FROM i JOIN c c1 ON c1.id = id1 JOIN c c2 ON c2.id = id2
+        |WHERE ix * 1.0 / (c1.n + c2.n - ix) >= 0.5
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      Dedup.wordJaccardPairs(
+          Tables(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("id1", "id2")
+    },
+
+    // D3: exact k-NN join (brute-force cosine top-k per probe),
+    // oracle via DuckDB's list_cosine_similarity + QUALIFY.
+    "d3_knn_join" -> QueryDef(
+      """SELECT p.vec_id AS probe_id, b.vec_id AS nn_id,
+        |       ROUND(1.0 - list_cosine_similarity(b.embedding::DOUBLE[],
+        |                                          p.embedding::DOUBLE[]), 6) AS dist
+        |FROM embeddings b, embeddings p
+        |WHERE p.vec_id < 10
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, nn_id) <= 5
+        |ORDER BY probe_id, dist, nn_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Similarity.knnJoinBrute(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("probe_id", "dist", "nn_id")
+    },
+
+    // D3 scale path: LSH-bucketed ANN (bucket assignment is
+    // engine-specific → rows-only; recall pinned by SimilaritySpec).
+    "d3b_ann_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Similarity.lshAnnJoin(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, dim = 64)
+        .orderBy("probe_id", "dist", "nn_id")
+    },
+
+    // D6: embedding-cosine near-duplicate pairs.
+    "d6_embedding_neardup" -> QueryDef(
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       ROUND(1.0 - list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                          b.embedding::DOUBLE[]), 6) AS dist
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id
+        |  AND 1.0 - list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                   b.embedding::DOUBLE[]) <= 0.75
+        |ORDER BY id1, id2""".stripMargin) { (s, dir) =>
+      Similarity.cosineNearDupPairs(
+          Tables(s, dir, "embeddings").filter(col("vec_id") < 200),
+          "vec_id", "embedding", maxDistance = 0.75)
+        .orderBy("id1", "id2")
+    },
+
+    // D4: quality scoring — formula recomputed verbatim in DuckDB.
+    "d4b_quality_score" -> QueryDef(
+      """SELECT doc_id,
+        |       ROUND(LEAST(LENGTH(text), 500) * 1.0 / 500 * 0.4
+        |         + len(list_filter(string_split(lower(text), ' '),
+        |             x -> x IN ('the','and','of','to','in','is','a','that','it','for')))
+        |           * 1.0 / len(string_split(text, ' ')) * 0.4
+        |         + CASE WHEN (LENGTH(text) - len(string_split(text, ' ')) + 1) * 1.0
+        |                     / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+        |                THEN 0.2 ELSE 0.0 END, 6) AS q
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+        .orderBy("doc_id")
+    },
+
+    // D4: heuristic language-ID (profile tables are engine spec →
+    // rows-only; real-language behavior pinned by TextAnalysisSpec).
+    "d4c_lang_id" -> QueryDef.rowsOnly { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // D4: content fingerprint (md5 of normalized text).
+    "d4d_fingerprint" -> QueryDef(
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // B4: keyword full-text search.
+    "b4_fulltext_like" -> QueryDef(
+      """SELECT doc_id FROM documents
+        |WHERE text LIKE '%window%' ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("text").like("%window%"))
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // B4 scored variant: TF-IDF ranking for a keyword query.
+    "b4b_fulltext_tfidf" -> QueryDef(
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |idf AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT t.doc_id, ROUND(SUM(t.tf * LN(n.n * 1.0 / d.df)), 6) AS score
+        |FROM tf t JOIN idf d ON t.w = d.w CROSS JOIN n
+        |WHERE t.w IN ('window', 'filter')
+        |GROUP BY t.doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val idf = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      val n = docs.count() // dimension-scale scalar (doc count), driver-side by design
+      tf.filter(col("w").isin("window", "filter"))
+        .join(idf, "w")
+        .groupBy("doc_id")
+        .agg(round(sum(col("tf") * log(lit(n) * lit(1.0) / col("df"))), 6)
+          .as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+    },
+
+    // D5: multimodal plumbing — binary payload + typed metadata
+    // through the partition-parallel (stub) decode stage; oracle
+    // checks the content-derived invariants.
+    "d5_multimodal_features" -> QueryDef(
+      """SELECT doc_id AS media_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+        |       CAST(8 AS BIGINT) AS dim
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Media.mediaFromDocuments(Tables(s, dir, "documents"))
+      Media.extractFeatures(media, StubMediaDecoder(8))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          size(col("features")).cast("long").as("dim"))
+        .orderBy("media_id")
+    }
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Similarity search semantics (SURVEY B2/D3/D6). */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sf(), "embeddings").cache()
+
+  test("knnJoinBrute: self is its own nearest neighbor at distance 0") {
+    val out = Similarity.knnJoinBrute(emb, emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 3).cache()
+    assert(out.groupBy("probe_id").count()
+      .filter(col("count") =!= 3).count() == 0)
+    val self = out.filter(col("probe_id") === col("nn_id"))
+    assert(self.count() == 20)
+    assert(self.filter(col("dist") =!= 0.0).count() == 0)
+    out.unpersist()
+  }
+
+  test("lshAnnJoin finds perturbed copies of base vectors (near-dup recall)") {
+    import spark.implicits._
+    // probes = base vectors + small deterministic noise: they must
+    // land in the source vector's bucket and find it as top-1
+    val rnd = new java.util.Random(7)
+    val probes = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id + 100000L, v.map(x => x + (rnd.nextGaussian() * 0.005).toFloat))
+      }
+      .toDF("vec_id", "embedding")
+    val ann = Similarity.lshAnnJoin(emb, probes, "vec_id", "embedding",
+      k = 1, dim = 64)
+    val hits = ann.filter(col("nn_id") === col("probe_id") - 100000L).count()
+    assert(hits >= 90, s"LSH near-dup recall too low: $hits/100")
+  }
+
+  test("cosineNearDupPairs is symmetric-free and thresholded") {
+    val pairs = Similarity.cosineNearDupPairs(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", 0.8).cache()
+    assert(pairs.filter(col("id1") >= col("id2")).count() == 0)
+    assert(pairs.filter(col("dist") > 0.8).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("lsh bucket is deterministic across evaluations") {
+    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 64, 8, 42L)
+      .as("b")).collect().map(_.getInt(0)).toSeq
+    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 64, 8, 42L)
+      .as("b")).collect().map(_.getInt(0)).toSeq
+    assert(b1 == b2)
+    assert(b1.distinct.length > 1) // actually spreads across buckets
+  }
+}

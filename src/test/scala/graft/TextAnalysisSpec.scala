@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Text-analysis operators (SURVEY D4) on real-language samples. */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("langId tags real-language samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it is a good day for all of us"),
+      ("es", "el perro corre en la casa y los gatos de la ciudad"),
+      ("de", "der hund ist ein gutes tier und die katze ist nicht da"),
+      ("fr", "le chien est dans la maison et les chats sont une merveille"),
+      ("und", "zzz qqq www rrr")).toDF("expected", "text")
+    val got = samples
+      .select(col("expected"), TextAnalysis.langId(col("text")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("qualityScore is bounded and monotone in stopword density") {
+    import spark.implicits._
+    val df = Seq(
+      "the of and to in is a that it for the of and to in", // stopword-rich
+      "qqq www eee rrr ttt yyy uuu iii ooo ppp",            // stopword-free
+      "").toDF("text")
+    val scores = df.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    import spark.implicits._
+    val fps = Seq("Hello  World", "hello world", "HELLO WORLD ")
+      .toDF("text").select(TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(_.getString(0)).toSeq
+    assert(fps.distinct.length == 1)
+  }
+
+  test("simhash64 expression: identical texts agree, edits stay close") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.simhash64
+    val base = "spark structured streaming processes micro batches of data"
+    val df = Seq(base, base, base + " quickly", "completely different words here now")
+      .toDF("t").select(simhash64(col("t"), lit(2)).as("h"))
+    val hs = df.collect().map(_.getLong(0)).toSeq
+    assert(hs(0) == hs(1))
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) <= 16)
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(3)) > 16)
+  }
+}
