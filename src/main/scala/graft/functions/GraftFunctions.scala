@@ -48,6 +48,9 @@ object GraftFunctions {
       Bridge.expression(s, shingleSize)))
   }
 
+  def word_shingles(text: Column, shingleSize: Column): Column =
+    binary(text, shingleSize, WordShingles)
+
   private def activeSession: SparkSession =
     SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
@@ -82,5 +85,7 @@ object GraftFunctions {
       es => SimHash64(es(0), es(1)))
     Bridge.registerFunction(spark, "minhash_signature",
       es => MinHashSignature(es(0), es(1), es(2)))
+    Bridge.registerFunction(spark, "word_shingles",
+      es => WordShingles(es(0), es(1)))
   }
 }

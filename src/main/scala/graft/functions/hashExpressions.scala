@@ -75,6 +75,37 @@ object HashOps {
     new GenericArrayData(sig)
   }
 
+  /** Distinct lowercase word n-shingles in one pass (order of first
+    * occurrence). Short texts (< n words) collapse to one whole-text
+    * shingle — same contract as the signature kernels above.
+    */
+  def wordShingles(text: UTF8String, shingleSize: Int): ArrayData = {
+    val words = text.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val n = math.max(1, shingleSize)
+    val end = math.max(1, words.length - n + 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < end) {
+      sb.setLength(0)
+      var j = i
+      val stop = math.min(words.length, i + n)
+      while (j < stop) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over lowercase word shingles: each shingle votes
     * its hash bits up/down; the sign of each counter becomes the
     * output bit. Near-identical texts land within a small Hamming
@@ -165,4 +196,27 @@ case class MinHashSignature(
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression) =
     copy(first = a, second = b, third = c)
+}
+
+/** `word_shingles(text, n)` → ARRAY<STRING> (distinct lowercase word
+  * n-grams; the Jaccard-verification companion of the signature
+  * expressions).
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "word_shingles"
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    HashOps.wordShingles(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = HashOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (t, n) => s"${ev.value} = $ops.wordShingles($t, $n);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{minhash_signature, simhash64}
+import graft.functions.GraftFunctions.{minhash_signature, simhash64, word_shingles}
 
 /** Deduplication operators for large-scale corpus curation
   * (SURVEY §2.4 D1/D2): exact content-hash dedup, MinHash+LSH
@@ -26,15 +26,12 @@ object Dedup {
 
   /** Lowercased word `n`-shingles of a text column (distinct). Short
     * texts (< n words) collapse to a single whole-text shingle.
+    * One-pass codegen'd expression — the equivalent
+    * transform+slice higher-order formulation is O(words²) per row
+    * and interprets poorly.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = split(lower(text), "\\s+")
-    array_distinct(filter(
-      transform(
-        sequence(lit(0), greatest(size(ws) - n, lit(0))),
-        i => concat_ws(" ", slice(ws, i + lit(1), lit(n)))),
-      s => length(s) > 0))
-  }
+  def shingles(text: Column, n: Int): Column =
+    word_shingles(text, lit(n))
 
   /** MinHash signature: k min-hashes in a single pass over the text's
     * shingles (custom codegen'd expression — a nested higher-order
@@ -79,14 +76,20 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
+    // persist the per-row signature work: the self-join and the two
+    // verification joins would otherwise re-evaluate the hash pipeline
+    // for every consumer (3-4×). MEMORY_AND_DISK: signature+shingle
+    // frames are a small multiple of the text column.
     val sh = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = df.select(col(idCol).as("id"),
       bandKeys(minhashSignature(col(textCol), numHashes, shingleSize),
         numHashes, bands).as("bands"))
 
     val buckets = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -136,26 +136,35 @@ object RelationalQueries {
       r1.crossJoin(r2).orderBy("name1", "name2")
     },
 
-    // C10: as-of style join (events ↔ latest order at ts). Naive form is
-    // |events| × |orders| nested-loop; we reduce the right side to a
-    // per-date running-max "step table" (≤ #distinct dates rows, a true
-    // date dimension that stays tiny at any fact scale), broadcast it,
-    // and fold with max(). The single-partition window is over that tiny
-    // dimension only.
+    // C10: as-of style join (events ↔ latest order at ts). Naive form
+    // is an |events| × |orders| nested-loop. Instead: reduce orders to
+    // a per-day running max, densify over a generated calendar (a true
+    // date dimension — tiny at any fact scale; the single-partition
+    // window runs only there), then EQUI-join events on their day.
+    // Event days past the last order day clamp to it (the running max
+    // there is the global max — same semantics, no range predicate).
+    // Per-event cost is one broadcast-hash probe, not O(|dates|)
+    // comparisons; the oracle keeps the declarative range-join form.
     "c10_asof_join" -> QueryDef(
       """SELECT e.event_id, MAX(o.o_orderkey) AS last_order FROM events e
         |JOIN orders o ON o.o_orderdate <= e.ts
         |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin) { (s, dir) =>
       val perDate = t(s, dir, "orders")
-        .select(col("o_orderdate").cast("timestamp").as("d"), col("o_orderkey"))
+        .select(to_date(col("o_orderdate")).as("d"), col("o_orderkey"))
         .groupBy("d").agg(max("o_orderkey").as("mx"))
-      val cum = perDate.withColumn("cm",
+      val bounds = perDate.agg(min("d").as("d0"), max("d").as("d1"))
+      val cal = bounds
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      val filled = cal.join(perDate, Seq("d"), "left")
+        .withColumn("last_order",
           max("mx").over(Window.orderBy("d")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select("d", "cm")
-      val ev = t(s, dir, "events").select("event_id", "ts")
-      ev.join(broadcast(cum), col("d") <= col("ts"))
-        .groupBy("event_id").agg(max("cm").as("last_order"))
+        .select("d", "last_order")
+      t(s, dir, "events")
+        .crossJoin(broadcast(bounds.select(col("d1"))))
+        .select(col("event_id"), least(to_date(col("ts")), col("d1")).as("d"))
+        .join(broadcast(filled), "d")
+        .select("event_id", "last_order")
         .orderBy("event_id")
     },
 

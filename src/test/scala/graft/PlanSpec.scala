@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+/** Physical plan-shape guards (the 100 TB properties): predicate
+  * pushdown reaches the scan, projections prune the read schema,
+  * dimension joins broadcast, top-k lowers to TakeOrderedAndProject,
+  * and the as-of join is an equi hash join — not a nested loop.
+  * These are the properties .explain audits manually; pinning them
+  * here keeps perf regressions out of future rounds.
+  */
+class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.all(name).fn(spark, sf())
+
+  test("c3: filter pushes down to the parquet scan") {
+    val p = planString(q("c3_filter"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      p.contains("GreaterThan(l_quantity,30.0)"), p.take(2000))
+  }
+
+  test("c2: projection prunes the read schema to two columns") {
+    val p = planString(q("c2_projection"))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
+      p.take(2000))
+  }
+
+  test("c5: dimension join broadcasts") {
+    val p = planString(q("c5_join_broadcast"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("c20/b2: top-k lowers to TakeOrderedAndProject (no full sort)") {
+    assert(planString(q("c20_topk")).contains("TakeOrderedAndProject"))
+    assert(planString(q("b2_vector_topk")).contains("TakeOrderedAndProject"))
+  }
+
+  test("c10: as-of join probes the calendar via broadcast equi-join") {
+    // the only nested-loop allowed is the scalar (1-row bounds) cross
+    // join; the per-event work must be a BroadcastHashJoin probe.
+    // (AQE's toString repeats the tree as Initial Plan — inspect only
+    // the final section.)
+    val p = planString(q("c10_asof_join")).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(2000))
+  }
+
+  test("c11: aggregate runs partial then final (map-side combine)") {
+    val p = planString(q("c11_agg_hash"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+  }
+
+  test("point lookup pushes the key filter to the scan (B5)") {
+    // partition-level pruning on the chunk store is covered in
+    // PipelineSpec; here: the key predicate must reach the parquet
+    // scan (an uncached table — other suites cache embeddings, which
+    // would turn its scan into an InMemory scan in full-suite runs)
+    import org.apache.spark.sql.functions.col
+    val p = planString(Tables(spark, sf(), "orders")
+      .filter(col("o_orderkey") === 42).select("o_orderkey", "o_totalprice"))
+    assert(p.contains("EqualTo(o_orderkey,42)"), p.take(2000))
+  }
+}
