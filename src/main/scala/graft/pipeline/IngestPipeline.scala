@@ -127,6 +127,41 @@ object IngestPipeline {
     }
   }
 
+  /** D6: embedding cache — skip re-embedding chunks that already
+    * exist unchanged in the store. Pending chunks anti-join the
+    * store's (document_url, chunk_id, content-hash) keys: misses go to
+    * the embedder, hits reuse the stored vector. This is the cost
+    * control the reference implies via its retry ceilings and TPM
+    * quota (SURVEY D6): at 100 TB re-ingest, unchanged documents cost
+    * a hash + a join, not an embedding call.
+    */
+  def incrementalEmbed(
+      pending: Dataset[PendingChunk],
+      existing: DataFrame,
+      embedder: Embedder,
+      cfg: Config = Config()): DataFrame = {
+    import pending.sparkSession.implicits._
+    val keyCols = Seq("document_url", "chunk_id", "h")
+    val cached = existing.select(
+      col("document_url"), col("chunk_id"), col("chunk_text"),
+      col("embedding"), col("page_number"),
+      sha2(col("chunk_text"), 256).as("h"))
+    val pend = pending.toDF()
+      .withColumn("h", sha2(col("chunk_text"), 256))
+
+    val toEmbed = pend
+      .join(cached.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .drop("h")
+      .as[PendingChunk]
+    val reused = pend
+      .join(cached.select(col("document_url"), col("chunk_id"), col("h"),
+        col("embedding")), keyCols)
+      .select(col("chunk_id"), col("chunk_text"), col("embedding"),
+        col("page_number"), col("document_url"))
+
+    embedChunks(toEmbed, embedder, cfg).toDF().unionByName(reused)
+  }
+
   /** End-to-end batch ingest of the harness documents table. */
   def ingestDocumentsTable(
       spark: SparkSession,

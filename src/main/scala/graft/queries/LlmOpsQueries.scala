@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.embed.DeterministicEmbedder
 import graft.multimodal.{Media, StubMediaDecoder}
+import graft.pipeline.IngestPipeline
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 
 /** Tier D — LLM-data-pipeline operators through the conformance gate
@@ -111,6 +112,31 @@ object LlmOpsQueries {
           Tables(s, dir, "embeddings").filter(col("vec_id") < 200),
           "vec_id", "embedding", maxDistance = 0.75)
         .orderBy("id1", "id2")
+    },
+
+    // D6 (cache flavor): skip-unchanged re-ingest. The second pass
+    // uses a zero-vector embedder — if ANY chunk were re-embedded its
+    // norm would be 0, so the all-norms-are-1 oracle proves every
+    // vector came from the cache.
+    "d6b_embedding_cache" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       1.0 AS nrm
+        |FROM documents ORDER BY document_url""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val existing = IngestPipeline.ingestDocumentsTable(
+        s, docs, DeterministicEmbedder(64))
+      val pending = IngestPipeline.chunkDocumentsTable(docs)
+        .as[graft.pipeline.PendingChunk]
+      val zeroEmbedder = new graft.embed.Embedder {
+        val dimensions = 64
+        def embed(ts: Seq[String]) = ts.map(_ => new Array[Float](64))
+      }
+      IngestPipeline.incrementalEmbed(pending, existing, zeroEmbedder)
+        .groupBy("document_url")
+        .agg(round(min(graft.functions.GraftFunctions
+          .vector_norm(col("embedding"))), 6).as("nrm"))
+        .orderBy("document_url")
     },
 
     // D4: quality scoring — formula recomputed verbatim in DuckDB.

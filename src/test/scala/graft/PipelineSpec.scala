@@ -125,6 +125,40 @@ class PipelineSpec extends SparkSpec {
     assert(after.select("document_url").distinct().count() == 19)
   }
 
+  test("incrementalEmbed skips unchanged chunks (D6 embedding cache)") {
+    import org.apache.spark.util.LongAccumulator
+    import org.apache.spark.sql.functions._
+    class CountingEmbedder(acc: LongAccumulator) extends Embedder {
+      val inner = DeterministicEmbedder(16)
+      val dimensions = 16
+      def embed(texts: Seq[String]): Seq[Array[Float]] = {
+        acc.add(texts.size)
+        inner.embed(texts)
+      }
+    }
+    import spark.implicits._
+    val docs = Tables(spark, sf(), "documents").limit(20).cache()
+    val existing = IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16)).cache()
+    val nChunks = existing.count()
+
+    // re-ingest with one modified document: only its chunks re-embed
+    val modified = docs.withColumn("text",
+      when(col("doc_id") === 0, concat(col("text"), lit(" changed")))
+        .otherwise(col("text")))
+    val pending = IngestPipeline.chunkDocumentsTable(modified)
+      .as[graft.pipeline.PendingChunk]
+    val acc = spark.sparkContext.longAccumulator("embedded")
+    val out = IngestPipeline.incrementalEmbed(
+      pending, existing, new CountingEmbedder(acc))
+    assert(out.count() == nChunks) // complete output, reused + fresh
+    val changedChunks = existing
+      .filter(col("document_url") === "doc://0").count()
+    assert(acc.value == changedChunks,
+      s"embedded ${acc.value}, expected only the $changedChunks changed")
+    docs.unpersist(); existing.unpersist()
+  }
+
   test("point lookup on the store prunes to one partition (B5)") {
     val dir = Files.createTempDirectory("graft-store2").toString + "/chunks"
     val store = new ChunkStore(spark, dir)
