@@ -65,27 +65,27 @@ object GraftFunctions {
     Bridge.column(f(Bridge.expression(s, a), Bridge.expression(s, b)))
   }
 
+  /** Every graft SQL function: name → expression builder. Single
+    * source of truth for session-level registration ([[register]])
+    * and the [[graft.GraftExtensions]] injection path.
+    */
+  val builders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "cosine_distance" -> (es => CosineDistance(es(0), es(1))),
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "l2_distance" -> (es => L2Distance(es(0), es(1))),
+    "vector_norm" -> (es => VectorNorm(es(0))),
+    "chunk_text" -> (es => ChunkText(es(0), es(1), es(2), es(3))),
+    "token_count" -> (es => TokenCount(es(0))),
+    "simhash64" -> (es => SimHash64(es(0), es(1))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), es(1), es(2))),
+    "word_shingles" -> (es => WordShingles(es(0), es(1))))
+
   /** Register all graft SQL functions on the given session. Idempotent. */
-  def register(spark: SparkSession): Unit = {
-    Bridge.registerFunction(spark, "cosine_distance",
-      es => CosineDistance(es(0), es(1)))
-    Bridge.registerFunction(spark, "cosine_similarity",
-      es => CosineSimilarity(es(0), es(1)))
-    Bridge.registerFunction(spark, "dot_product",
-      es => DotProduct(es(0), es(1)))
-    Bridge.registerFunction(spark, "l2_distance",
-      es => L2Distance(es(0), es(1)))
-    Bridge.registerFunction(spark, "vector_norm",
-      es => VectorNorm(es(0)))
-    Bridge.registerFunction(spark, "chunk_text",
-      es => ChunkText(es(0), es(1), es(2), es(3)))
-    Bridge.registerFunction(spark, "token_count",
-      es => TokenCount(es(0)))
-    Bridge.registerFunction(spark, "simhash64",
-      es => SimHash64(es(0), es(1)))
-    Bridge.registerFunction(spark, "minhash_signature",
-      es => MinHashSignature(es(0), es(1), es(2)))
-    Bridge.registerFunction(spark, "word_shingles",
-      es => WordShingles(es(0), es(1)))
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      Bridge.registerFunction(spark, name, b)
+    }
 }

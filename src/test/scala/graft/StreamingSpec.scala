@@ -73,6 +73,73 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("streaming session window groups by 30-min gaps (C35)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = input.toDS().toDF("user_id", "ts")
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = agg.writeStream.format("memory")
+      .queryName("sess_out").outputMode("complete").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 01:00:00")), // > 30 min gap → new session
+      (2L, ts("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .select(col("user_id"), col("n")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    q.stop()
+    assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("custom streaming state via mapGroupsWithState (running count)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+      }
+
+    val q = counted.toDF("user_id", "total").writeStream.format("memory")
+      .queryName("state_out").outputMode(OutputMode.Update()).start()
+    input.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+    q.processAllAvailable()
+    input.addData((1L, 3.0))
+    q.processAllAvailable()
+    val last = spark.table("state_out")
+      .groupBy("user_id").agg(max("total").as("t"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    q.stop()
+    assert(last == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("function registration is session-isolated and idempotent") {
+    // injection path: applying the extension class must cover every
+    // registered builder without throwing
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // session path: a sibling session gets its own registry
+    val s2 = spark.newSession()
+    GraftSession.install(s2)
+    GraftSession.install(s2) // idempotent re-registration
+    Tables(s2, sf(), "embeddings").createOrReplaceTempView("emb_ext")
+    val n = s2.sql(
+      "SELECT round(vector_norm(embedding), 3) AS n FROM emb_ext LIMIT 1")
+      .collect().head.getDouble(0)
+    assert(n > 0.9 && n < 1.1)
+  }
+
   test("streaming tumbling window aggregation with watermark (C33)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
