@@ -94,6 +94,89 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Per-row argmin over a small centroid set — computed as
+    * array_position(min) over one distance array, NOT a CASE-WHEN
+    * fold (a fold duplicates its left subtree every step → 2^nlist
+    * expression nodes) and NOT an explode+groupBy (row explosion on
+    * what may be the 100 TB side). Ties resolve to the lowest index.
+    */
+  def nearestCentroid(
+      vec: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Float]]): org.apache.spark.sql.Column = {
+    val dists = array(centroids.map(c => cosine_distance(vec, typedlit(c))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** IVF centroids: deterministic seeded sample of base vectors,
+    * refined by one distributed Lloyd iteration (assign → per-cell
+    * element-wise mean). Centroid state is tiny (nlist × dim) and
+    * lives on the driver, like any dimension table.
+    */
+  def ivfCentroids(
+      base: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      seed: Long = 42L): Seq[Seq[Float]] = {
+    val n = base.count()
+    val step = math.max(1L, n / nlist)
+    // deterministic spread: every step-th row by id order
+    val seeds = base.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("rn", row_number().over(Window.orderBy("id")))
+      .filter((col("rn") % step === seed % step) || col("rn") === 1)
+      .limit(nlist)
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    val init = if (seeds.nonEmpty) seeds else Seq(Seq.fill(1)(0f))
+    // one Lloyd refinement: mean vector per cell
+    val assigned = base.select(col(vecCol).as("v"),
+      nearestCentroid(col(vecCol), init).as("cell"))
+    val means = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg("x").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
+      .select(col("cell"), expr("transform(ms, p -> CAST(p.m AS FLOAT))").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+    init.indices.map(i => means.getOrElse(i, init(i)))
+  }
+
+  /** D3 scale path #2: IVF (inverted-file) approximate k-NN — base
+    * rows partition into nlist cells by nearest centroid; each probe
+    * searches only its nprobe nearest cells with exact cosine rerank.
+    * Complement to [[lshAnnJoin]]: IVF adapts to the data distribution
+    * (centroids follow density), LSH is oblivious but index-free.
+    */
+  def ivfAnnJoin(
+      base: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val cents = ivfCentroids(base, idCol, vecCol, nlist, seed)
+    val b = base.select(col(idCol).as("nn_id"), col(vecCol).as("bv"),
+      nearestCentroid(col(vecCol), cents).as("cell"))
+    // nprobe nearest cells per probe: rank the centroid distances
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        posexplode(array(cents.map(c =>
+          cosine_distance(col(vecCol), typedlit(c))): _*))
+          .as(Seq("cell", "cd")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cd"), col("cell"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cell"))
+    b.join(broadcast(probeCells), "cell")
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** D6: embedding-cosine near-duplicate pairs within a distance
     * threshold. Quadratic in rows — callers bound the input or go
     * through [[lshAnnJoin]] buckets first at scale.

@@ -98,6 +98,15 @@ object LlmOpsQueries {
         .orderBy("probe_id", "dist", "nn_id")
     },
 
+    // D3 scale path #2: IVF-partitioned ANN (centroids are
+    // engine-derived → rows-only; recall pinned by SimilaritySpec).
+    "d3c_ann_ivf" -> QueryDef.rowsOnly { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfAnnJoin(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("probe_id", "dist", "nn_id")
+    },
+
     // D6: embedding-cosine near-duplicate pairs.
     "d6_embedding_neardup" -> QueryDef(
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

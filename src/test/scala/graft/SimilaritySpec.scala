@@ -37,6 +37,32 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 90, s"LSH near-dup recall too low: $hits/100")
   }
 
+  test("ivfAnnJoin: near-dup probes find their source; decent true-kNN recall") {
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    val probes = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id + 100000L, v.map(x => x + (rnd.nextGaussian() * 0.005).toFloat))
+      }
+      .toDF("vec_id", "embedding")
+    val ann = Similarity.ivfAnnJoin(emb, probes, "vec_id", "embedding",
+      k = 1, nlist = 16, nprobe = 4)
+    val hits = ann.filter(col("nn_id") === col("probe_id") - 100000L).count()
+    assert(hits >= 45, s"IVF near-dup recall too low: $hits/50")
+
+    // true-kNN recall@5 vs brute force for a handful of probes
+    val p5 = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.knnJoinBrute(emb, p5, "vec_id", "embedding", 5)
+      .select("probe_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfAnnJoin(emb, p5, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 8)
+      .select("probe_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+
   test("cosineNearDupPairs is symmetric-free and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(
       emb.filter(col("vec_id") < 100), "vec_id", "embedding", 0.8).cache()
