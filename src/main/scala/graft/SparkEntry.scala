@@ -9,7 +9,8 @@ object SparkEntry {
 
   /** All conformance queries, keyed by SURVEY §2 inventory id. */
   lazy val all: Map[String, QueryDef] =
-    VectorQueries.defs ++ RelationalQueries.defs ++ ChunkQueries.defs ++
+    VectorQueries.defs ++ RelationalQueries.defs ++
+      RelationalExtraQueries.defs ++ ChunkQueries.defs ++
       PipelineQueries.defs ++ LlmOpsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

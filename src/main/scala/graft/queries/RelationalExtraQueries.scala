@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Tier C widening — the rest of the function families SURVEY §2.3
+  * enumerates inside C11/C16/C17/C26-C28 (rank family, lead/first/
+  * last, min/max + stddev + percentile aggregates, more string/date
+  * functions, decimal arithmetic, conditional pivot). Same oracle
+  * discipline as [[RelationalQueries]].
+  */
+object RelationalExtraQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // C11b: min/max + stddev + exact interpolated median.
+    "c11b_agg_stats" -> QueryDef(
+      """SELECT l_returnflag,
+        |       ROUND(MIN(l_extendedprice), 4) AS mn,
+        |       ROUND(MAX(l_extendedprice), 4) AS mx,
+        |       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(min("l_extendedprice"), 4).as("mn"),
+          round(max("l_extendedprice"), 4).as("mx"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"))
+        .orderBy("l_returnflag")
+    },
+
+    // C16b: rank / dense_rank / ntile (BIGINT to match DuckDB).
+    "c16b_rank_family" -> QueryDef(
+      """SELECT o_orderkey,
+        |       RANK() OVER w AS rk,
+        |       DENSE_RANK() OVER w AS drk,
+        |       NTILE(4) OVER w AS nt
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"),
+          ntile(4).over(w).cast("long").as("nt"))
+        .orderBy("o_orderkey")
+    },
+
+    // C17b: lead / first_value / last_value with an explicit frame.
+    "c17b_lead_first_last" -> QueryDef(
+      """SELECT event_id,
+        |       LEAD(event_type) OVER w AS nxt,
+        |       FIRST_VALUE(event_type) OVER w AS fst,
+        |       LAST_VALUE(event_type) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lst
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          lead(col("event_type"), 1).over(w).as("nxt"),
+          first(col("event_type")).over(w).as("fst"),
+          last(col("event_type")).over(wAll).as("lst"))
+        .orderBy("event_id")
+    },
+
+    // C26b: more string functions.
+    "c26b_string_fns2" -> QueryDef(
+      """SELECT doc_id,
+        |       LPAD(SUBSTR(text, 1, 5), 8, '*') AS lp,
+        |       REVERSE(SUBSTR(text, 1, 8)) AS rv,
+        |       CAST(STRPOS(text, 'a') AS BIGINT) AS ps,
+        |       LEFT(text, 6) AS lf,
+        |       SPLIT_PART(text, ' ', 2) AS sp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          lpad(substring(col("text"), 1, 5), 8, "*").as("lp"),
+          reverse(substring(col("text"), 1, 8)).as("rv"),
+          instr(col("text"), "a").cast("long").as("ps"),
+          substring(col("text"), 1, 6).as("lf"),
+          element_at(split(col("text"), " "), 2).as("sp"))
+        .orderBy("doc_id")
+    },
+
+    // C27b: date arithmetic (dow normalized to DuckDB's Sunday=0).
+    "c27b_date_arith" -> QueryDef(
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |       last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |       CAST(EXTRACT(DOW FROM o_orderdate) AS INTEGER) AS dw,
+        |       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+          last_day(col("o_orderdate").cast("date")).as("eom"),
+          (dayofweek(col("o_orderdate")) - 1).as("dw"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("dd"))
+        .orderBy("o_orderkey")
+    },
+
+    // C28b: power / mod / ceil / exp / sign.
+    "c28b_math_fns2" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber,
+        |       ROUND(POWER(l_discount + 1.0, 3), 6) AS pw,
+        |       CAST(CAST(l_quantity AS BIGINT) % 7 AS BIGINT) AS md,
+        |       CAST(CEIL(l_quantity) AS BIGINT) AS cl,
+        |       ROUND(EXP(l_discount), 6) AS ex,
+        |       CAST(SIGN(l_quantity - 25) AS DOUBLE) AS sg
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(pow(col("l_discount") + 1.0, 3), 6).as("pw"),
+          (col("l_quantity").cast("long") % 7).as("md"),
+          ceil(col("l_quantity")).cast("long").as("cl"),
+          round(exp(col("l_discount")), 6).as("ex"),
+          signum(col("l_quantity") - 25).cast("double").as("sg"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // C32b: decimal arithmetic (SURVEY §1.2 — both target stores are
+    // decimal-capable). Fixed-point totals are exact, so no rounding
+    // games: the aggregate compares digit-for-digit.
+    "c32b_decimal" -> QueryDef(
+      """SELECT o_orderstatus,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS tot,
+        |       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS mn
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(24,2)").as("tot"),
+          min(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").as("mn"))
+        .orderBy("o_orderstatus")
+    },
+
+    // C14c: conditional aggregation pivot (orderstatus → columns).
+    "c14c_pivot" -> QueryDef(
+      """SELECT o_orderpriority,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f"),
+          coalesce(col("O"), lit(0L)).as("o"),
+          coalesce(col("P"), lit(0L)).as("p"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}
