@@ -69,6 +69,22 @@ object ChunkQueries {
         .orderBy("doc_id")
     },
 
+    // A11: char-bounded chunking with page provenance over extracted
+    // binary payloads (SQL-variant pipeline; stateful fold → rows-only,
+    // semantics pinned by ChunkersSpec/ChunkersGoldenSpec).
+    "a11_char_chunks" -> QueryDef.rowsOnly { (s, dir) =>
+      import s.implicits._
+      val files = Tables(s, dir, "documents")
+        .select(concat(lit("doc://"), col("doc_id"), lit(".pdf")).as("path"),
+          encode(col("text"), "UTF-8").as("content"))
+        .as[(String, Array[Byte])]
+      graft.pipeline.IngestPipeline.routeAndChunkChars(
+          files, graft.extract.StubAnalyzeExtractor(linesPerPage = 1),
+          chunkSize = 256)
+        .toDF()
+        .orderBy("document_url", "chunk_id")
+    },
+
     // D4: token estimator (chunk budgeting heuristic, len/4).
     "d4_token_count" -> QueryDef(
       """SELECT doc_id, CAST(LENGTH(text) // 4 AS INTEGER) AS tc
