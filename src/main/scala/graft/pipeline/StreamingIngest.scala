@@ -77,7 +77,10 @@ object StreamingIngest {
     val chunks =
       IngestPipeline.embedChunks(
         IngestPipeline.routeAndChunk(files, extractor, cfg), embedder, cfg)
-    if (!chunks.isEmpty) store.upsert(chunks.toDF())
+    // no emptiness pre-check: that would execute the embedding stage
+    // twice per micro-batch; an empty frame under dynamic partition
+    // overwrite touches no partitions anyway
+    store.upsert(chunks.toDF())
 
     // A2/A20: documents present in the store but gone from the source
     // listing were deleted upstream. The collected url list is bounded
