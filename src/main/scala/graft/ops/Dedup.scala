@@ -76,20 +76,19 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
-    // persist the per-row signature work: the self-join and the two
-    // verification joins would otherwise re-evaluate the hash pipeline
-    // for every consumer (3-4×). MEMORY_AND_DISK: signature+shingle
-    // frames are a small multiple of the text column.
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = df.select(col(idCol).as("id"),
+    // one pass over the text computes shingles AND band keys, persisted
+    // once: the bucket self-join and both verification joins would
+    // otherwise re-evaluate the hash pipeline per consumer (3-4×).
+    // MEMORY_AND_DISK: a small multiple of the text column.
+    val prepared = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"),
       bandKeys(minhashSignature(col(textCol), numHashes, shingleSize),
         numHashes, bands).as("bands"))
-
-    val buckets = sig.select(col("id"),
-      posexplode(col("bands")).as(Seq("band", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = prepared.select(col("id"), col("sh"))
+
+    val buckets = prepared.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "key")))
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -177,9 +177,38 @@ object Similarity {
       .drop("rn")
   }
 
+  /** D6 scale path: near-duplicate pairs with LSH bucket pruning —
+    * only vectors sharing a (multi-probed) hyperplane bucket are
+    * compared, so the pair space shrinks from n² to the bucket
+    * collision set. Near-duplicates collide with high probability;
+    * exact distances filter the rest.
+    */
+  def cosineNearDupPairsApprox(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxDistance: Double,
+      dim: Int,
+      numPlanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), dim, numPlanes, seed).as("bucket0"))
+    val flips = lit(0) +: (0 until numPlanes).map(i => lit(1 << i))
+    val probed = b.select(col("id"), col("v"),
+      explode(array(flips.map(f => col("bucket0").bitwiseXOR(f)): _*))
+        .as("bucket"))
+    b.withColumnRenamed("bucket0", "bucket").as("a")
+      .join(probed.as("p"),
+        col("a.bucket") === col("p.bucket") && col("a.id") < col("p.id"))
+      .select(col("a.id").as("id1"), col("p.id").as("id2"),
+        round(cosine_distance(col("a.v"), col("p.v")), 6).as("dist"))
+      .groupBy("id1", "id2").agg(min("dist").as("dist"))
+      .filter(col("dist") <= maxDistance)
+  }
+
   /** D6: embedding-cosine near-duplicate pairs within a distance
-    * threshold. Quadratic in rows — callers bound the input or go
-    * through [[lshAnnJoin]] buckets first at scale.
+    * threshold. Quadratic in rows — callers bound the input or use
+    * [[cosineNearDupPairsApprox]] at scale.
     */
   def cosineNearDupPairs(
       df: DataFrame,

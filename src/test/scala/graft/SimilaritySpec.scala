@@ -71,6 +71,27 @@ class SimilaritySpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("cosineNearDupPairsApprox finds planted near-identical pairs") {
+    import spark.implicits._
+    val rnd = new java.util.Random(23)
+    val noisy = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id + 100000L, v.map(x => x + (rnd.nextGaussian() * 0.002).toFloat))
+      }
+      .toDF("vec_id", "embedding")
+    val both = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding")).unionAll(noisy)
+    val pairs = Similarity.cosineNearDupPairsApprox(
+      both, "vec_id", "embedding", maxDistance = 0.01, dim = 64)
+    val planted = pairs
+      .filter(col("id2") === col("id1") + 100000L).count()
+    assert(planted >= 90, s"approx near-dup recall too low: $planted/100")
+    // every returned pair really is within the threshold
+    assert(pairs.filter(col("dist") > 0.01).count() == 0)
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 64, 8, 42L)
       .as("b")).collect().map(_.getInt(0)).toSeq
