@@ -89,6 +89,47 @@ object RelationalExtraQueries {
         .orderBy("doc_id")
     },
 
+    // C26c: regexp functions.
+    "c26c_regexp_fns" -> QueryDef(
+      """SELECT doc_id,
+        |       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+        |       CAST(LENGTH(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS vg,
+        |       regexp_replace(text, '[aeiou]', '_', 'g') LIKE '%__%' AS dbl
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+          size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).cast("long")
+            .as("vg"),
+          regexp_replace(col("text"), "[aeiou]", "_").like("%__%").as("dbl"))
+        .orderBy("doc_id")
+    },
+
+    // C29b: the rest of the array family — sort, slice, contains,
+    // flatten, zip-style transform (1-based slicing in both engines).
+    "c29b_array_fns2" -> QueryDef(
+      """SELECT vec_id,
+        |       ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS smallest,
+        |       ROUND(CAST(embedding[2:4][1] AS DOUBLE), 6) AS s1,
+        |       list_contains(embedding, embedding[1]) AS has_first,
+        |       CAST(LENGTH(flatten([embedding, embedding])) AS BIGINT) AS fl,
+        |       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2)), 6) AS dbl
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(element_at(sort_array(col("embedding")), 1).cast("double"), 6)
+            .as("smallest"),
+          round(element_at(slice(col("embedding"), 2, 3), 1).cast("double"), 6)
+            .as("s1"),
+          array_contains(col("embedding"), element_at(col("embedding"), 1))
+            .as("has_first"),
+          size(flatten(array(col("embedding"), col("embedding")))).cast("long")
+            .as("fl"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * 2), 6).as("dbl"))
+        .orderBy("vec_id")
+    },
+
     // C27b: date arithmetic (dow normalized to DuckDB's Sunday=0).
     "c27b_date_arith" -> QueryDef(
       """SELECT o_orderkey,

@@ -159,6 +159,28 @@ class PipelineSpec extends SparkSpec {
     docs.unpersist(); existing.unpersist()
   }
 
+  test("e2e: ingest then vector-search the store (write path meets read path)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.cosine_distance
+    val dir = Files.createTempDirectory("graft-e2e").toString + "/chunks"
+    val store = new ChunkStore(spark, dir)
+    val docs = Tables(spark, sf(), "documents").limit(50)
+    store.upsert(IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(32)))
+
+    // the store IS the vector index: top-k against a probe embedding
+    val probe = store.read().filter(col("document_url") === "doc://7")
+      .select(col("embedding").as("qe")).limit(1)
+    val top = store.read().crossJoin(broadcast(probe))
+      .select(col("document_url"),
+        round(cosine_distance(col("embedding"), col("qe")), 6).as("dist"))
+      .orderBy("dist", "document_url")
+      .limit(3)
+      .collect()
+    assert(top.head.getString(0) == "doc://7") // self-match at distance 0
+    assert(top.head.getDouble(1) == 0.0)
+  }
+
   test("point lookup on the store prunes to one partition (B5)") {
     val dir = Files.createTempDirectory("graft-store2").toString + "/chunks"
     val store = new ChunkStore(spark, dir)
