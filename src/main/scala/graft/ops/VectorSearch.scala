@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{cosine_distance, dot_product, l2_distance}
+
+/** The read-path API the reference's stores provide (SURVEY §3.3,
+  * B1-B3): top-k by vector distance with optional metadata filtering —
+  * `SELECT TOP k ... FROM c WHERE ... ORDER BY VectorDistance(c.embedding, @q)`
+  * re-expressed as a DataFrame operator.
+  *
+  * Physical shape (pinned in PlanSpec): the filter pushes to the scan,
+  * the single query vector broadcasts, and the k-limit lowers to
+  * TakeOrderedAndProject — per-partition partial top-k merged at the
+  * driver, shuffle-free, which is exactly the plan you want when the
+  * chunk table is 100 TB.
+  */
+object VectorSearch {
+
+  private def distExpr(metric: String, v: Column, q: Column): Column =
+    metric match {
+      case "cosine" => cosine_distance(v, q)
+      case "l2"     => l2_distance(v, q)
+      case "dot"    => -dot_product(v, q) // larger dot = nearer
+      case other    => throw new IllegalArgumentException(
+        s"unknown metric '$other' (cosine | l2 | dot)")
+    }
+
+  /** Exact top-k rows by distance to `queryVec`. Result carries all
+    * input columns plus `dist` (rounded to 6 for deterministic ties,
+    * broken by the remaining sort stability of limit+order).
+    */
+  def topK(
+      table: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      vecCol: String = "embedding",
+      metric: String = "cosine",
+      filter: Option[Column] = None): DataFrame = {
+    val base = filter.fold(table)(table.where)
+    base
+      .withColumn("dist",
+        round(distExpr(metric, col(vecCol), typedlit(queryVec)), 6))
+      .orderBy(col("dist"))
+      .limit(k)
+  }
+
+  /** B3: metadata filter + vector ordering (filter BEFORE distance so
+    * pushdown/pruning applies).
+    */
+  def topKWhere(
+      table: DataFrame,
+      predicate: Column,
+      queryVec: Seq[Float],
+      k: Int,
+      vecCol: String = "embedding",
+      metric: String = "cosine"): DataFrame =
+    topK(table, queryVec, k, vecCol, metric, Some(predicate))
+}

@@ -92,6 +92,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.filter(col("dist") > 0.01).count() == 0)
   }
 
+  test("VectorSearch.topK: self-match, metric dispatch, filtered search") {
+    import graft.ops.VectorSearch
+    val q = emb.filter(col("vec_id") === 5)
+      .select("embedding").collect().head.getSeq[Float](0).toSeq
+
+    val top = VectorSearch.topK(emb, q, 3).collect()
+    assert(top.head.getAs[Long]("vec_id") == 5)
+    assert(top.head.getAs[Double]("dist") == 0.0)
+
+    val l2 = VectorSearch.topK(emb, q, 3, metric = "l2").collect()
+    assert(l2.head.getAs[Long]("vec_id") == 5)
+
+    val filtered = VectorSearch.topKWhere(emb, col("label") < 3, q, 5)
+    assert(filtered.count() == 5)
+    assert(filtered.filter(col("label") >= 3).count() == 0)
+
+    intercept[IllegalArgumentException] {
+      VectorSearch.topK(emb, q, 1, metric = "hamming")
+    }
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 64, 8, 42L)
       .as("b")).collect().map(_.getInt(0)).toSeq
