@@ -31,6 +31,27 @@ object RelationalExtraQueries {
         .orderBy("l_returnflag")
     },
 
+    // C11c: correlation/covariance, boolean aggregates, and ordered
+    // distinct string aggregation.
+    "c11c_agg_misc" -> QueryDef(
+      """SELECT l_returnflag,
+        |       ROUND(CORR(l_quantity, l_extendedprice), 6) AS cr,
+        |       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS cv,
+        |       BOOL_AND(l_quantity > 0) AS all_pos,
+        |       BOOL_OR(l_discount > 0.09) AS any_hi,
+        |       array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS sts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv"),
+          every(col("l_quantity") > 0).as("all_pos"),
+          some(col("l_discount") > 0.09).as("any_hi"),
+          array_join(array_sort(array_distinct(collect_list(col("l_linestatus")))),
+            ",").as("sts"))
+        .orderBy("l_returnflag")
+    },
+
     // C16b: rank / dense_rank / ntile (BIGINT to match DuckDB).
     "c16b_rank_family" -> QueryDef(
       """SELECT o_orderkey,
