@@ -73,6 +73,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("streaming window agg ≡ batch window agg on the events table (C33)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sf(), "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("s"))
+      .select(col("window.start").cast("long").as("w"), col("event_type"),
+        col("n"), col("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = input.toDS().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 years") // nothing dropped: pure equivalence
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("s"))
+      .select(col("window.start").cast("long").as("w"), col("event_type"),
+        col("n"), col("s"))
+      .writeStream.format("memory").queryName("equiv_out")
+      .outputMode("complete").start()
+    input.addData(events.collect().map(r =>
+      (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("equiv_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
+
   test("streaming session window groups by 30-min gaps (C35)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
