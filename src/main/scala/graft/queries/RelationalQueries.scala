@@ -189,11 +189,17 @@ object RelationalQueries {
       t(s, dir, "lineitem").agg(countDistinct(col("l_partkey")).as("d"))
     },
 
-    // C13: approx distinct (HLL) — engine capability; sketches differ
-    // across engines, so no hash oracle (driver records rows-only).
-    "c13_approx_distinct" -> QueryDef.rowsOnly { (s, dir) =>
+    // C13: approx distinct (HLL). Sketch values differ across engines,
+    // so the declared check is the SURVEY tolerance form: the engine
+    // asserts its own estimate lands within 5% of exact and exports
+    // the verdict — which the oracle CAN hash-match.
+    "c13_approx_distinct" -> QueryDef(
+      "SELECT TRUE AS within_tolerance") { (s, dir) =>
       t(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_partkey")).as("d"))
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+          countDistinct(col("l_partkey")).as("ex"))
+        .select((abs(col("ap") - col("ex")) * lit(1.0) / col("ex") <= 0.05)
+          .as("within_tolerance"))
     },
 
     // C14: ROLLUP (Expand operator). NULLS FIRST pinned on both sides —
