@@ -35,7 +35,47 @@ trait MediaDecoder extends Serializable {
     * malformed bytes — return a zero vector).
     */
   def decode(kind: String, content: Array[Byte]): Array[Float]
+
+  /** Sample up to `n` evenly-spaced frames from a (video/audio)
+    * payload. The default slices the raw bytes — real codecs override
+    * with keyframe extraction; the Spark-side shape (one row per
+    * frame, ordinal-indexed) is what downstream operators rely on.
+    */
+  def frameSample(kind: String, content: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (content.isEmpty || n <= 0) Nil
+    else {
+      val frames = math.min(n, content.length)
+      val size = math.max(1, content.length / frames)
+      (0 until frames).map { i =>
+        content.slice(i * size, math.min(content.length, (i + 1) * size))
+      }
+    }
+  }
+
+  /** Resize a feature vector to `dim` (interpolating repeat/fold) —
+    * the plumbing analog of image resizing: downstream schemas demand
+    * a fixed dimension regardless of source resolution.
+    */
+  def resize(features: Array[Float], dim: Int): Array[Float] = {
+    val out = new Array[Float](math.max(1, dim))
+    if (features.nonEmpty) {
+      var i = 0
+      while (i < out.length) {
+        val src = i.toLong * features.length / out.length
+        out(i) = features(src.toInt)
+        i += 1
+      }
+    }
+    out
+  }
 }
+
+/** One sampled frame of a media payload. */
+final case class FrameRow(
+    media_id: Long,
+    kind: String,
+    frame_index: Int,
+    frame: Array[Byte])
 
 /** Deterministic stand-in for the codec stage: features are byte
   * histogram moments — stable, content-sensitive, codec-free.
@@ -71,6 +111,22 @@ object Media {
       it.map { m =>
         MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
           decoder.decode(m.kind, m.content))
+      }
+    }
+  }
+
+  /** Frame-sampling stage: explode each payload into up to `nFrames`
+    * ordinal-indexed frame rows (partition-parallel; the per-frame
+    * decode then proceeds like any other binary column).
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder,
+      nFrames: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      decoder.frameSample(m.kind, m.content, nFrames).zipWithIndex.map {
+        case (f, i) => FrameRow(m.media_id, m.kind, i, f)
       }
     }
   }
