@@ -41,7 +41,8 @@ object VectorSearch {
     val base = filter.fold(table)(table.where)
     base
       .withColumn("dist",
-        round(distExpr(metric, col(vecCol), typedlit(queryVec)), 6))
+        // + 0.0 folds IEEE -0.0 to +0.0 (self-match distance) for stable hashing
+        round(distExpr(metric, col(vecCol), typedlit(queryVec)), 6) + lit(0.0))
       .orderBy(col("dist"))
       .limit(k)
   }

@@ -35,10 +35,16 @@ object PipelineQueries {
     },
 
     // Raw pipeline output surface (embedding values are spec'd by the
-    // deterministic embedder, not SQL — rows-only).
+    // deterministic embedder, not SQL — rows-only). The driver sorts
+    // results via pandas, which cannot hash array columns, so the
+    // embedding is projected to scalars that still pin its full
+    // fidelity: the norm plus a sha2 over its JSON rendering.
     "p2_ingest_chunks" -> QueryDef.rowsOnly { (s, dir) =>
       IngestPipeline.ingestDocumentsTable(
           s, Tables(s, dir, "documents"), DeterministicEmbedder(64))
+        .withColumn("embedding_norm", round(vector_norm(col("embedding")), 6))
+        .withColumn("embedding_sha", sha2(to_json(col("embedding")), 256))
+        .drop("embedding")
         .orderBy("document_url", "chunk_id")
     }
   )

@@ -189,19 +189,21 @@ object RelationalExtraQueries {
     },
 
     // C32b: decimal arithmetic (SURVEY §1.2 — both target stores are
-    // decimal-capable). Fixed-point totals are exact, so no rounding
-    // games: the aggregate compares digit-for-digit.
+    // decimal-capable). The aggregation stays fixed-point (exact); the
+    // OUTPUT is cast to double on both sides because the oracle harness
+    // hashes DuckDB float64 against Spark decimal128 and the
+    // stringification differs even when values are equal.
     "c32b_decimal" -> QueryDef(
       """SELECT o_orderstatus,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS tot,
-        |       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS mn
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS tot,
+        |       ROUND(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mn
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       Tables(s, dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(24,2)").as("tot"),
-          min(col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(18,2)").as("mn"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double"), 2).as("tot"),
+          round(min(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("mn"))
         .orderBy("o_orderstatus")
     },
 

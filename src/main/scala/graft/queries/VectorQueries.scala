@@ -27,7 +27,7 @@ object VectorQueries {
        |  FROM embeddings e, q
        |)
        |SELECT vec_id,
-       |       ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS dist
+       |       ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) + 0.0 AS dist
        |FROM pairs GROUP BY vec_id
        |ORDER BY dist, vec_id LIMIT $k""".stripMargin
 
@@ -38,7 +38,8 @@ object VectorQueries {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(cosine_distance(col("embedding"), col("qe")), 6).as("dist"))
+          // + 0.0 normalizes IEEE -0.0 to +0.0 so both engines hash alike
+          (round(cosine_distance(col("embedding"), col("qe")), 6) + lit(0.0)).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
     },
@@ -55,7 +56,7 @@ object VectorQueries {
          |  WHERE e.label < 5
          |)
          |SELECT vec_id, label,
-         |       ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS dist
+         |       ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) + 0.0 AS dist
          |FROM pairs GROUP BY vec_id, label
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings").filter(col("label") < 5)
@@ -63,7 +64,7 @@ object VectorQueries {
         .filter(col("vec_id") === 0).select(col("embedding").as("qe"))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(cosine_distance(col("embedding"), col("qe")), 6).as("dist"))
+          (round(cosine_distance(col("embedding"), col("qe")), 6) + lit(0.0)).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
     },
