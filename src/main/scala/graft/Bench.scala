@@ -34,6 +34,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // dev-only: comma-separated name prefixes to bench a subset
+    // (unset in the driver harness → full suite)
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    def selected(name: String): Boolean =
+      filter.isEmpty || filter.exists(name.startsWith)
     val spark = GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus)
       .getOrCreate()
@@ -41,14 +47,17 @@ object Bench {
 
     // warmup at the smallest SF (JIT + codegen + shuffle machinery)
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      if (selected(name))
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> runOne(spark, name, fn, sfDir)
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
+        name -> runOne(spark, name, fn, sfDir)
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

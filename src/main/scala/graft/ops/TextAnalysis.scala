@@ -24,20 +24,39 @@ object TextAnalysis {
   private def words(text: Column): Column =
     split(lower(text), "\\s+")
 
+  /** Single-evaluation let-binding: evaluates `c` exactly once per row
+    * and hands it to `body` as a lambda variable. Referencing a plain
+    * Column n times duplicates its whole subtree n times in the plan
+    * (the round-1 langId re-split every row ~20×); a lambda variable is
+    * an attribute reference, so the subtree stays single.
+    */
+  private def bound(c: Column)(body: Column => Column): Column =
+    element_at(transform(array(c), body), 1)
+
   /** Count of words from `profile` appearing in the text. */
   def profileHits(text: Column, profile: Seq[String]): Column =
     size(filter(words(text), w => w.isInCollection(profile)))
 
   /** Heuristic language tag: argmax of profile hits, "und"
     * (undetermined) when nothing matches; ties break by profile order.
+    *
+    * Single pass: the word array is materialized once, all profile
+    * scores come from one `transform` over the literal profile table,
+    * and the argmax is an `array_max` over (score, -index, lang)
+    * structs — struct ordering gives highest score, then earliest
+    * profile on ties, with no CASE-WHEN subtree duplication.
     */
   def langId(text: Column): Column = {
-    val scores = stopwordProfiles.map { case (lang, prof) =>
-      (lang, profileHits(text, prof))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, score), acc) =>
-      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    val profs = typedlit(stopwordProfiles)
+    bound(words(text)) { ws =>
+      bound(array_max(transform(profs, (p, i) =>
+        struct(
+          size(filter(ws, w => array_contains(p.getField("_2"), w))).as("score"),
+          (lit(0) - i).as("negIdx"),
+          p.getField("_1").as("lang"))))) { best =>
+        when(best.getField("score") > 0, best.getField("lang"))
+          .otherwise(lit("und"))
+      }
     }
   }
 
@@ -55,14 +74,22 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length saturation + stopword
     * density + word-shape plausibility. The exact formula is engine
     * spec (deterministic, SQL-expressible — the conformance oracle
-    * recomputes it in DuckDB).
+    * recomputes it in DuckDB). `length`, word count and profile hits
+    * are each computed once per row via `bound`.
     */
   def qualityScore(text: Column): Column =
-    round(
-      least(length(text), lit(500)) * lit(1.0) / 500 * 0.4 +
-        stopwordRatio(text) * 0.4 +
-        when(avgWordLen(text).between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0)),
-      6)
+    bound(length(text)) { len =>
+      bound(wordCount(text)) { wc =>
+        bound(profileHits(text, stopwordProfiles.head._2)) { hits =>
+          round(
+            least(len, lit(500)) * lit(1.0) / 500 * 0.4 +
+              hits * lit(1.0) / wc * 0.4 +
+              when(((len - wc + lit(1)) * lit(1.0) / wc).between(3.0, 8.0),
+                lit(0.2)).otherwise(lit(0.0)),
+            6)
+        }
+      }
+    }
 
   /** Content fingerprint for exact-dup detection across stores:
     * md5 of whitespace-normalized lowercase text.
