@@ -107,10 +107,31 @@ object Similarity {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** IVF centroids: deterministic seeded sample of base vectors,
-    * refined by one distributed Lloyd iteration (assign → per-cell
-    * element-wise mean). Centroid state is tiny (nlist × dim) and
-    * lives on the driver, like any dimension table.
+  /** Driver-side cosine distance over the bounded centroid sample. */
+  private def cosineDistLocal(x: Array[Float], y: Array[Float]): Double = {
+    var d = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val a = x(i).toDouble; val b = y(i).toDouble
+      d += a * b; nx += a * a; ny += b * b
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 1.0 else 1.0 - d / denom
+  }
+
+  /** IVF centroids from a deterministic hash-ordered sample: the
+    * `nlist * 64` hash-smallest base rows, refined by one Lloyd
+    * iteration on the driver.
+    *
+    * Scale design: `orderBy(xxhash64).limit(n)` lowers to
+    * TakeOrderedAndProject — a bounded per-partition heap merged at
+    * the driver, so index build is ONE scan of the base with no global
+    * sort, no single-partition window, no `count()` pass, and no
+    * posexplode row blowup (the round-1 version had all four).
+    * Driver state is sampleSize × dim floats (≈256 KB at nlist=16,
+    * dim=64), independent of base size. Deterministic in (seed, ids).
     */
   def ivfCentroids(
       base: DataFrame,
@@ -118,26 +139,36 @@ object Similarity {
       vecCol: String,
       nlist: Int,
       seed: Long = 42L): Seq[Seq[Float]] = {
-    val n = base.count()
-    val step = math.max(1L, n / nlist)
-    // deterministic spread: every step-th row by id order
-    val seeds = base.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("rn", row_number().over(Window.orderBy("id")))
-      .filter((col("rn") % step === seed % step) || col("rn") === 1)
-      .limit(nlist)
-      .collect().map(_.getSeq[Float](1).toSeq).toSeq
-    val init = if (seeds.nonEmpty) seeds else Seq(Seq.fill(1)(0f))
-    // one Lloyd refinement: mean vector per cell
-    val assigned = base.select(col(vecCol).as("v"),
-      nearestCentroid(col(vecCol), init).as("cell"))
-    val means = assigned
-      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("cell", "i").agg(avg("x").as("m"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
-      .select(col("cell"), expr("transform(ms, p -> CAST(p.m AS FLOAT))").as("c"))
-      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
-    init.indices.map(i => means.getOrElse(i, init(i)))
+    val sampleSize = nlist * 64
+    val sample: Array[Array[Float]] = base
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    if (sample.isEmpty) return Seq(Seq(0f))
+    val init: Array[Array[Float]] = sample.take(nlist)
+    // one Lloyd iteration over the sample: assign, then per-cell mean
+    val dim = sample.head.length
+    val sums = Array.fill(init.length)(new Array[Double](dim))
+    val counts = new Array[Long](init.length)
+    sample.foreach { v =>
+      var bestI = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < init.length) {
+        val d = cosineDistLocal(v, init(i))
+        if (d < bestD) { bestD = d; bestI = i }
+        i += 1
+      }
+      counts(bestI) += 1
+      var j = 0
+      while (j < math.min(dim, v.length)) { sums(bestI)(j) += v(j); j += 1 }
+    }
+    init.indices.map { i =>
+      if (counts(i) == 0) init(i).toSeq
+      else sums(i).map(x => (x / counts(i)).toFloat).toSeq
+    }
   }
 
   /** D3 scale path #2: IVF (inverted-file) approximate k-NN — base

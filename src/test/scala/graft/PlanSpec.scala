@@ -58,6 +58,17 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
   }
 
+  test("d3c: IVF plan has no partition-less window (no global funnel)") {
+    // a Window with an empty PARTITION BY funnels the whole base
+    // through one task — the round-1 centroid-seeding bug. Every
+    // window in the IVF path must be keyed (by probe_id).
+    val p = planString(q("d3c_ann_ivf"))
+    // WindowExec prints `Window [exprs], [partitionSpec], [orderSpec]`
+    // — an empty second bracket is a global window.
+    val globalWindow = "Window \\[[^\\]]*\\], \\[\\],".r
+    assert(globalWindow.findFirstIn(p).isEmpty, p.take(2000))
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet
