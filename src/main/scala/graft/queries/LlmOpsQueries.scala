@@ -190,24 +190,30 @@ object LlmOpsQueries {
         .select("doc_id").orderBy("doc_id")
     },
 
-    // B4 scored variant: TF-IDF ranking for a keyword query.
+    // B4 scored variant: TF-IDF ranking for a keyword query. The
+    // query-term filter sits BELOW both aggregates: per-term document
+    // frequency is unchanged by dropping other terms, so tf and idf
+    // shuffle only rows whose token is a query term — a full-corpus
+    // vocabulary shuffle to answer a 2-keyword query would never
+    // survive 100 TB.
     "b4b_fulltext_tfidf" -> QueryDef(
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
-        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-        |idf AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('window', 'filter')),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM qtok GROUP BY 1, 2),
+        |idf AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY 1),
         |n AS (SELECT COUNT(*) AS n FROM documents)
         |SELECT t.doc_id, ROUND(SUM(t.tf * LN(n.n * 1.0 / d.df)), 6) AS score
         |FROM tf t JOIN idf d ON t.w = d.w CROSS JOIN n
-        |WHERE t.w IN ('window', 'filter')
         |GROUP BY t.doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val idf = tok.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      val qtok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin("window", "filter"))
+      val tf = qtok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val idf = qtok.groupBy("w").agg(countDistinct("doc_id").as("df"))
       val n = docs.count() // dimension-scale scalar (doc count), driver-side by design
-      tf.filter(col("w").isin("window", "filter"))
-        .join(idf, "w")
+      tf.join(broadcast(idf), "w")
         .groupBy("doc_id")
         .agg(round(sum(col("tf") * log(lit(n) * lit(1.0) / col("df"))), 6)
           .as("score"))
