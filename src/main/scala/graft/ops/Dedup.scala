@@ -96,13 +96,20 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
 
-    candidates
+    val verified = candidates
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    // materialize the (small) pair list eagerly so the persisted
+    // signature frame can be released NOW instead of leaking in the
+    // cache manager until session end; lineage is truncated so later
+    // consumers never re-trigger the hash pipeline.
+    val out = verified.localCheckpoint(true)
+    prepared.unpersist()
+    out
   }
 
   /** D2 (SimHash flavor): near-dup pairs within a Hamming radius.

@@ -83,13 +83,22 @@ object StreamingIngest {
     store.upsert(chunks.toDF())
 
     // A2/A20: documents present in the store but gone from the source
-    // listing were deleted upstream. The collected url list is bounded
-    // by the number of *deleted* documents in this batch window.
-    val listing = spark.read.format("binaryFile").load(inputDir)
-      .select(col("path").as("document_url"))
-    val gone = store.read().select("document_url").distinct()
-      .join(listing, Seq("document_url"), "left_anti")
-      .as[String].collect()
-    if (gone.nonEmpty) store.delete(gone.toSeq)
+    // listing were deleted upstream. Metadata-only on BOTH sides: the
+    // store's document catalog is its partition directory names, the
+    // source side is one filesystem listing — no data scan, no
+    // shuffle, no Spark job; steady-state per-batch cost is
+    // O(directory listing) even when nothing was deleted.
+    val stored = store.listDocumentUrls()
+    if (stored.nonEmpty) {
+      val inPath = new org.apache.hadoop.fs.Path(inputDir)
+      val ifs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val present = scala.collection.mutable.HashSet.empty[String]
+      if (ifs.exists(inPath)) {
+        val it = ifs.listFiles(inPath, true)
+        while (it.hasNext) present += it.next().getPath.toString
+      }
+      val gone = stored.filterNot(present.contains)
+      if (gone.nonEmpty) store.delete(gone)
+    }
   }
 }

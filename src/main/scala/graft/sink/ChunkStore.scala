@@ -1,8 +1,9 @@
 package graft.sink
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The canonical chunk table (SURVEY §1.1 item 4; FIXTURES §2) and its
@@ -19,13 +20,27 @@ import org.apache.spark.sql.types._
   *  - A18 append mode (the SQL variant's non-idempotent INSERT path),
   *  - A20 delete — completed here (the reference left it a TODO stub).
   *
-  * Scale note: partitioning by `document_url` mirrors the Cosmos
-  * partition key (`CosmosDBClientWrapper.cs:132`) and gives
-  * single-partition point lookups (B5) + surgical per-document
-  * upsert/delete. At extreme document counts you'd bucket documents
-  * into N hash partitions instead (same API, coarser layout).
+  * Two layouts, same API:
+  *
+  *  - `buckets = None` (default): one Hive partition per
+  *    `document_url`, mirroring the Cosmos partition key
+  *    (`CosmosDBClientWrapper.cs:132`). Single-partition point lookups
+  *    (B5), surgical per-document upsert/delete, and a metadata-only
+  *    document catalog (`listDocumentUrls` reads directory names).
+  *    Right up to ~10^5-10^6 documents, after which per-document
+  *    directories become a small-files/metastore bomb.
+  *  - `buckets = Some(n)`: documents hash (`xxhash64 % n`) into n
+  *    stable `doc_bucket` partitions — bounded file/directory counts
+  *    at any corpus size. Upsert and delete become read-merge-write of
+  *    ONLY the affected buckets (the documented MERGE fallback),
+  *    staged to a temp directory and swapped in per bucket; point
+  *    lookups prune to one bucket because the bucket id of a literal
+  *    url constant-folds.
   */
-final class ChunkStore(spark: SparkSession, path: String) {
+final class ChunkStore(
+    spark: SparkSession,
+    path: String,
+    buckets: Option[Int] = None) {
 
   val schema: StructType = StructType(Seq(
     StructField("chunk_id", IntegerType),
@@ -34,30 +49,74 @@ final class ChunkStore(spark: SparkSession, path: String) {
     StructField("page_number", IntegerType),
     StructField("document_url", StringType)))
 
+  private val bucketCol = "doc_bucket"
+
+  private def bucketOf(url: Column): Column =
+    pmod(xxhash64(url), lit(buckets.getOrElse(1).toLong)).cast("int")
+
   private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def exists: Boolean = fs.exists(new Path(path))
 
+  private def emptyFrame(s: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+
   /** A19/A21: bootstrap an empty partitioned table if absent. */
   def ensure(): Unit = if (!exists) {
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .write.partitionBy("document_url").parquet(path)
+    buckets match {
+      case None =>
+        emptyFrame(schema).write.partitionBy("document_url").parquet(path)
+      case Some(_) =>
+        emptyFrame(schema).withColumn(bucketCol, lit(0))
+          .write.partitionBy(bucketCol).parquet(path)
+    }
   }
 
   private def normalized(chunks: DataFrame): DataFrame =
     chunks.select("chunk_id", "chunk_text", "embedding", "page_number",
       "document_url")
 
-  /** A17: idempotent upsert — replaces exactly the partitions
-    * (documents) present in `chunks`, leaves everything else in place.
+  /** Raw read including the physical partition column (bucketed). */
+  private def rawRead(): DataFrame = {
+    val s = buckets.fold(schema)(_ => schema.add(bucketCol, IntegerType))
+    if (exists) spark.read.schema(s).parquet(path) else emptyFrame(s)
+  }
+
+  /** A17: idempotent upsert — replaces exactly the documents present
+    * in `chunks`, leaves everything else in place.
+    *
+    * Per-document layout: dynamic partition overwrite (touched
+    * partitions only). Bucketed layout: read-merge-write of the
+    * affected buckets — existing rows of other documents in those
+    * buckets are retained, then the bucket directories are atomically
+    * swapped. The collected url list is bounded by the documents in
+    * this upsert batch.
     */
-  def upsert(chunks: DataFrame): Unit = {
-    ensure()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    normalized(chunks).write.mode(SaveMode.Overwrite)
-      .partitionBy("document_url").parquet(path)
+  def upsert(chunks: DataFrame): Unit = buckets match {
+    case None =>
+      ensure()
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      normalized(chunks).write.mode(SaveMode.Overwrite)
+        .partitionBy("document_url").parquet(path)
+    case Some(_) =>
+      ensure()
+      val incoming = normalized(chunks)
+        .withColumn(bucketCol, bucketOf(col("document_url")))
+        .persist() // upstream may embed; evaluate the pipeline once
+      try {
+        val urls = incoming.select("document_url").distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (urls.nonEmpty) {
+          val ids = incoming.select(bucketCol).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val keep = rawRead()
+            .filter(col(bucketCol).isin(ids: _*) &&
+              !col("document_url").isin(urls: _*))
+          rewriteBuckets(ids, keep.unionByName(incoming))
+        }
+      } finally incoming.unpersist()
   }
 
   /** A18: append-only insert (re-processing duplicates, as in the
@@ -65,25 +124,101 @@ final class ChunkStore(spark: SparkSession, path: String) {
     */
   def append(chunks: DataFrame): Unit = {
     ensure()
-    normalized(chunks).write.mode(SaveMode.Append)
-      .partitionBy("document_url").parquet(path)
-  }
-
-  /** A20 (completed): drop all chunks of the given documents by
-    * removing their partition directories. Directory names use
-    * Spark's Hive-style partition-value escaping.
-    */
-  def delete(documentUrls: Seq[String]): Unit = {
-    val f = fs
-    documentUrls.foreach { url =>
-      val dir = new Path(path,
-        "document_url=" + ExternalCatalogUtils.escapePathName(url))
-      if (f.exists(dir)) f.delete(dir, true)
+    buckets match {
+      case None =>
+        normalized(chunks).write.mode(SaveMode.Append)
+          .partitionBy("document_url").parquet(path)
+      case Some(_) =>
+        normalized(chunks)
+          .withColumn(bucketCol, bucketOf(col("document_url")))
+          .write.mode(SaveMode.Append).partitionBy(bucketCol).parquet(path)
     }
   }
 
+  /** A20 (completed): drop all chunks of the given documents.
+    * Per-document layout: remove their partition directories (pure
+    * metadata). Bucketed layout: rewrite the affected buckets without
+    * the deleted documents.
+    */
+  def delete(documentUrls: Seq[String]): Unit = buckets match {
+    case None =>
+      val f = fs
+      documentUrls.foreach { url =>
+        val dir = new Path(path,
+          "document_url=" + ExternalCatalogUtils.escapePathName(url))
+        if (f.exists(dir)) f.delete(dir, true)
+      }
+    case Some(_) =>
+      if (documentUrls.nonEmpty && exists) {
+        import spark.implicits._
+        val ids = documentUrls.toDS()
+          .select(bucketOf(col("value"))).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val keep = rawRead()
+          .filter(col(bucketCol).isin(ids: _*) &&
+            !col("document_url").isin(documentUrls: _*))
+        rewriteBuckets(ids, keep)
+      }
+  }
+
+  /** Stage `out` (which must contain only rows of `ids` buckets) to a
+    * temp directory, then swap each affected bucket directory in. A
+    * bucket absent from `out` (everything deleted) is simply removed.
+    */
+  private def rewriteBuckets(ids: Seq[Int], out: DataFrame): Unit = {
+    val tmp = new Path(path + ".staging-" + java.util.UUID.randomUUID())
+    out.write.partitionBy(bucketCol).parquet(tmp.toString)
+    val f = fs
+    try {
+      ids.foreach { b =>
+        val dst = new Path(path, s"$bucketCol=$b")
+        val src = new Path(tmp, s"$bucketCol=$b")
+        if (f.exists(dst)) f.delete(dst, true)
+        if (f.exists(src)) f.rename(src, dst)
+      }
+    } finally f.delete(tmp, true)
+  }
+
+  /** The document catalog. Per-document layout: a pure metadata
+    * operation — partition directory names ARE the urls (no data
+    * scan, no shuffle; this is what streaming delete detection polls
+    * every micro-batch). Bucketed layout: distinct over the store —
+    * callers at that scale should poll on a maintenance cadence, not
+    * per batch.
+    */
+  def listDocumentUrls(): Seq[String] = buckets match {
+    case None =>
+      if (!exists) Nil
+      else fs.listStatus(new Path(path)).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("document_url="))
+        .map(n => ExternalCatalogUtils
+          .unescapePathName(n.stripPrefix("document_url=")))
+    case Some(_) =>
+      read().select("document_url").distinct()
+        .collect().map(_.getString(0)).toSeq
+  }
+
+  /** B5: single-document read — prunes to one partition in both
+    * layouts (the bucket id of a literal url constant-folds into a
+    * partition filter).
+    */
+  def readDocument(url: String): DataFrame = buckets match {
+    case None =>
+      read().filter(col("document_url") === url)
+    case Some(_) =>
+      rawRead()
+        .filter(col(bucketCol) === bucketOf(lit(url)) &&
+          col("document_url") === url)
+        .drop(bucketCol)
+  }
+
   def read(): DataFrame =
-    if (exists) spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (exists) {
+      buckets match {
+        case None => spark.read.schema(schema).parquet(path)
+        case Some(_) => rawRead().drop(bucketCol)
+      }
+    } else emptyFrame(schema)
 }

@@ -181,6 +181,63 @@ class PipelineSpec extends SparkSpec {
     assert(top.head.getDouble(1) == 0.0)
   }
 
+  test("bucketed store: upsert idempotent, LWW, delete, catalog (A17/A20)") {
+    val dir = Files.createTempDirectory("graft-store-b").toString + "/chunks"
+    val store = new ChunkStore(spark, dir, buckets = Some(4))
+    val docs = Tables(spark, sf(), "documents").limit(20)
+    val chunks = IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16))
+
+    store.upsert(chunks)
+    val n1 = store.read().count()
+    assert(n1 > 0)
+    store.upsert(chunks) // idempotent re-ingest
+    assert(store.read().count() == n1)
+    assert(store.listDocumentUrls().sorted ==
+      (0 until 20).map(i => s"doc://$i").sorted)
+
+    // last-writer-wins on a single re-ingested document: its chunks
+    // are replaced, every other document in the same bucket survives
+    import org.apache.spark.sql.functions._
+    val edited = IngestPipeline.ingestDocumentsTable(
+      spark, docs.filter(col("doc_id") === 3)
+        .withColumn("text", lit("short replacement text")),
+      DeterministicEmbedder(16))
+    store.upsert(edited)
+    val d3 = store.read().filter(col("document_url") === "doc://3")
+      .select("chunk_text").collect().map(_.getString(0)).toSeq
+    assert(d3 == Seq("short replacement text"))
+    assert(store.read().select("document_url").distinct().count() == 20)
+
+    store.delete(Seq("doc://3", "doc://7"))
+    assert(store.read().select("document_url").distinct().count() == 18)
+    assert(store.read()
+      .filter(col("document_url").isin("doc://3", "doc://7")).count() == 0)
+  }
+
+  test("bucketed store: point lookup prunes to one bucket partition (B5)") {
+    val dir = Files.createTempDirectory("graft-store-b2").toString + "/chunks"
+    val store = new ChunkStore(spark, dir, buckets = Some(8))
+    val docs = Tables(spark, sf(), "documents").limit(20)
+    store.upsert(IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16)))
+    val q = store.readDocument("doc://5")
+    assert(q.count() >= 1)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("PartitionFilters: []"),
+      s"expected bucket partition filter in: $scan")
+  }
+
+  test("per-document store catalog lists urls without a data scan") {
+    val dir = Files.createTempDirectory("graft-store-c").toString + "/chunks"
+    val store = new ChunkStore(spark, dir)
+    val docs = Tables(spark, sf(), "documents").limit(7)
+    store.upsert(IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16)))
+    assert(store.listDocumentUrls().sorted ==
+      (0 until 7).map(i => s"doc://$i").sorted)
+  }
+
   test("point lookup on the store prunes to one partition (B5)") {
     val dir = Files.createTempDirectory("graft-store2").toString + "/chunks"
     val store = new ChunkStore(spark, dir)
