@@ -222,3 +222,16 @@ final class ChunkStore(
       }
     } else emptyFrame(schema)
 }
+
+object ChunkStore {
+
+  /** Cosmos id parity: the reference emits chunk ids as
+    * invariant-culture decimal STRINGS
+    * (`ChunkNumber.ToString("d", CultureInfo.InvariantCulture)`,
+    * AzureCosmosDB/.../CosmosDBClientWrapper.cs:47). A user migrating
+    * store queries that compare `id` as text gets the same rendering
+    * here, alongside the native INT `chunk_id`.
+    */
+  def withCosmosId(chunks: DataFrame): DataFrame =
+    chunks.withColumn("id", col("chunk_id").cast("string"))
+}

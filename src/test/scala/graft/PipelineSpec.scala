@@ -228,6 +228,20 @@ class PipelineSpec extends SparkSpec {
       s"expected bucket partition filter in: $scan")
   }
 
+  test("Cosmos id parity: string ids render as invariant decimals") {
+    val dir = Files.createTempDirectory("graft-store-id").toString + "/chunks"
+    val store = new ChunkStore(spark, dir)
+    store.upsert(IngestPipeline.ingestDocumentsTable(
+      spark, Tables(spark, sf(), "documents").limit(3),
+      DeterministicEmbedder(16)))
+    val withId = ChunkStore.withCosmosId(store.read())
+    assert(withId.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val rows = withId.select("chunk_id", "id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(1) == r.getInt(0).toString))
+  }
+
   test("per-document store catalog lists urls without a data scan") {
     val dir = Files.createTempDirectory("graft-store-c").toString + "/chunks"
     val store = new ChunkStore(spark, dir)
