@@ -543,6 +543,39 @@ object RelationalQueries {
         .orderBy("user_id", "tus")
     },
 
+    // C35b: the session_window() OPERATOR itself, batch form (its
+    // streaming form runs in StreamingSpec). Sessions are
+    // [min ts, max ts + gap) with the window end EXCLUSIVE, so a gap of
+    // exactly 30 min starts a new session — hence `>=` in the oracle's
+    // break condition (c35's lag+cumsum gate specs `>` for itself).
+    "c35b_session_window_operator" -> QueryDef(
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, value,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tus, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(tus) AS session_start,
+        |       MAX(tus) + 1800000000 AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sv
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("win"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+        .select(col("user_id"),
+          unix_micros(col("win.start")).as("session_start"),
+          unix_micros(col("win.end")).as("session_end"),
+          col("n"), col("sv"))
+        .orderBy("user_id", "session_start")
+    },
+
     // C36: dedup by key (batch form of streaming
     // withWatermark+dropDuplicates; the streaming variant is exercised
     // in the test suite).
