@@ -40,9 +40,9 @@ object Bench {
       .map(_.split(",").toSeq).getOrElse(Nil)
     def selected(name: String): Boolean =
       filter.isEmpty || filter.exists(name.startsWith)
-    val spark = GraftSession
+    val spark = GraftSession.install(GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus)
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup at the smallest SF (JIT + codegen + shuffle machinery)

@@ -18,9 +18,11 @@ import graft.functions.GraftFunctions
   * notebook clusters).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.PrenormalizeCosine)
+  }
 }

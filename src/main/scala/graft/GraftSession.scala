@@ -25,16 +25,21 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Create (or reuse) a session with all graft functions registered. */
-  def getOrCreate(master: String = "local[32]"): SparkSession = {
-    val spark = builder(master).getOrCreate()
-    GraftFunctions.register(spark)
-    spark
-  }
+  /** Create (or reuse) a session with all graft functions and
+    * optimizer rules registered.
+    */
+  def getOrCreate(master: String = "local[32]"): SparkSession =
+    install(builder(master).getOrCreate())
 
-  /** Register graft functions on an externally created session. */
+  /** Register graft functions and optimizer rules on an externally
+    * created session (idempotent).
+    */
   def install(spark: SparkSession): SparkSession = {
     GraftFunctions.register(spark)
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.PrenormalizeCosine))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.PrenormalizeCosine
     spark
   }
 }

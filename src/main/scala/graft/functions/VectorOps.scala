@@ -59,6 +59,29 @@ object VectorOps extends Serializable {
   def cosineSimilarity(x: ArrayData, y: ArrayData): Double =
     1.0 - cosineDistance(x, y)
 
+  /** Cosine distance against a PRE-NORMALIZED double query vector
+    * (|yn| = 1): accumulates only dot and |x| — one third fewer flops
+    * per row than [[cosineDistance]]. Produced by the
+    * [[graft.plans.PrenormalizeCosine]] optimizer rule for literal
+    * probes; never constructed with an unnormalized right side.
+    */
+  def cosineDistancePrenorm(x: ArrayData, yn: ArrayData): Double = {
+    val n = x.numElements()
+    if (n != yn.numElements()) {
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${n} vs ${yn.numElements()}")
+    }
+    var d = 0.0; var nx = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x.getFloat(i).toDouble
+      d += a * yn.getDouble(i); nx += a * a
+      i += 1
+    }
+    val dn = math.sqrt(nx)
+    if (dn == 0.0) 1.0 else 1.0 - d / dn
+  }
+
   def l2Distance(x: ArrayData, y: ArrayData): Double = {
     val n = checkDims(x, y)
     var s = 0.0

@@ -48,6 +48,29 @@ case class CosineDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[CosineDistance]] with a pre-normalized ARRAY&lt;DOUBLE&gt; query
+  * side — produced only by the [[graft.plans.PrenormalizeCosine]]
+  * optimizer rule (the query vector's norm folds to 1 at plan time,
+  * so each row accumulates just the dot product and its own norm).
+  */
+case class CosineDistancePrenorm(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "cosine_distance_prenorm"
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineDistancePrenorm(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = VectorOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev,
+      (a, b) => s"${ev.value} = $ops.cosineDistancePrenorm($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryVectorExpression {
   override def prettyName: String = "cosine_similarity"

@@ -69,6 +69,46 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(globalWindow.findFirstIn(p).isEmpty, p.take(2000))
   }
 
+  test("literal-probe cosine rewrites to pre-normalized dot (rule)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sf(), "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+
+    val rewritten = graft.ops.VectorSearch.topK(e, probe, 5)
+    assert(rewritten.queryExecution.optimizedPlan.toString
+      .contains("cosine_distance_prenorm"),
+      rewritten.queryExecution.optimizedPlan.toString.take(2000))
+
+    // equivalence: the join-probe formulation (not foldable — rule
+    // does not fire) must produce the same ids and rounded distances
+    val viaJoin = graft.ops.Similarity
+      .knnJoinBrute(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 5)
+      .orderBy("dist", "nn_id")
+      .select("nn_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!graft.ops.Similarity
+      .knnJoinBrute(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 5)
+      .queryExecution.optimizedPlan.toString.contains("prenorm"))
+    val got = rewritten.orderBy("dist", "vec_id")
+      .select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1) + 0.0)).toSeq
+    assert(got.map(_._1) == viaJoin.map(_._1))
+    got.zip(viaJoin).foreach { case ((_, d1), (_, d2)) =>
+      assert(math.abs(d1 - d2) < 1e-9, s"$d1 vs $d2")
+    }
+  }
+
+  test("zero-norm literal probe is not rewritten (degenerate contract)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.cosine_distance
+    val e = Tables(spark, sf(), "embeddings")
+    val zeros = Seq.fill(64)(0f)
+    val df = e.select(cosine_distance(col("embedding"), typedlit(zeros)).as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("prenorm"))
+    assert(df.limit(3).collect().forall(_.getDouble(0) == 1.0))
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet

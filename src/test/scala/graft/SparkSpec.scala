@@ -8,10 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession =
-    GraftSession.builder(master = "local[4]", shufflePartitions = 4)
-      .config("spark.sql.warehouse.dir",
-        s"/tmp/graft-test-warehouse-${getClass.getSimpleName}")
-      .getOrCreate()
+    GraftSession.install(
+      GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+        .config("spark.sql.warehouse.dir",
+          s"/tmp/graft-test-warehouse-${getClass.getSimpleName}")
+        .getOrCreate())
 
   override protected def afterAll(): Unit = {
     // keep the session alive across suites in the same JVM (sbt forks
