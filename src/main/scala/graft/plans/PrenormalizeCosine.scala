@@ -1,12 +1,12 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.{CosineDistance, CosineDistancePrenorm}
+import graft.functions.{CosineDistance, CosineDistancePrenorm, CosineSimilarity}
 
 /** Optimization-only rewrite (SURVEY §4.3): a cosine distance whose
   * query side is foldable — the `ORDER BY cosine_distance(embedding,
@@ -32,6 +32,12 @@ object PrenormalizeCosine extends Rule[LogicalPlan] {
       case e @ CosineDistance(q, x) if q.foldable && !x.foldable =>
         // cosine is symmetric — normalize whichever side is constant
         prenormalized(q).map(CosineDistancePrenorm(x, _)).getOrElse(e)
+      case e @ CosineSimilarity(x, q) if q.foldable && !x.foldable =>
+        prenormalized(q).map(p =>
+          Subtract(Literal(1.0), CosineDistancePrenorm(x, p))).getOrElse(e)
+      case e @ CosineSimilarity(q, x) if q.foldable && !x.foldable =>
+        prenormalized(q).map(p =>
+          Subtract(Literal(1.0), CosineDistancePrenorm(x, p))).getOrElse(e)
     }
 
   /** Evaluate the foldable probe and return it unit-normalized as an
