@@ -109,6 +109,41 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(df.limit(3).collect().forall(_.getDouble(0) == 1.0))
   }
 
+  test("co-located bucketed join plans with zero exchanges") {
+    import org.apache.spark.sql.functions._
+    // chunks ↔ embeddings co-location: both sides bucketed on doc_id
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val emb = Tables(spark, sf(), "embeddings")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // clean catalog + warehouse leftovers (a fresh JVM's in-memory
+    // catalog forgets managed tables but their directories survive)
+    Seq("colo_docs", "colo_emb").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val f = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(wh)) f.delete(wh, true)
+    }
+    graft.sink.CoLocate.saveBucketed(docs, "colo_docs", "doc_id", 4)
+    graft.sink.CoLocate.saveBucketed(emb, "colo_emb", "doc_id", 4)
+
+    // disable broadcast so the plan exercises the bucketed merge path
+    // (at 100 TB neither side broadcasts — that is the point)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.sink.CoLocate.read(spark, "colo_docs")
+        .join(graft.sink.CoLocate.read(spark, "colo_emb"), "doc_id")
+      assert(joined.count() > 0)
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        p.take(2000))
+      assert(p.contains("Bucketed: true"), p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet
