@@ -76,19 +76,25 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3): DataFrame = {
-    // one pass over the text computes shingles AND band keys, persisted
-    // once: the bucket self-join and both verification joins would
-    // otherwise re-evaluate the hash pipeline per consumer (3-4×).
-    // MEMORY_AND_DISK: a small multiple of the text column.
-    val prepared = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"),
-      bandKeys(minhashSignature(col(textCol), numHashes, shingleSize),
-        numHashes, bands).as("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = prepared.select(col("id"), col("sh"))
+    // Consumer-specific projections instead of one persisted frame:
+    // the band self-join needs ONLY the minhash band keys (the
+    // expensive signature computes exactly once), and each
+    // verification join needs ONLY the shingles (cheap substring
+    // extraction, computed per join side). No persist/checkpoint —
+    // the operator is stateless, leaves nothing in the cache manager,
+    // and costs three text-column scans instead of caching a
+    // signature frame that may be a large multiple of memory at scale.
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
 
-    val buckets = prepared.select(col("id"),
-      posexplode(col("bands")).as(Seq("band", "key")))
+    // explicit repartition on the join key: both sides of the
+    // self-join then share ONE canonical exchange, and ReuseExchange
+    // evaluates the minhash signature exactly once (without it, AQE
+    // may broadcast one side and each side re-hashes every text)
+    val buckets = df.select(col(idCol).as("id"),
+      posexplode(bandKeys(minhashSignature(col(textCol), numHashes,
+        shingleSize), numHashes, bands)).as(Seq("band", "key")))
+      .repartition(col("band"), col("key"))
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -96,20 +102,13 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
 
-    val verified = candidates
+    candidates
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
       .select(col("id1"), col("id2"),
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    // materialize the (small) pair list eagerly so the persisted
-    // signature frame can be released NOW instead of leaking in the
-    // cache manager until session end; lineage is truncated so later
-    // consumers never re-trigger the hash pipeline.
-    val out = verified.localCheckpoint(true)
-    prepared.unpersist()
-    out
   }
 
   /** D2 (SimHash flavor): near-dup pairs within a Hamming radius.
