@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation: corpus snapshots
+  * must be reproducible across runs, engines, and cluster layouts, so
+  * membership derives from a content hash of the ROW KEY — never from
+  * `rand()` (seed-stable only per partition layout) and never from
+  * Spark-specific hashes (no cross-engine oracle).
+  *
+  * Membership test: the first 4 hex chars of `md5(key)` compared
+  * against `floor(fraction * 65536)` in hex — a uniform 16-bit
+  * threshold that any engine with md5 reproduces bit-for-bit. Rows are
+  * filtered at the scan (no shuffle); stratification is free because
+  * the hash is independent of any stratum column.
+  */
+object Sampling {
+
+  /** Membership column: true iff `key` falls in the `fraction` sample.
+    * Deterministic in the key alone; `salt` yields independent samples
+    * (e.g. disjoint train/validation splits via different salts).
+    */
+  def inHashSample(key: Column, fraction: Double, salt: String = ""): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    val threshold = f"${math.floor(fraction * 65536).toLong}%04x"
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 4) < lit(threshold)
+  }
+
+  /** The `fraction` sample of `df` by `keyCol` — uniform within every
+    * stratum of any other column, reproducible anywhere.
+    */
+  def deterministicSample(
+      df: DataFrame,
+      keyCol: String,
+      fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(inHashSample(col(keyCol), fraction, salt))
+}

@@ -96,4 +96,19 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** PII scrubbing for training-data curation: emails, then long bare
+    * digit runs (ids/SSNs), then phone-like sequences (digits with
+    * separators), replaced with stable tags. Regexes stay in the
+    * RE2-compatible subset so the conformance oracle applies the
+    * identical patterns. Order matters: emails first (their local
+    * part may contain digits), then bare runs (so they tag as
+    * [NUMBER], not [PHONE]), then separator-style phone numbers.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val num = regexp_replace(email, "[0-9]{7,}", "[NUMBER]")
+    regexp_replace(num, "\\+?[0-9][0-9() .-]{5,}[0-9]", "[PHONE]")
+  }
 }

@@ -181,6 +181,48 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D4: PII redaction for corpus curation. The harness corpus is
+    // PII-free, so both sides plant identical synthetic contact info
+    // before scrubbing — the oracle applies the same RE2-compatible
+    // patterns with the 'g' flag (DuckDB replaces first-only without).
+    "d4e_redact" -> QueryDef(
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |             || '@example.com or +1 (555) 123-9876 ref 123456789',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '[0-9]{7,}', '[NUMBER]', 'g'),
+        |    '\+?[0-9][0-9() .-]{5,}[0-9]', '[PHONE]', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or +1 (555) 123-9876 ref 123456789")))
+            .as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // D7: deterministic hash-based sampling — reproducible corpus
+    // snapshots whose membership any engine recomputes bit-for-bit
+    // (md5-prefix threshold; rand() would be layout-dependent and
+    // engine-specific). Grouping by event_type shows the sample is
+    // uniform within every stratum.
+    "d7_hash_sample" -> QueryDef(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(event_id) AS BIGINT) AS first_id
+        |FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '3333'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling
+        .deterministicSample(Tables(s, dir, "events"), "event_id", 0.2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("event_id").as("first_id"))
+        .orderBy("event_type")
+    },
+
     // B4: keyword full-text search.
     "b4_fulltext_like" -> QueryDef(
       """SELECT doc_id FROM documents

@@ -41,6 +41,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps.distinct.length == 1)
   }
 
+  test("redactPii scrubs emails, phones, and long digit runs") {
+    import spark.implicits._
+    val got = Seq(
+      "mail me at jane.doe+spam@sub.example.co.uk today",
+      "call +1 (555) 010-9988 now",
+      "account 123456789 is fine but 123 stays",
+      "no pii here at all").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "mail me at [EMAIL] today")
+    assert(got(1) == "call [PHONE] now")
+    assert(got(2) == "account [NUMBER] is fine but 123 stays")
+    assert(got(3) == "no pii here at all")
+  }
+
   test("simhash64 expression: identical texts agree, edits stay close") {
     import spark.implicits._
     import graft.functions.GraftFunctions.simhash64
