@@ -11,6 +11,17 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object GraftFunctions {
 
+  /** Single-evaluation let-binding: evaluates `c` exactly once per row
+    * and hands it to `body` as a lambda variable. Referencing a plain
+    * Column n times duplicates its whole subtree n times in the plan;
+    * a lambda variable is an attribute reference, so the subtree stays
+    * single however often the body uses it.
+    */
+  def bound(c: Column)(body: Column => Column): Column = {
+    import org.apache.spark.sql.functions.{array, element_at, transform}
+    element_at(transform(array(c), body), 1)
+  }
+
   def cosine_distance(a: Column, b: Column): Column =
     binary(a, b, CosineDistance)
   def cosine_similarity(a: Column, b: Column): Column =

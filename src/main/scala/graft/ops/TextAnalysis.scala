@@ -24,14 +24,11 @@ object TextAnalysis {
   private def words(text: Column): Column =
     split(lower(text), "\\s+")
 
-  /** Single-evaluation let-binding: evaluates `c` exactly once per row
-    * and hands it to `body` as a lambda variable. Referencing a plain
-    * Column n times duplicates its whole subtree n times in the plan
-    * (the round-1 langId re-split every row ~20×); a lambda variable is
-    * an attribute reference, so the subtree stays single.
+  /** Single-evaluation let-binding (the round-1 langId re-split every
+    * row ~20× without it) — shared via [[graft.functions.GraftFunctions.bound]].
     */
   private def bound(c: Column)(body: Column => Column): Column =
-    element_at(transform(array(c), body), 1)
+    graft.functions.GraftFunctions.bound(c)(body)
 
   /** Count of words from `profile` appearing in the text. */
   def profileHits(text: Column, profile: Seq[String]): Column =

@@ -223,6 +223,38 @@ object LlmOpsQueries {
         .orderBy("event_type")
     },
 
+    // D8: int8 scalar quantization (the reference's QuantizedFlat
+    // vector index scheme). The BIGINT code checksum proves the codes
+    // are bit-identical across engines; the boolean pins the
+    // scale/2 reconstruction-error bound.
+    "d8_quantize_int8" -> QueryDef(
+      """WITH dv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT vec_id, v, list_min(v) AS mn,
+        |         CASE WHEN (list_max(v) - list_min(v)) / 255.0 = 0.0 THEN 1.0
+        |              ELSE (list_max(v) - list_min(v)) / 255.0 END AS scale
+        |  FROM dv)
+        |SELECT vec_id,
+        |       CAST(list_sum(list_transform(v,
+        |         x -> CAST(FLOOR((x - mn)/scale + 0.5) AS BIGINT))) AS BIGINT)
+        |         AS code_sum,
+        |       list_max(list_transform(v,
+        |         x -> ABS(mn + FLOOR((x - mn)/scale + 0.5) * scale - x)))
+        |         <= scale/2 + 1e-12 AS within_bound
+        |FROM st ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import graft.ops.Quantize
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          aggregate(Quantize.int8Codes(col("embedding")), lit(0L),
+            (acc, c) => acc + c).as("code_sum"),
+          (Quantize.maxRoundTripError(col("embedding")) <=
+            Quantize.quantScale(col("embedding")) / 2 + lit(1e-12))
+            .as("within_bound"))
+        .orderBy("vec_id")
+    },
+
     // B4: keyword full-text search.
     "b4_fulltext_like" -> QueryDef(
       """SELECT doc_id FROM documents

@@ -202,6 +202,18 @@ object RelationalQueries {
           .as("within_tolerance"))
     },
 
+    // C13b: approx percentile vs exact within 2% — the at-scale
+    // replacement for c11b's exact median (t-digest sketch: one pass,
+    // bounded memory, mergeable across partitions).
+    "c13b_approx_percentile" -> QueryDef(
+      "SELECT TRUE AS within_tolerance") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+          expr("percentile(l_extendedprice, 0.5)").as("ex"))
+        .select((abs(col("ap") - col("ex")) / col("ex") <= 0.02)
+          .as("within_tolerance"))
+    },
+
     // C14: ROLLUP (Expand operator). NULLS FIRST pinned on both sides —
     // Spark's ASC default is nulls-first, DuckDB's is nulls-last.
     "c14_rollup" -> QueryDef(

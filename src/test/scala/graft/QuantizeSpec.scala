@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Quantize
+
+/** Int8 scalar quantization (D8): code range, error bound, round trip,
+  * degenerate constant vectors.
+  */
+class QuantizeSpec extends SparkSpec {
+
+  test("codes are in 0..255 and error is within scale/2") {
+    val e = Tables(spark, sf(), "embeddings").limit(100)
+    val checked = e.select(
+      array_min(Quantize.int8Codes(col("embedding"))).as("cmin"),
+      array_max(Quantize.int8Codes(col("embedding"))).as("cmax"),
+      (Quantize.maxRoundTripError(col("embedding")) <=
+        Quantize.quantScale(col("embedding")) / 2 + lit(1e-12)).as("ok"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(1) <= 255,
+        s"codes out of range: ${r.getInt(0)}..${r.getInt(1)}")
+      assert(r.getBoolean(2))
+    }
+  }
+
+  test("dequantize reconstructs within the bound") {
+    import spark.implicits._
+    val df = Seq(Seq(0.1f, -0.5f, 0.9f, 0.0f)).toDF("v")
+    val row = df.select(
+      Quantize.dequantize(Quantize.int8Codes(col("v")),
+        array_min(col("v")).cast("double"),
+        Quantize.quantScale(col("v"))).as("rt"),
+      col("v"), Quantize.quantScale(col("v")).as("s")).collect().head
+    val rt = row.getSeq[Double](0)
+    val orig = row.getSeq[Float](1)
+    val bound = row.getDouble(2) / 2 + 1e-12
+    rt.zip(orig).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= bound, s"$a vs $b (bound $bound)")
+    }
+  }
+
+  test("constant vector quantizes to all-zero codes with zero error") {
+    import spark.implicits._
+    val df = Seq(Seq(0.25f, 0.25f, 0.25f)).toDF("v")
+    val r = df.select(Quantize.int8Codes(col("v")).as("c"),
+      Quantize.maxRoundTripError(col("v")).as("e")).collect().head
+    assert(r.getSeq[Int](0).forall(_ == 0))
+    assert(r.getDouble(1) == 0.0)
+  }
+}
