@@ -62,6 +62,19 @@ object GraftFunctions {
   def word_shingles(text: Column, shingleSize: Column): Column =
     binary(text, shingleSize, WordShingles)
 
+  def int8_pack(codes: Column): Column = {
+    val s = activeSession
+    Bridge.column(Int8Pack(Bridge.expression(s, codes)))
+  }
+
+  def q8_cosine_distance(codes: Column, mn: Column, scale: Column,
+      query: Column): Column = {
+    val s = activeSession
+    Bridge.column(Q8CosineDistance(
+      Bridge.expression(s, codes), Bridge.expression(s, mn),
+      Bridge.expression(s, scale), Bridge.expression(s, query)))
+  }
+
   private def activeSession: SparkSession =
     SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException("no active SparkSession"))
@@ -92,7 +105,9 @@ object GraftFunctions {
     "token_count" -> (es => TokenCount(es(0))),
     "simhash64" -> (es => SimHash64(es(0), es(1))),
     "minhash_signature" -> (es => MinHashSignature(es(0), es(1), es(2))),
-    "word_shingles" -> (es => WordShingles(es(0), es(1))))
+    "word_shingles" -> (es => WordShingles(es(0), es(1))),
+    "int8_pack" -> (es => Int8Pack(es(0))),
+    "q8_cosine_distance" -> (es => Q8CosineDistance(es(0), es(1), es(2), es(3))))
 
   /** Register all graft SQL functions on the given session. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -1,9 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Catalyst expressions for the vector-distance family (SURVEY §2 B1).
   *
@@ -99,6 +99,52 @@ case class L2Distance(left: Expression, right: Expression)
     VectorOps.l2Distance(x, y)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** Packs int codes 0..255 into a BinaryType column (D8 storage form:
+  * one byte per element, 4× smaller than the float vector).
+  */
+case class Int8Pack(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "int8_pack"
+  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.packInt8(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = VectorOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ops.packInt8($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Asymmetric quantized cosine distance over packed int8 codes —
+  * `q8_cosine_distance(codes, mn, scale, query)`; algebraically the
+  * cosine distance of the dequantized vector against the float query,
+  * computed in one codegen'd pass over the bytes.
+  */
+case class Q8CosineDistance(
+    first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "q8_cosine_distance"
+  override def inputTypes =
+    Seq(BinaryType, DoubleType, DoubleType, ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    VectorOps.q8CosineDistance(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Double], c.asInstanceOf[Double],
+      d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = VectorOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev,
+      (a, b, c, d) => s"${ev.value} = $ops.q8CosineDistance($a, $b, $c, $d);")
+  }
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression) =
+    copy(first = a, second = b, third = c, fourth = d)
 }
 
 case class VectorNorm(child: Expression)

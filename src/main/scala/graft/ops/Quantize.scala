@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.bound
+import graft.functions.GraftFunctions.{bound, cosine_distance, int8_pack, q8_cosine_distance}
 
 /** Scalar (int8) vector quantization — the storage/bandwidth scheme
   * behind the reference's vector index (`VectorIndexType.QuantizedFlat`,
@@ -50,4 +50,42 @@ object Quantize {
             - x.cast("double"))))
       }
     }
+
+  /** Materialize the quantized index columns for `vecCol`: packed
+    * byte codes + per-row (mn, scale). The codes column is 1/4 the
+    * vector's bytes — at 100 TB the coarse search stage scans 25 TB
+    * instead of 100 (plus two doubles a row); typically written once
+    * next to the embeddings.
+    */
+  def withIndexColumns(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("q8_mn", array_min(col(vecCol)).cast("double"))
+      .withColumn("q8_scale", quantScale(col(vecCol)))
+      .withColumn("q8_codes", int8_pack(int8Codes(col(vecCol))))
+
+  /** Two-stage top-k: a coarse pass ranks the PACKED codes by
+    * asymmetric quantized distance (TakeOrderedAndProject — bounded
+    * per-partition heaps over the 4×-smaller column), then the
+    * `rerank` survivors are scored exactly on the float vectors.
+    * Recall loss is bounded by the scale/2 reconstruction error; a
+    * `rerank` of a few × k recovers it in practice (QuantizeSpec).
+    */
+  def topKQuantized(
+      indexed: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String,
+      vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
+    val r = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val q = typedlit(queryVec)
+    indexed
+      .withColumn("q8_dist",
+        q8_cosine_distance(col("q8_codes"), col("q8_mn"), col("q8_scale"), q))
+      .orderBy(col("q8_dist"), col(idCol))
+      .limit(r)
+      .withColumn("dist", round(cosine_distance(col(vecCol), q), 6) + lit(0.0))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("q8_dist")
+  }
 }

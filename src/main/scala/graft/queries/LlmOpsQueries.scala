@@ -255,6 +255,42 @@ object LlmOpsQueries {
         .orderBy("vec_id")
     },
 
+    // D8b: two-stage quantized top-k — coarse ranking over the packed
+    // int8 codes (asymmetric distance), exact rerank of 40 survivors.
+    // The oracle replays both stages over the dequantized vectors
+    // (codes are bit-identical per d8, so the coarse order agrees).
+    "d8b_quantized_topk" -> QueryDef(
+      """WITH dv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT vec_id, v, list_min(v) AS mn,
+        |         CASE WHEN (list_max(v) - list_min(v)) / 255.0 = 0.0 THEN 1.0
+        |              ELSE (list_max(v) - list_min(v)) / 255.0 END AS scale
+        |  FROM dv),
+        |dq AS (
+        |  SELECT vec_id, v,
+        |         list_transform(v, x -> mn + FLOOR((x - mn)/scale + 0.5) * scale) AS vq
+        |  FROM st),
+        |probe AS (SELECT v AS pv FROM dv WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT d.vec_id, d.v, 1.0 - list_cosine_similarity(d.vq, p.pv) AS qd
+        |  FROM dq d, probe p
+        |  ORDER BY qd, d.vec_id LIMIT 40)
+        |SELECT c.vec_id, ROUND(1.0 - list_cosine_similarity(c.v, p.pv), 6) + 0.0 AS dist
+        |FROM coarse c, probe p
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.ops.Quantize
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Quantize.topKQuantized(
+          Quantize.withIndexColumns(e, "embedding"), qv,
+          k = 10, idCol = "vec_id", rerank = 40)
+        .select(col("vec_id"), col("dist"))
+        .orderBy("dist", "vec_id")
+    },
+
     // B4: keyword full-text search.
     "b4_fulltext_like" -> QueryDef(
       """SELECT doc_id FROM documents

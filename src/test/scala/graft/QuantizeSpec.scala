@@ -40,6 +40,34 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("q8 distance over packed codes tracks exact cosine closely") {
+    import graft.functions.GraftFunctions._
+    val e = Tables(spark, sf(), "embeddings").limit(100)
+    val probe = e.filter(col("vec_id") === 1)
+      .select("embedding").head().getSeq[Float](0)
+    val diffs = Quantize.withIndexColumns(e, "embedding")
+      .select(abs(
+        q8_cosine_distance(col("q8_codes"), col("q8_mn"), col("q8_scale"),
+          typedlit(probe)) -
+        cosine_distance(col("embedding"), typedlit(probe))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    // per-element error ≤ scale/2 ≈ (range/255)/2 → distance error ≪ 0.05
+    assert(diffs < 0.05, s"max |q8 - exact| = $diffs")
+  }
+
+  test("two-stage quantized top-k recalls the exact top-k") {
+    val e = Tables(spark, sf(), "embeddings")
+    val probe = e.filter(col("vec_id") === 1)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = graft.ops.VectorSearch.topK(e, probe, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = Quantize.topKQuantized(
+        Quantize.withIndexColumns(e, "embedding"), probe,
+        k = 10, idCol = "vec_id", rerank = 40)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact & quant).size >= 9, s"recall ${(exact & quant).size}/10")
+  }
+
   test("constant vector quantizes to all-zero codes with zero error") {
     import spark.implicits._
     val df = Seq(Seq(0.25f, 0.25f, 0.25f)).toDF("v")
