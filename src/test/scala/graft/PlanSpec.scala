@@ -69,6 +69,13 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(globalWindow.findFirstIn(p).isEmpty, p.take(2000))
   }
 
+  test("d8b: quantized coarse pass lowers to TakeOrderedAndProject") {
+    val p = planString(q("d8b_quantized_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    val globalWindow = "Window \\[[^\\]]*\\], \\[\\],".r
+    assert(globalWindow.findFirstIn(p).isEmpty, p.take(2000))
+  }
+
   test("literal-probe cosine rewrites to pre-normalized dot (rule)") {
     import org.apache.spark.sql.functions._
     val e = Tables(spark, sf(), "embeddings")
