@@ -94,6 +94,41 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Boilerplate-line removal (the line-level dedup of CCNet-style
+    * curation pipelines): a line occurring in more than
+    * `maxDocShare` of documents is template chrome (headers, footers,
+    * cookie banners) and is dropped from every document.
+    *
+    * Scale shape: one aggregation over distinct (line, doc) pairs
+    * computes line document-frequency — the same inherent corpus-wide
+    * aggregate as TF-IDF's df. The frequent-line set itself is tiny
+    * at any sane threshold (lines in >1% of a corpus are few), so it
+    * re-joins as a broadcast filter on the lines, and documents
+    * reassemble in original line order.
+    */
+  def removeBoilerplate(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocShare: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    val nDocs = df.count() // dimension-scale scalar, like TF-IDF's n
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val frequent = lines.select(col("id"), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocShare * nDocs)
+      .select("line")
+    val cleaned = lines
+      .join(broadcast(frequent), Seq("line"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("line"))))
+        .getField("line"), "\n").as("clean"))
+    // documents whose every line was boilerplate survive as empty text
+    df.select(col(idCol))
+      .join(cleaned.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   /** PII scrubbing for training-data curation: emails, then long bare
     * digit runs (ids/SSNs), then phone-like sequences (digits with
     * separators), replaced with stable tags. Regexes stay in the

@@ -205,6 +205,35 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D4f: boilerplate-line removal — both sides plant a footer in
+    // every document (df = 100% > 50% threshold → dropped) plus a
+    // unique per-doc line (kept); the oracle rebuilds the frequent
+    // set and filters with the same threshold.
+    "d4f_boilerplate" -> QueryDef(
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |         text || chr(10) || 'Copyright Example Corp'
+        |              || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT DISTINCT doc_id, UNNEST(string_split(t, chr(10))) AS line
+        |  FROM docs),
+        |freq AS (
+        |  SELECT line FROM (SELECT line, COUNT(*) AS df FROM lines GROUP BY 1)
+        |  WHERE df > 0.5 * (SELECT COUNT(*) FROM documents)),
+        |bl AS (SELECT list(line) AS b FROM freq)
+        |SELECT doc_id,
+        |       array_to_string(list_filter(string_split(t, chr(10)),
+        |         x -> NOT list_contains(b, x)), chr(10)) AS clean
+        |FROM docs, bl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit("\nCopyright Example Corp\nref "),
+            col("doc_id").cast("string")).as("t"))
+      TextAnalysis.removeBoilerplate(docs, "doc_id", "t", maxDocShare = 0.5)
+        .orderBy("doc_id")
+    },
+
     // D7: deterministic hash-based sampling — reproducible corpus
     // snapshots whose membership any engine recomputes bit-for-bit
     // (md5-prefix threshold; rand() would be layout-dependent and

@@ -56,6 +56,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) == "no pii here at all")
   }
 
+  test("removeBoilerplate drops frequent lines, keeps order, keeps empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\nFOOTER\nmore text"),
+      (2L, "FOOTER\nother content"),
+      (3L, "FOOTER")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(docs, "doc_id", "text", 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      (1L, "unique one\nmore text"),
+      (2L, "other content"),
+      (3L, "")))
+  }
+
   test("simhash64 expression: identical texts agree, edits stay close") {
     import spark.implicits._
     import graft.functions.GraftFunctions.simhash64
