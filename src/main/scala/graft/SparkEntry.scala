@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.functions.GraftFunctions
 import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,7 +16,7 @@ object SparkEntry {
     * Slice 0: exact vector top-k via the custom cosine_distance expression.
     */
   def entry(spark: SparkSession): DataFrame = {
-    GraftFunctions.register(spark)
+    GraftSession.install(spark)
     all("b2_vector_topk").fn(spark, "/root/testdata/sf0.001")
   }
 
@@ -25,7 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, d) =>
       k -> { (s: SparkSession, dir: String) =>
-        GraftFunctions.register(s)
+        GraftSession.install(s)
         d.fn(s, dir)
       }
     }

@@ -320,6 +320,34 @@ object LlmOpsQueries {
         .orderBy("dist", "vec_id")
     },
 
+    // D5b: the frame-sampling stage through the gate — the oracle
+    // recomputes the slicing arithmetic (frames = min(n, bytes),
+    // frame size = max(1, bytes div frames), total = covered prefix)
+    // from the payload byte length alone.
+    "d5b_frame_sample" -> QueryDef(
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         octet_length(CAST(text AS BLOB)) AS blen
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, LEAST(4, blen) AS nf,
+        |         GREATEST(1, blen // LEAST(4, blen)) AS fsize, blen
+        |  FROM m WHERE blen > 0)
+        |SELECT media_id,
+        |       CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(LEAST(blen, nf * fsize) AS BIGINT) AS total_bytes,
+        |       CAST(nf - 1 AS BIGINT) AS last_ix
+        |FROM f ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Media.mediaFromDocuments(Tables(s, dir, "documents"))
+      Media.sampleFrames(media, StubMediaDecoder(8), nFrames = 4)
+        .toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).cast("long").as("total_bytes"),
+          max(col("frame_index")).cast("long").as("last_ix"))
+        .orderBy("media_id")
+    },
+
     // B4: keyword full-text search.
     "b4_fulltext_like" -> QueryDef(
       """SELECT doc_id FROM documents
