@@ -34,27 +34,53 @@ object TextAnalysis {
   def profileHits(text: Column, profile: Seq[String]): Column =
     size(filter(words(text), w => w.isInCollection(profile)))
 
-  /** Heuristic language tag: argmax of profile hits, "und"
-    * (undetermined) when nothing matches; ties break by profile order.
-    *
-    * Single pass: the word array is materialized once, all profile
-    * scores come from one `transform` over the literal profile table,
-    * and the argmax is an `array_max` over (score, -index, lang)
-    * structs — struct ordering gives highest score, then earliest
-    * profile on ties, with no CASE-WHEN subtree duplication.
+  /** Tiny per-language character-trigram profiles (with spaces as
+    * word-boundary signal) — the richer model the same argmax serves;
+    * production swaps in corpus-derived tables via the same API.
     */
-  def langId(text: Column): Column = {
-    val profs = typedlit(stopwordProfiles)
-    bound(words(text)) { ws =>
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "ent", "he ", " th", "ed ", "er ", " of"),
+    "es" -> Seq("que", " de", "de ", "os ", "la ", " la", "ión", "ado", "con", " es"),
+    "de" -> Seq("der", "ein", "ich", "sch", "die", "und", "en ", "er ", "ch ", " ge"),
+    "fr" -> Seq("les", " le", "ent", "de ", " de", "que", "ais", "eur", "ion", " pa"))
+
+  /** Shared argmax-over-profiles: `units` is materialized once, all
+    * profile scores come from one `transform` over the literal profile
+    * table, and the argmax is an `array_max` over (score, -index,
+    * lang) structs — struct ordering gives highest score, then
+    * earliest profile on ties, with no CASE-WHEN subtree duplication.
+    */
+  private def argmaxProfiles(
+      units: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val profs = typedlit(profiles)
+    bound(units) { us =>
       bound(array_max(transform(profs, (p, i) =>
         struct(
-          size(filter(ws, w => array_contains(p.getField("_2"), w))).as("score"),
+          size(filter(us, u => array_contains(p.getField("_2"), u))).as("score"),
           (lit(0) - i).as("negIdx"),
           p.getField("_1").as("lang"))))) { best =>
         when(best.getField("score") > 0, best.getField("lang"))
           .otherwise(lit("und"))
       }
     }
+  }
+
+  /** Heuristic language tag: argmax of stopword-profile hits, "und"
+    * (undetermined) when nothing matches; ties break by profile order.
+    */
+  def langId(text: Column): Column =
+    argmaxProfiles(words(text), stopwordProfiles)
+
+  /** Character-trigram language tag — same argmax, sub-word evidence:
+    * robust on text where whole stopwords are rare (short strings,
+    * agglutinated words, OCR noise).
+    */
+  def langIdNgram(text: Column): Column = {
+    val grams = bound(lower(text)) { t =>
+      transform(sequence(lit(1), greatest(length(t) - 2, lit(0))),
+        i => t.substr(i, lit(3)))
+    }
+    argmaxProfiles(grams, trigramProfiles)
   }
 
   def wordCount(text: Column): Column = size(split(text, " "))

@@ -21,6 +21,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("langIdNgram tags real-language samples from trigram evidence") {
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the quick brown fox jumped over the lazy sleeping dog"),
+      ("es", "la historia de los pueblos que hablaban la lengua"),
+      ("de", "der hund und die katze spielen schnell im garten"),
+      ("fr", "les enfants que nous avons vus dans le parc"),
+      ("und", "zzz qqq www")).toDF("expected", "text")
+    val got = samples
+      .select(col("expected"), TextAnalysis.langIdNgram(col("text")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
   test("qualityScore is bounded and monotone in stopword density") {
     import spark.implicits._
     val df = Seq(
