@@ -23,8 +23,12 @@ object Sampling {
     */
   def inHashSample(key: Column, fraction: Double, salt: String = ""): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
-    val threshold = f"${math.floor(fraction * 65536).toLong}%04x"
-    substring(md5(concat(key.cast("string"), lit(salt))), 1, 4) < lit(threshold)
+    val t = math.floor(fraction * 65536).toLong
+    // t = 65536 renders as the 5-char "10000", which compares BELOW
+    // every 4-char hex string lexicographically — special-case it
+    if (t >= 65536) lit(true)
+    else substring(md5(concat(key.cast("string"), lit(salt))), 1, 4) <
+      lit(f"$t%04x")
   }
 
   /** The `fraction` sample of `df` by `keyCol` — uniform within every

@@ -76,8 +76,11 @@ object TextAnalysis {
     * agglutinated words, OCR noise).
     */
   def langIdNgram(text: Column): Column = {
+    // greatest(.., 1): sequence(1, 0) would REVERSE (Spark infers
+    // step -1); texts under 3 chars yield one short gram that matches
+    // no 3-char profile entry and falls through to "und"
     val grams = bound(lower(text)) { t =>
-      transform(sequence(lit(1), greatest(length(t) - 2, lit(0))),
+      transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
         i => t.substr(i, lit(3)))
     }
     argmaxProfiles(grams, trigramProfiles)

@@ -26,6 +26,13 @@ class SamplingSpec extends SparkSpec {
     assert(ids1 == ids3)
   }
 
+  test("boundary fractions: 1.0 keeps everything, 0.0 keeps nothing") {
+    val events = Tables(spark, sf(), "events")
+    val n = events.count()
+    assert(Sampling.deterministicSample(events, "event_id", 1.0).count() == n)
+    assert(Sampling.deterministicSample(events, "event_id", 0.0).count() == 0)
+  }
+
   test("different salts give near-independent samples; fractions nest") {
     val events = Tables(spark, sf("sf0.01"), "events")
     val a = Sampling.deterministicSample(events, "event_id", 0.2, salt = "a")

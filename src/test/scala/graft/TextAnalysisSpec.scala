@@ -28,7 +28,9 @@ class TextAnalysisSpec extends SparkSpec {
       ("es", "la historia de los pueblos que hablaban la lengua"),
       ("de", "der hund und die katze spielen schnell im garten"),
       ("fr", "les enfants que nous avons vus dans le parc"),
-      ("und", "zzz qqq www")).toDF("expected", "text")
+      ("und", "zzz qqq www"),
+      ("und", "ab"),
+      ("und", "")).toDF("expected", "text")
     val got = samples
       .select(col("expected"), TextAnalysis.langIdNgram(col("text")).as("got"))
       .collect()
