@@ -129,7 +129,7 @@ object LlmOpsQueries {
     // vector came from the cache.
     "d6b_embedding_cache" -> QueryDef(
       """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
-        |       1.0 AS nrm
+        |       CAST(1.0 AS DOUBLE) AS nrm
         |FROM documents ORDER BY document_url""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir, "documents")

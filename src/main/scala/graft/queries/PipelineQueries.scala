@@ -21,7 +21,7 @@ object PipelineQueries {
       """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
         |       CAST(1 AS BIGINT) AS nchunks,
         |       CAST(64 AS BIGINT) AS dim,
-        |       1.0 AS nrm,
+        |       CAST(1.0 AS DOUBLE) AS nrm,
         |       text AS chunk_text
         |FROM documents ORDER BY document_url""".stripMargin) { (s, dir) =>
       val chunks = IngestPipeline.ingestDocumentsTable(

@@ -70,6 +70,23 @@ object RelationalExtraQueries {
         .orderBy("o_orderkey")
     },
 
+    // C16c: fractional ranks (percent_rank / cume_dist) — +0.0 after
+    // ROUND on both sides normalizes the rank-1 row's zero sign.
+    "c16c_fractional_ranks" -> QueryDef(
+      """SELECT o_orderkey,
+        |       ROUND(PERCENT_RANK() OVER w, 6) + 0.0 AS pr,
+        |       ROUND(CUME_DIST() OVER w, 6) + 0.0 AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (round(percent_rank().over(w), 6) + lit(0.0)).as("pr"),
+          (round(cume_dist().over(w), 6) + lit(0.0)).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
     // C17b: lead / first_value / last_value with an explicit frame.
     "c17b_lead_first_last" -> QueryDef(
       """SELECT event_id,

@@ -20,11 +20,14 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
     try:
-        exp = con.sql(sql).fetchall()
-        exp_cols = [d[0] for d in con.sql(sql).description]
-        got_rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-        got = got_rel.fetchall()
-        got_cols = [d[0] for d in got_rel.description]
+        # pandas path, like the driver harness (it converts DuckDB
+        # DECIMAL literals to float64 before hashing)
+        exp_df = con.sql(sql).df()
+        exp_cols = list(exp_df.columns)
+        got_df = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+        got_cols = list(got_df.columns)
+        exp = list(exp_df.itertuples(index=False, name=None))
+        got = list(got_df.itertuples(index=False, name=None))
         # driver compare: sort columns by name
         ei = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
         gi = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
@@ -34,7 +37,9 @@ for name, sql in sorted(oracle.items()):
             continue
         e = [tuple(r[i] for i in ei) for r in exp]
         g = [tuple(r[i] for i in gi) for r in got]
-        if e == g:
+        # repr-compare: the driver hashes stringified values, so -0.0
+        # vs 0.0 (or 1.0 vs 1) must FAIL here too, although == hides it
+        if [tuple(map(repr, r)) for r in e] == [tuple(map(repr, r)) for r in g]:
             print(f"ok   {name} ({len(e)} rows)")
             ok += 1
         else:
