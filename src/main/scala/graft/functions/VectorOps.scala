@@ -59,27 +59,43 @@ object VectorOps extends Serializable {
   def cosineSimilarity(x: ArrayData, y: ArrayData): Double =
     1.0 - cosineDistance(x, y)
 
-  /** Cosine distance against a PRE-NORMALIZED double query vector
-    * (|yn| = 1): accumulates only dot and |x| — one third fewer flops
-    * per row than [[cosineDistance]]. Produced by the
-    * [[graft.plans.PrenormalizeCosine]] optimizer rule for literal
-    * probes; never constructed with an unnormalized right side.
+  /** Cosine distance with the query's norm precomputed at plan time
+    * ([[graft.plans.PrenormalizeCosine]]): skips the per-row ny
+    * accumulation — a third fewer flops — while staying BIT-IDENTICAL
+    * to [[cosineDistance]]: d and nx accumulate in the same order over
+    * the same values, and `sqrtNy` is `sqrt(Σ y²)` folded with that
+    * exact accumulation (see [[norm]]), so `sqrt(nx) * sqrtNy` equals
+    * the original `sqrt(nx) * sqrt(ny)` to the last ulp. Conformance
+    * results therefore cannot drift when the rule fires.
     */
-  def cosineDistancePrenorm(x: ArrayData, yn: ArrayData): Double = {
-    val n = x.numElements()
-    if (n != yn.numElements()) {
-      throw new IllegalArgumentException(
-        s"vector dimension mismatch: ${n} vs ${yn.numElements()}")
-    }
+  def cosineDistanceKnownNorm(x: ArrayData, y: ArrayData, sqrtNy: Double): Double = {
+    val n = checkDims(x, y)
     var d = 0.0; var nx = 0.0
     var i = 0
     while (i < n) {
       val a = x.getFloat(i).toDouble
-      d += a * yn.getDouble(i); nx += a * a
+      d += a * y.getFloat(i); nx += a * a
       i += 1
     }
-    val dn = math.sqrt(nx)
-    if (dn == 0.0) 1.0 else 1.0 - d / dn
+    val denom = math.sqrt(nx) * sqrtNy
+    if (denom == 0.0) 1.0 else 1.0 - d / denom
+  }
+
+  /** Driver-side flavor of [[cosineDistance]] over plain float arrays
+    * (bounded samples: IVF centroid Lloyd pass). Same degenerate
+    * contract.
+    */
+  def cosineDistance(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var d = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val a = x(i).toDouble; val b = y(i).toDouble
+      d += a * b; nx += a * a; ny += b * b
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 1.0 else 1.0 - d / denom
   }
 
   /** Pack int codes 0..255 (from Quantize.int8Codes) into bytes —

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType}
@@ -48,27 +48,32 @@ case class CosineDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** [[CosineDistance]] with a pre-normalized ARRAY&lt;DOUBLE&gt; query
-  * side — produced only by the [[graft.plans.PrenormalizeCosine]]
-  * optimizer rule (the query vector's norm folds to 1 at plan time,
-  * so each row accumulates just the dot product and its own norm).
+/** [[CosineDistance]] with the query side's norm folded at plan time —
+  * produced only by the [[graft.plans.PrenormalizeCosine]] optimizer
+  * rule. The query vector child stays UNCHANGED (same floats, same
+  * accumulation), so results are bit-identical to [[CosineDistance]];
+  * only the per-row ny accumulation is skipped.
   */
-case class CosineDistancePrenorm(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
-  override def prettyName: String = "cosine_distance_prenorm"
-  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(DoubleType))
+case class CosineDistanceKnownNorm(
+    first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "cosine_distance_known_norm"
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), DoubleType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.cosineDistancePrenorm(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    VectorOps.cosineDistanceKnownNorm(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ops = VectorOps.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev,
-      (a, b) => s"${ev.value} = $ops.cosineDistancePrenorm($a, $b);")
+      (a, b, c) => s"${ev.value} = $ops.cosineDistanceKnownNorm($a, $b, $c);")
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
-    copy(left = l, right = r)
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression) =
+    copy(first = a, second = b, third = c)
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)

@@ -79,8 +79,13 @@ object Quantize {
     val r = if (rerank > 0) rerank else math.max(4 * k, 32)
     val q = typedlit(queryVec)
     indexed
+      // round-6 before the cut: cross-engine double parity is only
+      // validated at that grain, so a raw-double boundary at rank r
+      // could pick different survivors per engine; rounding + the id
+      // tiebreak makes the candidate set deterministic everywhere
       .withColumn("q8_dist",
-        q8_cosine_distance(col("q8_codes"), col("q8_mn"), col("q8_scale"), q))
+        round(q8_cosine_distance(
+          col("q8_codes"), col("q8_mn"), col("q8_scale"), q), 6))
       .orderBy(col("q8_dist"), col(idCol))
       .limit(r)
       .withColumn("dist", round(cosine_distance(col(vecCol), q), 6) + lit(0.0))

@@ -107,20 +107,6 @@ object Similarity {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  /** Driver-side cosine distance over the bounded centroid sample. */
-  private def cosineDistLocal(x: Array[Float], y: Array[Float]): Double = {
-    var d = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val a = x(i).toDouble; val b = y(i).toDouble
-      d += a * b; nx += a * a; ny += b * b
-      i += 1
-    }
-    val denom = math.sqrt(nx) * math.sqrt(ny)
-    if (denom == 0.0) 1.0 else 1.0 - d / denom
-  }
-
   /** IVF centroids from a deterministic hash-ordered sample: the
     * `nlist * 64` hash-smallest base rows, refined by one Lloyd
     * iteration on the driver.
@@ -157,7 +143,7 @@ object Similarity {
       var bestI = 0; var bestD = Double.MaxValue
       var i = 0
       while (i < init.length) {
-        val d = cosineDistLocal(v, init(i))
+        val d = graft.functions.VectorOps.cosineDistance(v, init(i))
         if (d < bestD) { bestD = d; bestI = i }
         i += 1
       }

@@ -83,11 +83,24 @@ object StreamingIngest {
     store.upsert(chunks.toDF())
 
     // A2/A20: documents present in the store but gone from the source
-    // listing were deleted upstream. Metadata-only on BOTH sides: the
-    // store's document catalog is its partition directory names, the
-    // source side is one filesystem listing — no data scan, no
-    // shuffle, no Spark job; steady-state per-batch cost is
-    // O(directory listing) even when nothing was deleted.
+    // listing were deleted upstream. Runs per batch ONLY when the
+    // store's catalog is metadata-only (per-document layout: partition
+    // directory names, one filesystem listing each side — no data
+    // scan, no shuffle, no Spark job). A bucketed store answers the
+    // catalog with a full scan, so there deletes are a maintenance
+    // concern: schedule [[detectDeletes]] on its own cadence instead.
+    if (store.hasMetadataCatalog) detectDeletes(spark, inputDir, store)
+  }
+
+  /** Compare the store's document catalog against the source listing
+    * and drop documents that disappeared upstream. Cost = catalog cost
+    * (metadata-only for the per-document layout; a scan + distinct
+    * for bucketed stores — run on a maintenance cadence there).
+    */
+  def detectDeletes(
+      spark: SparkSession,
+      inputDir: String,
+      store: ChunkStore): Unit = {
     val stored = store.listDocumentUrls()
     if (stored.nonEmpty) {
       val inPath = new org.apache.hadoop.fs.Path(inputDir)

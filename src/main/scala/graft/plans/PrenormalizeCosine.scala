@@ -3,66 +3,47 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineDistance, CosineDistancePrenorm, CosineSimilarity}
+import graft.functions.{CosineDistance, CosineDistanceKnownNorm, CosineSimilarity, VectorOps}
 
 /** Optimization-only rewrite (SURVEY §4.3): a cosine distance whose
   * query side is foldable — the `ORDER BY cosine_distance(embedding,
   * &lt;literal probe&gt;) LIMIT k` store-query shape — folds the
-  * probe's normalization INTO the plan. The probe is evaluated once at
-  * optimization time, divided by its norm, and embedded as an
-  * ARRAY&lt;DOUBLE&gt; literal; each scanned row then accumulates only
-  * the dot product and its own norm (one third fewer flops on the
-  * 100 TB side, and the probe norm is no longer recomputed per row).
+  * probe's NORM at plan time: each scanned row then accumulates only
+  * the dot product and its own norm (a third fewer flops on the
+  * 100 TB side).
   *
-  * Semantics-preserving: double accumulation as before; a zero-norm or
-  * null probe is left untouched (the original expression's degenerate
-  * contract — distance 1.0 — applies). Purely additive: plans without
-  * a foldable side (e.g. the b2/b3 conformance queries, which join
-  * the probe from a table) are unchanged.
+  * Bit-identical by construction: the probe child passes through
+  * unchanged and [[VectorOps.norm]] folds `sqrt(Σ y²)` with exactly
+  * the accumulation order [[VectorOps.cosineDistance]] uses, so
+  * `sqrt(nx) * sqrtNy` reproduces the original `sqrt(nx) * sqrt(ny)`
+  * to the last ulp — conformance hashes cannot drift when the rule
+  * fires. A null probe is left untouched; a zero-norm probe folds to
+  * denom 0 and keeps the degenerate distance-1.0 contract.
   */
 object PrenormalizeCosine extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case e @ CosineDistance(x, q) if q.foldable && !x.foldable =>
-        prenormalized(q).map(CosineDistancePrenorm(x, _)).getOrElse(e)
+        foldedNorm(q).map(CosineDistanceKnownNorm(x, q, _)).getOrElse(e)
       case e @ CosineDistance(q, x) if q.foldable && !x.foldable =>
-        // cosine is symmetric — normalize whichever side is constant
-        prenormalized(q).map(CosineDistancePrenorm(x, _)).getOrElse(e)
+        // cosine is symmetric — fold whichever side is constant
+        foldedNorm(q).map(CosineDistanceKnownNorm(x, q, _)).getOrElse(e)
       case e @ CosineSimilarity(x, q) if q.foldable && !x.foldable =>
-        prenormalized(q).map(p =>
-          Subtract(Literal(1.0), CosineDistancePrenorm(x, p))).getOrElse(e)
+        foldedNorm(q).map(n =>
+          Subtract(Literal(1.0), CosineDistanceKnownNorm(x, q, n))).getOrElse(e)
       case e @ CosineSimilarity(q, x) if q.foldable && !x.foldable =>
-        prenormalized(q).map(p =>
-          Subtract(Literal(1.0), CosineDistancePrenorm(x, p))).getOrElse(e)
+        foldedNorm(q).map(n =>
+          Subtract(Literal(1.0), CosineDistanceKnownNorm(x, q, n))).getOrElse(e)
     }
 
-  /** Evaluate the foldable probe and return it unit-normalized as an
-    * ARRAY&lt;DOUBLE&gt; literal; None when null/empty/zero-norm.
-    */
-  private def prenormalized(q: Expression): Option[Expression] =
+  /** Evaluate the foldable probe's norm; None for null/non-array. */
+  private def foldedNorm(q: Expression): Option[Expression] =
     q.eval() match {
-      case a: ArrayData if a.numElements() > 0 =>
-        val n = a.numElements()
-        val ds = new Array[Double](n)
-        var s = 0.0
-        var i = 0
-        while (i < n) {
-          val v = a.getFloat(i).toDouble
-          ds(i) = v; s += v * v
-          i += 1
-        }
-        val norm = math.sqrt(s)
-        if (norm == 0.0) None
-        else {
-          var j = 0
-          while (j < n) { ds(j) /= norm; j += 1 }
-          Some(Literal(new GenericArrayData(ds),
-            ArrayType(DoubleType, containsNull = false)))
-        }
+      case a: ArrayData => Some(Literal(VectorOps.norm(a), DoubleType))
       case _ => None
     }
 }

@@ -303,7 +303,8 @@ object LlmOpsQueries {
         |  FROM st),
         |probe AS (SELECT v AS pv FROM dv WHERE vec_id = 0),
         |coarse AS (
-        |  SELECT d.vec_id, d.v, 1.0 - list_cosine_similarity(d.vq, p.pv) AS qd
+        |  SELECT d.vec_id, d.v,
+        |         ROUND(1.0 - list_cosine_similarity(d.vq, p.pv), 6) AS qd
         |  FROM dq d, probe p
         |  ORDER BY qd, d.vec_id LIMIT 40)
         |SELECT c.vec_id, ROUND(1.0 - list_cosine_similarity(c.v, p.pv), 6) + 0.0 AS dist

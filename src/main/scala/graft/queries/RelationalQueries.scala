@@ -562,14 +562,14 @@ object RelationalQueries {
     // break condition (c35's lag+cumsum gate specs `>` for itself).
     "c35b_session_window_operator" -> QueryDef(
       """WITH g AS (
-        |  SELECT user_id, epoch_us(ts) AS tus, value,
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
         |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
         |                (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (
         |  SELECT user_id, tus, value,
-        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM g)
         |SELECT user_id, MIN(tus) AS session_start,

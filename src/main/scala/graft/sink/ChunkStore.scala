@@ -59,18 +59,59 @@ final class ChunkStore(
 
   def exists: Boolean = fs.exists(new Path(path))
 
+  /** True when the document catalog is a pure metadata operation
+    * (per-document layout); bucketed stores answer it with a scan.
+    */
+  def hasMetadataCatalog: Boolean = buckets.isEmpty
+
+  // ---- layout metadata: the bucket count is part of the on-disk
+  // format. Reopening a store with a different `buckets` would hash
+  // documents into different partitions and silently corrupt
+  // upsert/delete/point-lookup, so the layout is stamped at bootstrap
+  // and validated once per instance on first access.
+  private val layoutPath = new Path(path, "_graft_layout")
+  private def layoutTag: String =
+    buckets.fold("per-document")(n => s"buckets=$n")
+  @volatile private var layoutChecked = false
+
+  private def writeLayoutTag(): Unit = {
+    val out = fs.create(layoutPath, true)
+    try out.write(layoutTag.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def checkLayout(): Unit = if (!layoutChecked) {
+    if (exists && fs.exists(layoutPath)) {
+      val in = fs.open(layoutPath)
+      val onDisk = try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8")
+      } finally in.close()
+      require(onDisk == layoutTag,
+        s"chunk store at $path was written with layout '$onDisk' but opened " +
+          s"with '$layoutTag' — bucket counts are part of the on-disk format")
+    } else if (exists) {
+      writeLayoutTag() // stamp pre-existing stores on first touch
+    }
+    layoutChecked = true
+  }
+
   private def emptyFrame(s: StructType): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
 
   /** A19/A21: bootstrap an empty partitioned table if absent. */
-  def ensure(): Unit = if (!exists) {
-    buckets match {
-      case None =>
-        emptyFrame(schema).write.partitionBy("document_url").parquet(path)
-      case Some(_) =>
-        emptyFrame(schema).withColumn(bucketCol, lit(0))
-          .write.partitionBy(bucketCol).parquet(path)
+  def ensure(): Unit = {
+    checkLayout()
+    if (!exists) {
+      buckets match {
+        case None =>
+          emptyFrame(schema).write.partitionBy("document_url").parquet(path)
+        case Some(_) =>
+          emptyFrame(schema).withColumn(bucketCol, lit(0))
+            .write.partitionBy(bucketCol).parquet(path)
+      }
+      writeLayoutTag()
     }
   }
 
@@ -142,6 +183,7 @@ final class ChunkStore(
     */
   def delete(documentUrls: Seq[String]): Unit = buckets match {
     case None =>
+      checkLayout()
       val f = fs
       documentUrls.foreach { url =>
         val dir = new Path(path,
@@ -149,6 +191,7 @@ final class ChunkStore(
         if (f.exists(dir)) f.delete(dir, true)
       }
     case Some(_) =>
+      checkLayout()
       if (documentUrls.nonEmpty && exists) {
         import spark.implicits._
         val ids = documentUrls.toDS()
@@ -164,19 +207,32 @@ final class ChunkStore(
   /** Stage `out` (which must contain only rows of `ids` buckets) to a
     * temp directory, then swap each affected bucket directory in. A
     * bucket absent from `out` (everything deleted) is simply removed.
+    *
+    * Failure safety: the live bucket is renamed aside (not deleted)
+    * before the staged copy swaps in, a failed rename restores it and
+    * throws, and the staging directory is only removed after every
+    * swap succeeded — on error it survives on disk for recovery, so
+    * no code path silently loses a bucket.
     */
   private def rewriteBuckets(ids: Seq[Int], out: DataFrame): Unit = {
     val tmp = new Path(path + ".staging-" + java.util.UUID.randomUUID())
     out.write.partitionBy(bucketCol).parquet(tmp.toString)
     val f = fs
-    try {
-      ids.foreach { b =>
-        val dst = new Path(path, s"$bucketCol=$b")
-        val src = new Path(tmp, s"$bucketCol=$b")
-        if (f.exists(dst)) f.delete(dst, true)
-        if (f.exists(src)) f.rename(src, dst)
+    ids.foreach { b =>
+      val dst = new Path(path, s"$bucketCol=$b")
+      val src = new Path(tmp, s"$bucketCol=$b")
+      val aside = new Path(tmp, s"$bucketCol=$b.replaced")
+      val hadDst = f.exists(dst)
+      if (hadDst && !f.rename(dst, aside))
+        throw new java.io.IOException(
+          s"cannot stage out live bucket $b at $dst (staging kept at $tmp)")
+      if (f.exists(src) && !f.rename(src, dst)) {
+        if (hadDst) f.rename(aside, dst) // restore the original
+        throw new java.io.IOException(
+          s"failed to swap bucket $b into $dst (staging kept at $tmp)")
       }
-    } finally f.delete(tmp, true)
+    }
+    f.delete(tmp, true)
   }
 
   /** The document catalog. Per-document layout: a pure metadata
@@ -188,6 +244,7 @@ final class ChunkStore(
     */
   def listDocumentUrls(): Seq[String] = buckets match {
     case None =>
+      checkLayout()
       if (!exists) Nil
       else fs.listStatus(new Path(path)).toSeq
         .filter(_.isDirectory)
@@ -196,6 +253,7 @@ final class ChunkStore(
         .map(n => ExternalCatalogUtils
           .unescapePathName(n.stripPrefix("document_url=")))
     case Some(_) =>
+      checkLayout()
       read().select("document_url").distinct()
         .collect().map(_.getString(0)).toSeq
   }
@@ -204,7 +262,7 @@ final class ChunkStore(
     * layouts (the bucket id of a literal url constant-folds into a
     * partition filter).
     */
-  def readDocument(url: String): DataFrame = buckets match {
+  def readDocument(url: String): DataFrame = { checkLayout(); buckets } match {
     case None =>
       read().filter(col("document_url") === url)
     case Some(_) =>
@@ -214,13 +272,15 @@ final class ChunkStore(
         .drop(bucketCol)
   }
 
-  def read(): DataFrame =
+  def read(): DataFrame = {
+    checkLayout()
     if (exists) {
       buckets match {
         case None => spark.read.schema(schema).parquet(path)
         case Some(_) => rawRead().drop(bucketCol)
       }
     } else emptyFrame(schema)
+  }
 }
 
 object ChunkStore {

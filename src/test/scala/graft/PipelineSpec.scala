@@ -242,6 +242,21 @@ class PipelineSpec extends SparkSpec {
     rows.foreach(r => assert(r.getString(1) == r.getInt(0).toString))
   }
 
+  test("reopening a store with a different bucket layout is rejected") {
+    val dir = Files.createTempDirectory("graft-store-l").toString + "/chunks"
+    val store = new ChunkStore(spark, dir, buckets = Some(4))
+    store.upsert(IngestPipeline.ingestDocumentsTable(
+      spark, Tables(spark, sf(), "documents").limit(3),
+      DeterministicEmbedder(16)))
+    val wrong = new ChunkStore(spark, dir, buckets = Some(8))
+    val e = intercept[IllegalArgumentException](wrong.read())
+    assert(e.getMessage.contains("buckets=4"))
+    val alsoWrong = new ChunkStore(spark, dir) // per-document reopen
+    intercept[IllegalArgumentException](alsoWrong.listDocumentUrls())
+    // the correct layout still opens
+    assert(new ChunkStore(spark, dir, buckets = Some(4)).read().count() > 0)
+  }
+
   test("per-document store catalog lists urls without a data scan") {
     val dir = Files.createTempDirectory("graft-store-c").toString + "/chunks"
     val store = new ChunkStore(spark, dir)

@@ -84,35 +84,33 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
     val rewritten = graft.ops.VectorSearch.topK(e, probe, 5)
     assert(rewritten.queryExecution.optimizedPlan.toString
-      .contains("cosine_distance_prenorm"),
+      .contains("cosine_distance_known_norm"),
       rewritten.queryExecution.optimizedPlan.toString.take(2000))
 
-    // equivalence: the join-probe formulation (not foldable — rule
-    // does not fire) must produce the same ids and rounded distances
+    // BIT equivalence: the join-probe formulation (not foldable — rule
+    // does not fire) must produce identical ids AND doubles; the rule
+    // contract is exact-to-the-ulp, not approximate
     val viaJoin = graft.ops.Similarity
       .knnJoinBrute(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 5)
       .orderBy("dist", "nn_id")
       .select("nn_id", "dist").collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .map(r => (r.getLong(0), r.getDouble(1) + 0.0)).toSeq
     assert(!graft.ops.Similarity
       .knnJoinBrute(e, e.filter(col("vec_id") === 0), "vec_id", "embedding", 5)
-      .queryExecution.optimizedPlan.toString.contains("prenorm"))
+      .queryExecution.optimizedPlan.toString.contains("known_norm"))
     val got = rewritten.orderBy("dist", "vec_id")
       .select("vec_id", "dist").collect()
-      .map(r => (r.getLong(0), r.getDouble(1) + 0.0)).toSeq
-    assert(got.map(_._1) == viaJoin.map(_._1))
-    got.zip(viaJoin).foreach { case ((_, d1), (_, d2)) =>
-      assert(math.abs(d1 - d2) < 1e-9, s"$d1 vs $d2")
-    }
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == viaJoin, s"$got vs $viaJoin")
   }
 
-  test("zero-norm literal probe is not rewritten (degenerate contract)") {
+  test("zero-norm literal probe rewrites and keeps the distance-1.0 contract") {
     import org.apache.spark.sql.functions._
     import graft.functions.GraftFunctions.cosine_distance
     val e = Tables(spark, sf(), "embeddings")
     val zeros = Seq.fill(64)(0f)
     val df = e.select(cosine_distance(col("embedding"), typedlit(zeros)).as("d"))
-    assert(!df.queryExecution.optimizedPlan.toString.contains("prenorm"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("known_norm"))
     assert(df.limit(3).collect().forall(_.getDouble(0) == 1.0))
   }
 
