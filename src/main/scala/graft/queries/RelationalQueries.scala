@@ -555,6 +555,37 @@ object RelationalQueries {
         .orderBy("user_id", "tus")
     },
 
+    // C8b: true range join (point-in-interval) via bin bucketing —
+    // "events within 24 hours after each probe event, same user"
+    // (probes = every 97th event id, spread across the timeline).
+    // The oracle states the inequality join directly; the engine
+    // computes it as a binned equi-join (no nested loop — pinned).
+    "c8b_interval_join" -> QueryDef(
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |p AS (SELECT user_id, event_id AS probe_id, tus AS t0,
+        |             tus + 86400000000 AS t1
+        |      FROM ev WHERE event_id % 97 = 0)
+        |SELECT p.probe_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(e.tus) AS BIGINT) AS first_t
+        |FROM p JOIN ev e
+        |  ON e.user_id = p.user_id AND e.tus BETWEEN p.t0 AND p.t1
+        |     AND e.event_id <> p.probe_id
+        |GROUP BY p.probe_id ORDER BY p.probe_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      val probes = ev
+        .filter(col("event_id") % 97 === 0)
+        .select(col("user_id"), col("event_id").as("probe_id"),
+          col("tus").as("t0"), (col("tus") + 86400000000L).as("t1"))
+      graft.ops.RangeJoin
+        .pointInInterval(ev, probes, "tus", "t0", "t1",
+          binWidth = 86400000000L, keys = Seq("user_id"))
+        .filter(col("event_id") =!= col("probe_id"))
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n"), min("tus").as("first_t"))
+        .orderBy("probe_id")
+    },
+
     // C35b: the session_window() OPERATOR itself, batch form (its
     // streaming form runs in StreamingSpec). Sessions are
     // [min ts, max ts + gap) with the window end EXCLUSIVE, so a gap of

@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(globalWindow.findFirstIn(p).isEmpty, p.take(2000))
   }
 
+  test("c8b: binned range join plans as an equi-join, not a nested loop") {
+    val p = planString(q("c8b_interval_join")).split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("d8b: quantized coarse pass lowers to TakeOrderedAndProject") {
     val p = planString(q("d8b_quantized_topk"))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
