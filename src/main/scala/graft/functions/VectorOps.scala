@@ -82,11 +82,15 @@ object VectorOps extends Serializable {
   }
 
   /** Driver-side flavor of [[cosineDistance]] over plain float arrays
-    * (bounded samples: IVF centroid Lloyd pass). Same degenerate
-    * contract.
+    * (bounded samples: IVF centroid Lloyd pass). Same contracts as the
+    * ArrayData overload: dimension mismatch throws, zero norm → 1.0.
     */
   def cosineDistance(x: Array[Float], y: Array[Float]): Double = {
-    val n = math.min(x.length, y.length)
+    if (x.length != y.length) {
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${x.length} vs ${y.length}")
+    }
+    val n = x.length
     var d = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {

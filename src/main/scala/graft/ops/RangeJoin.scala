@@ -33,6 +33,9 @@ object RangeJoin {
       binWidth: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(binWidth > 0, s"binWidth=$binWidth")
+    require(!points.columns.contains("__bin") &&
+      !intervals.columns.contains("__bin"),
+      "__bin is reserved by pointInInterval")
     val pb = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
     val ib = intervals.withColumn("__bin",

@@ -88,9 +88,19 @@ object StreamingIngest {
     // directory names, one filesystem listing each side — no data
     // scan, no shuffle, no Spark job). A bucketed store answers the
     // catalog with a full scan, so there deletes are a maintenance
-    // concern: schedule [[detectDeletes]] on its own cadence instead.
+    // concern: schedule [[detectDeletes]] on its own cadence instead
+    // (warned once so the change of contract is visible).
     if (store.hasMetadataCatalog) detectDeletes(spark, inputDir, store)
+    else if (warnedBucketedDeletes.compareAndSet(false, true)) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "bucketed chunk store: per-batch delete detection is disabled " +
+          "(catalog requires a scan) — schedule StreamingIngest." +
+          "detectDeletes on a maintenance cadence to propagate deletes")
+    }
   }
+
+  private val warnedBucketedDeletes =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Compare the store's document catalog against the source listing
     * and drop documents that disappeared upstream. Cost = catalog cost

@@ -595,7 +595,8 @@ object RelationalQueries {
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
         |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
-        |                (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |                >= 1800000000
         |              THEN 1 ELSE 0 END AS brk
         |  FROM events),
         |s AS (

@@ -80,20 +80,37 @@ final class ChunkStore(
   }
 
   private def checkLayout(): Unit = if (!layoutChecked) {
+    // only cache a verdict once a tag was actually verified or written
+    // — an instance opened before the store exists must re-check later
     if (exists && fs.exists(layoutPath)) {
       val in = fs.open(layoutPath)
       val onDisk = try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8")
+        // loop to EOF: a single read() may legally return short
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
       } finally in.close()
       require(onDisk == layoutTag,
         s"chunk store at $path was written with layout '$onDisk' but opened " +
           s"with '$layoutTag' — bucket counts are part of the on-disk format")
+      layoutChecked = true
     } else if (exists) {
-      writeLayoutTag() // stamp pre-existing stores on first touch
+      // pre-stamp legacy store: before adopting the opener's layout,
+      // check the partition directory names agree with it (they encode
+      // the partition column); a different bucket COUNT on a legacy
+      // bucketed store is not detectable from names alone
+      val expectPrefix = buckets.fold("document_url=")(_ => s"$bucketCol=")
+      val partDirs = fs.listStatus(new Path(path)).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName).filter(_.contains("="))
+      require(partDirs.forall(_.startsWith(expectPrefix)),
+        s"chunk store at $path has partition directories " +
+          s"${partDirs.take(3).mkString(", ")}... that do not match the " +
+          s"opened layout '$layoutTag'")
+      writeLayoutTag()
+      layoutChecked = true
     }
-    layoutChecked = true
   }
 
   private def emptyFrame(s: StructType): DataFrame =
