@@ -586,6 +586,34 @@ object RelationalQueries {
         .orderBy("probe_id")
     },
 
+    // C10b: the KEYED as-of join operator (union + carry-forward
+    // window, one shuffle on the key) — self as-of "value of the
+    // user's strictly-previous event", which the oracle states exactly
+    // as a LAG window.
+    "c10b_asof_keyed" -> QueryDef(
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
+        |            FROM events)
+        |SELECT event_id,
+        |       ROUND(LAG(value) OVER
+        |         (PARTITION BY user_id ORDER BY tus, event_id), 4) AS prev_value
+        |FROM ev ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+      // strict self-as-of ("latest strictly before") equals LAG when
+      // per-user timestamps are distinct — which the harness data is
+      // at every SF (verified); with ties LAG would see a same-µs
+      // predecessor that strict as-of excludes.
+      graft.ops.AsOfJoin.asOf(
+          ev.select(col("user_id"), col("event_id"), col("tus")),
+          ev.select(col("user_id"), col("tus").as("rtus"),
+            col("value").as("pv")),
+          keys = Seq("user_id"), leftTs = "tus", rightTs = "rtus",
+          payload = Seq("pv"), strict = true)
+        .select(col("event_id"), round(col("pv"), 4).as("prev_value"))
+        .orderBy("event_id")
+    },
+
     // C35b: the session_window() OPERATOR itself, batch form (its
     // streaming form runs in StreamingSpec). Sessions are
     // [min ts, max ts + gap) with the window end EXCLUSIVE, so a gap of
