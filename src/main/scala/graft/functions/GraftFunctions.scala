@@ -62,6 +62,13 @@ object GraftFunctions {
   def word_shingles(text: Column, shingleSize: Column): Column =
     binary(text, shingleSize, WordShingles)
 
+  def winnow_fingerprints(text: Column, k: Column, w: Column): Column = {
+    val s = activeSession
+    Bridge.column(WinnowFingerprints(
+      Bridge.expression(s, text), Bridge.expression(s, k),
+      Bridge.expression(s, w)))
+  }
+
   def int8_pack(codes: Column): Column = {
     val s = activeSession
     Bridge.column(Int8Pack(Bridge.expression(s, codes)))
@@ -107,6 +114,7 @@ object GraftFunctions {
     "minhash_signature" -> (es => MinHashSignature(es(0), es(1), es(2))),
     "word_shingles" -> (es => WordShingles(es(0), es(1))),
     "int8_pack" -> (es => Int8Pack(es(0))),
+    "winnow_fingerprints" -> (es => WinnowFingerprints(es(0), es(1), es(2))),
     "q8_cosine_distance" -> (es => Q8CosineDistance(es(0), es(1), es(2), es(3))))
 
   /** Register all graft SQL functions on the given session. Idempotent. */

@@ -127,6 +127,80 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS partial-overlap scheme): a polynomial ROLLING hash over
+    * character k-grams of the whitespace-normalized lowercase text,
+    * then the minimum hash of each window of w consecutive k-gram
+    * hashes (rightmost min on ties), deduplicated in first-selection
+    * order. Guarantee: any shared substring of length ≥ w + k - 1
+    * produces at least one shared fingerprint. One pass, O(len)
+    * amortized.
+    */
+  def winnowFingerprints(text: UTF8String, k0: Int, w0: Int): ArrayData = {
+    val k = math.max(1, k0)
+    val w = math.max(1, w0)
+    // normalize like fingerprint(): lowercase, whitespace runs → ' '
+    val words = tokenize(text.toString)
+    if (words.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val s = words.mkString(" ")
+    if (s.length < k) {
+      return new GenericArrayData(Array[Any](mix64(fnv64(s))))
+    }
+    val m = s.length - k + 1
+    // rolling polynomial hash, base 257, 2^64 wraparound (mixing math,
+    // not ANSI arithmetic); mix64 avalanches each window hash
+    val B = 257L
+    var bk = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { bk *= B; i += 1 }
+    val hashes = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s.charAt(i); i += 1 }
+    hashes(0) = mix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - s.charAt(i - 1) * bk) * B + s.charAt(i + k - 1)
+      hashes(i) = mix64(h)
+      i += 1
+    }
+    // winnow: rightmost minimum of each w-window, recorded when the
+    // selected position changes
+    val selected = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m <= w) {
+      var minIdx = 0
+      i = 1
+      while (i < m) { if (hashes(i) <= hashes(minIdx)) minIdx = i; i += 1 }
+      selected.add(hashes(minIdx))
+    } else {
+      var minIdx = -1
+      var start = 0
+      while (start <= m - w) {
+        if (minIdx < start) {
+          minIdx = start
+          var j = start + 1
+          while (j < start + w) {
+            if (hashes(j) <= hashes(minIdx)) minIdx = j
+            j += 1
+          }
+          selected.add(hashes(minIdx))
+        } else {
+          val incoming = start + w - 1
+          if (hashes(incoming) <= hashes(minIdx)) {
+            minIdx = incoming
+            selected.add(hashes(minIdx))
+          }
+        }
+        start += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var x = 0
+    while (it.hasNext) { out(x) = it.next().longValue(); x += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over lowercase word shingles: each shingle votes
     * its hash bits up/down; the sign of each counter becomes the
     * output bit. Near-identical texts land within a small Hamming
@@ -212,6 +286,36 @@ case class MinHashSignature(
     val ops = HashOps.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev,
       (t, k, n) => s"${ev.value} = $ops.minhashSignature($t, $k, $n);")
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression) =
+    copy(first = a, second = b, third = c)
+}
+
+/** `winnow_fingerprints(text, k, w)` → ARRAY<BIGINT> (SURVEY D4's
+  * rolling-hash document fingerprint): winnowed k-gram rolling-hash
+  * minima — shared substrings of length ≥ w + k - 1 are guaranteed to
+  * collide, the partial-overlap primitive.
+  */
+case class WinnowFingerprints(
+    first: Expression,
+    second: Expression,
+    third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "winnow_fingerprints"
+  override def inputTypes = Seq(StringType, IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, k: Any, w: Any): Any =
+    HashOps.winnowFingerprints(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = HashOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev,
+      (t, k, w) => s"${ev.value} = $ops.winnowFingerprints($t, $k, $w);")
   }
 
   override protected def withNewChildrenInternal(

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{minhash_signature, simhash64, word_shingles}
+import graft.functions.GraftFunctions.{minhash_signature, simhash64, winnow_fingerprints, word_shingles}
 
 /** Deduplication operators for large-scale corpus curation
   * (SURVEY §2.4 D1/D2): exact content-hash dedup, MinHash+LSH
@@ -109,6 +109,41 @@ object Dedup {
         (size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** D2/D4 (rolling-hash flavor): PARTIAL-overlap candidate pairs via
+    * winnowed rolling-hash fingerprints — two documents sharing a
+    * substring of length ≥ w + k - 1 chars are guaranteed ≥ 1 common
+    * fingerprint, so copied passages surface even when the documents
+    * as wholes are dissimilar (which whole-document MinHash misses).
+    *
+    * Scale: fingerprints explode to (fp, id) and self-join on fp —
+    * uniformly-hashed keys; fingerprints occurring in more than
+    * `maxDocFreq` documents (boilerplate chrome) are dropped before
+    * the join, which both removes noise and caps the per-key join
+    * fan-out.
+    */
+  def winnowOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDocFreq: Int = 50): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(winnow_fingerprints(col(textCol), lit(k), lit(w))).as("fp"))
+      .distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val pruned = fps.join(rare, "fp")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
   }
 
   /** D2 (SimHash flavor): near-dup pairs within a Hamming radius.

@@ -234,6 +234,26 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D4g: rolling-hash (winnowed) fingerprint overlap — partial
+    // plagiarism detection. Each planted composite document (front of
+    // doc i + back of doc i+1) must pair with BOTH parents. Hash
+    // values are engine spec → rows-only; the winnowing guarantee is
+    // pinned in DedupSpec.
+    "d4g_winnow_overlap" -> QueryDef.rowsOnly { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 50).select("doc_id", "text")
+      val halves = d.select(col("doc_id"),
+        substring(col("text"), 1, 120).as("front"),
+        substring(col("text"), 121, 100000).as("back"))
+      val composites = halves.as("x")
+        .join(halves.as("y"), col("x.doc_id") + 1 === col("y.doc_id"))
+        .select((col("x.doc_id") + 1000000L).as("doc_id"),
+          concat(col("x.front"), lit(" "), col("y.back")).as("text"))
+      Dedup.winnowOverlapPairs(d.unionByName(composites),
+          "doc_id", "text", k = 16, w = 8, minShared = 3)
+        .orderBy("id1", "id2")
+    },
+
     // D7: deterministic hash-based sampling — reproducible corpus
     // snapshots whose membership any engine recomputes bit-for-bit
     // (md5-prefix threshold; rand() would be layout-dependent and

@@ -61,4 +61,40 @@ class DedupSpec extends SparkSpec {
     assert(out(0) == Set("one two three", "two three four"))
     assert(out(1) == Set("hi"))
   }
+
+  test("winnow fingerprints: the shared-substring guarantee holds") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.winnow_fingerprints
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val a = s"completely unrelated preamble text here $passage and then some trailing content"
+    val b = s"different opening words entirely $passage closing remarks differ too"
+    val c = "nothing in common with either document at all whatsoever zzz"
+    val fps = Seq(a, b, c).toDF("t")
+      .select(winnow_fingerprints(col("t"), lit(8), lit(4)).as("f"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    // a and b share a long passage → guaranteed common fingerprint
+    assert((fps(0) & fps(1)).nonEmpty)
+    // identical text → identical fingerprint set
+    val again = Seq(a).toDF("t")
+      .select(winnow_fingerprints(col("t"), lit(8), lit(4)).as("f"))
+      .collect().head.getSeq[Long](0).toSet
+    assert(again == fps(0))
+    assert((fps(0) & fps(2)).isEmpty)
+  }
+
+  test("winnowOverlapPairs surfaces partial plagiarism, not unrelated docs") {
+    import spark.implicits._
+    val texts = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // plant: doc 9000 = first half of doc 0 + second half of doc 1
+    val d0 = texts.find(_._1 == 0).get._2
+    val d1 = texts.find(_._1 == 1).get._2
+    val frank = (9000L, d0.substring(0, d0.length / 2) + " " +
+      d1.substring(d1.length / 2))
+    val df = (texts :+ frank).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(df, "doc_id", "text",
+        k = 8, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 9000L)), s"missing (0,9000) in $pairs")
+    assert(pairs.contains((1L, 9000L)), s"missing (1,9000) in $pairs")
+  }
 }
