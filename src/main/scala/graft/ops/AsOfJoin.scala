@@ -32,9 +32,13 @@ object AsOfJoin {
       payload: Seq[String],
       strict: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "asOf requires at least one equi-key")
-    val reserved = Seq("__ts", "__side")
+    val reserved = Seq("__ts", "__side", "__tb", "__p")
     require(!(left.columns ++ right.columns).exists(reserved.contains),
       s"${reserved.mkString("/")} are reserved by asOf")
+    val clash = (left.columns.toSet -- keys) intersect payload.toSet
+    require(clash.isEmpty,
+      s"left columns ${clash.mkString(", ")} collide with payload columns " +
+        "— rename one side before the as-of join")
 
     // at equal ts the right row is visible to the left row unless
     // strict: encode visibility in the side sort order
@@ -53,16 +57,26 @@ object AsOfJoin {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 
+    // Deterministic tie resolution: with several right rows at the same
+    // (key, ts) the window order alone would pick an arbitrary one
+    // (varies across runs/partitionings). A payload-hash tiebreak makes
+    // the winner a pure function of the data: the row whose payload
+    // hash sorts last. Left rows sort as 0 — their relative order never
+    // matters (each carries its own output row).
+    val withTb = (df: DataFrame, isRight: Boolean) =>
+      if (isRight) df.withColumn("__tb", xxhash64(payload.map(col): _*))
+      else df.withColumn("__tb", lit(0L))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry the whole payload as ONE struct (null on left rows) so all
     // columns come from the same right row even if some payload values
     // are null
-    val carried = l2.unionByName(r2).withColumn("__p",
-      last(when(col("__side") === rightSide,
-          struct(payload.map(col): _*)),
-        ignoreNulls = true).over(w))
+    val carried = withTb(l2, false).unionByName(withTb(r2, true))
+      .withColumn("__p",
+        last(when(col("__side") === rightSide,
+            struct(payload.map(col): _*)),
+          ignoreNulls = true).over(w))
     carried
       .filter(col("__side") === leftSide)
       .select(left.columns.map(col) ++

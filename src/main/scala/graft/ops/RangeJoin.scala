@@ -23,6 +23,12 @@ object RangeJoin {
     * `keys` first. Column names of the two frames must otherwise be
     * disjoint; each qualifying pair appears exactly once (a point has
     * one bin; an interval covers that bin once).
+    *
+    * `maxBinsPerInterval` bounds the explode fan-out: a single
+    * pathological interval (an open-ended sentinel end-time, a
+    * mis-chosen binWidth) would otherwise emit millions of bin rows
+    * and OOM the stage. The guard FAILS LOUDLY at runtime rather than
+    * silently truncating matches — fix the data or widen the bins.
     */
   def pointInInterval(
       points: DataFrame,
@@ -31,17 +37,30 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       binWidth: Long,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, s"binWidth=$binWidth")
+    require(maxBinsPerInterval > 0, s"maxBinsPerInterval=$maxBinsPerInterval")
     require(!points.columns.contains("__bin") &&
       !intervals.columns.contains("__bin"),
       "__bin is reserved by pointInInterval")
     val pb = points.withColumn("__bin",
       floor(col(pointCol) / binWidth).cast("long"))
+    val startBin = floor(col(startCol) / binWidth).cast("long")
+    val endBin = floor(col(endCol) / binWidth).cast("long")
+    // the guard lives INSIDE the sequence's end expression so column
+    // pruning can never optimize it away
+    val guardedEnd = when(
+      endBin - startBin >= lit(maxBinsPerInterval.toLong),
+      raise_error(concat(
+        lit("pointInInterval: interval spans "),
+        (endBin - startBin + 1).cast("string"),
+        lit(s" bins > maxBinsPerInterval=$maxBinsPerInterval " +
+          s"(binWidth=$binWidth) — widen binWidth or cap sentinel " +
+          "end-times upstream"))).cast("long"))
+      .otherwise(endBin)
     val ib = intervals.withColumn("__bin",
-      explode(sequence(
-        floor(col(startCol) / binWidth).cast("long"),
-        floor(col(endCol) / binWidth).cast("long"))))
+      explode(sequence(startBin, guardedEnd)))
     pb.join(ib, (keys :+ "__bin").toSeq)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")

@@ -106,21 +106,45 @@ object StreamingIngest {
     * and drop documents that disappeared upstream. Cost = catalog cost
     * (metadata-only for the per-document layout; a scan + distinct
     * for bucketed stores — run on a maintenance cadence there).
+    *
+    * Safety contract: absence-of-listing is never read as
+    * everything-was-deleted. A missing input directory (transient
+    * mount/path failure) skips detection with a warning, and an EMPTY
+    * listing against a non-empty store also refuses to act — wiping a
+    * whole store requires the explicit
+    * `store.delete(store.listDocumentUrls())`.
     */
   def detectDeletes(
       spark: SparkSession,
       inputDir: String,
       store: ChunkStore): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
+    val inPath = new org.apache.hadoop.fs.Path(inputDir)
+    val ifs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!ifs.exists(inPath)) {
+      log.warn(s"delete detection skipped: input path $inputDir does not " +
+        "exist (transient mount or misconfiguration?) — refusing to treat " +
+        "a missing listing as a mass delete")
+      return
+    }
     val stored = store.listDocumentUrls()
     if (stored.nonEmpty) {
-      val inPath = new org.apache.hadoop.fs.Path(inputDir)
-      val ifs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val present = scala.collection.mutable.HashSet.empty[String]
-      if (ifs.exists(inPath)) {
-        val it = ifs.listFiles(inPath, true)
-        while (it.hasNext) present += it.next().getPath.toString
+      val it = ifs.listFiles(inPath, true)
+      while (it.hasNext) present += it.next().getPath.toString
+      if (present.isEmpty) {
+        log.warn(s"delete detection skipped: input listing at $inputDir is " +
+          s"empty but the store holds ${stored.size} documents — refusing " +
+          "to mass-delete; wipe explicitly via store.delete if intended")
+        return
       }
-      val gone = stored.filterNot(present.contains)
+      // Both sides normalized through the same Hadoop Path rendering:
+      // document_url originates from the binaryFile source's `path`
+      // column (a Path.toString), but re-render the stored side so a
+      // divergence (file:/// vs file:/, URI escaping, another source)
+      // can't make every document look deleted.
+      val gone = stored.filterNot(u =>
+        present.contains(new org.apache.hadoop.fs.Path(u).toString))
       if (gone.nonEmpty) store.delete(gone)
     }
   }

@@ -42,4 +42,38 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().head.getDouble(3)
     assert(v == 100.0)
   }
+
+  test("tied right timestamps resolve deterministically across layouts") {
+    import spark.implicits._
+    // three right rows at the SAME (key, ts) — without a tiebreak the
+    // carried payload depends on partition-internal order
+    val quotes = Seq((1L, 10L, 100.0), (1L, 10L, 101.0), (1L, 10L, 99.0))
+      .toDF("k", "qts", "price")
+    val trades = Seq((1L, 20L, "t")).toDF("k", "ts", "trade")
+    val picked = (1 to 4).map { n =>
+      AsOfJoin.asOf(trades, quotes.repartition(n), Seq("k"), "ts", "qts",
+        Seq("price")).collect().head.getDouble(3)
+    }
+    assert(picked.distinct.size == 1,
+      s"tied-timestamp winner varied across partitionings: $picked")
+  }
+
+  test("left/payload column collisions are rejected, not clobbered") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100.0)).toDF("k", "qts", "price")
+    val trades = Seq((1L, 20L, 7.0)).toDF("k", "ts", "price")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", "qts", Seq("price"))
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
+  test("reserved internal names are rejected") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 100.0)).toDF("k", "qts", "__p")
+    val trades = Seq((1L, 20L, "t")).toDF("k", "ts", "trade")
+    assertThrows[IllegalArgumentException] {
+      AsOfJoin.asOf(trades, quotes, Seq("k"), "ts", "qts", Seq("__p"))
+    }
+  }
 }

@@ -104,7 +104,12 @@ class PipelineSpec extends SparkSpec {
     val chunks = IngestPipeline.ingestDocumentsTable(
       spark, docs, DeterministicEmbedder(16))
 
+    val overwriteModeBefore =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     store.upsert(chunks)
+    // upsert must not leak dynamic-overwrite into the session conf
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      == overwriteModeBefore)
     val n1 = store.read().count()
     store.upsert(chunks) // re-ingest: row count unchanged (idempotent)
     assert(store.read().count() == n1)

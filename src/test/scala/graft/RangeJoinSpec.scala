@@ -43,4 +43,30 @@ class RangeJoinSpec extends SparkSpec {
       binWidth = 7L, keys = Seq("k")).count()
     assert(n == 1L)
   }
+
+  test("a pathological open-ended interval fails loudly, not by OOM") {
+    import spark.implicits._
+    val points = Seq((1L, 50L)).toDF("k", "t")
+    // a sentinel end-time (Long.MaxValue-ish) would explode to ~10^15
+    // bin rows without the guard
+    val intervals = Seq((1L, 0L, Long.MaxValue / 2, "sentinel"))
+      .toDF("k", "s", "e", "tag")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, "t", "s", "e",
+        binWidth = 4L, keys = Seq("k")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxBinsPerInterval")))
+  }
+
+  test("maxBinsPerInterval is a bound, not a behavior change below it") {
+    import spark.implicits._
+    val points = Seq((1L, 50L), (1L, 150L)).toDF("k", "t")
+    val intervals = Seq((1L, 0L, 160L, "wide")).toDF("k", "s", "e", "tag")
+    val n = RangeJoin.pointInInterval(points, intervals, "t", "s", "e",
+      binWidth = 4L, keys = Seq("k"), maxBinsPerInterval = 41).count()
+    assert(n == 2L) // 41 bins exactly — at the cap, still fine
+  }
 }

@@ -51,6 +51,41 @@ class StreamingSpec extends SparkSpec {
     assert(urls.length == 1 && urls.head.endsWith("a.txt"))
   }
 
+  test("delete detection refuses to mass-delete on missing/empty listings") {
+    val in = Files.createTempDirectory("graft-del-guard")
+    val storeDir =
+      Files.createTempDirectory("graft-del-guard-store").toString + "/chunks"
+    val store = new ChunkStore(spark, storeDir)
+    write(in, "a.txt", "alpha text one")
+    write(in, "b.txt", "beta text two")
+    // batch read of the same source format → identical path rendering
+    // to the streaming listing (the invariant detectDeletes relies on)
+    def batch() = spark.read.format("binaryFile").load(in.toString)
+      .select(col("path"), col("content"))
+    StreamingIngest.processBatch(spark, batch(), in.toString, store,
+      DeterministicEmbedder(16), StubAnalyzeExtractor(),
+      IngestPipeline.Config())
+    val n1 = store.read().count()
+    assert(n1 > 0)
+
+    // a missing input dir (transient mount failure) must not read as
+    // "every document was deleted"
+    StreamingIngest.detectDeletes(spark, in.toString + "-gone", store)
+    assert(store.read().count() == n1)
+
+    // an empty listing against a non-empty store: refuse to wipe
+    Files.delete(in.resolve("a.txt"))
+    Files.delete(in.resolve("b.txt"))
+    StreamingIngest.detectDeletes(spark, in.toString, store)
+    assert(store.read().count() == n1)
+
+    // a PARTIAL disappearance still propagates normally
+    write(in, "a.txt", "alpha text one")
+    StreamingIngest.detectDeletes(spark, in.toString, store)
+    val urls = store.listDocumentUrls()
+    assert(urls.size == 1 && urls.head.endsWith("a.txt"))
+  }
+
   test("streaming dedup with watermark drops duplicate keys (C36)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
