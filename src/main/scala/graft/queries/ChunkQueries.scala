@@ -35,14 +35,31 @@ object ChunkQueries {
         .orderBy("doc_id")
     },
 
-    // A8 raw surface (chunk bodies are spec'd by our golden tests, not
-    // an SQL oracle → rows-only).
-    "a8_chunk_fixed" -> QueryDef.rowsOnly { (s, dir) =>
+    // A8 markdown-mode surface. Chunk BODIES are engine spec (golden
+    // tests pin them); the oracle gates the invariants that define a
+    // correct chunking: ordered rejoin reproduces the text, every
+    // chunk fits the 60-token budget, and chunk ids are a contiguous
+    // 0..n-1 (violation-count == 0 encoded as booleans the oracle
+    // recomputes as TRUE from the same table).
+    "a8_chunk_fixed" -> QueryDef(
+      """SELECT doc_id, text AS re,
+        |       TRUE AS within_budget, TRUE AS ids_contiguous
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(chunk_text(col("text"), lit(60), lit(0), lit("markdown")))
             .as(Seq("chunk_id", "chunk")))
-        .orderBy("doc_id", "chunk_id")
+        .groupBy("doc_id")
+        .agg(
+          regexp_replace(array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+              c => c.getField("chunk")),
+            " "), "\\s+", " ").as("re"),
+          (max(token_count(col("chunk"))) <= 60).as("within_budget"),
+          (min(col("chunk_id")) === 0 &&
+            max(col("chunk_id")) === count(lit(1)) - 1).as("ids_contiguous"))
+        .orderBy("doc_id")
     },
 
     // A10: 40-word re-blocking in its SQL form (posexplode → group by
@@ -70,19 +87,52 @@ object ChunkQueries {
     },
 
     // A11: char-bounded chunking with page provenance over extracted
-    // binary payloads (SQL-variant pipeline; stateful fold → rows-only,
-    // semantics pinned by ChunkersSpec/ChunkersGoldenSpec).
-    "a11_char_chunks" -> QueryDef.rowsOnly { (s, dir) =>
+    // binary payloads (SQL-variant pipeline). The stateful fold's
+    // chunk boundaries are engine spec (ChunkersSpec/Golden pin them);
+    // the oracle gates the fold's defining invariants per document:
+    // lossless ordered rejoin, contiguous ids, the emit-on-exceed rule
+    // (only the tail chunk may be under 256 chars; no chunk exceeds
+    // 256 + its final word), and the page-provenance bound (single-
+    // line docs → page 0, tail quirk page 1 == page count).
+    "a11_char_chunks" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '.pdf' AS document_url,
+        |       text AS re, TRUE AS ids_contiguous, TRUE AS no_overrun,
+        |       TRUE AS nontail_filled, TRUE AS pages_ok
+        |FROM documents ORDER BY document_url""".stripMargin) { (s, dir) =>
       import s.implicits._
       val files = Tables(s, dir, "documents")
         .select(concat(lit("doc://"), col("doc_id"), lit(".pdf")).as("path"),
           encode(col("text"), "UTF-8").as("content"))
         .as[(String, Array[Byte])]
+      val shortLen = length(col("chunk_text")) < 256
       graft.pipeline.IngestPipeline.routeAndChunkChars(
           files, graft.extract.StubAnalyzeExtractor(linesPerPage = 1),
           chunkSize = 256)
         .toDF()
-        .orderBy("document_url", "chunk_id")
+        .groupBy("document_url")
+        .agg(
+          regexp_replace(array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+              c => c.getField("chunk_text")),
+            " "), "\\s+", " ").as("re"),
+          (min(col("chunk_id")) === 0 &&
+            max(col("chunk_id")) === count(lit(1)) - 1).as("ids_contiguous"),
+          // pre-append length was <= 256 ⇒ chunk minus its last word
+          // fits the budget (the one-word overrun the reference allows)
+          (sum(when(length(col("chunk_text")) -
+              length(substring_index(col("chunk_text"), " ", -1)) <= 256, 0)
+            .otherwise(1)) === 0).as("no_overrun"),
+          // emission fires only when the builder EXCEEDS chunkSize ⇒
+          // every non-tail chunk carries >= 256 chars
+          (sum(when(shortLen, 1).otherwise(0)) <= 1 &&
+            (sum(when(shortLen, 1).otherwise(0)) === 0 ||
+              max(when(shortLen, col("chunk_id"))) === max(col("chunk_id"))))
+            .as("nontail_filled"),
+          (sum(when(col("page_number").isNull, 1).otherwise(0)) === 0 &&
+            min(col("page_number")) >= 0 && max(col("page_number")) <= 1)
+            .as("pages_ok"))
+        .orderBy("document_url")
     },
 
     // D4: token estimator (chunk budgeting heuristic, len/4).

