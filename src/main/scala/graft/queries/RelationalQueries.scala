@@ -587,27 +587,34 @@ object RelationalQueries {
     },
 
     // C10b: the KEYED as-of join operator (union + carry-forward
-    // window, one shuffle on the key) — self as-of "value of the
-    // user's strictly-previous event", which the oracle states exactly
-    // as a LAG window.
+    // window, one shuffle on the key) — "latest strictly-previous
+    // quote value per user". The right side aggregates to one row per
+    // (user, ts) — MAX(value) — making the semantics unconditional
+    // under any timestamp ties the data may ever carry, then unions an
+    // exact duplicate of itself: the planted tied rows exercise the
+    // operator's tie handling (identical payloads → deterministic
+    // pick) and its strictness (a right row exists AT every left ts
+    // and must be excluded; a non-strict join would return the own-ts
+    // value and hash-mismatch). The oracle is a true strict as-of:
+    // LAG over the distinct-(user, ts) aggregate.
     "c10b_asof_keyed" -> QueryDef(
-      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value
-        |            FROM events)
-        |SELECT event_id,
-        |       ROUND(LAG(value) OVER
-        |         (PARTITION BY user_id ORDER BY tus, event_id), 4) AS prev_value
-        |FROM ev ORDER BY event_id""".stripMargin) { (s, dir) =>
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |r AS (SELECT user_id, epoch_us(ts) AS tus, MAX(value) AS v
+        |      FROM events GROUP BY 1, 2),
+        |rl AS (SELECT user_id, tus,
+        |              LAG(v) OVER (PARTITION BY user_id ORDER BY tus) AS pv
+        |       FROM r)
+        |SELECT e.event_id, ROUND(rl.pv, 4) AS prev_value
+        |FROM ev e JOIN rl ON rl.user_id = e.user_id AND rl.tus = e.tus
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("tus"), col("value"))
-      // strict self-as-of ("latest strictly before") equals LAG when
-      // per-user timestamps are distinct — which the harness data is
-      // at every SF (verified); with ties LAG would see a same-µs
-      // predecessor that strict as-of excludes.
+      val r0 = ev.groupBy(col("user_id"), col("tus").as("rtus"))
+        .agg(max(col("value")).as("pv"))
       graft.ops.AsOfJoin.asOf(
           ev.select(col("user_id"), col("event_id"), col("tus")),
-          ev.select(col("user_id"), col("tus").as("rtus"),
-            col("value").as("pv")),
+          r0.unionAll(r0), // planted per-(user, ts) ties
           keys = Seq("user_id"), leftTs = "tus", rightTs = "rtus",
           payload = Seq("pv"), strict = true)
         .select(col("event_id"), round(col("pv"), 4).as("prev_value"))

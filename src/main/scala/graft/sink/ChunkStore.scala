@@ -231,6 +231,30 @@ final class ChunkStore(
       }
   }
 
+  // ---- single-writer contract (bucketed layout). The reference's
+  // store gives per-item atomic upsert; a plain-file bucket rewrite
+  // cannot, so concurrent upsert/delete on the SAME store is excluded
+  // by an atomic-create lock file instead: two interleaved rename
+  // sequences could otherwise each stage the other's live bucket
+  // aside and lose one batch. The lock carries writer + timestamp for
+  // diagnosis; a crash leaves it behind by design (fail-closed), and
+  // `recoverStaging()` is the documented operator action that heals
+  // interrupted swaps AND clears the stale lock.
+  private val lockPath = new Path(path, "_graft_writer_lock")
+
+  private def withWriterLock[T](body: => T): T = {
+    val f = fs
+    val created =
+      try { f.create(lockPath, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!created) throw new IllegalStateException(
+      s"chunk store at $path is locked by another writer ($lockPath " +
+        "exists). Bucketed upsert/delete is single-writer; if the " +
+        "previous writer crashed, run recoverStaging() to heal " +
+        "interrupted swaps and release the lock.")
+    try body finally f.delete(lockPath, false)
+  }
+
   /** Stage `out` (which must contain only rows of `ids` buckets) to a
     * temp directory, then swap each affected bucket directory in. A
     * bucket absent from `out` (everything deleted) is simply removed.
@@ -238,28 +262,66 @@ final class ChunkStore(
     * Failure safety: the live bucket is renamed aside (not deleted)
     * before the staged copy swaps in, a failed rename restores it and
     * throws, and the staging directory is only removed after every
-    * swap succeeded — on error it survives on disk for recovery, so
-    * no code path silently loses a bucket.
+    * swap succeeded — on error it survives on disk and
+    * [[recoverStaging]] can restore any bucket that was staged aside.
+    * Concurrent writers are excluded by [[withWriterLock]].
     */
   private def rewriteBuckets(ids: Seq[Int], out: DataFrame): Unit = {
     val tmp = new Path(path + ".staging-" + java.util.UUID.randomUUID())
     out.write.partitionBy(bucketCol).parquet(tmp.toString)
-    val f = fs
-    ids.foreach { b =>
-      val dst = new Path(path, s"$bucketCol=$b")
-      val src = new Path(tmp, s"$bucketCol=$b")
-      val aside = new Path(tmp, s"$bucketCol=$b.replaced")
-      val hadDst = f.exists(dst)
-      if (hadDst && !f.rename(dst, aside))
-        throw new java.io.IOException(
-          s"cannot stage out live bucket $b at $dst (staging kept at $tmp)")
-      if (f.exists(src) && !f.rename(src, dst)) {
-        if (hadDst) f.rename(aside, dst) // restore the original
-        throw new java.io.IOException(
-          s"failed to swap bucket $b into $dst (staging kept at $tmp)")
+    withWriterLock {
+      val f = fs
+      ids.foreach { b =>
+        val dst = new Path(path, s"$bucketCol=$b")
+        val src = new Path(tmp, s"$bucketCol=$b")
+        val aside = new Path(tmp, s"$bucketCol=$b.replaced")
+        val hadDst = f.exists(dst)
+        if (hadDst && !f.rename(dst, aside))
+          throw new java.io.IOException(
+            s"cannot stage out live bucket $b at $dst (staging kept at $tmp)")
+        if (f.exists(src) && !f.rename(src, dst)) {
+          if (hadDst) f.rename(aside, dst) // restore the original
+          throw new java.io.IOException(
+            s"failed to swap bucket $b into $dst (staging kept at $tmp)")
+        }
       }
+      f.delete(tmp, true)
     }
-    f.delete(tmp, true)
+  }
+
+  /** Crash recovery for the bucketed layout: heal the on-disk state
+    * after a writer died mid-[[rewriteBuckets]]. For every surviving
+    * staging directory, any bucket that was renamed aside
+    * (`doc_bucket=N.replaced`) but whose live directory is missing is
+    * restored — the pre-crash content, never a half-written mix —
+    * then the staging directory and any stale writer lock are
+    * removed. Idempotent; a no-op on a healthy store. Returns the
+    * restored bucket ids.
+    */
+  def recoverStaging(): Seq[Int] = {
+    val f = fs
+    val parent = new Path(path).getParent
+    val name = new Path(path).getName
+    val staged =
+      if (parent == null || !f.exists(parent)) Seq.empty
+      else f.listStatus(parent).toSeq.filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith(name + ".staging-")
+      }
+    val restored = staged.flatMap { st =>
+      val asides = f.listStatus(st.getPath).toSeq.filter(
+        _.getPath.getName.endsWith(".replaced"))
+      val healed = asides.flatMap { a =>
+        val bucketDir = a.getPath.getName.stripSuffix(".replaced")
+        val dst = new Path(path, bucketDir)
+        if (!f.exists(dst) && f.rename(a.getPath, dst))
+          Some(bucketDir.stripPrefix(s"$bucketCol=").toInt)
+        else None
+      }
+      f.delete(st.getPath, true)
+      healed
+    }
+    if (f.exists(lockPath)) f.delete(lockPath, false)
+    restored
   }
 
   /** The document catalog. Per-document layout: a pure metadata

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.embed._
+
+/** A15/A16 remote-client behavior against a scripted fake transport —
+  * no network: batching ≤ 10, payload shape (dimensions option),
+  * index re-alignment, 429/401 → retryable, other statuses fatal, and
+  * the RetryingEmbedder loop over the mapped exceptions.
+  */
+class EmbedderSpec extends AnyFunSuite {
+
+  /** Scripted transport: pops one (status, body) per call, records
+    * every request. `vectorsFor` builds a valid 200 response for the
+    * requested batch (optionally shuffling the index order).
+    */
+  private final class FakeTransport(script: Seq[(Int, String)])
+      extends HttpTransport {
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    private var i = 0
+    override def post(url: String, body: String,
+        headers: Map[String, String]): (Int, String) = {
+      calls += body
+      val r = script(math.min(i, script.size - 1))
+      i += 1
+      r
+    }
+  }
+
+  private def okBody(n: Int, dim: Int = 4, reversed: Boolean = false): String = {
+    val order = if (reversed) (n - 1) to 0 by -1 else 0 until n
+    order.map { ix =>
+      val vec = (0 until dim).map(j => s"${ix + 1}.$j").mkString(",")
+      s"""{"index":$ix,"embedding":[$vec]}"""
+    }.mkString("""{"data":[""", ",", "]}")
+  }
+
+  private def cfg = HttpEmbedderConfig(
+    endpoint = "http://localhost/embed", model = "test-model",
+    apiKey = Some("k"), dimensions = 4, maxBatchSize = 10)
+
+  test("success path: batches of ≤10, dimensions in payload, aligned result") {
+    val t = new FakeTransport(Seq((200, okBody(10)), (200, okBody(10)),
+      (200, okBody(5))))
+    val e = new HttpEmbedder(cfg, t)
+    val vecs = e.embed((1 to 25).map(i => s"text $i"))
+    assert(vecs.size == 25)
+    assert(t.calls.size == 3) // 10 + 10 + 5
+    assert(t.calls.head.contains("\"dimensions\":4"))
+    assert(t.calls.head.contains("\"model\":\"test-model\""))
+    assert(t.calls.last.contains("text 25"))
+    // alignment: vector 0 of each batch starts with 1.0
+    assert(vecs(0)(0) == 1.0f && vecs(10)(0) == 1.0f && vecs(20)(0) == 1.0f)
+  }
+
+  test("service reordering is re-aligned by the index field") {
+    val t = new FakeTransport(Seq((200, okBody(3, reversed = true))))
+    val vecs = new HttpEmbedder(cfg, t).embed(Seq("a", "b", "c"))
+    assert(vecs(0)(0) == 1.0f && vecs(1)(0) == 2.0f && vecs(2)(0) == 3.0f)
+  }
+
+  test("429 and 401 map to RetryableEmbeddingException") {
+    for (status <- Seq(429, 401)) {
+      val t = new FakeTransport(Seq((status, "busy")))
+      intercept[RetryableEmbeddingException] {
+        new HttpEmbedder(cfg, t).embed(Seq("x"))
+      }
+    }
+  }
+
+  test("other HTTP errors are fatal (no retry mapping)") {
+    for (status <- Seq(400, 403, 500, 503)) {
+      val t = new FakeTransport(Seq((status, "nope")))
+      val ex = intercept[java.io.IOException] {
+        new HttpEmbedder(cfg, t).embed(Seq("x"))
+      }
+      assert(ex.getMessage.contains(status.toString))
+    }
+  }
+
+  test("mismatched vector count in a 200 response fails loudly") {
+    val t = new FakeTransport(Seq((200, okBody(2))))
+    intercept[IllegalArgumentException] {
+      new HttpEmbedder(cfg, t).embed(Seq("a", "b", "c"))
+    }
+  }
+
+  test("RetryingEmbedder retries through transient 429s, then succeeds") {
+    val t = new FakeTransport(Seq((429, ""), (429, ""), (200, okBody(1))))
+    var slept = 0L
+    val e = new RetryingEmbedder(new HttpEmbedder(cfg, t),
+      RetryPolicy(maxRetries = 5, delayMillis = 7L), ms => slept += ms)
+    assert(e.embed(Seq("x")).head.length == 4)
+    assert(t.calls.size == 3)
+    assert(slept == 14L)
+  }
+
+  test("RetryingEmbedder gives up after the retry ceiling") {
+    val t = new FakeTransport(Seq((429, "")))
+    val e = new RetryingEmbedder(new HttpEmbedder(cfg, t),
+      RetryPolicy(maxRetries = 2, delayMillis = 0L), _ => ())
+    intercept[RetryableEmbeddingException] { e.embed(Seq("x")) }
+    assert(t.calls.size == 3) // initial + 2 retries
+  }
+
+  test("RetryingEmbedder does NOT retry fatal statuses") {
+    val t = new FakeTransport(Seq((500, "boom"), (200, okBody(1))))
+    val e = new RetryingEmbedder(new HttpEmbedder(cfg, t),
+      RetryPolicy(maxRetries = 5, delayMillis = 0L), _ => ())
+    intercept[java.io.IOException] { e.embed(Seq("x")) }
+    assert(t.calls.size == 1)
+  }
+}

@@ -262,6 +262,62 @@ class PipelineSpec extends SparkSpec {
     assert(new ChunkStore(spark, dir, buckets = Some(4)).read().count() > 0)
   }
 
+  test("bucketed store: writer lock excludes a concurrent rewrite") {
+    val dir = Files.createTempDirectory("graft-store-lk").toString + "/chunks"
+    val store = new ChunkStore(spark, dir, buckets = Some(4))
+    val chunks = IngestPipeline.ingestDocumentsTable(
+      spark, Tables(spark, sf(), "documents").limit(5),
+      DeterministicEmbedder(16))
+    store.upsert(chunks)
+    // simulate another writer mid-swap: its lock file is present
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_writer_lock"), false)
+      .close()
+    val e = intercept[IllegalStateException](store.upsert(chunks))
+    assert(e.getMessage.contains("locked by another writer"))
+    // recovery clears the stale lock; the store then writes again
+    store.recoverStaging()
+    store.upsert(chunks)
+    assert(store.read().count() == chunks.count())
+  }
+
+  test("bucketed store: recoverStaging restores a bucket lost mid-swap") {
+    val dir = Files.createTempDirectory("graft-store-cr").toString + "/chunks"
+    val store = new ChunkStore(spark, dir, buckets = Some(4))
+    val chunks = IngestPipeline.ingestDocumentsTable(
+      spark, Tables(spark, sf(), "documents").limit(20),
+      DeterministicEmbedder(16))
+    store.upsert(chunks)
+    val before = store.read().orderBy("document_url", "chunk_id").collect()
+
+    // manufacture the worst-case interrupted swap: the writer renamed a
+    // live bucket aside into its staging dir and died before swapping
+    // the replacement in (live bucket GONE, content only in staging)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveBuckets = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("doc_bucket="))
+    assert(liveBuckets.nonEmpty)
+    val victim = liveBuckets.head.getPath
+    val staging = new org.apache.hadoop.fs.Path(dir + ".staging-test")
+    fs.mkdirs(staging)
+    assert(fs.rename(victim,
+      new org.apache.hadoop.fs.Path(staging, victim.getName + ".replaced")))
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_writer_lock"), false)
+      .close() // the dead writer's lock
+    assert(store.read().count() < before.length) // bucket really lost
+
+    val restored = store.recoverStaging()
+    assert(restored ==
+      Seq(victim.getName.stripPrefix("doc_bucket=").toInt))
+    val after = store.read().orderBy("document_url", "chunk_id").collect()
+    assert(after.toSeq == before.toSeq) // bit-identical store content
+    assert(!fs.exists(staging))
+    // idempotent on a healthy store
+    assert(store.recoverStaging().isEmpty)
+  }
+
   test("per-document store catalog lists urls without a data scan") {
     val dir = Files.createTempDirectory("graft-store-c").toString + "/chunks"
     val store = new ChunkStore(spark, dir)
