@@ -69,6 +69,13 @@ object GraftFunctions {
       Bridge.expression(s, w)))
   }
 
+  def profile_scores(text: Column, spec: Column, mode: Column): Column = {
+    val s = activeSession
+    Bridge.column(ProfileScores(
+      Bridge.expression(s, text), Bridge.expression(s, spec),
+      Bridge.expression(s, mode)))
+  }
+
   def int8_pack(codes: Column): Column = {
     val s = activeSession
     Bridge.column(Int8Pack(Bridge.expression(s, codes)))
@@ -115,6 +122,7 @@ object GraftFunctions {
     "word_shingles" -> (es => WordShingles(es(0), es(1))),
     "int8_pack" -> (es => Int8Pack(es(0))),
     "winnow_fingerprints" -> (es => WinnowFingerprints(es(0), es(1), es(2))),
+    "profile_scores" -> (es => ProfileScores(es(0), es(1), es(2))),
     "q8_cosine_distance" -> (es => Q8CosineDistance(es(0), es(1), es(2), es(3))))
 
   /** Register all graft SQL functions on the given session. Idempotent. */

@@ -44,47 +44,47 @@ object TextAnalysis {
     "de" -> Seq("der", "ein", "ich", "sch", "die", "und", "en ", "er ", "ch ", " ge"),
     "fr" -> Seq("les", " le", "ent", "de ", " de", "que", "ais", "eur", "ion", " pa"))
 
-  /** Shared argmax-over-profiles: `units` is materialized once, all
-    * profile scores come from one `transform` over the literal profile
-    * table, and the argmax is an `array_max` over (score, -index,
-    * lang) structs — struct ordering gives highest score, then
-    * earliest profile on ties, with no CASE-WHEN subtree duplication.
+  /** Shared argmax over a per-profile score array: `array_max` over
+    * (score, -index, lang) structs — struct ordering gives highest
+    * score, then earliest profile on ties, "und" when nothing matches.
+    * The scores come from the one-pass `profile_scores` kernel: the
+    * previous nested-HOF formulation (`transform` over the profile
+    * table with a `filter` per profile) is interpreted, not codegen'd,
+    * and cost ~10 ms/row on trigram arrays — the kernel is ~100×
+    * cheaper and scans the text once instead of once per profile.
     */
-  private def argmaxProfiles(
-      units: Column, profiles: Seq[(String, Seq[String])]): Column = {
-    val profs = typedlit(profiles)
-    bound(units) { us =>
-      bound(array_max(transform(profs, (p, i) =>
-        struct(
-          size(filter(us, u => array_contains(p.getField("_2"), u))).as("score"),
-          (lit(0) - i).as("negIdx"),
-          p.getField("_1").as("lang"))))) { best =>
+  private def argmaxScores(scores: Column, langs: Seq[String]): Column =
+    bound(scores) { sc =>
+      bound(array_max(array(langs.indices.map(i =>
+        struct(element_at(sc, i + 1).as("score"),
+          lit(-i).as("negIdx"), lit(langs(i)).as("lang"))): _*))) { best =>
         when(best.getField("score") > 0, best.getField("lang"))
           .otherwise(lit("und"))
       }
     }
-  }
+
+  private def spec(profiles: Seq[(String, Seq[String])]): String =
+    profiles.map(_._2.mkString(",")).mkString("|")
 
   /** Heuristic language tag: argmax of stopword-profile hits, "und"
     * (undetermined) when nothing matches; ties break by profile order.
     */
   def langId(text: Column): Column =
-    argmaxProfiles(words(text), stopwordProfiles)
+    argmaxScores(
+      graft.functions.GraftFunctions.profile_scores(text,
+        lit(spec(stopwordProfiles)), lit(0)),
+      stopwordProfiles.map(_._1))
 
   /** Character-trigram language tag — same argmax, sub-word evidence:
     * robust on text where whole stopwords are rare (short strings,
-    * agglutinated words, OCR noise).
+    * agglutinated words, OCR noise). Texts under 3 chars have no
+    * trigram and fall through to "und".
     */
-  def langIdNgram(text: Column): Column = {
-    // greatest(.., 1): sequence(1, 0) would REVERSE (Spark infers
-    // step -1); texts under 3 chars yield one short gram that matches
-    // no 3-char profile entry and falls through to "und"
-    val grams = bound(lower(text)) { t =>
-      transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
-        i => t.substr(i, lit(3)))
-    }
-    argmaxProfiles(grams, trigramProfiles)
-  }
+  def langIdNgram(text: Column): Column =
+    argmaxScores(
+      graft.functions.GraftFunctions.profile_scores(text,
+        lit(spec(trigramProfiles)), lit(1)),
+      trigramProfiles.map(_._1))
 
   def wordCount(text: Column): Column = size(split(text, " "))
 

@@ -520,6 +520,57 @@ object LlmOpsQueries {
         .limit(20)
     },
 
+    // B4 scored variant #2: BM25 ranking (the reference's "eventually
+    // Full-text" endpoint, Okapi weighting, k1=1.2 b=0.75). Same
+    // scale shape as b4b — the query-term filter sits below both
+    // aggregates — plus the BM25-specific length normalization: doc
+    // length joins in by BROADCASTING the (tiny, query-term-bounded)
+    // tf set into the length scan, so the corpus-sized side never
+    // shuffles. n/avgdl are dimension-scale scalars (driver-side by
+    // design, like b4b's n). Per-doc sums have ≤ 2 addends (2 query
+    // terms), so float summation order cannot skew the 6-dp round.
+    "b4c_fulltext_bm25" -> QueryDef(
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('window', 'filter')),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM qtok GROUP BY 1, 2),
+        |idf AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM qtok GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+        |       FROM documents)
+        |SELECT t.doc_id,
+        |       ROUND(SUM(LN(1 + (st.n - i.df + 0.5) / (i.df + 0.5)) * t.tf * 2.2
+        |                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / st.avgdl))), 6)
+        |         AS score
+        |FROM tf t JOIN idf i ON t.w = i.w
+        |JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN st
+        |GROUP BY t.doc_id
+        |ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n"),
+        avg(size(split(col("text"), " ")).cast("double")).as("avgdl")).head()
+      val (n, avgdl) = (stats.getDouble(0), stats.getDouble(1))
+      val qtok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin("window", "filter"))
+      val tf = qtok.groupBy("doc_id", "w")
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val idf = qtok.groupBy("w")
+        .agg(countDistinct("doc_id").cast("double").as("df"))
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("dl"))
+      val idfW = log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
+      val lenNorm = lit(1.2) * (lit(1.0) - lit(0.75) +
+        lit(0.75) * col("dl") / lit(avgdl))
+      dl.join(broadcast(tf.join(broadcast(idf), "w")), "doc_id")
+        .groupBy("doc_id")
+        .agg(round(sum(idfW * col("tf") * lit(2.2) /
+          (col("tf") + lenNorm)), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+    },
+
     // D5: multimodal plumbing — binary payload + typed metadata
     // through the partition-parallel (stub) decode stage; oracle
     // checks the content-derived invariants.
