@@ -365,6 +365,77 @@ object LlmOpsQueries {
         .orderBy("comp_id")
     },
 
+    // D4h: BPE-style token counting — a GPT-2-shaped pre-tokenizer
+    // regex (contraction suffixes, space-prefixed letter/digit runs,
+    // punctuation runs) counted per document, alongside the whitespace
+    // word count and the len/4 estimator the chunker budgets with.
+    // Both engines run the same RE2-compatible pattern, so the counts
+    // are bit-identical.
+    "d4h_bpe_tokens" -> QueryDef(
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))
+        |         AS BIGINT) AS n_bpe,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |       CAST(LENGTH(text) // 4 AS BIGINT) AS n_est
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .cast("long").as("n_bpe"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          graft.functions.GraftFunctions.token_count(col("text"))
+            .cast("long").as("n_est"))
+        .orderBy("doc_id")
+    },
+
+    // D4i: repetition signals for corpus curation (the
+    // duplicate-fraction family of quality filters): duplicate-word
+    // fraction and duplicate-bigram fraction per row (array ops, no
+    // shuffle), top-word fraction as a two-level aggregate (per-word
+    // counts then per-doc max/sum — map-side combine keeps the
+    // exchange bounded by vocabulary, not tokens).
+    "d4i_repetition" -> QueryDef(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(ws) AS n,
+        |         ROUND(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+        |           AS dup_word_frac,
+        |         ROUND(CASE WHEN len(ws) < 2 THEN 0.0
+        |           ELSE 1.0 - len(list_distinct(list_transform(
+        |                  range(1, len(ws)), i -> ws[i] || chr(31) || ws[i + 1])))
+        |                * 1.0 / (len(ws) - 1) END, 6) AS dup_bigram_frac
+        |  FROM w),
+        |tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tw FROM documents),
+        |wc AS (SELECT doc_id, tw, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_word_frac
+        |        FROM wc GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n,
+        |       b.dup_word_frac, b.dup_bigram_frac, t.top_word_frac
+        |FROM base b JOIN top t ON t.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n"),
+          round(lit(1.0) - size(array_distinct(col("ws"))) * lit(1.0) /
+            size(col("ws")), 6).as("dup_word_frac"),
+          round(when(size(col("ws")) < 2, lit(0.0)).otherwise(
+            lit(1.0) - size(array_distinct(transform(
+              sequence(lit(1), size(col("ws")) - 1),
+              i => concat(element_at(col("ws"), i), lit("\u001f"),
+                element_at(col("ws"), i + 1))))) * lit(1.0) /
+              (size(col("ws")) - 1)), 6).as("dup_bigram_frac"))
+      val top = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tw"))
+        .groupBy("doc_id", "tw").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(round(max(col("c")) * lit(1.0) / sum(col("c")), 6)
+          .as("top_word_frac"))
+      base.join(top, "doc_id").orderBy("doc_id")
+    },
+
     // D7: deterministic hash-based sampling — reproducible corpus
     // snapshots whose membership any engine recomputes bit-for-bit
     // (md5-prefix threshold; rand() would be layout-dependent and

@@ -155,6 +155,27 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("b4c: BM25 corpus side joins by broadcast — no corpus-length shuffle") {
+    // the doc-length scan (corpus-sized at 100 TB) must receive the
+    // query-term-bounded tf set via BroadcastHashJoin; a SortMergeJoin
+    // here would shuffle every document's length row for a 2-keyword
+    // query
+    val p = planString(q("b4c_fulltext_bm25")).split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("d4c: lang-ID classifiers run the one-pass kernel (no interpreted HOF)") {
+    // the profile scoring must be the codegen'd profile_scores kernel;
+    // the interpreted formulation — a filter + array_contains probe per
+    // profile over the full unit array — cost ~10 ms/row and must not
+    // come back. (`bound`'s one-element-array let-binding lambdas over
+    // the 4-element score array are fine.)
+    val p = q("d4c_lang_id").queryExecution.executedPlan.toString
+    assert(p.contains("profile_scores"), p.take(2000))
+    assert(!p.contains("array_contains"), p.take(2000))
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet
