@@ -655,6 +655,40 @@ object RelationalQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // C35c: sessionization as CUSTOM TYPED STATE
+    // (flatMapGroupsWithState — `streaming.Sessionize`; its streaming
+    // form with event-time timeout runs in StreamingSpec). Strict gap
+    // break (`>`), sessions [min, last + gap) — the lag+cumsum oracle
+    // restated as per-session aggregates.
+    "c35c_session_custom_state" -> QueryDef(
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |                (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |                > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tus, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(tus) AS session_start,
+        |       MAX(tus) + 1800000000 AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sv
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+        .as[graft.streaming.Sessionize.Event]
+      graft.streaming.Sessionize.sessionsBatch(ev, 1800000000L)
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n"), round(col("sv"), 4).as("sv"))
+        .orderBy("user_id", "session_start")
+    },
+
     // C36: dedup by key (batch form of streaming
     // withWatermark+dropDuplicates; the streaming variant is exercised
     // in the test suite).

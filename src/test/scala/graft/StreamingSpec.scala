@@ -191,6 +191,62 @@ class StreamingSpec extends SparkSpec {
     assert(last == Seq((1L, 3L), (2L, 1L)))
   }
 
+  test("custom sessionization closes sessions by event-time timeout (C35c)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDS().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[graft.streaming.Sessionize.TimedEvent]
+    val sessions = graft.streaming.Sessionize
+      .sessionsStream(events, gapMicros = 1800000000L)
+
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("custom_sess").outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (ts("2024-01-01 00:10:00"), 1L, 2.0),
+      (ts("2024-01-01 00:05:00"), 2L, 5.0))
+    q.processAllAvailable()
+    // nothing can close yet: the watermark sits 10 min behind 00:10
+    assert(spark.table("custom_sess").count() == 0)
+
+    // a far-future event advances the watermark past both sessions'
+    // close boundaries (+30 min gap) → both time out and emit
+    input.addData((ts("2024-01-01 02:00:00"), 3L, 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("custom_sess")
+      .select("user_id", "n", "sv").as[(Long, Long, Double)]
+      .collect().sorted.toSeq
+    q.stop()
+    assert(rows == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
+  }
+
+  test("custom sessionization batch form ≡ lag+cumsum sessions (C35c)") {
+    import spark.implicits._
+    val ev = Tables(spark, sf(), "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+      .as[graft.streaming.Sessionize.Event]
+    val custom = graft.streaming.Sessionize.sessionsBatch(ev, 1800000000L)
+      .toDF().select("user_id", "session_start", "n")
+
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy("user_id").orderBy("tus")
+    val viaLag = ev.toDF()
+      .withColumn("brk",
+        when(col("tus") - lag("tus", 1).over(byTime) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("brk").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("tus").as("session_start"), count(lit(1)).as("n"))
+      .select("user_id", "session_start", "n")
+    assert(custom.exceptAll(viaLag).count() == 0)
+    assert(viaLag.exceptAll(custom).count() == 0)
+  }
+
   test("function registration is session-isolated and idempotent") {
     // injection path: applying the extension class must cover every
     // registered builder without throwing
