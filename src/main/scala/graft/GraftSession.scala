@@ -36,6 +36,7 @@ object GraftSession {
     */
   def install(spark: SparkSession): SparkSession = {
     GraftFunctions.register(spark)
+    graft.functions.VectorAggregates.register(spark)
     val extra = spark.experimental.extraOptimizations
     if (!extra.contains(graft.plans.PrenormalizeCosine))
       spark.experimental.extraOptimizations =

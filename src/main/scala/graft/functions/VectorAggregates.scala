@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed UDAF surface (SURVEY §2.5): `vector_avg` — the per-group
+  * embedding centroid. An `Aggregator` with a fixed-size mutable
+  * buffer (dim doubles + a count): partial aggregation is map-side,
+  * the exchange carries one buffer per group per partition, and no
+  * vector list ever materializes — the 100 TB-side requirement for
+  * centroid jobs (IVF index builds, per-class mean embeddings,
+  * cluster summaries).
+  *
+  * Accumulates and emits in DOUBLE precision: a float-valued centroid
+  * would round differently engine-to-engine; callers cast down when
+  * storing.
+  */
+object VectorAggregates {
+
+  case class AvgBuf(var sums: Array[Double], var n: Long)
+
+  val vectorAvg: Aggregator[Seq[Float], AvgBuf, Seq[Double]] =
+    new Aggregator[Seq[Float], AvgBuf, Seq[Double]] {
+      override def zero: AvgBuf = AvgBuf(Array.empty, 0L)
+
+      override def reduce(b: AvgBuf, v: Seq[Float]): AvgBuf = {
+        if (b.sums.isEmpty) b.sums = new Array[Double](v.length)
+        var i = 0
+        val n = math.min(b.sums.length, v.length)
+        while (i < n) { b.sums(i) += v(i); i += 1 }
+        b.n += 1
+        b
+      }
+
+      override def merge(a: AvgBuf, b: AvgBuf): AvgBuf = {
+        if (a.sums.isEmpty) return b
+        if (b.sums.isEmpty) return a
+        var i = 0
+        val n = math.min(a.sums.length, b.sums.length)
+        while (i < n) { a.sums(i) += b.sums(i); i += 1 }
+        a.n += b.n
+        a
+      }
+
+      override def finish(b: AvgBuf): Seq[Double] =
+        if (b.n == 0) Seq.empty
+        else b.sums.map(_ / b.n).toSeq
+
+      override def bufferEncoder: Encoder[AvgBuf] = ExpressionEncoder()
+      override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+    }
+
+  private lazy val vectorAvgUdaf = udaf(vectorAvg)
+
+  /** Column form: `vector_avg(embedding)` in an `agg(...)`. */
+  def vector_avg(c: Column): Column = vectorAvgUdaf(c)
+
+  /** SQL registration (idempotent): `SELECT vector_avg(embedding) ...`. */
+  def register(spark: SparkSession): Unit =
+    spark.udf.register("vector_avg", vectorAvgUdaf)
+}

@@ -40,4 +40,25 @@ object Sampling {
       fraction: Double,
       salt: String = ""): DataFrame =
     df.filter(inHashSample(col(keyCol), fraction, salt))
+
+  /** Deterministic fixed-size sample PER STRATUM — the reproducible
+    * replacement for reservoir sampling: the `n` hash-smallest keys of
+    * each stratum. Any engine recomputes the same members, any subset
+    * of the data yields a consistent prefix, and the per-stratum rank
+    * is a keyed window (one shuffle on the stratum, bounded state —
+    * never a global sort).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      stratumCol: String,
+      n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, s"n=$n")
+    import org.apache.spark.sql.expressions.Window
+    val rank = row_number().over(Window.partitionBy(stratumCol)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))),
+        col(keyCol)))
+    df.withColumn("__r", rank).filter(col("__r") <= n).drop("__r")
+  }
 }

@@ -454,6 +454,49 @@ object LlmOpsQueries {
         .orderBy("event_type")
     },
 
+    // D7b: deterministic fixed-size per-stratum sampling — the
+    // reproducible replacement for reservoir sampling: the n
+    // hash-smallest keys of each stratum, identical in any engine and
+    // under any data layout. One keyed window (shuffle on the stratum,
+    // bounded per-stratum state) — never a global sort.
+    "d7b_stratified_sample" -> QueryDef(
+      """SELECT event_type, event_id
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+        |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) <= 20
+        |ORDER BY event_type, event_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sampling
+        .stratifiedSample(Tables(s, dir, "events"), "event_id", "event_type",
+          n = 20)
+        .select("event_type", "event_id")
+        .orderBy("event_type", "event_id")
+    },
+
+    // D9: per-group embedding centroid via the typed vector_avg
+    // Aggregator (SURVEY §2.5's UDAF surface) — fixed-size buffer,
+    // map-side partial aggregation, no vector list materialized. The
+    // oracle recomputes spot dimensions as plain AVGs over the array
+    // elements (double accumulation both sides).
+    "d9_vector_centroid" -> QueryDef(
+      """SELECT CAST(vec_id % 8 AS BIGINT) AS grp,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) + 0.0 AS c1,
+        |       ROUND(AVG(CAST(embedding[17] AS DOUBLE)), 6) + 0.0 AS c17,
+        |       ROUND(AVG(CAST(embedding[33] AS DOUBLE)), 6) + 0.0 AS c33,
+        |       ROUND(AVG(CAST(embedding[64] AS DOUBLE)), 6) + 0.0 AS c64
+        |FROM embeddings GROUP BY 1 ORDER BY grp""".stripMargin) { (s, dir) =>
+      import graft.functions.VectorAggregates.vector_avg
+      Tables(s, dir, "embeddings")
+        .groupBy((col("vec_id") % 8).as("grp"))
+        .agg(count(lit(1)).as("n"), vector_avg(col("embedding")).as("c"))
+        .select(col("grp"), col("n"),
+          (round(element_at(col("c"), 1), 6) + 0.0).as("c1"),
+          (round(element_at(col("c"), 17), 6) + 0.0).as("c17"),
+          (round(element_at(col("c"), 33), 6) + 0.0).as("c33"),
+          (round(element_at(col("c"), 64), 6) + 0.0).as("c64"))
+        .orderBy("grp")
+    },
+
     // D8: int8 scalar quantization (the reference's QuantizedFlat
     // vector index scheme). The BIGINT code checksum proves the codes
     // are bit-identical across engines; the boolean pins the

@@ -33,6 +33,44 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.deterministicSample(events, "event_id", 0.0).count() == 0)
   }
 
+  test("stratified sample: exactly n per stratum, layout-independent (D7b)") {
+    val events = Tables(spark, sf("sf0.01"), "events")
+    val s = Sampling.stratifiedSample(events, "event_id", "event_type", 7)
+    val perStratum = s.groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(perStratum.values.forall(_ == 7L), perStratum.toString)
+    // membership identical under repartitioning
+    val ids1 = s.select("event_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling
+      .stratifiedSample(events.repartition(13), "event_id", "event_type", 7)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // a larger n with the same salt is a superset (consistent prefix)
+    val bigger = Sampling.stratifiedSample(events, "event_id", "event_type", 12)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(bigger))
+  }
+
+  test("vector_avg centroid: distributed == sequential, SQL-registered (D9)") {
+    import spark.implicits._
+    import graft.functions.VectorAggregates.vector_avg
+    val vecs = Seq(
+      (0L, Seq(1f, 2f, 3f)), (0L, Seq(3f, 2f, 1f)), (0L, Seq(2f, 2f, 2f)),
+      (1L, Seq(10f, 0f, 0f))).toDF("g", "v")
+    val got = vecs.repartition(7).groupBy("g")
+      .agg(vector_avg(col("v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(got(0L) == Seq(2.0, 2.0, 2.0))
+    assert(got(1L) == Seq(10.0, 0.0, 0.0))
+    // SQL registration path
+    GraftSession.install(spark)
+    vecs.createOrReplaceTempView("va_in")
+    val viaSql = spark.sql(
+      "SELECT g, vector_avg(v) AS c FROM va_in GROUP BY g ORDER BY g")
+      .collect().map(_.getSeq[Double](1)).head
+    assert(viaSql == Seq(2.0, 2.0, 2.0))
+  }
+
   test("different salts give near-independent samples; fractions nest") {
     val events = Tables(spark, sf("sf0.01"), "events")
     val a = Sampling.deterministicSample(events, "event_id", 0.2, salt = "a")
