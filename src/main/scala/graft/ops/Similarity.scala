@@ -57,13 +57,22 @@ object Similarity {
       when(dot_product(vecCol, typedlit(pl)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** D3 scale path: LSH-bucketed approximate k-NN with multi-probing.
-    * Candidates = base rows whose hyperplane bucket matches the
-    * probe's bucket OR any 1-bit flip of it (multi-probe recovers the
-    * neighbors lost to a single near-zero projection); exact cosine
-    * rerank within the candidates. Candidate set shrinks
-    * ~(planes+1)/2^planes of the base; near-duplicate vectors (the D6
-    * workload) collide with high probability.
+  /** D3 scale path: LSH-bucketed approximate k-NN with multi-probing
+    * and optional multiple hash tables. Candidates = base rows whose
+    * hyperplane bucket matches the probe's bucket OR any 1-bit flip of
+    * it (multi-probe recovers the neighbors lost to a single near-zero
+    * projection) in ANY of the `numTables` independent tables (the
+    * standard recall knob: each table is a fresh chance to collide, so
+    * recall rises with L while the candidate set grows only
+    * linearly); exact cosine rerank within the candidates. Candidate
+    * set per table shrinks ~(planes+1)/2^planes of the base;
+    * near-duplicate vectors (the D6 workload) collide with high
+    * probability already at L = 1.
+    *
+    * Scale: the base computes all L buckets in ONE scan (posexplode of
+    * an L-element array — fan-out L, each row carrying only id + the
+    * vector ref); the join key is (table, bucket), uniformly
+    * distributed, probes broadcast.
     */
   def lshAnnJoin(
       base: DataFrame,
@@ -73,20 +82,24 @@ object Similarity {
       k: Int,
       dim: Int,
       numPlanes: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      numTables: Int = 1): DataFrame = {
+    require(numTables >= 1, s"numTables=$numTables")
+    val tableBuckets = array((0 until numTables).map(t =>
+      lshBucket(col(vecCol), dim, numPlanes, seed + t)): _*)
     val b = base.select(col(idCol).as("nn_id"), col(vecCol).as("bv"),
-      lshBucket(col(vecCol), dim, numPlanes, seed).as("bucket"))
+      posexplode(tableBuckets).as(Seq("tbl", "bucket")))
     val flips = lit(0) +: (0 until numPlanes).map(i => lit(1 << i))
     val p = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-        lshBucket(col(vecCol), dim, numPlanes, seed).as("bucket0"))
-      .select(col("probe_id"), col("pv"),
+        posexplode(tableBuckets).as(Seq("tbl", "bucket0")))
+      .select(col("probe_id"), col("pv"), col("tbl"),
         explode(array(flips.map(f => col("bucket0").bitwiseXOR(f)): _*))
           .as("bucket"))
-    b.join(broadcast(p), "bucket")
+    b.join(broadcast(p), Seq("tbl", "bucket"))
       .select(col("probe_id"), col("nn_id"),
         round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
-      // a pair can match via several probed buckets → dedup by key
+      // a pair can match via several probed buckets/tables → dedup
       .groupBy(col("probe_id"), col("nn_id")).agg(min(col("dist")).as("dist"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))

@@ -37,6 +37,24 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 90, s"LSH near-dup recall too low: $hits/100")
   }
 
+  test("lshAnnJoin: more hash tables → more true-kNN recall (L knob)") {
+    val probes = emb.filter(col("vec_id") < 25)
+    val brute = Similarity.knnJoinBrute(emb, probes, "vec_id", "embedding",
+      k = 5).select("probe_id", "nn_id").cache()
+    val total = brute.count()
+    def recall(tables: Int): Long = brute
+      .join(Similarity.lshAnnJoin(emb, probes, "vec_id", "embedding",
+          k = 5, dim = 64, numTables = tables)
+        .select("probe_id", "nn_id"), Seq("probe_id", "nn_id"), "left_semi")
+      .count()
+    val r1 = recall(1)
+    val r4 = recall(4)
+    info(s"recall@5: L=1 $r1/$total, L=4 $r4/$total")
+    assert(r4 > r1, s"multi-table recall $r4 not above single-table $r1")
+    assert(r4 * 2 >= total, s"L=4 recall below 50%: $r4/$total")
+    brute.unpersist()
+  }
+
   test("ivfAnnJoin: near-dup probes find their source; decent true-kNN recall") {
     import spark.implicits._
     val rnd = new java.util.Random(11)
