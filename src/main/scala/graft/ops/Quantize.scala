@@ -93,4 +93,152 @@ object Quantize {
       .limit(k)
       .drop("q8_dist")
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (Jégou/Douze/Schmid, TPAMI'11): the vector
+  // splits into m subvectors, each coded as its nearest of ks learned
+  // subspace centroids — dim floats compress to m small codes
+  // (m=8, ks=16 ⇒ 64 floats → 8 codes, 32× smaller than float32),
+  // and query distance is approximated asymmetrically (ADC) by one
+  // table lookup per subspace. Complements the scalar int8 scheme:
+  // PQ adapts to the data distribution and compresses much harder,
+  // at the cost of a trained codebook.
+  // ---------------------------------------------------------------
+
+  /** A trained PQ codebook: `codebook(sub)(centroid)` is a subDim-dim
+    * centroid. Driver-side size m × ks × subDim floats (m=8 ks=16
+    * subDim=8 ⇒ 4 KB) — broadcast as literals into the encode/query
+    * expressions, never a shuffle.
+    */
+  final case class PqModel(
+      m: Int,
+      ks: Int,
+      subDim: Int,
+      codebook: Seq[Seq[Seq[Float]]])
+
+  private def l2sq(a: Array[Float], b: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Train a PQ codebook from a deterministic hash-ordered sample of
+    * the base (ONE TakeOrderedAndProject scan, same index-build shape
+    * as the IVF centroids): per subspace, k-means with `lloydIters`
+    * Lloyd passes over the sampled subvectors. Driver state = sample
+    * (ks × 64 rows) + codebook; independent of base size.
+    */
+  def trainPq(
+      base: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ks: Int = 16,
+      seed: Long = 42L,
+      lloydIters: Int = 5): PqModel = {
+    val sample: Array[Array[Float]] = base
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(ks * 64)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "trainPq: empty base")
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val codebook = (0 until m).map { sub =>
+      val vecs = sample.map(_.slice(sub * subDim, (sub + 1) * subDim))
+      var cents: Array[Array[Float]] =
+        vecs.distinct.take(ks).padTo(ks, vecs.head).map(_.clone())
+      var iter = 0
+      while (iter < lloydIters) {
+        val sums = Array.fill(ks)(new Array[Double](subDim))
+        val counts = new Array[Long](ks)
+        vecs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            val d = l2sq(v, cents(c).toSeq)
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else sums(c).map(x => (x / counts(c)).toFloat)
+        }
+        iter += 1
+      }
+      cents.map(_.toSeq).toSeq
+    }
+    PqModel(m, ks, subDim, codebook)
+  }
+
+  /** Per-row PQ codes: for each subspace, the index of the nearest
+    * codebook centroid — an `array_position(array_min)` argmin over a
+    * ks-element distance array (never a CASE-WHEN fold), the subvector
+    * bound once per row. Output: ARRAY<INT> of length m.
+    */
+  def pqCodes(vec: Column, model: PqModel): Column =
+    array((0 until model.m).map { sub =>
+      bound(slice(vec, sub * model.subDim + 1, model.subDim)) { sv =>
+        bound(array(model.codebook(sub).map(c =>
+          graft.functions.GraftFunctions.l2_distance(sv, typedlit(c))): _*)) {
+          dists => (array_position(dists, array_min(dists)) - 1).cast("int")
+        }
+      }
+    }: _*)
+
+  /** Asymmetric (ADC) distance: the query precomputes one L2² lookup
+    * table per subspace ON THE DRIVER (m × ks doubles); per row the
+    * distance is m `element_at` lookups summed — no float vector is
+    * read in the coarse stage.
+    */
+  def pqAdcDistance(codes: Column, model: PqModel, query: Seq[Float]): Column = {
+    val q = query.toArray
+    val tables: Seq[Seq[Double]] = (0 until model.m).map { sub =>
+      val sv = q.slice(sub * model.subDim, (sub + 1) * model.subDim)
+      model.codebook(sub).map(c => l2sq(sv, c))
+    }
+    (0 until model.m).map { sub =>
+      element_at(typedlit(tables(sub)),
+        element_at(codes, sub + 1) + lit(1))
+    }.reduce(_ + _)
+  }
+
+  /** Materialize the PQ code column next to the vectors (written once,
+    * scanned by every query's coarse stage — 32× fewer bytes than the
+    * float column at m=8).
+    */
+  def withPqCodes(df: DataFrame, vecCol: String, model: PqModel): DataFrame =
+    df.withColumn("pq_codes", pqCodes(col(vecCol), model))
+
+  /** Two-stage PQ top-k: ADC-ranked coarse cut (TakeOrderedAndProject
+    * over the code column), exact cosine rerank of the survivors —
+    * same shape as [[topKQuantized]] with a far smaller coarse scan.
+    */
+  def topKPq(
+      indexed: DataFrame,
+      model: PqModel,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String,
+      vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
+    val r = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val q = typedlit(queryVec)
+    indexed
+      .withColumn("pq_dist",
+        round(pqAdcDistance(col("pq_codes"), model, queryVec), 6))
+      .orderBy(col("pq_dist"), col(idCol))
+      .limit(r)
+      .withColumn("dist", round(cosine_distance(col(vecCol), q), 6) + lit(0.0))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("pq_dist")
+  }
 }

@@ -566,6 +566,36 @@ object LlmOpsQueries {
         .orderBy("dist", "vec_id")
     },
 
+    // D8c: product quantization (trained codebook, 32× compression,
+    // ADC coarse ranking + exact rerank). Codes/codebook are
+    // engine-derived, so the gate pins the operator contract: the
+    // probe's own vector must come back rank-1 (ADC keeps an exact
+    // copy inside any sane rerank cut), and recall@10 vs the exact
+    // top-10 must clear a floor. On clusterless gaussian data the
+    // rerank cut must scale with the corpus (probe-measured: n/10 →
+    // 9/10 at sf0.01, 7/10 at sf0.1; gated at ≥ 5) — at real scale
+    // PQ composes with IVF cells (coarse-quantize then PQ within the
+    // cell) so the cut stays bounded; PQ-flat is the index-free form.
+    "d8c_pq_topk" -> QueryDef(
+      "SELECT TRUE AS recall_ok, TRUE AS self_top1") { (s, dir) =>
+      import graft.ops.Quantize
+      val e = Tables(s, dir, "embeddings")
+      val model = Quantize.trainPq(e, "vec_id", "embedding", m = 8, ks = 16)
+      val probe = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val rerank = math.max(100L, e.count() / 10).toInt
+      val pq = Quantize.topKPq(Quantize.withPqCodes(e, "embedding", model),
+        model, probe, k = 10, idCol = "vec_id", rerank = rerank)
+      val exactTop = graft.ops.VectorSearch.topK(e, probe, 10)
+        .select("vec_id")
+      val hits = exactTop.join(pq.select("vec_id"), Seq("vec_id"), "left_semi")
+      val top1 = pq.orderBy(col("dist"), col("vec_id")).limit(1)
+        .select(col("vec_id").as("first_id"))
+      hits.agg(count(lit(1)).as("nhits")).crossJoin(top1)
+        .select((col("nhits") >= 5).as("recall_ok"),
+          (col("first_id") === 0L).as("self_top1"))
+    },
+
     // D5b: the frame-sampling stage through the gate — the oracle
     // recomputes the slicing arithmetic (frames = min(n, bytes),
     // frame size = max(1, bytes div frames), total = covered prefix)

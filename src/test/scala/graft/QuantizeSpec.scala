@@ -68,6 +68,30 @@ class QuantizeSpec extends SparkSpec {
     assert((exact & quant).size >= 9, s"recall ${(exact & quant).size}/10")
   }
 
+  test("PQ: codes in range, ADC tracks exact distance, top-k recalls (D8c)") {
+    val e = Tables(spark, sf(), "embeddings")
+    val model = Quantize.trainPq(e, "vec_id", "embedding", m = 8, ks = 16)
+    assert(model.codebook.size == 8)
+    assert(model.codebook.forall(_.size == 16))
+    assert(model.codebook.forall(_.forall(_.size == 8)))
+
+    val coded = Quantize.withPqCodes(e, "embedding", model).cache()
+    val codes = coded.select("pq_codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 16)))
+
+    val probe = e.filter(col("vec_id") === 1)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = graft.ops.VectorSearch.topK(e, probe, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaPq = Quantize.topKPq(coded, model, probe,
+        k = 10, idCol = "vec_id", rerank = 60)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    info(s"PQ recall@10 (rerank 60): ${(exact & viaPq).size}/10")
+    assert(viaPq.contains(1L), "self vector must survive the ADC cut")
+    assert((exact & viaPq).size >= 5, s"recall ${(exact & viaPq).size}/10")
+    coded.unpersist()
+  }
+
   test("constant vector quantizes to all-zero codes with zero error") {
     import spark.implicits._
     val df = Seq(Seq(0.25f, 0.25f, 0.25f)).toDF("v")
