@@ -130,22 +130,29 @@ object Quantize {
     * Lloyd passes over the sampled subvectors. Driver state = sample
     * (ks × 64 rows) + codebook; independent of base size.
     */
-  def trainPq(
+  /** Deterministic hash-ordered vector sample (ONE
+    * TakeOrderedAndProject scan — the shared index-build shape).
+    */
+  private[ops] def hashSample(
       base: DataFrame,
       idCol: String,
       vecCol: String,
-      m: Int = 8,
-      ks: Int = 16,
-      seed: Long = 42L,
-      lloydIters: Int = 5): PqModel = {
-    val sample: Array[Array[Float]] = base
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(ks * 64)
-      .select("v").collect().map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "trainPq: empty base")
+      n: Int,
+      seed: Long): Array[Array[Float]] = base
+    .select(col(idCol).as("id"), col(vecCol).as("v"))
+    .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+    .limit(n)
+    .select("v").collect().map(_.getSeq[Float](0).toArray)
+
+  /** Per-subspace k-means over an in-memory sample → PQ codebook. */
+  private[ops] def kmeansCodebook(
+      sample: Array[Array[Float]],
+      m: Int,
+      ks: Int,
+      lloydIters: Int): PqModel = {
+    require(sample.nonEmpty, "kmeansCodebook: empty sample")
     val dim = sample.head.length
-    require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"kmeansCodebook: dim $dim not divisible by m=$m")
     val subDim = dim / m
     val codebook = (0 until m).map { sub =>
       val vecs = sample.map(_.slice(sub * subDim, (sub + 1) * subDim))
@@ -176,6 +183,50 @@ object Quantize {
       cents.map(_.toSeq).toSeq
     }
     PqModel(m, ks, subDim, codebook)
+  }
+
+  def trainPq(
+      base: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ks: Int = 16,
+      seed: Long = 42L,
+      lloydIters: Int = 5): PqModel =
+    kmeansCodebook(hashSample(base, idCol, vecCol, ks * 64, seed),
+      m, ks, lloydIters)
+
+  /** Train a PQ codebook on RESIDUALS against a coarse-quantizer
+    * centroid set (the IVF-PQ composition): each sampled vector is
+    * assigned to its nearest coarse centroid driver-side and the
+    * per-subspace k-means runs over `v - centroid`. Residuals carry
+    * far less variance than raw vectors, so the same ks yields lower
+    * quantization error inside each cell.
+    */
+  def trainPqResiduals(
+      base: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseCentroids: Seq[Seq[Float]],
+      m: Int = 8,
+      ks: Int = 16,
+      seed: Long = 42L,
+      lloydIters: Int = 5): PqModel = {
+    val sample = hashSample(base, idCol, vecCol, ks * 64, seed)
+    val residuals = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarseCentroids.length) {
+        val d = graft.functions.VectorOps.cosineDistance(
+          v, coarseCentroids(c).toArray)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cent = coarseCentroids(best)
+      v.indices.map(i =>
+        v(i) - (if (i < cent.length) cent(i) else 0f)).toArray
+    }
+    kmeansCodebook(residuals, m, ks, lloydIters)
   }
 
   /** Per-row PQ codes: for each subspace, the index of the nearest
@@ -216,6 +267,15 @@ object Quantize {
     */
   def withPqCodes(df: DataFrame, vecCol: String, model: PqModel): DataFrame =
     df.withColumn("pq_codes", pqCodes(col(vecCol), model))
+
+  /** Reconstructed (decoded) vector from PQ codes: per subspace one
+    * `element_at` into the codebook literal, flattened — no float
+    * column read.
+    */
+  def pqReconstruct(codes: Column, model: PqModel): Column =
+    flatten(array((0 until model.m).map(sub =>
+      element_at(typedlit(model.codebook(sub)),
+        element_at(codes, sub + 1) + lit(1))): _*))
 
   /** Two-stage PQ top-k: ADC-ranked coarse cut (TakeOrderedAndProject
     * over the code column), exact cosine rerank of the survivors —

@@ -207,6 +207,80 @@ object Similarity {
       .drop("rn")
   }
 
+  /** D3 scale path #3: IVF-PQ — the composition that keeps BOTH the
+    * probe fan-out and the byte volume bounded at 100 TB: vectors
+    * partition into IVF cells (nearest coarse centroid) and, inside a
+    * cell, are stored as PQ codes of their RESIDUAL against the cell
+    * centroid. A probe searches its nprobe nearest cells; the coarse
+    * stage ranks candidates by L2 between the probe's residual and the
+    * PQ-reconstructed residual — reading only the m-byte code column,
+    * never the floats — and the `rerankPerProbe` survivors join back
+    * to the float vectors for exact cosine rerank (a shuffle bounded
+    * by candidates, not base size).
+    */
+  def ivfPqAnnJoin(
+      base: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ks: Int = 16,
+      rerankPerProbe: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    import graft.ops.Quantize
+    val cents = ivfCentroids(base, idCol, vecCol, nlist, seed)
+    val model = Quantize.trainPqResiduals(base, idCol, vecCol, cents,
+      m, ks, seed)
+    val centsLit = typedlit(cents.map(_.toSeq))
+    def residual(vec: org.apache.spark.sql.Column,
+        cell: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      zip_with(vec, element_at(centsLit, cell + lit(1)),
+        (a, b) => a - b).cast("array<float>")
+
+    // the stored index: cell + residual PQ codes, NO float column
+    val b = base
+      .select(col(idCol).as("nn_id"), col(vecCol).as("bv"),
+        nearestCentroid(col(vecCol), cents).as("cell"))
+      .select(col("nn_id"), col("cell"),
+        Quantize.pqCodes(residual(col("bv"), col("cell")), model).as("pq"))
+
+    // nprobe nearest cells per probe, carrying the probe's residual
+    val probeCells = probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        posexplode(array(cents.map(c =>
+          cosine_distance(col(vecCol), typedlit(c))): _*))
+          .as(Seq("cell", "cd")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cd"), col("cell"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cell"),
+        residual(col("pv"), col("cell")).as("pres"))
+
+    val coarse = b.join(broadcast(probeCells), "cell")
+      .select(col("probe_id"), col("nn_id"), col("pv"),
+        round(graft.functions.GraftFunctions.l2_distance(col("pres"),
+          Quantize.pqReconstruct(col("pq"), model).cast("array<float>")), 6)
+          .as("adist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adist"), col("nn_id"))))
+      .filter(col("rn") <= rerankPerProbe)
+      .select(col("probe_id"), col("nn_id"), col("pv"))
+
+    // exact rerank: floats fetched ONLY for the surviving candidates
+    coarse
+      .join(base.select(col(idCol).as("nn_id"), col(vecCol).as("bvx")),
+        "nn_id")
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine_distance(col("bvx"), col("pv")), 6).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** D6 scale path: near-duplicate pairs with LSH bucket pruning —
     * only vectors sharing a (multi-probed) hyperplane bucket are
     * compared, so the pair space shrinks from n² to the bucket

@@ -171,6 +171,30 @@ object LlmOpsQueries {
           (col("napprox") === lit(50)).as("complete_topk"))
     },
 
+    // D3 scale path #3: IVF-PQ — coarse cells + residual product
+    // quantization; the coarse stage reads only the m-byte code
+    // column. Same gate design as d3c: recall@5 vs brute force over
+    // the same probes clears a floor (probe-measured 35/50 at sf0.01,
+    // 31/50 at sf0.1 with rerankPerProbe=96; gated at ≥ 25) and every
+    // probe returns a full top-5.
+    "d3d_ann_ivfpq" -> QueryDef(
+      "SELECT TRUE AS recall_ok, TRUE AS complete_topk") { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfPqAnnJoin(e, probes,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+        rerankPerProbe = 96)
+      val brute = Similarity.knnJoinBrute(e, probes,
+        "vec_id", "embedding", k = 5)
+      val hits = brute.select("probe_id", "nn_id")
+        .join(approx.select("probe_id", "nn_id"), Seq("probe_id", "nn_id"),
+          "left_semi")
+      hits.agg(count(lit(1)).as("nhits"))
+        .crossJoin(approx.agg(count(lit(1)).as("napprox")))
+        .select((col("nhits") >= lit(25)).as("recall_ok"),
+          (col("napprox") === lit(50)).as("complete_topk"))
+    },
+
     // D6: embedding-cosine near-duplicate pairs.
     "d6_embedding_neardup" -> QueryDef(
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -30,6 +30,25 @@ object PqProbe {
       }
       coded.unpersist(); e.unpersist()
     }
+
+    // IVF-PQ recall with the d3c-style probe set (vec_id < 10, k=5)
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables(spark, dir, "embeddings").cache()
+      val probes = e.filter(col("vec_id") < 10)
+      val brute = graft.ops.Similarity
+        .knnJoinBrute(e, probes, "vec_id", "embedding", 5)
+        .select("probe_id", "nn_id").cache()
+      for (r <- Seq(64, 96)) {
+        val approx = graft.ops.Similarity.ivfPqAnnJoin(e, probes,
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+          rerankPerProbe = r)
+        val hits = brute.join(approx.select("probe_id", "nn_id"),
+          Seq("probe_id", "nn_id"), "left_semi").count()
+        println(s"== ivfpq $dir rerank=$r recall=$hits/${brute.count()} " +
+          s"rows=${approx.count()}")
+      }
+      brute.unpersist(); e.unpersist()
+    }
     spark.stop()
   }
 }

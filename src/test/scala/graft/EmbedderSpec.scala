@@ -112,3 +112,49 @@ class EmbedderSpec extends AnyFunSuite {
     assert(t.calls.size == 1)
   }
 }
+
+/** The remote client through the ACTUAL ingest dataflow — proves the
+  * trait boundary holds end-to-end: HttpEmbedder (fake transport,
+  * flaky on its first call) wrapped in the A16 retry policy, executed
+  * inside mapPartitions on executors, batches ≤ 10.
+  */
+class HttpEmbedderPipelineSpec extends SparkSpec {
+
+  test("ingest pipeline embeds through a retrying HTTP client (A15/A16)") {
+    import graft.embed._
+    import graft.pipeline.IngestPipeline
+
+    // Serializable scripted transport: the first call throttles (429,
+    // exercising the executor-side retry), then answers every request
+    // with vectors derived from the request's own batch size.
+    val transport = new HttpTransport {
+      @transient private var calls = 0
+      override def post(url: String, body: String,
+          headers: Map[String, String]): (Int, String) = {
+        calls += 1
+        if (calls == 1) return (429, "throttle")
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(body)
+        val n = root.path("input").size()
+        val items = (0 until n).map { i =>
+          val vec = Seq.fill(4)(s"0.5").mkString(",")
+          s"""{"index":$i,"embedding":[$vec]}"""
+        }.mkString("""{"data":[""", ",", "]}")
+        (200, items)
+      }
+    }
+    val embedder = new RetryingEmbedder(
+      new HttpEmbedder(HttpEmbedderConfig(
+        endpoint = "http://fake/embed", dimensions = 4, maxBatchSize = 10),
+        transport),
+      RetryPolicy(maxRetries = 3, delayMillis = 0L), _ => ())
+
+    val docs = Tables(spark, sf(), "documents").limit(25)
+    val out = IngestPipeline.ingestDocumentsTable(spark, docs, embedder)
+    import org.apache.spark.sql.functions._
+    assert(out.count() == 25)
+    assert(out.filter(size(col("embedding")) =!= 4).count() == 0)
+    assert(out.select("embedding").head().getSeq[Float](0) ==
+      Seq(0.5f, 0.5f, 0.5f, 0.5f))
+  }
+}

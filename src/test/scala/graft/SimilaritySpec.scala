@@ -55,6 +55,24 @@ class SimilaritySpec extends SparkSpec {
     brute.unpersist()
   }
 
+  test("ivfPqAnnJoin: codes-only coarse stage still recalls (IVF-PQ)") {
+    val probes = emb.filter(col("vec_id") < 25)
+    val brute = Similarity.knnJoinBrute(emb, probes, "vec_id", "embedding",
+      k = 5).select("probe_id", "nn_id").cache()
+    val total = brute.count()
+    val ivfpq = Similarity.ivfPqAnnJoin(emb, probes, "vec_id", "embedding",
+      k = 5, nlist = 16, nprobe = 4, rerankPerProbe = 64)
+    assert(ivfpq.groupBy("probe_id").count()
+      .filter(col("count") =!= 5).count() == 0)
+    val hits = brute.join(ivfpq.select("probe_id", "nn_id"),
+      Seq("probe_id", "nn_id"), "left_semi").count()
+    info(s"IVF-PQ recall@5: $hits/$total")
+    // bounded below by the IVF cell recall (nprobe/nlist) minus PQ
+    // coarse error recovered by the rerank — floor with margin
+    assert(hits * 2 >= total, s"IVF-PQ recall below 50%: $hits/$total")
+    brute.unpersist()
+  }
+
   test("ivfAnnJoin: near-dup probes find their source; decent true-kNN recall") {
     import spark.implicits._
     val rnd = new java.util.Random(11)
