@@ -34,6 +34,59 @@ object PipelineQueries {
         .orderBy("document_url")
     },
 
+    // P3: the composed corpus-curation pipeline (ops.Curation) — one
+    // declarative plan annotating quality, language, exact-duplicate
+    // status (planted +1M copies exercise it) and deterministic
+    // sample membership, with the first failing reason. The oracle
+    // recomputes every signal from first principles: the d4b quality
+    // formula, the stopword argmax (en wins ties as the earliest
+    // profile), MIN-per-content-hash keeper, and the md5 16-bit
+    // sample threshold.
+    "p3_curation" -> QueryDef(
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    ROUND(LEAST(LENGTH(text), 500) * 1.0 / 500 * 0.4
+        |      + len(list_filter(string_split(lower(text), ' '),
+        |          x -> x IN ('the','and','of','to','in','is','a','that','it','for')))
+        |        * 1.0 / len(string_split(text, ' ')) * 0.4
+        |      + CASE WHEN (LENGTH(text) - len(string_split(text, ' ')) + 1) * 1.0
+        |                  / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+        |             THEN 0.2 ELSE 0.0 END, 6) AS quality,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the','and','of','to','in','is','a','that','it','for'))) AS en_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('el','la','de','que','y','en','los','del','se','las'))) AS es_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('der','die','und','das','ist','ein','zu','den','mit','nicht'))) AS de_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('le','la','de','et','est','un','les','des','une','dans'))) AS fr_h,
+        |    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' AS in_sample
+        |  FROM input)
+        |SELECT doc_id, quality,
+        |  CASE WHEN quality < 0.3 THEN 'quality'
+        |       WHEN NOT (en_h > 0 AND en_h >= es_h AND en_h >= de_h
+        |                 AND en_h >= fr_h) THEN 'lang'
+        |       WHEN keeper <> doc_id THEN 'duplicate'
+        |       WHEN NOT in_sample THEN 'sample'
+        |       ELSE '' END AS reason,
+        |  (quality >= 0.3 AND en_h > 0 AND en_h >= es_h AND en_h >= de_h
+        |   AND en_h >= fr_h AND keeper = doc_id AND in_sample) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val input = d.unionAll(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Curation.annotate(input, "doc_id", "text",
+          graft.ops.Curation.Config(minQuality = 0.3, lang = "en",
+            sampleFraction = 0.5))
+        .select(col("doc_id"), col("quality"),
+          col("drop_reason").as("reason"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     // Raw pipeline output surface. Embedding VALUES are spec'd by the
     // deterministic embedder (not SQL), so the embedding projects to
     // its unit norm plus a well-formedness check of the sha2 content

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+/** Curation pipeline semantics: drop-reason precedence, total
+  * annotation, and curate == keep-filter.
+  */
+class CurationSpec extends SparkSpec {
+
+  private val goodText =
+    "the cat and the dog that is in the house of it for the " * 4
+
+  test("drop reasons follow the fixed precedence; annotation is total") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, goodText),                       // kept
+      (2L, "zz"),                           // quality (too short)
+      (3L, "el que los del se las y en la casa que los del se " * 8), // lang
+      (4L, goodText),                       // duplicate of 1 (higher id)
+      (5L, "x y " * 60)                     // quality beats lang (order)
+    ).toDF("doc_id", "text")
+    val ann = Curation.annotate(docs, "doc_id", "text",
+        Curation.Config(minQuality = 0.3, lang = "en", sampleFraction = 1.0))
+      .select("doc_id", "drop_reason")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(ann(1L) == "")
+    assert(ann(2L) == "quality")
+    assert(ann(3L) == "lang")
+    assert(ann(4L) == "duplicate")
+    assert(ann(5L) == "quality") // precedence: quality checked before lang
+    assert(ann.size == 5)       // total: every row annotated
+  }
+
+  test("curate keeps exactly the keep rows and drops audit columns") {
+    import spark.implicits._
+    val docs = Seq((1L, goodText), (2L, goodText), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val kept = Curation.curate(docs, "doc_id", "text",
+      Curation.Config(minQuality = 0.3, lang = "en"))
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
