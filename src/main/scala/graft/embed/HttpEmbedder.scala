@@ -125,6 +125,10 @@ final class HttpEmbedder(
       require(out(ix) == null, s"duplicate embedding response index $ix")
       val emb = item.path("embedding")
       require(emb.isArray, "embedding response item has no embedding array")
+      require(emb.size() == cfg.dimensions,
+        s"embedding response width ${emb.size()} != configured " +
+          s"dimensions ${cfg.dimensions} — the service ignored the " +
+          "dimensions parameter or is misconfigured")
       val v = new Array[Float](emb.size())
       var j = 0
       while (j < v.length) { v(j) = emb.get(j).floatValue(); j += 1 }

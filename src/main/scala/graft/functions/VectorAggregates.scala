@@ -26,20 +26,28 @@ object VectorAggregates {
       override def zero: AvgBuf = AvgBuf(Array.empty, 0L)
 
       override def reduce(b: AvgBuf, v: Seq[Float]): AvgBuf = {
+        // dimension mismatches fail loudly: silently truncating to the
+        // shared prefix would skew every truncated dimension's mean
+        require(v.nonEmpty, "vector_avg: empty vector in input")
         if (b.sums.isEmpty) b.sums = new Array[Double](v.length)
+        require(v.length == b.sums.length,
+          s"vector_avg: mixed dimensions ${v.length} vs ${b.sums.length}")
         var i = 0
-        val n = math.min(b.sums.length, v.length)
-        while (i < n) { b.sums(i) += v(i); i += 1 }
+        while (i < v.length) { b.sums(i) += v(i); i += 1 }
         b.n += 1
         b
       }
 
       override def merge(a: AvgBuf, b: AvgBuf): AvgBuf = {
+        // an empty-sums buffer has necessarily seen no rows (reduce
+        // rejects empty vectors), so its count is 0 and dropping it
+        // loses nothing
         if (a.sums.isEmpty) return b
         if (b.sums.isEmpty) return a
+        require(a.sums.length == b.sums.length,
+          s"vector_avg: mixed dimensions ${a.sums.length} vs ${b.sums.length}")
         var i = 0
-        val n = math.min(a.sums.length, b.sums.length)
-        while (i < n) { a.sums(i) += b.sums(i); i += 1 }
+        while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
         a.n += b.n
         a
       }

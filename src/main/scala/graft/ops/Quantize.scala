@@ -156,8 +156,12 @@ object Quantize {
     val subDim = dim / m
     val codebook = (0 until m).map { sub =>
       val vecs = sample.map(_.slice(sub * subDim, (sub + 1) * subDim))
+      // dedupe by VALUE (Array equality is referential — a plain
+      // .distinct would keep duplicates, seeding k-means with
+      // coinciding centroids that never separate)
       var cents: Array[Array[Float]] =
-        vecs.distinct.take(ks).padTo(ks, vecs.head).map(_.clone())
+        vecs.map(_.toSeq).distinct.take(ks).map(_.toArray)
+          .padTo(ks, vecs.head.clone())
       var iter = 0
       while (iter < lloydIters) {
         val sums = Array.fill(ks)(new Array[Double](subDim))

@@ -138,14 +138,8 @@ object Similarity {
       vecCol: String,
       nlist: Int,
       seed: Long = 42L): Seq[Seq[Float]] = {
-    val sampleSize = nlist * 64
-    val sample: Array[Array[Float]] = base
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(sampleSize)
-      .select("v")
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    // the ONE shared index-build sampling primitive (also PQ training)
+    val sample = Quantize.hashSample(base, idCol, vecCol, nlist * 64, seed)
     if (sample.isEmpty) return Seq(Seq(0f))
     val init: Array[Array[Float]] = sample.take(nlist)
     // one Lloyd iteration over the sample: assign, then per-cell mean

@@ -42,7 +42,7 @@ object ChunkQueries {
     // 0..n-1 (violation-count == 0 encoded as booleans the oracle
     // recomputes as TRUE from the same table).
     "a8_chunk_fixed" -> QueryDef(
-      """SELECT doc_id, text AS re,
+      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS re,
         |       TRUE AS within_budget, TRUE AS ids_contiguous
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
@@ -51,11 +51,14 @@ object ChunkQueries {
             .as(Seq("chunk_id", "chunk")))
         .groupBy("doc_id")
         .agg(
-          regexp_replace(array_join(
+          // whitespace-normalized on BOTH sides so the gate is
+          // corpus-independent (raw `text AS re` would false-fail on a
+          // future doc carrying a double space)
+          trim(regexp_replace(array_join(
             transform(
               array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
               c => c.getField("chunk")),
-            " "), "\\s+", " ").as("re"),
+            " "), "\\s+", " ")).as("re"),
           (max(token_count(col("chunk"))) <= 60).as("within_budget"),
           (min(col("chunk_id")) === 0 &&
             max(col("chunk_id")) === count(lit(1)) - 1).as("ids_contiguous"))
@@ -96,7 +99,8 @@ object ChunkQueries {
     // line docs → page 0, tail quirk page 1 == page count).
     "a11_char_chunks" -> QueryDef(
       """SELECT 'doc://' || CAST(doc_id AS VARCHAR) || '.pdf' AS document_url,
-        |       text AS re, TRUE AS ids_contiguous, TRUE AS no_overrun,
+        |       trim(regexp_replace(text, '\s+', ' ', 'g')) AS re,
+        |       TRUE AS ids_contiguous, TRUE AS no_overrun,
         |       TRUE AS nontail_filled, TRUE AS pages_ok
         |FROM documents ORDER BY document_url""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -111,11 +115,11 @@ object ChunkQueries {
         .toDF()
         .groupBy("document_url")
         .agg(
-          regexp_replace(array_join(
+          trim(regexp_replace(array_join(
             transform(
               array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
               c => c.getField("chunk_text")),
-            " "), "\\s+", " ").as("re"),
+            " "), "\\s+", " ")).as("re"),
           (min(col("chunk_id")) === 0 &&
             max(col("chunk_id")) === count(lit(1)) - 1).as("ids_contiguous"),
           // pre-append length was <= 256 ⇒ chunk minus its last word

@@ -234,24 +234,41 @@ final class ChunkStore(
   // ---- single-writer contract (bucketed layout). The reference's
   // store gives per-item atomic upsert; a plain-file bucket rewrite
   // cannot, so concurrent upsert/delete on the SAME store is excluded
-  // by an atomic-create lock file instead: two interleaved rename
-  // sequences could otherwise each stage the other's live bucket
-  // aside and lose one batch. The lock carries writer + timestamp for
-  // diagnosis; a crash leaves it behind by design (fail-closed), and
-  // `recoverStaging()` is the documented operator action that heals
-  // interrupted swaps AND clears the stale lock.
+  // by an atomic-create lock file instead: two interleaved
+  // read-merge-write cycles could otherwise each read pre-write state
+  // and the second swap would silently drop the first batch — which
+  // is why the lock wraps the WHOLE rewrite including the staged
+  // write (the store read executes inside it), not just the renames.
+  // The lock carries writer + timestamp for diagnosis; a crash leaves
+  // it behind by design (fail-closed), and `recoverStaging()` is the
+  // documented operator action that heals interrupted swaps AND
+  // clears the stale lock — after a lock-age check so it cannot be
+  // pointed at a live writer.
   private val lockPath = new Path(path, "_graft_writer_lock")
 
   private def withWriterLock[T](body: => T): T = {
     val f = fs
     val created =
-      try { f.create(lockPath, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = f.create(lockPath, false)
+        try out.write(
+          (s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
+            s"${System.currentTimeMillis()}").getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        // some filesystems signal an existing file with a plain
+        // IOException — only read that as "locked" when the lock is
+        // actually there; anything else is a real I/O failure
+        case e: java.io.IOException =>
+          if (f.exists(lockPath)) false else throw e
+      }
     if (!created) throw new IllegalStateException(
       s"chunk store at $path is locked by another writer ($lockPath " +
         "exists). Bucketed upsert/delete is single-writer; if the " +
         "previous writer crashed, run recoverStaging() to heal " +
-        "interrupted swaps and release the lock.")
+        "interrupted swaps and release the stale lock.")
     try body finally f.delete(lockPath, false)
   }
 
@@ -268,8 +285,12 @@ final class ChunkStore(
     */
   private def rewriteBuckets(ids: Seq[Int], out: DataFrame): Unit = {
     val tmp = new Path(path + ".staging-" + java.util.UUID.randomUUID())
-    out.write.partitionBy(bucketCol).parquet(tmp.toString)
     withWriterLock {
+      // the staged write MATERIALIZES the read-merge plan (rawRead of
+      // live buckets) — it must run under the lock or a concurrent
+      // writer's committed rows could be read-before, merged-without,
+      // and swapped away
+      out.write.partitionBy(bucketCol).parquet(tmp.toString)
       val f = fs
       ids.foreach { b =>
         val dst = new Path(path, s"$bucketCol=$b")
@@ -297,9 +318,26 @@ final class ChunkStore(
     * then the staging directory and any stale writer lock are
     * removed. Idempotent; a no-op on a healthy store. Returns the
     * restored bucket ids.
+    *
+    * Live-writer guard: a writer holds the lock for its WHOLE rewrite
+    * (staging write + swaps), so a lock younger than `minLockAgeMs`
+    * means the writer may still be running — recovery refuses rather
+    * than deleting an active swap out from under it. A crashed
+    * writer's lock only gets older; retry once it crosses the
+    * threshold (or pass 0 when the writer is known dead).
     */
-  def recoverStaging(): Seq[Int] = {
+  def recoverStaging(minLockAgeMs: Long = 10 * 60 * 1000L): Seq[Int] = {
     val f = fs
+    if (f.exists(lockPath)) {
+      val age = System.currentTimeMillis() -
+        f.getFileStatus(lockPath).getModificationTime
+      require(age >= minLockAgeMs,
+        s"chunk store at $path has a writer lock only ${age} ms old " +
+          s"(< $minLockAgeMs): the writer may still be running — " +
+          "recovery would destroy its in-flight swap. Retry once the " +
+          "lock is stale, or pass minLockAgeMs=0 if the writer is " +
+          "known dead.")
+    }
     val parent = new Path(path).getParent
     val name = new Path(path).getName
     val staged =

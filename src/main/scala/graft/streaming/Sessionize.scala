@@ -64,7 +64,11 @@ object Sessionize {
           closed ::= close(userId, s, gapMicros)
           Some(OpenSession(e.tus, e.tus, 1, e.value))
         case Some(s) =>
-          Some(s.copy(last = math.max(s.last, e.tus), n = s.n + 1,
+          // an out-of-order (late but in-watermark) event can precede
+          // the open session's start — the reported [min ts, ...) must
+          // include it
+          Some(s.copy(start = math.min(s.start, e.tus),
+            last = math.max(s.last, e.tus), n = s.n + 1,
             sum = s.sum + e.value))
         case None =>
           Some(OpenSession(e.tus, e.tus, 1, e.value))

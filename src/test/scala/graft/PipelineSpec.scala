@@ -276,8 +276,10 @@ class PipelineSpec extends SparkSpec {
       .close()
     val e = intercept[IllegalStateException](store.upsert(chunks))
     assert(e.getMessage.contains("locked by another writer"))
-    // recovery clears the stale lock; the store then writes again
-    store.recoverStaging()
+    // a fresh lock refuses recovery (the writer may be live)...
+    intercept[IllegalArgumentException](store.recoverStaging())
+    // ...but a known-dead writer's lock clears with minLockAgeMs=0
+    store.recoverStaging(minLockAgeMs = 0L)
     store.upsert(chunks)
     assert(store.read().count() == chunks.count())
   }
@@ -308,14 +310,14 @@ class PipelineSpec extends SparkSpec {
       .close() // the dead writer's lock
     assert(store.read().count() < before.length) // bucket really lost
 
-    val restored = store.recoverStaging()
+    val restored = store.recoverStaging(minLockAgeMs = 0L)
     assert(restored ==
       Seq(victim.getName.stripPrefix("doc_bucket=").toInt))
     val after = store.read().orderBy("document_url", "chunk_id").collect()
     assert(after.toSeq == before.toSeq) // bit-identical store content
     assert(!fs.exists(staging))
     // idempotent on a healthy store
-    assert(store.recoverStaging().isEmpty)
+    assert(store.recoverStaging(minLockAgeMs = 0L).isEmpty)
   }
 
   test("per-document store catalog lists urls without a data scan") {

@@ -213,15 +213,25 @@ class StreamingSpec extends SparkSpec {
     // nothing can close yet: the watermark sits 10 min behind 00:10
     assert(spark.table("custom_sess").count() == 0)
 
+    // a cross-batch OUT-OF-ORDER event (earlier than user 2's open
+    // session start, still inside the watermark) must extend the
+    // session's start backwards
+    input.addData((ts("2024-01-01 00:01:00"), 2L, 1.5))
+    q.processAllAvailable()
+
     // a far-future event advances the watermark past both sessions'
     // close boundaries (+30 min gap) → both time out and emit
     input.addData((ts("2024-01-01 02:00:00"), 3L, 9.0))
     q.processAllAvailable()
     val rows = spark.table("custom_sess")
-      .select("user_id", "n", "sv").as[(Long, Long, Double)]
+      .select("user_id", "session_start", "n", "sv")
+      .as[(Long, Long, Long, Double)]
       .collect().sorted.toSeq
     q.stop()
-    assert(rows == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(rows == Seq(
+      (1L, us("2024-01-01 00:00:00"), 2L, 3.0),
+      (2L, us("2024-01-01 00:01:00"), 2L, 6.5)))
   }
 
   test("custom sessionization batch form ≡ lag+cumsum sessions (C35c)") {
