@@ -65,7 +65,43 @@ object VectorAggregates {
   /** Column form: `vector_avg(embedding)` in an `agg(...)`. */
   def vector_avg(c: Column): Column = vectorAvgUdaf(c)
 
-  /** SQL registration (idempotent): `SELECT vector_avg(embedding) ...`. */
-  def register(spark: SparkSession): Unit =
+  /** Group-level MinHash (the second §2.5 UDAF): the signature of a
+    * GROUP's shingle-set union is the elementwise minimum of its rows'
+    * signatures — exact by the MinHash construction (min over a union
+    * = min of the mins), so per-document signatures fold into
+    * collection-level signatures without touching the texts again.
+    * Fixed-size buffer (k longs), map-side partials.
+    */
+  val minhashAgg: Aggregator[Seq[Long], Array[Long], Seq[Long]] =
+    new Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+      override def zero: Array[Long] = Array.empty
+
+      private def mins(a: Array[Long], b: Seq[Long]): Array[Long] = {
+        if (a.isEmpty) return b.toArray
+        require(a.length == b.length,
+          s"minhash_agg: mixed signature widths ${a.length} vs ${b.length}")
+        var i = 0
+        while (i < a.length) { a(i) = math.min(a(i), b(i)); i += 1 }
+        a
+      }
+
+      override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] =
+        mins(b, v)
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+        if (b.isEmpty) a else mins(a, b.toSeq)
+      override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+      override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+      override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    }
+
+  private lazy val minhashAggUdaf = udaf(minhashAgg)
+
+  /** Column form: `minhash_agg(minhash_signature(text, k, n))`. */
+  def minhash_agg(c: Column): Column = minhashAggUdaf(c)
+
+  /** SQL registration (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.udf.register("vector_avg", vectorAvgUdaf)
+    spark.udf.register("minhash_agg", minhashAggUdaf)
+  }
 }

@@ -521,6 +521,34 @@ object LlmOpsQueries {
         .orderBy("grp")
     },
 
+    // D10: group-level MinHash via the minhash_agg UDAF — the
+    // signature of a document GROUP's shingle union as an elementwise
+    // min fold (collection-level dedup/similarity without rereading
+    // texts). Signatures are engine spec; the gate is a
+    // cross-implementation check: the typed Aggregator must agree
+    // bit-for-bit with the independent posexplode + per-position-min
+    // formulation on every group.
+    "d10_minhash_group" -> QueryDef(
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS g, TRUE AS agg_matches
+        |FROM documents GROUP BY 1 ORDER BY g""".stripMargin) { (s, dir) =>
+      import graft.functions.GraftFunctions.minhash_signature
+      import graft.functions.VectorAggregates.minhash_agg
+      val sigs = Tables(s, dir, "documents")
+        .select((col("doc_id") % 8).as("g"),
+          minhash_signature(col("text"), lit(64), lit(3)).as("sig"))
+      val viaAgg = sigs.groupBy("g").agg(minhash_agg(col("sig")).as("sa"))
+      val viaExplode = sigs
+        .select(col("g"), posexplode(col("sig")).as(Seq("i", "h")))
+        .groupBy("g", "i").agg(min("h").as("h"))
+        .groupBy("g")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("h")))),
+          x => x.getField("h")).as("se"))
+      viaAgg.join(viaExplode, "g")
+        .select(col("g").cast("long").as("g"),
+          (col("sa") === col("se")).as("agg_matches"))
+        .orderBy("g")
+    },
+
     // D8: int8 scalar quantization (the reference's QuantizedFlat
     // vector index scheme). The BIGINT code checksum proves the codes
     // are bit-identical across engines; the boolean pins the

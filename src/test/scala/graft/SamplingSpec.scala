@@ -71,6 +71,33 @@ class SamplingSpec extends SparkSpec {
     assert(viaSql == Seq(2.0, 2.0, 2.0))
   }
 
+  test("minhash_agg folds row signatures into the group-union signature") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.minhash_signature
+    import graft.functions.VectorAggregates.minhash_agg
+    val docs = Tables(spark, sf(), "documents").limit(40)
+      .select((col("doc_id") % 4).as("g"),
+        minhash_signature(col("text"), lit(64), lit(3)).as("sig"))
+    val viaAgg = docs.groupBy("g").agg(minhash_agg(col("sig")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    // cross-implementation check: explode + per-position min
+    val viaExplode = docs
+      .select(col("g"), posexplode(col("sig")).as(Seq("i", "h")))
+      .groupBy("g", "i").agg(min("h").as("h"))
+      .groupBy("g").agg(array_sort(collect_list(struct(col("i"), col("h"))))
+        .as("sh"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)))).toMap
+    assert(viaAgg.keySet == viaExplode.keySet)
+    viaAgg.keySet.foreach(g => assert(viaAgg(g) == viaExplode(g), s"group $g"))
+    // identical groups → identical signatures (union property)
+    val dup = docs.withColumn("g", col("g") + 100)
+    val both = docs.unionByName(dup).groupBy("g")
+      .agg(minhash_agg(col("sig")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    (0L until 4L).foreach(g => assert(both(g) == both(g + 100)))
+  }
+
   test("different salts give near-independent samples; fractions nest") {
     val events = Tables(spark, sf("sf0.01"), "events")
     val a = Sampling.deterministicSample(events, "event_id", 0.2, salt = "a")
