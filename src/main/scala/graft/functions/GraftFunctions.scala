@@ -48,6 +48,11 @@ object GraftFunctions {
     Bridge.column(TokenCount(Bridge.expression(s, text)))
   }
 
+  def nfc_normalize(text: Column): Column = {
+    val s = activeSession
+    Bridge.column(NfcNormalize(Bridge.expression(s, text)))
+  }
+
   def simhash64(text: Column, shingleSize: Column): Column =
     binary(text, shingleSize, SimHash64)
 
@@ -117,6 +122,7 @@ object GraftFunctions {
     "vector_norm" -> (es => VectorNorm(es(0))),
     "chunk_text" -> (es => ChunkText(es(0), es(1), es(2), es(3))),
     "token_count" -> (es => TokenCount(es(0))),
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
     "simhash64" -> (es => SimHash64(es(0), es(1))),
     "minhash_signature" -> (es => MinHashSignature(es(0), es(1), es(2))),
     "word_shingles" -> (es => WordShingles(es(0), es(1))),

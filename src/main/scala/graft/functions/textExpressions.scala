@@ -13,6 +13,17 @@ import graft.chunk.{Chunkers, Tokens}
   */
 object TextOps {
 
+  /** NFC canonical composition; quick-check fast path returns the
+    * input object untouched when it is already normalized.
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** chunk_text kernel: split `text` into lines, pack into paragraphs
     * of ≤ maxTokens (heuristic) with optional overlap; mode "markdown"
     * selects the markdown separator preference (the reference routes
@@ -85,6 +96,33 @@ case class TokenCount(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ops = TextOps.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ops.tokenCount($t);")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `nfc_normalize(text)` → STRING — Unicode NFC canonical composition
+  * (SURVEY D4 normalization): decomposed sequences (e + U+0301)
+  * compose to their canonical form (é), so content hashes, dedup
+  * shingles and fingerprints agree across sources that emit different
+  * Unicode forms of the same text. Kernel = `java.text.Normalizer`
+  * (the JDK's Unicode implementation — deterministic across JVMs);
+  * the quick-check fast path skips allocation for already-NFC input
+  * (virtually all of it).
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "nfc_normalize"
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any): Any =
+    TextOps.nfcNormalize(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = TextOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ops.nfcNormalize($t);")
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

@@ -175,6 +175,50 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup CLUSTERS from a pair graph: connected components by
+    * iterative min-label propagation — every node adopts the minimum
+    * id reachable through its edges, so each duplicate cluster
+    * resolves to one root (its smallest member, the canonical
+    * "keeper"). Converges in O(graph diameter) rounds; dedup graphs
+    * are cliques/short chains, so a handful of iterations suffice and
+    * `maxIter` bounds the worst case (throws on non-convergence
+    * rather than returning partial clusters).
+    *
+    * Scale: each round is one join + one min-aggregate on uniformly
+    * hashed ids; `localCheckpoint` cuts the growing lineage each round
+    * (the classic iterative-join planner blowup) without leaving
+    * anything in the cache manager.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("root", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborRoots = edges
+        .join(labels.select(col("id").as("id2"), col("root")), "id2")
+        .select(col("id1").as("id"), col("root"))
+      val prop = neighborRoots.unionAll(labels)
+        .groupBy("id").agg(min("root").as("root"))
+        .localCheckpoint(true)
+      converged = prop.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.root") =!= col("o.root"))
+        .limit(1).count() == 0L
+      labels = prop
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "the pair graph has a longer path than expected; raise maxIter")
+    labels
+  }
+
   /** Exact word-set Jaccard similarity join (the n-gram Jaccard
     * operator at n=1; SQL-oracle-checkable). Quadratic in candidate
     * rows — callers bound the input (or use [[minhashLshPairs]] as the

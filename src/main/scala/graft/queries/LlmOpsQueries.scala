@@ -86,6 +86,34 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D2e: near-dup CLUSTERS — connected components over the
+    // duplicate-pair graph (min-label propagation), collapsing chains
+    // A~B, B~C into one cluster with the smallest id as root (the
+    // canonical keeper). Two planted copies per document (+1M, +3M)
+    // form 3-cliques; the oracle recomputes every node's root as the
+    // content-group minimum, which equals the component root because
+    // exact-dup edges connect exactly the content groups.
+    "d2e_dedup_clusters" -> QueryDef(
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |  UNION ALL SELECT doc_id + 3000000, text FROM documents)
+        |SELECT doc_id AS id, MIN(doc_id) OVER (PARTITION BY text) AS root
+        |FROM input ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val input = d
+        .unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionAll(d.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      val hashed = input.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val pairs = hashed.as("a")
+        .join(hashed.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id"), col("root"))
+        .orderBy("id")
+    },
+
     // D2 (exact flavor): word-set Jaccard join — fully SQL-checkable.
     "d2c_word_jaccard" -> QueryDef(
       """WITH w AS (SELECT DISTINCT doc_id AS id, UNNEST(string_split(text, ' ')) AS w
@@ -458,6 +486,25 @@ object LlmOpsQueries {
         .agg(round(max(col("c")) * lit(1.0) / sum(col("c")), 6)
           .as("top_word_frac"))
       base.join(top, "doc_id").orderBy("doc_id")
+    },
+
+    // D4j: Unicode NFC normalization — sources emitting decomposed
+    // sequences (e + U+0301) must hash/shingle/fingerprint identically
+    // to composed ones (é). Both sides plant decomposed suffixes
+    // in-query and must produce byte-identical composed output
+    // (DuckDB's nfc_normalize vs the JDK Normalizer — both implement
+    // the Unicode standard).
+    "d4j_nfc_normalize" -> QueryDef(
+      """SELECT doc_id,
+        |       nfc_normalize(text || ' cafe' || chr(769) || ' u'
+        |                     || chr(776) || 'ber') AS t
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.GraftFunctions.nfc_normalize
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          nfc_normalize(concat(col("text"),
+            lit(" cafe\u0301 u\u0308ber"))).as("t"))
+        .orderBy("doc_id")
     },
 
     // D7: deterministic hash-based sampling — reproducible corpus

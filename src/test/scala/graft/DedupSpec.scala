@@ -53,6 +53,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 0.6))) // |∩|=3, |∪|=5
   }
 
+  test("connectedComponents: chains collapse to min-id roots (D2e)") {
+    import spark.implicits._
+    // two chains (1-2-3, 10-11) and an isolated pair (20-21); the
+    // chain is NOT a clique — propagation must walk 2 hops
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id1", "id2")
+    val roots = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(roots == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // a longer path than maxIter allows fails loudly, never partial
+    val chain = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("id1", "id2")
+    intercept[IllegalArgumentException](
+      Dedup.connectedComponents(chain, maxIter = 2))
+  }
+
   test("shingles: n-grams with short-text collapse") {
     import spark.implicits._
     val out = Seq("one two three four", "hi")
