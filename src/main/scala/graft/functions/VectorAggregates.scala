@@ -86,7 +86,10 @@ object VectorAggregates {
       }
 
       override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] =
-        mins(b, v)
+        // null/empty inputs are identity, matching how built-in
+        // aggregates skip nulls (ScalaAggregator does NOT pre-filter
+        // them) and keeping behavior independent of row order
+        if (v == null || v.isEmpty) b else mins(b, v)
       override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
         if (b.isEmpty) a else mins(a, b.toSeq)
       override def finish(b: Array[Long]): Seq[Long] = b.toSeq

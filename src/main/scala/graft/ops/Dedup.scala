@@ -184,16 +184,27 @@ object Dedup {
     * `maxIter` bounds the worst case (throws on non-convergence
     * rather than returning partial clusters).
     *
+    * Output covers exactly the nodes that appear in some pair —
+    * edgeless documents have no duplicates and need no root; union
+    * them back with `root = id` if a total mapping is required.
+    *
     * Scale: each round is one join + one min-aggregate on uniformly
-    * hashed ids; `localCheckpoint` cuts the growing lineage each round
-    * (the classic iterative-join planner blowup) without leaving
-    * anything in the cache manager.
+    * hashed ids (the pair plan itself is checkpointed once, so an
+    * expensive upstream LSH join never re-executes per round);
+    * `localCheckpoint` cuts the growing lineage each round (the
+    * classic iterative-join planner blowup) and the previous round's
+    * blocks are freed eagerly, so storage holds ~2 label-table copies,
+    * not maxIter.
     */
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 10): DataFrame = {
+    // checkpoint the (possibly expensive — LSH band join + verify)
+    // pair plan ONCE: every round re-reads edges, and without this the
+    // whole upstream join would re-execute per round
     val edges = pairs.select(col("id1"), col("id2"))
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint(true)
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("root", col("id"))
       .localCheckpoint(true)
@@ -210,14 +221,31 @@ object Dedup {
         .join(labels.as("o"), "id")
         .filter(col("n.root") =!= col("o.root"))
         .limit(1).count() == 0L
+      // prop is materialized and independent of the old labels — free
+      // the previous round's checkpoint blocks instead of holding up
+      // to maxIter label-table copies in executor storage
+      freeLocalCheckpoint(labels)
       labels = prop
       iter += 1
     }
+    freeLocalCheckpoint(edges)
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "the pair graph has a longer path than expected; raise maxIter")
     labels
   }
+
+  /** Unpersist the block-manager storage behind a `localCheckpoint`ed
+    * frame (Dataset.unpersist only covers CacheManager entries, not
+    * RDD-level checkpoint persistence). Safe once nothing derives from
+    * the frame lazily.
+    */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Exact word-set Jaccard similarity join (the n-gram Jaccard
     * operator at n=1; SQL-oracle-checkable). Quadratic in candidate

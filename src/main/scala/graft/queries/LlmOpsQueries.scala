@@ -95,12 +95,19 @@ object LlmOpsQueries {
     // exact-dup edges connect exactly the content groups.
     "d2e_dedup_clusters" -> QueryDef(
       """WITH input AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
-        |  UNION ALL SELECT doc_id + 3000000, text FROM documents)
+        |                 WHERE text IS NOT NULL
+        |  UNION ALL SELECT doc_id + 3000000, text FROM documents
+        |                 WHERE text IS NOT NULL)
         |SELECT doc_id AS id, MIN(doc_id) OVER (PARTITION BY text) AS root
         |FROM input ORDER BY id""".stripMargin) { (s, dir) =>
-      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      // NULL-text guard on BOTH sides: sha2(NULL) joins nothing in
+      // Spark (edgeless nodes are absent from component output) while
+      // DuckDB's window would group NULLs into one partition
+      val d = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
       val input = d
         .unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
         .unionAll(d.select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
