@@ -240,7 +240,7 @@ object Dedup {
     * RDD-level checkpoint persistence). Safe once nothing derives from
     * the frame lazily.
     */
-  private def freeLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(false)

@@ -257,6 +257,33 @@ class StreamingSpec extends SparkSpec {
     assert(viaLag.exceptAll(custom).count() == 0)
   }
 
+  test("incremental near-dup detection across micro-batches (D2 streaming)") {
+    import spark.implicits._
+    import graft.pipeline.StreamingDedup
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-sigstore").toString + "/sigs"
+    def run(rows: (Long, String)*): Map[Long, Long] =
+      StreamingDedup.processBatch(spark, rows.toSeq.toDF("doc_id", "text"),
+          store, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val base = Tables(spark, sf(), "documents").limit(3)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    // batch 1: three fresh docs — no store yet, no matches
+    assert(run(base.toIndexedSeq: _*).isEmpty)
+    // batch 2: a re-upload of doc 0 (new id) + one genuinely new doc
+    val m2 = run((100L, base(0)._2), (101L, base(0)._2 + " " + base(1)._2 * 3))
+    assert(m2 == Map(100L -> base(0)._1))
+    // batch 3: a copy of batch 2's NEW doc must match it (the store
+    // accumulated it), and the re-upload's signature was NOT added
+    val m3 = run((200L, base(0)._2 + " " + base(1)._2 * 3))
+    assert(m3 == Map(200L -> 101L))
+    // determinism: an identical re-run matches the same way
+    val m4 = run((300L, base(0)._2))
+    assert(m4 == Map(300L -> base(0)._1))
+  }
+
   test("function registration is session-isolated and idempotent") {
     // injection path: applying the extension class must cover every
     // registered builder without throwing
