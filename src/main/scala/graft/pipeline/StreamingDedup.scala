@@ -27,6 +27,11 @@ object StreamingDedup {
     * (id, existing_id, est_jaccard) and appends the non-duplicates'
     * signatures to the store. Batch form of the `foreachBatch` body —
     * "the batch is a bounded stream".
+    *
+    * Contract: detects CROSS-batch duplicates (vs the accumulated
+    * store). Duplicates WITHIN one batch are the batch-level
+    * operators' job ([[graft.ops.Dedup.minhashLshPairs]]) — run one
+    * before this when a single batch may carry its own re-uploads.
     */
   def processBatch(
       spark: SparkSession,
@@ -54,15 +59,9 @@ object StreamingDedup {
     val storeExists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
 
     val matches = if (!storeExists) {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("existing_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("est_jaccard",
-            org.apache.spark.sql.types.DoubleType))))
+      // typed empty frame: id columns keep the caller's id type
+      signed.select(col("id"), col("id").as("existing_id"),
+        lit(0.0).as("est_jaccard")).limit(0)
     } else {
       val store = spark.read.parquet(storePath)
       banded.as("n")
