@@ -64,4 +64,30 @@ object Curation {
       .filter(col("keep"))
       .drop("quality", "lang", "is_duplicate", "in_sample",
         "drop_reason", "keep")
+
+  /** NEAR-duplicate annotation: MinHash-LSH pairs cluster via
+    * connected components and every non-root cluster member is flagged
+    * with its cluster root (the canonical keeper — smallest id). Exact
+    * duplicates are a special case (Jaccard 1), so this subsumes
+    * [[annotate]]'s `is_duplicate` at the cost of the LSH band join.
+    * Adds `near_dup_root` (null = keeper or unique) and
+    * `is_near_duplicate`.
+    */
+  def annotateNearDups(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(
+      docs.select(col(idCol), col(textCol)), idCol, textCol,
+      threshold = jaccardThreshold)
+    // generous round bound: rounds only run while unconverged, and an
+    // organic near-dup CHAIN (not clique) can be longer than a dedup
+    // clique's diameter
+    val roots = Dedup.connectedComponents(pairs, maxIter = 20)
+      .filter(col("id") =!= col("root")) // keepers carry no flag
+      .select(col("id").as(idCol), col("root").as("near_dup_root"))
+    docs.join(roots, Seq(idCol), "left")
+      .withColumn("is_near_duplicate", col("near_dup_root").isNotNull)
+  }
 }

@@ -87,6 +87,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // P4: NEAR-duplicate removal in the curation pipeline — MinHash
+    // pairs cluster via connected components; non-root members flag
+    // with their cluster root. The gate pins the guaranteed invariant:
+    // a planted tail-edited copy (+1M) pairs with its source (Jaccard
+    // ≫ 0.5 — d2 measures 100% planted recall at both SFs) and its id
+    // exceeds every potential cluster member, so it can never be a
+    // root → EVERY copy must flag, with a root below the copy-id
+    // offset. (Originals aren't gated: the corpus carries ~100 organic
+    // near-dup pairs that legitimately flag engine-side.)
+    "p4_near_dup_curation" -> QueryDef(
+      """SELECT doc_id + 1000000 AS id, TRUE AS flagged, TRUE AS root_is_original
+        |FROM documents ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val input = d.unionAll(
+        d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" tail edit")).as("text")))
+      graft.ops.Curation.annotateNearDups(input, "doc_id", "text",
+          jaccardThreshold = 0.5)
+        .filter(col("doc_id") >= 1000000L)
+        .select(col("doc_id").as("id"),
+          col("is_near_duplicate").as("flagged"),
+          (col("near_dup_root") < 1000000L).as("root_is_original"))
+        .orderBy("id")
+    },
+
     // Raw pipeline output surface. Embedding VALUES are spec'd by the
     // deterministic embedder (not SQL), so the embedding projects to
     // its unit norm plus a well-formedness check of the sha2 content
