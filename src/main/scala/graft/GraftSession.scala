@@ -21,10 +21,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // runtime bloom filters push a small join side's key set into the
-      // big side's scan (the StreamingDedup probe relies on it) —
-      // default-on in recent Spark, pinned here so the SCALE.md claim
-      // is self-supporting
+      // runtime bloom filters push a selective join side's key set into
+      // the other side's shuffle scan (fact-fact joins after selective
+      // filters) — default-on in recent Spark, pinned so plans don't
+      // shift across versions. NOTE: does not fire for broadcast joins
+      // over bare scans (Spark injects only when the application side
+      // probably shuffles).
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -33,6 +33,27 @@ class CurationSpec extends SparkSpec {
     assert(ann.size == 5)       // total: every row annotated
   }
 
+  test("annotateNearDups flags non-root cluster members with their root (P4)") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again ok"
+    val docs = Seq(
+      (1L, a),                    // cluster root
+      (5L, a + " tail edit"),     // near-dup of 1
+      (9L, a + " other tail"),    // near-dup of 1 (chains via shingles)
+      (3L, "completely different words about ships and harbors at dawn"))
+      .toDF("doc_id", "text")
+    val ann = graft.ops.Curation
+      .annotateNearDups(docs, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("doc_id", "is_near_duplicate", "near_dup_root")
+      .collect()
+      .map(r => (r.getLong(0), (r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(ann(1L) == (false, -1L)) // root: not flagged
+    assert(ann(5L) == (true, 1L))
+    assert(ann(9L) == (true, 1L))
+    assert(ann(3L) == (false, -1L)) // unique doc untouched
+  }
+
   test("curate keeps exactly the keep rows and drops audit columns") {
     import spark.implicits._
     val docs = Seq((1L, goodText), (2L, goodText), (3L, "zz"))

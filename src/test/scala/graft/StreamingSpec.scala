@@ -262,10 +262,12 @@ class StreamingSpec extends SparkSpec {
     import graft.pipeline.StreamingDedup
     val store = java.nio.file.Files
       .createTempDirectory("graft-sigstore").toString + "/sigs"
-    def run(rows: (Long, String)*): Map[Long, Long] =
+    // exact PAIR SETS, not a map: a wrongly-appended signature would
+    // produce extra matches that .toMap would silently collapse
+    def run(rows: (Long, String)*): Set[(Long, Long)] =
       StreamingDedup.processBatch(spark, rows.toSeq.toDF("doc_id", "text"),
           store, threshold = 0.8)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val base = Tables(spark, sf(), "documents").limit(3)
       .select("doc_id", "text").as[(Long, String)].collect()
@@ -274,14 +276,20 @@ class StreamingSpec extends SparkSpec {
     assert(run(base.toIndexedSeq: _*).isEmpty)
     // batch 2: a re-upload of doc 0 (new id) + one genuinely new doc
     val m2 = run((100L, base(0)._2), (101L, base(0)._2 + " " + base(1)._2 * 3))
-    assert(m2 == Map(100L -> base(0)._1))
+    assert(m2 == Set((100L, base(0)._1)))
     // batch 3: a copy of batch 2's NEW doc must match it (the store
-    // accumulated it), and the re-upload's signature was NOT added
+    // accumulated it), and the re-upload's signature was NOT added —
+    // exactly ONE pair, not also (200, 100)
     val m3 = run((200L, base(0)._2 + " " + base(1)._2 * 3))
-    assert(m3 == Map(200L -> 101L))
-    // determinism: an identical re-run matches the same way
+    assert(m3 == Set((200L, 101L)))
+    // a later copy of doc 0 matches ONLY the original (the batch-2
+    // re-upload's signature must not be in the store)
     val m4 = run((300L, base(0)._2))
-    assert(m4 == Map(300L -> base(0)._1))
+    assert(m4 == Set((300L, base(0)._1)))
+    // at-least-once replay: re-processing doc 300 under its ORIGINAL
+    // id must not self-match; it matches only doc 0 again
+    val m5 = run((300L, base(0)._2))
+    assert(m5 == Set((300L, base(0)._1)))
   }
 
   test("function registration is session-isolated and idempotent") {
