@@ -85,18 +85,46 @@ object Similarity {
       seed: Long = 42L,
       numTables: Int = 1): DataFrame = {
     require(numTables >= 1, s"numTables=$numTables")
-    val tableBuckets = array((0 until numTables).map(t =>
-      lshBucket(col(vecCol), dim, numPlanes, seed + t)): _*)
     val b = base.select(col(idCol).as("nn_id"), col(vecCol).as("bv"),
-      posexplode(tableBuckets).as(Seq("tbl", "bucket")))
+      posexplode(lshTableBuckets(col(vecCol), dim, numPlanes, seed,
+        numTables)).as(Seq("tbl", "bucket")))
+    lshSearch(b, probes, idCol, vecCol, k, dim, numPlanes, seed, numTables)
+  }
+
+  /** All `numTables` hyperplane buckets of a vector as one array —
+    * the per-row index columns a persistent LSH index materializes
+    * ([[VectorIndex]]); one scan computes every table's bucket.
+    */
+  private[graft] def lshTableBuckets(vecCol: org.apache.spark.sql.Column,
+      dim: Int, numPlanes: Int, seed: Long, numTables: Int):
+      org.apache.spark.sql.Column =
+    array((0 until numTables).map(t =>
+      lshBucket(vecCol, dim, numPlanes, seed + t)): _*)
+
+  /** The LSH search stage over an already-banded base
+    * `(nn_id, bv, tbl, bucket)` — shared between the transient
+    * [[lshAnnJoin]] and the prebuilt-index path
+    * ([[VectorIndex.queryLsh]]), so both produce identical results.
+    */
+  private[graft] def lshSearch(
+      banded: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      numPlanes: Int,
+      seed: Long,
+      numTables: Int): DataFrame = {
     val flips = lit(0) +: (0 until numPlanes).map(i => lit(1 << i))
     val p = probes
       .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-        posexplode(tableBuckets).as(Seq("tbl", "bucket0")))
+        posexplode(lshTableBuckets(col(vecCol), dim, numPlanes, seed,
+          numTables)).as(Seq("tbl", "bucket0")))
       .select(col("probe_id"), col("pv"), col("tbl"),
         explode(array(flips.map(f => col("bucket0").bitwiseXOR(f)): _*))
           .as("bucket"))
-    b.join(broadcast(p), Seq("tbl", "bucket"))
+    banded.join(broadcast(p), Seq("tbl", "bucket"))
       .select(col("probe_id"), col("nn_id"),
         round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
       // a pair can match via several probed buckets/tables → dedup
@@ -224,22 +252,67 @@ object Similarity {
       ks: Int = 16,
       rerankPerProbe: Int = 64,
       seed: Long = 42L): DataFrame = {
-    import graft.ops.Quantize
     val cents = ivfCentroids(base, idCol, vecCol, nlist, seed)
     val model = Quantize.trainPqResiduals(base, idCol, vecCol, cents,
       m, ks, seed)
-    val centsLit = typedlit(cents.map(_.toSeq))
-    def residual(vec: org.apache.spark.sql.Column,
-        cell: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      zip_with(vec, element_at(centsLit, cell + lit(1)),
-        (a, b) => a - b).cast("array<float>")
+    ivfPqSearch(
+      ivfPqIndexFrame(base, idCol, vecCol, cents, model),
+      base.select(col(idCol).as("nn_id"), col(vecCol).as("bvx")),
+      probes, idCol, vecCol, k, nprobe, rerankPerProbe, cents, model)
+  }
 
-    // the stored index: cell + residual PQ codes, NO float column
-    val b = base
+  /** The residual of `vec` against its assigned cell's centroid. */
+  private def ivfResidual(cents: Seq[Seq[Float]])(
+      vec: org.apache.spark.sql.Column,
+      cell: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(vec, element_at(typedlit(cents.map(_.toSeq)), cell + lit(1)),
+      (a, b) => a - b).cast("array<float>")
+
+  /** The per-row IVF-PQ index columns `(nn_id, cell, pq)`: nearest
+    * coarse cell + PQ codes of the residual, NO float column. This is
+    * the frame a persistent index materializes once
+    * ([[VectorIndex.buildIvfPq]]); [[ivfPqAnnJoin]] computes it
+    * transiently.
+    */
+  private[graft] def ivfPqIndexFrame(
+      base: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[Seq[Float]],
+      model: Quantize.PqModel,
+      keepVec: Boolean = false): DataFrame = {
+    val assigned = base
       .select(col(idCol).as("nn_id"), col(vecCol).as("bv"),
         nearestCentroid(col(vecCol), cents).as("cell"))
-      .select(col("nn_id"), col("cell"),
-        Quantize.pqCodes(residual(col("bv"), col("cell")), model).as("pq"))
+    val codes = Quantize.pqCodes(
+      ivfResidual(cents)(col("bv"), col("cell")), model).as("pq")
+    // a persistent index stores the floats ALONGSIDE the codes in one
+    // table: Parquet column pruning keeps the coarse stage reading only
+    // (nn_id, cell, pq) while the rerank join fetches (nn_id, vec)
+    if (keepVec)
+      assigned.select(col("nn_id"), col("cell"), codes, col("bv").as("vec"))
+    else assigned.select(col("nn_id"), col("cell"), codes)
+  }
+
+  /** The IVF-PQ search stage over an already-indexed base — shared
+    * between the transient [[ivfPqAnnJoin]] and the prebuilt-index
+    * path ([[VectorIndex.queryIvfPq]]) so both produce identical
+    * results. `indexed` carries `(nn_id, cell, pq)`; `floats` carries
+    * `(nn_id, bvx)` and is scanned only by the candidate-bounded
+    * rerank join.
+    */
+  private[graft] def ivfPqSearch(
+      indexed: DataFrame,
+      floats: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      rerankPerProbe: Int,
+      cents: Seq[Seq[Float]],
+      model: Quantize.PqModel): DataFrame = {
+    val residual = ivfResidual(cents) _
 
     // nprobe nearest cells per probe, carrying the probe's residual
     val probeCells = probes
@@ -253,7 +326,7 @@ object Similarity {
       .select(col("probe_id"), col("pv"), col("cell"),
         residual(col("pv"), col("cell")).as("pres"))
 
-    val coarse = b.join(broadcast(probeCells), "cell")
+    val coarse = indexed.join(broadcast(probeCells), "cell")
       .select(col("probe_id"), col("nn_id"), col("pv"),
         round(graft.functions.GraftFunctions.l2_distance(col("pres"),
           Quantize.pqReconstruct(col("pq"), model).cast("array<float>")), 6)
@@ -265,8 +338,7 @@ object Similarity {
 
     // exact rerank: floats fetched ONLY for the surviving candidates
     coarse
-      .join(base.select(col(idCol).as("nn_id"), col(vecCol).as("bvx")),
-        "nn_id")
+      .join(floats, "nn_id")
       .select(col("probe_id"), col("nn_id"),
         round(cosine_distance(col("bvx"), col("pv")), 6).as("dist"))
       .withColumn("rn", row_number().over(

@@ -5,7 +5,7 @@ import graft.Tables
 import graft.embed.DeterministicEmbedder
 import graft.multimodal.{Media, StubMediaDecoder}
 import graft.pipeline.IngestPipeline
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Similarity, TextAnalysis, VectorIndex}
 
 /** Tier D — LLM-data-pipeline operators through the conformance gate
   * (SURVEY §2.4) plus the Tier B full-text surface (B4). Oracle
@@ -228,6 +228,34 @@ object LlmOpsQueries {
         .crossJoin(approx.agg(count(lit(1)).as("napprox")))
         .select((col("nhits") >= lit(25)).as("recall_ok"),
           (col("napprox") === lit(50)).as("complete_topk"))
+    },
+
+    // D3 index lifecycle (the reference's actual architecture: the
+    // vector index is PROVISIONED once and every query reuses it —
+    // CosmosDBClientWrapper.cs:119-144). The gate builds a stamped
+    // IVF-PQ index table once, then queries it with ZERO training
+    // work (model from the stamp, per-row codes from the table) and
+    // requires the answers to be row-identical to the retrain path
+    // (d3d's operator with the same parameters) and every probe to
+    // get a full top-5.
+    "d3e_ann_index" -> QueryDef(
+      "SELECT TRUE AS index_identical, TRUE AS complete_topk") { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+      // deterministic per-sf scratch path; rebuild is idempotent
+      val path = s"/tmp/graft-vindex-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      VectorIndex.buildIvfPq(e, path, "vec_id", "embedding",
+        nlist = 16, m = 8, ks = 16)
+      val viaIndex = VectorIndex.queryIvfPq(s, path, probes, k = 5,
+        nprobe = 4, rerankPerProbe = 96)
+      val retrain = Similarity.ivfPqAnnJoin(e, probes,
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
+        rerankPerProbe = 96)
+      val diff = viaIndex.exceptAll(retrain)
+        .unionAll(retrain.exceptAll(viaIndex))
+      diff.agg((count(lit(1)) === 0).as("index_identical"))
+        .crossJoin(viaIndex.agg((count(lit(1)) === lit(50))
+          .as("complete_topk")))
     },
 
     // D6: embedding-cosine near-duplicate pairs.

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.ops.{Quantize, Similarity, VectorIndex}
+
+/** Persistent vector-index lifecycle (SURVEY B2/D3 at-scale form):
+  * build writes a stamped index table; query answers from the stamp +
+  * table alone — bit-identical to the transient retrain path and with
+  * provably no access to the training inputs.
+  */
+class IndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sf(), "embeddings").cache()
+
+  private def tmp(name: String): String = {
+    val d = s"/tmp/graft-index-spec/${getClass.getSimpleName}-$name"
+    val p = new Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    d
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("probe_id"), col("nn_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("ivfpq: prebuilt index answers identically to the retrain path") {
+    val path = tmp("ivfpq-identical")
+    VectorIndex.buildIvfPq(emb, path, "vec_id", "embedding",
+      nlist = 16, m = 8, ks = 16)
+    val probes = emb.filter(col("vec_id") < 10)
+    val viaIndex = VectorIndex.queryIvfPq(spark, path, probes, k = 5,
+      nprobe = 4, rerankPerProbe = 96)
+    val retrain = Similarity.ivfPqAnnJoin(emb, probes, "vec_id",
+      "embedding", k = 5, nlist = 16, nprobe = 4, rerankPerProbe = 96)
+    assert(rows(viaIndex) == rows(retrain))
+    assert(viaIndex.count() == 50)
+  }
+
+  test("ivfpq: query touches neither the training inputs nor a trainer " +
+      "(base deleted after build)") {
+    val path = tmp("ivfpq-noretrain")
+    val basePath = tmp("ivfpq-noretrain-base")
+    emb.select("vec_id", "embedding").write.parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    VectorIndex.buildIvfPq(base, path, "vec_id", "embedding")
+
+    // delete the training inputs: any retraining / code recomputation
+    // in the query path would now fail loudly
+    val p = new Path(basePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+
+    val probes = emb.filter(col("vec_id") < 10)
+    val out = VectorIndex.queryIvfPq(spark, path, probes, k = 5)
+    assert(out.count() == 50)
+    // and the answers still match a retrain over the (identical) source
+    val retrain = Similarity.ivfPqAnnJoin(emb, probes, "vec_id",
+      "embedding", k = 5)
+    assert(rows(out) == rows(retrain))
+  }
+
+  test("lsh: prebuilt index answers identically to the transient join") {
+    val path = tmp("lsh-identical")
+    VectorIndex.buildLsh(emb, path, "vec_id", "embedding", dim = 64,
+      numPlanes = 8, numTables = 2)
+    val probes = emb.filter(col("vec_id") < 20)
+    val viaIndex = VectorIndex.queryLsh(spark, path, probes, k = 5)
+    val transient = Similarity.lshAnnJoin(emb, probes, "vec_id",
+      "embedding", k = 5, dim = 64, numPlanes = 8, numTables = 2)
+    assert(rows(viaIndex) == rows(transient))
+  }
+
+  test("q8: prebuilt index matches topKQuantized on (id, dist)") {
+    val path = tmp("q8-identical")
+    VectorIndex.buildQ8(emb, path, "vec_id", "embedding")
+    val queryVec = emb.filter(col("vec_id") === 7L)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val viaIndex = VectorIndex.queryQ8(spark, path, queryVec, k = 10)
+      .select(col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val transient = Quantize.topKQuantized(
+        Quantize.withIndexColumns(emb, "embedding"), queryVec, k = 10,
+        idCol = "vec_id")
+      .select(col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(viaIndex == transient)
+    // the query vector itself is in the base: self must rank top-1
+    assert(VectorIndex.queryQ8(spark, path, queryVec, k = 1)
+      .select("vec_id").collect().head.getLong(0) == 7L)
+  }
+
+  test("stamp round-trips the trained model exactly") {
+    val cents = Seq(Seq(0.1f, -2.5e-8f), Seq(Float.MinPositiveValue, 3f))
+    val model = Quantize.PqModel(2, 2, 1,
+      Seq(Seq(Seq(1.5f), Seq(-0.25f)), Seq(Seq(1e-30f), Seq(7f))))
+    val meta = VectorIndex.Meta("ivfpq", "id", "v", 2, 42L, 2, 0, 0,
+      cents, Some(model))
+    assert(VectorIndex.parse(VectorIndex.render(meta), "t") == meta)
+  }
+
+  test("querying a missing or kind-mismatched index fails loudly") {
+    val none = intercept[IllegalArgumentException] {
+      VectorIndex.queryIvfPq(spark, tmp("absent"),
+        emb.filter(col("vec_id") < 1), k = 1)
+    }
+    assert(none.getMessage.contains("no vector index"))
+
+    val path = tmp("kind-mismatch")
+    VectorIndex.buildQ8(emb.filter(col("vec_id") < 50), path,
+      "vec_id", "embedding")
+    val wrong = intercept[IllegalArgumentException] {
+      VectorIndex.queryIvfPq(spark, path,
+        emb.filter(col("vec_id") < 1), k = 1)
+    }
+    assert(wrong.getMessage.contains("kind"))
+  }
+
+  test("rebuild overwrites: query reflects the new base, not the old") {
+    val path = tmp("rebuild")
+    VectorIndex.buildQ8(emb.filter(col("vec_id") < 100), path,
+      "vec_id", "embedding")
+    val queryVec = emb.filter(col("vec_id") === 200L)
+      .select("embedding").collect().head.getSeq[Float](0)
+    // vec 200 is absent from the first build…
+    val before = VectorIndex.queryQ8(spark, path, queryVec, k = 1)
+      .select("vec_id").collect().head.getLong(0)
+    assert(before != 200L)
+    // …and present after the rebuild over the wider base
+    VectorIndex.buildQ8(emb.filter(col("vec_id") < 300), path,
+      "vec_id", "embedding")
+    val after = VectorIndex.queryQ8(spark, path, queryVec, k = 1)
+      .select("vec_id").collect().head.getLong(0)
+    assert(after == 200L)
+  }
+}
