@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus curation (the composed training-data filter): one
@@ -30,19 +29,41 @@ object Curation {
     * minimum-id holder of its exact content group), in_sample, keep,
     * and drop_reason ∈ {quality, lang, duplicate, sample, ''} — the
     * first failing check in that fixed order ('' = kept).
+    *
+    * Duplicate-flag shape: the exchange under the duplicate check
+    * carries ONLY (hash, id) — the corpus text never crosses the wire.
+    * A window keyed on sha2(text) over the full rows would compute the
+    * same boolean but ship every column (i.e. the whole corpus)
+    * through its exchange; instead the narrow (hash, id) projection
+    * aggregates to a per-content min-id table (map-side partial min),
+    * the non-keeper ids fall out of one narrow join that reuses the
+    * aggregation's partitioning, and the resulting duplicate-id list
+    * — 8 bytes per DUPLICATE, not per row — broadcast-joins back onto
+    * the untouched full rows. (If a corpus ever carries more
+    * duplicates than fit a broadcast, drop the hint and the join-back
+    * degrades to a shuffle on the id; the text column still moves at
+    * most once, same as the window formulation's floor.)
     */
   def annotate(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       cfg: Config = Config()): DataFrame = {
-    val byContent = Window.partitionBy(sha2(col(textCol), 256))
+    require(!docs.columns.contains("__dup"),
+      "__dup is reserved by Curation.annotate")
+    val narrow = docs.select(
+      sha2(col(textCol), 256).as("__h"), col(idCol).as("__id"))
+    val minIds = narrow.groupBy("__h").agg(min(col("__id")).as("__min"))
+    val dupIds = narrow.join(minIds, Seq("__h"))
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__id").as(idCol), lit(true).as("__dup"))
     docs
+      .join(broadcast(dupIds), Seq(idCol), "left")
       .withColumn("quality",
         TextAnalysis.qualityScore(col(textCol)))
       .withColumn("lang", TextAnalysis.langId(col(textCol)))
-      .withColumn("is_duplicate",
-        min(col(idCol)).over(byContent) =!= col(idCol))
+      .withColumn("is_duplicate", coalesce(col("__dup"), lit(false)))
+      .drop("__dup")
       .withColumn("in_sample",
         Sampling.inHashSample(col(idCol), cfg.sampleFraction, cfg.sampleSalt))
       .withColumn("drop_reason",

@@ -208,24 +208,31 @@ object Dedup {
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("root", col("id"))
       .localCheckpoint(true)
+    val idType = edges.schema("id1").dataType
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // ONE join per round: the previous root rides through the
+      // propagation aggregate (each id has exactly ONE labels row, so
+      // min over the null-padded `own` column recovers it), and the
+      // convergence check is a short-circuit scan of the materialized
+      // result — not a second full join against the old labels
       val neighborRoots = edges
         .join(labels.select(col("id").as("id2"), col("root")), "id2")
-        .select(col("id1").as("id"), col("root"))
-      val prop = neighborRoots.unionAll(labels)
-        .groupBy("id").agg(min("root").as("root"))
+        .select(col("id1").as("id"), col("root"),
+          lit(null).cast(idType).as("own"))
+      val prop = neighborRoots
+        .unionAll(labels.select(col("id"), col("root"),
+          col("root").as("own")))
+        .groupBy("id").agg(min("root").as("root"), min("own").as("prev"))
         .localCheckpoint(true)
-      converged = prop.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.root") =!= col("o.root"))
+      converged = prop.filter(col("root") =!= col("prev"))
         .limit(1).count() == 0L
       // prop is materialized and independent of the old labels — free
       // the previous round's checkpoint blocks instead of holding up
       // to maxIter label-table copies in executor storage
       freeLocalCheckpoint(labels)
-      labels = prop
+      labels = prop.select("id", "root")
       iter += 1
     }
     freeLocalCheckpoint(edges)

@@ -176,6 +176,31 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("array_contains"), p.take(2000))
   }
 
+  test("curation duplicate check never ships the corpus text through " +
+      "an exchange") {
+    // the is_duplicate flag must come from the narrow (hash, id)
+    // aggregate + broadcast join-back — a window over sha2(text) on
+    // the full rows would ship every column (the whole corpus at
+    // 100 TB) through its exchange to compute one boolean
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val df = graft.ops.Curation.annotate(docs, "doc_id", "text")
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"corpus text crosses an exchange: ${names.mkString(", ")}")
+    }
+    // and the docs side joins the duplicate flags by broadcast
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet
