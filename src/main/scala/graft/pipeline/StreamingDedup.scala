@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Dedup
@@ -14,22 +14,56 @@ import graft.ops.Dedup
   * corpus, not the ingest volume.
   *
   * Scale design: the store holds EXPLODED band keys
-  * `(band, key, id, sig)` partitioned by `band`; the per-batch probe
-  * is an equi-join on (band, key) — the batch side is tiny and
-  * broadcasts, so the store never shuffles. The store SCAN is
-  * O(unique corpus) per probe: right for cadence-driven dedup;
-  * sub-second micro-batches should batch probes or compact the store
-  * into a bucketed layout. Verification uses the signature-estimated
-  * Jaccard (equal-position fraction) — texts are never stored, so the
-  * store is ~(numHashes+bands)×8 bytes per document at any corpus
-  * size. The signature parameters are STAMPED into the store on
-  * bootstrap and validated per call: probing a store built with a
-  * different fold would silently match nothing.
+  * `(band, key, id, sig)` partitioned by `(band, bkt)` where `bkt`
+  * hashes the band key into [[defaultBuckets]] partition buckets. The
+  * per-batch probe is an equi-join on (band, key) — the batch side is
+  * tiny and broadcasts, so the store never shuffles — and the probed
+  * (band, bkt) pairs are pushed as PARTITION filters, so a micro-batch
+  * of B documents lists only its ≤ B×bands matching bucket directories
+  * instead of scanning the accumulated store: probe cost follows the
+  * BATCH size, not the corpus size (the bands×buckets grain — 4096
+  * directories at the defaults — keeps a 10-doc batch under 4% of the
+  * store even before file statistics). Stores written by older builds
+  * (partitioned by band only) are still probed correctly — via a full
+  * scan — and [[compact]] migrates them to the bucketed layout, also
+  * collapsing any replay-appended duplicate rows and rewriting each
+  * bucket as one file (append-per-micro-batch accumulates small
+  * files). Verification uses the signature-estimated Jaccard
+  * (equal-position fraction) — texts are never stored, so the store is
+  * ~(numHashes+bands)×8 bytes per document at any corpus size. The
+  * signature parameters are STAMPED into the store on bootstrap and
+  * validated per call: probing a store built with a different fold
+  * would silently match nothing.
   */
 object StreamingDedup {
 
-  private def paramsTag(numHashes: Int, bands: Int, shingleSize: Int) =
-    s"numHashes=$numHashes bands=$bands shingles=$shingleSize"
+  /** Partition buckets per band for newly bootstrapped stores. */
+  val defaultBuckets = 256
+
+  /** Above this many probed (band, bucket) pairs the partition filter
+    * is dropped and the probe degrades to the full-store scan: a batch
+    * that large touches most buckets anyway, and an unbounded literal
+    * set is the Catalyst expression-size trap (it becomes a driver-side
+    * InSet, so the bound is memory hygiene, not codegen).
+    */
+  private val maxPruneLiterals = 100000
+
+  private def paramsTag(numHashes: Int, bands: Int, shingleSize: Int,
+      buckets: Option[Int]) =
+    s"numHashes=$numHashes bands=$bands shingles=$shingleSize" +
+      buckets.map(b => s" buckets=$b").getOrElse("")
+
+  private def parseTag(tag: String): Map[String, String] =
+    tag.split(" ").filter(_.contains("=")).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      k -> v
+    }.toMap
+
+  /** The partition bucket of a band key — MUST match between append
+    * and probe, so it is derived only from the stored key.
+    */
+  private def bucketOf(key: Column, buckets: Int): Column =
+    pmod(xxhash64(key), lit(buckets.toLong))
 
   /** One micro-batch: returns the duplicate matches
     * (id, existing_id, est_jaccard) and appends the non-duplicates'
@@ -46,7 +80,7 @@ object StreamingDedup {
     *    the replayed docs as unique instead of self-duplicates —
     *    idempotent modulo the duplicate store rows the replay appends,
     *    which are harmless (same band/key/sig) and collapse at the
-    *    next compaction.
+    *    next [[compact]].
     */
   def processBatch(
       spark: SparkSession,
@@ -72,20 +106,25 @@ object StreamingDedup {
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tagPath = new Path(root, "_graft_dedup_params")
-    val tag = paramsTag(numHashes, bands, shingleSize)
 
     // "store exists" must mean DATA exists: an empty first batch
     // leaves a file-less directory whose parquet read would fail
     val storeHasData = fs.exists(tagPath)
-    if (storeHasData) {
+    // bucketed layout for new stores; an existing store's layout is a
+    // STORE property read from its stamp (legacy band-only stores have
+    // no buckets entry and keep full-scan probes until compacted)
+    val storeBuckets: Option[Int] = if (storeHasData) {
       val in = fs.open(tagPath)
       val onDisk = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
-      require(onDisk == tag,
+      val kv = parseTag(onDisk)
+      val sigTag = paramsTag(numHashes, bands, shingleSize, None)
+      require(parseTag(sigTag).forall { case (k, v) => kv.get(k).contains(v) },
         s"signature store at $storePath was built with '$onDisk' but " +
-          s"probed with '$tag' — signatures are incompatible across " +
+          s"probed with '$sigTag' — signatures are incompatible across " +
           "parameter changes; rebuild the store or match the parameters")
-    }
+      kv.get("buckets").map(_.toInt)
+    } else Some(defaultBuckets)
 
     val matches = if (!storeHasData) {
       // typed empty frame: id columns keep the caller's id type
@@ -93,8 +132,24 @@ object StreamingDedup {
         lit(0.0).as("est_jaccard")).limit(0)
     } else {
       val store = spark.read.parquet(storePath)
+      // bucketed store: push the probed (band, bucket) pairs down as a
+      // partition filter — the scan lists only the batch's buckets.
+      // The pair ids are ≤ batch×bands longs collected from the tiny
+      // (already-materialized) batch side.
+      val probed = storeBuckets match {
+        case Some(nb) if store.columns.contains("bkt") =>
+          val pairIds = banded.select(
+              (col("band").cast("long") * nb +
+                bucketOf(col("key"), nb)).as("pid"))
+            .distinct().collect().map(_.getLong(0))
+          if (pairIds.length <= maxPruneLiterals)
+            store.filter((col("band").cast("long") * nb +
+              col("bkt").cast("long")).isin(pairIds.toIndexedSeq: _*))
+          else store
+        case _ => store
+      }
       banded.as("n")
-        .join(store.as("o"),
+        .join(probed.as("o"),
           col("n.band") === col("o.band") && col("n.key") === col("o.key") &&
             // never match a doc against its own stored signature: an
             // at-least-once replay would otherwise report every
@@ -117,18 +172,20 @@ object StreamingDedup {
     // right-side keys — no distinct needed): re-uploads never bloat it
     val fresh = banded.join(m.select("id"), Seq("id"), "left_anti")
     val appended = fresh.select(col("band"), col("key"), col("id"), col("sig"))
-    appended.write.mode(SaveMode.Append).partitionBy("band").parquet(storePath)
+    storeBuckets match {
+      case Some(nb) =>
+        appended.withColumn("bkt", bucketOf(col("key"), nb))
+          .write.mode(SaveMode.Append).partitionBy("band", "bkt")
+          .parquet(storePath)
+      case None =>
+        appended.write.mode(SaveMode.Append).partitionBy("band")
+          .parquet(storePath)
+    }
     // stamp params once data exists; count the write's output via the
     // directory, not an extra job: any parquet part implies data
     if (!storeHasData && !fs.exists(tagPath)) {
-      val hasParquet = {
-        val it = fs.listFiles(root, true)
-        var found = false
-        while (!found && it.hasNext)
-          found = it.next().getPath.getName.endsWith(".parquet")
-        found
-      }
-      if (hasParquet) {
+      if (hasParquetFile(fs, root)) {
+        val tag = paramsTag(numHashes, bands, shingleSize, storeBuckets)
         val out = fs.create(tagPath, true)
         try out.write(tag.getBytes("UTF-8")) finally out.close()
       }
@@ -138,5 +195,78 @@ object StreamingDedup {
     // accumulate one per micro-batch (m stays: it is the result)
     Dedup.freeLocalCheckpoint(signed)
     m
+  }
+
+  private def hasParquetFile(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Boolean = {
+    val it = fs.listFiles(root, true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
+  }
+
+  /** Maintenance compaction: rewrite the signature store into the
+    * bucket-partitioned layout (migrating legacy band-only stores),
+    * collapse replay-appended duplicate rows, and coalesce each
+    * bucket's append-per-micro-batch small files into one. Safe to run
+    * between micro-batches — match results are unchanged, only the
+    * probe's pruning grain and file count improve.
+    *
+    * Swap protocol: the compacted store is fully written (data + stamp)
+    * to `<path>.compacting`, then the live store moves to
+    * `<path>.old`, the compacted one moves into place, and `.old` is
+    * deleted. A crash leaves either the live store untouched or a
+    * complete compacted store; the only manual-recovery window is
+    * between the two renames (the store is then at `<path>.old`,
+    * intact). Refuses to start if a previous attempt's directories
+    * are still present.
+    */
+  def compact(
+      spark: SparkSession,
+      storePath: String,
+      buckets: Int = defaultBuckets): Unit = {
+    require(buckets >= 1, s"buckets=$buckets")
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tagPath = new Path(root, "_graft_dedup_params")
+    if (!fs.exists(tagPath)) return // empty/unborn store: nothing to do
+
+    val tmp = new Path(storePath + ".compacting")
+    val old = new Path(storePath + ".old")
+    require(!fs.exists(tmp) && !fs.exists(old),
+      s"$tmp or $old already exists — a previous compaction did not " +
+        "finish; inspect and remove the leftovers before retrying")
+
+    val in = fs.open(tagPath)
+    val onDisk = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    val sig = parseTag(onDisk).view.filterKeys(_ != "buckets").toMap
+
+    val store = spark.read.parquet(storePath)
+    val rows = (if (store.columns.contains("bkt")) store.drop("bkt")
+      else store)
+      .select(col("band"), col("key"), col("id"), col("sig"))
+      .distinct() // replay appends collapse here
+      .withColumn("bkt", bucketOf(col("key"), buckets))
+    // one task per (band, bkt) → one file per bucket directory
+    rows.repartition(col("band"), col("bkt"))
+      .write.mode(SaveMode.Overwrite).partitionBy("band", "bkt")
+      .parquet(tmp.toString)
+    val newTag = Seq("numHashes", "bands", "shingles")
+      .map(k => s"$k=${sig(k)}").mkString(" ") + s" buckets=$buckets"
+    val out = fs.create(new Path(tmp, "_graft_dedup_params"), true)
+    try out.write(newTag.getBytes("UTF-8")) finally out.close()
+
+    require(fs.rename(root, old),
+      s"compaction swap failed: could not move $root aside")
+    if (!fs.rename(tmp, root)) {
+      // put the live store back rather than leaving the path empty
+      fs.rename(old, root)
+      throw new IllegalStateException(
+        s"compaction swap failed moving $tmp into place; live store " +
+          "restored")
+    }
+    fs.delete(old, true)
   }
 }

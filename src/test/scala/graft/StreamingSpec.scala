@@ -292,6 +292,90 @@ class StreamingSpec extends SparkSpec {
     assert(m5 == Set((300L, base(0)._1)))
   }
 
+  test("signature store compaction mid-stream: matches unchanged, " +
+      "replay rows collapsed, probe bucket-pruned") {
+    import spark.implicits._
+    import graft.pipeline.StreamingDedup
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-compact").toString + "/sigs"
+    def run(rows: (Long, String)*): Set[(Long, Long)] =
+      StreamingDedup.processBatch(spark, rows.toSeq.toDF("doc_id", "text"),
+          store, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val base = Tables(spark, sf(), "documents").limit(3)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    assert(run(base.toIndexedSeq: _*).isEmpty)
+    // at-least-once replay of batch 1: no self-matches, but the store
+    // now holds every signature row twice
+    assert(run(base.toIndexedSeq: _*).isEmpty)
+    val preCompact = spark.read.parquet(store)
+    assert(preCompact.count() ==
+      2 * preCompact.dropDuplicates("band", "key", "id").count())
+
+    StreamingDedup.compact(spark, store, buckets = 64)
+
+    // replay duplicates collapsed; layout is now (band, bkt)
+    val post = spark.read.parquet(store)
+    assert(post.count() == post.dropDuplicates("band", "key", "id").count())
+    assert(post.columns.contains("bkt"))
+    // …and the same duplicate contract holds after the swap
+    assert(run((100L, base(0)._2)) == Set((100L, base(0)._1)))
+    // appends after compaction stay in the bucketed layout and remain
+    // probe-visible
+    assert(run((200L, base(1)._2 + " tail")) == Set((200L, base(1)._1)))
+
+    // the probed (band, bucket) pairs must reach the scan as PARTITION
+    // filters (pruning = probe cost follows batch size, not store size)
+    val pruned = spark.read.parquet(store)
+      .filter((col("band").cast("long") * 64 + col("bkt").cast("long"))
+        .isin(0L, 64L))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]+\\]".r.findFirstIn(scan)
+    assert(pf.isDefined && pf.get.length > "PartitionFilters: []".length,
+      scan.take(2000))
+  }
+
+  test("legacy band-only signature stores still probe, and compaction " +
+      "migrates them") {
+    import spark.implicits._
+    import graft.pipeline.StreamingDedup
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigstore-legacy").toString
+    val seedStore = s"$dir/seed"
+    val legacy = s"$dir/legacy"
+    def run(path: String)(rows: (Long, String)*): Set[(Long, Long)] =
+      StreamingDedup.processBatch(spark, rows.toSeq.toDF("doc_id", "text"),
+          path, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val base = Tables(spark, sf(), "documents").limit(2)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(run(seedStore)(base.toIndexedSeq: _*).isEmpty)
+
+    // rebuild the seed store in the pre-bucket layout: band-partitioned
+    // data, stamp without a buckets entry
+    spark.read.parquet(seedStore).drop("bkt")
+      .write.partitionBy("band").parquet(legacy)
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(legacy, "_graft_dedup_params"), true)
+    try out.write("numHashes=64 bands=16 shingles=3".getBytes("UTF-8"))
+    finally out.close()
+
+    // legacy store probes via full scan — same matches
+    assert(run(legacy)((100L, base(0)._2)) == Set((100L, base(0)._1)))
+    // migrate; the contract is unchanged and the layout is bucketed
+    StreamingDedup.compact(spark, legacy)
+    assert(spark.read.parquet(legacy).columns.contains("bkt"))
+    assert(run(legacy)((300L, base(1)._2)) == Set((300L, base(1)._1)))
+  }
+
   test("function registration is session-isolated and idempotent") {
     // injection path: applying the extension class must cover every
     // registered builder without throwing
