@@ -301,6 +301,27 @@ object Similarity {
     * `(nn_id, bvx)` and is scanned only by the candidate-bounded
     * rerank join.
     */
+  /** The nprobe nearest cells per probe, carrying the probe's
+    * residual — shared by the transient and prebuilt-index IVF-PQ
+    * paths (identical expressions ⇒ identical results).
+    */
+  private[graft] def ivfProbeCells(
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      cents: Seq[Seq[Float]]): DataFrame =
+    probes
+      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+        posexplode(array(cents.map(c =>
+          cosine_distance(col(vecCol), typedlit(c))): _*))
+          .as(Seq("cell", "cd")))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cd"), col("cell"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("cell"),
+        ivfResidual(cents)(col("pv"), col("cell")).as("pres"))
+
   private[graft] def ivfPqSearch(
       indexed: DataFrame,
       floats: DataFrame,
@@ -312,20 +333,7 @@ object Similarity {
       rerankPerProbe: Int,
       cents: Seq[Seq[Float]],
       model: Quantize.PqModel): DataFrame = {
-    val residual = ivfResidual(cents) _
-
-    // nprobe nearest cells per probe, carrying the probe's residual
-    val probeCells = probes
-      .select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-        posexplode(array(cents.map(c =>
-          cosine_distance(col(vecCol), typedlit(c))): _*))
-          .as(Seq("cell", "cd")))
-      .withColumn("cr", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("cd"), col("cell"))))
-      .filter(col("cr") <= nprobe)
-      .select(col("probe_id"), col("pv"), col("cell"),
-        residual(col("pv"), col("cell")).as("pres"))
-
+    val probeCells = ivfProbeCells(probes, idCol, vecCol, nprobe, cents)
     val coarse = indexed.join(broadcast(probeCells), "cell")
       .select(col("probe_id"), col("nn_id"), col("pv"),
         round(graft.functions.GraftFunctions.l2_distance(col("pres"),

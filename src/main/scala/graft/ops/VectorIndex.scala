@@ -158,8 +158,19 @@ object VectorIndex {
       rerankPerProbe: Int = 64): DataFrame = {
     val meta = load(spark, path, expectKind = "ivfpq")
     val t = spark.read.parquet(dataPath(path))
+    // partition pruning, guaranteed statically: the probes' nprobe
+    // cells (≤ nlist ints, one tiny probe-side job) become a literal
+    // filter on the partition column, so the coarse scan lists only
+    // those cell directories — no reliance on the dynamic-pruning
+    // heuristics firing. Removes only rows the cell equi-join would
+    // drop anyway, so results are unchanged.
+    val cells = Similarity
+      .ivfProbeCells(probes, meta.idCol, meta.vecCol, nprobe,
+        meta.centroids)
+      .select("cell").distinct().collect().map(_.getInt(0)).sorted
     Similarity.ivfPqSearch(
-      t.select("nn_id", "cell", "pq"),
+      t.select("nn_id", "cell", "pq")
+        .filter(col("cell").isin(cells.toIndexedSeq: _*)),
       t.select(col("nn_id"), col("vec").as("bvx")),
       probes, meta.idCol, meta.vecCol, k, nprobe, rerankPerProbe,
       meta.centroids, meta.pq.get)

@@ -39,7 +39,8 @@ object IngestPipeline {
       maxTokens: Int = 250,       // A8 default (DocumentChunker.cs:13)
       overlapTokens: Int = 0,     // A8 default (DocumentChunker.cs:14)
       batchSize: Int = 10,        // A13 (BlobTriggerFunction.cs:35)
-      embedPartitions: Int = 0)   // A14 analog; 0 = leave as planned
+      embedPartitions: Int = 0,   // A14 analog; 0 = leave as planned
+      maxInFlight: Int = 1)       // A14 intra-task overlap; 1 = sync
 
   /** A3: extension-based routing + A4 text decode + A8/A9 chunking for
     * binary file rows (`binaryFile` source schema: path, content).
@@ -77,6 +78,27 @@ object IngestPipeline {
     }
   }
 
+  /** The document's TEXT rendering for document-level operators
+    * (near-dup detection on ingest): the same routing as
+    * [[routeAndChunk]] — txt/md decode in-process, everything else
+    * goes through the extractor — flattened to one string. Chunking
+    * keeps its own structural view (lines/pages); this is the
+    * content-identity view.
+    */
+  def documentText(
+      path: String,
+      bytes: Array[Byte],
+      extractor: Extractor): String = {
+    val ext = path.lastIndexOf('.') match {
+      case -1 => ""
+      case i  => path.substring(i + 1).toLowerCase
+    }
+    ext match {
+      case "txt" | "md" => TextDecode.decodeLines(bytes).mkString("\n")
+      case _            => extractor.extract(path, bytes).content
+    }
+  }
+
   /** A11 variant (the SQL pipeline's char chunker with page
     * provenance) over extracted binary files.
     */
@@ -106,7 +128,12 @@ object IngestPipeline {
 
   /** A13-A16: embedding stage. Batched calls inside mapPartitions —
     * the embedder is a serialized client per task, batches align by
-    * index, task parallelism replaces the reference's DOP-50 pool.
+    * index, task parallelism replaces the reference's DOP-50 pool,
+    * and `maxInFlight` adds the reference's INTRA-worker overlap
+    * (it runs up to 50 concurrent embedding calls per host —
+    * BlobTriggerFunction.cs:36,104-108; a latency-bound HTTP embedder
+    * leaves throughput on the table at one in-flight request per
+    * task).
     */
   def embedChunks(
       chunks: Dataset[PendingChunk],
@@ -117,14 +144,70 @@ object IngestPipeline {
       if (cfg.embedPartitions > 0) chunks.repartition(cfg.embedPartitions)
       else chunks
     sized.mapPartitions { it =>
-      it.grouped(cfg.batchSize).flatMap { batch =>
-        val vecs = embedder.embed(batch.map(_.chunk_text))
-        batch.lazyZip(vecs).map { (c, v) =>
-          EmbeddedChunk(c.chunk_id, c.chunk_text, v, c.page_number,
-            c.document_url)
+      val batches = it.grouped(cfg.batchSize)
+      if (cfg.maxInFlight <= 1)
+        batches.flatMap(b => align(b, embedder.embed(b.map(_.chunk_text))))
+      else pipelined(batches, embedder, cfg.maxInFlight)
+    }
+  }
+
+  private def align(
+      batch: Seq[PendingChunk],
+      vecs: Seq[Array[Float]]): Seq[EmbeddedChunk] =
+    batch.lazyZip(vecs).map { (c, v) =>
+      EmbeddedChunk(c.chunk_id, c.chunk_text, v, c.page_number,
+        c.document_url)
+    }
+
+  /** Bounded in-flight window: keep up to `maxInFlight` embed() calls
+    * running on a task-local pool, emitting results in SUBMISSION
+    * order — batch→row alignment and output order are identical to the
+    * synchronous path, only the service latency overlaps. A16 retry
+    * semantics are untouched (the RetryingEmbedder wrapper executes
+    * inside the worker thread); a batch failure propagates when its
+    * result is dequeued, with the ExecutionException unwrapped so
+    * fatal errors surface as themselves. The pool is torn down by the
+    * task-completion listener, so an abort mid-stream (task kill,
+    * downstream limit) cannot leak threads. Embedders must be
+    * thread-safe for maxInFlight > 1 — the shipped ones are
+    * (stateless per call).
+    */
+  private def pipelined(
+      batches: Iterator[Seq[PendingChunk]],
+      embedder: Embedder,
+      maxInFlight: Int): Iterator[EmbeddedChunk] = {
+    import java.util.concurrent.{Callable, ExecutionException, Executors, Future => JFuture}
+    val exec = Executors.newFixedThreadPool(maxInFlight)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => exec.shutdownNow()))
+    val inFlight = scala.collection.mutable.Queue
+      .empty[(Seq[PendingChunk], JFuture[Seq[Array[Float]]])]
+    def fill(): Unit =
+      while (inFlight.size < maxInFlight && batches.hasNext) {
+        val b = batches.next()
+        inFlight.enqueue((b, exec.submit(new Callable[Seq[Array[Float]]] {
+          override def call(): Seq[Array[Float]] =
+            embedder.embed(b.map(_.chunk_text))
+        })))
+      }
+    val out = new Iterator[Seq[EmbeddedChunk]] {
+      override def hasNext: Boolean = {
+        fill()
+        val more = inFlight.nonEmpty
+        if (!more) exec.shutdown() // drained normally; listener is backup
+        more
+      }
+      override def next(): Seq[EmbeddedChunk] = {
+        if (!hasNext) throw new NoSuchElementException("drained")
+        val (b, f) = inFlight.dequeue()
+        val vecs = try f.get() catch {
+          case e: ExecutionException if e.getCause != null => throw e.getCause
         }
+        fill() // keep the window full while this batch is consumed
+        align(b, vecs)
       }
     }
+    out.flatten
   }
 
   /** D6: embedding cache — skip re-embedding chunks that already

@@ -17,6 +17,19 @@ import graft.sink.ChunkStore
   */
 object StreamingIngest {
 
+  /** Opt-in near-dup skip on ingest (the D6 cost-control story,
+    * composed from [[StreamingDedup]]): a re-uploaded near-duplicate
+    * document is detected against the persistent signature store
+    * BEFORE chunk+embed, so it costs one MinHash pass instead of an
+    * embedding bill — and its chunks never reach the store.
+    */
+  final case class DedupConfig(
+      signatureStorePath: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3)
+
   /** Fixed schema of the binaryFile source (streaming sources require
     * an explicit schema; SURVEY §1.1 item 1 / FIXTURES §2).
     */
@@ -42,7 +55,8 @@ object StreamingIngest {
       extractor: Extractor,
       cfg: IngestPipeline.Config = IngestPipeline.Config(),
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      dedup: Option[DedupConfig] = None): StreamingQuery = {
     store.ensure()
     val files = spark.readStream
       .format("binaryFile")
@@ -54,14 +68,20 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(spark, batch, inputDir, store, embedder, extractor, cfg)
+        processBatch(spark, batch, inputDir, store, embedder, extractor,
+          cfg, dedup)
+        ()
       }
       .start()
   }
 
   /** One micro-batch: upsert new/changed docs, delete disappeared
     * ones. Exposed for testing and for batch backfill ("the batch is a
-    * bounded stream").
+    * bounded stream"). With a [[DedupConfig]], documents matching the
+    * signature store are dropped BEFORE chunk+embed and returned as
+    * (id, existing_id, est_jaccard) — the skip happens where the money
+    * is (the embedding stage), and only non-duplicates enter either
+    * store. Returns the empty frame when dedup is off.
     */
   def processBatch(
       spark: SparkSession,
@@ -70,10 +90,35 @@ object StreamingIngest {
       store: ChunkStore,
       embedder: Embedder,
       extractor: Extractor,
-      cfg: IngestPipeline.Config): Unit = {
+      cfg: IngestPipeline.Config,
+      dedup: Option[DedupConfig] = None): DataFrame = {
     import spark.implicits._
-    val files = batch.select(col("path"), col("content"))
+    val allFiles = batch.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
+    val (files, matches) = dedup match {
+      case None =>
+        (allFiles, spark.emptyDataFrame
+          .withColumn("id", lit(null).cast("string"))
+          .withColumn("existing_id", lit(null).cast("string"))
+          .withColumn("est_jaccard", lit(null).cast("double")).limit(0))
+      case Some(dc) =>
+        // document-identity text via the same routing as the chunker;
+        // the signature store keys on the document_url
+        val docText = allFiles
+          .map { case (p, b) =>
+            (p, IngestPipeline.documentText(p, b, extractor))
+          }
+          .toDF("document_url", "doc_text")
+        val m = StreamingDedup.processBatch(spark, docText,
+          dc.signatureStorePath, idCol = "document_url",
+          textCol = "doc_text", threshold = dc.threshold,
+          numHashes = dc.numHashes, bands = dc.bands,
+          shingleSize = dc.shingleSize) // localCheckpointed result
+        val kept = allFiles.toDF("path", "content")
+          .join(m.select(col("id").as("path")), Seq("path"), "left_anti")
+          .as[(String, Array[Byte])]
+        (kept, m)
+    }
     val chunks =
       IngestPipeline.embedChunks(
         IngestPipeline.routeAndChunk(files, extractor, cfg), embedder, cfg)
@@ -97,6 +142,7 @@ object StreamingIngest {
           "(catalog requires a scan) — schedule StreamingIngest." +
           "detectDeletes on a maintenance cadence to propagate deletes")
     }
+    matches
   }
 
   private val warnedBucketedDeletes =

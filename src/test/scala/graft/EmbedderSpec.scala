@@ -113,12 +113,80 @@ class EmbedderSpec extends AnyFunSuite {
   }
 }
 
+/** JVM-global overlap probe: the embedder closure is serialized into
+  * the task, so instance counters would mutate a task-side COPY —
+  * statics are shared in local mode and observable from the test.
+  */
+object OverlapProbe {
+  val active = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { active.set(0); maxActive.set(0) }
+  def vecFor(text: String, dim: Int): Array[Float] =
+    Array.tabulate(dim)(j => (text.hashCode * (j + 1)).toFloat)
+}
+
+/** Latency-injecting fake: records how many embed() calls run
+  * concurrently; vectors are a pure function of the text so alignment
+  * is checkable per row.
+  */
+final class SlowFakeEmbedder(val dimensions: Int) extends Embedder {
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    val a = OverlapProbe.active.incrementAndGet()
+    OverlapProbe.maxActive.updateAndGet(m => math.max(m, a))
+    Thread.sleep(40)
+    OverlapProbe.active.decrementAndGet()
+    texts.map(t => OverlapProbe.vecFor(t, dimensions))
+  }
+}
+
 /** The remote client through the ACTUAL ingest dataflow — proves the
   * trait boundary holds end-to-end: HttpEmbedder (fake transport,
   * flaky on its first call) wrapped in the A16 retry policy, executed
   * inside mapPartitions on executors, batches ≤ 10.
   */
 class HttpEmbedderPipelineSpec extends SparkSpec {
+
+  test("maxInFlight overlaps embedding calls INSIDE one task; " +
+      "alignment and order match the synchronous path") {
+    import spark.implicits._
+    import graft.pipeline.{IngestPipeline, PendingChunk}
+    OverlapProbe.reset()
+    val pending = (1 to 12)
+      .map(i => PendingChunk(s"doc://$i", i, s"text $i", None))
+      .toDS().coalesce(1) // ONE task: any overlap is intra-partition
+    val out = IngestPipeline.embedChunks(pending, new SlowFakeEmbedder(4),
+        IngestPipeline.Config(batchSize = 1, maxInFlight = 4))
+      .collect()
+    assert(OverlapProbe.maxActive.get() >= 2,
+      s"no overlap observed (maxActive=${OverlapProbe.maxActive.get()})")
+    // submission-order emission: rows come back in input order
+    assert(out.map(_.chunk_id).toSeq == (1 to 12))
+    // batch→row alignment: every vector is the fake's function of its
+    // OWN row's text
+    out.foreach(c => assert(c.embedding.toSeq ==
+      OverlapProbe.vecFor(c.chunk_text, 4).toSeq, c.chunk_id))
+  }
+
+  test("maxInFlight propagates a batch failure as itself (A16 fatal)") {
+    import spark.implicits._
+    import graft.pipeline.{IngestPipeline, PendingChunk}
+    val boom = new Embedder {
+      val dimensions = 4
+      override def embed(texts: Seq[String]): Seq[Array[Float]] =
+        if (texts.exists(_.contains("7")))
+          throw new java.io.IOException("fatal 500")
+        else texts.map(_ => new Array[Float](4))
+    }
+    val pending = (1 to 8)
+      .map(i => PendingChunk(s"doc://$i", i, s"text $i", None))
+      .toDS().coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      IngestPipeline.embedChunks(pending, boom,
+        IngestPipeline.Config(batchSize = 1, maxInFlight = 3)).collect()
+    }
+    assert(e.getCause.isInstanceOf[java.io.IOException] ||
+      e.getMessage.contains("fatal 500"))
+  }
 
   test("ingest pipeline embeds through a retrying HTTP client (A15/A16)") {
     import graft.embed._

@@ -37,6 +37,11 @@ class IndexSpec extends SparkSpec {
       "embedding", k = 5, nlist = 16, nprobe = 4, rerankPerProbe = 96)
     assert(rows(viaIndex) == rows(retrain))
     assert(viaIndex.count() == 50)
+    // the coarse scan must prune to the probed cells' partition
+    // directories (static partition filter from the collected cell set)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
   }
 
   test("ivfpq: query touches neither the training inputs nor a trainer " +

@@ -292,6 +292,52 @@ class StreamingSpec extends SparkSpec {
     assert(m5 == Set((300L, base(0)._1)))
   }
 
+  test("streaming ingest skips re-uploaded near-duplicates before " +
+      "chunk+embed (D6 on ingest)") {
+    import graft.pipeline.StreamingIngest
+    val in = Files.createTempDirectory("graft-dedupingest-in")
+    val storeDir = Files.createTempDirectory("graft-dedupingest-store")
+      .toString + "/chunks"
+    val sig = Files.createTempDirectory("graft-dedupingest-sig")
+      .toString + "/sigs"
+    val store = new ChunkStore(spark, storeDir)
+    val dedup = Some(StreamingIngest.DedupConfig(sig))
+    def batch() = spark.read.format("binaryFile").load(in.toString)
+      .select(col("path"), col("content"))
+    def ingest() = StreamingIngest.processBatch(spark, batch(),
+      in.toString, store, DeterministicEmbedder(16),
+      StubAnalyzeExtractor(), IngestPipeline.Config(), dedup)
+    def text(prefix: String) =
+      (1 to 60).map(i => s"$prefix$i").mkString(" ")
+
+    write(in, "a.txt", text("alpha"))
+    write(in, "b.txt", text("beta"))
+    assert(ingest().count() == 0)
+    assert(store.read().select("document_url").distinct().count() == 2)
+
+    // a tail-edited re-upload of a.txt plus a genuinely new document;
+    // the re-listing also replays a/b (at-least-once) — they must not
+    // self-match
+    write(in, "c.txt", text("alpha") + " tail edit")
+    write(in, "d.txt", text("gamma"))
+    val m2 = ingest().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(m2.size == 1)
+    val (dup, orig) = m2.head
+    assert(dup.endsWith("c.txt") && orig.endsWith("a.txt"), m2)
+
+    // chunk store holds only keepers — the near-duplicate never
+    // reached chunk+embed
+    val urls = store.read().select("document_url").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(urls.size == 3 && !urls.exists(_.endsWith("c.txt")), urls)
+
+    // signature store consistent: signatures for a, b, d only
+    val sigIds = spark.read.parquet(sig).select("id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(sigIds.size == 3 && !sigIds.exists(_.endsWith("c.txt")), sigIds)
+  }
+
   test("signature store compaction mid-stream: matches unchanged, " +
       "replay rows collapsed, probe bucket-pruned") {
     import spark.implicits._
