@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.word_shingles
+
+/** Benchmark decontamination: flag corpus documents that share any
+  * lowercase word n-gram with a blocklist (an eval/test set whose
+  * content must not leak into training data). This is the standard
+  * n-gram-overlap rule (GPT-3 appendix C / PaLM-style 8-gram
+  * decontamination), expressed as a Spark plan.
+  *
+  * Scale shape (100 TB corpus, MB-scale blocklist — eval sets are
+  * small by definition):
+  *  - the corpus side computes its distinct n-grams per row with the
+  *    codegen `word_shingles` kernel and explodes them IN-TASK — the
+  *    corpus never shuffles;
+  *  - the blocklist's distinct gram set is broadcast, so the probe is
+  *    a broadcast semi-ish join (hash lookup inside the scan stage);
+  *  - only matching (id, gram) pairs survive to the one real exchange
+  *    — a groupBy on the contaminated ids, bounded by the number of
+  *    HITS, not the corpus;
+  *  - the per-id hit counts broadcast back onto the untouched corpus
+  *    rows (decontamination removes a tiny fraction by design; if a
+  *    corpus were mostly contaminated, drop that hint and the
+  *    join-back degrades to an id-keyed shuffle join).
+  *
+  * Grams are joined as STRINGS here, so the match is exact (no hash
+  * collisions → the DuckDB oracle reproduces it bit-for-bit). At
+  * 100 TB, hash both sides down to 64-bit first (`xxhash64(gram)`)
+  * to cut the probe bytes ~8×; a collision only ever flags an extra
+  * document — conservative in the direction decontamination wants.
+  */
+object Decontaminate {
+
+  /** Corpus rows annotated with `n_hits` (distinct shared n-grams
+    * with the blocklist) and `contaminated` (n_hits > 0).
+    */
+  def flag(
+      corpus: DataFrame,
+      blocklist: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(!corpus.columns.contains("n_hits") &&
+      !corpus.columns.contains("contaminated"),
+      "n_hits/contaminated are reserved by Decontaminate.flag")
+    val grams = corpus.select(
+      col(idCol), explode(word_shingles(col(textCol), lit(n))).as("__g"))
+    val bl = blocklist
+      .select(explode(word_shingles(col(textCol), lit(n))).as("__g"))
+      .distinct()
+    // word_shingles is per-row distinct and bl is distinct, so a plain
+    // count after the join IS the distinct shared-gram count.
+    val hits = grams.join(broadcast(bl), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus.join(broadcast(hits), Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+}

@@ -5,7 +5,7 @@ import graft.Tables
 import graft.embed.DeterministicEmbedder
 import graft.multimodal.{Media, StubMediaDecoder}
 import graft.pipeline.IngestPipeline
-import graft.ops.{Dedup, Similarity, TextAnalysis, VectorIndex}
+import graft.ops.{Decontaminate, Dedup, Similarity, TextAnalysis, VectorIndex}
 
 /** Tier D — LLM-data-pipeline operators through the conformance gate
   * (SURVEY §2.4) plus the Tier B full-text surface (B4). Oracle
@@ -864,6 +864,38 @@ object LlmOpsQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           size(col("features")).cast("long").as("dim"))
         .orderBy("media_id")
+    },
+
+    // D11: benchmark decontamination — 8-gram overlap vs an "eval set"
+    // (every 25th document). The oracle recomputes the same grams with
+    // DuckDB list ops, so the flag AND the exact distinct-shared-gram
+    // count must both match. Planted structure: each blocklist member
+    // self-matches (contaminated by construction), and the corpus's
+    // near-dup pairs of blocklist members must be caught through their
+    // shared 8-grams.
+    "d11_decontaminate" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, ts,
+        |               UNNEST(range(1, GREATEST(len(ts) - 6, 2))) AS i
+        |        FROM toks WHERE len(ts) >= 1)),
+        |bl AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_hits
+        |         FROM grams JOIN bl USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |       (COALESCE(h.n_hits, 0) > 0) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select("doc_id", "text")
+      Decontaminate.flag(docs, docs.filter(col("doc_id") % 25 === 0),
+          "doc_id", "text", n = 8)
+        .select("doc_id", "n_hits", "contaminated")
+        .orderBy("doc_id")
     }
   )
 }

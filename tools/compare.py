@@ -3,7 +3,7 @@
 parquet against DuckDB oracle SQL over the same testdata tables and
 compare values (columns sorted by name, rows in result order).
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [namePrefix,...]
 """
 import json
 import sys
@@ -11,6 +11,7 @@ import sys
 import duckdb
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]:
@@ -19,6 +20,8 @@ for t in ["region", "nation", "customer", "supplier", "part",
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
+    if prefixes and not any(name.startswith(p) for p in prefixes):
+        continue
     try:
         # pandas path, like the driver harness (it converts DuckDB
         # DECIMAL literals to float64 before hashing)
