@@ -5,7 +5,8 @@ import graft.Tables
 import graft.embed.DeterministicEmbedder
 import graft.multimodal.{Media, StubMediaDecoder}
 import graft.pipeline.IngestPipeline
-import graft.ops.{Decontaminate, Dedup, Similarity, TextAnalysis, VectorIndex}
+import graft.functions.GraftFunctions.token_count
+import graft.ops.{Decontaminate, Dedup, Packing, Similarity, TextAnalysis, VectorIndex}
 
 /** Tier D — LLM-data-pipeline operators through the conformance gate
   * (SURVEY §2.4) plus the Tier B full-text surface (B4). Oracle
@@ -895,6 +896,35 @@ object LlmOpsQueries {
       Decontaminate.flag(docs, docs.filter(col("doc_id") % 25 === 0),
           "doc_id", "text", n = 8)
         .select("doc_id", "n_hits", "contaminated")
+        .orderBy("doc_id")
+    },
+
+    // D12: deterministic token-budget shard packing (training export).
+    // The oracle recomputes the full scheme — md5 shuffle order, hex
+    // pack group, exclusive prefix sum, budget division — so every
+    // document's (grp, shard) assignment must match bit-for-bit.
+    "d12_pack_shards" -> QueryDef(
+      """WITH t AS (
+        |  SELECT doc_id, CAST(LENGTH(text) // 4 AS BIGINT) AS tc,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tc, h,
+        |         CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |               + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |              % 16 AS BIGINT) AS grp
+        |  FROM t)
+        |SELECT doc_id, tc, grp,
+        |       CAST(COALESCE(SUM(tc) OVER (PARTITION BY grp ORDER BY h, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            // 2000 AS BIGINT) AS shard
+        |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id"), token_count(col("text")).cast("long").as("tc"))
+      Packing.packShards(docs, "doc_id", "tc",
+          budget = 2000L, numGroups = 16)
+        .select(col("doc_id"), col("tc"),
+          col("grp").cast("long").as("grp"), col("shard"))
         .orderBy("doc_id")
     }
   )

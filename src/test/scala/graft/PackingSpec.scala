@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Packing
+
+/** D12 — deterministic token-budget shard packing. */
+class PackingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, 50L + (i * 37) % 400)).toDF("id", "tc")
+
+  test("every shard's token total stays under budget + max document") {
+    val budget = 1000L
+    val in = docs(400)
+    val maxDoc = in.agg(max("tc")).as[Long].head()
+    val sums = Packing.packShards(in, "id", "tc", budget, numGroups = 8)
+      .groupBy("grp", "shard").agg(sum("tc").as("total"))
+    assert(sums.filter(col("total") >= budget + maxDoc).count() == 0)
+    // greedy fill: every shard except a group's LAST is full past the
+    // budget boundary's predecessor, i.e. adding its successor's first
+    // doc would overflow — equivalently every non-final shard total
+    // plus any later doc's tokens would exceed budget is hard to state
+    // cheaply; assert the useful weaker form: mean fill ≥ 50% of budget
+    val stats = sums.agg(avg("total")).as[Double].head()
+    assert(stats >= budget * 0.5, s"mean shard fill $stats too low")
+  }
+
+  test("assignment is a pure function of the data (layout-independent)") {
+    val a = Packing.packShards(docs(300), "id", "tc", 777L, numGroups = 4)
+      .select("id", "grp", "shard").collect().toSet
+    val b = Packing.packShards(
+        docs(300).repartition(7).sortWithinPartitions(desc("id")),
+        "id", "tc", 777L, numGroups = 4)
+      .select("id", "grp", "shard").collect().toSet
+    assert(a == b)
+  }
+
+  test("salt yields an independent shuffle") {
+    val base = docs(300)
+    val a = Packing.packShards(base, "id", "tc", 777L, 4, salt = "")
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    val b = Packing.packShards(base, "id", "tc", 777L, 4, salt = "epoch2")
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(a != b, "salted packing must differ")
+  }
+
+  test("an oversized document claims a shard without breaking neighbors") {
+    val in = Seq((1L, 10L), (2L, 5000L), (3L, 10L), (4L, 10L))
+      .toDF("id", "tc")
+    val out = Packing.packShards(in, "id", "tc", budget = 100L, numGroups = 1)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    // all docs assigned; the docs after the giant land in later shards
+    assert(out.size == 4)
+    assert(out.values.toSet.size >= 2)
+  }
+
+  test("reserved columns and bad params are rejected") {
+    val in = Seq((1L, 2L, 3L)).toDF("id", "tc", "shard")
+    intercept[IllegalArgumentException] {
+      Packing.packShards(in, "id", "tc", 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packShards(docs(2), "id", "tc", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packShards(docs(2), "id", "tc", 10L, numGroups = 257)
+    }
+  }
+}
