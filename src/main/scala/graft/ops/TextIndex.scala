@@ -1,0 +1,182 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Persistent full-text (BM25) index — the text-side sibling of
+  * [[VectorIndex]], completing the reference's "eventually Full-text"
+  * endpoint (`AzureCosmosDB/csharp/README.md:15`) as a provisioned
+  * artifact instead of a per-query corpus scan.
+  *
+  * Layout at `path`:
+  *  - `postings/` — (term, doc_id, tf) partitioned by
+  *    `tb = pmod(hash(term), numBuckets)`: a query prunes to its
+  *    terms' buckets (static partition pruning — the term-bucket
+  *    values are computed driver-side from the SAME Murmur3 evaluated
+  *    as a Catalyst literal expression, so the column and the pruning
+  *    list can never disagree), then row-group stats on `term` prune
+  *    within the bucket;
+  *  - `doclen/` — (doc_id, dl), the narrow length-norm side;
+  *  - `_graft_text_index` stamp — corpus stats (N, avgdl) + params,
+  *    validated on load (probing with a stale/foreign stamp fails
+  *    loudly; same pattern as [[VectorIndex]]).
+  *
+  * Scale: the build is one tokenize+count aggregate (one exchange on
+  * (doc, term), map-side combined) plus one narrow length scan. A
+  * query touches ONLY the query terms' posting buckets — cost follows
+  * result size, not corpus size; document frequencies come from the
+  * pruned postings themselves (COUNT per term), so no third table.
+  * Scoring reproduces the transient BM25 query (B4c) bit-for-bit:
+  * same tokenizer (single-space split), same k1=1.2 / b=0.75 formula,
+  * so a prebuilt index answers hash-identically to the scan path.
+  */
+object TextIndex {
+
+  private val Version = "graft-text-index v1"
+  private val StampName = "_graft_text_index"
+
+  final case class Meta(
+      idCol: String,
+      docCount: Double,
+      avgdl: Double,
+      numBuckets: Int,
+      k1: Double,
+      b: Double)
+
+  private def postingsPath(path: String) = s"$path/postings"
+  private def doclenPath(path: String) = s"$path/doclen"
+
+  /** Driver-side twin of the build's `pmod(hash(term), nb)` column. */
+  private[graft] def termBucket(term: String, nb: Int): Int = {
+    val h = Murmur3Hash(
+      Seq(Literal(UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)), 42)
+      .eval(null).asInstanceOf[Int]
+    math.floorMod(h, nb)
+  }
+
+  /** Tokenize `docs` (single-space split — B4c's corpus convention),
+    * materialize postings + doc lengths at `path`, stamp the corpus
+    * stats. Overwrites any previous index at `path`.
+    */
+  def build(
+      docs: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 64,
+      k1: Double = 1.2,
+      b: Double = 0.75): Unit = {
+    require(numBuckets >= 1, s"numBuckets=$numBuckets")
+    val spark = docs.sparkSession
+    unstamp(spark, path)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(size(split(col(textCol), " ")).cast("double")).as("avgdl")).head()
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(numBuckets)))
+      .write.mode(SaveMode.Overwrite).partitionBy("tb")
+      .parquet(postingsPath(path))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("double").as("dl"))
+      .write.mode(SaveMode.Overwrite).parquet(doclenPath(path))
+    stamp(spark, path, Meta(idCol, stats.getDouble(0), stats.getDouble(1),
+      numBuckets, k1, b))
+  }
+
+  /** BM25 top-k for `terms` from the prebuilt index: reads only the
+    * terms' posting buckets + the narrow doclen table; corpus stats
+    * from the stamp (no document scan). Output (doc_id, score) —
+    * identical to the transient B4c formulation on the same corpus.
+    */
+  def query(
+      spark: SparkSession,
+      path: String,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "query needs at least one term")
+    val meta = load(spark, path)
+    val buckets = terms.map(termBucket(_, meta.numBuckets)).distinct
+    val tf = spark.read.parquet(postingsPath(path))
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .select("doc_id", "term", "tf")
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val dl = spark.read.parquet(doclenPath(path))
+    val idfW = log(lit(1.0) +
+      (lit(meta.docCount) - col("df") + 0.5) / (col("df") + 0.5))
+    val lenNorm = lit(meta.k1) * (lit(1.0) - lit(meta.b) +
+      lit(meta.b) * col("dl") / lit(meta.avgdl))
+    dl.join(broadcast(tf.join(broadcast(df), "term")), "doc_id")
+      .groupBy("doc_id")
+      .agg(round(sum(idfW * col("tf") * lit(meta.k1 + 1.0) /
+        (col("tf") + lenNorm)), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------
+  // stamp plumbing (same contract as VectorIndex)
+  // ---------------------------------------------------------------
+
+  private[graft] def render(m: Meta): String =
+    Seq(Version, s"idCol=${m.idCol}", s"docCount=${m.docCount}",
+      s"avgdl=${m.avgdl}", s"numBuckets=${m.numBuckets}",
+      s"k1=${m.k1}", s"b=${m.b}").mkString("\n")
+
+  private[graft] def parse(text: String, path: String): Meta = {
+    val lines = text.split("\n", -1).toSeq
+    require(lines.headOption.contains(Version),
+      s"text index at $path has stamp version " +
+        s"'${lines.headOption.getOrElse("")}' — this build reads only " +
+        s"'$Version'")
+    val kv = lines.tail.map { l =>
+      val i = l.indexOf('=')
+      require(i > 0, s"malformed stamp line '$l' in text index at $path")
+      l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    Meta(kv("idCol"), kv("docCount").toDouble, kv("avgdl").toDouble,
+      kv("numBuckets").toInt, kv("k1").toDouble, kv("b").toDouble)
+  }
+
+  private def stampFile(spark: SparkSession, path: String) = {
+    val p = new Path(path, StampName)
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def unstamp(spark: SparkSession, path: String): Unit = {
+    val (p, fs) = stampFile(spark, path)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  private def stamp(spark: SparkSession, path: String, meta: Meta): Unit = {
+    val (p, fs) = stampFile(spark, path)
+    val out = fs.create(p, true)
+    try out.write(render(meta).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load and validate the stamp — a driver-side file read, no Spark
+    * job. Fails loudly on a missing/incompatible index.
+    */
+  def load(spark: SparkSession, path: String): Meta = {
+    val (p, fs) = stampFile(spark, path)
+    require(fs.exists(p),
+      s"no text index at $path (missing $StampName stamp) — build() " +
+        "must complete before query()")
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    parse(text, path)
+  }
+}

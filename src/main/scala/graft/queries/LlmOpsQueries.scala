@@ -6,7 +6,7 @@ import graft.embed.DeterministicEmbedder
 import graft.multimodal.{Media, StubMediaDecoder}
 import graft.pipeline.IngestPipeline
 import graft.functions.GraftFunctions.token_count
-import graft.ops.{Decontaminate, Dedup, Packing, Similarity, TextAnalysis, VectorIndex}
+import graft.ops.{Decontaminate, Dedup, Packing, Similarity, TextAnalysis, TextIndex, VectorIndex}
 
 /** Tier D — LLM-data-pipeline operators through the conformance gate
   * (SURVEY §2.4) plus the Tier B full-text surface (B4). Oracle
@@ -926,6 +926,32 @@ object LlmOpsQueries {
         .select(col("doc_id"), col("tc"),
           col("grp").cast("long").as("grp"), col("shard"))
         .orderBy("doc_id")
+    },
+
+    // B4d: BM25 from the PERSISTENT text index (ops.TextIndex) — the
+    // provisioned form of b4c. Same oracle as b4c: a prebuilt index
+    // must answer the scan-path query bit-for-bit, while reading only
+    // the query terms' posting buckets + the narrow doclen table.
+    "b4d_fulltext_index" -> QueryDef(
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('window', 'filter')),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM qtok GROUP BY 1, 2),
+        |idf AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM qtok GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+        |       FROM documents)
+        |SELECT t.doc_id,
+        |       ROUND(SUM(LN(1 + (st.n - i.df + 0.5) / (i.df + 0.5)) * t.tf * 2.2
+        |                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / st.avgdl))), 6)
+        |         AS score
+        |FROM tf t JOIN idf i ON t.w = i.w
+        |JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN st
+        |GROUP BY t.doc_id
+        |ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val path = s"/tmp/graft-tindex-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TextIndex.build(Tables(s, dir, "documents"), path, "doc_id", "text")
+      TextIndex.query(s, path, Seq("window", "filter"), k = 20)
     }
   )
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextIndex
+
+/** Persistent BM25 text index (B4d): build writes a stamped postings
+  * + doclen layout; query answers from the index alone — identical to
+  * the transient B4c scan path — and prunes to the query terms'
+  * posting buckets.
+  */
+class TextIndexSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf(), "documents").cache()
+
+  private def tmp(name: String): String = {
+    val d = s"/tmp/graft-text-index-spec/$name"
+    val p = new Path(d)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    d
+  }
+
+  /** The transient B4c scan-path BM25 (same shape as the b4c query). */
+  private def scanBm25(terms: Seq[String], k: Int) = {
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      avg(size(split(col("text"), " ")).cast("double")).as("avgdl")).head()
+    val (n, avgdl) = (stats.getDouble(0), stats.getDouble(1))
+    val qtok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val tf = qtok.groupBy("doc_id", "w")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = qtok.groupBy("w")
+      .agg(countDistinct("doc_id").cast("double").as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val idfW = log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
+    val lenNorm = lit(1.2) * (lit(1.0) - lit(0.75) +
+      lit(0.75) * col("dl") / lit(avgdl))
+    dl.join(broadcast(tf.join(broadcast(idf), "w")), "doc_id")
+      .groupBy("doc_id")
+      .agg(round(sum(idfW * col("tf") * lit(2.2) /
+        (col("tf") + lenNorm)), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("prebuilt index answers identically to the scan path") {
+    val path = tmp("identical")
+    TextIndex.build(docs, path, "doc_id", "text")
+    val viaIndex = TextIndex.query(spark, path, Seq("window", "filter"), 20)
+    assert(rows(viaIndex) == rows(scanBm25(Seq("window", "filter"), 20)))
+    // postings scan must prune to the terms' tb partition directories
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+  }
+
+  test("query touches only the index (corpus deleted after build)") {
+    val path = tmp("no-corpus")
+    val basePath = tmp("no-corpus-base")
+    docs.select("doc_id", "text").write.parquet(basePath)
+    val base = spark.read.parquet(basePath)
+    TextIndex.build(base, path, "doc_id", "text")
+    val p = new Path(basePath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val out = TextIndex.query(spark, path, Seq("window", "filter"), 20)
+    assert(rows(out) == rows(scanBm25(Seq("window", "filter"), 20)))
+  }
+
+  test("stamp validation fails loudly") {
+    val path = tmp("stamp")
+    intercept[IllegalArgumentException] {
+      TextIndex.query(spark, path, Seq("x"), 5)
+    }
+    // round-trip
+    val m = TextIndex.Meta("doc_id", 500.0, 101.5, 64, 1.2, 0.75)
+    assert(TextIndex.parse(TextIndex.render(m), path) == m)
+    intercept[IllegalArgumentException] {
+      TextIndex.parse("something else v9\nkind=?", path)
+    }
+  }
+
+  test("driver-side term bucket agrees with the hash(term) column") {
+    import spark.implicits._
+    val terms = Seq("window", "filter", "spark", "a", "", "zebra")
+    val colSide = terms.toDF("term")
+      .select(col("term"), pmod(hash(col("term")), lit(64)).as("tb"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(TextIndex.termBucket(t, 64) == colSide(t), s"term '$t'")
+    }
+  }
+}
