@@ -140,6 +140,55 @@ object VectorIndex {
       numPlanes, numTables, Seq.empty, None))
   }
 
+  /** Incrementally add rows to an existing index WITHOUT retraining:
+    * the stamp's model (centroids + codebook / plane geometry / int8
+    * scheme) encodes the new rows exactly as the build did, and the
+    * encoded rows append to the data table in the same partition
+    * layout. This is the ingest-time half of the provisioned-index
+    * contract — the reference's store indexes each upserted document
+    * as it arrives against the index policy fixed at provisioning
+    * (`CosmosDBClientWrapper.cs:119-144`); it never retrains.
+    *
+    * Consequences, by design:
+    *  - append is O(new rows) — the existing data and the training
+    *    inputs are never read (IndexSpec proves it with both deleted);
+    *  - append order and batching don't matter: any split of the same
+    *    rows yields an identical index (same model, row-local codes);
+    *  - the model drifts from the data as the corpus grows — quantize
+    *    error can rise, but RESULTS stay exactly reproducible; rebuild
+    *    on a maintenance cadence when recall degrades (the same
+    *    rebuild-vs-probe trade the StreamingDedup store documents).
+    *
+    * Ids are the caller's contract (append-only, like A18): appending
+    * an existing id yields two index rows for it.
+    */
+  def append(rows: DataFrame, path: String): Unit = {
+    val spark = rows.sparkSession
+    val meta = loadAny(spark, path)
+    meta.kind match {
+      case "ivfpq" =>
+        Similarity.ivfPqIndexFrame(rows, meta.idCol, meta.vecCol,
+            meta.centroids, meta.pq.get, keepVec = true)
+          .write.mode(SaveMode.Append).partitionBy("cell")
+          .parquet(dataPath(path))
+      case "q8" =>
+        Quantize.withIndexColumns(
+            rows.select(col(meta.idCol), col(meta.vecCol)), meta.vecCol)
+          .write.mode(SaveMode.Append).parquet(dataPath(path))
+      case "lsh" =>
+        rows.select(col(meta.idCol).as("nn_id"),
+            col(meta.vecCol).as("bv"),
+            posexplode(Similarity.lshTableBuckets(col(meta.vecCol),
+              meta.dim, meta.numPlanes, meta.seed, meta.numTables))
+              .as(Seq("tbl", "bucket")))
+          .write.mode(SaveMode.Append).partitionBy("tbl", "bucket")
+          .parquet(dataPath(path))
+      case other =>
+        throw new IllegalArgumentException(
+          s"index at $path has unknown kind '$other'")
+    }
+  }
+
   // ----------------------------------------------------------------
   // query — loads the stamp, never the training inputs
   // ----------------------------------------------------------------
@@ -318,5 +367,18 @@ object VectorIndex {
       s"index at $path is kind '${meta.kind}' but was queried as " +
         s"'$expectKind' — kinds are not interchangeable")
     meta
+  }
+
+  /** Load whatever kind is stamped at `path` (for kind-dispatching
+    * callers like [[append]]); same loud failure on a missing stamp.
+    */
+  private def loadAny(spark: SparkSession, path: String): Meta = {
+    val (p, fs) = stampFile(spark, path)
+    require(fs.exists(p),
+      s"no vector index at $path (missing $StampName stamp) — " +
+        "run VectorIndex.build first; append cannot create an index")
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    parse(text, path)
   }
 }

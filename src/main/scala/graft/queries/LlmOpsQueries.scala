@@ -952,6 +952,45 @@ object LlmOpsQueries {
       val path = s"/tmp/graft-tindex-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       TextIndex.build(Tables(s, dir, "documents"), path, "doc_id", "text")
       TextIndex.query(s, path, Seq("window", "filter"), k = 20)
+    },
+
+    // D3f: incremental index append — build on 80% of the vectors,
+    // append the rest WITHOUT retraining (model from the stamp). The
+    // gate pins: (1) batch-invariance — appending in one batch vs two
+    // yields an identical index (same model, row-local codes, so the
+    // split cannot matter); (2) every appended vector is searchable —
+    // probing with it returns itself as top-1 at distance 0; (3) every
+    // probe gets a full top-5.
+    "d3f_ann_index_append" -> QueryDef(
+      "SELECT TRUE AS batch_invariant, TRUE AS appended_found, " +
+        "TRUE AS complete_topk") { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val a = e.filter(col("vec_id") % 5 =!= 0)
+      val b = e.filter(col("vec_id") % 5 === 0)
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p1 = s"/tmp/graft-vindex-append1-$tag"
+      val p2 = s"/tmp/graft-vindex-append2-$tag"
+      VectorIndex.buildIvfPq(a, p1, "vec_id", "embedding",
+        nlist = 16, m = 8, ks = 16)
+      VectorIndex.buildIvfPq(a, p2, "vec_id", "embedding",
+        nlist = 16, m = 8, ks = 16)
+      VectorIndex.append(b, p1)
+      VectorIndex.append(b.filter(col("vec_id") % 10 === 0), p2)
+      VectorIndex.append(b.filter(col("vec_id") % 10 =!= 0), p2)
+      val probes = e.filter(col("vec_id") % 5 === 0 && col("vec_id") < 50)
+      val q1 = VectorIndex.queryIvfPq(s, p1, probes, k = 5,
+        nprobe = 4, rerankPerProbe = 96)
+      val q2 = VectorIndex.queryIvfPq(s, p2, probes, k = 5,
+        nprobe = 4, rerankPerProbe = 96)
+      val diff = q1.exceptAll(q2).unionAll(q2.exceptAll(q1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))
+      val self = q1.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("nn_id") === col("probe_id") &&
+          col("dist") === 0.0)
+      diff.agg((count(lit(1)) === 0).as("batch_invariant"))
+        .crossJoin(self.agg((count(lit(1)) === 10).as("appended_found")))
+        .crossJoin(q1.agg((count(lit(1)) === 50).as("complete_topk")))
     }
   )
 }

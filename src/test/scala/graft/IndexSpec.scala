@@ -122,6 +122,76 @@ class IndexSpec extends SparkSpec {
     assert(wrong.getMessage.contains("kind"))
   }
 
+  test("append (model-free kinds): build(A)+append(B) == build(A∪B) " +
+      "bit-for-bit") {
+    // q8 and lsh carry no trained state, so incremental and batch
+    // construction must be indistinguishable at query time
+    val a = emb.filter(col("vec_id") < 300)
+    val b = emb.filter(col("vec_id") >= 300)
+    val inc = tmp("q8-append-inc"); val full = tmp("q8-append-full")
+    VectorIndex.buildQ8(a, inc, "vec_id", "embedding")
+    VectorIndex.append(b, inc)
+    VectorIndex.buildQ8(emb, full, "vec_id", "embedding")
+    val queryVec = emb.filter(col("vec_id") === 321L)
+      .select("embedding").collect().head.getSeq[Float](0)
+    def q(p: String) = VectorIndex.queryQ8(spark, p, queryVec, k = 10)
+      .select(col("vec_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(q(inc) == q(full))
+    assert(q(inc).head._1 == 321L)
+
+    val incL = tmp("lsh-append-inc"); val fullL = tmp("lsh-append-full")
+    VectorIndex.buildLsh(a, incL, "vec_id", "embedding", dim = 64,
+      numPlanes = 8, numTables = 2)
+    VectorIndex.append(b, incL)
+    VectorIndex.buildLsh(emb, fullL, "vec_id", "embedding", dim = 64,
+      numPlanes = 8, numTables = 2)
+    val probes = emb.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+    assert(rows(VectorIndex.queryLsh(spark, incL, probes, k = 5)) ==
+      rows(VectorIndex.queryLsh(spark, fullL, probes, k = 5)))
+  }
+
+  test("append reads neither the training inputs nor the prior data's " +
+      "source (both deleted)") {
+    val path = tmp("ivfpq-append-noread")
+    val aPath = tmp("ivfpq-append-a"); val bPath = tmp("ivfpq-append-b")
+    emb.filter(col("vec_id") < 400).select("vec_id", "embedding")
+      .write.parquet(aPath)
+    emb.filter(col("vec_id") >= 400).select("vec_id", "embedding")
+      .write.parquet(bPath)
+    VectorIndex.buildIvfPq(spark.read.parquet(aPath), path,
+      "vec_id", "embedding")
+    val fs = new Path(aPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(aPath), true)
+    val b = spark.read.parquet(bPath)
+    VectorIndex.append(b, path)
+    fs.delete(new Path(bPath), true)
+    // appended vectors are searchable, full top-k, self at dist 0
+    val probes = emb.filter(col("vec_id") >= 400 && col("vec_id") < 410)
+    val out = VectorIndex.queryIvfPq(spark, path, probes, k = 5,
+      nprobe = 4, rerankPerProbe = 96)
+    assert(out.count() == 50)
+    val tops = out.withColumn("rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
+      .filter(col("rk") === 1)
+      .select("probe_id", "nn_id", "dist")
+      .collect()
+    tops.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 0.0,
+        s"appended vec ${r.getLong(0)} not self-top-1: $r")
+    }
+  }
+
+  test("append to a missing index fails loudly") {
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.append(emb.limit(1), tmp("append-absent"))
+    }
+    assert(err.getMessage.contains("append cannot create"))
+  }
+
   test("rebuild overwrites: query reflects the new base, not the old") {
     val path = tmp("rebuild")
     VectorIndex.buildQ8(emb.filter(col("vec_id") < 100), path,
