@@ -38,13 +38,21 @@ object TextIndex {
   private val Version = "graft-text-index v1"
   private val StampName = "_graft_text_index"
 
+  /** Corpus stats are (docCount, sumDl), not (docCount, avgdl):
+    * document lengths are integers, so their double sum is EXACT
+    * (< 2^53) and order-independent — which makes [[append]]'s
+    * incremental stat update bit-identical to a full rebuild, where
+    * an avgdl-carrying stamp would accumulate n·(sum/n) rounding.
+    */
   final case class Meta(
       idCol: String,
       docCount: Double,
-      avgdl: Double,
+      sumDl: Double,
       numBuckets: Int,
       k1: Double,
-      b: Double)
+      b: Double) {
+    def avgdl: Double = sumDl / docCount
+  }
 
   private def postingsPath(path: String) = s"$path/postings"
   private def doclenPath(path: String) = s"$path/doclen"
@@ -75,7 +83,7 @@ object TextIndex {
     unstamp(spark, path)
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n"),
-      avg(size(split(col(textCol), " ")).cast("double")).as("avgdl")).head()
+      sum(size(split(col(textCol), " ")).cast("double")).as("sumdl")).head()
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .groupBy("doc_id", "term")
@@ -88,6 +96,38 @@ object TextIndex {
       .write.mode(SaveMode.Overwrite).parquet(doclenPath(path))
     stamp(spark, path, Meta(idCol, stats.getDouble(0), stats.getDouble(1),
       numBuckets, k1, b))
+  }
+
+  /** Incrementally index new documents WITHOUT rebuilding: postings
+    * and doclen rows for the batch append in the same layout, and the
+    * corpus stats update exactly (docCount += batch count, sumDl +=
+    * batch length sum — exact integer-valued double sums, so
+    * build(A)+append(B) is bit-identical to build(A∪B); TextIndexSpec
+    * pins it). O(batch), never reads the existing index data. Ids are
+    * the caller's append-only contract, as in [[VectorIndex.append]].
+    */
+  def append(
+      docs: DataFrame,
+      path: String,
+      textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = load(spark, path)
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(size(split(col(textCol), " ")).cast("double")).as("sumdl")).head()
+    docs.select(col(meta.idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(meta.numBuckets)))
+      .write.mode(SaveMode.Append).partitionBy("tb")
+      .parquet(postingsPath(path))
+    docs.select(col(meta.idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("double").as("dl"))
+      .write.mode(SaveMode.Append).parquet(doclenPath(path))
+    stamp(spark, path, meta.copy(
+      docCount = meta.docCount + stats.getDouble(0),
+      sumDl = meta.sumDl + stats.getDouble(1)))
   }
 
   /** BM25 top-k for `terms` from the prebuilt index: reads only the
@@ -127,7 +167,7 @@ object TextIndex {
 
   private[graft] def render(m: Meta): String =
     Seq(Version, s"idCol=${m.idCol}", s"docCount=${m.docCount}",
-      s"avgdl=${m.avgdl}", s"numBuckets=${m.numBuckets}",
+      s"sumDl=${m.sumDl}", s"numBuckets=${m.numBuckets}",
       s"k1=${m.k1}", s"b=${m.b}").mkString("\n")
 
   private[graft] def parse(text: String, path: String): Meta = {
@@ -141,7 +181,7 @@ object TextIndex {
       require(i > 0, s"malformed stamp line '$l' in text index at $path")
       l.substring(0, i) -> l.substring(i + 1)
     }.toMap
-    Meta(kv("idCol"), kv("docCount").toDouble, kv("avgdl").toDouble,
+    Meta(kv("idCol"), kv("docCount").toDouble, kv("sumDl").toDouble,
       kv("numBuckets").toInt, kv("k1").toDouble, kv("b").toDouble)
   }
 

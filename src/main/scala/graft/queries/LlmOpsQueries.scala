@@ -954,6 +954,38 @@ object LlmOpsQueries {
       TextIndex.query(s, path, Seq("window", "filter"), k = 20)
     },
 
+    // B4e: incremental text-index maintenance — build on 80% of the
+    // corpus, append the other 20%, query against the SAME full-corpus
+    // BM25 oracle as b4c/b4d: the incrementally-maintained index must
+    // be indistinguishable from a fresh full build (exact postings
+    // append + exact integer-sum stat update make this bit-for-bit,
+    // not approximately).
+    "b4e_fulltext_index_incr" -> QueryDef(
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('window', 'filter')),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM qtok GROUP BY 1, 2),
+        |idf AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM qtok GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+        |       FROM documents)
+        |SELECT t.doc_id,
+        |       ROUND(SUM(LN(1 + (st.n - i.df + 0.5) / (i.df + 0.5)) * t.tf * 2.2
+        |                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / st.avgdl))), 6)
+        |         AS score
+        |FROM tf t JOIN idf i ON t.w = i.w
+        |JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN st
+        |GROUP BY t.doc_id
+        |ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path =
+        s"/tmp/graft-tindex-incr-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TextIndex.build(docs.filter(col("doc_id") % 5 =!= 0), path,
+        "doc_id", "text")
+      TextIndex.append(docs.filter(col("doc_id") % 5 === 0), path, "text")
+      TextIndex.query(s, path, Seq("window", "filter"), k = 20)
+    },
+
     // D3f: incremental index append — build on 80% of the vectors,
     // append the rest WITHOUT retraining (model from the stamp). The
     // gate pins: (1) batch-invariance — appending in one batch vs two

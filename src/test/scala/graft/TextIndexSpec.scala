@@ -74,6 +74,27 @@ class TextIndexSpec extends SparkSpec {
     assert(rows(out) == rows(scanBm25(Seq("window", "filter"), 20)))
   }
 
+  test("build(A)+append(B) is bit-identical to build(A∪B)") {
+    val inc = tmp("append-inc"); val full = tmp("append-full")
+    TextIndex.build(docs.filter(col("doc_id") % 5 =!= 0), inc,
+      "doc_id", "text")
+    TextIndex.append(docs.filter(col("doc_id") % 5 === 0), inc, "text")
+    TextIndex.build(docs, full, "doc_id", "text")
+    // the stamps agree exactly (docCount and the EXACT sumDl), so the
+    // scoring constants are bit-equal, and the postings carry the same
+    // (doc, term, tf) rows
+    assert(TextIndex.load(spark, inc) == TextIndex.load(spark, full))
+    def q(p: String) = rows(
+      TextIndex.query(spark, p, Seq("window", "filter"), 20))
+    assert(q(inc) == q(full))
+  }
+
+  test("append to a missing index fails loudly") {
+    intercept[IllegalArgumentException] {
+      TextIndex.append(docs.limit(1), tmp("append-absent"), "text")
+    }
+  }
+
   test("stamp validation fails loudly") {
     val path = tmp("stamp")
     intercept[IllegalArgumentException] {
