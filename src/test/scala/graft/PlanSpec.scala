@@ -201,6 +201,49 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .contains("BroadcastHashJoin"))
   }
 
+  test("d11: decontamination never ships the corpus text through an " +
+      "exchange; the blocklist probe broadcasts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val df = graft.ops.Decontaminate.flag(docs,
+      docs.filter(col("doc_id") % 25 === 0), "doc_id", "text")
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"corpus text crosses an exchange: ${names.mkString(", ")}")
+    }
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
+
+  test("d12: shard packing is one keyed exchange — no global sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GraftFunctions.token_count
+    val docs = Tables(spark, sf(), "documents").select(
+      col("doc_id"), token_count(col("text")).cast("long").as("tc"))
+    val df = graft.ops.Packing.packShards(docs, "doc_id", "tc", 2000L, 16)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(plan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.length == 1, s"expected 1 exchange, got ${
+      shuffles.length}")
+    // the window's sort is per-partition (keyed), never global
+    val globalSorts = collectWithSubqueries(plan) {
+      case s: SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, "global sort in the packing plan")
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet
