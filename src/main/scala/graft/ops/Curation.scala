@@ -48,28 +48,43 @@ object Curation {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      cfg: Config = Config()): DataFrame = {
-    require(!docs.columns.contains("__dup"),
-      "__dup is reserved by Curation.annotate")
+      cfg: Config = Config(),
+      blocklist: Option[DataFrame] = None,
+      ngram: Int = 8): DataFrame = {
+    require(!docs.columns.exists(Seq("__dup", "__cont").contains),
+      "__dup/__cont are reserved by Curation.annotate")
     val narrow = docs.select(
       sha2(col(textCol), 256).as("__h"), col(idCol).as("__id"))
     val minIds = narrow.groupBy("__h").agg(min(col("__id")).as("__min"))
     val dupIds = narrow.join(minIds, Seq("__h"))
       .filter(col("__id") =!= col("__min"))
       .select(col("__id").as(idCol), lit(true).as("__dup"))
-    docs
+    // benchmark decontamination (D11) composes as one more broadcast
+    // flag table — hit-bounded, same join-back shape as the dup ids
+    val withCont = blocklist match {
+      case Some(bl) =>
+        val hits = Decontaminate
+          .hitCounts(docs, bl, idCol, textCol, ngram)
+          .select(col(idCol), lit(true).as("__cont"))
+        docs.join(broadcast(hits), Seq(idCol), "left")
+      case None => docs.withColumn("__cont", lit(false))
+    }
+    withCont
       .join(broadcast(dupIds), Seq(idCol), "left")
       .withColumn("quality",
         TextAnalysis.qualityScore(col(textCol)))
       .withColumn("lang", TextAnalysis.langId(col(textCol)))
       .withColumn("is_duplicate", coalesce(col("__dup"), lit(false)))
       .drop("__dup")
+      .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
+      .drop("__cont")
       .withColumn("in_sample",
         Sampling.inHashSample(col(idCol), cfg.sampleFraction, cfg.sampleSalt))
       .withColumn("drop_reason",
         when(col("quality") < cfg.minQuality, "quality")
           .when(col("lang") =!= cfg.lang, "lang")
           .when(col("is_duplicate"), "duplicate")
+          .when(col("is_contaminated"), "contaminated")
           .when(!col("in_sample"), "sample")
           .otherwise(""))
       .withColumn("keep", col("drop_reason") === "")
@@ -83,8 +98,8 @@ object Curation {
       cfg: Config = Config()): DataFrame =
     annotate(docs, idCol, textCol, cfg)
       .filter(col("keep"))
-      .drop("quality", "lang", "is_duplicate", "in_sample",
-        "drop_reason", "keep")
+      .drop("quality", "lang", "is_duplicate", "is_contaminated",
+        "in_sample", "drop_reason", "keep")
 
   /** NEAR-duplicate annotation: MinHash-LSH pairs cluster via
     * connected components and every non-root cluster member is flagged

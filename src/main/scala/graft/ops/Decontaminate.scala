@@ -34,6 +34,31 @@ import graft.functions.GraftFunctions.word_shingles
   */
 object Decontaminate {
 
+  /** The (idCol, n_hits) table of contaminated documents only —
+    * n_hits = distinct n-grams shared with the blocklist. This is the
+    * reusable core: [[flag]] joins it back onto the corpus, and
+    * [[Curation.annotate]] folds it into the composed pipeline's
+    * drop reasons. Bounded by hits, so broadcastable by contract.
+    */
+  def hitCounts(
+      corpus: DataFrame,
+      blocklist: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val grams = corpus.select(
+      col(idCol), explode(word_shingles(col(textCol), lit(n))).as("__g"))
+    val bl = blocklist
+      .select(explode(word_shingles(col(textCol), lit(n))).as("__g"))
+      .distinct()
+    // word_shingles is per-row distinct and bl is distinct, so a plain
+    // count after the join IS the distinct shared-gram count.
+    grams.join(broadcast(bl), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Corpus rows annotated with `n_hits` (distinct shared n-grams
     * with the blocklist) and `contaminated` (n_hits > 0).
     */
@@ -43,20 +68,10 @@ object Decontaminate {
       idCol: String,
       textCol: String,
       n: Int = 8): DataFrame = {
-    require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(!corpus.columns.contains("n_hits") &&
       !corpus.columns.contains("contaminated"),
       "n_hits/contaminated are reserved by Decontaminate.flag")
-    val grams = corpus.select(
-      col(idCol), explode(word_shingles(col(textCol), lit(n))).as("__g"))
-    val bl = blocklist
-      .select(explode(word_shingles(col(textCol), lit(n))).as("__g"))
-      .distinct()
-    // word_shingles is per-row distinct and bl is distinct, so a plain
-    // count after the join IS the distinct shared-gram count.
-    val hits = grams.join(broadcast(bl), Seq("__g"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+    val hits = hitCounts(corpus, blocklist, idCol, textCol, n)
     corpus.join(broadcast(hits), Seq(idCol), "left")
       .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
       .withColumn("contaminated", col("n_hits") > 0)

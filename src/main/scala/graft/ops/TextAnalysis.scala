@@ -158,6 +158,39 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("clean"), lit("")).as("clean"))
   }
 
+  /** Corpus-model fluency score (D4k): mean unigram log-probability
+    * per document under the corpus's own unigram distribution — the
+    * cheap stand-in for the perplexity filters production pipelines
+    * run with a real LM. Low scores mark gibberish / rare-token spam;
+    * anomalously high scores mark degenerate repetition of frequent
+    * words (combine with the D4i repetition signals).
+    *
+    * Two-pass shape, both scale-safe: (1) the unigram table is a
+    * vocabulary-bounded aggregate (map-side combined — same contract
+    * as D4f's line-frequency table and B4b's df table) broadcast back
+    * into the token stream; (2) the per-doc mean aggregates narrow
+    * (id, partial-sum) rows. No OOV smoothing is needed: the model is
+    * built from the scored corpus itself, so every token has count
+    * ≥ 1. For a 100 TB corpus whose vocabulary outgrows a broadcast
+    * (rare with word tokens; plausible with noisy byte-level ones),
+    * drop the hint and the token-vocab join degrades to a shuffle on
+    * the term — the per-doc result shape is unchanged.
+    */
+  def unigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("__w"))
+    val vocab = tok.groupBy("__w").agg(count(lit(1)).as("__cnt"))
+    val tot = vocab.agg(sum("__cnt").as("__tot"))
+    tok.join(broadcast(vocab), Seq("__w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(round(avg(log(col("__cnt") * lit(1.0) / col("__tot"))), 6)
+        .as("logprob"))
+  }
+
   /** PII scrubbing for training-data curation: emails, then long bare
     * digit runs (ids/SSNs), then phone-like sequences (digits with
     * separators), replaced with stable tags. Regexes stay in the

@@ -954,6 +954,23 @@ object LlmOpsQueries {
       TextIndex.query(s, path, Seq("window", "filter"), k = 20)
     },
 
+    // D4k: corpus-model fluency — mean unigram log-prob per document
+    // under the corpus's own unigram distribution (the perplexity
+    // filter's cheap stand-in). The oracle rebuilds the model and the
+    // per-doc mean from scratch in SQL.
+    "d4k_unigram_logprob" -> QueryDef(
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |v AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        |t AS (SELECT SUM(cnt) AS tot FROM v)
+        |SELECT doc_id, ROUND(AVG(LN(cnt * 1.0 / tot)), 6) AS logprob
+        |FROM tok JOIN v USING (w) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.unigramLogProb(
+          Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // B4e: incremental text-index maintenance — build on 80% of the
     // corpus, append the other 20%, query against the SAME full-corpus
     // BM25 oracle as b4c/b4d: the incrementally-maintained index must

@@ -87,6 +87,74 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // P5: curation with benchmark decontamination composed in — the
+    // P3 pipeline plus a blocklist (every 25th original document as
+    // the stand-in eval set). Drop-reason order gains 'contaminated'
+    // between 'duplicate' and 'sample': a blocklisted original that
+    // passes quality+lang must drop as contaminated (it shares all
+    // its 8-grams with itself), its +1M exact copy as duplicate
+    // (duplicate wins the order), and near misses stay governed by
+    // the 8-gram rule the oracle recomputes from scratch.
+    "p5_curation_decontaminated" -> QueryDef(
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> x <> '') AS ts FROM input),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, ts,
+        |               UNNEST(range(1, GREATEST(len(ts) - 6, 2))) AS i
+        |        FROM toks WHERE len(ts) >= 1)),
+        |bl AS (SELECT DISTINCT g FROM grams
+        |       WHERE doc_id % 25 = 0 AND doc_id < 1000000),
+        |cont AS (SELECT DISTINCT doc_id FROM grams JOIN bl USING (g)),
+        |q AS (
+        |  SELECT i.doc_id, text,
+        |    ROUND(LEAST(LENGTH(text), 500) * 1.0 / 500 * 0.4
+        |      + len(list_filter(string_split(lower(text), ' '),
+        |          x -> x IN ('the','and','of','to','in','is','a','that','it','for')))
+        |        * 1.0 / len(string_split(text, ' ')) * 0.4
+        |      + CASE WHEN (LENGTH(text) - len(string_split(text, ' ')) + 1) * 1.0
+        |                  / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+        |             THEN 0.2 ELSE 0.0 END, 6) AS quality,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the','and','of','to','in','is','a','that','it','for'))) AS en_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('el','la','de','que','y','en','los','del','se','las'))) AS es_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('der','die','und','das','ist','ein','zu','den','mit','nicht'))) AS de_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('le','la','de','et','est','un','les','des','une','dans'))) AS fr_h,
+        |    MIN(i.doc_id) OVER (PARTITION BY sha256(text)) AS keeper,
+        |    substr(md5(CAST(i.doc_id AS VARCHAR)), 1, 4) < '8000' AS in_sample,
+        |    (c.doc_id IS NOT NULL) AS is_cont
+        |  FROM input i LEFT JOIN cont c ON i.doc_id = c.doc_id)
+        |SELECT doc_id, quality, is_cont AS is_contaminated,
+        |  CASE WHEN quality < 0.3 THEN 'quality'
+        |       WHEN NOT (en_h > 0 AND en_h >= es_h AND en_h >= de_h
+        |                 AND en_h >= fr_h) THEN 'lang'
+        |       WHEN keeper <> doc_id THEN 'duplicate'
+        |       WHEN is_cont THEN 'contaminated'
+        |       WHEN NOT in_sample THEN 'sample'
+        |       ELSE '' END AS reason,
+        |  (quality >= 0.3 AND en_h > 0 AND en_h >= es_h AND en_h >= de_h
+        |   AND en_h >= fr_h AND keeper = doc_id AND NOT is_cont
+        |   AND in_sample) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val input = d.unionAll(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Curation.annotate(input, "doc_id", "text",
+          graft.ops.Curation.Config(minQuality = 0.3, lang = "en",
+            sampleFraction = 0.5),
+          blocklist = Some(d.filter(col("doc_id") % 25 === 0)))
+        .select(col("doc_id"), col("quality"), col("is_contaminated"),
+          col("drop_reason").as("reason"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     // P4: NEAR-duplicate removal in the curation pipeline — MinHash
     // pairs cluster via connected components; non-root members flag
     // with their cluster root. The gate pins the guaranteed invariant:

@@ -54,6 +54,32 @@ class CurationSpec extends SparkSpec {
     assert(ann(3L) == (false, -1L)) // unique doc untouched
   }
 
+  test("blocklist composes as 'contaminated' after duplicate, before " +
+      "sample (P5)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, goodText),               // blocklisted original → contaminated
+      (2L, goodText),               // exact copy → duplicate wins the order
+      (3L, goodText + "fresh ending never seen in any eval set at all " * 3),
+      (4L, "for the good of it that is the one and the best we have " * 4))
+      .toDF("doc_id", "text")
+    val bl = Seq((99L, goodText)).toDF("doc_id", "text")
+    val ann = Curation.annotate(docs, "doc_id", "text",
+        Curation.Config(minQuality = 0.3, lang = "en"),
+        blocklist = Some(bl))
+      .select("doc_id", "drop_reason", "is_contaminated")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(ann(1L) == (("contaminated", true)))
+    assert(ann(2L) == (("duplicate", true)))    // contaminated too, but dup first
+    assert(ann(3L)._2, "8-gram overlap with the eval text must flag doc 3")
+    assert(ann(4L)._1 == "" && !ann(4L)._2)
+    // without a blocklist the column exists and is all-false (P3 shape)
+    val plain = Curation.annotate(docs, "doc_id", "text")
+      .select("is_contaminated").collect().map(_.getBoolean(0))
+    assert(plain.forall(!_))
+  }
+
   test("curate keeps exactly the keep rows and drops audit columns") {
     import spark.implicits._
     val docs = Seq((1L, goodText), (2L, goodText), (3L, "zz"))

@@ -99,4 +99,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) <= 16)
     assert(java.lang.Long.bitCount(hs(0) ^ hs(3)) > 16)
   }
+
+  test("unigramLogProb matches an in-memory reference model (D4k)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "xylophone"))
+    // reference: counts over all 7 tokens
+    val toks = corpus.flatMap(_._2.split(" "))
+    val cnt = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val tot = toks.size.toDouble
+    def lp(text: String): Double = {
+      val ws = text.split(" ")
+      val m = ws.map(w => math.log(cnt(w) / tot)).sum / ws.length
+      BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val out = TextAnalysis.unigramLogProb(
+        corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    corpus.foreach { case (id, text) =>
+      assert(math.abs(out(id) - lp(text)) < 1e-6, s"doc $id")
+    }
+    // the common-word doc scores higher than the hapax doc
+    assert(out(1L) > out(3L))
+  }
 }
