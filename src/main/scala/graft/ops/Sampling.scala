@@ -41,6 +41,36 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(inHashSample(col(keyCol), fraction, salt))
 
+  /** Data-mixture sampling (D7c): per-source sampling fractions in one
+    * scan-level filter — the deterministic version of the weighted
+    * source mixing every pretraining recipe specifies ("X% web, Y%
+    * code, Z% books"). Each source's rows pass through its own
+    * [[inHashSample]] threshold, so the output hits each source's
+    * fraction in expectation with zero shuffles and full
+    * reproducibility; sources absent from `fractions` are dropped
+    * (explicit mixture = explicit allowlist). Salt as in
+    * [[inHashSample]]: independent mixtures (epochs/ablations) from
+    * the same corpus.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      fractions: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    require(fractions.nonEmpty, "mixtureSample needs at least one source")
+    fractions.foreach { case (s, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for '$s' = $f")
+    }
+    // deterministic predicate order (sorted keys) so plans are stable
+    val pred = fractions.toSeq.sortBy(_._1)
+      .map { case (s, f) =>
+        col(sourceCol) === lit(s) && inHashSample(col(keyCol), f, salt)
+      }
+      .reduce(_ || _)
+    df.filter(pred)
+  }
+
   /** Deterministic fixed-size sample PER STRATUM — the reproducible
     * replacement for reservoir sampling: the `n` hash-smallest keys of
     * each stratum. Any engine recomputes the same members, any subset

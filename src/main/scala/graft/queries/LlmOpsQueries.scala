@@ -6,7 +6,7 @@ import graft.embed.DeterministicEmbedder
 import graft.multimodal.{Media, StubMediaDecoder}
 import graft.pipeline.IngestPipeline
 import graft.functions.GraftFunctions.token_count
-import graft.ops.{Decontaminate, Dedup, Packing, Similarity, TextAnalysis, TextIndex, VectorIndex}
+import graft.ops.{Decontaminate, Dedup, Packing, Sampling, Similarity, TextAnalysis, TextIndex, VectorIndex}
 
 /** Tier D — LLM-data-pipeline operators through the conformance gate
   * (SURVEY §2.4) plus the Tier B full-text surface (B4). Oracle
@@ -952,6 +952,26 @@ object LlmOpsQueries {
       val path = s"/tmp/graft-tindex-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       TextIndex.build(Tables(s, dir, "documents"), path, "doc_id", "text")
       TextIndex.query(s, path, Seq("window", "filter"), k = 20)
+    },
+
+    // D7c: data-mixture sampling — per-source fractions as one
+    // scan-level deterministic filter (the "X% web, Y% code" recipe
+    // knob). The oracle replays the md5 16-bit thresholds per source;
+    // sources outside the mixture (src4.., and src3 at 0.0) must
+    // vanish entirely.
+    "d7c_mixture_sample" -> QueryDef(
+      """SELECT doc_id, source FROM documents
+        |WHERE source = 'src0'
+        |   OR (source = 'src1'
+        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+        |   OR (source = 'src2'
+        |       AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.mixtureSample(Tables(s, dir, "documents"),
+          "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     },
 
     // D4k: corpus-model fluency — mean unigram log-prob per document

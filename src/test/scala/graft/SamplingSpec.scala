@@ -112,4 +112,37 @@ class SamplingSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(a))
   }
+
+  test("mixtureSample honors per-source fractions; unlisted sources " +
+      "drop (D7c)") {
+    import spark.implicits._
+    val docs = (0 until 4000).map(i =>
+      (i.toLong, s"src${i % 4}")).toDF("id", "source")
+    val out = Sampling.mixtureSample(docs, "id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 1000L)                    // f=1.0: everything
+    assert(math.abs(bySrc("src1") - 500L) < 100)       // f=0.5 ± noise
+    assert(!bySrc.contains("src2"))                    // f=0.0
+    assert(!bySrc.contains("src3"))                    // unlisted
+    // deterministic: same call, same rows
+    val again = Sampling.mixtureSample(docs.repartition(13), "id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    // the per-source sample is the SAME rows the plain fraction picks
+    // (mixture = union of per-source hash samples, by construction)
+    val plain = Sampling.deterministicSample(
+        docs.filter($"source" === "src1"), "id", 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.filter($"source" === "src1").select("id")
+      .collect().map(_.getLong(0)).toSet == plain)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "id", "source", Map("x" -> 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "id", "source", Map.empty)
+    }
+  }
 }
