@@ -10,7 +10,8 @@ object SparkEntry {
   lazy val all: Map[String, QueryDef] =
     VectorQueries.defs ++ RelationalQueries.defs ++
       RelationalExtraQueries.defs ++ ChunkQueries.defs ++
-      PipelineQueries.defs ++ LlmOpsQueries.defs
+      PipelineQueries.defs ++ LlmOpsQueries.defs ++
+      RetrievalQueries.defs ++ CorpusQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Slice 0: exact vector top-k via the custom cosine_distance expression.

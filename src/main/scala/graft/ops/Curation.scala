@@ -126,4 +126,51 @@ object Curation {
     docs.join(roots, Seq(idCol), "left")
       .withColumn("is_near_duplicate", col("near_dup_root").isNotNull)
   }
+
+  /** P6: corpus audit report (the "datasheet" pass every training-data
+    * pipeline runs before export): per source — document count, total
+    * token budget, language spread, exact-duplicate count (corpus-wide
+    * content groups, min-id keeper), exact interpolated median length,
+    * and mean quality.
+    *
+    * Determinism: per-source quality is summed as round(q·1e6)
+    * integers (q itself is already rounded to 6dp), so group sums are
+    * exact in any addition order; the mean divides once at the end.
+    *
+    * Scale: ONE grouped aggregate over per-row expressions (sources
+    * are dimension-scale) plus the same narrow (hash, id) duplicate
+    * shape as [[annotate]] — the text column never shuffles; the only
+    * full-width operation is the scan itself. The exact median is the
+    * one at-scale caveat (percentile holds per-group values); swap in
+    * approx_percentile when sources are corpus-scale — c13b is the
+    * pinned sketch substitute.
+    */
+  def auditReport(
+      docs: DataFrame,
+      srcCol: String,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      charsCol: String): DataFrame = {
+    val narrow = docs.select(
+      sha2(col(textCol), 256).as("__h"), col(idCol).as("__id"))
+    val minIds = narrow.groupBy("__h").agg(min(col("__id")).as("__min"))
+    val dupIds = narrow.join(minIds, Seq("__h"))
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__id").as(idCol), lit(true).as("__dup"))
+    docs.join(broadcast(dupIds), Seq(idCol), "left")
+      .groupBy(col(srcCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.GraftFunctions.token_count(col(textCol))
+          .cast("long")).as("total_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dups"),
+        expr(s"percentile($charsCol, 0.5)").as("median_chars"),
+        sum(round(TextAnalysis.qualityScore(col(textCol)) * 1e6)
+          .cast("long")).as("__q6"))
+      .withColumn("avg_quality",
+        round(col("__q6") / lit(1e6) / col("n_docs"), 6))
+      .drop("__q6")
+  }
 }

@@ -279,4 +279,43 @@ object Dedup {
           .as("jac"))
       .filter(col("jac") >= threshold)
   }
+
+  /** D13: semantic (embedding-space) dedup — SemDeDup (Abbas et al.,
+    * arXiv:2303.09540): partition vectors into k-means cells, compare
+    * pairs only WITHIN a cell, flag every row that has a smaller-id
+    * neighbor with cosine similarity ≥ `tau` (the min-id row of each
+    * semantic group is the keeper, same keeper rule as
+    * [[exactDedup]]/D2e).
+    *
+    * Scale design: the published SemDeDup tradeoff — cells bound the
+    * quadratic. The self-join shuffles both sides once on `cell`
+    * (pick nCells ≈ n/targetCellSize so cells stay small — the paper
+    * runs ~50k cells over LAION), within-cell pair work is Σ|cell|²
+    * instead of n², and the centroid model is KB-scale driver state
+    * from the one-scan [[Similarity.ivfCentroids]] sampler. Skewed
+    * cells split under AQE skew-join. Near-identical pairs land in
+    * the same cell with probability → 1 as similarity → 1 (both
+    * quantize to the same nearest centroid).
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16,
+      tau: Double = 0.99,
+      seed: Long = 42L): DataFrame = {
+    val cents = Similarity.ivfCentroids(emb, idCol, vecCol, nCells, seed)
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.nearestCentroid(col(vecCol), cents).as("cell"))
+    val pairs = assigned.as("x").join(assigned.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .filter(lit(1.0) - graft.functions.GraftFunctions
+        .cosine_distance(col("x.v"), col("y.v")) >= tau)
+    val dupOf = pairs.groupBy(col("y.id").as("id"))
+      .agg(min(col("x.id")).as("dup_of"))
+    assigned.select("id", "cell")
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cell"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
 }

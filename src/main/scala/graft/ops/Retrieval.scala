@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Hybrid retrieval (SURVEY B6/B7): the read-path composition the
+  * reference's store is built toward — a full-text ranking (BM25,
+  * `AzureCosmosDB/csharp/README.md:15`) and a vector ranking
+  * (`CosmosDBClientWrapper.cs:119-128`) fused into one result list —
+  * plus diversity-aware reranking of the fused candidates.
+  *
+  * Scale design: fusion and reranking operate on TOP-K LISTS, never on
+  * the corpus. Each input ranking is bounded at k rows by its own
+  * top-k operator (TakeOrderedAndProject / index-pruned scan), so the
+  * fusion joins are dimension-scale regardless of corpus size, and the
+  * MMR greedy runs on a driver-local candidate set the same way the PQ
+  * codebook trainer does (bounded by contract, documented at the call
+  * site). The expensive work — scoring 100 TB of text or vectors —
+  * happens inside the upstream operators that already have scale paths
+  * (B4d text index, D3e vector index).
+  */
+object Retrieval {
+
+  /** Okapi BM25 scores for a bag of query terms (scan path; the
+    * persistent-index form is [[TextIndex.query]]). Same scale shape
+    * as SURVEY B4c: the query-term filter sits BELOW both aggregates
+    * so tf/df shuffle only query-term rows, and the (tiny,
+    * term-bounded) tf×idf set BROADCASTS into the doc-length scan —
+    * the corpus-sized side never shuffles.
+    *
+    * Returns (idCol, score) with score rounded to 6dp for
+    * deterministic cross-engine ordering.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).cast("double"),
+      avg(size(split(col(textCol), " ")).cast("double"))).head()
+    val (n, avgdl) = (stats.getDouble(0), stats.getDouble(1))
+    val qtok = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w").isin(terms: _*))
+    val tf = qtok.groupBy(idCol, "w")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = qtok.groupBy("w")
+      .agg(countDistinct(idCol).cast("double").as("df"))
+    val dl = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("double").as("dl"))
+    val idfW = log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5))
+    val lenNorm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+    dl.join(broadcast(tf.join(broadcast(idf), "w")), idCol)
+      .groupBy(idCol)
+      .agg(round(sum(idfW * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lenNorm)), 6).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009):
+    * fused(d) = Σ_r 1/(kRrf + rank_r(d)) over the rankings that
+    * contain d. Each input must carry (idCol, rankCol) with ranks
+    * 1-based; items absent from a ranking contribute 0.
+    *
+    * RRF needs only RANKS, not comparable scores — which is why it is
+    * the standard BM25+vector fusion: the two score distributions
+    * never need calibrating. Inputs are top-k lists (k rows each), so
+    * the outer-join cascade is dimension-scale by construction.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      rankCol: String = "rank",
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val parts = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col(rankCol).cast("long").as(s"__r$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val contrib = parts.indices.map { i =>
+      when(col(s"__r$i").isNotNull, lit(1.0) / (lit(kRrf) + col(s"__r$i")))
+        .otherwise(lit(0.0))
+    }
+    joined
+      .withColumn("rrf_score", round(contrib.reduce(_ + _), 6))
+      .select(col(idCol), col("rrf_score"))
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) of a bounded candidate set: greedily pick
+    * argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), trading relevance
+    * against redundancy with the already-selected set S.
+    *
+    * The candidate set is collected to the driver BY CONTRACT — MMR is
+    * a rerank of an upstream top-N (N ≲ 10³), inherently sequential
+    * (each pick depends on all previous picks), and the collected
+    * state is N×dim floats — the same driver-scale envelope as the PQ
+    * codebook. The corpus-scale work lives in the operator that
+    * produced the candidates.
+    *
+    * Ties break by id; similarities are cosine. Returns
+    * (idCol, mmr_rank 1-based, relevance = cosine sim to the query,
+    * both rounded to 6dp).
+    */
+  def mmrRerank(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    val spark = candidates.sparkSession
+    val rows = candidates.select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(rows.length <= 100000,
+      s"MMR candidate set ${rows.length} exceeds the driver-scale contract")
+    val q = queryVec.toArray
+    val rel = rows.map { case (_, v) => 1.0 - VectorOps.cosineDistance(v, q) }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val chosen = Array.fill(rows.length)(false)
+    // maxSim(i) = max similarity of candidate i to the selected set,
+    // updated incrementally — O(k·N) pair evaluations total
+    val maxSim = Array.fill(rows.length)(Double.NegativeInfinity)
+    while (selected.length < math.min(k, rows.length)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < rows.length) {
+        if (!chosen(i)) {
+          val div = if (selected.isEmpty) 0.0 else maxSim(i)
+          val s = lambda * rel(i) - (1.0 - lambda) * div
+          // strict > with ascending id scan = deterministic min-id tiebreak
+          if (s > bestScore + 1e-12 || best < 0) { bestScore = s; best = i }
+        }
+        i += 1
+      }
+      chosen(best) = true
+      selected += best
+      var j = 0
+      while (j < rows.length) {
+        if (!chosen(j)) {
+          val s = 1.0 - VectorOps.cosineDistance(rows(j)._2, rows(best)._2)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case (i, r) =>
+        (rows(i)._1, r + 1,
+          BigDecimal(rel(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+      .toDF(idCol, "mmr_rank", "relevance")
+  }
+}

@@ -91,4 +91,81 @@ object Sampling {
         col(keyCol)))
     df.withColumn("__r", rank).filter(col("__r") <= n).drop("__r")
   }
+
+  /** Hashed n-gram bucket for importance features: the first 2 hex
+    * chars of md5(gram) as an integer 0..255 folded into `buckets` —
+    * engine-portable (any SQL engine with md5 recomputes it).
+    */
+  private[ops] def gramBucket(gram: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(gram), 1, 2), 16, 10).cast("long"), lit(buckets))
+
+  /** D15: DSIR-style importance weighting (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * score every document by how much more likely its hashed-bigram
+    * features are under a TARGET distribution (e.g. a trusted
+    * high-quality subset) than under the RAW corpus —
+    * mean_g [ log p_target(bucket(g)) − log p_raw(bucket(g)) ] with
+    * add-one smoothing over `buckets` hashed features. Documents that
+    * look like the target score > 0; importance resampling keeps the
+    * top scores (or samples ∝ exp(score)).
+    *
+    * Output: (idCol, n_grams, w6_sum, score) — per-bucket log-weights
+    * are quantized to integer MICRO-NATS (×1e6) so every per-document
+    * sum is integer-exact regardless of partition/addition order; the
+    * final score divides once at the end (round 6dp). Documents with
+    * no bigram (< 2 words) carry n_grams=0 and null sums.
+    *
+    * Scale design: the two bucket-count aggregates shuffle 8-byte
+    * (bucket, count) partials — `buckets` rows survive, collected as
+    * KB-scale driver state (the "model" is a `buckets`-entry literal
+    * array, the same envelope as the PQ codebook). The SCORING pass is
+    * then per-row expressions only — transform + aggregate over the
+    * gram array against the broadcast-literal weight table — so the
+    * corpus itself NEVER shuffles: at 100 TB the cost is one counting
+    * scan plus one scoring scan.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      isTarget: Column,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= 65536, s"buckets=$buckets")
+    val grams = docs.select(col(idCol), isTarget.as("__t"),
+        explode(TextAnalysis.wordNgrams(col(textCol), 2)).as("__g"))
+      .withColumn("__b", gramBucket(col("__g"), buckets))
+    val counts = grams.groupBy("__b").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("__t"), 1)).as("ct"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rTot = counts.map(_._2).sum.toDouble
+    val tTot = counts.map(_._3).sum.toDouble
+    val w6 = new Array[Long](buckets)
+    counts.foreach { case (b, cr, ct) =>
+      w6(b.toInt) = math.round(
+        (math.log((ct + 1.0) / (tTot + buckets))
+          - math.log((cr + 1.0) / (rTot + buckets))) * 1e6)
+    }
+    // empty buckets: cr = ct = 0 → weight of an unseen feature
+    val w0 = math.round(
+      (math.log(1.0 / (tTot + buckets)) - math.log(1.0 / (rTot + buckets)))
+        * 1e6)
+    val seen = counts.map(_._1.toInt).toSet
+    (0 until buckets).filterNot(seen).foreach(w6(_) = w0)
+    val wLit = typedlit(w6.toSeq)
+    docs
+      .withColumn("__ts", TextAnalysis.wordNgrams(col(textCol), 2))
+      .withColumn("n_grams", size(col("__ts")).cast("long"))
+      .withColumn("w6_sum",
+        when(col("n_grams") > 0,
+          aggregate(
+            transform(col("__ts"),
+              g => element_at(wLit, (gramBucket(g, buckets) + 1).cast("int"))),
+            lit(0L), (acc, x) => acc + x)))
+      .withColumn("score",
+        when(col("n_grams") > 0,
+          round(col("w6_sum") / lit(1e6) / col("n_grams"), 6)))
+      .select(col(idCol), col("n_grams"), col("w6_sum"), col("score"))
+  }
 }

@@ -205,4 +205,42 @@ object TextAnalysis {
     val num = regexp_replace(email, "[0-9]{7,}", "[NUMBER]")
     regexp_replace(num, "\\+?[0-9][0-9() .-]{5,}[0-9]", "[PHONE]")
   }
+
+  /** Word n-grams WITH multiplicity, in text order (unlike
+    * `word_shingles`, which deduplicates — signatures want set
+    * semantics, frequency statistics want the multiset). Tokenization
+    * matches the shingle kernels: lowercase, split on whitespace,
+    * empty tokens dropped. Texts shorter than `n` words yield an
+    * empty array (no whole-text collapse — a frequency table must not
+    * conflate "short text" with "n-gram"). Pure built-in higher-order
+    * functions: per-row, codegen-adjacent, no shuffle, no UDF.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n=$n")
+    bound(filter(split(lower(text), "\\s+"), w => w =!= lit(""))) { ts =>
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - lit(n - 1)),
+          i => array_join(slice(ts, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** D14: corpus vocabulary induction — the k most frequent word
+    * n-grams with exact counts (the first step of tokenizer/vocab
+    * construction and the exact companion of the sketch path below).
+    *
+    * Scale: one shuffle on the gram key with map-side partial counts
+    * (vocabulary-bounded, like D4f's document-frequency aggregate);
+    * the final top-k lowers to TakeOrderedAndProject over the
+    * aggregated (vocabulary-sized, not corpus-sized) table.
+    */
+  def topNgrams(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      n: Int,
+      k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("gram"))
+      .limit(k)
 }

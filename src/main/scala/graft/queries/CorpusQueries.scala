@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Curation, Dedup, Sampling, TextAnalysis}
+
+/** Corpus-scale curation conformance queries (SURVEY D13-D15, P6):
+  * semantic dedup, vocabulary statistics (exact + sketch), importance
+  * weighting, and the per-source audit report.
+  */
+object CorpusQueries {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // D13: SemDeDup — semantic dedup in embedding space. Cells and
+    // centroids are engine-derived (k-means), so the gate plants the
+    // contract: 50 perturbed copies (one per base vector id < 50,
+    // displaced by ±1e-4 per component → cosine sim ≈ 1 ≫ τ=0.99)
+    // union into the corpus; every copy must be flagged with its own
+    // original as the dup root (original id < copy id, so the min-id
+    // keeper rule must select it).
+    "d13_semantic_dedup" -> QueryDef(
+      """SELECT vec_id + 100000 AS copy_id, TRUE AS flagged, TRUE AS root_ok
+        |FROM embeddings WHERE vec_id < 50 ORDER BY copy_id""".stripMargin) {
+      (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+      val planted = emb.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + ((i % 3) - 1).cast("float") * lit(1e-4f)).as("embedding"),
+        col("label"))
+      val flagged = Dedup.semanticDedup(emb.union(planted),
+        "vec_id", "embedding", nCells = 16, tau = 0.99)
+      flagged.filter(col("vec_id") >= 100000)
+        .select(col("vec_id").as("copy_id"),
+          col("is_dup").as("flagged"),
+          coalesce(col("dup_of") === col("vec_id") - 100000, lit(false))
+            .as("root_ok"))
+        .orderBy("copy_id")
+    },
+
+    // D14: vocabulary induction — exact top-20 bigrams with counts
+    // (multiset n-grams via wordNgrams; the oracle recomputes the
+    // same tokenization with DuckDB list ops).
+    "d14_ngram_vocab" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT ts[i] || ' ' || ts[i+1] AS gram
+        |  FROM (SELECT ts, UNNEST(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2))
+        |SELECT gram, COUNT(*) AS cnt FROM g
+        |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      TextAnalysis.topNgrams(Tables(s, dir, "documents"), "text", 2, 20)
+    },
+
+    // D14b: heavy hitters by count-min sketch — the 100 TB companion
+    // of d14: the sketch is fixed-size (w·d counters), merged
+    // map-side, and never shuffles the vocabulary. Gate: for each of
+    // the exact top-20 bigrams, the CMS estimate must dominate the
+    // true count (the sketch's one-sided guarantee) and stay within
+    // the eps·N error envelope (deterministic for the pinned seed).
+    "d14b_cms_heavy_hitters" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> x <> '') AS ts
+        |  FROM documents),
+        |g AS (
+        |  SELECT ts[i] || ' ' || ts[i+1] AS gram
+        |  FROM (SELECT ts, UNNEST(range(1, len(ts))) AS i
+        |        FROM toks WHERE len(ts) >= 2))
+        |SELECT gram, COUNT(*) AS cnt, TRUE AS lower_ok, TRUE AS upper_ok
+        |FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val grams = docs.select(
+        explode(TextAnalysis.wordNgrams(col("text"), 2)).as("gram"))
+      val total = grams.count()
+      val eps = 1e-4
+      val sketch = grams.stat.countMinSketch("gram", eps, 0.99, 42)
+      val envelope = math.max(1L, math.ceil(eps * total).toLong)
+      val exact = TextAnalysis.topNgrams(docs, "text", 2, 20).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      import s.implicits._
+      exact.toSeq.map { case (gram, cnt) =>
+        val est = sketch.estimateCount(gram)
+        (gram, cnt, est >= cnt, est <= cnt + envelope)
+      }.toDF("gram", "cnt", "lower_ok", "upper_ok")
+        .orderBy(desc("cnt"), asc("gram"))
+    },
+
+    // D15: DSIR importance weighting — target = every 10th document.
+    // The oracle recomputes the whole scheme (md5 feature buckets,
+    // add-one smoothed log-ratio in integer micro-nats, per-doc mean)
+    // so every document's (n_grams, w6_sum, score) must match
+    // bit-for-bit; integer quantization makes the sums immune to
+    // addition order on both engines.
+    "d15_dsir_importance" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents),
+        |gb AS (
+        |  SELECT doc_id,
+        |         CAST((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+        |              + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1
+        |              AS BIGINT) AS b
+        |  FROM (SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+        |        FROM (SELECT doc_id, ts, UNNEST(range(1, len(ts))) AS i
+        |              FROM toks WHERE len(ts) >= 2))),
+        |bc AS (SELECT b, COUNT(*) AS cr,
+        |              COUNT(*) FILTER (WHERE doc_id % 10 = 0) AS ct
+        |       FROM gb GROUP BY b),
+        |tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS r,
+        |               CAST(SUM(ct) AS DOUBLE) AS t FROM bc),
+        |w AS (SELECT b, CAST(ROUND((LN((ct + 1.0) / (t + 256.0))
+        |                            - LN((cr + 1.0) / (r + 256.0))) * 1000000)
+        |                     AS BIGINT) AS w6
+        |      FROM bc CROSS JOIN tot),
+        |ds AS (SELECT doc_id, CAST(SUM(w.w6) AS BIGINT) AS w6_sum,
+        |              COUNT(*) AS n_grams
+        |       FROM gb JOIN w USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(ds.n_grams, 0) AS n_grams, ds.w6_sum,
+        |       ROUND(ds.w6_sum / 1000000.0 / ds.n_grams, 6) AS score
+        |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Sampling.importanceWeights(Tables(s, dir, "documents"),
+          col("doc_id") % 10 === 0, "doc_id", "text", buckets = 256)
+        .orderBy("doc_id")
+    },
+
+    // P6: per-source corpus audit report (the datasheet pass before
+    // export): counts, token budget, language spread, corpus-wide
+    // exact-duplicate count, exact median length, mean quality (in
+    // exact integer micro-units — see Curation.auditReport).
+    "p6_corpus_audit" -> QueryDef(
+      """WITH dup AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS m
+        |    FROM documents)
+        |  WHERE doc_id <> m),
+        |q AS (
+        |  SELECT doc_id,
+        |         ROUND(LEAST(LENGTH(text), 500) * 1.0 / 500 * 0.4
+        |           + len(list_filter(string_split(lower(text), ' '),
+        |               x -> x IN ('the','and','of','to','in','is','a','that','it','for')))
+        |             * 1.0 / len(string_split(text, ' ')) * 0.4
+        |           + CASE WHEN (LENGTH(text) - len(string_split(text, ' ')) + 1) * 1.0
+        |                       / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+        |                  THEN 0.2 ELSE 0.0 END, 6) AS q
+        |  FROM documents)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |       CAST(SUM(LENGTH(d.text) // 4) AS BIGINT) AS total_tokens,
+        |       COUNT(DISTINCT d.lang) AS n_langs,
+        |       CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dups,
+        |       quantile_cont(d.n_chars, 0.5) AS median_chars,
+        |       ROUND(SUM(CAST(ROUND(q.q * 1000000) AS BIGINT)) / 1000000.0
+        |             / COUNT(*), 6) AS avg_quality
+        |FROM documents d
+        |LEFT JOIN dup ON d.doc_id = dup.doc_id
+        |JOIN q ON q.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+      Curation.auditReport(Tables(s, dir, "documents"),
+          "source", "doc_id", "text", "lang", "n_chars")
+        .orderBy("source")
+    }
+  )
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions._
+import graft.ops.{Retrieval, VectorSearch}
+
+/** Hybrid retrieval conformance queries (SURVEY B6/B7): BM25 + vector
+  * rank fusion and diversity-aware reranking — the read-path
+  * composition the reference's store provisions both index kinds for.
+  */
+object RetrievalQueries {
+
+  /** Deterministic exact vector top-k with full tiebreak (dist, id) —
+    * the candidate list both queries below consume.
+    */
+  private def vectorTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int) = {
+    val emb = Tables(s, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    emb.select(col("vec_id").as("doc_id"),
+        (round(cosine_distance(col("embedding"), typedlit(probe)), 6)
+          + lit(0.0)).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(k)
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // B6: hybrid full-text + vector retrieval, fused by reciprocal
+    // rank (RRF, k=60). Both input rankings are deterministic top-20
+    // lists (scores rounded to 6dp, ties broken by id), so the fused
+    // scores are exact rational sums both engines reproduce. The
+    // single-partition rank windows run over 20-row inputs
+    // (dimension-scale by construction — the corpus-scale work is
+    // inside the BM25/vector top-k operators).
+    "b6_hybrid_rrf" -> QueryDef(
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('window', 'filter')),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM qtok GROUP BY 1, 2),
+        |idf AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM qtok GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+        |       FROM documents),
+        |bm AS (SELECT t.doc_id,
+        |              ROUND(SUM(LN(1 + (st.n - i.df + 0.5) / (i.df + 0.5)) * t.tf * 2.2
+        |                        / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / st.avgdl))), 6) AS score
+        |       FROM tf t JOIN idf i ON t.w = i.w
+        |       JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN st
+        |       GROUP BY t.doc_id ORDER BY score DESC, t.doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+        |vp AS (SELECT e.vec_id AS doc_id,
+        |              CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+        |              CAST(UNNEST(q.embedding) AS DOUBLE) AS y
+        |       FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+        |vd AS (SELECT doc_id,
+        |              ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) + 0.0 AS dist
+        |       FROM vp GROUP BY doc_id ORDER BY dist, doc_id LIMIT 20),
+        |vr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dist, doc_id) AS r FROM vd),
+        |f AS (SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+        |             ROUND(COALESCE(1.0 / (60 + b.r), 0) + COALESCE(1.0 / (60 + v.r), 0), 6) AS rrf_score
+        |      FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id)
+        |SELECT doc_id, rrf_score FROM f
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val bmTop = Retrieval.bm25(docs, "doc_id", "text",
+          Seq("window", "filter"))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))))
+      val vecTop = vectorTopK(s, dir, 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(asc("dist"), asc("doc_id"))))
+      Retrieval.rrfFuse(
+          Seq(bmTop.select("doc_id", "rank"), vecTop.select("doc_id", "rank")),
+          "doc_id")
+        .orderBy(desc("rrf_score"), asc("doc_id"))
+        .limit(10)
+    },
+
+    // B7: maximal-marginal-relevance rerank of the vector top-20.
+    // MMR's greedy selection is inherently sequential, so the oracle
+    // pins the SQL-checkable contract: the first pick is the exact
+    // top-1 (at step 1 the diversity term is zero, so MMR = argmax
+    // relevance — here the probe's own vector); exactly k distinct
+    // candidates come back, all from the top-20; and the selected set
+    // is no MORE redundant than plain top-k (max pairwise cosine
+    // similarity ≤, the property MMR exists to enforce). A
+    // brute-force cross-check of every greedy step runs in
+    // RetrievalSpec.
+    "b7_mmr_rerank" -> QueryDef(
+      """WITH vp AS (SELECT e.vec_id AS doc_id,
+        |              CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+        |              CAST(UNNEST(q.embedding) AS DOUBLE) AS y
+        |       FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+        |vd AS (SELECT doc_id,
+        |              ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) + 0.0 AS dist
+        |       FROM vp GROUP BY doc_id ORDER BY dist, doc_id LIMIT 20)
+        |SELECT (SELECT doc_id FROM vd ORDER BY dist, doc_id LIMIT 1) AS first_id,
+        |       CAST(5 AS BIGINT) AS n_sel,
+        |       TRUE AS subset_ok, TRUE AS distinct_ok, TRUE AS diversity_ok""".stripMargin) {
+      (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val cand = vectorTopK(s, dir, 20)
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+      val sel = Retrieval.mmrRerank(cand, "doc_id", "embedding",
+        probe, k = 5, lambda = 0.5)
+      // contract evaluation on the driver over ≤ 20 candidates
+      val candRows = cand.select(col("doc_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val picked = sel.orderBy("mmr_rank").collect().map(_.getLong(0))
+      def maxPairSim(ids: Seq[Long]): Double = {
+        val ps = for {
+          i <- ids.indices; j <- (i + 1) until ids.length
+        } yield 1.0 - graft.functions.VectorOps.cosineDistance(
+          candRows(ids(i)), candRows(ids(j)))
+        if (ps.isEmpty) 0.0 else ps.max
+      }
+      val topKPlain = cand.orderBy(col("dist"), col("doc_id")).limit(5)
+        .collect().map(_.getLong(0)).toSeq
+      import s.implicits._
+      Seq((picked.head, picked.length.toLong,
+          picked.forall(candRows.contains),
+          picked.distinct.length == picked.length,
+          maxPairSim(picked.toSeq) <= maxPairSim(topKPlain) + 1e-9))
+        .toDF("first_id", "n_sel", "subset_ok", "distinct_ok",
+          "diversity_ok")
+    }
+  )
+}

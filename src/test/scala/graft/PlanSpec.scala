@@ -244,6 +244,41 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(globalSorts.isEmpty, "global sort in the packing plan")
   }
 
+  test("d15: DSIR scoring pass is shuffle-free — the corpus never " +
+      "moves, only the 256-bucket counts do") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val df = graft.ops.Sampling.importanceWeights(docs,
+      col("doc_id") % 10 === 0, "doc_id", "text")
+    df.collect()
+    // the counting aggregates ran eagerly inside importanceWeights
+    // (driver-collected model); the RETURNED plan is the scoring pass
+    // — per-row expressions against the literal weight table, so any
+    // exchange at all means the corpus is being shuffled to score it
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"scoring pass shuffles: ${shuffles.map(_.output.map(_.name))}")
+  }
+
+  test("p6: audit report never ships the corpus text through an " +
+      "exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = q("p6_corpus_audit")
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"corpus text crosses an exchange: ${names.mkString(", ")}")
+    }
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.ops.{Retrieval, Dedup, Sampling, TextAnalysis}
+
+/** Hybrid retrieval (B6/B7) and the round-4 corpus operators (D13-D15):
+  * RRF fusion arithmetic, MMR greedy cross-check, SemDeDup planted
+  * recovery, n-gram multiset semantics, DSIR weight direction.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("rrfFuse sums reciprocal ranks and treats absence as zero") {
+    val r1 = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val r2 = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(r1, r2), "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused(2L) == math.rint((1.0 / 62 + 1.0 / 61) * 1e6) / 1e6)
+    assert(fused(1L) == math.rint(1.0 / 61 * 1e6) / 1e6)
+    assert(fused(4L) == math.rint(1.0 / 62 * 1e6) / 1e6)
+    assert(fused.size == 4)
+    // item in both lists beats the two top-1-only items here
+    assert(fused(2L) > fused(1L) && fused(2L) > fused(4L))
+  }
+
+  test("bm25 ranks an on-topic document above an off-topic one") {
+    val docs = Seq(
+      (1L, "window filter window filter window"),
+      (2L, "window of other words entirely unrelated padding here"),
+      (3L, "nothing relevant at all in this text")).toDF("doc_id", "text")
+    val scores = Retrieval.bm25(docs, "doc_id", "text",
+        Seq("window", "filter"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))
+    assert(!scores.contains(3L)) // no query term → no score row
+  }
+
+  test("mmrRerank agrees with a brute-force greedy reference") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val q = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val df = vecs.toDF("id", "v")
+    val lambda = 0.5
+    val got = Retrieval.mmrRerank(df, "id", "v", q.toSeq, k = 6,
+        lambda = lambda)
+      .orderBy("mmr_rank").collect().map(_.getLong(0)).toSeq
+
+    // independent functional reference (map-based, no shared arrays)
+    def sim(a: Array[Float], b: Array[Float]) =
+      1.0 - VectorOps.cosineDistance(a, b)
+    val rel = vecs.map { case (i, v) => i -> sim(v, q) }.toMap
+    var selected = Vector.empty[Long]
+    var remaining = vecs.map(_._1).toSet
+    while (selected.length < 6) {
+      val byId = vecs.toMap
+      val pick = remaining.toSeq.sorted.maxBy { i =>
+        val div =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => sim(byId(i), byId(s))).max
+        // negate id epsilon-free: maxBy keeps the FIRST max of the
+        // sorted scan, so ties resolve to the smallest id
+        lambda * rel(i) - (1 - lambda) * div
+      }
+      selected :+= pick
+      remaining -= pick
+    }
+    assert(got == selected)
+    // rank 1 is the pure-relevance argmax
+    assert(got.head == vecs.maxBy { case (i, v) => (sim(v, q), -i) }._1)
+  }
+
+  test("semanticDedup flags planted copies with their original as root") {
+    val emb = Tables(spark, sf("sf0.001"), "embeddings")
+      .select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + ((i % 3) - 1).cast("float") * lit(1e-4f)).as("embedding"))
+    val out = Dedup.semanticDedup(emb.union(planted),
+      "vec_id", "embedding", nCells = 8, tau = 0.99)
+    val copies = out.filter(col("vec_id") >= 100000).collect()
+    assert(copies.length == 20)
+    copies.foreach { r =>
+      assert(r.getBoolean(2), s"copy ${r.getLong(0)} not flagged")
+      assert(r.getLong(3) == r.getLong(0) - 100000,
+        s"copy ${r.getLong(0)} rooted at ${r.getLong(3)}")
+    }
+    // keepers (the originals) must never be flagged as dups of copies
+    val originals = out.filter(col("vec_id") < 100000 && col("is_dup"))
+      .select("dup_of").collect().map(_.getLong(0))
+    assert(originals.forall(_ < 100000))
+  }
+
+  test("wordNgrams keeps multiplicity and drops short texts") {
+    val df = Seq("a b a b", "single", "", "  x   y  ").toDF("t")
+      .select(TextAnalysis.wordNgrams(col("t"), 2).as("g"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got(0) == List("a b", "b a", "a b")) // duplicate bigram kept
+    assert(got(1) == Nil) // < n words → empty, no whole-text collapse
+    assert(got(2) == Nil)
+    assert(got(3) == List("x y")) // whitespace runs collapse
+  }
+
+  test("importanceWeights scores target-like documents higher") {
+    // two sub-languages: target docs repeat "alpha beta", raw filler
+    // repeats "gamma delta"; held-out docs of each style must separate
+    val docs = ((0L until 40L).map { i =>
+      if (i % 10 == 0) (i, "alpha beta alpha beta alpha beta")
+      else (i, "gamma delta gamma delta gamma delta")
+    } ++ Seq((100L, "alpha beta alpha beta"),
+      (101L, "gamma delta gamma delta"))).toDF("doc_id", "text")
+    val scores = Sampling.importanceWeights(docs,
+        col("doc_id") % 10 === 0 && col("doc_id") < 40L,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scores(100L) > 0, s"target-like ${scores(100L)}")
+    assert(scores(101L) < 0, s"raw-like ${scores(101L)}")
+    assert(scores(100L) > scores(101L))
+  }
+
+  test("importanceWeights: no bigrams → null score, zero n_grams") {
+    val docs = Seq((1L, "word"), (2L, "two words")).toDF("doc_id", "text")
+    val rows = Sampling.importanceWeights(docs, lit(false),
+        "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getLong(1) == 0L && rows(0).isNullAt(3))
+    assert(rows(1).getLong(1) == 1L && !rows(1).isNullAt(3))
+  }
+}
