@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.ops.SkewJoin
 
 /** Tier C widening — the rest of the function families SURVEY §2.3
   * enumerates inside C11/C16/C17/C26-C28 (rank family, lead/first/
@@ -222,6 +223,27 @@ object RelationalExtraQueries {
           round(min(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double"), 2).as("mn"))
         .orderBy("o_orderstatus")
+    },
+
+    // C38: salted skew join — the result must be ROW-IDENTICAL to the
+    // plain inner join (the oracle runs the plain join; the Spark side
+    // runs the salted physical shape with salt=8). PlanSpec pins the
+    // physical contract (a shuffled join keyed on (key, __salt), no
+    // broadcast).
+    "c38_skew_join_salted" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_name,
+        |       ROUND(p_retailprice, 2) AS rp
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, p_name, rp""".stripMargin) { (s, dir) =>
+      SkewJoin.salted(
+          Tables(s, dir, "lineitem"), "l_partkey",
+          Tables(s, dir, "part").select("p_partkey", "p_name", "p_retailprice"),
+          "p_partkey", salt = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("p_name"), round(col("p_retailprice"), 2).as("rp"))
+        // (orderkey, linenumber) is NOT unique in the synthetic data —
+        // order by every output column so the order is total
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "p_name", "rp")
     },
 
     // C14c: conditional aggregation pivot (orderstatus → columns).
