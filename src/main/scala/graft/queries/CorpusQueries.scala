@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TopKAggregate.topk_agg
 import graft.ops.{Curation, Dedup, Sampling, TextAnalysis}
 
 /** Corpus-scale curation conformance queries (SURVEY D13-D15, P6):
@@ -132,6 +133,30 @@ object CorpusQueries {
       Sampling.importanceWeights(Tables(s, dir, "documents"),
           col("doc_id") % 10 === 0, "doc_id", "text", buckets = 256)
         .orderBy("doc_id")
+    },
+
+    // D16: bounded top-k per group via the `topk_agg` Aggregator —
+    // semantics identical to the window row_number() form (the oracle),
+    // but the physical shape is a map-side-combined aggregate: each
+    // partition reduces a group to ≤ k pairs before the exchange, so
+    // no full per-group sort ever runs (the window form shuffles and
+    // sorts every row).
+    "d16_topk_per_group" -> QueryDef(
+      """SELECT source, rnk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(topk_agg(3)(col("n_chars").cast("double"), col("doc_id")).as("tk"))
+        .select(col("source"), posexplode(col("tk")))
+        .select(col("source"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("doc_id"),
+          col("col.score").cast("long").as("n_chars"))
+        .orderBy("source", "rnk")
     },
 
     // P6: per-source corpus audit report (the datasheet pass before
