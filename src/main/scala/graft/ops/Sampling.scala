@@ -71,6 +71,41 @@ object Sampling {
     df.filter(pred)
   }
 
+  /** Temperature-rebalanced mixture (D7d): derive each source's
+    * sampling fraction FROM the corpus's own source distribution so
+    * the output follows q(s) ∝ p(s)^τ — the standard multilingual /
+    * multi-source rebalancing rule (τ < 1 flattens the distribution,
+    * boosting rare sources; τ = 1 is a no-op). The acceptance rate per
+    * source is p^(τ−1) normalized so the most-boosted source keeps
+    * everything (no upsampling — pure subsampling), rounded to 6 dp so
+    * any engine recomputes the identical thresholds.
+    *
+    * Scale shape: ONE narrow counting aggregate ((source, count) pairs
+    * — source cardinality is recipe-scale driver state), then the same
+    * scan-level md5-threshold filter as [[mixtureSample]]. The corpus
+    * never shuffles.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      keyCol: String,
+      sourceCol: String,
+      tau: Double,
+      salt: String = ""): DataFrame = {
+    require(tau > 0.0 && tau <= 4.0, s"tau=$tau (want 0 < tau <= 4)")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    require(counts.nonEmpty, "temperatureMixture: empty corpus")
+    val total = counts.map(_._2).sum.toDouble
+    val raw = counts.map { case (s, n) =>
+      (s, math.pow(n / total, tau - 1.0))
+    }
+    val mx = raw.map(_._2).max
+    val fractions = raw.map { case (s, r) =>
+      (s, math.round(r / mx * 1e6) / 1e6)
+    }.toMap
+    mixtureSample(df, keyCol, sourceCol, fractions, salt)
+  }
+
   /** Deterministic fixed-size sample PER STRATUM — the reproducible
     * replacement for reservoir sampling: the `n` hash-smallest keys of
     * each stratum. Any engine recomputes the same members, any subset

@@ -974,6 +974,43 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D7d: temperature-rebalanced mixture — the per-source fractions
+    // are DERIVED from the corpus's own source distribution
+    // (acceptance ∝ p^(τ-1), τ=0.5, normalized so the most-boosted
+    // source keeps everything, 6 dp). The harness sources are uniform
+    // (25 docs each — every acceptance would be 1.0), so the gate
+    // derives a skewed 70/20/10 grouping first; the oracle recomputes
+    // the whole scheme — counts, power weights, normalized 16-bit
+    // thresholds, md5 membership — so both the derivation and the
+    // filter must agree bit-for-bit.
+    "d7d_temperature_mixture" -> QueryDef(
+      """WITH d AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 10 < 7 THEN 'web'
+        |                       WHEN doc_id % 10 < 9 THEN 'books'
+        |                       ELSE 'code' END AS src
+        |           FROM documents),
+        |c AS (SELECT src, COUNT(*) AS n FROM d GROUP BY src),
+        |t AS (SELECT SUM(n) * 1.0 AS tot FROM c),
+        |r AS (SELECT src, POWER(n / (SELECT tot FROM t), -0.5) AS rw FROM c),
+        |a AS (SELECT src,
+        |             CAST(FLOOR(ROUND(rw / (SELECT MAX(rw) FROM r), 6) * 65536)
+        |                  AS BIGINT) AS thr
+        |      FROM r)
+        |SELECT d.doc_id, d.src
+        |FROM d JOIN a ON d.src = a.src
+        |WHERE a.thr >= 65536
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |      < lower(lpad(to_hex(a.thr), 4, '0'))
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 < 7, "web")
+          .when(col("doc_id") % 10 < 9, "books")
+          .otherwise("code").as("src"))
+      Sampling.temperatureMixture(d, "doc_id", "src", tau = 0.5)
+        .select("doc_id", "src")
+        .orderBy("doc_id")
+    },
+
     // D4k: corpus-model fluency — mean unigram log-prob per document
     // under the corpus's own unigram distribution (the perplexity
     // filter's cheap stand-in). The oracle rebuilds the model and the

@@ -145,4 +145,43 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureSample(docs, "id", "source", Map.empty)
     }
   }
+
+  test("temperatureMixture flattens the source distribution (D7d)") {
+    import spark.implicits._
+    // 800 rows of 'big', 100 of 'mid', 25 of 'rare'
+    val docs = ((0 until 800).map(i => (i.toLong, "big"))
+      ++ (800 until 900).map(i => (i.toLong, "mid"))
+      ++ (900 until 925).map(i => (i.toLong, "rare")))
+      .toDF("id", "source")
+
+    // τ = 1: identity — every row kept
+    assert(Sampling.temperatureMixture(docs, "id", "source", 1.0).count()
+      === 925)
+
+    // τ = 0.5: the rarest source keeps EVERYTHING (acceptance 1.0);
+    // bigger sources subsample at (p_rare/p_s)^0.5
+    val out = Sampling.temperatureMixture(docs, "id", "source", 0.5)
+    val kept = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") === 25)
+    // expected acceptance: (25/800)^0.5 ≈ 0.177, (25/100)^0.5 = 0.5
+    assert(math.abs(kept("big") - 800 * math.sqrt(25.0 / 800)) < 40,
+      s"big kept ${kept("big")}")
+    assert(math.abs(kept("mid") - 100 * 0.5) < 20, s"mid kept ${kept("mid")}")
+
+    // deterministic and layout-independent
+    val again = Sampling.temperatureMixture(
+      docs.repartition(17), "id", "source", 0.5)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ===
+      again.select("id").collect().map(_.getLong(0)).toSet)
+
+    // output distribution is FLATTER than the input: big/rare ratio
+    // shrinks from 32× toward √32 ≈ 5.7×
+    val ratio = kept("big").toDouble / kept("rare")
+    assert(ratio < 10.0, s"ratio=$ratio")
+
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(docs, "id", "source", 0.0)
+    }
+  }
 }
