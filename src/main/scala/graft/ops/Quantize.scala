@@ -281,6 +281,122 @@ object Quantize {
       element_at(typedlit(model.codebook(sub)),
         element_at(codes, sub + 1) + lit(1))): _*))
 
+  // ---------------------------------------------------------------
+  // Binary (1-bit) quantization: each dimension collapses to its sign
+  // against a per-dimension center (the sample mean), packed 64 bits
+  // per long — 32× smaller than float32. Hamming distance (XOR +
+  // popcount) then approximates angular order: mean-centered sign
+  // bits are the axis-aligned cousin of Charikar's hyperplane bits
+  // (SIGMOD'02), and the XOR/popcount coarse stage is pure integer
+  // codegen — the cheapest possible first cut, rerank recovers
+  // exactness. Model state: dim floats (256 B at dim=64).
+  // ---------------------------------------------------------------
+
+  /** Per-dimension centering vector for sign-bit codes. */
+  final case class BqModel(center: Seq[Float]) {
+    require(center.nonEmpty, "BqModel: empty center")
+    def words: Int = (center.length + 63) / 64
+  }
+
+  /** Train = per-dimension mean over the deterministic hash-ordered
+    * sample (ONE TakeOrderedAndProject scan, the shared index-build
+    * shape; driver state = dim doubles).
+    */
+  def trainBq(
+      base: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seed: Long = 42L,
+      sampleN: Int = 1024): BqModel = {
+    val sample = hashSample(base, idCol, vecCol, sampleN, seed)
+    require(sample.nonEmpty, "trainBq: empty sample")
+    val dim = sample.head.length
+    val sums = new Array[Double](dim)
+    sample.foreach { v =>
+      require(v.length == dim, s"trainBq: mixed dims ${v.length} vs $dim")
+      var i = 0
+      while (i < dim) { sums(i) += v(i); i += 1 }
+    }
+    BqModel(sums.toSeq.map(s => (s / sample.length).toFloat))
+  }
+
+  /** Packed sign-bit codes: per 64-dim word, an MSB-first fold of
+    * (x_i > center_i) — pure HOFs (slice + zip_with + aggregate), so
+    * encoding is whole-stage codegen with the center as a literal.
+    */
+  def bqCodes(vec: Column, model: BqModel): Column =
+    array((0 until model.words).map { w =>
+      val lo = w * 64
+      val n = math.min(64, model.center.length - lo)
+      aggregate(
+        zip_with(slice(vec, lo + 1, n),
+          typedlit(model.center.slice(lo, lo + n)),
+          (x, c) => (x > c).cast("long")),
+        // shift+or, not acc*2+b: the multiply that sets the sign bit
+        // is an ANSI long overflow; shifts carry no overflow check
+        lit(0L), (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+    }: _*)
+
+  /** Driver-side twin of [[bqCodes]] for encoding the probe vector —
+    * must fold in exactly the same MSB-first order (QuantizeSpec pins
+    * bit-agreement between the two).
+    */
+  def bqEncode(v: Seq[Float], model: BqModel): Seq[Long] = {
+    require(v.length == model.center.length,
+      s"bqEncode: dim ${v.length} vs model ${model.center.length}")
+    (0 until model.words).map { w =>
+      var acc = 0L
+      var i = w * 64
+      val end = math.min(v.length, w * 64 + 64)
+      while (i < end) {
+        acc = (acc << 1) | (if (v(i) > model.center(i)) 1L else 0L)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Hamming distance between two packed code arrays: XOR + popcount
+    * per word, summed — integer arithmetic end to end (no float ties,
+    * no rounding concerns).
+    */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Materialize the packed binary code column (written once; the
+    * coarse stage of every query reads 1/32 of the float bytes).
+    */
+  def withBqCodes(df: DataFrame, vecCol: String, model: BqModel): DataFrame =
+    df.withColumn("bq_codes", bqCodes(col(vecCol), model))
+
+  /** Two-stage binary top-k: Hamming-ranked coarse cut
+    * (TakeOrderedAndProject over the packed longs), exact cosine
+    * rerank of the survivors — [[topKQuantized]]'s shape at 1 bit per
+    * dimension.
+    */
+  def topKBinary(
+      indexed: DataFrame,
+      model: BqModel,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String,
+      vecCol: String = "embedding",
+      rerank: Int = 0): DataFrame = {
+    val r = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val q = typedlit(queryVec)
+    indexed
+      .withColumn("bq_dist",
+        hammingDistance(col("bq_codes"), typedlit(bqEncode(queryVec, model))))
+      .orderBy(col("bq_dist"), col(idCol))
+      .limit(r)
+      .withColumn("dist", round(cosine_distance(col(vecCol), q), 6) + lit(0.0))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("bq_dist")
+  }
+
   /** Two-stage PQ top-k: ADC-ranked coarse cut (TakeOrderedAndProject
     * over the code column), exact cosine rerank of the survivors —
     * same shape as [[topKQuantized]] with a far smaller coarse scan.

@@ -731,6 +731,41 @@ object LlmOpsQueries {
           (col("first_id") === 0L).as("self_top1"))
     },
 
+    // D8d: binary (1-bit) quantization — sign bits against the sample
+    // mean, packed 64/long (32× compression), XOR+popcount Hamming
+    // coarse ranking + exact rerank. Codes are engine-derived, so the
+    // gate pins the operator contract like d8c: the probe's own vector
+    // must come back rank-1 (its Hamming distance to itself is 0 —
+    // always inside the cut), recall@10 vs the exact top-10 must clear
+    // a floor at rerank = n/10, and the distributed encoder must agree
+    // bit-for-bit with the driver-side probe encoder.
+    "d8d_binary_topk" -> QueryDef(
+      "SELECT TRUE AS recall_ok, TRUE AS self_top1, TRUE AS codes_agree") {
+      (s, dir) =>
+      import graft.ops.Quantize
+      val e = Tables(s, dir, "embeddings")
+      val model = Quantize.trainBq(e, "vec_id", "embedding")
+      val probe = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val rerank = math.max(100L, e.count() / 10).toInt
+      val indexed = Quantize.withBqCodes(e, "embedding", model)
+      val bq = Quantize.topKBinary(indexed, model, probe,
+        k = 10, idCol = "vec_id", rerank = rerank)
+      val exactTop = graft.ops.VectorSearch.topK(e, probe, 10)
+        .select("vec_id")
+      val hits = exactTop.join(bq.select("vec_id"), Seq("vec_id"), "left_semi")
+      val top1 = bq.orderBy(col("dist"), col("vec_id")).limit(1)
+        .select(col("vec_id").as("first_id"))
+      // the probe row's DISTRIBUTED code must equal the driver encode
+      val agree = indexed.filter(col("vec_id") === 0)
+        .select((col("bq_codes") ===
+          typedlit(Quantize.bqEncode(probe, model))).as("ok"))
+      hits.agg(count(lit(1)).as("nhits")).crossJoin(top1).crossJoin(agree)
+        .select((col("nhits") >= 5).as("recall_ok"),
+          (col("first_id") === 0L).as("self_top1"),
+          col("ok").as("codes_agree"))
+    },
+
     // D5b: the frame-sampling stage through the gate — the oracle
     // recomputes the slicing arithmetic (frames = min(n, bytes),
     // frame size = max(1, bytes div frames), total = covered prefix)

@@ -100,4 +100,48 @@ class QuantizeSpec extends SparkSpec {
     assert(r.getSeq[Int](0).forall(_ == 0))
     assert(r.getDouble(1) == 0.0)
   }
+
+  test("BQ: distributed codes bit-agree with the driver encoder (D8d)") {
+    val e = Tables(spark, sf(), "embeddings")
+    val model = Quantize.trainBq(e, "vec_id", "embedding")
+    assert(model.center.length === 64 && model.words === 1)
+    val rows = Quantize.withBqCodes(e, "embedding", model)
+      .select("vec_id", "embedding", "bq_codes").collect()
+    rows.foreach { r =>
+      val expected = Quantize.bqEncode(r.getSeq[Float](1), model)
+      assert(r.getSeq[Long](2) === expected, s"vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("BQ: Hamming distance is symmetric, zero on self, counts bits") {
+    import spark.implicits._
+    val df = Seq((Seq(0L), Seq(0L), 0L),
+      (Seq(-1L), Seq(0L), 64L),
+      (Seq(5L), Seq(6L), 2L), // 101 vs 110 → 2 differing bits
+      (Seq(1L, 3L), Seq(0L, 0L), 3L)).toDF("a", "b", "want")
+    val got = df.select(
+      Quantize.hammingDistance(col("a"), col("b")).as("ab"),
+      Quantize.hammingDistance(col("b"), col("a")).as("ba"),
+      col("want")).collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(2))
+      assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
+  test("BQ: two-stage binary top-k recalls the exact top-k (D8d)") {
+    val e = Tables(spark, sf(), "embeddings")
+    val model = Quantize.trainBq(e, "vec_id", "embedding")
+    val probe = e.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+    val rerank = math.max(100L, e.count() / 10).toInt
+    val bq = Quantize.topKBinary(Quantize.withBqCodes(e, "embedding", model),
+      model, probe, k = 10, idCol = "vec_id", rerank = rerank)
+    val got = bq.select("vec_id").collect().map(_.getLong(0))
+    assert(got.length === 10)
+    assert(got.head === 7L, "self must rank first (exact rerank)")
+    val exact = graft.ops.VectorSearch.topK(e, probe, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.count(exact.contains) >= 5, s"recall ${got.count(exact.contains)}/10")
+  }
 }
