@@ -161,4 +161,56 @@ object Retrieval {
       }
       .toDF(idCol, "mmr_rank", "relevance")
   }
+
+  /** Context-window assembly (B8) — the last step of the RAG read
+    * path: fill a token budget with the top-ranked candidates IN RANK
+    * ORDER, skipping any candidate that no longer fits (greedy fill —
+    * maximal: when it finishes, no skipped candidate fits in the
+    * remaining budget). Token counts use the same `token_count`
+    * estimator the chunker budgets with (A8), so retrieval-side
+    * budgeting agrees with ingest-side budgeting.
+    *
+    * Scale shape: `ranked` is an upstream top-N (bounded by the
+    * retrieval operators that produced it). The candidates' texts are
+    * fetched by broadcasting the N-row rank list into ONE scan of
+    * `docs` — the corpus never shuffles — and the sequential fill runs
+    * driver-local over N (id, rank, tokens) triples, the same
+    * driver-scale contract as [[mmrRerank]].
+    *
+    * Returns (idCol, ctx_rank 1-based selection order, rankCol
+    * passthrough, tokens, cum_tokens).
+    */
+  def assembleContext(
+      ranked: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      rankCol: String,
+      textCol: String,
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget")
+    val spark = ranked.sparkSession
+    val cand = docs
+      .join(broadcast(ranked.select(col(idCol).cast("long").as("__id"),
+        col(rankCol).cast("long").as("__rank"))),
+        col(idCol).cast("long") === col("__id"))
+      .select(col("__id"), col("__rank"),
+        graft.functions.GraftFunctions.token_count(col(textCol))
+          .cast("long").as("__tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(c => (c._2, c._1))
+    require(cand.length <= 100000,
+      s"context candidate set ${cand.length} exceeds the driver-scale contract")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Long, Long)]
+    var cum = 0L
+    cand.foreach { case (id, rank, tok) =>
+      if (cum + tok <= tokenBudget) {
+        cum += tok
+        out += ((id, out.length + 1, rank, tok, cum))
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF(idCol, "ctx_rank", rankCol, "tokens", "cum_tokens")
+  }
 }

@@ -132,6 +132,61 @@ object RetrievalQueries {
           maxPairSim(picked.toSeq) <= maxPairSim(topKPlain) + 1e-9))
         .toDF("first_id", "n_sel", "subset_ok", "distinct_ok",
           "diversity_ok")
+    },
+
+    // B8: end-to-end RAG context assembly — vector top-20 → MMR
+    // rerank (k=8) → greedy token-budget fill (budget 300 ≈ half the
+    // candidates' total, so the fill is genuinely partial). The greedy
+    // fill is sequential, so the oracle pins the SQL-checkable
+    // contract: the first context entry is the exact vector top-1 (MMR
+    // pick #1, 32-139-token docs always fit a 300 budget), the budget
+    // is respected, the fill is MAXIMAL (no skipped candidate fits the
+    // leftover), selection follows MMR rank order, and the token
+    // arithmetic matches an independent length/4 recount.
+    "b8_rag_context" -> QueryDef(
+      """WITH vp AS (SELECT e.vec_id AS doc_id,
+        |              CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+        |              CAST(UNNEST(q.embedding) AS DOUBLE) AS y
+        |       FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+        |vd AS (SELECT doc_id,
+        |              ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) + 0.0 AS dist
+        |       FROM vp GROUP BY doc_id ORDER BY dist, doc_id LIMIT 20)
+        |SELECT (SELECT doc_id FROM vd ORDER BY dist, doc_id LIMIT 1) AS first_id,
+        |       TRUE AS budget_ok, TRUE AS maximal_ok,
+        |       TRUE AS order_ok, TRUE AS tokens_ok""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val docs = Tables(s, dir, "documents")
+      val probe = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val cand = vectorTopK(s, dir, 20)
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"))
+      val mmr = Retrieval.mmrRerank(cand, "doc_id", "embedding",
+        probe, k = 8, lambda = 0.5)
+      val budget = 300L
+      val ctx = Retrieval.assembleContext(mmr, docs,
+          "doc_id", "mmr_rank", "text", budget)
+        .orderBy("ctx_rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      // independent token recount (length/4) for all 8 candidates
+      val toks = docs
+        .join(broadcast(mmr.select("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"),
+          floor(length(col("text")) / 4).cast("long").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val selected = ctx.map(_._1).toSet
+      val total = if (ctx.isEmpty) 0L else ctx.last._5
+      val budgetOk = total <= budget && ctx.forall(_._5 <= budget)
+      val maximalOk = toks.keys.filterNot(selected)
+        .forall(id => toks(id) > budget - total)
+      val orderOk = ctx.map(_._2).toSeq == (1 to ctx.length) &&
+        (ctx.length < 2 || ctx.map(_._3).sliding(2).forall(p => p(0) < p(1)))
+      val tokensOk = ctx.forall(c => c._4 == toks(c._1)) &&
+        ctx.map(_._4).sum == total
+      import s.implicits._
+      Seq((ctx.head._1, budgetOk, maximalOk, orderOk, tokensOk))
+        .toDF("first_id", "budget_ok", "maximal_ok", "order_ok", "tokens_ok")
     }
   )
 }

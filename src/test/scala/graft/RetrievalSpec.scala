@@ -122,6 +122,45 @@ class RetrievalSpec extends SparkSpec {
     assert(scores(100L) > scores(101L))
   }
 
+  test("assembleContext fills the budget greedily, skipping oversize (B8)") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    // 4-char tokens: text of n*4 chars = n tokens
+    def text(n: Int): String = "abcd" * n
+    val docs = Seq(
+      (1L, text(50)), // rank 1: 50 tokens — fits
+      (2L, text(80)), // rank 2: 80 tokens — would exceed 100, skipped
+      (3L, text(30)), // rank 3: 30 tokens — fits after the skip
+      (4L, text(25)), // rank 4: 25 tokens — no longer fits (80+25>100... 50+30=80, +25=105>100) skipped
+      (5L, text(20))  // rank 5: 20 tokens — fits exactly (80+20=100)
+    ).toDF("doc_id", "text")
+    val ranked = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L))
+      .toDF("doc_id", "mmr_rank")
+    val got = Retrieval.assembleContext(ranked, docs,
+        "doc_id", "mmr_rank", "text", 100L)
+      .orderBy("ctx_rank")
+      .select("doc_id", "ctx_rank", "tokens", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 1, 50L, 50L), (3L, 2, 30L, 80L),
+      (5L, 3, 20L, 100L)))
+  }
+
+  test("assembleContext: nothing fits → empty; everything fits → all") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val docs = Seq((1L, "abcd" * 50)).toDF("doc_id", "text")
+    val ranked = Seq((1L, 1L)).toDF("doc_id", "mmr_rank")
+    assert(Retrieval.assembleContext(ranked, docs,
+      "doc_id", "mmr_rank", "text", 10L).count() === 0)
+    assert(Retrieval.assembleContext(ranked, docs,
+      "doc_id", "mmr_rank", "text", 50L).count() === 1)
+    intercept[IllegalArgumentException] {
+      Retrieval.assembleContext(ranked, docs,
+        "doc_id", "mmr_rank", "text", 0L)
+    }
+  }
+
   test("importanceWeights: no bigrams → null score, zero n_grams") {
     val docs = Seq((1L, "word"), (2L, "two words")).toDF("doc_id", "text")
     val rows = Sampling.importanceWeights(docs, lit(false),
