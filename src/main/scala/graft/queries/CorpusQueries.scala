@@ -4,15 +4,71 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TopKAggregate.topk_agg
-import graft.ops.{Curation, Dedup, Sampling, TextAnalysis}
+import graft.ops.{Curation, Dedup, KMeans, Sampling, TextAnalysis}
 
-/** Corpus-scale curation conformance queries (SURVEY D13-D15, P6):
+/** Corpus-scale curation conformance queries (SURVEY D13-D17, P6):
   * semantic dedup, vocabulary statistics (exact + sketch), importance
-  * weighting, and the per-source audit report.
+  * weighting, distributed k-means, and the per-source audit report.
   */
 object CorpusQueries {
 
   def defs: Map[String, QueryDef] = Map(
+
+    // D17: distributed k-means (full Lloyd, one scan per iteration).
+    // Cells/centroids are engine-derived, so the gate plants the
+    // contract: 5 near-orthogonal base vectors (vec_id < 5) fan out
+    // into 40 perturbed members each (+0.08 × another base vector →
+    // within-cluster cosine sim ≈ 0.99, cross-cluster ≈ 0). Pinned:
+    // every planted cluster lands whole in its own cell (purity 1 over
+    // 5 distinct cells), the assignment cost never increases across
+    // iterations, the run converges inside the iteration budget, and
+    // the distributed loop agrees with the driver-side reference
+    // implementation (same init, same rounds) to 1e-5 per dimension.
+    "d17_kmeans" -> QueryDef(
+      """SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 5)
+        |          * (SELECT COUNT(*) FROM embeddings
+        |             WHERE vec_id >= 100 AND vec_id < 140) AS BIGINT) AS n_points,
+        |       CAST(5 AS BIGINT) AS k_cells, TRUE AS purity_ok,
+        |       TRUE AS converged, TRUE AS cost_ok,
+        |       TRUE AS driver_ok""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val centers = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("c"))
+      val perts = emb.filter(col("vec_id") >= 100 && col("vec_id") < 140)
+        .select((col("vec_id") - 100).as("pid"), col("embedding").as("p"))
+      val members = centers.crossJoin(perts).select(
+        (col("cid") * 1000 + col("pid")).as("id"),
+        col("cid").cast("int").as("planted"),
+        zip_with(col("c"), col("p"),
+          (a, b) => (a + lit(0.08f) * b).cast("float")).as("v"))
+      val init = KMeans.initCentroids(members, "id", "v", 5)
+      val m = KMeans.fit(members, "id", "v", 5, maxIter = 10,
+        tol = 1e-6, init = Some(init))
+      val drv = KMeans.fitDriver(
+        members.orderBy("id").select("v").collect()
+          .map(_.getSeq[Float](0).toArray),
+        init, maxIter = 10, tol = 1e-6)
+      val nPoints = members.count()
+      val cellsPerLabel = members
+        .select(col("planted"), KMeans.assign(col("v"), m.centroids).as("cell"))
+        .distinct().collect().map(r => r.getInt(0) -> r.getInt(1))
+      val purityOk = cellsPerLabel.length == 5 &&
+        cellsPerLabel.map(_._2).distinct.length == 5
+      val costOk = m.costs.sliding(2).forall {
+        case Seq(a, b) => b <= a + 1e-9
+        case _         => true
+      }
+      val driverOk = m.iterations == drv.iterations &&
+        m.converged == drv.converged &&
+        m.centroids.zip(drv.centroids).forall { case (a, b) =>
+          a.zip(b).forall { case (x, y) => math.abs(x - y) <= 1e-5 }
+        }
+      import s.implicits._
+      Seq((nPoints, cellsPerLabel.map(_._2).distinct.length.toLong,
+          purityOk, m.converged, costOk, driverOk))
+        .toDF("n_points", "k_cells", "purity_ok", "converged",
+          "cost_ok", "driver_ok")
+    },
 
     // D13: SemDeDup — semantic dedup in embedding space. Cells and
     // centroids are engine-derived (k-means), so the gate plants the
