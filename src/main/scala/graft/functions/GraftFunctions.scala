@@ -67,6 +67,9 @@ object GraftFunctions {
   def word_shingles(text: Column, shingleSize: Column): Column =
     binary(text, shingleSize, WordShingles)
 
+  def gram_hashes(text: Column, n: Column): Column =
+    binary(text, n, GramHashes)
+
   def winnow_fingerprints(text: Column, k: Column, w: Column): Column = {
     val s = activeSession
     Bridge.column(WinnowFingerprints(
@@ -126,6 +129,7 @@ object GraftFunctions {
     "simhash64" -> (es => SimHash64(es(0), es(1))),
     "minhash_signature" -> (es => MinHashSignature(es(0), es(1), es(2))),
     "word_shingles" -> (es => WordShingles(es(0), es(1))),
+    "gram_hashes" -> (es => GramHashes(es(0), es(1))),
     "int8_pack" -> (es => Int8Pack(es(0))),
     "winnow_fingerprints" -> (es => WinnowFingerprints(es(0), es(1), es(2))),
     "profile_scores" -> (es => ProfileScores(es(0), es(1), es(2))),

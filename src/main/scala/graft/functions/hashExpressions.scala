@@ -96,6 +96,42 @@ object HashOps {
     new GenericArrayData(sig)
   }
 
+  /** Positional word n-gram hashes (SURVEY D18): element `i` is the
+    * FNV-1a hash of the n-gram starting at word position `i` under RAW
+    * single-space splitting — the exact `split(text, ' ')` tokenization
+    * (empty words on space runs KEPT, case preserved), so a gram joined
+    * with ' ' is the original character span and the hash is computed
+    * directly over that span with zero gram-string allocation. Texts
+    * with fewer than n words yield an empty array (no whole-text
+    * collapse — span detection has nothing to anchor there). One pass,
+    * O(len · n) char work in a tight loop.
+    */
+  def gramHashes(text: UTF8String, n0: Int): ArrayData = {
+    val s = text.toString
+    val n = math.max(1, n0)
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val words = starts.length
+    if (words < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words - n + 1)
+    var g = 0
+    while (g <= words - n) {
+      val a = starts(g)
+      // exclusive end: the space before word g+n, or end of string
+      val b = if (g + n < words) starts(g + n) - 1 else s.length
+      var h = 0xcbf29ce484222325L
+      var j = a
+      while (j < b) { h ^= s.charAt(j); h *= 0x100000001b3L; j += 1 }
+      out(g) = java.lang.Long.valueOf(h)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct lowercase word n-shingles in one pass (order of first
     * occurrence). Short texts (< n words) collapse to one whole-text
     * shingle — same contract as the signature kernels above.
@@ -340,6 +376,29 @@ case class WordShingles(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ops = HashOps.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, (t, n) => s"${ev.value} = $ops.wordShingles($t, $n);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `gram_hashes(text, n)` → ARRAY<BIGINT> (positional n-gram hashes
+  * under raw space splitting; the repeated-span detection kernel —
+  * SURVEY D18).
+  */
+case class GramHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "gram_hashes"
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    HashOps.gramHashes(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = HashOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (t, n) => s"${ev.value} = $ops.gramHashes($t, $n);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =

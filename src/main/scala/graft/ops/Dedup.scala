@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.{minhash_signature, simhash64, winnow_fingerprints, word_shingles}
+import graft.functions.GraftFunctions.{gram_hashes, minhash_signature, simhash64, winnow_fingerprints, word_shingles}
 
 /** Deduplication operators for large-scale corpus curation
   * (SURVEY §2.4 D1/D2): exact content-hash dedup, MinHash+LSH
@@ -278,6 +278,64 @@ object Dedup {
         round(col("ix") * lit(1.0) / (col("n1") + col("n2") - col("ix")), 6)
           .as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** D18: cross-document repeated n-gram SPAN detection — the
+    * shuffle-friendly form of exact substring deduplication (Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, which cuts ≥50-token substrings that
+    * repeat across documents rather than dropping whole docs). Every
+    * word n-gram occurring in ≥ `minDocs` DISTINCT documents is a hit;
+    * per document, hits within `n` positions of each other merge into
+    * one maximal span `(start_pos, end_pos)` — the unit a curation
+    * pass would cut. Unlike [[minhashLshPairs]] (document-level
+    * similarity) and winnowed overlap (sampled fingerprints), this
+    * reports exact positions of every shared run ≥ n words.
+    *
+    * Scale design: gram hashing is the one-pass `gram_hashes` codegen
+    * kernel (index = position, so posexplode carries positions for
+    * free — no O(words²) HOF, no gram strings past the row boundary).
+    * The exchanges carry (hash, id, pos) — 24 bytes/gram, never text.
+    * Repeated-gram detection is a count-distinct aggregate on the
+    * hash; hit lookup joins back on the same hash key (one canonical
+    * exchange each side, AQE-reusable); span merge is a per-document
+    * window (partition key = doc id, corpus-parallel). The suffix
+    * array of the original paper is pointer-chasing-hostile at
+    * cluster scale; the n-gram formulation trades "any length ≥ n"
+    * for embarrassing parallelism and catches the same spans (a
+    * repeated run of length L ≥ n is covered by its L−n+1 repeated
+    * n-grams and merges back to one span). 64-bit hash equality
+    * stands in for string equality (collision odds ≈ grams²/2⁶⁴ —
+    * at 10¹² grams, ~3%·ε; the d18 gate hash-matches a string-equality
+    * oracle, witnessing zero collisions at test scale).
+    */
+  def repeatedNgramSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("id"),
+        posexplode(gram_hashes(col(textCol), lit(n))).as(Seq("pos", "h")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("h"))
+    val repeated = grams.groupBy("h")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val w = Window.partitionBy("id").orderBy("pos")
+    grams.join(repeated, Seq("h"))
+      .select("id", "pos")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > n, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("span_id"))
+      .agg(min("pos").as("start_pos"),
+        (max("pos") + n - 1).as("end_pos"),
+        count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("span_id"), col("start_pos"),
+        col("end_pos"), col("n_grams"))
   }
 
   /** D13: semantic (embedding-space) dedup — SemDeDup (Abbas et al.,

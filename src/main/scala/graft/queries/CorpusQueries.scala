@@ -70,6 +70,37 @@ object CorpusQueries {
           "cost_ok", "driver_ok")
     },
 
+    // D18: cross-document repeated n-gram span detection (the
+    // substring-dedup form: report the exact word spans shared by ≥2
+    // documents, merged maximally per document). Full hash-match
+    // oracle: DuckDB recomputes the same spans from gram STRINGS
+    // (raw single-space split), so the engine's 64-bit gram-hash
+    // shortcut must introduce zero collisions at test scale and the
+    // session-merge window must agree row-for-row.
+    "d18_repeated_spans" -> QueryDef(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws, UNNEST(range(0, GREATEST(len(ws) - 7, 0))) AS p FROM w),
+        |g2 AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |              array_to_string(ws[p+1:p+8], ' ') AS gram FROM g),
+        |rep AS (SELECT gram FROM g2 GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN rep USING (gram)),
+        |s AS (SELECT doc_id, pos,
+        |             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |                  THEN 1 ELSE 0 END AS brk FROM hit),
+        |sp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                                          ROWS UNBOUNDED PRECEDING) AS span_id
+        |       FROM s)
+        |SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        |       MIN(pos) AS start_pos, MAX(pos) + 7 AS end_pos,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, start_pos""".stripMargin) { (s, dir) =>
+      Dedup.repeatedNgramSpans(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id", "start_pos")
+    },
+
     // D13: SemDeDup — semantic dedup in embedding space. Cells and
     // centroids are engine-derived (k-means), so the gate plants the
     // contract: 50 perturbed copies (one per base vector id < 50,

@@ -114,4 +114,57 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 9000L)), s"missing (0,9000) in $pairs")
     assert(pairs.contains((1L, 9000L)), s"missing (1,9000) in $pairs")
   }
+
+  test("gram_hashes: positional, raw-split, short-text empty") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions.gram_hashes
+    val df = Seq(
+      ("a b c d e", 1),     // 5 words, n=3 → 3 grams
+      ("x a b c y", 2),     // shares gram "a b c" at pos 1
+      ("a b", 3)            // < n words → empty
+    ).toDF("t", "id")
+    val rows = df.select(col("id"), gram_hashes(col("t"), lit(3)).as("g"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(rows(1).length == 3)
+    assert(rows(2).length == 3)
+    assert(rows(3).isEmpty)
+    // equal grams hash equal across positions/documents; others differ
+    assert(rows(1).head == rows(2)(1)) // "a b c" in both
+    assert(rows(1)(1) != rows(2)(2))   // "b c d" vs "b c y"
+  }
+
+  test("repeatedNgramSpans merges a planted shared run into one span") {
+    import spark.implicits._
+    val filler1 = (0 until 20).map(i => s"u$i").mkString(" ")
+    val filler2 = (0 until 20).map(i => s"v$i").mkString(" ")
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$filler1 $shared"),           // shared run at words 20..31
+      (2L, s"$shared $filler2"),           // shared run at words 0..11
+      (3L, filler2 + " tailword")          // no shared 8-gram with others? v-words overlap doc 2!
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedNgramSpans(df, "doc_id", "text", n = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // doc 1: hits at positions 20..24 (grams starting in the shared
+    // run) → one span [20, 31]
+    assert(spans.contains((1L, 20L, 31L)), s"got $spans")
+    // doc 2: s-run hits (0..4, covering words 0..11) are ADJACENT to
+    // the v-run hits shared with doc 3 (12..24, covering 12..31) —
+    // contiguous coverage merges into one maximal span [0, 31]
+    assert(spans.contains((2L, 0L, 31L)), s"got $spans")
+    // doc 3 shares its v-filler prefix with doc 2 → [0, 19]
+    assert(spans.contains((3L, 0L, 19L)), s"got $spans")
+  }
+
+  test("repeatedNgramSpans ignores runs repeated only within one doc") {
+    import spark.implicits._
+    val run = (0 until 10).map(i => s"w$i").mkString(" ")
+    val other = (0 until 10).map(i => s"z$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$run $run"),   // repeats internally, no second doc
+      (2L, other)
+    ).toDF("doc_id", "text")
+    assert(Dedup.repeatedNgramSpans(df, "doc_id", "text", n = 8).count() == 0)
+  }
 }
