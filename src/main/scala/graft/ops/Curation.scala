@@ -50,9 +50,11 @@ object Curation {
       textCol: String,
       cfg: Config = Config(),
       blocklist: Option[DataFrame] = None,
-      ngram: Int = 8): DataFrame = {
-    require(!docs.columns.exists(Seq("__dup", "__cont").contains),
-      "__dup/__cont are reserved by Curation.annotate")
+      ngram: Int = 8,
+      srcCol: Option[String] = None,
+      blockedSources: Option[DataFrame] = None): DataFrame = {
+    require(!docs.columns.exists(Seq("__dup", "__cont", "__blk").contains),
+      "__dup/__cont/__blk are reserved by Curation.annotate")
     val narrow = docs.select(
       sha2(col(textCol), 256).as("__h"), col(idCol).as("__id"))
     val minIds = narrow.groupBy("__h").agg(min(col("__id")).as("__min"))
@@ -69,11 +71,29 @@ object Curation {
         docs.join(broadcast(hits), Seq(idCol), "left")
       case None => docs.withColumn("__cont", lit(false))
     }
-    withCont
+    // P7: provenance (source/domain) blocklist — the URL-filter step
+    // every web-corpus pipeline runs FIRST (cheapest signal, so it
+    // leads the drop-reason order). Blocked sources are a dimension
+    // table at any corpus scale → broadcast left join, one flag.
+    val withBlk = (srcCol, blockedSources) match {
+      case (Some(sc), Some(bs)) =>
+        require(bs.columns.length == 1,
+          s"blockedSources must have exactly one column, got ${bs.columns.mkString(",")}")
+        withCont.join(
+          broadcast(bs.select(col(bs.columns.head).cast("string").as(sc))
+            .distinct().withColumn("__blk", lit(true))),
+          Seq(sc), "left")
+      case (None, None) => withCont.withColumn("__blk", lit(false))
+      case _ => throw new IllegalArgumentException(
+        "srcCol and blockedSources must be provided together")
+    }
+    withBlk
       .join(broadcast(dupIds), Seq(idCol), "left")
       .withColumn("quality",
         TextAnalysis.qualityScore(col(textCol)))
       .withColumn("lang", TextAnalysis.langId(col(textCol)))
+      .withColumn("is_blocked", coalesce(col("__blk"), lit(false)))
+      .drop("__blk")
       .withColumn("is_duplicate", coalesce(col("__dup"), lit(false)))
       .drop("__dup")
       .withColumn("is_contaminated", coalesce(col("__cont"), lit(false)))
@@ -81,7 +101,8 @@ object Curation {
       .withColumn("in_sample",
         Sampling.inHashSample(col(idCol), cfg.sampleFraction, cfg.sampleSalt))
       .withColumn("drop_reason",
-        when(col("quality") < cfg.minQuality, "quality")
+        when(col("is_blocked"), "blocked")
+          .when(col("quality") < cfg.minQuality, "quality")
           .when(col("lang") =!= cfg.lang, "lang")
           .when(col("is_duplicate"), "duplicate")
           .when(col("is_contaminated"), "contaminated")
@@ -98,8 +119,8 @@ object Curation {
       cfg: Config = Config()): DataFrame =
     annotate(docs, idCol, textCol, cfg)
       .filter(col("keep"))
-      .drop("quality", "lang", "is_duplicate", "is_contaminated",
-        "in_sample", "drop_reason", "keep")
+      .drop("quality", "lang", "is_blocked", "is_duplicate",
+        "is_contaminated", "in_sample", "drop_reason", "keep")
 
   /** NEAR-duplicate annotation: MinHash-LSH pairs cluster via
     * connected components and every non-root cluster member is flagged

@@ -155,6 +155,57 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // P7: provenance blocklist composed into curation — the URL/domain
+    // filter every web-corpus pipeline runs first (RefinedWeb/CCNet
+    // order: provenance before content). Three sources are blocked;
+    // 'blocked' leads the drop-reason order, so a blocked document
+    // drops as blocked even when it would also fail quality or lang.
+    // Full row-level oracle: DuckDB recomputes quality, lang argmax,
+    // the min-id duplicate rule, and the source membership check.
+    "p7_source_blocklist" -> QueryDef(
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    ROUND(LEAST(LENGTH(text), 500) * 1.0 / 500 * 0.4
+        |      + len(list_filter(string_split(lower(text), ' '),
+        |          x -> x IN ('the','and','of','to','in','is','a','that','it','for')))
+        |        * 1.0 / len(string_split(text, ' ')) * 0.4
+        |      + CASE WHEN (LENGTH(text) - len(string_split(text, ' ')) + 1) * 1.0
+        |                  / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+        |             THEN 0.2 ELSE 0.0 END, 6) AS quality,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the','and','of','to','in','is','a','that','it','for'))) AS en_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('el','la','de','que','y','en','los','del','se','las'))) AS es_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('der','die','und','das','ist','ein','zu','den','mit','nicht'))) AS de_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('le','la','de','et','est','un','les','des','une','dans'))) AS fr_h,
+        |    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper,
+        |    source IN ('src3', 'src7', 'src11') AS is_blocked
+        |  FROM documents)
+        |SELECT doc_id, is_blocked,
+        |  CASE WHEN is_blocked THEN 'blocked'
+        |       WHEN quality < 0.3 THEN 'quality'
+        |       WHEN NOT (en_h > 0 AND en_h >= es_h AND en_h >= de_h
+        |                 AND en_h >= fr_h) THEN 'lang'
+        |       WHEN keeper <> doc_id THEN 'duplicate'
+        |       ELSE '' END AS reason,
+        |  (NOT is_blocked AND quality >= 0.3 AND en_h > 0 AND en_h >= es_h
+        |   AND en_h >= de_h AND en_h >= fr_h AND keeper = doc_id) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val blocked = Seq("src3", "src7", "src11").toDF("source")
+      graft.ops.Curation.annotate(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("text"), col("source")),
+          "doc_id", "text",
+          graft.ops.Curation.Config(minQuality = 0.3, lang = "en"),
+          srcCol = Some("source"), blockedSources = Some(blocked))
+        .select(col("doc_id"), col("is_blocked"),
+          col("drop_reason").as("reason"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     // P4: NEAR-duplicate removal in the curation pipeline — MinHash
     // pairs cluster via connected components; non-root members flag
     // with their cluster root. The gate pins the guaranteed invariant:

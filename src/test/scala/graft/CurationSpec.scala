@@ -33,6 +33,31 @@ class CurationSpec extends SparkSpec {
     assert(ann.size == 5)       // total: every row annotated
   }
 
+  test("blocked sources drop first, ahead of every content reason (P7)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, goodText, "good-src"),   // kept
+      (2L, "zz", "bad-src"),        // blocked wins over quality
+      (3L, goodText, "bad-src"),    // blocked (would otherwise keep)
+      (4L, "zz", "good-src")        // quality
+    ).toDF("doc_id", "text", "source")
+    val ann = Curation.annotate(docs, "doc_id", "text",
+        Curation.Config(minQuality = 0.3, lang = "en", sampleFraction = 1.0),
+        srcCol = Some("source"),
+        blockedSources = Some(Seq("bad-src").toDF("s")))
+      .select("doc_id", "drop_reason")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(ann(1L) == "")
+    assert(ann(2L) == "blocked")
+    assert(ann(3L) == "blocked")
+    assert(ann(4L) == "quality")
+    // the two P7 parameters must arrive together
+    intercept[IllegalArgumentException] {
+      Curation.annotate(docs, "doc_id", "text",
+        srcCol = Some("source"), blockedSources = None)
+    }
+  }
+
   test("annotateNearDups flags non-root cluster members with their root (P4)") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again ok"
