@@ -94,6 +94,53 @@ object Quantize {
       .drop("q8_dist")
   }
 
+  /** D8e: the matryoshka prefix column — materialize the first
+    * `prefixDim` components as their own column so the coarse stage's
+    * scan reads `prefixDim/dim` of the vector bytes (column pruning
+    * does the work; slicing at query time would still read the full
+    * vector column). Matryoshka-trained embeddings (Kusupati et al.
+    * 2022, arXiv:2205.13147) make the prefix a faithful coarse scorer
+    * BY TRAINING; for arbitrary embeddings it is a lossy-but-cheap
+    * first pass like int8/PQ/BQ, with recall recovered by the rerank
+    * cut.
+    */
+  def withPrefixColumn(
+      df: DataFrame,
+      vecCol: String,
+      prefixDim: Int): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    df.withColumn("vec_prefix", slice(col(vecCol), 1, prefixDim))
+  }
+
+  /** D8e: truncated-prefix two-stage top-k — coarse rank by cosine
+    * over the first `prefixDim` components (TakeOrderedAndProject over
+    * the narrow prefix column), exact rerank of the `rerank`
+    * survivors. Same two-stage determinism contract as
+    * [[topKQuantized]]: round-6 + id tiebreak at the coarse boundary
+    * so the candidate cut is engine-reproducible.
+    */
+  def topKPrefix(
+      indexed: DataFrame,
+      queryVec: Seq[Float],
+      k: Int,
+      idCol: String,
+      vecCol: String = "embedding",
+      prefixDim: Int = 16,
+      rerank: Int = 0): DataFrame = {
+    val r = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val qp = typedlit(queryVec.take(prefixDim))
+    val q = typedlit(queryVec)
+    indexed
+      .withColumn("prefix_dist",
+        round(cosine_distance(col("vec_prefix"), qp), 6))
+      .orderBy(col("prefix_dist"), col(idCol))
+      .limit(r)
+      .withColumn("dist", round(cosine_distance(col(vecCol), q), 6) + lit(0.0))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("prefix_dist", "vec_prefix")
+  }
+
   // ---------------------------------------------------------------
   // Product quantization (Jégou/Douze/Schmid, TPAMI'11): the vector
   // splits into m subvectors, each coded as its nearest of ks learned

@@ -766,6 +766,37 @@ object LlmOpsQueries {
           col("ok").as("codes_agree"))
     },
 
+    // D8e: matryoshka (truncated-prefix) two-stage top-k — coarse
+    // cosine over the first 16 of 64 components (the narrow
+    // `vec_prefix` column the coarse scan reads instead of the full
+    // vector), exact rerank of the top-40. Full hash-match oracle:
+    // DuckDB recomputes both stages, including the round-6 + id
+    // tiebreak at the coarse boundary that makes the candidate cut
+    // engine-reproducible.
+    "d8e_prefix_topk" -> QueryDef(
+      """WITH dv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |probe AS (SELECT v AS pv FROM dv WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT d.vec_id, d.v,
+        |         ROUND(1.0 - list_cosine_similarity(d.v[1:16], p.pv[1:16]), 6) AS pd
+        |  FROM dv d, probe p
+        |  ORDER BY pd, d.vec_id LIMIT 40)
+        |SELECT c.vec_id, ROUND(1.0 - list_cosine_similarity(c.v, p.pv), 6) + 0.0 AS dist
+        |FROM coarse c, probe p
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      import graft.ops.Quantize
+      val e = Tables(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Quantize.topKPrefix(
+          Quantize.withPrefixColumn(e, "embedding", 16), qv,
+          k = 10, idCol = "vec_id", prefixDim = 16, rerank = 40)
+        .select(col("vec_id"), col("dist"))
+        .orderBy("dist", "vec_id")
+    },
+
     // D5b: the frame-sampling stage through the gate — the oracle
     // recomputes the slicing arithmetic (frames = min(n, bytes),
     // frame size = max(1, bytes div frames), total = covered prefix)

@@ -144,4 +144,34 @@ class QuantizeSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(got.count(exact.contains) >= 5, s"recall ${got.count(exact.contains)}/10")
   }
+
+  test("prefix top-k: self first, recalls the exact top-k (D8e)") {
+    val e = Tables(spark, sf(), "embeddings")
+    val probe = e.filter(col("vec_id") === 7)
+      .select("embedding").head().getSeq[Float](0)
+    val got = Quantize.topKPrefix(
+        Quantize.withPrefixColumn(e, "embedding", 16), probe,
+        k = 10, idCol = "vec_id", prefixDim = 16,
+        rerank = math.max(100L, e.count() / 10).toInt)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(got.length === 10)
+    assert(got.head === 7L, "self must rank first (exact rerank)")
+    val exact = graft.ops.VectorSearch.topK(e, probe, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.count(exact.contains) >= 5, s"recall ${got.count(exact.contains)}/10")
+  }
+
+  test("prefix top-k with prefixDim = dim equals exact brute force (D8e)") {
+    val e = Tables(spark, sf(), "embeddings")
+    val probe = e.filter(col("vec_id") === 3)
+      .select("embedding").head().getSeq[Float](0)
+    val dim = probe.length
+    val got = Quantize.topKPrefix(
+        Quantize.withPrefixColumn(e, "embedding", dim), probe,
+        k = 10, idCol = "vec_id", prefixDim = dim, rerank = 40)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = graft.ops.VectorSearch.topK(e, probe, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == exact)
+  }
 }
