@@ -55,4 +55,30 @@ object Packing {
           .cast("long"))
       .drop("__h")
   }
+
+  /** D12b: the export manifest — one row per (grp, shard) with the
+    * document count, token total, and an ORDER-IMMUNE membership
+    * checksum: the sum of each member's 32-bit md5 prefix over
+    * `id:tokens`, so any dropped/duplicated/relabeled document or
+    * altered token count changes the shard's checksum, while executor
+    * scheduling and row order cannot (integer addition commutes).
+    * md5 is the engine-portable hash (same trick as the D7 sampler
+    * and D15 buckets), so an external consumer can re-derive the
+    * checksum from the manifest schema alone.
+    *
+    * Scale: one grouped aggregate over per-row expressions — partials
+    * combine map-side, the exchange carries (grp, shard) groups ×
+    * partitions rows of four longs; nothing corpus-wide.
+    */
+  def manifest(
+      packed: DataFrame,
+      idCol: String,
+      tokensCol: String): DataFrame =
+    packed.groupBy("grp", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("token_sum"),
+        sum(conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+            col(tokensCol).cast("long").cast("string"))), 1, 8), 16, 10)
+          .cast("long")).as("checksum"))
 }

@@ -994,6 +994,46 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D12b: export manifest over the packed shards — doc count, token
+    // total, and an order-immune md5-based membership checksum per
+    // (grp, shard). The oracle recomputes the full packing scheme AND
+    // the checksum arithmetic, so a single misplaced/dropped/recounted
+    // document anywhere in the export breaks the hash match.
+    "d12b_pack_manifest" -> QueryDef(
+      """WITH t AS (
+        |  SELECT doc_id, CAST(LENGTH(text) // 4 AS BIGINT) AS tc,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, tc, h,
+        |         CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |               + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |              % 16 AS BIGINT) AS grp
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, tc, grp,
+        |         CAST(COALESCE(SUM(tc) OVER (PARTITION BY grp ORDER BY h, doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              // 2000 AS BIGINT) AS shard
+        |  FROM g)
+        |SELECT grp, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(tc) AS BIGINT) AS token_sum,
+        |       CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |                || CAST(tc AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+        |         AS checksum
+        |FROM p GROUP BY grp, shard
+        |ORDER BY grp, shard""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id"), token_count(col("text")).cast("long").as("tc"))
+      Packing.manifest(
+          Packing.packShards(docs, "doc_id", "tc",
+            budget = 2000L, numGroups = 16),
+          "doc_id", "tc")
+        .select(col("grp").cast("long").as("grp"), col("shard"),
+          col("n_docs"), col("token_sum"), col("checksum"))
+        .orderBy("grp", "shard")
+    },
+
     // B4d: BM25 from the PERSISTENT text index (ops.TextIndex) — the
     // provisioned form of b4c. Same oracle as b4c: a prebuilt index
     // must answer the scan-path query bit-for-bit, while reading only

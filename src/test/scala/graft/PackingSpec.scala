@@ -69,4 +69,38 @@ class PackingSpec extends SparkSpec {
       Packing.packShards(docs(2), "id", "tc", 10L, numGroups = 257)
     }
   }
+
+  test("manifest checksum is order-immune and detects any membership change") {
+    import spark.implicits._
+    val in = (1L to 40L).map(i => (i, 10L + i % 7)).toDF("id", "tc")
+    val packed = Packing.packShards(in, "id", "tc", budget = 50L,
+      numGroups = 4)
+    val m1 = Packing.manifest(packed, "id", "tc")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // layout-independent: a different partitioning gives the same rows
+    val m2 = Packing.manifest(packed.repartition(7), "id", "tc")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m1 == m2)
+    // totals reconcile with the input
+    assert(m1.values.map(_._1).sum == 40L)
+    assert(m1.values.map(_._2).sum ==
+      in.agg(sum("tc")).head().getLong(0))
+    // dropping one document changes exactly its shard's checksum
+    val dropped = Packing.manifest(packed.filter(col("id") =!= 17L),
+        "id", "tc")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val changed = m1.keySet.filter(k =>
+      dropped.get(k) != m1.get(k))
+    assert(changed.size == 1)
+    // and a token-count change flips a checksum even at equal counts
+    val tweaked = Packing.manifest(
+        packed.withColumn("tc",
+          when(col("id") === 5L, col("tc") + 1).otherwise(col("tc"))),
+        "id", "tc")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(m1.map { case (k, v) => k -> v._3 } != tweaked)
+  }
 }
