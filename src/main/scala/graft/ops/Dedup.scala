@@ -280,6 +280,41 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** D10b: pairwise group-overlap matrix from group MinHash
+    * signatures — estimated shingle-set Jaccard between every pair of
+    * GROUPS (sources, sites, crawls, languages): the "how much does
+    * source A duplicate source B" datasheet that sizes cross-source
+    * dedup work before running it.
+    *
+    * Scale design: the per-group union signature comes from ONE narrow
+    * aggregate ([[graft.functions.VectorAggregates.minhash_agg]] —
+    * elementwise-min fold, exact by the MinHash construction, fixed
+    * k-long buffers combined map-side), so the corpus is read once and
+    * never shuffled; the pairwise stage is a self-join over GROUPS
+    * (dimension-scale — broadcast). The estimate is the fraction of
+    * agreeing signature positions; σ ≈ √(J(1−J)/k). Exact pairwise
+    * Jaccard (a shingle-level self-join) is the verification
+    * semantics, same standing as D2c — the d10b gate runs both and
+    * bounds the gap.
+    */
+  def groupMinhashOverlap(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      shingleSize: Int = 3): DataFrame = {
+    val sigs = docs.groupBy(col(groupCol).as("g"))
+      .agg(graft.functions.VectorAggregates.minhash_agg(
+        minhash_signature(col(textCol), lit(numHashes), lit(shingleSize)))
+        .as("sig"))
+    sigs.as("a").join(broadcast(sigs.as("b")),
+        col("a.g") <= col("b.g"))
+      .select(col("a.g").as("g1"), col("b.g").as("g2"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => x === y), b => b)) / lit(numHashes.toDouble))
+          .as("est_jaccard"))
+  }
+
   /** D18: cross-document repeated n-gram SPAN detection — the
     * shuffle-friendly form of exact substring deduplication (Lee et
     * al. 2021, "Deduplicating Training Data Makes Language Models

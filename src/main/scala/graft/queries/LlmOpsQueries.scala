@@ -632,6 +632,62 @@ object LlmOpsQueries {
         .orderBy("g")
     },
 
+    // D10b: cross-source overlap matrix — estimated shingle-set
+    // Jaccard between every source pair from ONE narrow group-MinHash
+    // aggregate (the corpus never shuffles), verified against the
+    // exact pairwise Jaccard the oracle recomputes from scratch.
+    // exact_jaccard hash-matches; self-pairs must estimate exactly 1
+    // (identical signatures); off-diagonal estimator error is bounded
+    // by 0.1 (k=128 → 3σ ≈ 0.13 at worst-case J; measured max on this
+    // corpus ≈ 0.04).
+    "d10b_source_overlap" -> QueryDef(
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> x <> '') AS ts
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, array_to_string(ts[i:i+2], ' ') AS g
+        |  FROM (SELECT source, ts, UNNEST(range(1, len(ts) - 1)) AS i
+        |        FROM toks WHERE len(ts) >= 3)),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        |inter AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS ix
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.source <= b.source
+        |          GROUP BY 1, 2)
+        |SELECT x.source AS g1, y.source AS g2,
+        |       ROUND(COALESCE(i.ix, 0) * 1.0
+        |             / (x.n + y.n - COALESCE(i.ix, 0)), 6) AS exact_jaccard,
+        |       TRUE AS est_ok
+        |FROM sizes x JOIN sizes y ON x.source <= y.source
+        |LEFT JOIN inter i ON i.s1 = x.source AND i.s2 = y.source
+        |ORDER BY g1, g2""".stripMargin) { (s, dir) =>
+      import graft.functions.GraftFunctions.word_shingles
+      val docs = Tables(s, dir, "documents").select("source", "text")
+      val est = Dedup.groupMinhashOverlap(docs, "source", "text",
+        numHashes = 128, shingleSize = 3)
+      val sh = docs.select(col("source"),
+          explode(word_shingles(col("text"), lit(3))).as("g"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.g") === col("b.g") && col("a.source") <= col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("ix"))
+      val exact = sizes.as("x").join(broadcast(sizes.as("y")),
+          col("x.source") <= col("y.source"))
+        .join(inter, col("x.source") === col("s1")
+          && col("y.source") === col("s2"), "left")
+        .select(col("x.source").as("g1"), col("y.source").as("g2"),
+          round(coalesce(col("ix"), lit(0L)) * lit(1.0)
+            / (col("x.n") + col("y.n") - coalesce(col("ix"), lit(0L))), 6)
+            .as("exact_jaccard"))
+      exact.join(est, Seq("g1", "g2"))
+        .select(col("g1"), col("g2"), col("exact_jaccard"),
+          (when(col("g1") === col("g2"), col("est_jaccard") === 1.0)
+            .otherwise(abs(col("est_jaccard") - col("exact_jaccard"))
+              <= 0.1)).as("est_ok"))
+        .orderBy("g1", "g2")
+    },
+
     // D8: int8 scalar quantization (the reference's QuantizedFlat
     // vector index scheme). The BIGINT code checksum proves the codes
     // are bit-identical across engines; the boolean pins the

@@ -157,6 +157,24 @@ class DedupSpec extends SparkSpec {
     assert(spans.contains((3L, 0L, 19L)), s"got $spans")
   }
 
+  test("groupMinhashOverlap: identical groups 1.0, disjoint groups 0.0") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    val df = Seq(
+      ("gA", a), ("gA", b),
+      ("gB", a), ("gB", b),   // same union set as gA
+      ("gC", "crimson amber teal violet maroon olive navy coral plum jade")
+    ).toDF("source", "text")
+    val m = graft.ops.Dedup.groupMinhashOverlap(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(m(("gA", "gA")) == 1.0)
+    assert(m(("gA", "gB")) == 1.0)  // identical union sets
+    assert(m(("gA", "gC")) == 0.0)  // disjoint vocabularies
+    assert(m.size == 6)             // 3 groups → 6 ordered pairs
+  }
+
   test("repeatedNgramSpans ignores runs repeated only within one doc") {
     import spark.implicits._
     val run = (0 until 10).map(i => s"w$i").mkString(" ")
