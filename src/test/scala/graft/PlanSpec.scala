@@ -279,6 +279,68 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("d18: repeated-span exchanges carry (hash, id, pos) — never text") {
+    // gram hashing happens row-side in the codegen kernel; every
+    // exchange under the repeated-gram aggregate, the hit join, and
+    // the span window must be 24-byte-per-gram narrow
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val df = graft.ops.Dedup.repeatedNgramSpans(docs, "doc_id", "text")
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"corpus text crosses an exchange: ${names.mkString(", ")}")
+    }
+  }
+
+  test("d17: a k-means iteration exchanges only fixed-size cell buffers") {
+    // the per-iteration update must be a two-phase (partial → final)
+    // aggregate over (__cell, vector_avg buffer); no exchange may
+    // carry the input vector column itself, and no window/sort may
+    // appear anywhere in the iteration plan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions.cosine_distance
+    import graft.functions.VectorAggregates.vector_avg
+    val e = Tables(spark, sf(), "embeddings")
+    val cents = graft.ops.KMeans.initCentroids(e, "vec_id", "embedding", 4)
+    val distsOf = array(cents.toSeq.map(c =>
+      cosine_distance(col("__v"), typedlit(c.toSeq))): _*)
+    val df = e.select(col("embedding").as("__v"))
+      .withColumn("__ds", distsOf)
+      .select(col("__v"),
+        (array_position(col("__ds"), array_min(col("__ds"))) - 1)
+          .cast("int").as("__cell"),
+        array_min(col("__ds")).as("__d"))
+      .groupBy("__cell")
+      .agg(vector_avg(col("__v")).as("__mean"), sum(col("__d")).as("__cost"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffles = collectWithSubqueries(plan) {
+      case ex: ShuffleExchangeExec => ex
+    }
+    shuffles.foreach { ex =>
+      val names = ex.output.map(_.name)
+      assert(!names.contains("__v"),
+        s"vectors cross the k-means exchange: ${names.mkString(", ")}")
+    }
+    val ps = plan.toString
+    assert(!ps.contains("Window") && !ps.contains("Sort "), ps.take(2000))
+  }
+
+  test("d8e: prefix coarse pass lowers to TakeOrderedAndProject") {
+    val p = planString(q("d8e_prefix_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet
