@@ -131,6 +131,38 @@ object Media {
     }
   }
 
+  /** D5c: media near-duplicate grouping by sampled-frame signature —
+    * the video/audio analog of content-hash dedup: two payloads are
+    * duplicates iff their sampled frames agree byte-for-byte (with a
+    * real codec, keyframe sampling makes this invariant to container
+    * metadata; with the stub it is exact byte dedup through the SAME
+    * distributed plumbing). Output per media row:
+    * `(media_id, root, is_dup, n_members)` with the min-id keeper
+    * rule shared with the text dedup family (D1/D2e).
+    *
+    * Shape: one frame-sampling pass, one per-media aggregate folding
+    * the ordinal-sorted frames into an MD5 signature, then a window
+    * over `(media_id, sig)` — only id+hash width crosses either
+    * exchange, never the payload bytes.
+    */
+  def frameSignatureGroups(
+      media: Dataset[MediaRow],
+      decoder: MediaDecoder,
+      nFrames: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = sampleFrames(media, decoder, nFrames).toDF()
+      .groupBy("media_id")
+      .agg(md5(concat_ws("",
+        transform(
+          array_sort(collect_list(struct(col("frame_index"), col("frame")))),
+          f => hex(f.getField("frame"))))).as("sig"))
+    val w = Window.partitionBy("sig")
+    sigs.select(col("media_id"),
+      min("media_id").over(w).as("root"),
+      (col("media_id") =!= min("media_id").over(w)).as("is_dup"),
+      count(lit(1)).over(w).as("n_members"))
+  }
+
   /** Demo corpus: wrap the harness documents' text bytes as media
     * payloads (kind round-robins image/audio/video) — the plumbing
     * under test is schema + partitioning, not the codec.

@@ -384,6 +384,52 @@ object Similarity {
       .filter(col("dist") <= maxDistance)
   }
 
+  /** D19: hard-negative mining for contrastive embedding training —
+    * in-batch random negatives are too easy; the strongest training
+    * signal is the nearest NON-matching examples (DPR, Karpukhin et
+    * al. 2020, arXiv:2004.04906). For every anchor, the k nearest
+    * base rows by cosine distance whose label differs from the
+    * anchor's, skipping candidates closer than `minDist` — the
+    * standard guard against unlabeled positives (near-copies that
+    * carry a different label only because labeling is incomplete)
+    * poisoning the negative set.
+    *
+    * Scale shape: anchors broadcast (small by contract, as in
+    * [[knnJoinBrute]]); the label-mismatch predicate runs INSIDE the
+    * broadcast join so excluded pairs never materialize; per-anchor
+    * selection is the bounded `topk_agg` aggregate (D16) — each
+    * partition reduces an anchor to ≤ k candidates BEFORE the
+    * exchange, so the shuffle carries k × anchors × partitions pairs,
+    * never the corpus.
+    */
+  def hardNegatives(
+      base: DataFrame,
+      anchors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      minDist: Double = 0.0): DataFrame = {
+    import graft.functions.TopKAggregate.topk_agg
+    val b = base.select(col(idCol).as("neg_id"), col(vecCol).as("bv"),
+      col(labelCol).as("bl"))
+    val p = anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("pv"),
+      col(labelCol).as("pl"))
+    b.join(broadcast(p), col("bl") =!= col("pl"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
+      .filter(col("dist") >= minDist)
+      .groupBy("anchor_id")
+      // score = -dist: topk_agg's (score DESC, id ASC) order is then
+      // exactly the window form's (dist ASC, neg_id ASC)
+      .agg(topk_agg(k)(-col("dist"), col("neg_id")).as("tk"))
+      .select(col("anchor_id"), posexplode(col("tk")))
+      .select(col("anchor_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neg_id"),
+        (-col("col.score")).as("dist"))
+  }
+
   /** D6: embedding-cosine near-duplicate pairs within a distance
     * threshold. Quadratic in rows — callers bound the input or use
     * [[cosineNearDupPairsApprox]] at scale.

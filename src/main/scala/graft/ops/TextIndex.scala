@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextIndex {
 
-  private val Version = "graft-text-index v1"
+  private val Version = "graft-text-index v2"
   private val StampName = "_graft_text_index"
 
   /** Corpus stats are (docCount, sumDl), not (docCount, avgdl):
@@ -84,11 +84,7 @@ object TextIndex {
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n"),
       sum(size(split(col(textCol), " ")).cast("double")).as("sumdl")).head()
-    docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("tb", pmod(hash(col("term")), lit(numBuckets)))
+    postingsFor(docs, idCol, textCol, numBuckets)
       .write.mode(SaveMode.Overwrite).partitionBy("tb")
       .parquet(postingsPath(path))
     docs.select(col(idCol).as("doc_id"),
@@ -115,11 +111,7 @@ object TextIndex {
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n"),
       sum(size(split(col(textCol), " ")).cast("double")).as("sumdl")).head()
-    docs.select(col(meta.idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .withColumn("tb", pmod(hash(col("term")), lit(meta.numBuckets)))
+    postingsFor(docs, meta.idCol, textCol, meta.numBuckets)
       .write.mode(SaveMode.Append).partitionBy("tb")
       .parquet(postingsPath(path))
     docs.select(col(meta.idCol).as("doc_id"),
@@ -128,6 +120,70 @@ object TextIndex {
     stamp(spark, path, meta.copy(
       docCount = meta.docCount + stats.getDouble(0),
       sumDl = meta.sumDl + stats.getDouble(1)))
+  }
+
+  /** The shared postings plan: one tokenize (position-carrying) +
+    * one (doc, term) aggregate, map-side combined. `positions` makes
+    * the index positional (v2): phrase queries answer from postings
+    * alone, while the BM25 path's (doc_id, term, tf) projection lets
+    * Parquet column pruning skip the positions bytes entirely.
+    */
+  private def postingsFor(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("tb", pmod(hash(col("term")), lit(numBuckets)))
+
+  /** Positional phrase query (the store-side `CONTAINS '"w1 w2"'`
+    * surface): documents where `terms` occur as CONSECUTIVE tokens,
+    * answered from the positional postings with ZERO corpus access.
+    * Output `(doc_id, n_occ, first_pos)` — occurrence count
+    * (overlapping matches included) and the 0-based token position of
+    * the first match.
+    *
+    * Shape: prune to the phrase terms' buckets (static partition
+    * pruning, as in [[query]]), then an n-way equi-join on `doc_id`
+    * of the per-term position lists, folding
+    * `positions(tᵢ₊₁) ∩ (positions(tᵢ) + 1)` — candidate documents
+    * shrink at every join, and only (doc_id, positions) width ever
+    * moves. Cost follows the phrase terms' posting sizes, never the
+    * corpus.
+    */
+  def phraseQuery(
+      spark: SparkSession,
+      path: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least 2 terms")
+    val meta = load(spark, path)
+    val distinctTerms = terms.distinct
+    val buckets = distinctTerms.map(termBucket(_, meta.numBuckets)).distinct
+    val posts = spark.read.parquet(postingsPath(path))
+      .filter(col("tb").isin(buckets: _*) &&
+        col("term").isin(distinctTerms: _*))
+      .select("doc_id", "term", "positions")
+    val byTerm = terms.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"__p$i"))
+    }
+    val joined = byTerm.reduce(_.join(_, "doc_id"))
+    // fold: after step i the accumulator holds the token positions of
+    // term i in full prefix matches t0..ti; the final array holds the
+    // LAST term's positions of complete phrase matches
+    val ends = (1 until terms.size).foldLeft(col("__p0")) { (acc, i) =>
+      array_intersect(transform(acc, p => p + 1), col(s"__p$i"))
+    }
+    joined.select(col("doc_id"), ends.as("__ends"))
+      .filter(size(col("__ends")) > 0)
+      .select(col("doc_id"),
+        size(col("__ends")).cast("long").as("n_occ"),
+        (array_min(col("__ends")) - lit(terms.size - 1)).cast("long")
+          .as("first_pos"))
   }
 
   /** BM25 top-k for `terms` from the prebuilt index: reads only the

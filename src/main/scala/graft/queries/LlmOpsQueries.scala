@@ -155,6 +155,44 @@ object LlmOpsQueries {
         .orderBy("probe_id", "dist", "nn_id")
     },
 
+    // D19: hard-negative mining for contrastive training (DPR-style):
+    // for each anchor, the k nearest DIFFERENT-label vectors at
+    // distance >= minDist. The planted trap: an EXACT copy of every
+    // anchor carrying a different label (an "unlabeled positive")
+    // sits at dist 0 — the minDist guard must exclude it, or it
+    // would be top-1 for its anchor. Full hash-match oracle: DuckDB
+    // replays the construction, the label rule, the guard, and the
+    // ranking.
+    "d19_hard_negatives" -> QueryDef(
+      """WITH lab AS (
+        |  SELECT vec_id, embedding, vec_id % 4 AS label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding, (vec_id + 1) % 4
+        |  FROM embeddings WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT p.vec_id AS anchor_id, b.vec_id AS neg_id,
+        |         ROUND(1.0 - list_cosine_similarity(b.embedding::DOUBLE[],
+        |                                            p.embedding::DOUBLE[]), 6) AS dist
+        |  FROM lab b, embeddings p
+        |  WHERE p.vec_id < 8 AND b.label <> p.vec_id % 4)
+        |SELECT anchor_id, CAST(rnk AS BIGINT) AS rnk, neg_id, dist FROM (
+        |  SELECT anchor_id, neg_id, dist,
+        |         ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |                            ORDER BY dist, neg_id) AS rnk
+        |  FROM cand WHERE dist >= 0.05)
+        |WHERE rnk <= 5 ORDER BY anchor_id, rnk""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val labeled = e.select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(4)).as("label"))
+      val planted = e.filter(col("vec_id") < 8).select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        pmod(col("vec_id") + 1, lit(4)).as("label"))
+      Similarity.hardNegatives(labeled.unionByName(planted),
+          labeled.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "label", k = 5, minDist = 0.05)
+        .orderBy("anchor_id", "rnk")
+    },
+
     // D3 scale path: LSH-bucketed ANN. Bucket assignments are
     // engine-specific and raw recall on isotropic gaussian vectors is
     // structurally low (no cluster structure for the hyperplanes to
@@ -881,6 +919,36 @@ object LlmOpsQueries {
         .orderBy("media_id")
     },
 
+    // D5c: media near-dup grouping by sampled-frame signature — the
+    // video analog of content-hash dedup through the same distributed
+    // plumbing (with a real codec the frames are keyframes, making
+    // the signature container-metadata-invariant). The corpus has
+    // planted duplicate texts (→ identical payload bytes → identical
+    // frames), so real groups exist. The oracle recomputes the
+    // 4-frame byte slices from the payload blob, the signature
+    // grouping, and the min-id keeper rule.
+    "d5c_media_dedup" -> QueryDef(
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(text AS BLOB) AS b,
+        |         octet_length(CAST(text AS BLOB)) AS blen
+        |  FROM documents
+        |  WHERE octet_length(CAST(text AS BLOB)) >= 4),
+        |f AS (SELECT media_id, hex(b) AS h, blen // 4 AS fs FROM m),
+        |sig AS (
+        |  -- the 4 sampled frames are contiguous fs-byte slices, so
+        |  -- their hex concatenation is the hex of the covered prefix
+        |  SELECT media_id, md5(substring(h, 1, 8 * fs)) AS sg FROM f)
+        |SELECT media_id,
+        |       MIN(media_id) OVER (PARTITION BY sg) AS root,
+        |       media_id <> MIN(media_id) OVER (PARTITION BY sg) AS is_dup,
+        |       COUNT(*) OVER (PARTITION BY sg) AS n_members
+        |FROM sig ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val media = Media.mediaFromDocuments(Tables(s, dir, "documents"))
+        .filter(length(col("content")) >= 4)
+      Media.frameSignatureGroups(media, StubMediaDecoder(8), nFrames = 4)
+        .orderBy("media_id")
+    },
+
     // B4: keyword full-text search.
     "b4_fulltext_like" -> QueryDef(
       """SELECT doc_id FROM documents
@@ -1114,6 +1182,29 @@ object LlmOpsQueries {
       val path = s"/tmp/graft-tindex-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       TextIndex.build(Tables(s, dir, "documents"), path, "doc_id", "text")
       TextIndex.query(s, path, Seq("window", "filter"), k = 20)
+    },
+
+    // B4f: positional phrase query (the store-side CONTAINS '"w1 w2"'
+    // surface) answered from the v2 postings alone — zero corpus
+    // access at query time. The oracle recomputes consecutive-token
+    // matches from raw 1-based token positions; membership, the
+    // overlapping-occurrence count, and the first match position must
+    // all agree with the index path's 0-based position algebra.
+    "b4f_phrase_search" -> QueryDef(
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |hit AS (
+        |  SELECT doc_id,
+        |         [i FOR i IN range(1, len(t) - 1)
+        |          IF t[i] = 'slow' AND t[i+1] = 'hash' AND t[i+2] = 'batch'] AS st
+        |  FROM tok)
+        |SELECT doc_id, CAST(len(st) AS BIGINT) AS n_occ,
+        |       CAST(list_min(st) - 1 AS BIGINT) AS first_pos
+        |FROM hit WHERE len(st) > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val path =
+        s"/tmp/graft-tindex-phrase-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TextIndex.build(Tables(s, dir, "documents"), path, "doc_id", "text")
+      TextIndex.phraseQuery(s, path, Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")
     },
 
     // D7c: data-mixture sampling — per-source fractions as one

@@ -37,6 +37,33 @@ class MultimodalSpec extends SparkSpec {
     frames.unpersist()
   }
 
+  test("frameSignatureGroups: identical payloads group, distinct don't") {
+    import spark.implicits._
+    import graft.multimodal.{MediaMeta, MediaRow}
+    val meta = MediaMeta("stub", 0, 1)
+    val rows = Seq(
+      MediaRow(1L, "video", "the same payload bytes".getBytes("UTF-8"), meta),
+      MediaRow(2L, "video", "the same payload bytes".getBytes("UTF-8"), meta),
+      MediaRow(3L, "video", "a different payload!!!".getBytes("UTF-8"), meta),
+      MediaRow(4L, "video", "the same payload bytes".getBytes("UTF-8"), meta)
+    ).toDS()
+    val g = Media.frameSignatureGroups(rows, StubMediaDecoder(8), nFrames = 4)
+      .orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2), r.getLong(3)))
+    assert(g.toSeq == Seq(
+      (1L, 1L, false, 3L), (2L, 1L, true, 3L),
+      (3L, 3L, false, 1L), (4L, 1L, true, 3L)))
+    // same frames ⇒ same group even if the UNCOVERED tail differs:
+    // 23 bytes → 4 frames of 5 bytes (20 covered), tail 3 bytes free
+    val tail = Seq(
+      MediaRow(10L, "video", "aaaaabbbbbcccccdddddXYZ".getBytes("UTF-8"), meta),
+      MediaRow(11L, "video", "aaaaabbbbbcccccdddddPQR".getBytes("UTF-8"), meta)
+    ).toDS()
+    val t = Media.frameSignatureGroups(tail, StubMediaDecoder(8), nFrames = 4)
+    assert(t.filter(col("root") === 10L).count() == 2)
+  }
+
   test("resize: fixed output dimension, index-preserving endpoints") {
     val dec = StubMediaDecoder(8)
     val f = Array(1f, 2f, 3f, 4f)

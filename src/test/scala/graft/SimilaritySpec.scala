@@ -149,6 +149,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: window equivalence, label exclusion, minDist guard") {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = emb.select(col("vec_id"), col("embedding"),
+      pmod(col("vec_id"), lit(4)).as("label"))
+    val anchors = labeled.filter(col("vec_id") < 6)
+
+    // equivalence with the window formulation (same order, same ties)
+    val got = Similarity.hardNegatives(labeled, anchors,
+      "vec_id", "embedding", "label", k = 4).cache()
+    val b = labeled.select(col("vec_id").as("neg_id"),
+      col("embedding").as("bv"), col("label").as("bl"))
+    val p = anchors.select(col("vec_id").as("anchor_id"),
+      col("embedding").as("pv"), col("label").as("pl"))
+    val ref = b.join(broadcast(p), col("bl") =!= col("pl"))
+      .select(col("anchor_id"), col("neg_id"),
+        round(graft.functions.GraftFunctions.cosine_distance(
+          col("bv"), col("pv")), 6).as("dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("anchor_id").orderBy(col("dist"), col("neg_id"))))
+      .filter(col("rnk") <= 4)
+      .select(col("anchor_id"), col("rnk").cast("long"),
+        col("neg_id"), col("dist"))
+    assert(got.exceptAll(ref).count() == 0 &&
+      ref.exceptAll(got).count() == 0)
+
+    // no same-label negative ever appears
+    val lbl = labeled.select(col("vec_id").as("neg_id"),
+      col("label").as("neg_label"))
+    assert(got.join(lbl, "neg_id")
+      .filter(col("neg_label") === pmod(col("anchor_id"), lit(4)))
+      .count() == 0)
+    got.unpersist()
+
+    // minDist: an exact copy with a different label (unlabeled
+    // positive) is top-1 without the guard, excluded with it
+    val planted = anchors.select((col("vec_id") + 1000L).as("vec_id"),
+      col("embedding"), pmod(col("vec_id") + 1, lit(4)).as("label"))
+    val base = labeled.unionByName(planted)
+    val unguarded = Similarity.hardNegatives(base, anchors,
+      "vec_id", "embedding", "label", k = 1)
+    assert(unguarded.filter(col("rnk") === 1 &&
+      col("neg_id") === col("anchor_id") + 1000L && col("dist") === 0.0)
+      .count() == 6)
+    val guarded = Similarity.hardNegatives(base, anchors,
+      "vec_id", "embedding", "label", k = 4, minDist = 0.05)
+    assert(guarded.filter(col("neg_id") === col("anchor_id") + 1000L)
+      .count() == 0)
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 64, 8, 42L)
       .as("b")).collect().map(_.getInt(0)).toSeq

@@ -108,6 +108,53 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("phraseQuery: consecutive-token semantics vs a raw-token reference") {
+    import spark.implicits._
+    val path = tmp("phrase")
+    val corpus = Seq(
+      (1L, "a b c a b"),       // "a b" twice (positions 0, 3)
+      (2L, "a a a"),           // overlapping "a a" twice (0, 1)
+      (3L, "b a c"),           // terms present, never consecutive
+      (4L, "a b"),             // exact phrase
+      (5L, "c c c")            // no phrase terms
+    ).toDF("doc_id", "text")
+    TextIndex.build(corpus, path, "doc_id", "text")
+
+    val ab = TextIndex.phraseQuery(spark, path, Seq("a", "b"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ab.toSeq == Seq((1L, 2L, 0L), (4L, 1L, 0L)))
+
+    // self-overlapping phrase: both occurrences counted
+    val aa = TextIndex.phraseQuery(spark, path, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(aa.toSeq == Seq((2L, 2L, 0L)))
+
+    // 3-term phrase
+    val abc = TextIndex.phraseQuery(spark, path, Seq("c", "a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(abc.toSeq == Seq((1L, 1L, 2L)))
+
+    // no matches → empty, and <2 terms is a contract violation
+    assert(TextIndex.phraseQuery(spark, path, Seq("b", "b")).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextIndex.phraseQuery(spark, path, Seq("a"))
+    }
+  }
+
+  test("phraseQuery: sees appended documents (v2 positional postings)") {
+    import spark.implicits._
+    val path = tmp("phrase-append")
+    TextIndex.build(Seq((1L, "x y z")).toDF("doc_id", "text"),
+      path, "doc_id", "text")
+    TextIndex.append(Seq((2L, "w x y")).toDF("doc_id", "text"),
+      path, "text")
+    val hits = TextIndex.phraseQuery(spark, path, Seq("x", "y"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L)))
+  }
+
   test("driver-side term bucket agrees with the hash(term) column") {
     import spark.implicits._
     val terms = Seq("window", "filter", "spark", "a", "", "zebra")
