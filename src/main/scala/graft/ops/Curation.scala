@@ -122,6 +122,31 @@ object Curation {
       .drop("quality", "lang", "is_blocked", "is_duplicate",
         "is_contaminated", "in_sample", "drop_reason", "keep")
 
+  /** P8: the end-to-end training-export composition — curate (P3),
+    * token-count, and budgeted shard packing (D12) in ONE declarative
+    * plan. Returns the packed keeper rows `(idCol, tc, grp, shard)`;
+    * pair with [[Packing.manifest]] for the export datasheet (D12b).
+    *
+    * Scale: exactly the parts' shapes — P3's per-row expressions +
+    * narrow (hash, id) duplicate aggregate, then D12's single keyed
+    * window; nothing materializes between stages, so Catalyst fuses
+    * the per-row work into the packing scan.
+    */
+  def exportShards(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config(),
+      budget: Long = 1L << 20,
+      numGroups: Int = 256,
+      salt: String = ""): DataFrame = {
+    val kept = curate(docs, idCol, textCol, cfg)
+    val narrow = kept.select(col(idCol),
+      graft.functions.GraftFunctions.token_count(col(textCol))
+        .cast("long").as("tc"))
+    Packing.packShards(narrow, idCol, "tc", budget, numGroups, salt)
+  }
+
   /** NEAR-duplicate annotation: MinHash-LSH pairs cluster via
     * connected components and every non-root cluster member is flagged
     * with its cluster root (the canonical keeper — smallest id). Exact

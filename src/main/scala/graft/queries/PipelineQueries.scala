@@ -231,6 +231,77 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // P8: the end-to-end training-export composition — P3 curation
+    // decides membership, D12 packing assigns shards, D12b's manifest
+    // checksums the result. ONE declarative plan engine-side; the
+    // oracle recomputes the whole chain from first principles
+    // (quality, lang argmax, min-id keeper, md5 sample threshold,
+    // md5-ordered greedy fill, order-immune membership checksum), so
+    // a document misplaced by ANY stage breaks the hash match.
+    "p8_export_manifest" -> QueryDef(
+      """WITH input AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    ROUND(LEAST(LENGTH(text), 500) * 1.0 / 500 * 0.4
+        |      + len(list_filter(string_split(lower(text), ' '),
+        |          x -> x IN ('the','and','of','to','in','is','a','that','it','for')))
+        |        * 1.0 / len(string_split(text, ' ')) * 0.4
+        |      + CASE WHEN (LENGTH(text) - len(string_split(text, ' ')) + 1) * 1.0
+        |                  / len(string_split(text, ' ')) BETWEEN 3.0 AND 8.0
+        |             THEN 0.2 ELSE 0.0 END, 6) AS quality,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('the','and','of','to','in','is','a','that','it','for'))) AS en_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('el','la','de','que','y','en','los','del','se','las'))) AS es_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('der','die','und','das','ist','ein','zu','den','mit','nicht'))) AS de_h,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      x -> x IN ('le','la','de','et','est','un','les','des','une','dans'))) AS fr_h,
+        |    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' AS in_sample
+        |  FROM input),
+        |k AS (
+        |  SELECT doc_id, text FROM q
+        |  WHERE quality >= 0.3 AND en_h > 0 AND en_h >= es_h AND en_h >= de_h
+        |    AND en_h >= fr_h AND keeper = doc_id AND in_sample),
+        |t AS (
+        |  SELECT doc_id, CAST(LENGTH(text) // 4 AS BIGINT) AS tc,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM k),
+        |g AS (
+        |  SELECT doc_id, tc, h,
+        |         CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |               + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |              % 16 AS BIGINT) AS grp
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, tc, grp,
+        |         CAST(COALESCE(SUM(tc) OVER (PARTITION BY grp ORDER BY h, doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              // 2000 AS BIGINT) AS shard
+        |  FROM g)
+        |SELECT grp, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(tc) AS BIGINT) AS token_sum,
+        |       CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |                || CAST(tc AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+        |         AS checksum
+        |FROM p GROUP BY grp, shard
+        |ORDER BY grp, shard""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val input = d.unionAll(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val packed = graft.ops.Curation.exportShards(input, "doc_id", "text",
+        graft.ops.Curation.Config(minQuality = 0.3, lang = "en",
+          sampleFraction = 0.5),
+        budget = 2000L, numGroups = 16)
+      graft.ops.Packing.manifest(packed, "doc_id", "tc")
+        .select(col("grp").cast("long").as("grp"), col("shard"),
+          col("n_docs"), col("token_sum"), col("checksum"))
+        .orderBy("grp", "shard")
+    },
+
     // Raw pipeline output surface. Embedding VALUES are spec'd by the
     // deterministic embedder (not SQL), so the embedding projects to
     // its unit norm plus a well-formedness check of the sha2 content

@@ -114,4 +114,28 @@ class CurationSpec extends SparkSpec {
     assert(kept.columns.toSeq == Seq("doc_id", "text"))
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("exportShards packs exactly the curated keepers within budget") {
+    import spark.implicits._
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val cfg = Curation.Config(minQuality = 0.3, lang = "en",
+      sampleFraction = 0.5)
+    val packed = Curation.exportShards(docs, "doc_id", "text", cfg,
+      budget = 1500L, numGroups = 8).cache()
+
+    // membership == curate's keepers, exactly
+    val keepers = Curation.curate(docs, "doc_id", "text", cfg)
+      .select("doc_id")
+    assert(packed.select("doc_id").exceptAll(keepers).count() == 0)
+    assert(keepers.exceptAll(packed.select("doc_id")).count() == 0)
+
+    // greedy-fill contract: every shard's token sum < budget + max tc
+    val maxTc = packed.agg(max("tc")).head().getLong(0)
+    val over = packed.groupBy("grp", "shard")
+      .agg(sum("tc").as("ts"))
+      .filter(col("ts") >= lit(1500L) + maxTc)
+    assert(over.count() == 0)
+    packed.unpersist()
+  }
 }
