@@ -140,10 +140,12 @@ object Media {
     * `(media_id, root, is_dup, n_members)` with the min-id keeper
     * rule shared with the text dedup family (D1/D2e).
     *
-    * Shape: one frame-sampling pass, one per-media aggregate folding
-    * the ordinal-sorted frames into an MD5 signature, then a window
-    * over `(media_id, sig)` — only id+hash width crosses either
-    * exchange, never the payload bytes.
+    * Shape: one frame-sampling pass; each frame hashes to its MD5
+    * per-row BEFORE the per-media aggregate, so the aggregation
+    * buffer (and its exchange) carries (index, 32-char hash) pairs —
+    * never the payload bytes; the ordinal-sorted frame hashes then
+    * fold into one signature, and a window over `(media_id, sig)`
+    * assigns groups at id+hash width.
     */
   def frameSignatureGroups(
       media: Dataset[MediaRow],
@@ -151,11 +153,12 @@ object Media {
       nFrames: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = sampleFrames(media, decoder, nFrames).toDF()
+      .select(col("media_id"),
+        struct(col("frame_index"), md5(hex(col("frame"))).as("fh")).as("ixh"))
       .groupBy("media_id")
       .agg(md5(concat_ws("",
-        transform(
-          array_sort(collect_list(struct(col("frame_index"), col("frame")))),
-          f => hex(f.getField("frame"))))).as("sig"))
+        transform(array_sort(collect_list(col("ixh"))),
+          f => f.getField("fh")))).as("sig"))
     val w = Window.partitionBy("sig")
     sigs.select(col("media_id"),
       min("media_id").over(w).as("root"),

@@ -935,9 +935,15 @@ object LlmOpsQueries {
         |  WHERE octet_length(CAST(text AS BLOB)) >= 4),
         |f AS (SELECT media_id, hex(b) AS h, blen // 4 AS fs FROM m),
         |sig AS (
-        |  -- the 4 sampled frames are contiguous fs-byte slices, so
-        |  -- their hex concatenation is the hex of the covered prefix
-        |  SELECT media_id, md5(substring(h, 1, 8 * fs)) AS sg FROM f)
+        |  -- signature = md5 over the per-frame md5s of the 4
+        |  -- contiguous fs-byte slices (hashed per frame engine-side
+        |  -- so payload bytes never cross an exchange)
+        |  SELECT media_id,
+        |         md5(md5(substring(h, 1, 2 * fs))
+        |             || md5(substring(h, 2*fs + 1, 2 * fs))
+        |             || md5(substring(h, 4*fs + 1, 2 * fs))
+        |             || md5(substring(h, 6*fs + 1, 2 * fs))) AS sg
+        |  FROM f)
         |SELECT media_id,
         |       MIN(media_id) OVER (PARTITION BY sg) AS root,
         |       media_id <> MIN(media_id) OVER (PARTITION BY sg) AS is_dup,

@@ -341,6 +341,56 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("d19: hard negatives rank via the bounded aggregate, not a window") {
+    // the per-anchor top-k must be topk_agg (map-side combine reduces
+    // each anchor to ≤ k pairs before the exchange) — a ranking
+    // window would shuffle AND sort every surviving pair
+    val p = planString(q("d19_hard_negatives"))
+    assert(!p.contains("Window "), p.take(2000))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(2000))
+    // anchors broadcast (the D3 probe contract)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("d5c: no payload bytes cross a media-dedup exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val media = graft.multimodal.Media.mediaFromDocuments(
+      Tables(spark, sf(), "documents"))
+    val df = graft.multimodal.Media.frameSignatureGroups(
+      media, graft.multimodal.StubMediaDecoder(8), nFrames = 4)
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("content") && !names.contains("frame"),
+        s"payload bytes cross an exchange: ${names.mkString(", ")}")
+    }
+  }
+
+  test("p8: composed export never ships the corpus text through an " +
+      "exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val df = graft.ops.Curation.exportShards(docs, "doc_id", "text",
+      graft.ops.Curation.Config(minQuality = 0.3, lang = "en"),
+      budget = 2000L, numGroups = 16)
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text"),
+        s"corpus text crosses an exchange: ${names.mkString(", ")}")
+    }
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet

@@ -155,6 +155,17 @@ class TextIndexSpec extends SparkSpec {
     assert(hits.toSeq == Seq((1L, 1L, 0L), (2L, 1L, 1L)))
   }
 
+  test("BM25 query path column-prunes the v2 positions away") {
+    val path = tmp("prune")
+    TextIndex.build(docs.limit(50), path, "doc_id", "text")
+    val df = TextIndex.query(spark, path, Seq("window"), k = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the positions column exists in the layout but must never be
+    // read on the score path (phrase queries pay for it, BM25 doesn't)
+    assert(!p.contains("positions"), p.take(2000))
+  }
+
   test("driver-side term bucket agrees with the hash(term) column") {
     import spark.implicits._
     val terms = Seq("window", "filter", "spark", "a", "", "zebra")
