@@ -140,6 +140,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join with watermarks ≡ batch join (C8b)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Int) = new java.sql.Timestamp(t0 + min * 60000L)
+    // clicks attribute to an impression of the same ad within 10 min
+    val impsData = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(40)))
+    val clicksData = Seq((1L, ts(4)), (2L, ts(20)), (3L, ts(45)), (4L, ts(1)))
+    def cond = col("ad_id") === col("c_ad_id") &&
+      col("click_ts") >= col("imp_ts") &&
+      col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES")
+
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = imps.toDS().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "30 minutes")
+      .join(clicks.toDS().toDF("c_ad_id", "click_ts")
+        .withWatermark("click_ts", "30 minutes"), cond)
+      .select(col("ad_id"), col("click_ts"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjoin_out").outputMode("append").start()
+    imps.addData(impsData: _*)
+    clicks.addData(clicksData: _*)
+    q.processAllAvailable()
+    val got = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    q.stop()
+
+    val expected = impsData.toDF("ad_id", "imp_ts")
+      .join(clicksData.toDF("c_ad_id", "click_ts"), cond)
+      .select(col("ad_id"), col("click_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got == expected)
+    assert(got == Set((1L, ts(4)), (3L, ts(45)))) // the attribution rule
+  }
+
   test("streaming session window groups by 30-min gaps (C35)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
