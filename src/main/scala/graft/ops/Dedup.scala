@@ -373,6 +373,40 @@ object Dedup {
         col("end_pos"), col("n_grams"))
   }
 
+  /** D18b: apply the D18 spans — CUT the cross-document repeated word
+    * runs out of each text (the action step of exact substring dedup,
+    * Lee et al. 2021, arXiv:2107.06499: remove the shared run, keep
+    * the document). Every word position covered by a repeated span is
+    * dropped; survivors rejoin in order. Returns every input row as
+    * `(idCol, cleaned_text, n_cut)`.
+    *
+    * Scale: D18's gram shapes plus one per-doc span list (spans are
+    * few and bounded per doc) joined back onto the corpus; the cut
+    * itself is a per-row positional-filter HOF — the text never
+    * shuffles beyond the span join's own exchange.
+    */
+  def cutRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val spans = repeatedNgramSpans(docs, idCol, textCol, n, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_pos").as("s"),
+        col("end_pos").as("e"))).as("__spans"))
+    val toks = split(col(textCol), " ")
+    val spansOrEmpty = coalesce(col("__spans"),
+      array().cast("array<struct<s:bigint,e:bigint>>"))
+    val kept = filter(toks, (_, i) =>
+      !exists(spansOrEmpty, sp =>
+        i >= sp.getField("s") && i <= sp.getField("e")))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(kept, " ").as("cleaned_text"),
+        (size(toks) - size(kept)).cast("long").as("n_cut"))
+  }
+
   /** D13: semantic (embedding-space) dedup — SemDeDup (Abbas et al.,
     * arXiv:2303.09540): partition vectors into k-means cells, compare
     * pairs only WITHIN a cell, flag every row that has a smaller-id

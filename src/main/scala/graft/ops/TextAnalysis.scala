@@ -206,6 +206,36 @@ object TextAnalysis {
     regexp_replace(num, "\\+?[0-9][0-9() .-]{5,}[0-9]", "[PHONE]")
   }
 
+  /** D4l: URL canonicalization — the normalization every web-corpus
+    * pipeline runs before URL-level dedup (RefinedWeb/CCNet drop
+    * re-crawls of the same page behind cosmetic URL variation).
+    * Rules, in order: strip the fragment; lowercase scheme and
+    * host; drop the scheme's default port (http:80 / https:443);
+    * drop a leading `www.`; drop `utm_*` tracking parameters
+    * (other parameters keep their original order); strip trailing
+    * slashes from the path. Pure built-in expressions — per-row,
+    * codegen, no UDF — so the same rules are expressible in any
+    * engine (the d4l oracle replays them in SQL).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*(.*)$", 1)
+    val noDefPort = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val host = regexp_replace(noDefPort, "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    val query = array_join(
+      filter(split(regexp_extract(rest, "\\?(.*)$", 1), "&"),
+        p => !p.startsWith("utm_") && p =!= ""), "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+  }
+
   /** Word n-grams WITH multiplicity, in text order (unlike
     * `word_shingles`, which deduplicates — signatures want set
     * semantics, frequency statistics want the multiset). Tokenization

@@ -101,6 +101,47 @@ object CorpusQueries {
         .orderBy("doc_id", "start_pos")
     },
 
+    // D18b: the action step of substring dedup — cut every repeated
+    // span's words out of the text, keep the document. The oracle
+    // recomputes D18's spans from gram strings AND replays the
+    // positional cut, so the cleaned text must agree byte-for-byte on
+    // every row (including rows with no spans, which pass through
+    // untouched).
+    "d18b_cut_spans" -> QueryDef(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws, UNNEST(range(0, GREATEST(len(ws) - 7, 0))) AS p FROM w),
+        |g2 AS (SELECT doc_id, CAST(p AS BIGINT) AS pos,
+        |              array_to_string(ws[p+1:p+8], ' ') AS gram FROM g),
+        |rep AS (SELECT gram FROM g2 GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hit AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN rep USING (gram)),
+        |s AS (SELECT doc_id, pos,
+        |             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+        |                  THEN 1 ELSE 0 END AS brk FROM hit),
+        |sp AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                                          ROWS UNBOUNDED PRECEDING) AS span_id
+        |       FROM s),
+        |spans AS (SELECT doc_id, span_id, MIN(pos) AS ss, MAX(pos) + 7 AS ee
+        |          FROM sp GROUP BY doc_id, span_id),
+        |sl AS (SELECT doc_id, list({'s': ss, 'e': ee}) AS spans
+        |       FROM spans GROUP BY doc_id),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |cut AS (
+        |  SELECT d.doc_id, d.t,
+        |    [t[i] FOR i IN range(1, len(t)+1)
+        |     IF len(list_filter(COALESCE(sl.spans, []),
+        |            x -> (i-1) >= x.s AND (i-1) <= x.e)) = 0] AS kept
+        |  FROM toks d LEFT JOIN sl USING (doc_id))
+        |-- a fully-cut doc is the empty string, not NULL (DuckDB's
+        |-- array_to_string([]) is NULL; Spark's array_join is '')
+        |SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS cleaned_text,
+        |       CAST(len(t) - len(kept) AS BIGINT) AS n_cut
+        |FROM cut ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.cutRepeatedSpans(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 8, minDocs = 2)
+        .orderBy("doc_id")
+    },
+
     // D13: SemDeDup — semantic dedup in embedding space. Cells and
     // centroids are engine-derived (k-means), so the gate plants the
     // contract: 50 perturbed copies (one per base vector id < 50,

@@ -1287,6 +1287,75 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D4l: URL canonicalization + URL-level dedup — the normalization
+    // every web-corpus pipeline runs before content filtering (drop
+    // re-crawls of the same page behind cosmetic URL variation). The
+    // gate synthesizes four messy variants per logical page (case,
+    // default ports, www, utm params, fragments, trailing slashes);
+    // variant pairs (0,1) and (2,3) must collapse to one canonical
+    // URL. Full hash-match oracle: DuckDB replays every rule in order.
+    "d4l_url_canon" -> QueryDef(
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/docs/'
+        |                  || CAST(doc_id // 2 AS VARCHAR) || '/?utm_source=feed&id=7#frag'
+        |      WHEN 1 THEN 'https://example.com/docs/'
+        |                  || CAST(doc_id // 2 AS VARCHAR) || '?id=7'
+        |      WHEN 2 THEN 'http://Example.com:80/raw/'
+        |                  || CAST(doc_id // 2 AS VARCHAR) || '/'
+        |      ELSE 'http://example.com/raw/'
+        |                  || CAST(doc_id // 2 AS VARCHAR) || '#x'
+        |    END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |s2 AS (SELECT doc_id,
+        |         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |         lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+        |         regexp_extract(nf, '^[^:/?#]+://[^/?#]*(.*)$', 1) AS rest
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, scheme, rest,
+        |         regexp_replace(
+        |           CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |                WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |                ELSE hostport END,
+        |           '^www\.', '') AS host
+        |       FROM s2),
+        |s4 AS (SELECT doc_id, scheme, host,
+        |         regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+        |         array_to_string(list_filter(
+        |           string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |           p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') AS query
+        |       FROM s3),
+        |canon AS (
+        |  SELECT doc_id,
+        |         scheme || '://' || host || path ||
+        |         CASE WHEN length(query) > 0 THEN '?' || query ELSE '' END AS canon_url
+        |  FROM s4)
+        |SELECT doc_id, canon_url,
+        |       MIN(doc_id) OVER (PARTITION BY canon_url) AS root,
+        |       doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS is_dup
+        |FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val did2 = expr("doc_id DIV 2").cast("string")
+      val url = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("HTTPS://WWW.Example.COM:443/docs/"), did2,
+            lit("/?utm_source=feed&id=7#frag")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("https://example.com/docs/"), did2, lit("?id=7")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("http://Example.com:80/raw/"), did2, lit("/")))
+        .otherwise(concat(lit("http://example.com/raw/"), did2, lit("#x")))
+      val w = Window.partitionBy("canon_url")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.canonicalizeUrl(url).as("canon_url"))
+        .select(col("doc_id"), col("canon_url"),
+          min("doc_id").over(w).as("root"),
+          (col("doc_id") =!= min("doc_id").over(w)).as("is_dup"))
+        .orderBy("doc_id")
+    },
+
     // B4e: incremental text-index maintenance — build on 80% of the
     // corpus, append the other 20%, query against the SAME full-corpus
     // BM25 oracle as b4c/b4d: the incrementally-maintained index must

@@ -175,6 +175,22 @@ class DedupSpec extends SparkSpec {
     assert(m.size == 6)             // 3 groups → 6 ordered pairs
   }
 
+  test("cutRepeatedSpans removes exactly the shared run, keeps the rest") {
+    import spark.implicits._
+    val run = (0 until 9).map(i => s"s$i").mkString(" ") // 9 shared words
+    val df = Seq(
+      (1L, s"a b c $run x y"),
+      (2L, s"p q $run r"),
+      (3L, "u v w entirely unrelated text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSpans(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(out(1L) == (("a b c x y", 9L)))
+    assert(out(2L) == (("p q r", 9L)))
+    assert(out(3L) == (("u v w entirely unrelated text here", 0L)))
+  }
+
   test("repeatedNgramSpans ignores runs repeated only within one doc") {
     import spark.implicits._
     val run = (0 until 10).map(i => s"w$i").mkString(" ")

@@ -124,4 +124,28 @@ class TextAnalysisSpec extends SparkSpec {
     // the common-word doc scores higher than the hapax doc
     assert(out(1L) > out(3L))
   }
+
+  test("canonicalizeUrl: rule-by-rule edge cases") {
+    import spark.implicits._
+    val cases = Seq(
+      // fragment, default port, www, utm, trailing slash all strip
+      ("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&id=7#f",
+       "https://example.com/A/b?id=7"),
+      // non-default port survives; path case preserved
+      ("http://Example.com:8080/Path/", "http://example.com:8080/Path"),
+      // https :80 is NOT a default port — kept
+      ("https://example.com:80/x", "https://example.com:80/x"),
+      // non-utm params keep their original order
+      ("http://a.com/p?b=2&utm_medium=m&a=1", "http://a.com/p?b=2&a=1"),
+      // all params tracking → no '?' at all
+      ("http://a.com/p?utm_a=1&utm_b=2", "http://a.com/p"),
+      // bare host, root slash strips to the host
+      ("http://www.a.com/", "http://a.com"),
+      // www only strips as a leading label
+      ("http://wwwx.a.com/q", "http://wwwx.a.com/q"))
+    val got = cases.map(_._1).toDF("u")
+      .select(graft.ops.TextAnalysis.canonicalizeUrl(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+  }
 }
