@@ -173,6 +173,28 @@ object Curation {
       .withColumn("is_near_duplicate", col("near_dup_root").isNotNull)
   }
 
+  /** D20: corpus snapshot diff — the dataset-governance pass between
+    * two corpus versions: per id, `added` (new in v2), `removed`
+    * (gone from v2), `changed` (same id, different content), or
+    * `unchanged`. One full-outer join on the id over narrow
+    * (id, content-hash) projections — the texts never cross the
+    * exchange, only 8 B ids and 32 B digests.
+    */
+  def snapshotDiff(
+      v1: DataFrame,
+      v2: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val a = v1.select(col(idCol), sha2(col(textCol), 256).as("__h1"))
+    val b = v2.select(col(idCol), sha2(col(textCol), 256).as("__h2"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h1").isNull, "added")
+          .when(col("__h2").isNull, "removed")
+          .when(col("__h1") =!= col("__h2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** P6: corpus audit report (the "datasheet" pass every training-data
     * pipeline runs before export): per source — document count, total
     * token budget, language spread, exact-duplicate count (corpus-wide

@@ -91,6 +91,39 @@ object Retrieval {
       .select(col(idCol), col("rrf_score"))
   }
 
+  /** B9: multi-vector "late interaction" scoring (ColBERT — Khattab &
+    * Zaharia, SIGIR 2020): the query is a BAG of vectors and each
+    * document a BAG of vectors; score(d, q) = Σ_{qv} max_{dv∈d}
+    * cos(qv, dv) — every query vector independently matches its best
+    * document vector, so fine-grained matches survive where
+    * single-vector pooling would average them away.
+    *
+    * Shape: the query bag broadcasts (bounded by contract, like D3's
+    * probes); the MaxSim stage is two map-side-combined aggregates
+    * over one doc-vector scan — keyed on (doc, query-vector) then doc
+    * — and the final top-k lowers to TakeOrderedAndProject. Per-pair
+    * similarities round to 6dp BEFORE max/sum so results are
+    * engine-reproducible.
+    */
+  def lateInteraction(
+      docVecs: DataFrame,
+      queryVecs: DataFrame,
+      docCol: String,
+      vecCol: String,
+      qidCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_distance
+    val d = docVecs.select(col(docCol).as("doc"), col(vecCol).as("dv"))
+    val q = queryVecs.select(col(qidCol).as("__qid"), col(vecCol).as("qv"))
+    d.crossJoin(broadcast(q))
+      .select(col("doc"), col("__qid"),
+        round(lit(1.0) - cosine_distance(col("dv"), col("qv")), 6).as("sim"))
+      .groupBy("doc", "__qid").agg(max("sim").as("best"))
+      .groupBy("doc").agg(round(sum("best"), 6).as("li_score"))
+      .orderBy(desc("li_score"), asc("doc"))
+      .limit(k)
+  }
+
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
     * 1998) of a bounded candidate set: greedily pick
     * argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), trading relevance

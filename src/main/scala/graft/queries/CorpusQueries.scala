@@ -142,6 +142,36 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // D20: corpus snapshot diff — dataset governance between two
+    // corpus versions. v2 drops every 7th doc, edits every 5th, and
+    // adds 20 new ids; the full-outer hash compare must classify
+    // every id on either side. (A doc_id divisible by both 5 and 7 is
+    // removed — removal wins by construction, and the oracle agrees.)
+    "d20_corpus_diff" -> QueryDef(
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN a.text <> b.text THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val v1 = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = v1.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(v1.filter(col("doc_id") < 20).select(
+          (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Curation.snapshotDiff(v1, v2, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // D13: SemDeDup — semantic dedup in embedding space. Cells and
     // centroids are engine-derived (k-means), so the gate plants the
     // contract: 50 perturbed copies (one per base vector id < 50,

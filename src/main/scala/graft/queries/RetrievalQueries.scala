@@ -37,6 +37,30 @@ object RetrievalQueries {
     // single-partition rank windows run over 20-row inputs
     // (dimension-scale by construction — the corpus-scale work is
     // inside the BM25/vector top-k operators).
+    // B9: multi-vector late interaction (ColBERT MaxSim) — each label
+    // group of the embeddings table is a "document bag", the first 3
+    // vectors are the query bag; score = Σ over query vectors of the
+    // best within-bag cosine. Full hash-match oracle: DuckDB replays
+    // the per-pair 6dp rounding, the two-level max/sum, and the
+    // (score, doc) tiebreak.
+    "b9_late_interaction" -> QueryDef(
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 3),
+        |s AS (SELECT b.label AS doc, q.qid,
+        |             ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+        |                                          q.qv::DOUBLE[]), 6) AS sim
+        |      FROM embeddings b, q),
+        |m AS (SELECT doc, qid, MAX(sim) AS best FROM s GROUP BY doc, qid)
+        |SELECT doc, ROUND(SUM(best), 6) AS li_score
+        |FROM m GROUP BY doc
+        |ORDER BY li_score DESC, doc LIMIT 5""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Retrieval.lateInteraction(
+        e.select(col("label"), col("embedding")),
+        e.filter(col("vec_id") < 3).select(col("vec_id"), col("embedding")),
+        "label", "embedding", "vec_id", k = 5)
+    },
+
     "b6_hybrid_rrf" -> QueryDef(
       """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
         |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('window', 'filter')),

@@ -115,6 +115,18 @@ class CurationSpec extends SparkSpec {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("exportShards packs exactly the curated keepers within budget") {
     import spark.implicits._
     val docs = Tables(spark, sf(), "documents")

@@ -161,6 +161,26 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("lateInteraction: MaxSim picks each query vector's best match") {
+    import spark.implicits._
+    // doc A holds exact matches for both query vectors → score 2.0;
+    // doc B holds one exact match and one orthogonal → score 1.0;
+    // single-vector mean pooling could NOT separate A from a doc
+    // averaging both directions — MaxSim must.
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val e3 = Array(0f, 0f, 1f, 0f)
+    val docVecs = Seq(
+      ("A", e1), ("A", e2),
+      ("B", e1), ("B", e3)
+    ).toDF("doc", "v")
+    val queryVecs = Seq((0L, e1), (1L, e2)).toDF("qid", "v")
+    val got = Retrieval.lateInteraction(docVecs, queryVecs,
+        "doc", "v", "qid", k = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == Seq(("A", 2.0), ("B", 1.0)))
+  }
+
   test("importanceWeights: no bigrams → null score, zero n_grams") {
     val docs = Seq((1L, "word"), (2L, "two words")).toDF("doc_id", "text")
     val rows = Sampling.importanceWeights(docs, lit(false),
