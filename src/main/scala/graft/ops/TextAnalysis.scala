@@ -273,4 +273,34 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("gram"))
       .limit(k)
+
+  /** D21: tokenizer/vocabulary coverage — per-document OOV rate
+    * against the top-V corpus vocabulary (the D14 unigram induction):
+    * the go/no-go metric before committing a tokenizer vocab to a
+    * corpus, and the per-document quality signal "this text is not
+    * made of this corpus's words".
+    *
+    * Scale: the vocabulary is top-V by contract (dimension-scale), so
+    * it BROADCASTS into one tokenized corpus scan; the per-doc
+    * aggregate exchanges (id, partial-count) pairs only. Tokenization
+    * matches [[wordNgrams]] (lowercase, whitespace split, empties
+    * dropped) so vocab and corpus sides can never disagree.
+    */
+  def oovRate(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val vocab = topNgrams(docs, textCol, 1, vocabSize)
+      .select(col("gram").as("__w"), lit(true).as("__in"))
+    docs.select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"),
+          t => t =!= "")).as("__w"))
+      .join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens"), 6))
+  }
 }

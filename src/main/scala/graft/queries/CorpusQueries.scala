@@ -172,6 +172,32 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // D21: tokenizer/vocab coverage — per-doc OOV rate against the
+    // top-20 corpus vocabulary (the sf corpus holds 31 distinct
+    // unigrams, so 11 are OOV and rates are non-trivial). The oracle
+    // recomputes the vocab induction (count DESC, word ASC tiebreak)
+    // and the per-doc membership counts exactly.
+    "d21_oov_rate" -> QueryDef(
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')) AS w
+        |  FROM documents),
+        |v AS (SELECT w FROM (
+        |        SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+        |        ORDER BY cnt DESC, w LIMIT 20)),
+        |j AS (SELECT t.doc_id, (v.w IS NOT NULL) AS inv
+        |      FROM tok t LEFT JOIN v ON t.w = v.w)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |       ROUND(SUM(CASE WHEN inv THEN 0 ELSE 1 END) * 1.0 / COUNT(*), 6)
+        |         AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.oovRate(Tables(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 20)
+        .orderBy("doc_id")
+    },
+
     // D13: SemDeDup — semantic dedup in embedding space. Cells and
     // centroids are engine-derived (k-means), so the gate plants the
     // contract: 50 perturbed copies (one per base vector id < 50,

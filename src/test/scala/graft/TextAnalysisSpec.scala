@@ -125,6 +125,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) > out(3L))
   }
 
+  test("oovRate: membership against the induced top-V vocabulary") {
+    import spark.implicits._
+    // counts: the×5, cat×3, sat×2, mat×1, rug×1 → top-3 vocab is
+    // (the, cat, sat); mat/rug are OOV
+    val docs = Seq(
+      (1L, "the cat sat"),            // 0/3 OOV
+      (2L, "the cat sat the mat"),    // 1/5
+      (3L, "the cat THE rug")         // 1/4 (case-folds into vocab)
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.oovRate(docs, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 3L, 0L, 0.0), (2L, 5L, 1L, 0.2),
+      (3L, 4L, 1L, 0.25)))
+  }
+
   test("canonicalizeUrl: rule-by-rule edge cases") {
     import spark.implicits._
     val cases = Seq(
