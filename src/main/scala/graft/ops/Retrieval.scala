@@ -91,6 +91,33 @@ object Retrieval {
       .select(col(idCol), col("rrf_score"))
   }
 
+  /** B4g: search-result snippet extraction — the ±`context`-word
+    * window around the FIRST occurrence of `term` (case-folded), per
+    * matching document: the store-side "highlight" companion of the
+    * B4 full-text family. Per-row built-in expressions only (split /
+    * array_position / slice), whole-stage codegen, no shuffle beyond
+    * the caller's own — at 100 TB snippets render on whatever top-k
+    * list the search already produced, never on the corpus.
+    * Output `(idCol, pos 1-based, snippet)`.
+    */
+  def snippets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      term: String,
+      context: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val pos = array_position(transform(toks, t => lower(t)),
+      term.toLowerCase)
+    val start = greatest(lit(1), col("pos") - context)
+    val end = least(size(col("__t")), (col("pos") + context).cast("int"))
+    docs.select(col(idCol), pos.as("pos"), toks.as("__t"))
+      .filter(col("pos") > 0)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        array_join(slice(col("__t"), start.cast("int"),
+          (end - start + 1).cast("int")), " ").as("snippet"))
+  }
+
   /** B9: multi-vector "late interaction" scoring (ColBERT — Khattab &
     * Zaharia, SIGIR 2020): the query is a BAG of vectors and each
     * document a BAG of vectors; score(d, q) = Σ_{qv} max_{dv∈d}

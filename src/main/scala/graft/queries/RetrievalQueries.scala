@@ -37,6 +37,28 @@ object RetrievalQueries {
     // single-partition rank windows run over 20-row inputs
     // (dimension-scale by construction — the corpus-scale work is
     // inside the BM25/vector top-k operators).
+    // B4g: search-result snippets — the ±3-word window around the
+    // first 'window' occurrence per matching doc (the store-side
+    // highlight feature next to the B4 search family). Full
+    // hash-match oracle: DuckDB replays the 1-based first-match
+    // position and the clamped slice bounds.
+    "b4g_snippets" -> QueryDef(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, ws,
+        |             list_position(list_transform(ws, x -> lower(x)),
+        |                           'window') AS pos
+        |      FROM t)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |       array_to_string(
+        |         ws[GREATEST(1, pos - 3):LEAST(len(ws), pos + 3)], ' ')
+        |         AS snippet
+        |FROM p WHERE pos IS NOT NULL AND pos > 0
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Retrieval.snippets(Tables(s, dir, "documents"),
+          "doc_id", "text", term = "window", context = 3)
+        .orderBy("doc_id")
+    },
+
     // B9: multi-vector late interaction (ColBERT MaxSim) — each label
     // group of the embeddings table is a "document bag", the first 3
     // vectors are the query bag; score = Σ over query vectors of the

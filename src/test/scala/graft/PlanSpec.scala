@@ -353,6 +353,14 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("b9: late interaction is two map-side aggregates + top-k, no window") {
+    val p = planString(q("b9_late_interaction"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Window "), p.take(2000))
+    // both MaxSim stages run partial→final (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p.take(2000))
+  }
+
   test("d5c: no payload bytes cross a media-dedup exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val media = graft.multimodal.Media.mediaFromDocuments(

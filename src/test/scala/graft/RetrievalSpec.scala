@@ -161,6 +161,25 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("snippets: first match, clamped window, case-folded, no-match drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c TARGET d e f g"),   // centered window
+      (2L, "TARGET x y z q r s"),     // clamped at the start
+      (3L, "p q r s t u target"),     // clamped at the end
+      (4L, "target early target late"), // first match wins
+      (5L, "no match here")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.snippets(docs, "doc_id", "text", "Target", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((4L, "a b c TARGET d e f")))
+    assert(got(2L) == ((1L, "TARGET x y z")))
+    assert(got(3L) == ((7L, "s t u target")))
+    assert(got(4L) == ((1L, "target early target late")))
+    assert(!got.contains(5L) && got.size == 4)
+  }
+
   test("lateInteraction: MaxSim picks each query vector's best match") {
     import spark.implicits._
     // doc A holds exact matches for both query vectors → score 2.0;
