@@ -237,6 +237,26 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // C14d: explicit GROUPING SETS — the third grouping form next to
+    // rollup/cube: exactly the requested sets, nothing interpolated
+    // (here: per-returnflag, per-linestatus, and the grand total,
+    // but NOT the (flag, status) cross — which CUBE would add).
+    "c14d_grouping_sets" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))
+    },
+
     // C15: HAVING (post-aggregation filter).
     "c15_having" -> QueryDef(
       """SELECT o_custkey, COUNT(*) AS n FROM orders
