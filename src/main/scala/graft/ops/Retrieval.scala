@@ -91,6 +91,40 @@ object Retrieval {
       .select(col(idCol), col("rrf_score"))
   }
 
+  /** B10: retrieval evaluation — per-query reciprocal rank of the
+    * first relevant hit and recall@k against a gold relevance table:
+    * the metrics loop that tunes every knob in this engine's read
+    * path (nprobe, numTables, rerank depth, fusion weights). Queries
+    * with no relevant hit in the ranking score rr = 0.
+    *
+    * Shape: one equi-join of the ranking (k rows per query by
+    * construction) against the gold pairs, then two grouped
+    * aggregates — all bounded by ranking size × gold size per query,
+    * never corpus size; gold totals aggregate map-side.
+    */
+  def evalRanking(
+      ranked: DataFrame,
+      gold: DataFrame,
+      qCol: String,
+      dCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    val hits = ranked
+      .select(col(qCol), col(dCol), col(rankCol).cast("long").as("__rk"))
+      .join(gold.select(col(qCol), col(dCol), lit(true).as("__rel")),
+        Seq(qCol, dCol), "left")
+    val perQ = hits.groupBy(qCol).agg(
+      min(when(col("__rel"), col("__rk"))).as("__first"),
+      sum(when(col("__rel") && col("__rk") <= k, 1L).otherwise(0L))
+        .as("__hits"))
+    val totals = gold.groupBy(qCol)
+      .agg(count(lit(1)).as("__n_rel"))
+    perQ.join(totals, Seq(qCol), "left")
+      .select(col(qCol),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("rr"),
+        round(col("__hits") / col("__n_rel"), 6).as(s"recall_at_$k"))
+  }
+
   /** B4g: search-result snippet extraction — the ±`context`-word
     * window around the FIRST occurrence of `term` (case-folded), per
     * matching document: the store-side "highlight" companion of the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.GraftFunctions._
-import graft.ops.{Retrieval, VectorSearch}
+import graft.ops.{Retrieval, Similarity, VectorSearch}
 
 /** Hybrid retrieval conformance queries (SURVEY B6/B7): BM25 + vector
   * rank fusion and diversity-aware reranking — the read-path
@@ -37,6 +37,52 @@ object RetrievalQueries {
     // single-partition rank windows run over 20-row inputs
     // (dimension-scale by construction — the corpus-scale work is
     // inside the BM25/vector top-k operators).
+    // B10: retrieval evaluation (MRR components + recall@k) — the
+    // metrics loop for tuning the read path. Ranking = exact top-10
+    // cosine for 5 probe vectors; gold = same-label vectors excluding
+    // the probe itself (the probe is still rank 1 in the ranking, as
+    // a distractor the metric must skip). Full hash-match oracle:
+    // DuckDB replays the ranking, the gold set, the first-hit
+    // reciprocal rank (0 when no hit), and the recall fraction.
+    "b10_retrieval_eval" -> QueryDef(
+      """WITH r AS (
+        |  SELECT p.vec_id AS probe_id, b.vec_id AS nn_id,
+        |         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |           ORDER BY ROUND(1.0 - list_cosine_similarity(
+        |                     b.embedding::DOUBLE[], p.embedding::DOUBLE[]), 6),
+        |                 b.vec_id) AS rk
+        |  FROM embeddings b, embeddings p WHERE p.vec_id < 5),
+        |r10 AS (SELECT * FROM r WHERE rk <= 10),
+        |g AS (SELECT p.vec_id AS probe_id, b.vec_id AS nn_id
+        |      FROM embeddings b, embeddings p
+        |      WHERE p.vec_id < 5 AND b.label = p.label
+        |        AND b.vec_id <> p.vec_id),
+        |h AS (SELECT r10.probe_id, r10.rk, (g.nn_id IS NOT NULL) AS rel
+        |      FROM r10 LEFT JOIN g
+        |        ON r10.probe_id = g.probe_id AND r10.nn_id = g.nn_id),
+        |pq AS (SELECT probe_id, MIN(CASE WHEN rel THEN rk END) AS frst,
+        |              SUM(CASE WHEN rel AND rk <= 10 THEN 1 ELSE 0 END) AS hits
+        |       FROM h GROUP BY probe_id),
+        |t AS (SELECT probe_id, COUNT(*) AS n_rel FROM g GROUP BY probe_id)
+        |SELECT pq.probe_id, ROUND(COALESCE(1.0 / frst, 0.0), 6) AS rr,
+        |       ROUND(hits * 1.0 / n_rel, 6) AS recall_at_10
+        |FROM pq JOIN t USING (probe_id) ORDER BY probe_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+      val ranked = Similarity.knnJoinBrute(e, probes,
+          "vec_id", "embedding", k = 10)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
+      val gold = e.select(col("vec_id").as("nn_id"), col("label"))
+        .join(broadcast(probes.select(col("vec_id").as("probe_id"),
+          col("label"))), Seq("label"))
+        .filter(col("nn_id") =!= col("probe_id"))
+        .select("probe_id", "nn_id")
+      Retrieval.evalRanking(ranked, gold,
+          "probe_id", "nn_id", "rank", k = 10)
+        .orderBy("probe_id")
+    },
+
     // B4g: search-result snippets — the ±3-word window around the
     // first 'window' occurrence per matching doc (the store-side
     // highlight feature next to the B4 search family). Full

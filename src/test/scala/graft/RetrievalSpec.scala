@@ -161,6 +161,32 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("evalRanking: reciprocal rank, recall@k, and the no-hit case") {
+    import spark.implicits._
+    val ranked = Seq(
+      // q1: relevant at ranks 2 and 4 (of 4)
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), (1L, 13L, 4L),
+      // q2: no relevant hit in the ranking
+      (2L, 10L, 1L), (2L, 12L, 2L)
+    ).toDF("q", "d", "rank")
+    val gold = Seq(
+      (1L, 11L), (1L, 13L), (1L, 99L), // 99 never retrieved
+      (2L, 42L)
+    ).toDF("q", "d")
+    val at2 = Retrieval.evalRanking(ranked, gold, "q", "d", "rank", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // q1: first hit rank 2 → rr 0.5; 1 of 3 gold within top-2
+    assert(at2(1L) == ((0.5, BigDecimal(1.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(at2(2L) == ((0.0, 0.0)))
+    val at4 = Retrieval.evalRanking(ranked, gold, "q", "d", "rank", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // q1: 2 of 3 gold within top-4
+    assert(at4(1L) == BigDecimal(2.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("snippets: first match, clamped window, case-folded, no-match drop") {
     import spark.implicits._
     val docs = Seq(
