@@ -203,4 +203,32 @@ object Sampling {
           round(col("w6_sum") / lit(1e6) / col("n_grams"), 6)))
       .select(col(idCol), col("n_grams"), col("w6_sum"), col("score"))
   }
+
+  /** D22: cluster-balanced (diversity) sampling — the fixed-n-per-cell
+    * subset selection used to build diverse eval/seed sets: spread the
+    * sample across k-means cells instead of letting dense regions
+    * dominate a uniform draw. Members within a cell are chosen by the
+    * D7b rule (n md5-smallest ids — reproducible across runs, engines,
+    * and layouts). Output `(cell, idCol)`.
+    *
+    * Scale: one assignment scan (centroids are broadcast literals,
+    * per-row argmin — D17's shape) + one keyed window on the cell with
+    * bounded per-cell state; never a global sort.
+    */
+  def clusterSample(
+      emb: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      nPerCell: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nPerCell >= 1, s"nPerCell must be >= 1, got $nPerCell")
+    emb.select(col(idCol),
+        KMeans.assign(col(vecCol), centroids).as("cell"),
+        md5(col(idCol).cast("string")).as("__h"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("cell").orderBy(col("__h"), col(idCol))))
+      .filter(col("__rn") <= nPerCell)
+      .select(col("cell"), col(idCol))
+  }
 }

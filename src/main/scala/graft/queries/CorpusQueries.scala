@@ -172,6 +172,38 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // D22: cluster-balanced diversity sampling — n per k-means cell,
+    // members by md5-smallest id (D7b's reproducible rule). Planted
+    // geometry (d17's construction: 5 near-orthogonal clusters × 40
+    // members) makes the assignment ground truth SQL-expressible: the
+    // oracle knows each member's true cluster, so any engine
+    // misassignment changes a cell's membership and breaks the hash.
+    "d22_cluster_sample" -> QueryDef(
+      """WITH m AS (
+        |  SELECT c.vec_id * 1000 + (p.vec_id - 100) AS id,
+        |         CAST(c.vec_id AS INTEGER) AS cell
+        |  FROM embeddings c, embeddings p
+        |  WHERE c.vec_id < 5 AND p.vec_id >= 100 AND p.vec_id < 140),
+        |r AS (SELECT cell, id,
+        |        ROW_NUMBER() OVER (PARTITION BY cell
+        |          ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+        |      FROM m)
+        |SELECT cell, id FROM r WHERE rn <= 8 ORDER BY cell, id""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val centers = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("cid"), col("embedding").as("c"))
+      val perts = emb.filter(col("vec_id") >= 100 && col("vec_id") < 140)
+        .select((col("vec_id") - 100).as("pid"), col("embedding").as("p"))
+      val members = centers.crossJoin(perts).select(
+        (col("cid") * 1000 + col("pid")).as("id"),
+        zip_with(col("c"), col("p"),
+          (a, b) => (a + lit(0.08f) * b).cast("float")).as("v"))
+      val cents = centers.orderBy("cid").collect()
+        .map(_.getSeq[Float](1).toSeq).toSeq
+      Sampling.clusterSample(members, "id", "v", cents, nPerCell = 8)
+        .orderBy("cell", "id")
+    },
+
     // D21: tokenizer/vocab coverage — per-doc OOV rate against the
     // top-20 corpus vocabulary (the sf corpus holds 31 distinct
     // unigrams, so 11 are OOV and rates are non-trivial). The oracle

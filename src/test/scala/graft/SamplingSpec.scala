@@ -184,4 +184,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMixture(docs, "id", "source", 0.0)
     }
   }
+
+  test("clusterSample: n per cell, deterministic, dense cells don't dominate") {
+    import spark.implicits._
+    // cell 0 along e1 (30 members), cell 1 along e2 (5 members)
+    val mk = (base: Int, n: Int, dim: Int) => (0 until n).map { i =>
+      val v = Array.fill(4)(0.001f * (i + 1)); v(dim) = 1f
+      (base + i.toLong, v.toSeq)
+    }
+    val emb = (mk(0, 30, 0) ++ mk(100, 5, 1)).toDF("id", "v")
+    val cents = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+    val got = Sampling.clusterSample(emb, "id", "v", cents, nPerCell = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // 5 from each cell despite the 6× density difference
+    assert(got.count(_._1 == 0) == 5 && got.count(_._1 == 1) == 5)
+    assert(got.filter(_._1 == 0).forall(_._2 < 100) &&
+      got.filter(_._1 == 1).forall(_._2 >= 100))
+    // deterministic
+    val again = Sampling.clusterSample(emb, "id", "v", cents, nPerCell = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSet == again.toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.clusterSample(emb, "id", "v", cents, 0)
+    }
+  }
 }
