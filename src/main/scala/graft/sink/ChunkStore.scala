@@ -362,6 +362,56 @@ final class ChunkStore(
     restored
   }
 
+  /** Maintenance compaction: collapse the small files that append /
+    * streaming-batch ingest accumulates (one file set per micro-batch)
+    * into ~one file per partition. Same rows, same layout, fewer
+    * files — at 100 TB it is file-open overhead, not bytes, that
+    * degrades scans of an append-heavy store, and this is the
+    * maintenance-cadence answer (the chunk-table sibling of
+    * `StreamingDedup.compact`).
+    *
+    * Bucketed layout: a [[rewriteBuckets]] cycle over the present
+    * buckets (writer-locked, staged, per-bucket swap with the
+    * existing crash recovery) whose output is repartitioned to ~one
+    * task per bucket. Per-document layout: the compacted store is
+    * fully written to `<path>.compacting`, then swapped in — the
+    * only manual-recovery window is between the two renames (same
+    * protocol and caveat as the signature store's compaction).
+    */
+  def compact(): Unit = {
+    checkLayout()
+    if (!exists) return
+    buckets match {
+      case Some(n) =>
+        val ids = rawRead().select(bucketCol).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (ids.nonEmpty)
+          rewriteBuckets(ids,
+            rawRead().repartition(math.max(1, math.min(n, ids.size)),
+              col(bucketCol)))
+      case None =>
+        val f = fs
+        val tmp = new Path(path + ".compacting")
+        val old = new Path(path + ".old")
+        if (f.exists(tmp)) f.delete(tmp, true)
+        withWriterLock {
+          read().repartition(col("document_url"))
+            .write.partitionBy("document_url").parquet(tmp.toString)
+          val out = f.create(new Path(tmp, "_graft_layout"), true)
+          try out.write(layoutTag.getBytes("UTF-8")) finally out.close()
+          if (f.exists(old)) f.delete(old, true)
+          require(f.rename(new Path(path), old),
+            s"compact: cannot move $path aside")
+          if (!f.rename(tmp, new Path(path))) {
+            f.rename(old, new Path(path)) // restore the live store
+            throw new java.io.IOException(
+              s"compact: failed to swap $tmp into $path")
+          }
+          f.delete(old, true)
+        }
+    }
+  }
+
   /** The document catalog. Per-document layout: a pure metadata
     * operation — partition directory names ARE the urls (no data
     * scan, no shuffle; this is what streaming delete detection polls

@@ -233,6 +233,50 @@ class PipelineSpec extends SparkSpec {
       s"expected bucket partition filter in: $scan")
   }
 
+  test("compact: fewer files, identical rows, store still writable") {
+    import org.apache.spark.sql.functions._
+    def parquetFiles(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = f.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    // bucketed: 3 append batches accumulate file sets per bucket
+    val dir = Files.createTempDirectory("graft-store-c").toString + "/chunks"
+    val store = new ChunkStore(spark, dir, buckets = Some(2))
+    val docs = Tables(spark, sf(), "documents").limit(12)
+    val chunks = IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16))
+    (0 until 3).foreach(_ => store.append(chunks))
+    val before = store.read().orderBy("document_url", "chunk_id",
+      "chunk_text").collect()
+    val filesBefore = parquetFiles(dir)
+    store.compact()
+    assert(parquetFiles(dir) < filesBefore,
+      s"expected fewer files than $filesBefore")
+    assert(parquetFiles(dir) <= 2) // ~one per bucket
+    val after = store.read().orderBy("document_url", "chunk_id",
+      "chunk_text").collect()
+    assert(after.toSeq == before.toSeq)
+    store.upsert(chunks) // still writable; layout tag survived
+    assert(store.read().select("document_url").distinct().count() == 12)
+
+    // per-document layout: same contract through the swap protocol
+    val dir2 = Files.createTempDirectory("graft-store-c2").toString + "/chunks"
+    val store2 = new ChunkStore(spark, dir2)
+    (0 until 3).foreach(_ => store2.append(chunks))
+    val before2 = store2.read().count()
+    val filesBefore2 = parquetFiles(dir2)
+    store2.compact()
+    assert(parquetFiles(dir2) < filesBefore2)
+    assert(store2.read().count() == before2)
+    assert(store2.listDocumentUrls().size == 12) // catalog intact
+  }
+
   test("Cosmos id parity: string ids render as invariant decimals") {
     val dir = Files.createTempDirectory("graft-store-id").toString + "/chunks"
     val store = new ChunkStore(spark, dir)
