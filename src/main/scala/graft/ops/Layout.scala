@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout — the multi-dimensional sibling of
+  * the single-key layouts in [[graft.sink.ChunkStore]] (SURVEY §2.1 A21:
+  * the reference provisions its store's index/layout once at bootstrap,
+  * `AzureCosmosDB/.../CosmosDBClientWrapper.cs:119-144`; a columnar lake
+  * expresses the same idea as file/row-group clustering).
+  *
+  * Writing a table ordered by the interleaved bits of several columns
+  * clusters ALL of those columns at once: every output file (and every
+  * parquet row group inside it) covers a small hyper-rectangle of the
+  * key space, so min/max footer stats prune scans for predicates on ANY
+  * subset of the dimensions — the property a single-column sort only
+  * gives its leading key. This is how 100 TB tables serve selective
+  * multi-dimension queries without a secondary index: `zorderWrite`
+  * costs one range exchange + per-partition sort at write time, and
+  * every later scan with a dim predicate skips the files whose hull
+  * misses it ([[fileHulls]] computes exactly the stats the reader's
+  * row-group skipping consults).
+  *
+  * The curve itself is pure bit arithmetic composed from built-in
+  * `shiftleft`/`&`/`|` columns — whole-stage codegen, no UDF.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to the even bit positions of a long
+    * (classic magic-mask bit dilation, public-domain bit-twiddling).
+    */
+  private def spread2(c: Column): Column =
+    Seq(8 -> 0x00FF00FFL, 4 -> 0x0F0F0F0FL, 2 -> 0x33333333L, 1 -> 0x55555555L)
+      .foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+        case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+      }
+
+  /** Generic bit-interleave of `dims.size` non-negative ints, `bits`
+    * low bits each: dim d's bit b lands at position `b * n + d`. The
+    * expression tree is `bits × n` shift/mask terms — constant-size,
+    * codegen'd, and folded by Catalyst when inputs are literals.
+    */
+  private[graft] def mortonGeneric(dims: Seq[Column], bits: Int): Column =
+    dims.zipWithIndex.map { case (c, d) =>
+      val x = c.cast("long")
+      (0 until bits).map { b =>
+        shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), b * dims.size + d)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Morton code of pre-quantized non-negative dimension values.
+    * Two dimensions at ≤16 bits take the 8-operation mask fast path;
+    * any other arity uses the generic interleave. Later dims occupy
+    * higher bit positions within each group (dim 0 is least
+    * significant), matching the generic path bit-for-bit.
+    */
+  def mortonCode(dims: Seq[Column], bits: Int = 16): Column = {
+    require(dims.nonEmpty && dims.size * bits <= 63,
+      s"morton code must fit a long: ${dims.size} dims × $bits bits")
+    dims match {
+      case Seq(x, y) if bits <= 16 =>
+        spread2(x).bitwiseOR(shiftleft(spread2(y), 1))
+      case _ => mortonGeneric(dims, bits)
+    }
+  }
+
+  /** Equi-width quantization of a numeric column onto [0, 2^bits):
+    * the [lo, hi] range comes from table stats (driver-scale state, the
+    * same place a writer gets its range-partition bounds). Values
+    * outside [lo, hi] clamp to the edge cells.
+    */
+  def quantize(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    require(hi > lo, s"quantize range must be non-empty: [$lo, $hi]")
+    val cells = (1L << bits) - 1
+    least(greatest(
+      floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(cells.toDouble + 1))
+        .cast("long"), lit(0L)), lit(cells))
+  }
+
+  /** The z-ordered frame `zorderWrite` writes: an appended morton
+    * column, one range exchange on it (file count = `numFiles`), and a
+    * per-partition sort so row groups inside each file are clustered
+    * too. Exposed so plan guards can pin the shape (exactly one
+    * `rangepartitioning` exchange, no global sort).
+    */
+  def zorderFrame(df: DataFrame, dims: Seq[Column], numFiles: Int,
+      bits: Int = 16): DataFrame =
+    df.withColumn("__z", mortonCode(dims, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+
+  /** Write `df` to `path` as parquet clustered on the morton code of
+    * `dims` (quantized by the caller — compose with [[quantize]]).
+    * One exchange, one local sort, `numFiles` output files; rows are
+    * unchanged (the curve only permutes them).
+    */
+  def zorderWrite(df: DataFrame, dims: Seq[Column], path: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    zorderFrame(df, dims, numFiles, bits)
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** [[zorderWrite]] with ranges taken from the data: ONE narrow
+    * min/max aggregate over the dim columns (driver receives 2×dims
+    * doubles), then the quantized curve write. Two scans total — the
+    * stats pass reads only the dim columns (column pruning), the write
+    * pass is the one range exchange.
+    */
+  def zorderWriteAuto(df: DataFrame, dimNames: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    val stats = df.agg(
+      dimNames.flatMap(d => Seq(min(col(d)).cast("double"),
+        max(col(d)).cast("double"))).head,
+      dimNames.flatMap(d => Seq(min(col(d)).cast("double"),
+        max(col(d)).cast("double"))).tail: _*).collect().head
+    val dims = dimNames.zipWithIndex.map { case (d, i) =>
+      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      // degenerate (constant) dims contribute a constant 0 cell
+      if (hi > lo) quantize(col(d), lo, hi, bits) else lit(0L)
+    }
+    zorderWrite(df, dims, path, numFiles, bits)
+  }
+
+  /** Per-file bounding hulls of `dimCols` — the min/max stats a
+    * parquet reader consults for row-group/file skipping. One narrow
+    * aggregate keyed by file name; used to measure how well a layout
+    * clusters (and by the spec to prove the z-order write prunes).
+    */
+  def fileHulls(spark: SparkSession, path: String,
+      dimCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        dimCols.flatMap(d => Seq(
+          min(col(d)).as(s"${d}_min"), max(col(d)).as(s"${d}_max"))): _*)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
+import graft.ops.Layout
 
 /** Tier B — the vector-search read path the reference provisions in its
   * target stores (SURVEY §2.2). The store query shape is
@@ -78,6 +79,41 @@ object VectorQueries {
         .select(col("vec_id"), col("label"),
           round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"))
         .orderBy(col("vec_id"))
+    },
+
+    // B11: Z-order (Morton) curve — the multi-dimension clustering key
+    // behind ops.Layout.zorderWrite (SCALE §1). The gate pins the bit
+    // interleave itself: both engines compute the same magic-mask
+    // dilation over two 10-bit dims, so a hash mismatch catches any
+    // drift in the curve the layout (and its pruning) depends on.
+    "b11_zorder_curve" -> QueryDef(
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+        |  FROM lineitem
+        |), s1 AS (
+        |  SELECT *, (x | (x << 8)) & 16711935 AS xa,
+        |            (y | (y << 8)) & 16711935 AS ya FROM b
+        |), s2 AS (
+        |  SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+        |            (ya | (ya << 4)) & 252645135 AS yb FROM s1
+        |), s3 AS (
+        |  SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+        |            (yb | (yb << 2)) & 858993459 AS yc FROM s2
+        |), s4 AS (
+        |  SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
+        |            (yc | (yc << 1)) & 1431655765 AS yd FROM s3
+        |)
+        |SELECT l_orderkey, l_linenumber, CAST(xd | (yd << 1) AS BIGINT) AS z
+        |FROM s4 ORDER BY z, l_orderkey, l_linenumber LIMIT 50""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Layout.mortonCode(Seq(
+              pmod(col("l_partkey"), lit(1024)),
+              pmod(col("l_suppkey"), lit(1024))), 16).as("z"))
+          .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+          .limit(50)
     },
 
     // B1 exercised directly: norms and pairwise distance measures.
