@@ -133,4 +133,53 @@ object Layout {
       .agg(count(lit(1)).as("rows"),
         dimCols.flatMap(d => Seq(
           min(col(d)).as(s"${d}_min"), max(col(d)).as(s"${d}_max"))): _*)
+
+  /** Persist the per-file hulls as a `_hulls` sidecar inside the data
+    * directory (the leading underscore hides it from parquet readers —
+    * same convention as `_SUCCESS`). This is the Iceberg/Delta
+    * manifest idea in one tiny table: file-count rows of driver-scale
+    * stats that let a scan skip whole FILES on non-partition columns,
+    * one level above the row-group skipping inside each file.
+    */
+  def writeManifest(spark: SparkSession, path: String,
+      dimCols: Seq[String]): Unit =
+    fileHulls(spark, path, dimCols)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_hulls")
+
+  /** Files whose hull intersects every `(dim, lo, hi)` interval — the
+    * driver-side manifest consultation (file-count rows, KB-scale at
+    * any corpus size: 10⁵ files × a few doubles).
+    */
+  private[graft] def selectFiles(spark: SparkSession, path: String,
+      preds: Seq[(String, Double, Double)]): Seq[String] = {
+    val hulls = spark.read.parquet(s"$path/_hulls")
+    preds.foldLeft(hulls) { case (df, (d, lo, hi)) =>
+      df.filter(col(s"${d}_max") >= lit(lo) && col(s"${d}_min") <= lit(hi))
+    }.select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Interval-predicate scan that consults the `_hulls` manifest to
+    * read only the files whose stats overlap ALL predicates, then
+    * applies the exact predicates — so results equal a full
+    * scan-and-filter whatever the manifest says (pruning is sound
+    * because a matching row can only live in an overlapping file;
+    * exactness comes from the residual filter). Without a manifest it
+    * degrades to the plain filtered scan. On a z-ordered table the
+    * file list shrinks like the hull coverage — this is what the
+    * write-time exchange bought.
+    */
+  def prunedScan(spark: SparkSession, path: String,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$path/_hulls")
+    val base =
+      if (p.getFileSystem(conf).exists(p)) {
+        val files = selectFiles(spark, path, preds)
+        if (files.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(files: _*)
+      } else spark.read.parquet(path)
+    preds.foldLeft(base) { case (df, (d, lo, hi)) =>
+      df.filter(col(d) >= lit(lo) && col(d) <= lit(hi))
+    }
+  }
 }

@@ -116,6 +116,28 @@ object VectorQueries {
           .limit(50)
     },
 
+    // B11b: end-to-end layout payoff — z-order write + `_hulls`
+    // manifest + file-pruned interval scan must return EXACTLY the
+    // rows a plain scan-and-filter returns (pruning sound, residual
+    // filter exact). LayoutSpec additionally pins that the manifest
+    // consultation selects a strict subset of the files.
+    "b11b_pruned_scan" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 120 AND l_suppkey BETWEEN 1 AND 5
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin) {
+      (s, dir) =>
+      val path = s"/tmp/graft-zlayout-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      Layout.zorderWriteAuto(li, Seq("l_partkey", "l_suppkey"), path,
+        numFiles = 8, bits = 10)
+      Layout.writeManifest(s, path, Seq("l_partkey", "l_suppkey"))
+      Layout.prunedScan(s, path,
+        Seq(("l_partkey", 100.0, 120.0), ("l_suppkey", 1.0, 5.0)))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
     // B1 exercised directly: norms and pairwise distance measures.
     "b1_vector_measures" -> QueryDef(
       """WITH pairs AS (

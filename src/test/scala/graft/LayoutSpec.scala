@@ -135,6 +135,41 @@ class LayoutSpec extends SparkSpec {
     assert(cov < 4.0, s"auto z-order hull coverage too loose: $cov (8 files)")
   }
 
+  test("prunedScan: manifest skips files, results equal the full filter") {
+    val li = Tables(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val dir = Files.createTempDirectory("graft-zprune").toString + "/z"
+    Layout.zorderWriteAuto(li, Seq("l_partkey", "l_suppkey"), dir, 8, bits = 10)
+    Layout.writeManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
+
+    val preds = Seq(("l_partkey", 100.0, 120.0), ("l_suppkey", 1.0, 5.0))
+    val selected = Layout.selectFiles(spark, dir, preds)
+    assert(selected.nonEmpty && selected.size < 8,
+      s"manifest selected ${selected.size}/8 files — no pruning")
+
+    val exact = li.filter(
+      col("l_partkey").between(100, 120) && col("l_suppkey").between(1, 5))
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty, "test predicate selects no rows at this sf")
+    val pruned = Layout.prunedScan(spark, dir, preds)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .collect().map(_.toSeq).toSet
+    assert(pruned == exact)
+
+    // no manifest → plain filtered scan, same rows
+    val noManifest = Files.createTempDirectory("graft-znoman").toString + "/d"
+    li.repartition(4).write.parquet(noManifest)
+    val fallback = Layout.prunedScan(spark, noManifest, preds)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .collect().map(_.toSeq).toSet
+    assert(fallback == exact)
+
+    // disjoint predicate → empty result, schema intact
+    val none = Layout.prunedScan(spark, dir,
+      Seq(("l_partkey", -10.0, -1.0)))
+    assert(none.count() == 0 && none.columns.contains("l_suppkey"))
+  }
+
   test("zorderFrame plan: one range exchange on the curve, local sort only") {
     val li = Tables(spark, sf(), "lineitem")
       .select(pmod(col("l_partkey"), lit(1024)).as("x"),
