@@ -158,6 +158,106 @@ object Layout {
     }.select("file").collect().map(_.getString(0)).toSeq
   }
 
+  /** Fixed-size bloom bitset over pre-hashed keys: k positions per key
+    * by double hashing the one xxhash64 value. An `Aggregator`, so the
+    * per-file bitsets build map-side and the exchange carries one
+    * `numBits`-bit buffer per file per partition — never a key list.
+    */
+  private[graft] def bloomAgg(numBits: Int, numHashes: Int)
+      : org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] =
+    new org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Seq[Long]] {
+      override def zero: Array[Long] = new Array[Long](numBits / 64)
+      override def reduce(b: Array[Long], h: Long): Array[Long] = {
+        var i = 0
+        while (i < numHashes) {
+          val pos = bloomPos(h, i, numBits)
+          b(pos >> 6) |= (1L << (pos & 63))
+          i += 1
+        }
+        b
+      }
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+        var i = 0
+        while (i < a.length) { a(i) |= b(i); i += 1 }
+        a
+      }
+      override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+      override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+
+  private def bloomPos(h: Long, i: Int, numBits: Int): Int = {
+    val h1 = h >>> 32
+    val h2 = (h & 0xFFFFFFFFL) | 1L // odd → walks all positions
+    java.lang.Math.floorMod(h1 + i * h2, numBits.toLong).toInt
+  }
+
+  /** Per-file key bloom filters as a `_keybloom` sidecar — the
+    * point-set complement of the `_hulls` intervals: min/max stats
+    * cannot prune an equality probe on a high-cardinality key, a
+    * bloom can. Params ride along as columns so readers validate
+    * against the write-time configuration.
+    */
+  def writeKeyManifest(spark: SparkSession, path: String, keyCol: String,
+      numBits: Int = 1 << 16, numHashes: Int = 5): Unit = {
+    require(numBits % 64 == 0, s"numBits must be a multiple of 64: $numBits")
+    val agg = udaf(bloomAgg(numBits, numHashes))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), xxhash64(col(keyCol)).as("h"))
+      .groupBy("file")
+      .agg(agg(col("h")).as("bits"))
+      .withColumn("key", lit(keyCol))
+      .withColumn("num_bits", lit(numBits))
+      .withColumn("num_hashes", lit(numHashes))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_keybloom")
+  }
+
+  /** Equality/IN-probe scan: hash the probe values with the SAME
+    * engine function the manifest was built with (one dimension-scale
+    * job — no hand-rolled twin to drift), keep files whose bloom
+    * claims any probe key, then make the result exact with a
+    * semi-join against the probe. False positives only cost extra
+    * files; a file holding a probe key always matches (no false
+    * negatives), so pruning is sound. No manifest → plain semi-join
+    * scan.
+    */
+  private[graft] def selectFilesByKey(spark: SparkSession, path: String,
+      probe: DataFrame): Seq[String] = {
+    val keyName = probe.columns.head
+    val manifest = spark.read.parquet(s"$path/_keybloom").collect()
+    require(manifest.forall(_.getAs[String]("key") == keyName),
+      s"_keybloom was built on '${manifest.head.getAs[String]("key")}', " +
+        s"probed with '$keyName'")
+    val hashes = probe.select(xxhash64(col(keyName))).distinct()
+      .collect().map(_.getLong(0))
+    manifest.filter { r =>
+      val bits = r.getAs[scala.collection.Seq[Long]]("bits")
+      val (nb, nh) = (r.getAs[Int]("num_bits"), r.getAs[Int]("num_hashes"))
+      hashes.exists { h =>
+        (0 until nh).forall { i =>
+          val pos = bloomPos(h, i, nb)
+          (bits(pos >> 6) & (1L << (pos & 63))) != 0L
+        }
+      }
+    }.map(_.getAs[String]("file")).toSeq
+  }
+
+  def prunedScanByKey(spark: SparkSession, path: String,
+      probe: DataFrame): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$path/_keybloom")
+    val keyName = probe.columns.head
+    val base =
+      if (p.getFileSystem(conf).exists(p)) {
+        val files = selectFilesByKey(spark, path, probe)
+        if (files.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(files: _*)
+      } else spark.read.parquet(path)
+    base.join(broadcast(probe.distinct()), Seq(keyName), "left_semi")
+  }
+
   /** Interval-predicate scan that consults the `_hulls` manifest to
     * read only the files whose stats overlap ALL predicates, then
     * applies the exact predicates — so results equal a full

@@ -138,6 +138,28 @@ object VectorQueries {
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     },
 
+    // B11c: key-probe pruning — the `_keybloom` sidecar prunes files
+    // for equality/IN predicates that min/max hulls can't help with.
+    // Result must equal the plain IN-filter exactly (bloom false
+    // positives only widen the file list; the semi-join makes rows
+    // exact). Probes one present key and one absent key.
+    "b11c_key_pruned_scan" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem WHERE l_partkey IN (101, 987654321)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin) {
+      (s, dir) =>
+        import s.implicits._
+        val path = s"/tmp/graft-zkey-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+        val li = Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        Layout.zorderWriteAuto(li, Seq("l_partkey", "l_suppkey"), path,
+          numFiles = 8, bits = 10)
+        Layout.writeKeyManifest(s, path, "l_partkey")
+        Layout.prunedScanByKey(s, path,
+          Seq(101L, 987654321L).toDF("l_partkey"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+
     // B1 exercised directly: norms and pairwise distance measures.
     "b1_vector_measures" -> QueryDef(
       """WITH pairs AS (

@@ -170,6 +170,47 @@ class LayoutSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.contains("l_suppkey"))
   }
 
+  test("prunedScanByKey: bloom manifest prunes files, rows stay exact") {
+    import spark.implicits._
+    val li = Tables(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val dir = Files.createTempDirectory("graft-zbloom").toString + "/z"
+    Layout.zorderWriteAuto(li, Seq("l_partkey", "l_suppkey"), dir, 8, bits = 10)
+    Layout.writeKeyManifest(spark, dir, "l_partkey")
+
+    val probe = Seq(101L).toDF("l_partkey")
+    val exact = li.filter(col("l_partkey") === 101)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty)
+    val got = Layout.prunedScanByKey(spark, dir, probe)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .collect().map(_.toSeq).toSet
+    assert(got == exact)
+
+    // z-order clusters l_partkey, so the present key lives in few
+    // files and the bloom proves it: the probe reads a strict subset
+    assert(spark.read.parquet(s"$dir/_keybloom").count() == 8)
+    val hit = Layout.selectFilesByKey(spark, dir, probe)
+    assert(hit.nonEmpty && hit.size < 8,
+      s"bloom selected ${hit.size}/8 files — no pruning")
+    // absent key: bloom either rejects every file or false-positives a
+    // few; rows must be empty either way
+    assert(Layout.prunedScanByKey(spark, dir,
+      Seq(987654321L).toDF("l_partkey")).count() == 0)
+
+    // probing a column the manifest wasn't built on fails loudly
+    intercept[IllegalArgumentException] {
+      Layout.prunedScanByKey(spark, dir, Seq(1L).toDF("l_suppkey")).count()
+    }
+
+    // no manifest → plain semi-join scan, same rows
+    val plain = Files.createTempDirectory("graft-zbloom-plain").toString + "/d"
+    li.repartition(4).write.parquet(plain)
+    assert(Layout.prunedScanByKey(spark, plain, probe)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .collect().map(_.toSeq).toSet == exact)
+  }
+
   test("zorderFrame plan: one range exchange on the curve, local sort only") {
     val li = Tables(spark, sf(), "lineitem")
       .select(pmod(col("l_partkey"), lit(1024)).as("x"),
