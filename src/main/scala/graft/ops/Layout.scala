@@ -84,10 +84,13 @@ object Layout {
     * `rangepartitioning` exchange, no global sort).
     */
   def zorderFrame(df: DataFrame, dims: Seq[Column], numFiles: Int,
-      bits: Int = 16): DataFrame =
+      bits: Int = 16): DataFrame = {
+    require(!df.columns.contains("__z"),
+      "zorderFrame reserves the column name __z; rename the input column")
     df.withColumn("__z", mortonCode(dims, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
+  }
 
   /** Write `df` to `path` as parquet clustered on the morton code of
     * `dims` (quantized by the caller — compose with [[quantize]]).
@@ -150,11 +153,28 @@ object Layout {
     * driver-side manifest consultation (file-count rows, KB-scale at
     * any corpus size: 10⁵ files × a few doubles).
     */
+  /** Interval bounds typed to the column: comparing a 64-bit id column
+    * against a double literal would silently round above 2^53, so
+    * integral columns get long bounds (interval tightened inward —
+    * ceil(lo)/floor(hi) — which keeps pruning and filtering exact).
+    */
+  private def typedBounds(df: DataFrame, d: String, lo: Double, hi: Double)
+      : (Column, Column) =
+    df.schema(d).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType =>
+        (lit(math.ceil(lo).toLong), lit(math.floor(hi).toLong))
+      case _ => (lit(lo), lit(hi))
+    }
+
   private[graft] def selectFiles(spark: SparkSession, path: String,
       preds: Seq[(String, Double, Double)]): Seq[String] = {
     val hulls = spark.read.parquet(s"$path/_hulls")
     preds.foldLeft(hulls) { case (df, (d, lo, hi)) =>
-      df.filter(col(s"${d}_max") >= lit(lo) && col(s"${d}_min") <= lit(hi))
+      val (l, h) = typedBounds(df, s"${d}_min", lo, hi)
+      df.filter(col(s"${d}_max") >= l && col(s"${d}_min") <= h)
     }.select("file").collect().map(_.getString(0)).toSeq
   }
 
@@ -279,7 +299,8 @@ object Layout {
         else spark.read.parquet(files: _*)
       } else spark.read.parquet(path)
     preds.foldLeft(base) { case (df, (d, lo, hi)) =>
-      df.filter(col(d) >= lit(lo) && col(d) <= lit(hi))
+      val (l, h) = typedBounds(df, d, lo, hi)
+      df.filter(col(d) >= l && col(d) <= h)
     }
   }
 }

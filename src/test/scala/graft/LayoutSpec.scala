@@ -211,6 +211,26 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == exact)
   }
 
+  test("integral predicate bounds stay exact beyond 2^53") {
+    import spark.implicits._
+    // 2^53 and 2^53+1 are equal as doubles — a double-cast comparison
+    // would return both rows for a point predicate on either
+    val dir = Files.createTempDirectory("graft-zbig").toString + "/d"
+    Seq(1L << 53, (1L << 53) + 1L).toDF("id").coalesce(1).write.parquet(dir)
+    val got = Layout.prunedScan(spark, dir,
+      Seq(("id", math.pow(2, 53), math.pow(2, 53))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L << 53), s"got $got")
+  }
+
+  test("zorderFrame rejects a reserved __z input column") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("__z", "y")
+    intercept[IllegalArgumentException] {
+      Layout.zorderFrame(df, Seq(col("y")), 2)
+    }
+  }
+
   test("zorderFrame plan: one range exchange on the curve, local sort only") {
     val li = Tables(spark, sf(), "lineitem")
       .select(pmod(col("l_partkey"), lit(1024)).as("x"),
