@@ -178,6 +178,43 @@ object Layout {
     }.select("file").collect().map(_.getString(0)).toSeq
   }
 
+  /** Re-cluster a z-ordered table after appends have diluted the
+    * layout (appended files land wherever the writer put them, so
+    * their hulls span the key space and pruning degrades toward a
+    * full scan). Stages a fresh curve write of the CURRENT rows to a
+    * sibling directory, swaps whole directories by rename, then
+    * rebuilds the manifests — the layout twin of the chunk store's
+    * small-file compaction, and like it the live table is renamed
+    * aside (never deleted) until the swap succeeds, so a failure
+    * leaves either the old table or the new one, not a mix. Manifests
+    * are rebuilt AFTER the swap because they key on final file paths;
+    * in the gap, pruned scans fall back to full scans — sound, just
+    * unpruned.
+    */
+  def recluster(spark: SparkSession, path: String, dimNames: Seq[String],
+      numFiles: Int, bits: Int = 16,
+      bloomKey: Option[String] = None): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val tag = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(path + ".staging-" + tag)
+    val aside = new org.apache.hadoop.fs.Path(path + ".replaced-" + tag)
+    // the staged write MATERIALIZES the copy before anything moves
+    zorderWriteAuto(spark.read.parquet(path), dimNames, tmp.toString,
+      numFiles, bits)
+    if (!fs.rename(live, aside))
+      throw new java.io.IOException(
+        s"cannot stage out live table at $path (staging kept at $tmp)")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(aside, live) // restore the original
+      throw new java.io.IOException(
+        s"failed to swap re-clustered table into $path (staging kept at $tmp)")
+    }
+    fs.delete(aside, true)
+    writeManifest(spark, path, dimNames)
+    bloomKey.foreach(k => writeKeyManifest(spark, path, k))
+  }
+
   /** Fixed-size bloom bitset over pre-hashed keys: k positions per key
     * by double hashing the one xxhash64 value. An `Aggregator`, so the
     * per-file bitsets build map-side and the exchange carries one
@@ -271,7 +308,10 @@ object Layout {
     val keyName = probe.columns.head
     val base =
       if (p.getFileSystem(conf).exists(p)) {
-        val files = selectFilesByKey(spark, path, probe)
+        val manifest = spark.read.parquet(s"$path/_keybloom")
+          .select("file").collect().map(_.getString(0)).toSeq
+        val files = selectFilesByKey(spark, path, probe) ++
+          unknownFiles(spark, path, manifest)
         if (files.isEmpty) spark.read.parquet(path).limit(0)
         else spark.read.parquet(files: _*)
       } else spark.read.parquet(path)
@@ -288,13 +328,28 @@ object Layout {
     * file list shrinks like the hull coverage — this is what the
     * write-time exchange bought.
     */
+  /** Data files the manifest does not know about (rows appended since
+    * the manifest was built, or a path-rendering divergence). These
+    * can never be pruned — a scan must always read them — which keeps
+    * pruning SOUND against a stale manifest: the failure direction of
+    * any mismatch is "read more", never "drop rows".
+    */
+  private def unknownFiles(spark: SparkSession, path: String,
+      manifestFiles: Seq[String]): Seq[String] = {
+    val known = manifestFiles.toSet
+    spark.read.parquet(path).inputFiles.toSeq.filterNot(known)
+  }
+
   def prunedScan(spark: SparkSession, path: String,
       preds: Seq[(String, Double, Double)]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(s"$path/_hulls")
     val base =
       if (p.getFileSystem(conf).exists(p)) {
-        val files = selectFiles(spark, path, preds)
+        val manifest = spark.read.parquet(s"$path/_hulls")
+          .select("file").collect().map(_.getString(0)).toSeq
+        val files = selectFiles(spark, path, preds) ++
+          unknownFiles(spark, path, manifest)
         if (files.isEmpty) spark.read.parquet(path).limit(0)
         else spark.read.parquet(files: _*)
       } else spark.read.parquet(path)

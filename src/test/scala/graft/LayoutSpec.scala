@@ -211,6 +211,54 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == exact)
   }
 
+  test("recluster restores clustering after appends, refreshes manifests") {
+    import spark.implicits._
+    val li = Tables(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val dir = Files.createTempDirectory("graft-zrecl").toString + "/z"
+    Layout.zorderWriteAuto(li, Seq("l_partkey", "l_suppkey"), dir, 8, bits = 10)
+    Layout.writeManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
+
+    // appends land unclustered: 3 extra files spanning the key space
+    val extra = li.filter(col("l_orderkey") % 3 === 0)
+    extra.repartition(3).write.mode("append").parquet(dir)
+    val expectRows = li.count() + extra.count()
+    val checksum = spark.read.parquet(dir)
+      .agg(sum(col("l_orderkey") * col("l_partkey"))).collect().head.getLong(0)
+    val dilutedFiles = Layout.fileHulls(spark, dir,
+      Seq("l_partkey", "l_suppkey")).count()
+    assert(dilutedFiles == 11)
+
+    // the manifest is now STALE (3 files it never saw) — pruning must
+    // stay sound by always reading unknown files
+    val preds0 = Seq(("l_partkey", 100.0, 120.0), ("l_suppkey", 1.0, 5.0))
+    val staleExact = spark.read.parquet(dir).filter(
+      col("l_partkey").between(100, 120) && col("l_suppkey").between(1, 5))
+      .collect().map(_.toSeq).toSet
+    assert(Layout.prunedScan(spark, dir, preds0)
+      .collect().map(_.toSeq).toSet == staleExact)
+
+    Layout.recluster(spark, dir, Seq("l_partkey", "l_suppkey"), 8,
+      bits = 10, bloomKey = Some("l_partkey"))
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() == expectRows)
+    assert(back.agg(sum(col("l_orderkey") * col("l_partkey"))).collect()
+      .head.getLong(0) == checksum)
+    // manifests rebuilt on the new file set
+    val hulls = spark.read.parquet(s"$dir/_hulls")
+    assert(hulls.count() == 8)
+    assert(spark.read.parquet(s"$dir/_keybloom").count() == 8)
+    // clustering is back: the interval probe prunes again and agrees
+    val preds = Seq(("l_partkey", 100.0, 120.0), ("l_suppkey", 1.0, 5.0))
+    assert(Layout.selectFiles(spark, dir, preds).size < 8)
+    val exact = back.filter(
+      col("l_partkey").between(100, 120) && col("l_suppkey").between(1, 5))
+      .collect().map(_.toSeq).toSet
+    assert(Layout.prunedScan(spark, dir, preds)
+      .collect().map(_.toSeq).toSet == exact)
+  }
+
   test("integral predicate bounds stay exact beyond 2^53") {
     import spark.implicits._
     // 2^53 and 2^53+1 are equal as doubles — a double-cast comparison

@@ -341,6 +341,18 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("b11: morton curve is codegen'd scan arithmetic under a top-k") {
+    val p = planString(q("b11_zorder_curve"))
+    // the interleave must stay inside whole-stage codegen (built-in
+    // shift/mask columns, no UDF) and the ordered LIMIT must lower to
+    // partial per-partition top-k — never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // `*(n)` prefixes mark whole-stage-codegen spans in the string plan
+    assert(p.contains("*("), p.take(2000))
+    assert(!p.contains("ScalaUDF"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("d19: hard negatives rank via the bounded aggregate, not a window") {
     // the per-anchor top-k must be topk_agg (map-side combine reduces
     // each anchor to ≤ k pairs before the exchange) — a ranking
