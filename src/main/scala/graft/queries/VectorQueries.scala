@@ -160,6 +160,31 @@ object VectorQueries {
           .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     },
 
+    // B11d: the generic n-dim interleave (the path arities ≠ 2 use),
+    // pinned against DuckDB's independent bit arithmetic at 3 dims ×
+    // 8 bits — with b11's mask fast path this hash-gates BOTH morton
+    // code paths against a second engine.
+    "b11d_zorder_3dim" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum([(((l_partkey % 256) >> b) & 1) * (1 << (b*3))
+        |                 FOR b IN range(0,8)]) +
+        |       list_sum([(((l_suppkey % 256) >> b) & 1) * (1 << (b*3+1))
+        |                 FOR b IN range(0,8)]) +
+        |       list_sum([(((l_orderkey % 256) >> b) & 1) * (1 << (b*3+2))
+        |                 FOR b IN range(0,8)]) AS BIGINT) AS z
+        |FROM lineitem
+        |ORDER BY z, l_orderkey, l_linenumber LIMIT 50""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            Layout.mortonCode(Seq(
+              pmod(col("l_partkey"), lit(256)),
+              pmod(col("l_suppkey"), lit(256)),
+              pmod(col("l_orderkey"), lit(256))), 8).as("z"))
+          .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+          .limit(50)
+    },
+
     // B1 exercised directly: norms and pairwise distance measures.
     "b1_vector_measures" -> QueryDef(
       """WITH pairs AS (
