@@ -94,8 +94,14 @@ object Retrieval {
   /** B10: retrieval evaluation — per-query reciprocal rank of the
     * first relevant hit and recall@k against a gold relevance table:
     * the metrics loop that tunes every knob in this engine's read
-    * path (nprobe, numTables, rerank depth, fusion weights). Queries
-    * with no relevant hit in the ranking score rr = 0.
+    * path (nprobe, numTables, rerank depth, fusion weights).
+    *
+    * The output is driven by the GOLD query set: a query the
+    * retriever returned nothing for scores rr = 0 / recall = 0 (a
+    * retrieval failure must drag the aggregate down, not vanish from
+    * it), and a query present in the ranking but absent from gold is
+    * excluded — it has no relevance denominator, and silently keeping
+    * it would divide by null.
     *
     * Shape: one equi-join of the ranking (k rows per query by
     * construction) against the gold pairs, then two grouped
@@ -119,10 +125,11 @@ object Retrieval {
         .as("__hits"))
     val totals = gold.groupBy(qCol)
       .agg(count(lit(1)).as("__n_rel"))
-    perQ.join(totals, Seq(qCol), "left")
+    totals.join(perQ, Seq(qCol), "left")
       .select(col(qCol),
         round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("rr"),
-        round(col("__hits") / col("__n_rel"), 6).as(s"recall_at_$k"))
+        round(coalesce(col("__hits"), lit(0L)) / col("__n_rel"), 6)
+          .as(s"recall_at_$k"))
   }
 
   /** B4g: search-result snippet extraction — the ±`context`-word

@@ -27,16 +27,25 @@ object SkewJoin {
   /** Hot-key evidence: the top-`k` keys by row count plus their share
     * of the table — the input to choosing a salt factor (a key with
     * share `s` needs ≈ s × shuffle-partitions salt buckets to even
-    * out). One partial-aggregated groupBy + TakeOrderedAndProject —
-    * only (key, count) pairs shuffle, never rows.
+    * out).
+    *
+    * ONE scan of `df` — this helper targets exactly the tables too
+    * big to scan twice, so SkewJoinSpec pins the single-scan plan:
+    * the grand total for the shares comes from an empty-frame window
+    * over the per-key AGGREGATE (map-side combined, so the scan's
+    * output is (key, count) pairs — never rows), not from a second
+    * `count()` pass over the fact table. The global window stage
+    * concentrates those pairs in one task — diagnostic cost scales
+    * with DISTINCT KEYS, not corpus rows, the right trade for a
+    * skew-evidence probe.
     */
-  def hotKeys(df: DataFrame, key: String, k: Int = 10): DataFrame = {
-    val total = df.count().toDouble
+  def hotKeys(df: DataFrame, key: String, k: Int = 10): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") /
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()), 6))
       .orderBy(desc("n"), col(key))
       .limit(k)
-      .withColumn("share", round(col("n") / lit(total), 6))
-  }
 
   /** Salted inner equi-join of `fact` (big, possibly skewed) with
     * `dim` (smaller) on `factKey = dimKey`. Output columns = fact ++

@@ -122,6 +122,101 @@ object TextIndex {
       sumDl = meta.sumDl + stats.getDouble(1)))
   }
 
+  // ---------------------------------------------------------------
+  // delete — tombstones + exact stamp-stat update + query-time
+  // anti-join + physical compaction (the text-side twin of
+  // [[VectorIndex.delete]]; closes the same read-path gap: an
+  // append-only index keeps serving a deleted document's postings
+  // until a rebuild, where the reference's store-side index is
+  // delete-consistent by construction).
+  // ---------------------------------------------------------------
+
+  private def tombPath(path: String) = s"$path/tombstones"
+
+  /** Mark documents as deleted. Two effects, both O(ids) + one NARROW
+    * doclen scan:
+    *  - the id set appends to a `tombstones/` sidecar that every
+    *    query path anti-joins, so a deleted document stops matching
+    *    immediately (including its contribution to per-term document
+    *    frequencies, which queries derive from the pruned postings);
+    *  - the stamp's corpus stats are re-derived as a recount of
+    *    doclen minus tombstones — integer-valued double sums, so the
+    *    post-delete (docCount, sumDl) is BIT-IDENTICAL to a rebuild
+    *    on the reduced corpus, which makes BM25 scores after a delete
+    *    hash-equal to the scan path over the remaining documents
+    *    (gate b4h). The recount also makes delete idempotent and
+    *    self-healing: re-running it (any id set, including empty)
+    *    restores stats consistent with the tombstone set.
+    * Deleting an absent id is a no-op. Rows are physically dropped by
+    * [[compact]] on a maintenance cadence.
+    */
+  def delete(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    val meta = load(spark, path)
+    val dl = spark.read.parquet(doclenPath(path))
+    val idType = dl.schema("doc_id").dataType
+    ids.select(col(ids.columns.head).cast(idType).as("doc_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(tombPath(path))
+    val remaining = notDeleted(spark, path, dl)
+    val stats = remaining.agg(
+      count(lit(1)).cast("double").as("n"),
+      coalesce(sum(col("dl")), lit(0.0)).as("sumdl")).head()
+    stamp(spark, path, meta.copy(
+      docCount = stats.getDouble(0), sumDl = stats.getDouble(1)))
+  }
+
+  /** Anti-join `df` (carrying `doc_id`) against the tombstone set —
+    * no tombstones, no change. Broadcast by design: the set is
+    * bounded by the deletion rate between compactions, never corpus
+    * scale.
+    */
+  private def notDeleted(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val p = new Path(tombPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      df.join(broadcast(spark.read.parquet(tombPath(path)).distinct()),
+        Seq("doc_id"), "left_anti")
+    else df
+  }
+
+  /** Physically drop tombstoned documents from postings and doclen
+    * (staged rewrites in the same layouts), then clear the
+    * tombstones. The stamp is untouched — [[delete]] already set the
+    * reduced-corpus stats. Crash-safe by ORDER: the tombstone sidecar
+    * is removed last, so any partial compact state (one table
+    * swapped, the other not) still answers every query correctly —
+    * the anti-join masks whatever the rewrite didn't get to.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tomb = new Path(tombPath(path))
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) return
+    load(spark, path) // fail loudly on a stampless/foreign directory
+    def swapFiltered(dir: String, partitionCols: Seq[String]): Unit = {
+      val live = new Path(dir)
+      val tag = java.util.UUID.randomUUID().toString
+      val tmp = new Path(dir + ".compacting-" + tag)
+      val aside = new Path(dir + ".replaced-" + tag)
+      val w = notDeleted(spark, path, spark.read.parquet(dir))
+        .write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
+      if (!fs.rename(live, aside))
+        throw new java.io.IOException(
+          s"cannot stage out live index table at $live (staging kept at $tmp)")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(aside, live)
+        throw new java.io.IOException(
+          s"failed to swap compacted table into $live (staging kept at $tmp)")
+      }
+      fs.delete(aside, true)
+    }
+    swapFiltered(postingsPath(path), Seq("tb"))
+    swapFiltered(doclenPath(path), Seq.empty)
+    fs.delete(tomb, true)
+  }
+
   /** The shared postings plan: one tokenize (position-carrying) +
     * one (doc, term) aggregate, map-side combined. `positions` makes
     * the index positional (v2): phrase queries answer from postings
@@ -163,10 +258,11 @@ object TextIndex {
     val meta = load(spark, path)
     val distinctTerms = terms.distinct
     val buckets = distinctTerms.map(termBucket(_, meta.numBuckets)).distinct
-    val posts = spark.read.parquet(postingsPath(path))
-      .filter(col("tb").isin(buckets: _*) &&
-        col("term").isin(distinctTerms: _*))
-      .select("doc_id", "term", "positions")
+    val posts = notDeleted(spark, path,
+      spark.read.parquet(postingsPath(path))
+        .filter(col("tb").isin(buckets: _*) &&
+          col("term").isin(distinctTerms: _*))
+        .select("doc_id", "term", "positions"))
     val byTerm = terms.zipWithIndex.map { case (t, i) =>
       posts.filter(col("term") === t)
         .select(col("doc_id"), col("positions").as(s"__p$i"))
@@ -199,9 +295,12 @@ object TextIndex {
     require(terms.nonEmpty, "query needs at least one term")
     val meta = load(spark, path)
     val buckets = terms.map(termBucket(_, meta.numBuckets)).distinct
-    val tf = spark.read.parquet(postingsPath(path))
-      .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
-      .select("doc_id", "term", "tf")
+    // the tombstone anti-join runs BEFORE the df aggregate so document
+    // frequencies, like everything else, reflect the reduced corpus
+    val tf = notDeleted(spark, path,
+      spark.read.parquet(postingsPath(path))
+        .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+        .select("doc_id", "term", "tf"))
     val df = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
     val dl = spark.read.parquet(doclenPath(path))
@@ -249,6 +348,10 @@ object TextIndex {
   private def unstamp(spark: SparkSession, path: String): Unit = {
     val (p, fs) = stampFile(spark, path)
     if (fs.exists(p)) fs.delete(p, false)
+    // a rebuild starts a fresh lifecycle: tombstones refer to the OLD
+    // data generation and must not mask rows of the new one
+    val t = new Path(tombPath(path))
+    if (fs.exists(t)) fs.delete(t, true)
   }
 
   private def stamp(spark: SparkSession, path: String, meta: Meta): Unit = {

@@ -190,6 +190,102 @@ object VectorIndex {
   }
 
   // ----------------------------------------------------------------
+  // delete — tombstones + query-time anti-join + physical compaction
+  // ----------------------------------------------------------------
+
+  private def tombPath(path: String) = s"$path/tombstones"
+
+  /** The data table's id column name: the ivfpq/lsh layouts rename the
+    * id to `nn_id` at build time; q8 keeps the caller's column.
+    */
+  private def dataIdCol(meta: Meta): String =
+    if (meta.kind == "q8") meta.idCol else "nn_id"
+
+  /** Mark ids as deleted: O(ids) — the id set appends to a
+    * `tombstones/` sidecar and every query path anti-joins it before
+    * scoring, so a deleted row stops serving results IMMEDIATELY.
+    * This closes the read-path gap the reference's store never has
+    * (its vector index lives ON the container, so a document delete
+    * is index-consistent by construction —
+    * `AzureCosmosDB/.../CosmosDBClientWrapper.cs:112-152`); an
+    * append-only external index without tombstones would keep serving
+    * a deleted document until a full rebuild.
+    *
+    * The index data itself is untouched until [[compact]] physically
+    * drops the rows on a maintenance cadence — the same
+    * tombstone-then-compact cycle every LSM/lakehouse delete uses.
+    * Ids are cast to the data table's id type so the anti-join can
+    * never silently type-mismatch. Deleting an absent id is a no-op;
+    * deletes are idempotent.
+    */
+  def delete(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    val meta = loadAny(spark, path)
+    val idName = dataIdCol(meta)
+    val idType = spark.read.parquet(dataPath(path)).schema(idName).dataType
+    ids.select(col(ids.columns.head).cast(idType).as(idName)).distinct()
+      .write.mode(SaveMode.Append).parquet(tombPath(path))
+  }
+
+  /** Anti-join `df` against the tombstone set (no tombstones → `df`
+    * unchanged). Broadcast by design: tombstones accumulate only
+    * between maintenance compactions, so the set is
+    * deletion-rate-bounded — KBs of ids, never corpus-scale.
+    */
+  private def notDeleted(spark: SparkSession, path: String,
+      df: DataFrame, idName: String): DataFrame = {
+    val p = new Path(tombPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      df.join(
+        broadcast(spark.read.parquet(tombPath(path)).toDF(idName).distinct()),
+        Seq(idName), "left_anti")
+    else df
+  }
+
+  /** Physically drop tombstoned rows: stage a filtered rewrite of the
+    * data table in the SAME partition layout, swap directories, then
+    * clear the tombstones. Queries are answer-identical before and
+    * after (the anti-join already hid the rows); compaction reclaims
+    * the bytes and shrinks the tombstone set back to zero. Staged-swap
+    * failure contract as everywhere else: the live table is renamed
+    * aside (never deleted) until the swap succeeds — a failure leaves
+    * old or new, not a mix. Because row codes are row-local and the
+    * model lives in the stamp, the compacted table is bit-identical to
+    * encoding the surviving rows directly (IndexSpec pins it).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val meta = loadAny(spark, path)
+    val tomb = new Path(tombPath(path))
+    val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tomb)) return
+    val idName = dataIdCol(meta)
+    val live = new Path(dataPath(path))
+    val tag = java.util.UUID.randomUUID().toString
+    val tmp = new Path(dataPath(path) + ".compacting-" + tag)
+    val aside = new Path(dataPath(path) + ".replaced-" + tag)
+    val filtered = notDeleted(spark, path,
+      spark.read.parquet(dataPath(path)), idName)
+    val w = filtered.write.mode(SaveMode.Overwrite)
+    meta.kind match {
+      case "ivfpq" => w.partitionBy("cell").parquet(tmp.toString)
+      case "lsh" => w.partitionBy("tbl", "bucket").parquet(tmp.toString)
+      case _ => w.parquet(tmp.toString)
+    }
+    if (!fs.rename(live, aside))
+      throw new java.io.IOException(
+        s"cannot stage out live index data at $live (staging kept at $tmp)")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(aside, live) // restore the original
+      throw new java.io.IOException(
+        s"failed to swap compacted index data into $live " +
+          s"(staging kept at $tmp)")
+    }
+    fs.delete(aside, true)
+    fs.delete(tomb, true)
+  }
+
+  // ----------------------------------------------------------------
   // query — loads the stamp, never the training inputs
   // ----------------------------------------------------------------
 
@@ -218,8 +314,9 @@ object VectorIndex {
         meta.centroids)
       .select("cell").distinct().collect().map(_.getInt(0)).sorted
     Similarity.ivfPqSearch(
-      t.select("nn_id", "cell", "pq")
-        .filter(col("cell").isin(cells.toIndexedSeq: _*)),
+      notDeleted(spark, path,
+        t.select("nn_id", "cell", "pq")
+          .filter(col("cell").isin(cells.toIndexedSeq: _*)), "nn_id"),
       t.select(col("nn_id"), col("vec").as("bvx")),
       probes, meta.idCol, meta.vecCol, k, nprobe, rerankPerProbe,
       meta.centroids, meta.pq.get)
@@ -241,7 +338,9 @@ object VectorIndex {
     val t = spark.read.parquet(dataPath(path))
     val id = col(meta.idCol)
     val q = typedlit(queryVec)
-    t.select(id, col("q8_codes"), col("q8_mn"), col("q8_scale"))
+    notDeleted(spark, path,
+        t.select(id, col("q8_codes"), col("q8_mn"), col("q8_scale")),
+        meta.idCol)
       .withColumn("q8_dist",
         round(q8_cosine_distance(
           col("q8_codes"), col("q8_mn"), col("q8_scale"), q), 6))
@@ -267,9 +366,10 @@ object VectorIndex {
       k: Int): DataFrame = {
     val meta = load(spark, path, expectKind = "lsh")
     Similarity.lshSearch(
-      spark.read.parquet(dataPath(path))
-        .select(col("nn_id"), col("bv"), col("tbl").cast("int"),
-          col("bucket").cast("int")),
+      notDeleted(spark, path,
+        spark.read.parquet(dataPath(path))
+          .select(col("nn_id"), col("bv"), col("tbl").cast("int"),
+            col("bucket").cast("int")), "nn_id"),
       probes, meta.idCol, meta.vecCol, k, meta.dim, meta.numPlanes,
       meta.seed, meta.numTables)
   }
@@ -337,11 +437,14 @@ object VectorIndex {
 
   /** Remove the stamp before a rebuild: readers treat a stampless
     * directory as "no index", so a crashed rebuild can never be
-    * mistaken for a valid one.
+    * mistaken for a valid one. Tombstones go with it — they refer to
+    * the OLD data generation and must not mask rows of the new one.
     */
   private def unstamp(spark: SparkSession, path: String): Unit = {
     val (p, fs) = stampFile(spark, path)
     if (fs.exists(p)) fs.delete(p, false)
+    val t = new Path(tombPath(path))
+    if (fs.exists(t)) fs.delete(t, true)
   }
 
   private def stamp(spark: SparkSession, path: String, meta: Meta): Unit = {

@@ -56,7 +56,8 @@ object StreamingIngest {
       cfg: IngestPipeline.Config = IngestPipeline.Config(),
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      dedup: Option[DedupConfig] = None): StreamingQuery = {
+      dedup: Option[DedupConfig] = None,
+      indexPaths: Seq[String] = Nil): StreamingQuery = {
     store.ensure()
     val files = spark.readStream
       .format("binaryFile")
@@ -69,7 +70,7 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(spark, batch, inputDir, store, embedder, extractor,
-          cfg, dedup)
+          cfg, dedup, indexPaths)
         ()
       }
       .start()
@@ -91,7 +92,8 @@ object StreamingIngest {
       embedder: Embedder,
       extractor: Extractor,
       cfg: IngestPipeline.Config,
-      dedup: Option[DedupConfig] = None): DataFrame = {
+      dedup: Option[DedupConfig] = None,
+      indexPaths: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val allFiles = batch.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -135,7 +137,8 @@ object StreamingIngest {
     // catalog with a full scan, so there deletes are a maintenance
     // concern: schedule [[detectDeletes]] on its own cadence instead
     // (warned once so the change of contract is visible).
-    if (store.hasMetadataCatalog) detectDeletes(spark, inputDir, store)
+    if (store.hasMetadataCatalog)
+      detectDeletes(spark, inputDir, store, indexPaths)
     else if (warnedBucketedDeletes.compareAndSet(false, true)) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         "bucketed chunk store: per-batch delete detection is disabled " +
@@ -149,9 +152,22 @@ object StreamingIngest {
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Compare the store's document catalog against the source listing
-    * and drop documents that disappeared upstream. Cost = catalog cost
-    * (metadata-only for the per-document layout; a scan + distinct
-    * for bucketed stores — run on a maintenance cadence there).
+    * and drop documents that disappeared upstream — from the chunk
+    * store AND from every attached persistent index (`indexPaths`:
+    * vector/text indexes keyed by `document_url`, dispatched by
+    * [[graft.ops.IndexMaintenance]]). Without the propagation an
+    * append-only index keeps serving a deleted document's rows until
+    * a rebuild — the read-path gap the reference store never has (its
+    * index lives on the container).
+    *
+    * Cost = catalog cost (metadata-only for the per-document layout;
+    * a scan + distinct for bucketed stores — run on a maintenance
+    * cadence there). Driver memory is O(catalog), NOT O(listing): the
+    * source listing streams through the remote iterator and only
+    * SUBTRACTS from the catalog-sized candidate set, so a 10⁸-blob
+    * input directory costs time, never driver heap — the catalog side
+    * is already bounded by the per-document layout's own ~10⁵-10⁶
+    * document contract (SCALE.md §1).
     *
     * Safety contract: absence-of-listing is never read as
     * everything-was-deleted. A missing input directory (transient
@@ -163,7 +179,8 @@ object StreamingIngest {
   def detectDeletes(
       spark: SparkSession,
       inputDir: String,
-      store: ChunkStore): Unit = {
+      store: ChunkStore,
+      indexPaths: Seq[String] = Nil): Unit = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val inPath = new org.apache.hadoop.fs.Path(inputDir)
     val ifs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -175,23 +192,38 @@ object StreamingIngest {
     }
     val stored = store.listDocumentUrls()
     if (stored.nonEmpty) {
-      val present = scala.collection.mutable.HashSet.empty[String]
-      val it = ifs.listFiles(inPath, true)
-      while (it.hasNext) present += it.next().getPath.toString
-      if (present.isEmpty) {
-        log.warn(s"delete detection skipped: input listing at $inputDir is " +
-          s"empty but the store holds ${stored.size} documents — refusing " +
-          "to mass-delete; wipe explicitly via store.delete if intended")
-        return
-      }
       // Both sides normalized through the same Hadoop Path rendering:
       // document_url originates from the binaryFile source's `path`
       // column (a Path.toString), but re-render the stored side so a
       // divergence (file:/// vs file:/, URI escaping, another source)
       // can't make every document look deleted.
-      val gone = stored.filterNot(u =>
-        present.contains(new org.apache.hadoop.fs.Path(u).toString))
-      if (gone.nonEmpty) store.delete(gone)
+      val candidates = scala.collection.mutable.LinkedHashMap.empty[
+        String, String] // rendered listing path -> original url
+      stored.foreach { u =>
+        candidates(new org.apache.hadoop.fs.Path(u).toString) = u
+      }
+      var listed = 0L
+      val it = ifs.listFiles(inPath, true)
+      while (it.hasNext) {
+        candidates.remove(it.next().getPath.toString)
+        listed += 1
+      }
+      if (listed == 0L) {
+        log.warn(s"delete detection skipped: input listing at $inputDir is " +
+          s"empty but the store holds ${stored.size} documents — refusing " +
+          "to mass-delete; wipe explicitly via store.delete if intended")
+        return
+      }
+      val gone = candidates.values.toSeq
+      if (gone.nonEmpty) {
+        store.delete(gone)
+        if (indexPaths.nonEmpty) {
+          import spark.implicits._
+          val ids = gone.toDF("document_url")
+          indexPaths.foreach(p =>
+            graft.ops.IndexMaintenance.deleteFrom(spark, p, ids))
+        }
+      }
     }
   }
 }

@@ -1425,6 +1425,127 @@ object LlmOpsQueries {
       diff.agg((count(lit(1)) === 0).as("batch_invariant"))
         .crossJoin(self.agg((count(lit(1)) === 10).as("appended_found")))
         .crossJoin(q1.agg((count(lit(1)) === 50).as("complete_topk")))
+    },
+
+    // D3g: delete propagation through the persistent vector index —
+    // the read-path correctness gap the reference store never has (its
+    // index lives ON the container, so deletes are index-consistent by
+    // construction; an append-only external index would keep serving a
+    // deleted document until a rebuild). Two sub-contracts:
+    //  - q8 (model-free, so EXACT): build, tombstone vec_id < 10
+    //    (including the probe itself — the strongest case: the
+    //    distance-0 top-1 must vanish), then a full-rerank query must
+    //    hash-match DuckDB's brute-force cosine top-k over the REDUCED
+    //    corpus — deleted rows gone, next-best backfilled, bit-equal.
+    //  - ivfpq: tombstoned ids never surface and every probe still
+    //    gets a full top-5 (masked_ok); [[VectorIndex.compact]] leaves
+    //    query answers identical (compact_identical) and its physical
+    //    data bit-equal to re-encoding the reduced corpus with the
+    //    stamped model (reencode_identical) — row-local codes make
+    //    that an equality, not an approximation.
+    "d3g_ann_index_delete" -> QueryDef(
+      """WITH red AS (SELECT * FROM embeddings WHERE vec_id >= 10),
+        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT r.vec_id,
+        |         CAST(UNNEST(r.embedding) AS DOUBLE) AS x,
+        |         CAST(UNNEST(q.qe) AS DOUBLE) AS y
+        |  FROM red r, q)
+        |SELECT vec_id,
+        |       ROUND(1.0 - SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) + 0.0 AS dist,
+        |       TRUE AS masked_ok, TRUE AS compact_identical,
+        |       TRUE AS reencode_identical
+        |FROM pairs GROUP BY vec_id
+        |ORDER BY dist, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val delIds = e.filter(col("vec_id") < 10).select("vec_id")
+      // --- q8: exact brute-force contract over the reduced corpus
+      val q8p = s"/tmp/graft-vindex-del-q8-$tag"
+      VectorIndex.buildQ8(e, q8p, "vec_id", "embedding")
+      VectorIndex.delete(delIds, q8p)
+      val probeVec = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val topk = VectorIndex.queryQ8(s, q8p, probeVec, k = 10,
+          rerank = e.count().toInt)
+        .select("vec_id", "dist")
+      // --- ivfpq: masking, backfill, compaction identity
+      val ivfp = s"/tmp/graft-vindex-del-ivf-$tag"
+      VectorIndex.buildIvfPq(e, ivfp, "vec_id", "embedding",
+        nlist = 16, m = 8, ks = 16)
+      VectorIndex.delete(delIds, ivfp)
+      val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      val pre = VectorIndex.queryIvfPq(s, ivfp, probes, k = 5,
+        nprobe = 4, rerankPerProbe = 96).localCheckpoint()
+      VectorIndex.compact(s, ivfp)
+      val post = VectorIndex.queryIvfPq(s, ivfp, probes, k = 5,
+        nprobe = 4, rerankPerProbe = 96)
+      val qDiff = pre.exceptAll(post).unionAll(post.exceptAll(pre))
+      val meta = VectorIndex.load(s, ivfp, expectKind = "ivfpq")
+      val reenc = Similarity.ivfPqIndexFrame(
+        e.filter(col("vec_id") >= 10), "vec_id", "embedding",
+        meta.centroids, meta.pq.get, keepVec = true)
+      val compacted = s.read.parquet(s"$ivfp/data")
+        .select(col("nn_id"), col("cell").cast("int").as("cell"),
+          col("pq"), col("vec"))
+      val dDiff = compacted.exceptAll(reenc).unionAll(reenc.exceptAll(compacted))
+      topk
+        .crossJoin(broadcast(pre.agg(
+          (sum(when(col("nn_id") < 10, 1).otherwise(0)) === 0 &&
+            count(lit(1)) === 25).as("masked_ok"))))
+        .crossJoin(broadcast(qDiff.agg(
+          (count(lit(1)) === 0).as("compact_identical"))))
+        .crossJoin(broadcast(dDiff.agg(
+          (count(lit(1)) === 0).as("reencode_identical"))))
+        .orderBy(col("dist"), col("vec_id"))
+    },
+
+    // B4h: delete propagation through the persistent text index — the
+    // text-side twin of d3g. Tombstoning documents updates the
+    // stamp's corpus stats by exact recount (integer-valued double
+    // sums), and queries anti-join tombstones BEFORE deriving document
+    // frequencies, so post-delete BM25 must hash-match DuckDB's scan
+    // over the REDUCED corpus (same formula as b4c/b4d/b4e, N and
+    // avgdl shrunk). compact() then physically drops the rows without
+    // changing any answer, and the postings files verifiably no
+    // longer contain the deleted documents.
+    "b4h_fulltext_index_delete" -> QueryDef(
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM docs),
+        |qtok AS (SELECT doc_id, w FROM tok WHERE w IN ('window', 'filter')),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf FROM qtok GROUP BY 1, 2),
+        |idf AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM qtok GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM docs),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |              AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+        |       FROM docs)
+        |SELECT t.doc_id,
+        |       ROUND(SUM(LN(1 + (st.n - i.df + 0.5) / (i.df + 0.5)) * t.tf * 2.2
+        |                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / st.avgdl))), 6)
+        |         AS score,
+        |       TRUE AS compact_identical, TRUE AS physically_dropped
+        |FROM tf t JOIN idf i ON t.w = i.w
+        |JOIN dl d ON d.doc_id = t.doc_id CROSS JOIN st
+        |GROUP BY t.doc_id
+        |ORDER BY score DESC, t.doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val path = s"/tmp/graft-tindex-del-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      TextIndex.build(docs, path, "doc_id", "text")
+      TextIndex.delete(
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"), path)
+      val pre = TextIndex.query(s, path, Seq("window", "filter"), k = 20)
+        .localCheckpoint()
+      TextIndex.compact(s, path)
+      val post = TextIndex.query(s, path, Seq("window", "filter"), k = 20)
+      val qDiff = pre.exceptAll(post).unionAll(post.exceptAll(pre))
+      val leftover = s.read.parquet(s"$path/postings")
+        .filter(col("doc_id") % 7 === 0)
+      post
+        .crossJoin(broadcast(qDiff.agg(
+          (count(lit(1)) === 0).as("compact_identical"))))
+        .crossJoin(broadcast(leftover.agg(
+          (count(lit(1)) === 0).as("physically_dropped"))))
+        .orderBy(desc("score"), asc("doc_id"))
     }
   )
 }

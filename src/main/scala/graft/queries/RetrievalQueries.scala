@@ -64,9 +64,9 @@ object RetrievalQueries {
         |              SUM(CASE WHEN rel AND rk <= 10 THEN 1 ELSE 0 END) AS hits
         |       FROM h GROUP BY probe_id),
         |t AS (SELECT probe_id, COUNT(*) AS n_rel FROM g GROUP BY probe_id)
-        |SELECT pq.probe_id, ROUND(COALESCE(1.0 / frst, 0.0), 6) AS rr,
-        |       ROUND(hits * 1.0 / n_rel, 6) AS recall_at_10
-        |FROM pq JOIN t USING (probe_id) ORDER BY probe_id""".stripMargin) { (s, dir) =>
+        |SELECT t.probe_id, ROUND(COALESCE(1.0 / frst, 0.0), 6) AS rr,
+        |       ROUND(COALESCE(hits, 0) * 1.0 / n_rel, 6) AS recall_at_10
+        |FROM t LEFT JOIN pq USING (probe_id) ORDER BY probe_id""".stripMargin) { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val probes = e.filter(col("vec_id") < 5)
       val ranked = Similarity.knnJoinBrute(e, probes,

@@ -192,6 +192,84 @@ class IndexSpec extends SparkSpec {
     assert(err.getMessage.contains("append cannot create"))
   }
 
+  test("delete masks rows immediately in every kind; compact drops them " +
+      "physically and preserves answers") {
+    import spark.implicits._
+    // q8: the query vector's own row is top-1 at dist 0 — delete it
+    // and the next-best must backfill, pre-compaction
+    val q8p = tmp("delete-q8")
+    VectorIndex.buildQ8(emb, q8p, "vec_id", "embedding")
+    val queryVec = emb.filter(col("vec_id") === 7L)
+      .select("embedding").collect().head.getSeq[Float](0)
+    assert(VectorIndex.queryQ8(spark, q8p, queryVec, k = 1)
+      .select("vec_id").head().getLong(0) == 7L)
+    VectorIndex.delete(Seq(7L).toDF("vec_id"), q8p)
+    val after = VectorIndex.queryQ8(spark, q8p, queryVec, k = 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(!after.contains(7L) && after.length == 10)
+
+    // lsh: deleted ids never surface, survivors unchanged
+    val lshp = tmp("delete-lsh")
+    VectorIndex.buildLsh(emb, lshp, "vec_id", "embedding", dim = 64,
+      numPlanes = 8, numTables = 2)
+    val probes = emb.filter(col("vec_id") < 5)
+    val pre = rows(VectorIndex.queryLsh(spark, lshp, probes, k = 5))
+    val victims = pre.map(_._2).toSeq.distinct.sorted.take(3)
+    VectorIndex.delete(victims.toDF("vec_id"), lshp)
+    val post = rows(VectorIndex.queryLsh(spark, lshp, probes, k = 5))
+    assert(post.forall(r => !victims.contains(r._2)))
+
+    // ivfpq: tombstone, then compact — answers identical before and
+    // after, tombstones cleared, deleted rows physically gone
+    val ivfp = tmp("delete-ivfpq")
+    VectorIndex.buildIvfPq(emb, ivfp, "vec_id", "embedding")
+    VectorIndex.delete(Seq(1L, 2L, 3L).toDF("vec_id"), ivfp)
+    val preC = rows(VectorIndex.queryIvfPq(spark, ivfp, probes, k = 5,
+      nprobe = 4, rerankPerProbe = 96))
+    assert(preC.forall(r => !Seq(1L, 2L, 3L).contains(r._2)))
+    VectorIndex.compact(spark, ivfp)
+    val postC = rows(VectorIndex.queryIvfPq(spark, ivfp, probes, k = 5,
+      nprobe = 4, rerankPerProbe = 96))
+    assert(preC == postC)
+    val fs = new Path(ivfp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$ivfp/tombstones")))
+    assert(spark.read.parquet(s"$ivfp/data")
+      .filter(col("nn_id").isin(1L, 2L, 3L)).count() == 0)
+    // compact without tombstones is a no-op
+    VectorIndex.compact(spark, ivfp)
+    assert(rows(VectorIndex.queryIvfPq(spark, ivfp, probes, k = 5,
+      nprobe = 4, rerankPerProbe = 96)) == postC)
+  }
+
+  test("delete casts probe ids to the data id type (no silent " +
+      "type-mismatch misses)") {
+    import spark.implicits._
+    val path = tmp("delete-cast")
+    VectorIndex.buildQ8(emb, path, "vec_id", "embedding")
+    val queryVec = emb.filter(col("vec_id") === 11L)
+      .select("embedding").collect().head.getSeq[Float](0)
+    // ids arrive as INT and STRING — both must mask the LONG vec_id
+    VectorIndex.delete(Seq(11).toDF("vec_id"), path)
+    VectorIndex.delete(Seq("12").toDF("vec_id"), path)
+    val out = VectorIndex.queryQ8(spark, path, queryVec, k = 20)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(!out.contains(11L) && !out.contains(12L))
+  }
+
+  test("rebuild clears tombstones: a fresh build must not inherit the " +
+      "old generation's deletes") {
+    import spark.implicits._
+    val path = tmp("delete-rebuild")
+    VectorIndex.buildQ8(emb, path, "vec_id", "embedding")
+    VectorIndex.delete(Seq(7L).toDF("vec_id"), path)
+    VectorIndex.buildQ8(emb, path, "vec_id", "embedding")
+    val queryVec = emb.filter(col("vec_id") === 7L)
+      .select("embedding").collect().head.getSeq[Float](0)
+    assert(VectorIndex.queryQ8(spark, path, queryVec, k = 1)
+      .select("vec_id").head().getLong(0) == 7L)
+  }
+
   test("rebuild overwrites: query reflects the new base, not the old") {
     val path = tmp("rebuild")
     VectorIndex.buildQ8(emb.filter(col("vec_id") < 100), path,

@@ -50,12 +50,31 @@ class SkewJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles.size <= 2, s"expected ≤2 exchanges, got ${shuffles.size}")
   }
 
-  test("hotKeys reports top keys with shares") {
+  test("hotKeys reports top keys with shares, exact against a reference") {
     val hk = SkewJoin.hotKeys(lineitem, "l_returnflag", 2).collect()
     assert(hk.length === 2)
     assert(hk(0).getLong(1) >= hk(1).getLong(1))
-    val share = hk(0).getDouble(2)
-    assert(share > 0.0 && share <= 1.0)
+    // shares are n/total for the TRUE grand total (all keys, not top-k)
+    val total = lineitem.count().toDouble
+    hk.foreach { r =>
+      assert(r.getDouble(2) ===
+        BigDecimal(r.getLong(1) / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("hotKeys scans the input once (the grand total comes from a " +
+      "window over the aggregate, not a second count pass)") {
+    val df = SkewJoin.hotKeys(lineitem, "l_returnflag", 2)
+    df.collect()
+    // final AQE plan only (toString appends the initial plan too)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n${plan.take(3000)}")
+    // and the scan reads ONLY the key column (count needs nothing else)
+    assert(plan.contains("ReadSchema: struct<l_returnflag:string>"),
+      plan.take(3000))
   }
 
   test("reserved column name rejected") {

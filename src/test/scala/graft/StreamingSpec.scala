@@ -86,6 +86,60 @@ class StreamingSpec extends SparkSpec {
     assert(urls.size == 1 && urls.head.endsWith("a.txt"))
   }
 
+  test("upstream deletes propagate into attached persistent indexes " +
+      "(A20 → VectorIndex/TextIndex delete consistency)") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-del-index")
+    val storeDir =
+      Files.createTempDirectory("graft-del-index-store").toString + "/chunks"
+    val store = new ChunkStore(spark, storeDir)
+    write(in, "a.txt", "alpha text about windows and filters")
+    write(in, "b.txt", "beta text about joins and shuffles")
+    write(in, "c.txt", "gamma text about windows again")
+    def batch() = spark.read.format("binaryFile").load(in.toString)
+      .select(col("path"), col("content"))
+    StreamingIngest.processBatch(spark, batch(), in.toString, store,
+      DeterministicEmbedder(16), StubAnalyzeExtractor(),
+      IngestPipeline.Config())
+
+    // attach BOTH index kinds, keyed by document_url (the store's key)
+    val chunks = store.read()
+    val byDoc = chunks.groupBy("document_url")
+      .agg(concat_ws(" ", collect_list(col("chunk_text"))).as("text"))
+    val tIdx = Files.createTempDirectory("graft-del-index-t").toString + "/t"
+    val vIdx = Files.createTempDirectory("graft-del-index-v").toString + "/v"
+    graft.ops.TextIndex.build(byDoc, tIdx, "document_url", "text")
+    graft.ops.VectorIndex.buildQ8(
+      chunks.filter(col("chunk_id") === 0), vIdx, "document_url", "embedding")
+    def textHits() = graft.ops.TextIndex
+      .query(spark, tIdx, Seq("beta"), k = 10)
+      .collect().map(_.getString(0)).toSeq
+    val bUrl = store.listDocumentUrls().find(_.endsWith("b.txt")).get
+    val bVec = chunks
+      .filter(col("document_url") === bUrl && col("chunk_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    assert(textHits().exists(_.endsWith("b.txt")))
+    assert(graft.ops.VectorIndex.queryQ8(spark, vIdx, bVec, k = 1)
+      .select("document_url").head().getString(0) == bUrl)
+
+    // the upstream file disappears → the store AND both indexes drop it
+    Files.delete(in.resolve("b.txt"))
+    StreamingIngest.detectDeletes(spark, in.toString, store,
+      indexPaths = Seq(tIdx, vIdx))
+    assert(store.listDocumentUrls().forall(!_.endsWith("b.txt")))
+    assert(!textHits().exists(_.endsWith("b.txt")))
+    val nn = graft.ops.VectorIndex.queryQ8(spark, vIdx, bVec, k = 3)
+      .select("document_url").collect().map(_.getString(0))
+    assert(nn.nonEmpty && !nn.contains(bUrl))
+
+    // an unstamped path must fail loudly, not silently skip the delete
+    intercept[IllegalArgumentException] {
+      graft.ops.IndexMaintenance.deleteFrom(spark,
+        Files.createTempDirectory("graft-del-index-none").toString,
+        Seq("x").toDF("document_url"))
+    }
+  }
+
   test("streaming dedup with watermark drops duplicate keys (C36)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

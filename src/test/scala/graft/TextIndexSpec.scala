@@ -166,6 +166,75 @@ class TextIndexSpec extends SparkSpec {
     assert(!p.contains("positions"), p.take(2000))
   }
 
+  test("delete: queries hash-match a fresh build over the reduced " +
+      "corpus, pre- and post-compact; phrases exclude deleted docs") {
+    val deleted = docs.filter(col("doc_id") % 7 === 0)
+    val remaining = docs.filter(col("doc_id") % 7 =!= 0)
+    val delP = tmp("delete"); val refP = tmp("delete-ref")
+    TextIndex.build(docs, delP, "doc_id", "text")
+    TextIndex.delete(deleted.select("doc_id"), delP)
+    TextIndex.build(remaining, refP, "doc_id", "text")
+    // stamp stats recount exactly to the reduced corpus's build stats
+    assert(TextIndex.load(spark, delP) == TextIndex.load(spark, refP))
+    def q(p: String) = rows(
+      TextIndex.query(spark, p, Seq("window", "filter"), 20))
+    assert(q(delP) == q(refP))
+    // phrase path masks too (any 2-token prefix of a deleted doc)
+    val phrase = TextIndex.phraseQuery(spark, delP, Seq("the", "quick"))
+    assert(phrase.filter(col("doc_id") % 7 === 0).count() == 0)
+    // compact: physically dropped, tombstones cleared, answers fixed
+    TextIndex.compact(spark, delP)
+    assert(q(delP) == q(refP))
+    assert(spark.read.parquet(s"$delP/postings")
+      .filter(col("doc_id") % 7 === 0).count() == 0)
+    assert(spark.read.parquet(s"$delP/doclen")
+      .filter(col("doc_id") % 7 === 0).count() == 0)
+    val fs = new Path(delP)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$delP/tombstones")))
+    // compact without tombstones is a no-op
+    TextIndex.compact(spark, delP)
+    assert(q(delP) == q(refP))
+  }
+
+  test("delete is idempotent and absent ids are a no-op; append after " +
+      "delete keeps stats exact") {
+    import spark.implicits._
+    val path = tmp("delete-idem"); val refP = tmp("delete-idem-ref")
+    TextIndex.build(docs.filter(col("doc_id") < 400), path,
+      "doc_id", "text")
+    TextIndex.delete(docs.filter(col("doc_id") < 10).select("doc_id"), path)
+    val stamped = TextIndex.load(spark, path)
+    // re-delete the same ids + ids that never existed: stats unchanged
+    TextIndex.delete(docs.filter(col("doc_id") < 10).select("doc_id"), path)
+    TextIndex.delete(Seq(999999L).toDF("doc_id"), path)
+    assert(TextIndex.load(spark, path) == stamped)
+    // append post-delete: equivalent to building over (400..440) ∪
+    // surviving — the incremental stat deltas compose exactly
+    val extra = docs.filter(col("doc_id") >= 400 && col("doc_id") < 440)
+    TextIndex.append(extra, path, "text")
+    TextIndex.build(
+      docs.filter((col("doc_id") >= 10 && col("doc_id") < 440)),
+      refP, "doc_id", "text")
+    assert(TextIndex.load(spark, path) == TextIndex.load(spark, refP))
+    def q(p: String) = rows(
+      TextIndex.query(spark, p, Seq("window", "filter"), 20))
+    assert(q(path) == q(refP))
+  }
+
+  test("rebuild clears tombstones: a fresh build must not inherit the " +
+      "old generation's deletes") {
+    val path = tmp("delete-rebuild")
+    TextIndex.build(docs, path, "doc_id", "text")
+    TextIndex.delete(docs.filter(col("doc_id") < 250).select("doc_id"), path)
+    TextIndex.build(docs, path, "doc_id", "text")
+    def full(p: String) = rows(
+      TextIndex.query(spark, p, Seq("window", "filter"), 20))
+    val refP = tmp("delete-rebuild-ref")
+    TextIndex.build(docs, refP, "doc_id", "text")
+    assert(full(path) == full(refP))
+  }
+
   test("driver-side term bucket agrees with the hash(term) column") {
     import spark.implicits._
     val terms = Seq("window", "filter", "spark", "a", "", "zebra")
