@@ -117,9 +117,14 @@ object Layout {
       dimNames.flatMap(d => Seq(min(col(d)).cast("double"),
         max(col(d)).cast("double"))).tail: _*).collect().head
     val dims = dimNames.zipWithIndex.map { case (d, i) =>
-      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-      // degenerate (constant) dims contribute a constant 0 cell
-      if (hi > lo) quantize(col(d), lo, hi, bits) else lit(0L)
+      // an empty input (or all-null dim) yields null min/max — treat
+      // like a degenerate (constant) dim rather than NPE-ing: every
+      // row (if any) lands in cell 0 and the write still happens
+      if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+        if (hi > lo) quantize(col(d), lo, hi, bits) else lit(0L)
+      }
     }
     zorderWrite(df, dims, path, numFiles, bits)
   }
@@ -255,51 +260,90 @@ object Layout {
     * point-set complement of the `_hulls` intervals: min/max stats
     * cannot prune an equality probe on a high-cardinality key, a
     * bloom can. Params ride along as columns so readers validate
-    * against the write-time configuration.
+    * against the write-time configuration, including the KEY TYPE:
+    * xxhash64 is type-sensitive (an INT probe hashes differently from
+    * the BIGINT value it equals), so the probe side must cast to the
+    * recorded type before hashing or every test would be a silent
+    * false negative — dropped rows, not just missed pruning.
     */
   def writeKeyManifest(spark: SparkSession, path: String, keyCol: String,
       numBits: Int = 1 << 16, numHashes: Int = 5): Unit = {
     require(numBits % 64 == 0, s"numBits must be a multiple of 64: $numBits")
     val agg = udaf(bloomAgg(numBits, numHashes))
-    spark.read.parquet(path)
+    val table = spark.read.parquet(path)
+    table
       .select(input_file_name().as("file"), xxhash64(col(keyCol)).as("h"))
       .groupBy("file")
       .agg(agg(col("h")).as("bits"))
       .withColumn("key", lit(keyCol))
+      .withColumn("key_type", lit(table.schema(keyCol).dataType.json))
       .withColumn("num_bits", lit(numBits))
       .withColumn("num_hashes", lit(numHashes))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_keybloom")
   }
 
-  /** Equality/IN-probe scan: hash the probe values with the SAME
-    * engine function the manifest was built with (one dimension-scale
-    * job — no hand-rolled twin to drift), keep files whose bloom
-    * claims any probe key, then make the result exact with a
-    * semi-join against the probe. False positives only cost extra
-    * files; a file holding a probe key always matches (no false
-    * negatives), so pruning is sound. No manifest → plain semi-join
-    * scan.
+  /** The bloom membership test as a COLUMN over (h, bits, num_bits,
+    * num_hashes) — the exact engine-side twin of the driver
+    * [[bloomPos]] the write-side aggregator used (same double-hash
+    * walk, same long-overflow wrap via Java arithmetic, pmod ≡
+    * floorMod for a positive modulus). Evaluating it in a Spark job
+    * is what keeps the probe off the driver.
     */
-  private[graft] def selectFilesByKey(spark: SparkSession, path: String,
-      probe: DataFrame): Seq[String] = {
-    val keyName = probe.columns.head
-    val manifest = spark.read.parquet(s"$path/_keybloom").collect()
-    require(manifest.forall(_.getAs[String]("key") == keyName),
-      s"_keybloom was built on '${manifest.head.getAs[String]("key")}', " +
-        s"probed with '$keyName'")
-    val hashes = probe.select(xxhash64(col(keyName))).distinct()
-      .collect().map(_.getLong(0))
-    manifest.filter { r =>
-      val bits = r.getAs[scala.collection.Seq[Long]]("bits")
-      val (nb, nh) = (r.getAs[Int]("num_bits"), r.getAs[Int]("num_hashes"))
-      hashes.exists { h =>
-        (0 until nh).forall { i =>
-          val pos = bloomPos(h, i, nb)
-          (bits(pos >> 6) & (1L << (pos & 63))) != 0L
-        }
-      }
-    }.map(_.getAs[String]("file")).toSeq
+  private def bloomTest: Column = {
+    val h1 = call_function("shiftrightunsigned", col("h"), lit(32))
+    val h2 = col("h").bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L))
+    forall(sequence(lit(0L), col("num_hashes").cast("long") - 1L), i => {
+      val pos = pmod(h1 + i * h2, col("num_bits").cast("long"))
+      val word = element_at(col("bits"),
+        (call_function("shiftright", pos, lit(6)) + 1L).cast("int"))
+      val mask = call_function("shiftleft", lit(1L),
+        pos.bitwiseAND(lit(63L)).cast("int"))
+      word.bitwiseAND(mask) =!= 0L
+    })
   }
+
+  /** Equality/IN-probe pruning, evaluated AS A SPARK JOB: the
+    * `_keybloom` manifest frame joins the (distinct, type-cast,
+    * broadcast) probe-hash frame and the bloom test filters the
+    * pairs; only the surviving FILE NAMES reach the driver. At 10⁵
+    * files × 10⁴ probe keys that is 10⁹ bloom tests distributed
+    * across executors instead of a single-threaded driver loop, and
+    * driver memory is file-names-that-match, never the bitset
+    * manifest itself (the round-4 `collect()` materialized ~800 MB of
+    * bitsets for 10⁵ files — the one 100 TB flag this closes).
+    *
+    * Probe values are cast to the manifest's recorded key type before
+    * hashing (xxhash64 is type-sensitive — see [[writeKeyManifest]]),
+    * so pruning keeps its no-false-negative soundness across probe
+    * frames of any compatible type. False positives only cost extra
+    * files; the caller's semi-join makes results exact.
+    */
+  private[graft] def keyedSurvivors(spark: SparkSession, path: String,
+      probe: DataFrame): DataFrame = {
+    val keyName = probe.columns.head
+    val manifest = spark.read.parquet(s"$path/_keybloom")
+    require(manifest.schema.fieldNames.contains("key_type"),
+      s"_keybloom at $path predates key-type stamping — rebuild it with " +
+        "writeKeyManifest (typeless manifests cannot be probed soundly)")
+    val hd = manifest.select("key", "key_type").limit(1).collect()
+    if (hd.isEmpty) return manifest.select("file").limit(0)
+    val head = hd.head
+    require(head.getString(0) == keyName,
+      s"_keybloom was built on '${head.getString(0)}', " +
+        s"probed with '$keyName'")
+    val keyType =
+      org.apache.spark.sql.types.DataType.fromJson(head.getString(1))
+    val hashes = probe
+      .select(xxhash64(col(keyName).cast(keyType)).as("h")).distinct()
+    manifest.join(broadcast(hashes))
+      .filter(bloomTest)
+      .select("file").distinct()
+  }
+
+  private[graft] def selectFilesByKey(spark: SparkSession, path: String,
+      probe: DataFrame): Seq[String] =
+    keyedSurvivors(spark, path, probe)
+      .collect().map(_.getString(0)).toSeq
 
   def prunedScanByKey(spark: SparkSession, path: String,
       probe: DataFrame): DataFrame = {
@@ -310,8 +354,8 @@ object Layout {
       if (p.getFileSystem(conf).exists(p)) {
         val manifest = spark.read.parquet(s"$path/_keybloom")
           .select("file").collect().map(_.getString(0)).toSeq
-        val files = selectFilesByKey(spark, path, probe) ++
-          unknownFiles(spark, path, manifest)
+        val files = readSet(spark, path, manifest,
+          selectFilesByKey(spark, path, probe))
         if (files.isEmpty) spark.read.parquet(path).limit(0)
         else spark.read.parquet(files: _*)
       } else spark.read.parquet(path)
@@ -328,16 +372,23 @@ object Layout {
     * file list shrinks like the hull coverage — this is what the
     * write-time exchange bought.
     */
-  /** Data files the manifest does not know about (rows appended since
-    * the manifest was built, or a path-rendering divergence). These
-    * can never be pruned — a scan must always read them — which keeps
-    * pruning SOUND against a stale manifest: the failure direction of
-    * any mismatch is "read more", never "drop rows".
+  /** The files a pruned scan must read, derived from the SCAN-TIME
+    * inputFiles set so each physical file appears AT MOST ONCE:
+    * a file the manifest doesn't know (appended since the manifest
+    * was built, or a path-rendering divergence) can never be pruned —
+    * always read; a known file is read only when selected. This keeps
+    * pruning SOUND against a stale manifest — the failure direction
+    * of any mismatch is "read more", never "drop rows" — without the
+    * duplicate reads a rendering divergence would otherwise cause
+    * (every file "unknown" AND the manifest-rendered selection also
+    * listed → rows doubled).
     */
-  private def unknownFiles(spark: SparkSession, path: String,
-      manifestFiles: Seq[String]): Seq[String] = {
+  private def readSet(spark: SparkSession, path: String,
+      manifestFiles: Seq[String], selected: Seq[String]): Seq[String] = {
     val known = manifestFiles.toSet
-    spark.read.parquet(path).inputFiles.toSeq.filterNot(known)
+    val sel = selected.toSet
+    spark.read.parquet(path).inputFiles.toSeq
+      .filter(f => !known.contains(f) || sel.contains(f))
   }
 
   def prunedScan(spark: SparkSession, path: String,
@@ -348,8 +399,8 @@ object Layout {
       if (p.getFileSystem(conf).exists(p)) {
         val manifest = spark.read.parquet(s"$path/_hulls")
           .select("file").collect().map(_.getString(0)).toSeq
-        val files = selectFiles(spark, path, preds) ++
-          unknownFiles(spark, path, manifest)
+        val files = readSet(spark, path, manifest,
+          selectFiles(spark, path, preds))
         if (files.isEmpty) spark.read.parquet(path).limit(0)
         else spark.read.parquet(files: _*)
       } else spark.read.parquet(path)

@@ -211,6 +211,104 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet == exact)
   }
 
+  test("prunedScanByKey: probes of a different (compatible) type are " +
+      "cast to the manifest's key type — no silent false negatives") {
+    import spark.implicits._
+    val li = Tables(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_partkey")
+    val dir = Files.createTempDirectory("graft-zbloom-cast").toString + "/z"
+    Layout.zorderWriteAuto(li, Seq("l_partkey"), dir, 4, bits = 10)
+    Layout.writeKeyManifest(spark, dir, "l_partkey") // BIGINT key
+    val exact = li.filter(col("l_partkey") === 101)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty)
+    // an INT probe and a STRING probe hash differently from BIGINT
+    // under xxhash64 — without the recorded-type cast every bloom
+    // test is a false negative and matching files get PRUNED
+    // (explicit select: the semi-join moves the key column first)
+    assert(Layout.prunedScanByKey(spark, dir, Seq(101).toDF("l_partkey"))
+      .select("l_orderkey", "l_partkey")
+      .collect().map(_.toSeq).toSet == exact)
+    assert(Layout.prunedScanByKey(spark, dir, Seq("101").toDF("l_partkey"))
+      .select("l_orderkey", "l_partkey")
+      .collect().map(_.toSeq).toSet == exact)
+  }
+
+  test("keyedSurvivors runs the bloom tests as a Spark job over the " +
+      "manifest frame — never a driver-side bitset loop") {
+    import spark.implicits._
+    val li = Tables(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_partkey")
+    // inflated file count: 64 z-ordered files; the probe keys span a
+    // narrow slice of the key domain so genuine matches cluster in
+    // few files (l_partkey covers 0..199 at this sf — probing the
+    // whole domain would legitimately match every file)
+    val dir = Files.createTempDirectory("graft-zbloom-scale").toString + "/z"
+    Layout.zorderWriteAuto(li, Seq("l_partkey"), dir, 64, bits = 10)
+    Layout.writeKeyManifest(spark, dir, "l_partkey")
+    val probe = (10L to 15L).toDF("l_partkey")
+    val surv = Layout.keyedSurvivors(spark, dir, probe)
+    // the plan must SCAN the _keybloom manifest (bitsets stay in
+    // executors) and broadcast only the probe hashes
+    val plan = surv.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("_keybloom"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val hit = surv.collect().map(_.getString(0)).toSeq
+    assert(hit.nonEmpty && hit.size < 64,
+      s"bloom selected ${hit.size}/64 files — no pruning")
+    // and the selection is exact end-to-end at this file count
+    val exact = li.filter(col("l_partkey").between(10, 15))
+      .collect().map(_.toSeq).toSet
+    assert(Layout.prunedScanByKey(spark, dir, probe)
+      .select("l_orderkey", "l_partkey")
+      .collect().map(_.toSeq).toSet == exact)
+  }
+
+  test("path-rendering divergence: every file unknown → full read, " +
+      "each physical file read AT MOST once (no duplicated rows)") {
+    val li = Tables(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val dir = Files.createTempDirectory("graft-zdiverge").toString + "/z"
+    Layout.zorderWriteAuto(li, Seq("l_partkey", "l_suppkey"), dir, 8,
+      bits = 10)
+    Layout.writeManifest(spark, dir, Seq("l_partkey", "l_suppkey"))
+    // doctor the manifest's file paths to simulate a rendering
+    // divergence (file:/ vs file:/// class of mismatch): every data
+    // file becomes "unknown" AND every doctored name still "selects"
+    val doctored = spark.read.parquet(s"$dir/_hulls")
+      .withColumn("file", concat(lit("divergent-"), col("file")))
+    val tmpMan =
+      Files.createTempDirectory("graft-zdiverge-man").toString + "/m"
+    doctored.write.parquet(tmpMan)
+    spark.read.parquet(tmpMan).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_hulls")
+    val preds = Seq(("l_partkey", 100.0, 120.0), ("l_suppkey", 1.0, 5.0))
+    val exact = li.filter(
+      col("l_partkey").between(100, 120) && col("l_suppkey").between(1, 5))
+      .collect().map(_.toSeq).toSet
+    val got = Layout.prunedScan(spark, dir, preds)
+      .collect().map(_.toSeq).toList
+    assert(got.toSet == exact)
+    assert(got.size == exact.size, // bag equality: no doubled rows
+      s"divergent manifest duplicated rows: ${got.size} vs ${exact.size}")
+  }
+
+  test("zorderWriteAuto: empty input writes an empty table, not NPE") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zempty").toString + "/z"
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Layout.zorderWriteAuto(empty, Seq("a", "b"), dir, 4)
+    assert(spark.read.parquet(dir).count() == 0)
+    // all-null dim on a non-empty frame: degenerate cell, rows kept
+    val dir2 = Files.createTempDirectory("graft-zempty2").toString + "/z"
+    val withNulls = Seq((1L, Option.empty[Long]), (2L, None))
+      .toDF("a", "b")
+    Layout.zorderWriteAuto(withNulls, Seq("a", "b"), dir2, 2)
+    assert(spark.read.parquet(dir2).count() == 2)
+  }
+
   test("recluster restores clustering after appends, refreshes manifests") {
     import spark.implicits._
     val li = Tables(spark, sf(), "lineitem")
