@@ -201,21 +201,15 @@ object Layout {
       bloomKey: Option[String] = None): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val tag = java.util.UUID.randomUUID().toString
-    val tmp = new org.apache.hadoop.fs.Path(path + ".staging-" + tag)
-    val aside = new org.apache.hadoop.fs.Path(path + ".replaced-" + tag)
-    // the staged write MATERIALIZES the copy before anything moves
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".staging-" + java.util.UUID.randomUUID())
+    // the staged write MATERIALIZES the copy before anything moves;
+    // the swap runs under the shared marker protocol (StagedSwap), so
+    // an interrupted swap is detectable and recovers to one complete
+    // generation
     zorderWriteAuto(spark.read.parquet(path), dimNames, tmp.toString,
       numFiles, bits)
-    if (!fs.rename(live, aside))
-      throw new java.io.IOException(
-        s"cannot stage out live table at $path (staging kept at $tmp)")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(aside, live) // restore the original
-      throw new java.io.IOException(
-        s"failed to swap re-clustered table into $path (staging kept at $tmp)")
-    }
-    fs.delete(aside, true)
+    graft.sink.StagedSwap.swap(fs, live, tmp)
     writeManifest(spark, path, dimNames)
     bloomKey.foreach(k => writeKeyManifest(spark, path, k))
   }

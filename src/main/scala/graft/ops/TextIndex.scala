@@ -195,22 +195,13 @@ object TextIndex {
     load(spark, path) // fail loudly on a stampless/foreign directory
     def swapFiltered(dir: String, partitionCols: Seq[String]): Unit = {
       val live = new Path(dir)
-      val tag = java.util.UUID.randomUUID().toString
-      val tmp = new Path(dir + ".compacting-" + tag)
-      val aside = new Path(dir + ".replaced-" + tag)
+      val tmp = new Path(
+        dir + ".compacting-" + java.util.UUID.randomUUID())
       val w = notDeleted(spark, path, spark.read.parquet(dir))
         .write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
-      if (!fs.rename(live, aside))
-        throw new java.io.IOException(
-          s"cannot stage out live index table at $live (staging kept at $tmp)")
-      if (!fs.rename(tmp, live)) {
-        fs.rename(aside, live)
-        throw new java.io.IOException(
-          s"failed to swap compacted table into $live (staging kept at $tmp)")
-      }
-      fs.delete(aside, true)
+      graft.sink.StagedSwap.swap(fs, live, tmp)
     }
     swapFiltered(postingsPath(path), Seq("tb"))
     swapFiltered(doclenPath(path), Seq.empty)

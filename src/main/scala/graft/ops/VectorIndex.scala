@@ -261,9 +261,8 @@ object VectorIndex {
     if (!fs.exists(tomb)) return
     val idName = dataIdCol(meta)
     val live = new Path(dataPath(path))
-    val tag = java.util.UUID.randomUUID().toString
-    val tmp = new Path(dataPath(path) + ".compacting-" + tag)
-    val aside = new Path(dataPath(path) + ".replaced-" + tag)
+    val tmp = new Path(
+      dataPath(path) + ".compacting-" + java.util.UUID.randomUUID())
     val filtered = notDeleted(spark, path,
       spark.read.parquet(dataPath(path)), idName)
     val w = filtered.write.mode(SaveMode.Overwrite)
@@ -272,16 +271,7 @@ object VectorIndex {
       case "lsh" => w.partitionBy("tbl", "bucket").parquet(tmp.toString)
       case _ => w.parquet(tmp.toString)
     }
-    if (!fs.rename(live, aside))
-      throw new java.io.IOException(
-        s"cannot stage out live index data at $live (staging kept at $tmp)")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(aside, live) // restore the original
-      throw new java.io.IOException(
-        s"failed to swap compacted index data into $live " +
-          s"(staging kept at $tmp)")
-    }
-    fs.delete(aside, true)
+    graft.sink.StagedSwap.swap(fs, live, tmp)
     fs.delete(tomb, true)
   }
 

@@ -214,13 +214,12 @@ object StreamingDedup {
     * probe's pruning grain and file count improve.
     *
     * Swap protocol: the compacted store is fully written (data + stamp)
-    * to `<path>.compacting`, then the live store moves to
-    * `<path>.old`, the compacted one moves into place, and `.old` is
-    * deleted. A crash leaves either the live store untouched or a
-    * complete compacted store; the only manual-recovery window is
-    * between the two renames (the store is then at `<path>.old`,
-    * intact). Refuses to start if a previous attempt's directories
-    * are still present.
+    * to `<path>.compacting`, then swapped into place under
+    * [[graft.sink.StagedSwap]]'s persistent-marker protocol — a crash
+    * at any step is detectable and `StagedSwap.recover` resolves it to
+    * either the untouched live store or the complete compacted one,
+    * never a mix. Refuses to start if a previous attempt's staging is
+    * still present.
     */
   def compact(
       spark: SparkSession,
@@ -233,10 +232,10 @@ object StreamingDedup {
     if (!fs.exists(tagPath)) return // empty/unborn store: nothing to do
 
     val tmp = new Path(storePath + ".compacting")
-    val old = new Path(storePath + ".old")
-    require(!fs.exists(tmp) && !fs.exists(old),
-      s"$tmp or $old already exists — a previous compaction did not " +
-        "finish; inspect and remove the leftovers before retrying")
+    require(!fs.exists(tmp),
+      s"$tmp already exists — a previous compaction did not finish; " +
+        "run graft.sink.StagedSwap.recover and remove the leftover " +
+        "staging before retrying")
 
     val in = fs.open(tagPath)
     val onDisk = try new String(in.readAllBytes(), "UTF-8")
@@ -258,15 +257,8 @@ object StreamingDedup {
     val out = fs.create(new Path(tmp, "_graft_dedup_params"), true)
     try out.write(newTag.getBytes("UTF-8")) finally out.close()
 
-    require(fs.rename(root, old),
-      s"compaction swap failed: could not move $root aside")
-    if (!fs.rename(tmp, root)) {
-      // put the live store back rather than leaving the path empty
-      fs.rename(old, root)
-      throw new IllegalStateException(
-        s"compaction swap failed moving $tmp into place; live store " +
-          "restored")
-    }
-    fs.delete(old, true)
+    // marker-protocol swap: interrupted compactions are detectable and
+    // recover to one complete generation (graft.sink.StagedSwap)
+    graft.sink.StagedSwap.swap(fs, root, tmp)
   }
 }

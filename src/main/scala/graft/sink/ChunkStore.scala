@@ -392,22 +392,15 @@ final class ChunkStore(
       case None =>
         val f = fs
         val tmp = new Path(path + ".compacting")
-        val old = new Path(path + ".old")
         if (f.exists(tmp)) f.delete(tmp, true)
         withWriterLock {
           read().repartition(col("document_url"))
             .write.partitionBy("document_url").parquet(tmp.toString)
           val out = f.create(new Path(tmp, "_graft_layout"), true)
           try out.write(layoutTag.getBytes("UTF-8")) finally out.close()
-          if (f.exists(old)) f.delete(old, true)
-          require(f.rename(new Path(path), old),
-            s"compact: cannot move $path aside")
-          if (!f.rename(tmp, new Path(path))) {
-            f.rename(old, new Path(path)) // restore the live store
-            throw new java.io.IOException(
-              s"compact: failed to swap $tmp into $path")
-          }
-          f.delete(old, true)
+          // marker-protocol swap (StagedSwap): an interrupted swap is
+          // detectable and recovers to one complete generation
+          StagedSwap.swap(f, new Path(path), tmp)
         }
     }
   }
