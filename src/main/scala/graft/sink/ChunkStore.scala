@@ -40,7 +40,25 @@ import org.apache.spark.sql.types._
 final class ChunkStore(
     spark: SparkSession,
     path: String,
-    buckets: Option[Int] = None) {
+    buckets: Option[Int] = None,
+    format: ChunkStore => TableFormat = _.parquetMergeEmulation) {
+
+  /** The [[TableFormat]] behind the three MERGE-shaped operations.
+    * Defaults to [[parquetMergeEmulation]]; pass a different factory
+    * to drop in a transactional format (Delta/Iceberg `MERGE INTO`)
+    * without touching any caller.
+    */
+  private lazy val fmt: TableFormat = format(this)
+
+  /** The built-in parquet MERGE emulation — the behavior this store
+    * has always had, now behind the [[TableFormat]] seam.
+    */
+  def parquetMergeEmulation: TableFormat = new TableFormat {
+    def merge(rows: DataFrame): Unit = upsertParquet(rows)
+    def delete(documentUrls: Seq[String]): Unit =
+      deleteParquet(documentUrls)
+    def compact(): Unit = compactParquet()
+  }
 
   val schema: StructType = StructType(Seq(
     StructField("chunk_id", IntegerType),
@@ -152,7 +170,9 @@ final class ChunkStore(
     * swapped. The collected url list is bounded by the documents in
     * this upsert batch.
     */
-  def upsert(chunks: DataFrame): Unit = buckets match {
+  def upsert(chunks: DataFrame): Unit = fmt.merge(chunks)
+
+  private def upsertParquet(chunks: DataFrame): Unit = buckets match {
     case None =>
       ensure()
       // per-writer option, NOT spark.conf.set: a session-level set would
@@ -205,7 +225,10 @@ final class ChunkStore(
     * metadata). Bucketed layout: rewrite the affected buckets without
     * the deleted documents.
     */
-  def delete(documentUrls: Seq[String]): Unit = buckets match {
+  def delete(documentUrls: Seq[String]): Unit = fmt.delete(documentUrls)
+
+  private def deleteParquet(documentUrls: Seq[String]): Unit =
+    buckets match {
     case None =>
       checkLayout()
       val f = fs
@@ -378,7 +401,9 @@ final class ChunkStore(
     * only manual-recovery window is between the two renames (same
     * protocol and caveat as the signature store's compaction).
     */
-  def compact(): Unit = {
+  def compact(): Unit = fmt.compact()
+
+  private def compactParquet(): Unit = {
     checkLayout()
     if (!exists) return
     buckets match {

@@ -1,0 +1,46 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+
+/** The MERGE-shaped storage contract behind [[ChunkStore]] — the seam
+  * where a transactional table format drops in without touching any
+  * caller (SURVEY A17's own mapping: the reference's store gives
+  * per-item atomic upsert via Cosmos,
+  * `AzureCosmosDB/.../CosmosDBClientWrapper.cs:36-72`; on a lake the
+  * equivalent is Delta/Iceberg `MERGE INTO`).
+  *
+  * Three operations, keyed by `document_url`:
+  *  - [[merge]] — replace every document present in `rows`, leave all
+  *    others in place (idempotent whole-document upsert; the
+  *    reference's only upsert scenario, since chunk ids are
+  *    per-document ordinals);
+  *  - [[delete]] — drop all rows of the given documents;
+  *  - [[compact]] — same rows, fewer files (maintenance).
+  *
+  * The default implementation is the parquet MERGE emulation that
+  * [[ChunkStore]] has always run (dynamic partition overwrite on the
+  * per-document layout; writer-locked staged bucket rewrite on the
+  * bucketed one). A Delta/Iceberg implementation maps the calls to
+  * `MERGE INTO` / `DELETE FROM` / `OPTIMIZE`, gaining concurrent
+  * writers, snapshot-isolated readers, and file-level conflict
+  * detection — the capabilities a writer-lock file cannot provide and
+  * the object-store-safe answer to directory-rename swaps
+  * (SCALE.md §1). Wire one in via [[ChunkStore]]'s `format`
+  * constructor argument; the sandbox has no Delta/Iceberg jars, so
+  * the seam ships with the parquet implementation and a contract
+  * spec any implementation must pass (TableFormatContractSpec).
+  */
+trait TableFormat {
+
+  /** Replace exactly the documents present in `rows` (all five chunk
+    * columns), leave everything else in place. Re-running the same
+    * merge is a no-op on the final state.
+    */
+  def merge(rows: DataFrame): Unit
+
+  /** Drop all chunks of the given documents; absent urls are no-ops. */
+  def delete(documentUrls: Seq[String]): Unit
+
+  /** Collapse small files; rows and layout semantics unchanged. */
+  def compact(): Unit
+}
