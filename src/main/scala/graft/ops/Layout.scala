@@ -377,7 +377,7 @@ object Layout {
     * (every file "unknown" AND the manifest-rendered selection also
     * listed → rows doubled).
     */
-  private def readSet(spark: SparkSession, path: String,
+  private[graft] def readSet(spark: SparkSession, path: String,
       manifestFiles: Seq[String], selected: Seq[String]): Seq[String] = {
     val known = manifestFiles.toSet
     val sel = selected.toSet

@@ -453,13 +453,85 @@ final class ChunkStore(
         .collect().map(_.getString(0)).toSeq
   }
 
+  // ---- B5 + B11c on the store's own table: the bucketed layout
+  // prunes a point lookup to ONE bucket directory, but a hot bucket
+  // accumulates many files (one set per upsert/append batch) and the
+  // scan reads them all. A per-file `_keybloom` manifest on
+  // `document_url` (the same sidecar the z-order layout family uses,
+  // ops.Layout.writeKeyManifest) lets point/multi-document reads
+  // prune to the FILE subset that can contain the probed urls —
+  // evaluated as a Spark job, never a driver loop.
+  private def keyManifestPath = new Path(path, "_keybloom")
+
+  /** True when a `_keybloom` manifest is present (bucketed layout). */
+  def hasKeyManifest: Boolean = exists && fs.exists(keyManifestPath)
+
+  /** Maintenance: build/refresh the per-file `_keybloom` manifest on
+    * `document_url`. Run it after [[compact]] (or on the same cadence)
+    * — file-count rows of fixed-size bitsets, KB-to-MB-scale at any
+    * corpus size. A STALE manifest is sound by construction: reads
+    * derive their file set from the scan-time listing, so a file the
+    * manifest doesn't know (written since the build) is always read
+    * and a file it knows but that no longer exists simply isn't in
+    * the listing — the failure direction is "read more", never "drop
+    * rows". Per-document layout refuses: partition directories
+    * already prune point reads to one directory.
+    */
+  def buildKeyManifest(): Unit = {
+    require(buckets.nonEmpty,
+      "buildKeyManifest is for the bucketed layout; the per-document " +
+        "layout's partition directories already prune point reads")
+    checkLayout()
+    if (exists)
+      graft.ops.Layout.writeKeyManifest(spark, path, "document_url")
+  }
+
+  /** Multi-document read. Per-document layout: partition-pruned scan
+    * (directory names are the urls). Bucketed layout: bucket-pruned
+    * scan, narrowed to the `_keybloom`-surviving FILE subset when a
+    * manifest is present — bloom false positives only widen the file
+    * list; the exact url filter keeps the result identical to a full
+    * scan-and-filter either way.
+    */
+  def readDocuments(urls: Seq[String]): DataFrame = {
+    checkLayout()
+    if (urls.isEmpty || !exists) return emptyFrame(schema)
+    buckets match {
+      case None =>
+        read().filter(col("document_url").isin(urls: _*))
+      case Some(_) if hasKeyManifest =>
+        import spark.implicits._
+        val probe = urls.toDF("document_url")
+        val known = spark.read.parquet(s"$path/_keybloom")
+          .select("file").collect().map(_.getString(0)).toSeq
+        val selected =
+          graft.ops.Layout.selectFilesByKey(spark, path, probe)
+        val files = graft.ops.Layout.readSet(spark, path, known, selected)
+        val base =
+          if (files.isEmpty) emptyFrame(schema)
+          else spark.read.schema(schema).parquet(files: _*)
+        base.filter(col("document_url").isin(urls: _*))
+      case Some(_) =>
+        // OR of constant-folding bucket-id equalities — each term
+        // folds to a literal comparison on the partition column, so
+        // the scan prunes to the probed buckets
+        rawRead()
+          .filter(urls.map(u => col(bucketCol) === bucketOf(lit(u)))
+            .reduce(_ || _) && col("document_url").isin(urls: _*))
+          .drop(bucketCol)
+    }
+  }
+
   /** B5: single-document read — prunes to one partition in both
     * layouts (the bucket id of a literal url constant-folds into a
-    * partition filter).
+    * partition filter), and to the bloom-surviving file subset when a
+    * [[buildKeyManifest]] manifest is present.
     */
   def readDocument(url: String): DataFrame = { checkLayout(); buckets } match {
     case None =>
       read().filter(col("document_url") === url)
+    case Some(_) if hasKeyManifest =>
+      readDocuments(Seq(url))
     case Some(_) =>
       rawRead()
         .filter(col(bucketCol) === bucketOf(lit(url)) &&

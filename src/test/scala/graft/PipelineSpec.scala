@@ -233,6 +233,74 @@ class PipelineSpec extends SparkSpec {
       s"expected bucket partition filter in: $scan")
   }
 
+  test("bucketed store: _keybloom manifest prunes reads to a file subset (B11c on the store)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-store-kb").toString + "/chunks"
+    val store = new ChunkStore(spark, dir, buckets = Some(4))
+    val docs = Tables(spark, sf(), "documents").limit(24)
+    val ingested = IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16))
+    // several append batches → several file sets per bucket, the
+    // append-heavy state the manifest exists to prune
+    store.upsert(ingested)
+    store.append(ingested.filter(col("document_url") === "doc://1"))
+    store.append(ingested.filter(col("document_url") === "doc://2"))
+    store.buildKeyManifest()
+    assert(store.hasKeyManifest)
+
+    val probe = Seq("doc://5", "doc://absent")
+    val pruned = store.readDocuments(probe)
+    val expected = store.read()
+      .filter(col("document_url").isin(probe: _*))
+    assert(pruned.orderBy("document_url", "chunk_id").collect().toSeq ==
+      expected.orderBy("document_url", "chunk_id").collect().toSeq)
+    // the payoff: strictly fewer files than the full store holds
+    assert(pruned.inputFiles.length < store.read().inputFiles.length,
+      s"pruned read touched ${pruned.inputFiles.length} of " +
+        s"${store.read().inputFiles.length} files")
+    // single-document path routes through the manifest too
+    assert(store.readDocument("doc://5").count() == expected
+      .filter(col("document_url") === "doc://5").count())
+  }
+
+  test("bucketed store: a stale _keybloom manifest is sound (reads widen, never drop)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-store-kb2").toString + "/chunks"
+    val store = new ChunkStore(spark, dir, buckets = Some(4))
+    val docs = Tables(spark, sf(), "documents").limit(12)
+    val ingested = IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16))
+    store.upsert(ingested.filter(col("document_url") =!= "doc://3"))
+    store.buildKeyManifest()
+    // staling writes AFTER the manifest: a brand-new document, and a
+    // rewrite of existing buckets (upsert) that renames their files
+    store.upsert(ingested)
+    // the new document's files are unknown to the manifest → always
+    // read; nothing the store holds may be dropped
+    val got = store.readDocuments(Seq("doc://3", "doc://0"))
+      .select("document_url").distinct().collect().map(_.getString(0)).toSet
+    assert(got == Set("doc://3", "doc://0"))
+    // deletes after the manifest: no ghost rows (files are gone from
+    // the scan-time listing, manifest entries for them are ignored)
+    store.delete(Seq("doc://0"))
+    assert(store.readDocuments(Seq("doc://0")).count() == 0)
+  }
+
+  test("per-document store: readDocuments prunes partitions, no manifest needed") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-store-kb3").toString + "/chunks"
+    val store = new ChunkStore(spark, dir)
+    val docs = Tables(spark, sf(), "documents").limit(6)
+    store.upsert(IngestPipeline.ingestDocumentsTable(
+      spark, docs, DeterministicEmbedder(16)))
+    val q = store.readDocuments(Seq("doc://1", "doc://4"))
+    assert(q.select("document_url").distinct().count() == 2)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scan.contains("PartitionFilters: []"),
+      s"expected partition filters in: $scan")
+    intercept[IllegalArgumentException](store.buildKeyManifest())
+  }
+
   test("compact: fewer files, identical rows, store still writable") {
     import org.apache.spark.sql.functions._
     def parquetFiles(dir: String): Int = {
