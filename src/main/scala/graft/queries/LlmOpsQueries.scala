@@ -297,6 +297,37 @@ object LlmOpsQueries {
           .as("complete_topk")))
     },
 
+    // D3h: graph ANN — the persistent per-cell NSW index (the index
+    // CLASS the reference's README reaches for with DiskANN,
+    // AzureCosmosDB/csharp/README.md:29, decomposed for a
+    // shared-nothing engine: stamped IVF routing + an independent
+    // navigable-small-world graph per cell, built and beam-searched
+    // inside one task each). Same gate design as d3c/d3d: recall@5 vs
+    // brute force over the same probes clears the floor and every
+    // probe returns a full top-5; GraphIndexSpec pins batch-invariant
+    // append, tombstone delete, compaction, and exhaustive-search
+    // exactness.
+    "d3h_ann_graph" -> QueryDef(
+      "SELECT TRUE AS recall_ok, TRUE AS complete_topk") { (s, dir) =>
+      import graft.ops.GraphIndex
+      val e = Tables(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 10)
+      val path = s"/tmp/graft-gindex-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      GraphIndex.build(e, path, "vec_id", "embedding",
+        nlist = 16, m = 8, efConstruction = 64)
+      val approx = GraphIndex.query(s, path, probes, k = 5,
+        nprobe = 4, ef = 64)
+      val brute = Similarity.knnJoinBrute(e, probes,
+        "vec_id", "embedding", k = 5)
+      val hits = brute.select("probe_id", "nn_id")
+        .join(approx.select("probe_id", "nn_id"), Seq("probe_id", "nn_id"),
+          "left_semi")
+      hits.agg(count(lit(1)).as("nhits"))
+        .crossJoin(approx.agg(count(lit(1)).as("napprox")))
+        .select((col("nhits") >= lit(25)).as("recall_ok"),
+          (col("napprox") === lit(50)).as("complete_topk"))
+    },
+
     // D6: embedding-cosine near-duplicate pairs.
     "d6_embedding_neardup" -> QueryDef(
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
