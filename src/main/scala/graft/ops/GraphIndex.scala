@@ -190,6 +190,7 @@ object GraphIndex {
       seed: Long = 42L): Unit = {
     val spark = base.sparkSession
     import spark.implicits._
+    requireIntegralId(base, idCol)
     val cents = Similarity.ivfCentroids(base, idCol, vecCol, nlist, seed)
     unstamp(spark, path)
     val assigned = base.select(
@@ -267,9 +268,30 @@ object GraphIndex {
     * [[compact]] physically drops the rows and rebuilds the affected
     * cells' graphs on a maintenance cadence.
     */
-  def delete(ids: DataFrame, path: String): Unit =
+  def delete(ids: DataFrame, path: String): Unit = {
+    requireIntegralId(ids, ids.columns.head)
     ids.select(col(ids.columns.head).cast("long").as("nn_id")).distinct()
       .write.mode(SaveMode.Append).parquet(tombPath(path))
+  }
+
+  /** The graph index keys rows by a NUMERIC id (the in-task kernel
+    * tie-breaks on it); a string-keyed caller (e.g. an index attached
+    * by `document_url`) must map urls to numeric ids first — a silent
+    * `cast("long")` on a url yields null and would SWALLOW the
+    * build/delete, the exact failure IndexMaintenance exists to
+    * prevent, so the type is checked loudly instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"GraphIndex requires an integral id column; '$idCol' is " +
+          s"${other.simpleString}. Map string keys to numeric ids " +
+          "(e.g. a dimension table) before indexing.")
+    }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new Path(tombPath(path))

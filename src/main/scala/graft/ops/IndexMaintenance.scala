@@ -34,9 +34,12 @@ object IndexMaintenance {
       VectorIndex.delete(ids, path)
     else if (hasStamp(spark, path, "_graft_text_index"))
       TextIndex.delete(ids, path)
+    else if (hasStamp(spark, path, "_graft_graph_index"))
+      GraphIndex.delete(ids, path)
     else throw new IllegalArgumentException(
-      s"no vector or text index stamp at $path — refusing to skip a " +
-        "delete propagation (the index would keep serving deleted rows)")
+      s"no vector, text, or graph index stamp at $path — refusing to " +
+        "skip a delete propagation (the index would keep serving " +
+        "deleted rows)")
 
   /** Physically drop tombstoned rows from the index at `path`. */
   def compact(spark: SparkSession, path: String): Unit =
@@ -44,6 +47,8 @@ object IndexMaintenance {
       VectorIndex.compact(spark, path)
     else if (hasStamp(spark, path, "_graft_text_index"))
       TextIndex.compact(spark, path)
+    else if (hasStamp(spark, path, "_graft_graph_index"))
+      GraphIndex.compact(spark, path)
     else throw new IllegalArgumentException(
-      s"no vector or text index stamp at $path")
+      s"no vector, text, or graph index stamp at $path")
 }

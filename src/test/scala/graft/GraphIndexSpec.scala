@@ -128,6 +128,36 @@ class GraphIndexSpec extends SparkSpec {
     afterDelete.unpersist()
   }
 
+  test("IndexMaintenance routes deletes/compaction to a graph index by stamp") {
+    val path = freshPath("im")
+    GraphIndex.build(emb, path, "vec_id", "embedding", nlist = 8)
+    import spark.implicits._
+    graft.ops.IndexMaintenance.deleteFrom(spark, path, Seq(5L).toDF("id"))
+    val got = GraphIndex.query(spark, path,
+      emb.filter(col("vec_id") === 5), k = 1, nprobe = 2, ef = 64)
+    assert(got.filter(col("nn_id") === 5L).count() == 0,
+      "tombstoned id still served after IndexMaintenance.deleteFrom")
+    graft.ops.IndexMaintenance.compact(spark, path)
+    assert(spark.read.parquet(s"$path/data")
+      .filter(col("nn_id") === 5L).count() == 0)
+  }
+
+  test("string-keyed ids are rejected loudly (no silent null-cast)") {
+    import spark.implicits._
+    val byUrl = emb.select(
+      concat(lit("doc://"), col("vec_id")).as("url"), col("embedding"))
+    val e1 = intercept[IllegalArgumentException] {
+      GraphIndex.build(byUrl, freshPath("str"), "url", "embedding")
+    }
+    assert(e1.getMessage.contains("integral id"))
+    val path = freshPath("str2")
+    GraphIndex.build(emb, path, "vec_id", "embedding", nlist = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphIndex.delete(Seq("doc://5").toDF("url"), path)
+    }
+    assert(e2.getMessage.contains("integral id"))
+  }
+
   test("stamp validates loudly: querying an unbuilt path fails") {
     val e = intercept[IllegalArgumentException] {
       GraphIndex.query(spark, freshPath("missing"),
