@@ -407,6 +407,51 @@ object Dedup {
         (size(toks) - size(kept)).cast("long").as("n_cut"))
   }
 
+  /** D23: corpus-level repeated-LINE removal — the line-dedup stage of
+    * the RefinedWeb/Falcon and Gopher/MassiveText pipelines (Penedo et
+    * al. 2023, arXiv:2306.01116 §3; Rae et al. 2021, arXiv:2112.11446
+    * A.1.2): a line appearing verbatim in ≥ `minDocs` distinct
+    * documents is template boilerplate (nav menus, cookie banners,
+    * footers) and is cut from EVERY document; remaining lines rejoin
+    * in order. Whitespace-only lines are never candidates and never
+    * cut. Returns every input row as `(idCol, cleaned_text, n_cut)`.
+    *
+    * Scale shape (the line-granular sibling of [[cutRepeatedSpans]]):
+    * lines hash per-row BEFORE any exchange, the candidacy aggregate
+    * and the hit join carry (hash, id, pos) — never line text — and
+    * the cut is a per-row positional-filter HOF against each doc's
+    * own (small, boilerplate-bounded) cut-position list. Hash
+    * collisions (same trade as the D18 gram hashes) could cut an
+    * innocent line; at 64 bits that needs ~2³² distinct corpus lines
+    * before birthday effects appear.
+    */
+  def cutCommonLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        xxhash64(col("line")).as("h"),
+        (trim(col("line")) =!= "").as("cand"))
+      .filter(col("cand"))
+    val common = lines
+      .groupBy("h").agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val cutPos = lines.join(common, Seq("h"))
+      .groupBy("id").agg(collect_list(col("pos")).as("__cut"))
+    val toks = split(col(textCol), "\n")
+    val cutOrEmpty = coalesce(col("__cut"), array().cast("array<bigint>"))
+    val kept = filter(toks, (_, i) =>
+      !array_contains(cutOrEmpty, i.cast("long")))
+    docs.join(cutPos, docs(idCol) === cutPos("id"), "left")
+      .select(docs(idCol),
+        array_join(kept, "\n").as("cleaned_text"),
+        (size(toks) - size(kept)).cast("long").as("n_cut"))
+  }
+
   /** D13: semantic (embedding-space) dedup — SemDeDup (Abbas et al.,
     * arXiv:2303.09540): partition vectors into k-means cells, compare
     * pairs only WITHIN a cell, flag every row that has a smaller-id

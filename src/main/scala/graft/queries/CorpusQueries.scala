@@ -142,6 +142,50 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // D23: corpus-level repeated-line removal (RefinedWeb/Gopher line
+    // dedup) — the corpus has no newlines, so the gate synthesizes a
+    // line-structured version with PLANTED boilerplate that exercises
+    // the threshold both ways at minDocs=100: a header on every doc
+    // (500 ≥ 100 → cut) and a cookie line on every 3rd (167 ≥ 100 →
+    // cut), while the real text (dup groups ≪ 100) and a rare promo
+    // line on every 50th (10 < 100) must SURVIVE. The oracle replays
+    // the whole construction and the cut on exact line text, so the
+    // hash-based engine path must agree byte-for-byte per row.
+    "d23_line_dedup" -> QueryDef(
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10),
+        |           'nav home about contact',
+        |           CASE WHEN doc_id % 3 = 0 THEN 'accept cookies to continue' END,
+        |           text,
+        |           CASE WHEN doc_id % 50 = 0 THEN 'limited time offer today' END) AS t2
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(t2, chr(10))) AS line,
+        |         generate_subscripts(string_split(t2, chr(10)), 1) AS pos
+        |  FROM lined
+        |), common AS (
+        |  SELECT line FROM l WHERE trim(line) <> ''
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 100
+        |)
+        |SELECT l.doc_id,
+        |       COALESCE(string_agg(CASE WHEN c.line IS NULL THEN l.line END,
+        |                           chr(10) ORDER BY l.pos), '') AS cleaned_text,
+        |       CAST(COUNT(c.line) AS BIGINT) AS n_cut
+        |FROM l LEFT JOIN common c ON l.line = c.line
+        |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+      val lined = Tables(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("nav home about contact"),
+          when(col("doc_id") % 3 === 0, lit("accept cookies to continue")),
+          col("text"),
+          when(col("doc_id") % 50 === 0, lit("limited time offer today")))
+          .as("t2"))
+      Dedup.cutCommonLines(lined, "doc_id", "t2", minDocs = 100)
+        .orderBy("doc_id")
+    },
+
     // D20: corpus snapshot diff — dataset governance between two
     // corpus versions. v2 drops every 7th doc, edits every 5th, and
     // adds 20 new ids; the full-outer hash compare must classify

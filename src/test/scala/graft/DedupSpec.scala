@@ -201,4 +201,26 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     assert(Dedup.repeatedNgramSpans(df, "doc_id", "text", n = 8).count() == 0)
   }
+
+  test("cutCommonLines removes corpus-common lines, keeps rare/blank lines (D23)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common header\nunique one\n\ncommon footer"),
+      (2L, "common header\nunique two\ncommon footer"),
+      (3L, "common header\nunique three\ncommon footer"),
+      (4L, "solo doc\nno boilerplate here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutCommonLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+    // header + footer hit 3 distinct docs → cut everywhere; unique
+    // lines and the BLANK line survive (blanks are never candidates)
+    assert(out(0).getString(1) == "unique one\n" && out(0).getLong(2) == 2)
+    assert(out(1).getString(1) == "unique two" && out(1).getLong(2) == 2)
+    assert(out(2).getString(1) == "unique three" && out(2).getLong(2) == 2)
+    assert(out(3).getString(1) == "solo doc\nno boilerplate here" &&
+      out(3).getLong(2) == 0)
+    // raising the threshold above the corpus spread cuts nothing
+    val none = Dedup.cutCommonLines(docs, "doc_id", "text", minDocs = 4)
+    assert(none.filter(col("n_cut") =!= 0L).count() == 0)
+  }
 }
