@@ -416,38 +416,39 @@ object Dedup {
     * in order. Whitespace-only lines are never candidates and never
     * cut. Returns every input row as `(idCol, cleaned_text, n_cut)`.
     *
-    * Scale shape (the line-granular sibling of [[cutRepeatedSpans]]):
-    * lines hash per-row BEFORE any exchange, the candidacy aggregate
-    * and the hit join carry (hash, id, pos) — never line text — and
-    * the cut is a per-row positional-filter HOF against each doc's
-    * own (small, boilerplate-bounded) cut-position list. Hash
-    * collisions (same trade as the D18 gram hashes) could cut an
-    * innocent line; at 64 bits that needs ~2³² distinct corpus lines
-    * before birthday effects appear.
+    * Scale shape (the line-granular sibling of [[cutRepeatedSpans]],
+    * with D11's broadcast-blocklist structure): lines hash per-row
+    * BEFORE the one exchange — the candidacy aggregate carries
+    * (hash, id) pairs, never line text — and the surviving hashes
+    * collapse into ONE broadcast set tested per line in a per-row
+    * HOF, so the corpus text never crosses ANY exchange and there is
+    * no join back onto the docs at all. The broadcast is bounded by
+    * the number of DISTINCT template lines (nav/cookie/footer
+    * boilerplate — the ≥ minDocs filter is exactly what keeps it
+    * small; a corpus with 10⁷ distinct lines each repeated across
+    * minDocs documents is not boilerplate removal and wants D1/D2
+    * document dedup instead). Hash collisions (same trade as the D18
+    * gram hashes) could cut an innocent line; at 64 bits that needs
+    * ~2³² distinct corpus lines before birthday effects appear.
     */
   def cutCommonLines(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       minDocs: Int): DataFrame = {
-    val lines = docs.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        xxhash64(col("line")).as("h"),
-        (trim(col("line")) =!= "").as("cand"))
-      .filter(col("cand"))
-    val common = lines
+    val commonSet = docs.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+      .select(col("id"), xxhash64(col("line")).as("h"))
       .groupBy("h").agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select("h")
-    val cutPos = lines.join(common, Seq("h"))
-      .groupBy("id").agg(collect_list(col("pos")).as("__cut"))
+      .agg(coalesce(collect_set(col("h")),
+        array().cast("array<bigint>")).as("__common"))
     val toks = split(col(textCol), "\n")
-    val cutOrEmpty = coalesce(col("__cut"), array().cast("array<bigint>"))
-    val kept = filter(toks, (_, i) =>
-      !array_contains(cutOrEmpty, i.cast("long")))
-    docs.join(cutPos, docs(idCol) === cutPos("id"), "left")
-      .select(docs(idCol),
+    val kept = filter(toks, x =>
+      !(trim(x) =!= "" && array_contains(col("__common"), xxhash64(x))))
+    docs.crossJoin(broadcast(commonSet))
+      .select(col(idCol),
         array_join(kept, "\n").as("cleaned_text"),
         (size(toks) - size(kept)).cast("long").as("n_cut"))
   }

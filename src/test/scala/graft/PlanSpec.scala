@@ -411,6 +411,25 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("d23: line dedup never ships line text through an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text"))
+    val df = graft.ops.Dedup.cutCommonLines(docs, "doc_id", "text",
+      minDocs = 2)
+    df.collect()
+    val shuffles = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { e =>
+      val names = e.output.map(_.name)
+      assert(!names.contains("text") && !names.contains("line"),
+        s"line text crosses an exchange: ${names.mkString(", ")}")
+    }
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet
