@@ -104,4 +104,40 @@ class OperatorPropertySpec extends SparkSpec {
     }
     assert(sig(1, desc = false) == sig(7, desc = true))
   }
+
+  test("cutCommonLines agrees with an in-memory reference and is idempotent") {
+    import spark.implicits._
+    // random multi-line docs over a tiny line alphabet so lines repeat
+    // across docs with high probability
+    val lineGen = Gen.oneOf("alpha beta", "gamma", "delta eps zeta",
+      "eta theta", "", "  ")
+    val docGen = Gen.listOfN(5, lineGen).map(_.mkString("\n"))
+    val corpusGen = Gen.listOfN(12, docGen)
+    val prop = Prop.forAll(corpusGen, Gen.choose(2, 6)) { (texts, minDocs) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.cutCommonLines(docs, "doc_id", "text", minDocs)
+        .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+        .toMap
+      // reference: count distinct docs per non-blank line, cut lines
+      // at or above the threshold, rejoin in order
+      val byLine = texts.zipWithIndex
+        .flatMap { case (t, i) =>
+          t.split("\n", -1).filter(_.trim.nonEmpty).distinct.map((_, i))
+        }
+        .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).distinct.size) }
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val lines = t.split("\n", -1)
+        val kept = lines.filter(l =>
+          l.trim.isEmpty || byLine.getOrElse(l, 0) < minDocs)
+        (i.toLong, (kept.mkString("\n"), (lines.length - kept.length).toLong))
+      }.toMap
+      val twice = Dedup.cutCommonLines(
+          got.toSeq.map { case (id, (t, _)) => (id, t) }.toDF("doc_id", "text"),
+          "doc_id", "text", minDocs)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      got == want && twice == got.map { case (id, (t, _)) => (id, t) }
+    }
+    check(prop, 8)
+  }
 }
