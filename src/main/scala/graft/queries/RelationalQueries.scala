@@ -734,6 +734,43 @@ object RelationalQueries {
       d1.unionAll(d2)
         .groupBy("doc_id").agg(max("ingest_seq").as("last_seq"))
         .orderBy("doc_id")
+    },
+
+    // C37b: the same upsert-LWW semantics run THROUGH the manifest
+    // table format (the log-committed MERGE implementation behind the
+    // TableFormat seam): ingest v1 of every document, re-merge v2 of
+    // the evens (copy-on-write rewrite found from log metadata),
+    // DELETE FROM every 17th, then read the snapshot back. The oracle
+    // recomputes the final state relationally, so merge/delete/read
+    // through the log must agree row-for-row. ManifestFormatSpec
+    // pins the concurrency/crash/vacuum behavior the oracle can't see.
+    "c37b_manifest_merge" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text || CASE WHEN doc_id % 2 = 0 THEN ' v2' ELSE '' END
+        |         AS chunk_text
+        |FROM documents WHERE doc_id % 17 <> 0
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val path =
+        s"/tmp/graft-manifest-${dir.replaceAll("[^A-Za-z0-9.]", "_")}/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.select(
+        lit(0).as("chunk_id"),
+        col("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        lit(0).as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url"))
+      val docs = t(s, dir, "documents")
+      store.upsert(rows(docs.select(col("doc_id"),
+        col("text").as("chunk_text"))))
+      store.upsert(rows(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2"))
+          .as("chunk_text"))))
+      store.delete(docs.filter(col("doc_id") % 17 === 0)
+        .select(concat(lit("doc://"), col("doc_id")))
+        .collect().map(_.getString(0)).toSeq)
+      store.read().select("document_url", "chunk_text")
+        .orderBy("document_url")
     }
   )
 }

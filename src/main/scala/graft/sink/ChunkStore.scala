@@ -38,8 +38,8 @@ import org.apache.spark.sql.types._
   *    url constant-folds.
   */
 final class ChunkStore(
-    spark: SparkSession,
-    path: String,
+    val spark: SparkSession,
+    val path: String,
     buckets: Option[Int] = None,
     format: ChunkStore => TableFormat = _.parquetMergeEmulation) {
 
@@ -207,18 +207,19 @@ final class ChunkStore(
   /** A18: append-only insert (re-processing duplicates, as in the
     * reference's SQL variant).
     */
-  def append(chunks: DataFrame): Unit = {
-    ensure()
-    buckets match {
-      case None =>
-        normalized(chunks).write.mode(SaveMode.Append)
-          .partitionBy("document_url").parquet(path)
-      case Some(_) =>
-        normalized(chunks)
-          .withColumn(bucketCol, bucketOf(col("document_url")))
-          .write.mode(SaveMode.Append).partitionBy(bucketCol).parquet(path)
+  def append(chunks: DataFrame): Unit =
+    if (!fmt.append(normalized(chunks))) {
+      ensure()
+      buckets match {
+        case None =>
+          normalized(chunks).write.mode(SaveMode.Append)
+            .partitionBy("document_url").parquet(path)
+        case Some(_) =>
+          normalized(chunks)
+            .withColumn(bucketCol, bucketOf(col("document_url")))
+            .write.mode(SaveMode.Append).partitionBy(bucketCol).parquet(path)
+      }
     }
-  }
 
   /** A20 (completed): drop all chunks of the given documents.
     * Per-document layout: remove their partition directories (pure
@@ -438,7 +439,7 @@ final class ChunkStore(
     * per batch.
     */
   def listDocumentUrls(): Seq[String] = buckets match {
-    case None =>
+    case None if fmt.read().isEmpty =>
       checkLayout()
       if (!exists) Nil
       else fs.listStatus(new Path(path)).toSeq
@@ -447,8 +448,9 @@ final class ChunkStore(
         .filter(_.startsWith("document_url="))
         .map(n => ExternalCatalogUtils
           .unescapePathName(n.stripPrefix("document_url=")))
-    case Some(_) =>
-      checkLayout()
+    case _ =>
+      // bucketed layout, or a format that owns the live set (its log
+      // is the catalog of record): distinct over the format's read
       read().select("document_url").distinct()
         .collect().map(_.getString(0)).toSeq
   }
@@ -539,7 +541,7 @@ final class ChunkStore(
         .drop(bucketCol)
   }
 
-  def read(): DataFrame = {
+  def read(): DataFrame = fmt.read().getOrElse {
     checkLayout()
     if (exists) {
       buckets match {

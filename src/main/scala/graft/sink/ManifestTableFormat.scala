@@ -1,0 +1,365 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A manifest-committing [[TableFormat]] — the Delta/Iceberg commit
+  * model in miniature, implemented on plain parquet + one numbered
+  * JSON-lines log (SURVEY A17's "MERGE INTO" mapping,
+  * `AzureCosmosDB/.../CosmosDBClientWrapper.cs:36-72`, without the
+  * external dependency the sandbox lacks):
+  *
+  *  - **The log is the table.** `_log/<version>.json` entries list
+  *    `add`/`rm` file actions; the live file set is the replay of all
+  *    committed versions. Data files are immutable and invisible
+  *    until an entry references them — a crashed writer leaves only
+  *    unreferenced files (cleaned by [[vacuum]]), never a torn table.
+  *  - **Commits are one atomic rename.** An entry is staged to a temp
+  *    name and renamed to the next version; rename-if-absent is the
+  *    whole commit protocol (the primitive Delta uses on HDFS — no
+  *    directory renames anywhere, which is what makes this the
+  *    object-store answer to the staged-swap contract in SCALE.md §1;
+  *    S3-class stores need a conditional-put in place of the rename,
+  *    same as Delta's LogStore requirement).
+  *  - **MERGE is copy-on-write.** Each `add` action records the file's
+  *    document urls, so a whole-document merge finds the files it
+  *    must rewrite FROM LOG METADATA (no data read), writes survivors
+  *    + incoming as new files, and commits `rm`(affected) +
+  *    `add`(new) in one entry.
+  *  - **Writers are optimistic.** A lost commit race (version already
+  *    taken) reloads the log and checks FILE-LEVEL conflicts: if the
+  *    winner removed none of this writer's inputs, the commit retries
+  *    under the next version as-is; if it did, the staged files are
+  *    abandoned and the whole merge re-runs against the new snapshot.
+  *    Concurrent writers on disjoint files both land — the
+  *    writer-lock file the parquet emulation needs does not exist
+  *    here.
+  *  - **Readers are snapshot-isolated.** [[read]] plans against the
+  *    file list of the snapshot current at call time; `rm` never
+  *    deletes bytes, so a concurrent commit cannot change or break a
+  *    running scan. [[vacuum]] reclaims unreferenced files on a
+  *    maintenance cadence (mind scan retention, as with any
+  *    log-structured table).
+  *
+  * Use with the per-document-free layout only (`buckets = None` and
+  * this format — the log supersedes hive partitioning):
+  * `new ChunkStore(spark, path, format = ManifestTableFormat.factory)`.
+  */
+class ManifestTableFormat(
+    spark: SparkSession,
+    path: String,
+    schema: StructType) extends TableFormat {
+
+  private val logDir = new Path(path, "_log")
+  private val dataDir = new Path(path, "data")
+  private def fs = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val maxCommitRetries = 20
+
+  // ---- log entries -------------------------------------------------
+
+  /** One committed action: add (with the file's url set) or remove. */
+  private[sink] final case class Action(
+      add: Boolean, file: String, urls: Seq[String])
+
+  private[sink] final case class Snapshot(
+      version: Long, live: Map[String, Seq[String]])
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => b += other; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
+
+  private[sink] def renderAction(a: Action): String =
+    if (a.add)
+      s"""{"a":"add","f":"${esc(a.file)}","u":[${
+        a.urls.map(u => "\"" + esc(u) + "\"").mkString(",")}]}"""
+    else s"""{"a":"rm","f":"${esc(a.file)}"}"""
+
+  private[sink] def parseAction(line: String): Action = {
+    // strict parser for exactly the two shapes renderAction emits
+    def field(key: String): String = {
+      val tag = "\"" + key + "\":\""
+      val i = line.indexOf(tag)
+      require(i >= 0, s"bad log line: $line")
+      val start = i + tag.length
+      // escape-aware scan (a backslash consumes the next char, so an
+      // escaped-backslash-final value cannot hide the closing quote)
+      var j = start
+      var closed = false
+      while (!closed) {
+        line.charAt(j) match {
+          case '\\' => j += 2
+          case '"' => closed = true
+          case _ => j += 1
+        }
+      }
+      unesc(line.substring(start, j))
+    }
+    if (line.contains("\"a\":\"add\"")) {
+      val ui = line.indexOf("\"u\":[")
+      require(ui >= 0, s"bad add line: $line")
+      val body = line.substring(ui + 5, line.lastIndexOf(']'))
+      val urls =
+        if (body.isEmpty) Seq.empty[String]
+        else {
+          // split on "," BETWEEN quoted strings (urls are escaped, so
+          // a literal "," inside a url cannot match the delimiter)
+          body.split("\",\"", -1).toSeq
+            .map(_.stripPrefix("\"").stripSuffix("\"")).map(unesc)
+        }
+      Action(add = true, field("f"), urls)
+    } else Action(add = false, field("f"), Seq.empty)
+  }
+
+  private def entryPath(v: Long) = new Path(logDir, f"$v%012d.json")
+
+  /** Replay the committed log into the live file map. A temp entry
+    * (crashed commit staging) is ignored: only fully-renamed numbered
+    * entries count.
+    */
+  private[sink] def snapshot(): Snapshot = {
+    val f = fs
+    if (!f.exists(logDir)) return Snapshot(-1L, Map.empty)
+    val entries = f.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d{12}\\.json"))
+      .sorted
+    var live = Map.empty[String, Seq[String]]
+    entries.foreach { name =>
+      val in = f.open(new Path(logDir, name))
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val a = parseAction(line)
+        if (a.add) live += (a.file -> a.urls) else live -= a.file
+      }
+    }
+    Snapshot(if (entries.isEmpty) -1L
+      else entries.last.stripSuffix(".json").toLong, live)
+  }
+
+  /** Stage `actions` as version `base.version + 1` and rename into
+    * place; returns false when the version was taken (lost race).
+    */
+  private def tryCommit(base: Snapshot, actions: Seq[Action]): Boolean = {
+    val f = fs
+    if (!f.exists(logDir)) f.mkdirs(logDir)
+    val target = entryPath(base.version + 1)
+    if (f.exists(target)) return false
+    val tmp = new Path(logDir,
+      s"tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(actions.map(renderAction).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // rename-if-absent IS the commit (atomic on HDFS/POSIX; S3-class
+    // stores substitute a conditional put, as Delta's LogStore does)
+    val won = !f.exists(target) && f.rename(tmp, target)
+    if (!won) f.delete(tmp, false)
+    won
+  }
+
+  // ---- data files --------------------------------------------------
+
+  private def emptyFrame: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readFiles(files: Seq[String]): DataFrame =
+    if (files.isEmpty) emptyFrame
+    else spark.read.schema(schema).parquet(files: _*)
+
+  /** Write `rows` as a fresh immutable file set under `data/` and
+    * return add-actions carrying each new file's url set (one narrow
+    * aggregate over the just-written files — the per-file stats a
+    * manifest format keeps, gathered the same way the layout
+    * manifests are).
+    */
+  private def writeData(rows: DataFrame): Seq[Action] = {
+    val batchDir = new Path(dataDir,
+      s"batch-${java.util.UUID.randomUUID()}")
+    rows.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.parquet(batchDir.toString)
+    val written = spark.read.schema(schema).parquet(batchDir.toString)
+    if (written.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
+    written
+      .select(input_file_name().as("f"), col("document_url"))
+      .groupBy("f").agg(collect_set("document_url").as("us"))
+      .collect()
+      .map(r => Action(add = true, r.getString(0),
+        r.getSeq[String](1).sorted))
+      .toSeq
+  }
+
+  /** Copy-on-write commit cycle shared by merge/delete/compact:
+    * `affected` picks the files to rewrite from log metadata,
+    * `rewrite` maps their rows to the surviving rows (incoming rows
+    * appended by the caller). Optimistic: a lost race re-checks
+    * file-level conflicts and either recommits or re-runs.
+    */
+  private def commitCycle(
+      affected: Snapshot => Seq[String],
+      rewrite: (Snapshot, Seq[String]) => DataFrame): Unit = {
+    var attempt = 0
+    def guard(): Unit = {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"manifest commit at $path lost $maxCommitRetries races — " +
+          "livelocked writers; widen the retry bound or serialize")
+    }
+    var done = false
+    while (!done) {
+      guard()
+      val snap = snapshot()
+      val files = affected(snap)
+      val adds = writeData(rewrite(snap, files))
+      val actions = files.map(Action(add = false, _, Seq.empty)) ++ adds
+      if (actions.isEmpty) return
+      beforeCommit()
+      var base = snap
+      var committed = tryCommit(base, actions)
+      var rerun = false
+      while (!committed && !rerun) {
+        guard()
+        val now = snapshot()
+        // file-level conflict: the winner removed something we read
+        // (rewrote or planned to remove) — our staged rewrite is
+        // stale, abandon it and re-run against the new snapshot
+        if (files.exists(f => !now.live.contains(f))) {
+          adds.foreach(a => fs.delete(new Path(a.file), false))
+          rerun = true
+        } else {
+          base = now
+          committed = tryCommit(base, actions)
+        }
+      }
+      done = committed
+    }
+  }
+
+  /** Test seam: runs after a commit's files are staged and before its
+    * first commit attempt — the window a concurrent writer races in.
+    * The spec injects a competing commit here to exercise both
+    * optimistic outcomes (recommit on disjoint files, full re-run on
+    * a file-level conflict) deterministically.
+    */
+  protected def beforeCommit(): Unit = ()
+
+  // ---- TableFormat -------------------------------------------------
+
+  override def merge(rows: DataFrame): Unit = {
+    val incoming = rows.select(
+      col("chunk_id"), col("chunk_text"), col("embedding"),
+      col("page_number"), col("document_url")).persist()
+    try {
+      val urls = incoming.select("document_url").distinct()
+        .collect().map(_.getString(0)).toSet
+      if (urls.isEmpty) return
+      commitCycle(
+        snap => snap.live.collect {
+          case (f, us) if us.exists(urls.contains) => f
+        }.toSeq.sorted,
+        (_, files) => readFiles(files)
+          .filter(!col("document_url").isin(urls.toSeq: _*))
+          .unionByName(incoming))
+    } finally incoming.unpersist()
+  }
+
+  override def delete(documentUrls: Seq[String]): Unit = {
+    val urls = documentUrls.toSet
+    if (urls.isEmpty) return
+    commitCycle(
+      snap => snap.live.collect {
+        case (f, us) if us.exists(urls.contains) => f
+      }.toSeq.sorted,
+      (_, files) => readFiles(files)
+        .filter(!col("document_url").isin(urls.toSeq: _*)))
+  }
+
+  override def compact(): Unit =
+    commitCycle(
+      snap => snap.live.keys.toSeq.sorted,
+      (_, files) => readFiles(files).coalesce(1))
+
+  /** A18 append, log-committed: new files only, no removes — so a
+    * lost commit race can never conflict and simply recommits.
+    */
+  override def append(rows: DataFrame): Boolean = {
+    if (!rows.isEmpty)
+      commitCycle(_ => Seq.empty, (_, _) => rows)
+    true
+  }
+
+  override def read(): Option[DataFrame] =
+    Some(readFiles(snapshot().live.keys.toSeq.sorted))
+
+  /** Delete data files no committed version references (crashed
+    * writers' leftovers and removed-by-rm files). Maintenance-cadence:
+    * a scan planned before the vacuum may still want the bytes —
+    * retention is the operator's call, as with any log-structured
+    * table.
+    */
+  def vacuum(): Unit = {
+    val f = fs
+    if (!f.exists(dataDir)) return
+    val live = snapshot().live.keySet
+      .map(p => new Path(p).toUri.getPath)
+    val it = f.listFiles(dataDir, true)
+    val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          !live.contains(st.getPath.toUri.getPath))
+        dead += st.getPath
+    }
+    dead.foreach(f.delete(_, false))
+  }
+}
+
+object ManifestTableFormat {
+
+  /** Constructor-ready factory:
+    * `new ChunkStore(spark, path, format = ManifestTableFormat.factory)`.
+    * Pair with `buckets = None` — the log supersedes hive
+    * partitioning (the store's bucket machinery never engages because
+    * every MERGE-shaped call and read routes through the format).
+    */
+  def factory: ChunkStore => TableFormat = s =>
+    new ManifestTableFormat(s.spark, s.path, s.schema)
+}

@@ -43,4 +43,19 @@ trait TableFormat {
 
   /** Collapse small files; rows and layout semantics unchanged. */
   def compact(): Unit
+
+  /** Append rows without replacing anything (A18, the non-idempotent
+    * insert path). Returns true when the format handled the append;
+    * false (the default) routes to the store's native partitioned
+    * append.
+    */
+  def append(rows: DataFrame): Boolean = false
+
+  /** The live rows this format serves, when the format OWNS the live
+    * set (a manifest/log-committing format like [[ManifestTableFormat]]
+    * defines liveness in its commit log, not by directory listing).
+    * `None` (the default, and the parquet emulation's answer) routes
+    * reads through the store's native directory scan.
+    */
+  def read(): Option[DataFrame] = None
 }

@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** The manifest format must pass the full MERGE-shaped contract
+  * through the seam, unchanged.
+  */
+class ManifestTableFormatContractSpec extends TableFormatContract {
+  def layoutName = "manifest/log-committed"
+  def makeStore(dir: String) =
+    new ChunkStore(spark, dir, format = ManifestTableFormat.factory)
+}
+
+/** The properties the log-commit model adds OVER the parquet
+  * emulation: snapshot-isolated readers, optimistic concurrent
+  * writers (no writer-lock file), crash-leftover invisibility, and
+  * vacuum.
+  */
+class ManifestFormatSpec extends SparkSpec {
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft-mtf").toString + "/t"
+
+  private def chunksOf(url: String, texts: String*): DataFrame = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) =>
+      (i, t, Seq(i.toFloat, 1f), 1, url)
+    }.toDF("chunk_id", "chunk_text", "embedding", "page_number",
+      "document_url")
+  }
+
+  private def state(store: ChunkStore): Set[(String, Int, String)] =
+    store.read().select("document_url", "chunk_id", "chunk_text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+
+  test("readers are snapshot-isolated: a plan outlives a concurrent rewrite") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "v1"))
+    // plan a read against the current snapshot's file list...
+    val pinned = store.read()
+    // ...then rewrite the document (rm old file + add new one)
+    store.upsert(chunksOf("doc://a", "v2"))
+    // the pinned plan still reads the OLD file — rm never deletes
+    // bytes, so the running scan is unbroken and sees v1
+    assert(pinned.select("chunk_text").collect().map(_.getString(0)).toSeq
+      == Seq("v1"))
+    assert(state(store) == Set(("doc://a", 0, "v2")))
+  }
+
+  test("lost race on DISJOINT files recommits under the next version") {
+    val path = freshPath()
+    var raced = false
+    val store: ChunkStore = new ChunkStore(spark, path,
+      format = s => new ManifestTableFormat(s.spark, s.path, s.schema) {
+        override protected def beforeCommit(): Unit =
+          if (!raced) {
+            raced = true
+            // a concurrent writer lands a commit for a DIFFERENT
+            // document in the race window; none of our files vanish
+            new ChunkStore(spark, path,
+              format = ManifestTableFormat.factory)
+              .upsert(chunksOf("doc://other", "o1"))
+          }
+      })
+    store.upsert(chunksOf("doc://mine", "m1"))
+    assert(raced)
+    // both writers' documents landed; no writer-lock file exists
+    assert(state(store) == Set(("doc://other", 0, "o1"),
+      ("doc://mine", 0, "m1")))
+    assert(!new org.apache.hadoop.fs.Path(path, "_graft_writer_lock")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(path, "_graft_writer_lock")))
+  }
+
+  test("file-level conflict re-runs the merge against the new snapshot") {
+    val path = freshPath()
+    val seed = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    seed.upsert(chunksOf("doc://a", "v1"))
+    var raced = false
+    val store: ChunkStore = new ChunkStore(spark, path,
+      format = s => new ManifestTableFormat(s.spark, s.path, s.schema) {
+        override protected def beforeCommit(): Unit =
+          if (!raced) {
+            raced = true
+            // the competing writer rewrites THE SAME document — the
+            // file our staged commit planned to remove disappears
+            new ChunkStore(spark, path,
+              format = ManifestTableFormat.factory)
+              .upsert(chunksOf("doc://a", "v2-theirs"))
+          }
+      })
+    store.upsert(chunksOf("doc://a", "v3-ours"))
+    assert(raced)
+    // our merge re-ran against the post-conflict snapshot: exactly
+    // one version of the document survives, and it is ours
+    assert(state(store) == Set(("doc://a", 0, "v3-ours")))
+  }
+
+  test("crash leftovers are invisible; vacuum reclaims them and removed files") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "a1"))
+    store.upsert(chunksOf("doc://a", "a2")) // rm's the first file
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed writer's leftovers: an unreferenced data file and a
+    // torn staged log entry
+    val orphan = new org.apache.hadoop.fs.Path(s"$path/data/orphan.parquet")
+    chunksOf("doc://ghost", "g").limit(1).write.mode("overwrite")
+      .parquet(s"$path/data/orphan-dir")
+    fs.rename(fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/data/orphan-dir")).toSeq
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get, orphan)
+    val torn = new org.apache.hadoop.fs.Path(s"$path/_log/tmp-crashed")
+    val out = fs.create(torn, true)
+    try out.write("{\"a\":\"add".getBytes("UTF-8")) finally out.close()
+    // neither is visible to reads
+    assert(state(store) == Set(("doc://a", 0, "a2")))
+    def dataFiles(): Seq[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/data"), true)
+      val b = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.getName
+      }
+      b.toSeq
+    }
+    val before = dataFiles().size
+    new ManifestTableFormat(spark, path, store.schema).vacuum()
+    // vacuum dropped the orphan AND the rm'd first version; reads
+    // are unchanged
+    assert(dataFiles().size < before)
+    assert(!fs.exists(orphan))
+    assert(state(store) == Set(("doc://a", 0, "a2")))
+  }
+
+  test("append is log-committed and duplicates like A18; catalog routes through the log") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "a1"))
+    store.append(chunksOf("doc://a", "a1"))
+    assert(store.read().count() == 2) // append does not dedup (A18)
+    assert(store.listDocumentUrls() == Seq("doc://a"))
+    store.upsert(chunksOf("doc://a", "a1-only"))
+    assert(state(store) == Set(("doc://a", 0, "a1-only")))
+  }
+
+  test("log round-trip survives hostile urls (quotes, commas, newlines)") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val evil = Seq("doc://a\"b", "doc://c,\"d\"", "doc://e\\", "doc://f\ng")
+    evil.foreach(u => store.upsert(chunksOf(u, "t")))
+    assert(store.listDocumentUrls().toSet == evil.toSet)
+    store.delete(Seq(evil.head))
+    assert(store.listDocumentUrls().toSet == evil.tail.toSet)
+  }
+}
