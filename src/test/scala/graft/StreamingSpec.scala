@@ -51,6 +51,38 @@ class StreamingSpec extends SparkSpec {
     assert(urls.length == 1 && urls.head.endsWith("a.txt"))
   }
 
+  test("streaming ingest composes with the manifest table format " +
+      "(log-committed upsert + delete detection)") {
+    import org.apache.spark.sql.functions.col
+    val in = Files.createTempDirectory("graft-stream-mtf")
+    val storeDir =
+      Files.createTempDirectory("graft-stream-mtf-store").toString + "/chunks"
+    val store = new ChunkStore(spark, storeDir,
+      format = graft.sink.ManifestTableFormat.factory)
+    write(in, "a.txt", "alpha text one")
+    write(in, "b.txt", "beta text two")
+    def batch() = spark.read.format("binaryFile").load(in.toString)
+      .select(col("path"), col("content"))
+    StreamingIngest.processBatch(spark, batch(), in.toString, store,
+      DeterministicEmbedder(16), StubAnalyzeExtractor(),
+      IngestPipeline.Config())
+    val n1 = store.read().count()
+    assert(n1 > 0 &&
+      store.read().select("document_url").distinct().count() == 2)
+    // re-ingest of unchanged input: the log-committed merge is
+    // idempotent like the parquet emulation
+    StreamingIngest.processBatch(spark, batch(), in.toString, store,
+      DeterministicEmbedder(16), StubAnalyzeExtractor(),
+      IngestPipeline.Config())
+    assert(store.read().count() == n1)
+    // upstream delete propagates through the log (the catalog of
+    // record is the format's read, not directory names)
+    Files.delete(in.resolve("b.txt"))
+    StreamingIngest.detectDeletes(spark, in.toString, store)
+    val urls = store.listDocumentUrls()
+    assert(urls.size == 1 && urls.head.endsWith("a.txt"))
+  }
+
   test("delete detection refuses to mass-delete on missing/empty listings") {
     val in = Files.createTempDirectory("graft-del-guard")
     val storeDir =
