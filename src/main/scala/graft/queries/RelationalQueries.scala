@@ -769,6 +769,13 @@ object RelationalQueries {
       store.delete(docs.filter(col("doc_id") % 17 === 0)
         .select(concat(lit("doc://"), col("doc_id")))
         .collect().map(_.getString(0)).toSeq)
+      // checkpoint + vacuum: the read below replays FROM the
+      // checkpoint (exercising the summary path in the oracle gate)
+      // and the subsumed entries/dead files are pruned, which also
+      // bounds the log across repeated harness runs
+      val mtf = new graft.sink.ManifestTableFormat(s, path, store.schema)
+      mtf.checkpoint()
+      mtf.vacuum()
       store.read().select("document_url", "chunk_text")
         .orderBy("document_url")
     }

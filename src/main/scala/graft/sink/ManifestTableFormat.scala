@@ -143,35 +143,66 @@ class ManifestTableFormat(
   }
 
   private def entryPath(v: Long) = new Path(logDir, f"$v%012d.json")
+  private def checkpointPath(v: Long) =
+    new Path(logDir, f"$v%012d.checkpoint.json")
 
-  /** Replay the committed log into the live file map. A temp entry
-    * (crashed commit staging) is ignored: only fully-renamed numbered
-    * entries count.
+  private def readText(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Replay the committed log into the live file map, starting from
+    * the newest checkpoint (a full-state summary entry — the replay
+    * bound that keeps snapshot cost O(commits since checkpoint), not
+    * O(table lifetime)). Temp files (crashed commit/checkpoint
+    * staging) are ignored: only fully-renamed numbered files count.
     */
   private[sink] def snapshot(): Snapshot = {
     val f = fs
     if (!f.exists(logDir)) return Snapshot(-1L, Map.empty)
-    val entries = f.listStatus(logDir).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("\\d{12}\\.json"))
-      .sorted
+    val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val entries = names.filter(_.matches("\\d{12}\\.json"))
+      .map(n => n.stripSuffix(".json").toLong)
+    val checkpoints = names.filter(_.matches("\\d{12}\\.checkpoint\\.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
+    val ckpt = if (checkpoints.isEmpty) -1L else checkpoints.max
     var live = Map.empty[String, Seq[String]]
-    entries.foreach { name =>
-      val in = f.open(new Path(logDir, name))
-      val text = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toString("UTF-8")
-      } finally in.close()
-      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+    def replay(p: Path): Unit =
+      readText(p).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
         if (a.add) live += (a.file -> a.urls) else live -= a.file
       }
-    }
-    Snapshot(if (entries.isEmpty) -1L
-      else entries.last.stripSuffix(".json").toLong, live)
+    if (ckpt >= 0) replay(checkpointPath(ckpt))
+    entries.filter(_ > ckpt).sorted.foreach(v => replay(entryPath(v)))
+    Snapshot((entries ++ checkpoints).foldLeft(-1L)(math.max), live)
+  }
+
+  /** Write the current live state as a checkpoint entry (atomic
+    * rename, same commit primitive). Replay thereafter starts at the
+    * checkpoint; [[vacuum]] prunes the subsumed older entries. Safe
+    * to race: a lost rename means someone else checkpointed — both
+    * summaries describe a committed state, keeping either is sound.
+    */
+  def checkpoint(): Unit = {
+    val snap = snapshot()
+    if (snap.version < 0) return
+    val target = checkpointPath(snap.version)
+    val f = fs
+    if (f.exists(target)) return
+    val tmp = new Path(logDir, s"tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(snap.live.toSeq.sortBy(_._1)
+      .map { case (file, urls) => renderAction(Action(add = true, file, urls)) }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!(!f.exists(target) && f.rename(tmp, target)))
+      f.delete(tmp, false)
   }
 
   /** Stage `actions` as version `base.version + 1` and rename into
@@ -329,26 +360,41 @@ class ManifestTableFormat(
     Some(readFiles(snapshot().live.keys.toSeq.sorted))
 
   /** Delete data files no committed version references (crashed
-    * writers' leftovers and removed-by-rm files). Maintenance-cadence:
-    * a scan planned before the vacuum may still want the bytes —
-    * retention is the operator's call, as with any log-structured
-    * table.
+    * writers' leftovers and removed-by-rm files), plus log entries
+    * and older checkpoints a newer checkpoint subsumes.
+    * Maintenance-cadence: a scan planned before the vacuum may still
+    * want the bytes — retention is the operator's call, as with any
+    * log-structured table.
     */
   def vacuum(): Unit = {
     val f = fs
-    if (!f.exists(dataDir)) return
-    val live = snapshot().live.keySet
-      .map(p => new Path(p).toUri.getPath)
-    val it = f.listFiles(dataDir, true)
-    val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-          !live.contains(st.getPath.toUri.getPath))
-        dead += st.getPath
+    if (f.exists(dataDir)) {
+      val live = snapshot().live.keySet
+        .map(p => new Path(p).toUri.getPath)
+      val it = f.listFiles(dataDir, true)
+      val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+            !live.contains(st.getPath.toUri.getPath))
+          dead += st.getPath
+      }
+      dead.foreach(f.delete(_, false))
     }
-    dead.foreach(f.delete(_, false))
+    if (f.exists(logDir)) {
+      val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
+      val checkpoints = names.filter(_.matches("\\d{12}\\.checkpoint\\.json"))
+        .map(_.stripSuffix(".checkpoint.json").toLong)
+      if (checkpoints.nonEmpty) {
+        val ckpt = checkpoints.max
+        names.filter(_.matches("\\d{12}\\.json"))
+          .filter(_.stripSuffix(".json").toLong <= ckpt)
+          .foreach(n => f.delete(new Path(logDir, n), false))
+        checkpoints.filter(_ < ckpt)
+          .foreach(v => f.delete(checkpointPath(v), false))
+      }
+    }
   }
 }
 

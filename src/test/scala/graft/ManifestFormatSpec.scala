@@ -157,6 +157,36 @@ class ManifestFormatSpec extends SparkSpec {
     assert(state(store) == Set(("doc://a", 0, "a1-only")))
   }
 
+  test("checkpoint bounds replay: state identical, commits continue, vacuum prunes") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    (1 to 5).foreach(i => store.upsert(chunksOf(s"doc://$i", s"t$i")))
+    store.delete(Seq("doc://2"))
+    val before = state(store)
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    mtf.checkpoint()
+    assert(state(store) == before)
+    // commits continue past the checkpoint under the next versions
+    store.upsert(chunksOf("doc://6", "t6"))
+    assert(state(store) == before + (("doc://6", 0, "t6")))
+    // vacuum prunes the subsumed entries; only the checkpoint and the
+    // post-checkpoint commit remain, and the state is unchanged
+    mtf.vacuum()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logNames = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_log")).toSeq
+      .map(_.getPath.getName).sorted
+    assert(logNames.count(_.endsWith(".checkpoint.json")) == 1)
+    assert(logNames.count(n => n.matches("\\d{12}\\.json")) == 1,
+      s"expected one post-checkpoint entry, got: $logNames")
+    assert(state(store) == before + (("doc://6", 0, "t6")))
+    // a second checkpoint+vacuum collapses the log to one summary
+    mtf.checkpoint(); mtf.vacuum()
+    assert(state(store) == before + (("doc://6", 0, "t6")))
+  }
+
   test("log round-trip survives hostile urls (quotes, commas, newlines)") {
     val path = freshPath()
     val store = new ChunkStore(spark, path,
