@@ -359,6 +359,45 @@ class ManifestTableFormat(
   override def read(): Option[DataFrame] =
     Some(readFiles(snapshot().live.keys.toSeq.sorted))
 
+  /** The current committed version (−1 before the first commit). */
+  def version: Long = snapshot().version
+
+  /** Time-travel read: the table AS OF `asOf` — replay up to that
+    * version from the newest checkpoint at or below it. History is
+    * bounded by [[vacuum]] (pruned entries make old versions
+    * unreachable — the retention trade every log-structured table
+    * documents), and a gap in the surviving entries fails loudly
+    * rather than silently serving a wrong state.
+    */
+  def readVersion(asOf: Long): DataFrame = {
+    val f = fs
+    require(f.exists(logDir), s"no log at $path")
+    val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
+    val entries = names.filter(_.matches("\\d{12}\\.json"))
+      .map(_.stripSuffix(".json").toLong)
+    val checkpoints = names.filter(_.matches("\\d{12}\\.checkpoint\\.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong)
+    val latest = (entries ++ checkpoints).foldLeft(-1L)(math.max)
+    require(asOf >= 0 && asOf <= latest,
+      s"version $asOf out of range [0, $latest] at $path")
+    val usable = checkpoints.filter(_ <= asOf)
+    val ckpt = if (usable.isEmpty) -1L else usable.max
+    val wanted = entries.filter(v => v > ckpt && v <= asOf).sorted
+    require(wanted.size == (asOf - ckpt),
+      s"version $asOf at $path is no longer reconstructable — " +
+        s"entries in (${ckpt}, $asOf] were vacuumed (history " +
+        "retention is bounded by checkpoint + vacuum)")
+    var live = Map.empty[String, Seq[String]]
+    def replay(p: Path): Unit =
+      readText(p).linesIterator.filter(_.nonEmpty).foreach { line =>
+        val a = parseAction(line)
+        if (a.add) live += (a.file -> a.urls) else live -= a.file
+      }
+    if (ckpt >= 0) replay(checkpointPath(ckpt))
+    wanted.foreach(v => replay(entryPath(v)))
+    readFiles(live.keys.toSeq.sorted)
+  }
+
   /** Delete data files no committed version references (crashed
     * writers' leftovers and removed-by-rm files), plus log entries
     * and older checkpoints a newer checkpoint subsumes.

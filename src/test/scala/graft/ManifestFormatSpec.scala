@@ -187,6 +187,31 @@ class ManifestFormatSpec extends SparkSpec {
     assert(state(store) == before + (("doc://6", 0, "t6")))
   }
 
+  test("time travel: readVersion reconstructs history until vacuum prunes it") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "v1"))           // version 0
+    store.upsert(chunksOf("doc://a", "v2"))           // version 1
+    store.upsert(chunksOf("doc://b", "b1"))           // version 2
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    assert(mtf.version == 2)
+    def textsAt(v: Long): Set[String] =
+      mtf.readVersion(v).select("chunk_text")
+        .collect().map(_.getString(0)).toSet
+    assert(textsAt(0) == Set("v1"))
+    assert(textsAt(1) == Set("v2"))
+    assert(textsAt(2) == Set("v2", "b1"))
+    intercept[IllegalArgumentException](mtf.readVersion(3))
+    // checkpoint + vacuum bound retention: the latest version stays
+    // reconstructable (from the checkpoint), pre-checkpoint history
+    // fails loudly instead of silently serving a wrong state
+    mtf.checkpoint(); mtf.vacuum()
+    assert(textsAt(2) == Set("v2", "b1"))
+    val e = intercept[IllegalArgumentException](mtf.readVersion(0))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
   test("log round-trip survives hostile urls (quotes, commas, newlines)") {
     val path = freshPath()
     val store = new ChunkStore(spark, path,
