@@ -263,6 +263,40 @@ class PipelineSpec extends SparkSpec {
       .filter(col("document_url") === "doc://5").count())
   }
 
+  test("bucketed store: data files carry a parquet-native bloom on document_url") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-store-pqb").toString + "/chunks"
+    val store = new ChunkStore(spark, dir, buckets = Some(2))
+    store.upsert(IngestPipeline.ingestDocumentsTable(
+      spark, Tables(spark, sf(), "documents").limit(10),
+      DeterministicEmbedder(16)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(conf)
+    val it = f.listFiles(p, true)
+    var checked = 0
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          val cols = reader.getRowGroups.get(0).getColumns
+          val urlCol = cols.asScala
+            .find(_.getPath.toDotString == "document_url").get
+          assert(urlCol.getBloomFilterOffset > 0,
+            s"no bloom filter in ${st.getPath.getName}")
+          checked += 1
+        } finally reader.close()
+      }
+    }
+    assert(checked > 0)
+    // and the pushed equality predicate still answers correctly
+    assert(store.readDocument("doc://3").count() >= 1)
+  }
+
   test("bucketed store: a stale _keybloom manifest is sound (reads widen, never drop)") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-store-kb2").toString + "/chunks"
