@@ -41,6 +41,31 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(inHashSample(col(keyCol), fraction, salt))
 
+  /** D7e: leakage-safe train/validation split — assignment keyed by
+    * the SOURCE (domain/crawl/site), not the document. Near-duplicate
+    * documents cluster within a source (templated pages, snapshot
+    * re-crawls), so a document-level split leaks train near-dups into
+    * validation; keying the assignment on the source sends every
+    * document of a source to the SAME side — the eval-hygiene rule
+    * of the dedup-then-split pipelines. The same engine-portable
+    * 16-bit md5 threshold as D7, so any engine reproduces the
+    * assignment bit-for-bit; different salts give independent splits.
+    * One per-row expression at the scan — no shuffle, no state, and
+    * group atomicity holds by construction (the expression is a
+    * function of the source alone).
+    */
+  def splitBySource(
+      df: DataFrame,
+      sourceCol: String,
+      valFraction: Double,
+      salt: String = ""): DataFrame = {
+    require(!df.columns.contains("split"),
+      "splitBySource reserves the column name 'split'")
+    df.withColumn("split",
+      when(inHashSample(col(sourceCol), valFraction, salt), "val")
+        .otherwise("train"))
+  }
+
   /** Data-mixture sampling (D7c): per-source sampling fractions in one
     * scan-level filter — the deterministic version of the weighted
     * source mixing every pretraining recipe specifies ("X% web, Y%

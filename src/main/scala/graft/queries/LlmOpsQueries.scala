@@ -630,6 +630,29 @@ object LlmOpsQueries {
         .orderBy("event_type")
     },
 
+    // D7e: leakage-safe train/validation split — the assignment key
+    // is the SOURCE, so a whole domain lands on one side (doc-level
+    // splits leak within-source near-dups into validation). The
+    // oracle recomputes the md5-threshold assignment per source and
+    // the per-(source, split) counts; one_side pins group atomicity
+    // against any refactor toward a non-source-determined expression.
+    "d7e_source_split" -> QueryDef(
+      """SELECT source,
+        |       CASE WHEN substr(md5(source || 'v1'), 1, 4) < '1999'
+        |            THEN 'val' ELSE 'train' END AS split,
+        |       TRUE AS one_side,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+        graft.ops.Sampling
+          .splitBySource(Tables(s, dir, "documents"), "source", 0.1, "v1")
+          .groupBy("source")
+          .agg(max(col("split")).as("split"),
+            (count_distinct(col("split")) === 1).as("one_side"),
+            count(lit(1)).as("n"))
+          .orderBy("source")
+    },
+
     // D7b: deterministic fixed-size per-stratum sampling — the
     // reproducible replacement for reservoir sampling: the n
     // hash-smallest keys of each stratum, identical in any engine and

@@ -9,7 +9,8 @@ import graft.ops.{GraphIndex, Similarity}
   * build, beam-search query, recall vs brute force, append ≡ rebuild,
   * tombstone delete + compacting rebuild.
   */
-class GraphIndexSpec extends SparkSpec {
+class GraphIndexSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private lazy val emb = Tables(spark, sf(), "embeddings").cache()
 
@@ -126,6 +127,28 @@ class GraphIndexSpec extends SparkSpec {
       afterCompact.exceptAll(afterDelete).count() == 0,
       "compaction changed the emitted answers")
     afterDelete.unpersist()
+  }
+
+  test("query prunes the node-table scan to the probed cells (static partition pruning)") {
+    val path = freshPath("prune")
+    GraphIndex.build(emb, path, "vec_id", "embedding", nlist = 8)
+    val oneProbe = emb.filter(col("vec_id") === 7)
+    val got = GraphIndex.query(spark, path, oneProbe, k = 3, nprobe = 2,
+      ef = 32)
+    got.collect()
+    // AQE wraps the plan — collect scans through the adaptive node
+    val scans = collectWithSubqueries(got.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val scan = scans.find(_.toString.contains("cell")).get
+    assert(!scan.toString.contains("PartitionFilters: []"),
+      s"expected cell partition filters in: ${scan.toString.take(800)}")
+    // one probe × nprobe=2 → at most 2 of the 8 cell directories read
+    // (DataFrame.inputFiles ignores partition pruning; the scan's own
+    // numFiles metric counts what was actually planned)
+    val all = spark.read.parquet(s"$path/data").inputFiles.length
+    val read = scan.metrics("numFiles").value
+    assert(read < all, s"read $read of $all files — no pruning")
   }
 
   test("IndexMaintenance routes deletes/compaction to a graph index by stamp") {

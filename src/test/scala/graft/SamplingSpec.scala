@@ -208,4 +208,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.clusterSample(emb, "id", "v", cents, 0)
     }
   }
+
+  test("splitBySource: whole sources land on one side; salts are independent (D7e)") {
+    import spark.implicits._
+    val docs = (0 until 400)
+      .map(i => (i.toLong, s"src-${i % 40}")).toDF("doc_id", "source")
+    val split = Sampling.splitBySource(docs, "source", 0.3, "s1")
+    // group atomicity: no source appears in both splits
+    assert(split.groupBy("source")
+      .agg(org.apache.spark.sql.functions.count_distinct(
+        org.apache.spark.sql.functions.col("split")).as("k"))
+      .filter(org.apache.spark.sql.functions.col("k") =!= 1)
+      .count() == 0)
+    // the val share is near the requested fraction at the SOURCE level
+    val valSources = split.filter(org.apache.spark.sql.functions
+        .col("split") === "val")
+      .select("source").distinct().count()
+    assert(valSources >= 4 && valSources <= 20,
+      s"0.3 split chose $valSources of 40 sources")
+    // a different salt reshuffles the assignment
+    val other = Sampling.splitBySource(docs, "source", 0.3, "s2")
+    val a = split.filter(org.apache.spark.sql.functions
+      .col("split") === "val").select("source").distinct()
+    val b = other.filter(org.apache.spark.sql.functions
+      .col("split") === "val").select("source").distinct()
+    assert(a.exceptAll(b).count() + b.exceptAll(a).count() > 0)
+    intercept[IllegalArgumentException] {
+      Sampling.splitBySource(split, "source", 0.5)
+    }
+  }
 }
