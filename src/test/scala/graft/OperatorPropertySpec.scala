@@ -105,6 +105,41 @@ class OperatorPropertySpec extends SparkSpec {
     assert(sig(1, desc = false) == sig(7, desc = true))
   }
 
+  test("NSW beam search with ef = n equals brute force on random cells") {
+    import graft.ops.GraphIndex
+    val cellGen = for {
+      n <- Gen.choose(2, 50)
+      dim <- Gen.choose(2, 16)
+      seed <- Gen.choose(0L, 10000L)
+      m <- Gen.choose(2, 8)
+    } yield (n, dim, seed, m)
+    val prop = Prop.forAll(cellGen) { case (n, dim, seed, m) =>
+      val rnd = new java.util.Random(seed)
+      val nodes = (0 until n).map { i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat))
+      }
+      val adj = GraphIndex.buildCellGraph(nodes, m, efC = math.max(8, 2 * m))
+      val q = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val got = GraphIndex.beamSearch(q, 0, n,
+        nodes.map(_._1).toArray, nodes.map(_._2).toArray, adj(_))
+        .map(_._2.toLong)
+      def ranked(ids: Set[Long]): Seq[Long] = nodes
+        .filter(x => ids(x._1))
+        .map { case (id, v) =>
+          (graft.functions.VectorOps.cosineDistance(q, v), id)
+        }.sorted.map(_._2)
+      // an exhaustive (ef = n) search over a CONNECTED graph must
+      // reproduce brute force exactly, in order. Degree pruning can
+      // in principle disconnect a component from the entry; then the
+      // search must still rank everything it REACHED correctly and
+      // reach at least the entry's own m+1 neighborhood
+      (if (got.length == n) got == ranked(nodes.map(_._1).toSet)
+       else got == ranked(got.toSet)) &&
+        got.length >= math.min(n, m + 1)
+    }
+    check(prop, 30)
+  }
+
   test("cutCommonLines agrees with an in-memory reference and is idempotent") {
     import spark.implicits._
     // random multi-line docs over a tiny line alphabet so lines repeat
