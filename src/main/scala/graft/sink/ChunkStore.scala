@@ -513,8 +513,13 @@ final class ChunkStore(
     * scan-and-filter either way.
     */
   def readDocuments(urls: Seq[String]): DataFrame = {
+    if (urls.isEmpty) return emptyFrame(schema)
+    fmt.readDocuments(urls) match {
+      case Some(df) => return df
+      case None => ()
+    }
     checkLayout()
-    if (urls.isEmpty || !exists) return emptyFrame(schema)
+    if (!exists) return emptyFrame(schema)
     buckets match {
       case None =>
         read().filter(col("document_url").isin(urls: _*))
@@ -546,17 +551,18 @@ final class ChunkStore(
     * partition filter), and to the bloom-surviving file subset when a
     * [[buildKeyManifest]] manifest is present.
     */
-  def readDocument(url: String): DataFrame = { checkLayout(); buckets } match {
-    case None =>
-      read().filter(col("document_url") === url)
-    case Some(_) if hasKeyManifest =>
-      readDocuments(Seq(url))
-    case Some(_) =>
-      rawRead()
-        .filter(col(bucketCol) === bucketOf(lit(url)) &&
-          col("document_url") === url)
-        .drop(bucketCol)
-  }
+  def readDocument(url: String): DataFrame = fmt.readDocuments(Seq(url))
+    .getOrElse { { checkLayout(); buckets } match {
+      case None =>
+        read().filter(col("document_url") === url)
+      case Some(_) if hasKeyManifest =>
+        readDocuments(Seq(url))
+      case Some(_) =>
+        rawRead()
+          .filter(col(bucketCol) === bucketOf(lit(url)) &&
+            col("document_url") === url)
+          .drop(bucketCol)
+    } }
 
   def read(): DataFrame = fmt.read().getOrElse {
     checkLayout()

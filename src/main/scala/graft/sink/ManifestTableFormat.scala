@@ -359,6 +359,22 @@ class ManifestTableFormat(
   override def read(): Option[DataFrame] =
     Some(readFiles(snapshot().live.keys.toSeq.sorted))
 
+  /** Point/multi-document reads prune to the files whose add-action
+    * url sets intersect the probe — log metadata only, no data read
+    * beyond the surviving files (the manifest twin of the bucketed
+    * layout's `_keybloom` file pruning, exact rather than
+    * probabilistic because the log records membership, not a sketch).
+    * The residual filter keeps the result identical to a full
+    * scan-and-filter.
+    */
+  override def readDocuments(urls: Seq[String]): Option[DataFrame] = {
+    val want = urls.toSet
+    val files = snapshot().live.collect {
+      case (f, us) if us.exists(want.contains) => f
+    }.toSeq.sorted
+    Some(readFiles(files).filter(col("document_url").isin(urls: _*)))
+  }
+
   /** The current committed version (−1 before the first commit). */
   def version: Long = snapshot().version
 

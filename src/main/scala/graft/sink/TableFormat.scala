@@ -58,4 +58,12 @@ trait TableFormat {
     * reads through the store's native directory scan.
     */
   def read(): Option[DataFrame] = None
+
+  /** A format-pruned multi-document read: `Some` when the format can
+    * serve the probed documents from a file SUBSET using its own
+    * metadata (the manifest format prunes on the per-file url sets
+    * its add-actions record). `None` routes to the store's native
+    * path (partition pruning / `_keybloom`).
+    */
+  def readDocuments(urls: Seq[String]): Option[DataFrame] = None
 }

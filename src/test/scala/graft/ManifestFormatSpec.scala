@@ -212,6 +212,25 @@ class ManifestFormatSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("point reads prune to the files the log says hold the documents") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    (1 to 6).foreach(i => store.upsert(chunksOf(s"doc://$i", s"t$i")))
+    val all = store.read().inputFiles.length
+    assert(all >= 6) // one commit per doc → at least one file each
+    val got = store.readDocuments(Seq("doc://3", "doc://absent"))
+    // exact metadata pruning: only doc://3's file is read
+    assert(got.inputFiles.length == 1,
+      s"read ${got.inputFiles.length} of $all files")
+    assert(got.select("chunk_text").collect().map(_.getString(0)).toSeq
+      == Seq("t3"))
+    // the single-document path routes through the same pruning
+    assert(store.readDocument("doc://5").inputFiles.length == 1)
+    // absent-only probe: nothing read, nothing returned
+    assert(store.readDocuments(Seq("doc://nope")).count() == 0)
+  }
+
   test("log round-trip survives hostile urls (quotes, commas, newlines)") {
     val path = freshPath()
     val store = new ChunkStore(spark, path,
