@@ -66,6 +66,28 @@ class GraphIndexSpec extends SparkSpec
     got.unpersist()
   }
 
+  test("nprobe is the recall knob: more probed cells → more true-kNN recall") {
+    val path = freshPath("knob")
+    GraphIndex.build(emb, path, "vec_id", "embedding",
+      nlist = 16, m = 8, efConstruction = 64)
+    val probes = emb.filter(col("vec_id") < 25)
+    val brute = Similarity.knnJoinBrute(emb, probes, "vec_id", "embedding",
+      k = 5).select("probe_id", "nn_id").cache()
+    def recall(nprobe: Int): Long = brute
+      .join(GraphIndex.query(spark, path, probes, k = 5, nprobe = nprobe,
+          ef = 256).select("probe_id", "nn_id"),
+        Seq("probe_id", "nn_id"), "left_semi")
+      .count()
+    val r2 = recall(2)
+    val r16 = recall(16)
+    info(s"recall@5: nprobe=2 $r2/125, nprobe=16 $r16/125")
+    // ef = 256 ≥ any cell at sf0.001, so nprobe=16 probes every cell
+    // exhaustively — exact brute-force recall; fewer cells cost recall
+    assert(r16 == 125, s"exhaustive nprobe must be exact: $r16/125")
+    assert(r2 < r16, s"nprobe knob has no effect: $r2 vs $r16")
+    brute.unpersist()
+  }
+
   test("append is batch-invariant: any batch split yields the identical node table") {
     // insertion order inside a cell is sorted-by-id — a FUNCTION of
     // the cell's final node set — so rebuilding a touched cell after
