@@ -218,8 +218,12 @@ class ManifestTableFormat(
     val out = f.create(tmp, false)
     try out.write(actions.map(renderAction).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // rename-if-absent IS the commit (atomic on HDFS/POSIX; S3-class
-    // stores substitute a conditional put, as Delta's LogStore does)
+    // rename-if-absent IS the commit. On HDFS rename FAILS onto an
+    // existing destination — a true atomic check-and-commit. Plain
+    // POSIX rename overwrites, so there the exists pre-check leaves a
+    // narrow two-writer window (fine for the local harness; the same
+    // caveat as Delta's Hadoop LogStore on raw local filesystems).
+    // S3-class stores substitute a conditional put.
     val won = !f.exists(target) && f.rename(tmp, target)
     if (!won) f.delete(tmp, false)
     won
