@@ -302,6 +302,93 @@ object PipelineQueries {
         .orderBy("grp", "shard")
     },
 
+    // P9: the round-5 operators composed into a training export —
+    // line-dedup the corpus (D23, planted boilerplate cut corpus-wide),
+    // split leakage-safe by SOURCE (D7e, whole domains on one side),
+    // then pack EACH SPLIT into token-budget shards with an
+    // order-immune manifest (D12/D12b). The oracle replays the entire
+    // chain — the exact-line cut, the md5 source assignment, the
+    // per-(split, group) greedy fill window, and the checksum — so
+    // every stage must agree with the second engine end-to-end.
+    "p9_split_export" -> QueryDef(
+      """WITH lined AS (
+        |  SELECT doc_id, source,
+        |         concat_ws(chr(10),
+        |           'nav home about contact',
+        |           CASE WHEN doc_id % 3 = 0 THEN 'accept cookies to continue' END,
+        |           text,
+        |           CASE WHEN doc_id % 50 = 0 THEN 'limited time offer today' END) AS t2
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(string_split(t2, chr(10))) AS line,
+        |         generate_subscripts(string_split(t2, chr(10)), 1) AS pos
+        |  FROM lined),
+        |common AS (
+        |  SELECT line FROM l WHERE trim(line) <> ''
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 100),
+        |cleaned AS (
+        |  SELECT l.doc_id,
+        |         COALESCE(string_agg(CASE WHEN c.line IS NULL THEN l.line END,
+        |                             chr(10) ORDER BY l.pos), '') AS ct
+        |  FROM l LEFT JOIN common c ON l.line = c.line
+        |  GROUP BY l.doc_id),
+        |sp AS (
+        |  SELECT cl.doc_id, cl.ct,
+        |         CASE WHEN substr(md5(d.source || 'v1'), 1, 4) < '4000'
+        |              THEN 'val' ELSE 'train' END AS split
+        |  FROM cleaned cl JOIN documents d USING (doc_id)),
+        |t AS (
+        |  SELECT doc_id, split, CAST(LENGTH(ct) // 4 AS BIGINT) AS tc,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM sp),
+        |g AS (
+        |  SELECT doc_id, split, tc, h,
+        |         CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |               + strpos('0123456789abcdef', substr(h, 2, 1)) - 1)
+        |              % 16 AS BIGINT) AS grp
+        |  FROM t),
+        |p AS (
+        |  SELECT doc_id, split, tc, grp,
+        |         CAST(COALESCE(SUM(tc) OVER (PARTITION BY split, grp
+        |                ORDER BY h, doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              // 2000 AS BIGINT) AS shard
+        |  FROM g)
+        |SELECT split, grp, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(tc) AS BIGINT) AS token_sum,
+        |       CAST(SUM(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |                || CAST(tc AS VARCHAR)), 1, 8) AS BIGINT)) AS BIGINT)
+        |         AS checksum
+        |FROM p GROUP BY split, grp, shard
+        |ORDER BY split, grp, shard""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val lined = docs.select(col("doc_id"), col("source"),
+        concat_ws("\n",
+          lit("nav home about contact"),
+          when(col("doc_id") % 3 === 0, lit("accept cookies to continue")),
+          col("text"),
+          when(col("doc_id") % 50 === 0, lit("limited time offer today")))
+          .as("t2"))
+      val cleaned = graft.ops.Dedup
+        .cutCommonLines(lined, "doc_id", "t2", minDocs = 100)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      val split = graft.ops.Sampling
+        .splitBySource(cleaned, "source", 0.25, "v1")
+        .select(col("doc_id"), col("split"),
+          graft.functions.GraftFunctions.token_count(col("cleaned_text"))
+            .cast("long").as("tc"))
+      def mani(side: String) = graft.ops.Packing.manifest(
+          graft.ops.Packing.packShards(
+            split.filter(col("split") === side), "doc_id", "tc",
+            budget = 2000L, numGroups = 16),
+          "doc_id", "tc")
+        .withColumn("split", lit(side))
+      mani("train").unionByName(mani("val"))
+        .select(col("split"), col("grp").cast("long").as("grp"),
+          col("shard"), col("n_docs"), col("token_sum"), col("checksum"))
+        .orderBy("split", "grp", "shard")
+    },
+
     // Raw pipeline output surface. Embedding VALUES are spec'd by the
     // deterministic embedder (not SQL), so the embedding projects to
     // its unit norm plus a well-formedness check of the sha2 content
