@@ -26,6 +26,13 @@ object GraftFunctions {
     binary(a, b, CosineDistance)
   def cosine_similarity(a: Column, b: Column): Column =
     binary(a, b, CosineSimilarity)
+  def cosine_distance_stored_norm(
+      a: Column, b: Column, normA: Column, normB: Column): Column = {
+    val s = activeSession
+    Bridge.column(CosineDistanceStoredNorm(
+      Bridge.expression(s, a), Bridge.expression(s, b),
+      Bridge.expression(s, normA), Bridge.expression(s, normB)))
+  }
   def dot_product(a: Column, b: Column): Column =
     binary(a, b, DotProduct)
   def l2_distance(a: Column, b: Column): Column =
@@ -120,6 +127,8 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "cosine_distance" -> (es => CosineDistance(es(0), es(1))),
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "cosine_distance_stored_norm" ->
+      (es => CosineDistanceStoredNorm(es(0), es(1), es(2), es(3))),
     "dot_product" -> (es => DotProduct(es(0), es(1))),
     "l2_distance" -> (es => L2Distance(es(0), es(1))),
     "vector_norm" -> (es => VectorNorm(es(0))),

@@ -81,6 +81,28 @@ object VectorOps extends Serializable {
     if (denom == 0.0) 1.0 else 1.0 - d / denom
   }
 
+  /** Cosine distance with BOTH norms precomputed — the stored-norm
+    * read path (roadmap extension of [[cosineDistanceKnownNorm]]): the
+    * table carries a materialized `vector_norm(embedding)` column
+    * written at ingest, the probe's norm folds at plan time, and the
+    * per-row work collapses to the dot product alone (the minimum any
+    * cosine scan can do). BIT-IDENTICAL to [[cosineDistance]] when
+    * `sqrtNx`/`sqrtNy` come from [[norm]]: d accumulates in the same
+    * order over the same values, and `norm` folds `sqrt(Σ v²)` with
+    * exactly the accumulation [[cosineDistance]] uses, so
+    * `sqrtNx * sqrtNy` reproduces `sqrt(nx) * sqrt(ny)` to the last
+    * ulp — conformance hashes cannot drift between the two paths.
+    */
+  def cosineDistanceStoredNorm(
+      x: ArrayData, y: ArrayData, sqrtNx: Double, sqrtNy: Double): Double = {
+    val n = checkDims(x, y)
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += x.getFloat(i).toDouble * y.getFloat(i); i += 1 }
+    val denom = sqrtNx * sqrtNy
+    if (denom == 0.0) 1.0 else 1.0 - d / denom
+  }
+
   /** Driver-side flavor of [[cosineDistance]] over plain float arrays
     * (bounded samples: IVF centroid Lloyd pass). Same contracts as the
     * ArrayData overload: dimension mismatch throws, zero norm → 1.0.

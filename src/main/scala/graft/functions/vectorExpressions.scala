@@ -76,6 +76,37 @@ case class CosineDistanceKnownNorm(
     copy(first = a, second = b, third = c)
 }
 
+/** [[CosineDistance]] with BOTH norms supplied — the stored-norm read
+  * path: `third` is a per-row norm column materialized at write time
+  * (`vector_norm(embedding)`), `fourth` the probe's norm (foldable —
+  * `vector_norm(<literal probe>)` constant-folds at plan time). The
+  * scan then does only the dot product per row. Bit-identical to
+  * [[CosineDistance]] when the norms come from [[VectorNorm]] (see
+  * [[VectorOps.cosineDistanceStoredNorm]]).
+  */
+case class CosineDistanceStoredNorm(
+    first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "cosine_distance_stored_norm"
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    VectorOps.cosineDistanceStoredNorm(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ops = VectorOps.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev,
+      (a, b, c, d) => s"${ev.value} = $ops.cosineDistanceStoredNorm($a, $b, $c, $d);")
+  }
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression) =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryVectorExpression {
   override def prettyName: String = "cosine_similarity"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.GraftFunctions._
-import graft.ops.Layout
+import graft.ops.{Layout, VectorSearch}
 
 /** Tier B — the vector-search read path the reference provisions in its
   * target stores (SURVEY §2.2). The store query shape is
@@ -41,6 +41,31 @@ object VectorQueries {
         .select(col("vec_id"),
           // + 0.0 normalizes IEEE -0.0 to +0.0 so both engines hash alike
           (round(cosine_distance(col("embedding"), col("qe")), 6) + lit(0.0)).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    },
+
+    // B2b: the STORED-NORM cosine top-k (roadmap extension of the
+    // PrenormalizeCosine literal-probe fold): the norm column is
+    // materialized ONCE at write time (VectorSearch.withNorm → 8
+    // bytes/row in parquet), the probe's norm constant-folds at plan
+    // time, and the scan's per-row work collapses to the dot product
+    // alone — the minimum any cosine scan can do, and the shape that
+    // matters when the 100 TB side is rescanned by every query. The
+    // gate hash-matches the SAME oracle as b2: stored-norm results
+    // must be bit-identical to the recompute-both-norms path.
+    "b2b_vector_topk_stored_norm" -> QueryDef(oracleCosineTopK(10, 0)) { (s, dir) =>
+      val path = s"/tmp/graft-storednorm-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      VectorSearch.withNorm(Tables(s, dir, "embeddings"))
+        .write.mode("overwrite").parquet(path)
+      val stored = s.read.parquet(path)
+      val qv = stored.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0)
+      val q = typedlit(qv)
+      stored
+        .select(col("vec_id"),
+          (round(cosine_distance_stored_norm(col("embedding"), q,
+            col("embedding_norm"), vector_norm(q)), 6) + lit(0.0)).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
     },

@@ -120,6 +120,30 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(df.limit(3).collect().forall(_.getDouble(0) == 1.0))
   }
 
+  test("b2b: stored-norm scan does only the dot product (probe norm folds)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sf(), "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    val stored = graft.ops.VectorSearch.withNorm(e)
+    val df = graft.ops.VectorSearch.topKStoredNorm(stored, probe, 5)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // per-row work is the stored-norm kernel (dot product only)...
+    assert(opt.contains("cosine_distance_stored_norm"), opt.take(2000))
+    // ...and the probe's vector_norm constant-folded at plan time: the
+    // single remaining vector_norm is the write-side column
+    // materialization (read from parquet in the real stored path)
+    assert(opt.indexOf("vector_norm") == opt.lastIndexOf("vector_norm"),
+      opt.take(2000))
+    // bit-equality with the recompute-both-norms path
+    val viaFull = graft.ops.VectorSearch.topK(e, probe, 5)
+      .orderBy("dist", "vec_id").select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = df.orderBy("dist", "vec_id").select("vec_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == viaFull, s"$got vs $viaFull")
+  }
+
   test("co-located bucketed join plans with zero exchanges") {
     import org.apache.spark.sql.functions._
     // chunks ↔ embeddings co-location: both sides bucketed on doc_id

@@ -61,4 +61,21 @@ class VectorOpsSpec extends AnyFunSuite {
     }
     assert(VectorOps.cosineDistance(arr(Seq(0f, 0f)), arr(Seq(1f, 2f))) == 1.0)
   }
+
+  test("stored-norm cosine is BIT-identical to the recompute path") {
+    // the b2b conformance contract: norms from VectorOps.norm make
+    // cosineDistanceStoredNorm reproduce cosineDistance to the last
+    // ulp (raw long bits equal, not just approximately)
+    check(Prop.forAll(vec, vec) { (a, b0) =>
+      val b = b0.take(a.length).padTo(a.length, 0.1f)
+      val full = VectorOps.cosineDistance(arr(a), arr(b))
+      val stored = VectorOps.cosineDistanceStoredNorm(
+        arr(a), arr(b), VectorOps.norm(arr(a)), VectorOps.norm(arr(b)))
+      java.lang.Double.doubleToRawLongBits(full) ==
+        java.lang.Double.doubleToRawLongBits(stored)
+    })
+    // zero-norm degeneracy keeps the distance-1.0 contract
+    assert(VectorOps.cosineDistanceStoredNorm(
+      arr(Seq(0f, 0f)), arr(Seq(1f, 2f)), 0.0, VectorOps.norm(arr(Seq(1f, 2f)))) == 1.0)
+  }
 }
