@@ -60,15 +60,25 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 can't map it to
-      // TimestampType directly (PARQUET_TYPE_ILLEGAL). Read nanos as
-      // LONG and convert with integer division: the raw value (~1.7e18)
-      // exceeds 2^53, so a double-typed `/` would silently lose
-      // microseconds; `div` keeps it exact.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+      // drops and TIMESTAMP(MICROS, ntz) in others — normalize both to
+      // session-local TimestampType (session tz is pinned UTC, so the
+      // NTZ→LTZ cast is value-preserving).
+      //  - NANOS: Spark 4 can't map it to TimestampType directly
+      //    (PARQUET_TYPE_ILLEGAL). Read nanos as LONG and convert with
+      //    integer division: the raw value (~1.7e18) exceeds 2^53, so a
+      //    double-typed `/` would silently lose microseconds; `div`
+      //    keeps it exact.
+      //  - MICROS (no tz): arrives as TIMESTAMP_NTZ; plain cast.
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
