@@ -283,7 +283,7 @@ object Layout {
     * floorMod for a positive modulus). Evaluating it in a Spark job
     * is what keeps the probe off the driver.
     */
-  private def bloomTest: Column = {
+  private[graft] def bloomTest: Column = {
     val h1 = call_function("shiftrightunsigned", col("h"), lit(32))
     val h2 = col("h").bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L))
     forall(sequence(lit(0L), col("num_hashes").cast("long") - 1L), i => {

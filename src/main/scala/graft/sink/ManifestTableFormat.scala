@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+import graft.ops.Layout
+
 /** A manifest-committing [[TableFormat]] — the Delta/Iceberg commit
   * model in miniature, implemented on plain parquet + one numbered
   * JSON-lines log (SURVEY A17's "MERGE INTO" mapping,
@@ -23,11 +25,23 @@ import org.apache.spark.sql.types.StructType
   *    object-store answer to the staged-swap contract in SCALE.md §1;
   *    S3-class stores need a conditional-put in place of the rename,
   *    same as Delta's LogStore requirement).
-  *  - **MERGE is copy-on-write.** Each `add` action records the file's
-  *    document urls, so a whole-document merge finds the files it
-  *    must rewrite FROM LOG METADATA (no data read), writes survivors
-  *    + incoming as new files, and commits `rm`(affected) +
-  *    `add`(new) in one entry.
+  *  - **Add-actions carry per-file STATS, never key sets.** Each `add`
+  *    records a fixed-size bloom filter over the file's document-url
+  *    hashes plus the min/max url — O(1) bytes per file regardless of
+  *    how many documents the file holds (the Delta/Iceberg per-file
+  *    stats idea). The log and the replayed snapshot are O(files);
+  *    with the former exact url sets both were O(total documents),
+  *    which no multi-million-document table survives.
+  *  - **MERGE is copy-on-write, affected files picked by a Spark
+  *    job.** The snapshot's stats frame joins the (broadcast,
+  *    distinct) incoming url hashes; the bloom test + min/max range
+  *    filter select the files that MAY hold a merged document — only
+  *    surviving file NAMES reach the driver. Survivor rows are
+  *    rewritten with a broadcast ANTI-JOIN against the incoming url
+  *    frame (no driver url `Set`, no `isin` In-literal blowup), then
+  *    `rm`(affected) + `add`(new) commit in one entry. Bloom false
+  *    positives only cost an extra file rewrite; min/max makes
+  *    disjoint url ranges free.
   *  - **Writers are optimistic.** A lost commit race (version already
   *    taken) reloads the log and checks FILE-LEVEL conflicts: if the
   *    winner removed none of this writer's inputs, the commit retries
@@ -43,6 +57,12 @@ import org.apache.spark.sql.types.StructType
   *    maintenance cadence (mind scan retention, as with any
   *    log-structured table).
   *
+  * Driver state: one replayed snapshot is `files × (bloomBits/8 +
+  * 2 urls)` bytes — ~1 KB/file at the 8192-bit default, so 10⁵ files
+  * ≈ 100 MB. The 10⁷-file end wants the replay itself as a Spark job
+  * over a parquet checkpoint (Delta's answer); bounded and named in
+  * SCALE.md.
+  *
   * Use with the per-document-free layout only (`buckets = None` and
   * this format — the log supersedes hive partitioning):
   * `new ChunkStore(spark, path, format = ManifestTableFormat.factory)`.
@@ -50,7 +70,11 @@ import org.apache.spark.sql.types.StructType
 class ManifestTableFormat(
     spark: SparkSession,
     path: String,
-    schema: StructType) extends TableFormat {
+    schema: StructType,
+    bloomBits: Int = 8192,
+    bloomHashes: Int = 5) extends TableFormat {
+
+  require(bloomBits % 64 == 0, s"bloomBits must be a multiple of 64: $bloomBits")
 
   private val logDir = new Path(path, "_log")
   private val dataDir = new Path(path, "data")
@@ -61,12 +85,19 @@ class ManifestTableFormat(
 
   // ---- log entries -------------------------------------------------
 
-  /** One committed action: add (with the file's url set) or remove. */
+  /** Per-file stats an add-action carries: a bloom bitset over
+    * xxhash64(document_url) plus the min/max url. Fixed size — the
+    * log stays O(files) however many documents a file packs.
+    */
+  private[sink] final case class FileStats(
+      bits: Seq[Long], lo: String, hi: String, numBits: Int, numHashes: Int)
+
+  /** One committed action: add (with the file's stats) or remove. */
   private[sink] final case class Action(
-      add: Boolean, file: String, urls: Seq[String])
+      add: Boolean, file: String, stats: Option[FileStats])
 
   private[sink] final case class Snapshot(
-      version: Long, live: Map[String, Seq[String]])
+      version: Long, live: Map[String, FileStats])
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -100,11 +131,24 @@ class ManifestTableFormat(
     b.result()
   }
 
-  private[sink] def renderAction(a: Action): String =
-    if (a.add)
-      s"""{"a":"add","f":"${esc(a.file)}","u":[${
-        a.urls.map(u => "\"" + esc(u) + "\"").mkString(",")}]}"""
-    else s"""{"a":"rm","f":"${esc(a.file)}"}"""
+  private def packBits(bits: Seq[Long]): String = {
+    val buf = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(buf.putLong)
+    java.util.Base64.getEncoder.encodeToString(buf.array())
+  }
+
+  private def unpackBits(b64: String): Seq[Long] = {
+    val buf = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+    Seq.fill(buf.remaining() / 8)(buf.getLong)
+  }
+
+  private[sink] def renderAction(a: Action): String = a.stats match {
+    case Some(st) =>
+      s"""{"a":"add","f":"${esc(a.file)}","lo":"${esc(st.lo)}","hi":"${
+        esc(st.hi)}","nb":${st.numBits},"nh":${st.numHashes},"b":"${
+        packBits(st.bits)}"}"""
+    case None => s"""{"a":"rm","f":"${esc(a.file)}"}"""
+  }
 
   private[sink] def parseAction(line: String): Action = {
     // strict parser for exactly the two shapes renderAction emits
@@ -126,20 +170,19 @@ class ManifestTableFormat(
       }
       unesc(line.substring(start, j))
     }
+    def num(key: String): Int = {
+      val tag = "\"" + key + "\":"
+      val i = line.indexOf(tag)
+      require(i >= 0, s"bad log line: $line")
+      var j = i + tag.length
+      while (j < line.length && line.charAt(j).isDigit) j += 1
+      line.substring(i + tag.length, j).toInt
+    }
     if (line.contains("\"a\":\"add\"")) {
-      val ui = line.indexOf("\"u\":[")
-      require(ui >= 0, s"bad add line: $line")
-      val body = line.substring(ui + 5, line.lastIndexOf(']'))
-      val urls =
-        if (body.isEmpty) Seq.empty[String]
-        else {
-          // split on "," BETWEEN quoted strings (urls are escaped, so
-          // a literal "," inside a url cannot match the delimiter)
-          body.split("\",\"", -1).toSeq
-            .map(_.stripPrefix("\"").stripSuffix("\"")).map(unesc)
-        }
-      Action(add = true, field("f"), urls)
-    } else Action(add = false, field("f"), Seq.empty)
+      Action(add = true, field("f"), Some(FileStats(
+        unpackBits(field("b")), field("lo"), field("hi"),
+        num("nb"), num("nh"))))
+    } else Action(add = false, field("f"), None)
   }
 
   private def entryPath(v: Long) = new Path(logDir, f"$v%012d.json")
@@ -172,11 +215,11 @@ class ManifestTableFormat(
     val checkpoints = names.filter(_.matches("\\d{12}\\.checkpoint\\.json"))
       .map(_.stripSuffix(".checkpoint.json").toLong)
     val ckpt = if (checkpoints.isEmpty) -1L else checkpoints.max
-    var live = Map.empty[String, Seq[String]]
+    var live = Map.empty[String, FileStats]
     def replay(p: Path): Unit =
       readText(p).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
-        if (a.add) live += (a.file -> a.urls) else live -= a.file
+        if (a.add) live += (a.file -> a.stats.get) else live -= a.file
       }
     if (ckpt >= 0) replay(checkpointPath(ckpt))
     entries.filter(_ > ckpt).sorted.foreach(v => replay(entryPath(v)))
@@ -198,7 +241,7 @@ class ManifestTableFormat(
     val tmp = new Path(logDir, s"tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write(snap.live.toSeq.sortBy(_._1)
-      .map { case (file, urls) => renderAction(Action(add = true, file, urls)) }
+      .map { case (file, st) => renderAction(Action(add = true, file, Some(st))) }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!(!f.exists(target) && f.rename(tmp, target)))
@@ -239,11 +282,44 @@ class ManifestTableFormat(
     if (files.isEmpty) emptyFrame
     else spark.read.schema(schema).parquet(files: _*)
 
+  /** The snapshot's per-file stats as a DataFrame, shaped for
+    * [[Layout.bloomTest]] — so affected-file selection runs as a Spark
+    * job over (file, bits, lo, hi), never as a driver loop.
+    */
+  private def statsFrame(snap: Snapshot): DataFrame = {
+    import spark.implicits._
+    snap.live.toSeq
+      .map { case (f, st) =>
+        (f, st.bits, st.lo, st.hi, st.numBits, st.numHashes) }
+      .toDF("file", "bits", "lo", "hi", "num_bits", "num_hashes")
+  }
+
+  /** Files whose stats say they MAY hold any of `probe`'s urls: the
+    * stats frame joins the broadcast distinct url-hash frame; min/max
+    * range + bloom membership filter the pairs; only surviving file
+    * names are collected. No false negatives (a file holding a probed
+    * url always survives its own bloom); false positives cost one
+    * extra file rewrite/read. `probe` must have a `document_url`
+    * column.
+    */
+  private def affectedFiles(snap: Snapshot, probe: DataFrame): Seq[String] = {
+    if (snap.live.isEmpty) return Seq.empty
+    val hashes = probe
+      .select(col("document_url").as("u"),
+        xxhash64(col("document_url")).as("h"))
+      .distinct()
+    statsFrame(snap).join(broadcast(hashes))
+      .filter(col("u") >= col("lo") && col("u") <= col("hi"))
+      .filter(Layout.bloomTest)
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
   /** Write `rows` as a fresh immutable file set under `data/` and
-    * return add-actions carrying each new file's url set (one narrow
-    * aggregate over the just-written files — the per-file stats a
-    * manifest format keeps, gathered the same way the layout
-    * manifests are).
+    * return add-actions carrying each new file's stats — ONE narrow
+    * aggregate over the just-written files building the url bloom
+    * (map-side, fixed-size buffers — [[Layout.bloomAgg]]) and min/max.
+    * O(1) metadata per file, however many documents it packs.
     */
   private def writeData(rows: DataFrame): Seq[Action] = {
     val batchDir = new Path(dataDir,
@@ -252,12 +328,18 @@ class ManifestTableFormat(
       .write.parquet(batchDir.toString)
     val written = spark.read.schema(schema).parquet(batchDir.toString)
     if (written.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
+    val agg = udaf(Layout.bloomAgg(bloomBits, bloomHashes))
     written
       .select(input_file_name().as("f"), col("document_url"))
-      .groupBy("f").agg(collect_set("document_url").as("us"))
+      .groupBy("f")
+      .agg(agg(xxhash64(col("document_url"))).as("bits"),
+        min("document_url").as("lo"), max("document_url").as("hi"))
       .collect()
-      .map(r => Action(add = true, r.getString(0),
-        r.getSeq[String](1).sorted))
+      .map(r => Action(add = true, r.getString(0), Some(FileStats(
+        r.getSeq[Long](1),
+        Option(r.getString(2)).getOrElse(""),
+        Option(r.getString(3)).getOrElse(""),
+        bloomBits, bloomHashes))))
       .toSeq
   }
 
@@ -282,8 +364,8 @@ class ManifestTableFormat(
       guard()
       val snap = snapshot()
       val files = affected(snap)
-      val adds = writeData(rewrite(snap, files))
-      val actions = files.map(Action(add = false, _, Seq.empty)) ++ adds
+      val adds = writeData(onRewrite(rewrite(snap, files)))
+      val actions = files.map(Action(add = false, _, None)) ++ adds
       if (actions.isEmpty) return
       beforeCommit()
       var base = snap
@@ -315,6 +397,13 @@ class ManifestTableFormat(
     */
   protected def beforeCommit(): Unit = ()
 
+  /** Test seam: observes the frame a commit cycle is about to write
+    * (the survivor rewrite for merge/delete, the incoming rows for
+    * append). The spec pins the MERGE plan shape here — broadcast
+    * anti-join, no In-literal url list.
+    */
+  protected def onRewrite(df: DataFrame): DataFrame = df
+
   // ---- TableFormat -------------------------------------------------
 
   override def merge(rows: DataFrame): Unit = {
@@ -322,28 +411,25 @@ class ManifestTableFormat(
       col("chunk_id"), col("chunk_text"), col("embedding"),
       col("page_number"), col("document_url")).persist()
     try {
-      val urls = incoming.select("document_url").distinct()
-        .collect().map(_.getString(0)).toSet
-      if (urls.isEmpty) return
-      commitCycle(
-        snap => snap.live.collect {
-          case (f, us) if us.exists(urls.contains) => f
-        }.toSeq.sorted,
+      if (incoming.isEmpty) return
+      val probe = incoming.select("document_url").distinct().persist()
+      try commitCycle(
+        snap => affectedFiles(snap, probe),
         (_, files) => readFiles(files)
-          .filter(!col("document_url").isin(urls.toSeq: _*))
+          .join(broadcast(probe), Seq("document_url"), "left_anti")
           .unionByName(incoming))
+      finally probe.unpersist()
     } finally incoming.unpersist()
   }
 
   override def delete(documentUrls: Seq[String]): Unit = {
-    val urls = documentUrls.toSet
-    if (urls.isEmpty) return
+    if (documentUrls.isEmpty) return
+    import spark.implicits._
+    val probe = documentUrls.distinct.toDF("document_url")
     commitCycle(
-      snap => snap.live.collect {
-        case (f, us) if us.exists(urls.contains) => f
-      }.toSeq.sorted,
+      snap => affectedFiles(snap, probe),
       (_, files) => readFiles(files)
-        .filter(!col("document_url").isin(urls.toSeq: _*)))
+        .join(broadcast(probe), Seq("document_url"), "left_anti"))
   }
 
   override def compact(): Unit =
@@ -363,20 +449,21 @@ class ManifestTableFormat(
   override def read(): Option[DataFrame] =
     Some(readFiles(snapshot().live.keys.toSeq.sorted))
 
-  /** Point/multi-document reads prune to the files whose add-action
-    * url sets intersect the probe — log metadata only, no data read
-    * beyond the surviving files (the manifest twin of the bucketed
-    * layout's `_keybloom` file pruning, exact rather than
-    * probabilistic because the log records membership, not a sketch).
-    * The residual filter keeps the result identical to a full
+  /** Point/multi-document reads prune to the files whose stats MAY
+    * hold a probed url (bloom + min/max from log metadata — no data
+    * read beyond the surviving files, the manifest twin of the
+    * bucketed layout's `_keybloom` pruning). Probabilistic in the
+    * cheap direction only: a false positive reads one extra file; the
+    * residual semi-join keeps the result identical to a full
     * scan-and-filter.
     */
   override def readDocuments(urls: Seq[String]): Option[DataFrame] = {
-    val want = urls.toSet
-    val files = snapshot().live.collect {
-      case (f, us) if us.exists(want.contains) => f
-    }.toSeq.sorted
-    Some(readFiles(files).filter(col("document_url").isin(urls: _*)))
+    import spark.implicits._
+    val probe = urls.distinct.toDF("document_url")
+    val files = affectedFiles(snapshot(), probe)
+    Some(readFiles(files)
+      .join(broadcast(probe), Seq("document_url"), "left_semi")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
   /** The current committed version (−1 before the first commit). */
@@ -407,15 +494,15 @@ class ManifestTableFormat(
       s"version $asOf at $path is no longer reconstructable — " +
         s"entries in (${ckpt}, $asOf] were vacuumed (history " +
         "retention is bounded by checkpoint + vacuum)")
-    var live = Map.empty[String, Seq[String]]
+    var live = Set.empty[String]
     def replay(p: Path): Unit =
       readText(p).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
-        if (a.add) live += (a.file -> a.urls) else live -= a.file
+        if (a.add) live += a.file else live -= a.file
       }
     if (ckpt >= 0) replay(checkpointPath(ckpt))
     wanted.foreach(v => replay(entryPath(v)))
-    readFiles(live.keys.toSeq.sorted)
+    readFiles(live.toSeq.sorted)
   }
 
   /** Delete data files no committed version references (crashed

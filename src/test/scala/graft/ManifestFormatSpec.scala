@@ -220,7 +220,9 @@ class ManifestFormatSpec extends SparkSpec {
     val all = store.read().inputFiles.length
     assert(all >= 6) // one commit per doc → at least one file each
     val got = store.readDocuments(Seq("doc://3", "doc://absent"))
-    // exact metadata pruning: only doc://3's file is read
+    // stats pruning (bloom + min/max from the log): only doc://3's
+    // file survives the probe — a false positive could only ADD a
+    // file, and at one key per 8192-bit bloom none occurs
     assert(got.inputFiles.length == 1,
       s"read ${got.inputFiles.length} of $all files")
     assert(got.select("chunk_text").collect().map(_.getString(0)).toSeq
@@ -229,6 +231,87 @@ class ManifestFormatSpec extends SparkSpec {
     assert(store.readDocument("doc://5").inputFiles.length == 1)
     // absent-only probe: nothing read, nothing returned
     assert(store.readDocuments(Seq("doc://nope")).count() == 0)
+  }
+
+  test("add-action metadata is O(1) per file: stats, never url sets") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    import spark.implicits._
+    // one file holding MANY documents — the shape whose url set the
+    // old log format carried verbatim (O(documents) per action)
+    val many = (1 to 3000).map(i =>
+      (0, s"t$i", Seq(1f, 2f), 1, f"doc://bulk/$i%05d"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url").coalesce(1)
+    store.upsert(many)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logLines = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_log")).toSeq
+      .filter(_.getPath.getName.matches("\\d{12}\\.json"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    val adds = logLines.filter(_.contains("\"a\":\"add\""))
+    assert(adds.nonEmpty)
+    adds.foreach { l =>
+      // 8192-bit bloom ≈ 1.4 KB base64 + two boundary urls; a 3000-url
+      // set would be ~50 KB — the O(1)-per-file bound is the point
+      assert(l.length < 4096,
+        s"add-action is ${l.length} chars — carrying url sets again?")
+      assert(!l.contains("doc://bulk/01500"),
+        "log metadata must not enumerate document urls")
+    }
+    // stats still answer point reads exactly
+    assert(store.read().count() == 3000)
+    val one = store.readDocuments(Seq("doc://bulk/01500"))
+    assert(one.count() == 1)
+  }
+
+  test("merge rewrites survivors with a broadcast anti-join, no url In-literals") {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val path = freshPath()
+    var captured: List[DataFrame] = Nil
+    val store = new ChunkStore(spark, path,
+      format = s => new ManifestTableFormat(s.spark, s.path, s.schema) {
+        override protected def onRewrite(df: DataFrame): DataFrame = {
+          captured ::= df; df
+        }
+      })
+    import spark.implicits._
+    def batch(texts: Int => String, n: Int): DataFrame =
+      (1 to n).map(i => (0, texts(i), Seq(1f), 1, s"doc://m/$i"))
+        .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+          "document_url")
+    store.upsert(batch(i => s"old$i", 2000))
+    captured = Nil
+    // an INFLATED overlapping batch: the old merge built a 1500-value
+    // driver Set and an isin(...) In-literal from this — the rewrite
+    // plan must instead anti-join the broadcast url frame
+    store.upsert(batch(i => s"new$i", 1500))
+    val rewrite = captured.last
+    val opt = rewrite.queryExecution.optimizedPlan
+    val inLits = opt.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case e: In => e: Any; case e: InSet => e: Any })
+    assert(inLits.isEmpty,
+      s"merge rewrite plans url In-literals: ${inLits.take(3)}")
+    assert(opt.collect {
+        case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+      "survivor rewrite must be a left anti join")
+    val physical = rewrite.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") &&
+        physical.contains("LeftAnti"),
+      s"the anti-join must broadcast the incoming url frame:\n${
+        physical.take(2000)}")
+    // and the merge itself is right: 1500 replaced, 500 untouched
+    assert(store.read().count() == 2000)
+    assert(store.read().filter(col("chunk_text") === "new7").count() == 1)
+    assert(store.read().filter(col("chunk_text") === "old1501").count() == 1)
   }
 
   test("log round-trip survives hostile urls (quotes, commas, newlines)") {
