@@ -65,6 +65,15 @@ object GraphIndex {
   final case class Node(
       nn_id: Long, cell: Int, vec: Seq[Float], nbrs: Seq[Long])
 
+  /** A [[Node]] carrying its tombstone flag into the per-cell search
+    * task — the flag is attached by a JOIN against the tombstone
+    * frame, so the deleted set never collects to the driver (the
+    * b4h/text-index shape; per-task state stays bounded by cell size).
+    */
+  private[graft] final case class FlaggedNode(
+      nn_id: Long, cell: Int, vec: Seq[Float], nbrs: Seq[Long],
+      deleted: Boolean)
+
   // ----------------------------------------------------------------
   // in-task NSW kernel (one cell per invocation; plain Scala)
   // ----------------------------------------------------------------
@@ -261,8 +270,8 @@ object GraphIndex {
   // ----------------------------------------------------------------
 
   /** Tombstone ids: deleted rows stop being RETURNED immediately (the
-    * query filters results against the broadcast tombstone set) while
-    * still ROUTING beam searches — the standard graph-index delete
+    * query joins the tombstone frame onto the node scan and filters
+    * flagged candidates) while still ROUTING beam searches — the standard graph-index delete
     * (removing a node's edges would degrade the graph's navigability;
     * HNSW implementations mark-and-skip for the same reason).
     * [[compact]] physically drops the rows and rebuilds the affected
@@ -386,30 +395,44 @@ object GraphIndex {
       routed.groupBy(_._1).map { case (c, rs) =>
         c -> rs.map(r => (r._2, r._3.toArray))
       })
-    val tomb = tombstones(spark, path)
-      .map(_.as[Long].collect().toSet).getOrElse(Set.empty[Long])
-    val tombB = spark.sparkContext.broadcast(tomb)
     // static partition pruning: the literal cell list reaches the scan
     val nodes = spark.read.parquet(dataPath(path))
       .filter(col("cell").isin(cells: _*))
       .select(col("nn_id"), col("cell"), col("vec"), col("nbrs"))
-      .as[Node]
-    val perCell = nodes.groupByKey(_.cell)
+    // tombstones attach as a per-node flag via a JOIN (never a driver
+    // collect — delete volume between compactions is unbounded; the
+    // planner broadcasts the frame while it is small and shuffles past
+    // that, either way off the driver). Flagged nodes still ROUTE beam
+    // searches; only the emitted candidates are filtered. The eager
+    // localCheckpoint pins the tombstone SNAPSHOT in executor storage
+    // so the returned plan survives a concurrent compact() clearing
+    // the tombstone files (same reader isolation the old driver
+    // collect gave, kept distributed).
+    val flagged = (tombstones(spark, path) match {
+      case Some(tomb) =>
+        nodes.join(tomb.select(col("nn_id"), lit(true).as("__t"))
+            .localCheckpoint(true),
+            Seq("nn_id"), "left_outer")
+          .withColumn("deleted", coalesce(col("__t"), lit(false)))
+          .drop("__t")
+      case None => nodes.withColumn("deleted", lit(false))
+    }).as[FlaggedNode]
+    val perCell = flagged.groupByKey(_.cell)
       .flatMapGroups { (cell, it) =>
         val cellNodes = it.toIndexedSeq.sortBy(_.nn_id)
         val ids = cellNodes.map(_.nn_id).toArray
         val vecs = cellNodes.map(_.vec.toArray).toArray
+        val del = cellNodes.map(_.deleted).toArray
+        val delCount = del.count(identity)
         val pos = ids.zipWithIndex.toMap
         val adj = cellNodes.map(_.nbrs.flatMap(pos.get).toArray).toArray
-        val deleted = tombB.value
         probesByCell.value.getOrElse(cell, Seq.empty).iterator.flatMap {
           case (pid, pv) =>
             // deleted nodes route (stay in the graph walk) but are
             // filtered from the emitted candidates; ef + |tomb ∩ cell|
             // keeps k reachable survivors discoverable
-            beamSearch(pv, 0, efq + ids.count(deleted.contains), ids,
-              vecs, adj(_))
-              .filter { case (_, i) => !deleted.contains(ids(i)) }
+            beamSearch(pv, 0, efq + delCount, ids, vecs, adj(_))
+              .filter { case (_, i) => !del(i) }
               .take(k)
               .map { case (d, i) => (pid, ids(i), d) }
         }

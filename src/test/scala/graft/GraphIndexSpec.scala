@@ -151,6 +151,42 @@ class GraphIndexSpec extends SparkSpec
     afterDelete.unpersist()
   }
 
+  test("large tombstone sets stay off the driver: tombstones enter the query plan as a join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val path = freshPath("bigtomb")
+    GraphIndex.build(emb, path, "vec_id", "embedding", nlist = 8)
+    val probes = emb.filter(col("vec_id") < 5)
+    // pre-delete: no tombstones → no join anywhere in the query plan
+    val before = GraphIndex.query(spark, path, probes, k = 3, nprobe = 8,
+      ef = 2048)
+    assert(before.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j }.isEmpty)
+    // delete HALF the corpus in one batch — the shape whose collected
+    // driver Set the old path broadcast; now it must flow through a
+    // join against the tombstone frame
+    val victims = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    GraphIndex.delete(victims, path)
+    val after = GraphIndex.query(spark, path, probes, k = 3, nprobe = 8,
+      ef = 2048)
+    assert(after.queryExecution.optimizedPlan.collect {
+      case j: LJoin => j }.nonEmpty,
+      "tombstones must attach via a join, not a driver-collected set")
+    val rows = after.cache()
+    // no tombstoned id is emitted; every probe still gets its k
+    assert(rows.join(victims.withColumnRenamed("vec_id", "nn_id"),
+      Seq("nn_id"), "left_semi").count() == 0)
+    assert(rows.groupBy("probe_id").count()
+      .filter(col("count") =!= 3).count() == 0)
+    // with nprobe = nlist and ef ≥ |cell| the search is exhaustive, so
+    // the masked index must reproduce brute force over the survivors
+    val survivors = emb.join(victims, Seq("vec_id"), "left_anti")
+    val brute = Similarity.knnJoinBrute(survivors, probes, "vec_id",
+      "embedding", k = 3).select("probe_id", "nn_id")
+    assert(rows.select("probe_id", "nn_id").exceptAll(brute).count() == 0 &&
+      brute.exceptAll(rows.select("probe_id", "nn_id")).count() == 0)
+    rows.unpersist()
+  }
+
   test("query prunes the node-table scan to the probed cells (static partition pruning)") {
     val path = freshPath("prune")
     GraphIndex.build(emb, path, "vec_id", "embedding", nlist = 8)
