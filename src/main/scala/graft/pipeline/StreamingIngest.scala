@@ -162,12 +162,14 @@ object StreamingIngest {
     *
     * Cost = catalog cost (metadata-only for the per-document layout;
     * a scan + distinct for bucketed stores — run on a maintenance
-    * cadence there). Driver memory is O(catalog), NOT O(listing): the
-    * source listing streams through the remote iterator and only
-    * SUBTRACTS from the catalog-sized candidate set, so a 10⁸-blob
-    * input directory costs time, never driver heap — the catalog side
-    * is already bounded by the per-document layout's own ~10⁵-10⁶
-    * document contract (SCALE.md §1).
+    * cadence there). Driver memory is O(actual deletes), not
+    * O(catalog) and not O(listing): both sides are DataFrames — the
+    * store's [[ChunkStore.documentCatalog]] and the source listing
+    * streamed through a disk-backed frame — and the diff is a LEFT
+    * ANTI JOIN, so a 10⁸-document catalog against a 10⁸-blob listing
+    * costs executor time, never driver heap. Only the documents that
+    * actually disappeared (churn-bounded) reach the driver, as the
+    * delete call's argument.
     *
     * Safety contract: absence-of-listing is never read as
     * everything-was-deleted. A missing input directory (transient
@@ -190,40 +192,44 @@ object StreamingIngest {
         "a missing listing as a mass delete")
       return
     }
-    val stored = store.listDocumentUrls()
-    if (stored.nonEmpty) {
+    import spark.implicits._
+    val catalog = store.documentCatalog().persist()
+    try {
+      if (catalog.isEmpty) return
+      // stream the source listing into a disk-backed frame — O(batch)
+      // driver heap at any listing size
+      val files = ifs.listFiles(inPath, true)
+      val (listing, listed) = graft.sink.StreamedNames.toFrame(
+        spark, "__p", new Iterator[String] {
+          def hasNext: Boolean = files.hasNext
+          def next(): String = files.next().getPath.toString
+        })
+      if (listed == 0L) {
+        log.warn(s"delete detection skipped: input listing at $inputDir is " +
+          s"empty but the store holds ${catalog.count()} documents — " +
+          "refusing to mass-delete; wipe explicitly via store.delete if " +
+          "intended")
+        return
+      }
       // Both sides normalized through the same Hadoop Path rendering:
       // document_url originates from the binaryFile source's `path`
       // column (a Path.toString), but re-render the stored side so a
       // divergence (file:/// vs file:/, URI escaping, another source)
-      // can't make every document look deleted.
-      val candidates = scala.collection.mutable.LinkedHashMap.empty[
-        String, String] // rendered listing path -> original url
-      stored.foreach { u =>
-        candidates(new org.apache.hadoop.fs.Path(u).toString) = u
-      }
-      var listed = 0L
-      val it = ifs.listFiles(inPath, true)
-      while (it.hasNext) {
-        candidates.remove(it.next().getPath.toString)
-        listed += 1
-      }
-      if (listed == 0L) {
-        log.warn(s"delete detection skipped: input listing at $inputDir is " +
-          s"empty but the store holds ${stored.size} documents — refusing " +
-          "to mass-delete; wipe explicitly via store.delete if intended")
-        return
-      }
-      val gone = candidates.values.toSeq
+      // can't make every document look deleted. The diff is a LEFT
+      // ANTI JOIN — only the churn-bounded survivors are collected.
+      val rendered = catalog.as[String]
+        .map(u => (u, new org.apache.hadoop.fs.Path(u).toString))
+        .toDF("document_url", "__p")
+      val gone = rendered.join(listing, Seq("__p"), "left_anti")
+        .select("document_url").as[String].collect().toSeq
       if (gone.nonEmpty) {
         store.delete(gone)
         if (indexPaths.nonEmpty) {
-          import spark.implicits._
           val ids = gone.toDF("document_url")
           indexPaths.foreach(p =>
             graft.ops.IndexMaintenance.deleteFrom(spark, p, ids))
         }
       }
-    }
+    } finally catalog.unpersist()
   }
 }

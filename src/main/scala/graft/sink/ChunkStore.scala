@@ -419,7 +419,15 @@ final class ChunkStore(
     * only manual-recovery window is between the two renames (same
     * protocol and caveat as the signature store's compaction).
     */
-  def compact(): Unit = fmt.compact()
+  def compact(): Unit = {
+    fmt.compact()
+    // a store that opted into the `_keybloom` manifest keeps it fresh
+    // automatically: compaction rewrote the file set, and this is the
+    // documented maintenance point (a stale manifest stays SOUND — the
+    // refresh just restores the pruning win over the new files)
+    if (buckets.nonEmpty && hasKeyManifest)
+      graft.ops.Layout.writeKeyManifest(spark, path, "document_url")
+  }
 
   private def compactParquet(): Unit = {
     checkLayout()
@@ -470,6 +478,42 @@ final class ChunkStore(
       // is the catalog of record): distinct over the format's read
       read().select("document_url").distinct()
         .collect().map(_.getString(0)).toSeq
+  }
+
+  /** The document catalog as a DataFrame — the scalable form of
+    * [[listDocumentUrls]] (delete detection's anti-join side).
+    * Bucketed/manifest stores answer straight from a distinct over
+    * the store — no driver collect at ANY catalog size. The
+    * per-document layout streams its partition-directory names
+    * through a disk-backed frame ([[StreamedNames]]), so driver heap
+    * stays O(batch) rather than O(catalog) there too.
+    */
+  def documentCatalog(): DataFrame = buckets match {
+    case None if fmt.read().isEmpty =>
+      checkLayout()
+      if (!exists)
+        emptyFrame(StructType(Seq(StructField("document_url", StringType))))
+      else {
+        val it = fs.listStatusIterator(new Path(path))
+        val names = new Iterator[String] {
+          private var pending: Option[String] = None
+          private def advance(): Unit =
+            while (pending.isEmpty && it.hasNext) {
+              val st = it.next()
+              val n = st.getPath.getName
+              if (st.isDirectory && n.startsWith("document_url="))
+                pending = Some(ExternalCatalogUtils
+                  .unescapePathName(n.stripPrefix("document_url=")))
+            }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): String = {
+            advance()
+            val v = pending.get; pending = None; v
+          }
+        }
+        StreamedNames.toFrame(spark, "document_url", names)._1
+      }
+    case _ => read().select("document_url").distinct()
   }
 
   // ---- B5 + B11c on the store's own table: the bucketed layout
