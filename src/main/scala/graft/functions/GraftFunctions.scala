@@ -118,6 +118,21 @@ object GraftFunctions {
     Bridge.column(f(Bridge.expression(s, a), Bridge.expression(s, b)))
   }
 
+  // SQL-path arity guard: a wrong-argument-count call fails with the
+  // function's name and expected arity instead of a raw
+  // IndexOutOfBoundsException out of es(n)
+  private def fn(name: String, arity: Int)(
+      b: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)
+      : (String,
+         Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+           org.apache.spark.sql.catalyst.expressions.Expression) =
+    name -> (es => {
+      if (es.length != arity) throw new IllegalArgumentException(
+        s"function $name expects $arity argument(s), got ${es.length}")
+      b(es)
+    })
+
   /** Every graft SQL function: name → expression builder. Single
     * source of truth for session-level registration ([[register]])
     * and the [[graft.GraftExtensions]] injection path.
@@ -125,24 +140,26 @@ object GraftFunctions {
   val builders: Seq[(String,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-    "cosine_distance" -> (es => CosineDistance(es(0), es(1))),
-    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
-    "cosine_distance_stored_norm" ->
-      (es => CosineDistanceStoredNorm(es(0), es(1), es(2), es(3))),
-    "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "l2_distance" -> (es => L2Distance(es(0), es(1))),
-    "vector_norm" -> (es => VectorNorm(es(0))),
-    "chunk_text" -> (es => ChunkText(es(0), es(1), es(2), es(3))),
-    "token_count" -> (es => TokenCount(es(0))),
-    "nfc_normalize" -> (es => NfcNormalize(es(0))),
-    "simhash64" -> (es => SimHash64(es(0), es(1))),
-    "minhash_signature" -> (es => MinHashSignature(es(0), es(1), es(2))),
-    "word_shingles" -> (es => WordShingles(es(0), es(1))),
-    "gram_hashes" -> (es => GramHashes(es(0), es(1))),
-    "int8_pack" -> (es => Int8Pack(es(0))),
-    "winnow_fingerprints" -> (es => WinnowFingerprints(es(0), es(1), es(2))),
-    "profile_scores" -> (es => ProfileScores(es(0), es(1), es(2))),
-    "q8_cosine_distance" -> (es => Q8CosineDistance(es(0), es(1), es(2), es(3))))
+    fn("cosine_distance", 2)(es => CosineDistance(es(0), es(1))),
+    fn("cosine_similarity", 2)(es => CosineSimilarity(es(0), es(1))),
+    fn("cosine_distance_stored_norm", 4)(
+      es => CosineDistanceStoredNorm(es(0), es(1), es(2), es(3))),
+    fn("dot_product", 2)(es => DotProduct(es(0), es(1))),
+    fn("l2_distance", 2)(es => L2Distance(es(0), es(1))),
+    fn("vector_norm", 1)(es => VectorNorm(es(0))),
+    fn("chunk_text", 4)(es => ChunkText(es(0), es(1), es(2), es(3))),
+    fn("token_count", 1)(es => TokenCount(es(0))),
+    fn("nfc_normalize", 1)(es => NfcNormalize(es(0))),
+    fn("simhash64", 2)(es => SimHash64(es(0), es(1))),
+    fn("minhash_signature", 3)(es => MinHashSignature(es(0), es(1), es(2))),
+    fn("word_shingles", 2)(es => WordShingles(es(0), es(1))),
+    fn("gram_hashes", 2)(es => GramHashes(es(0), es(1))),
+    fn("int8_pack", 1)(es => Int8Pack(es(0))),
+    fn("winnow_fingerprints", 3)(
+      es => WinnowFingerprints(es(0), es(1), es(2))),
+    fn("profile_scores", 3)(es => ProfileScores(es(0), es(1), es(2))),
+    fn("q8_cosine_distance", 4)(
+      es => Q8CosineDistance(es(0), es(1), es(2), es(3))))
 
   /** Register all graft SQL functions on the given session. Idempotent. */
   def register(spark: SparkSession): Unit =

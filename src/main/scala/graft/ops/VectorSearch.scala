@@ -30,6 +30,15 @@ object VectorSearch {
   /** Exact top-k rows by distance to `queryVec`. Result carries all
     * input columns plus `dist` (rounded to 6 for deterministic ties,
     * broken by the remaining sort stability of limit+order).
+    *
+    * When the table carries a [[withNorm]]-materialized norm column
+    * (`"<vecCol>_norm"`, the withNorm naming convention) and the
+    * metric is cosine, the scan LOWERS to the stored-norm kernel
+    * automatically — the caller writes the norm once at ingest and
+    * every `topK` after that does dot-product-only per-row work,
+    * without opting in at each call site. Results are bit-identical
+    * either way (gate b2b); pass a differently-named norm column to
+    * [[topKStoredNorm]] explicitly.
     */
   def topK(
       table: DataFrame,
@@ -38,6 +47,9 @@ object VectorSearch {
       vecCol: String = "embedding",
       metric: String = "cosine",
       filter: Option[Column] = None): DataFrame = {
+    val normCol = s"${vecCol}_norm"
+    if (metric == "cosine" && table.columns.contains(normCol))
+      return topKStoredNorm(table, queryVec, k, vecCol, normCol, filter)
     val base = filter.fold(table)(table.where)
     base
       .withColumn("dist",
@@ -65,6 +77,14 @@ object VectorSearch {
     * constant folding evaluates it once at plan time with the same
     * accumulation order as the stored side. Bit-identical results to
     * [[topK]] (gate b2b hash-matches the b2 oracle).
+    *
+    * INVARIANT: `normCol` must equal `vector_norm(vecCol)` for every
+    * row — the kernel TRUSTS it; a stale norm (vector updated without
+    * rewriting the column) silently yields wrong distances and a
+    * wrong top-k. Any path that rewrites the vector must recompute
+    * the norm in the same write ([[withNorm]] on the outgoing frame —
+    * never carry the old column through). [[validateNorms]] is the
+    * spot-check for tables of unknown provenance.
     */
   def topKStoredNorm(
       table: DataFrame,
@@ -81,6 +101,27 @@ object VectorSearch {
           col(vecCol), q, col(normCol), vector_norm(q)), 6) + lit(0.0))
       .orderBy(col("dist"))
       .limit(k)
+  }
+
+  /** Audit the [[topKStoredNorm]] invariant: fails loudly if any of
+    * `sample` scanned rows carries `normCol ≠ vector_norm(vecCol)`.
+    * Bit-exact comparison — both sides accumulate in the same order,
+    * so ANY divergence means the column is stale, not rounding. One
+    * narrow aggregate over a limited scan; run it when adopting a
+    * table whose write path you don't control.
+    */
+  def validateNorms(
+      table: DataFrame,
+      vecCol: String = "embedding",
+      normCol: String = "embedding_norm",
+      sample: Int = 100000): Unit = {
+    val bad = table.limit(sample)
+      .filter(col(normCol) =!= vector_norm(col(vecCol)))
+      .count()
+    require(bad == 0L,
+      s"$bad of up to $sample sampled rows have $normCol != " +
+        s"vector_norm($vecCol) — the stored norm is stale; rewrite it " +
+        "with VectorSearch.withNorm before using topKStoredNorm")
   }
 
   /** B3: metadata filter + vector ordering (filter BEFORE distance so

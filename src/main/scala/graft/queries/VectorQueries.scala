@@ -55,7 +55,10 @@ object VectorQueries {
     // gate hash-matches the SAME oracle as b2: stored-norm results
     // must be bit-identical to the recompute-both-norms path.
     "b2b_vector_topk_stored_norm" -> QueryDef(oracleCosineTopK(10, 0)) { (s, dir) =>
-      val path = s"/tmp/graft-storednorm-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      // run-scoped staging dir: concurrent gate runs against the same
+      // source never collide on a shared path
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-storednorm").toString + "/stored"
       VectorSearch.withNorm(Tables(s, dir, "embeddings"))
         .write.mode("overwrite").parquet(path)
       val stored = s.read.parquet(path)

@@ -135,13 +135,35 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // materialization (read from parquet in the real stored path)
     assert(opt.indexOf("vector_norm") == opt.lastIndexOf("vector_norm"),
       opt.take(2000))
-    // bit-equality with the recompute-both-norms path
-    val viaFull = graft.ops.VectorSearch.topK(e, probe, 5)
+    // bit-equality with the recompute-both-norms path, over EVERY row
+    // — no k-cut, so a distance tie at a limit boundary can never pick
+    // different (equally correct) rows on the two paths
+    val n = e.count().toInt
+    val viaFull = graft.ops.VectorSearch.topK(e, probe, n)
       .orderBy("dist", "vec_id").select("vec_id", "dist").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val got = df.orderBy("dist", "vec_id").select("vec_id", "dist").collect()
+    val got = graft.ops.VectorSearch.topKStoredNorm(stored, probe, n)
+      .orderBy("dist", "vec_id").select("vec_id", "dist").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    assert(got == viaFull, s"$got vs $viaFull")
+    assert(got == viaFull,
+      s"stored-norm kernel diverges: ${got.diff(viaFull).take(5)}")
+  }
+
+  test("b2b: topK lowers to the stored-norm kernel automatically when the norm column exists") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, sf(), "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0)
+    // no norm column → the recompute-both-norms kernel
+    val plain = graft.ops.VectorSearch.topK(e, probe, 5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plain.contains("cosine_distance_stored_norm"), plain.take(1500))
+    // withNorm-written table → the SAME call chooses the stored-norm
+    // kernel, no opt-in at the call site
+    val auto = graft.ops.VectorSearch
+      .topK(graft.ops.VectorSearch.withNorm(e), probe, 5)
+      .queryExecution.optimizedPlan.toString
+    assert(auto.contains("cosine_distance_stored_norm"), auto.take(1500))
   }
 
   test("co-located bucketed join plans with zero exchanges") {
