@@ -1,0 +1,275 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** SQL-addressable catalog over the engine's own tables (SURVEY A17/
+  * B5 read surface; the reference's stores are queryable by name in
+  * plain SQL — Cosmos's dialect, `AzureCosmosDB/csharp/README.md:
+  * 104-106`, and T-SQL, `AzureSQL/csharp/README.md:130-132` — so ours
+  * must be too). Standard DataSourceV2 `TableCatalog` integration:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft",
+  *   "graft.catalog.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/graft")
+  * spark.sql("SELECT * FROM graft.chunks WHERE document_url = ...")
+  * spark.sql("INSERT INTO graft.chunks SELECT ...")   // A18 append
+  * spark.sql("SELECT * FROM graft.chunks VERSION AS OF 3") // manifest
+  * }}}
+  *
+  * The catalog is a METADATA layer only: `loadTable` resolves a store
+  * directory (one table per `warehouse/<name>`) to its live data-file
+  * set — the manifest log's snapshot for log-committed tables, the
+  * partition tree for parquet layouts — and hands the actual scan to
+  * Spark's own parquet DataSourceV2 ([[ParquetTable]]). Everything
+  * the built-in read path does (vectorized decode, filter pushdown,
+  * partition pruning over `document_url=`/`doc_bucket=` directories,
+  * column pruning, file-splitting at `maxPartitionBytes`) applies
+  * unchanged — which is the point: at 100 TB the catalog contributes
+  * file LISTS, never a bespoke reader.
+  *
+  * Semantics per layout:
+  *  - manifest format (`_log` present): reads are snapshot-isolated
+  *    (the file list is pinned at resolution), `VERSION AS OF n` maps
+  *    to the log replay at version n, INSERT appends through the
+  *    log's commit protocol.
+  *  - per-document layout: root-path scan; `document_url` is the Hive
+  *    partition column, so url predicates prune directories. INSERT
+  *    appends through the store.
+  *  - bucketed layout: root-path scan with `doc_bucket` visible as
+  *    the partition column (it is part of the physical schema).
+  *    Read-only through SQL — writes must hash-route through the
+  *    store API, and hiding that behind INSERT would invite
+  *    mis-bucketed rows.
+  *
+  * MERGE INTO (row-level operations) stays on the API/`TableFormat`
+  * path for now — the README roadmap names it with Delta/Iceberg
+  * interop.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(ident: Identifier): String = {
+    if (ident.namespace().nonEmpty)
+      throw new NoSuchTableException(ident)
+    s"$warehouse/${ident.name()}"
+  }
+
+  // ---- tables ------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "_graft_layout")) ||
+        fs.exists(new Path(p, "_log")))
+      .map(p => Identifier.of(Array.empty, p.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    resolve(ident, asOf = None)
+
+  override def loadTable(ident: Identifier, version: String): Table =
+    resolve(ident, asOf = Some(version.toLong))
+
+  private def layoutTag(dir: String): Option[String] = {
+    val p = new Path(dir, "_graft_layout")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](64)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      Some(buf.toString("UTF-8"))
+    } finally in.close()
+  }
+
+  private def resolve(ident: Identifier, asOf: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(new Path(dir))) throw new NoSuchTableException(ident)
+    val fullName = s"$catalogName.${ident.name()}"
+    if (fs.exists(new Path(dir, "_log"))) {
+      val store = new ChunkStore(spark, dir,
+        format = ManifestTableFormat.factory)
+      val mtf = new ManifestTableFormat(spark, dir, store.schema)
+      val files = asOf.fold(mtf.liveFiles)(mtf.filesAtVersion)
+      new GraftTable(fullName, spark, store.schema, files,
+        // time-travel reads are frozen history: never writable
+        insert = if (asOf.isDefined) None else Some(store.append))
+    } else layoutTag(dir) match {
+      case Some(tag) =>
+        if (asOf.isDefined) throw new UnsupportedOperationException(
+          s"$fullName: VERSION AS OF needs the manifest table format " +
+            "(plain parquet layouts keep no version history)")
+        val store = tag match {
+          case "per-document" => new ChunkStore(spark, dir)
+          case t if t.startsWith("buckets=") =>
+            new ChunkStore(spark, dir,
+              buckets = Some(t.stripPrefix("buckets=").toInt))
+          case other => throw new IllegalStateException(
+            s"unknown layout tag '$other' at $dir")
+        }
+        val schema =
+          if (tag == "per-document") store.schema
+          else StructType(store.schema.fields :+
+            StructField("doc_bucket", IntegerType))
+        new GraftTable(fullName, spark, schema, Seq(dir),
+          insert = if (tag == "per-document") Some(store.append) else None)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    val store = properties.asScala.get("format") match {
+      case Some("manifest") =>
+        new ChunkStore(spark, dir, format = ManifestTableFormat.factory)
+      case _ => properties.asScala.get("buckets") match {
+        case Some(n) => new ChunkStore(spark, dir, buckets = Some(n.toInt))
+        case None => new ChunkStore(spark, dir)
+      }
+    }
+    require(schema.isEmpty ||
+        schema.fieldNames.toSeq == store.schema.fieldNames.toSeq,
+      s"graft tables have the fixed chunk schema " +
+        s"${store.schema.simpleString}; got ${schema.simpleString}")
+    store.ensure()
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft tables have a fixed schema; ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tableDir(ident))
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(old: Identifier, next: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME is not supported")
+
+  // ---- namespaces (single flat namespace) --------------------------
+
+  override def listNamespaces(): Array[Array[String]] = Array.empty
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] =
+    if (ns.isEmpty) Array.empty else throw new NoSuchNamespaceException(ns)
+
+  override def namespaceExists(ns: Array[String]): Boolean = ns.isEmpty
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]): util.Map[String, String] =
+    if (ns.isEmpty) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(ns)
+
+  override def createNamespace(
+      ns: Array[String], meta: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft is a flat catalog; namespaces are not supported")
+
+  override def alterNamespace(
+      ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft is a flat catalog; namespaces are not supported")
+
+  override def dropNamespace(
+      ns: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "graft is a flat catalog; namespaces are not supported")
+}
+
+/** One resolved graft table: a fixed schema, a pinned file set (or a
+  * root path whose partition tree Spark discovers), and an optional
+  * V1 insert hook. Scans delegate wholesale to Spark's parquet
+  * DataSourceV2 so pushdown/pruning/vectorization are the built-in
+  * ones; inserts route through the store's A18 append (log-committed
+  * on the manifest format) via the `V1_BATCH_WRITE` bridge.
+  */
+private[catalog] class GraftTable(
+    tableName: String,
+    spark: SparkSession,
+    tableSchema: StructType,
+    paths: Seq[String],
+    insert: Option[DataFrame => Unit]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private lazy val delegate = ParquetTable(
+    tableName, spark, CaseInsensitiveStringMap.empty(), paths,
+    Some(tableSchema), classOf[ParquetFileFormat])
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    (Set(TableCapability.BATCH_READ) ++
+      insert.map(_ => TableCapability.V1_BATCH_WRITE)).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val doInsert = insert.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName is read-only through SQL (bucketed stores hash-route " +
+        "writes through the ChunkStore API; time-travel reads are " +
+        "frozen history)"))
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                s"$tableName: INSERT OVERWRITE is not supported — " +
+                  "whole-document replace is the store's upsert/MERGE")
+              doInsert(data)
+            }
+          }
+      }
+    }
+  }
+}

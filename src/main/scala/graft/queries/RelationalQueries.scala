@@ -778,6 +778,83 @@ object RelationalQueries {
       mtf.vacuum()
       store.read().select("document_url", "chunk_text")
         .orderBy("document_url")
+    },
+
+    // C37c: the c37b upsert-LWW state read back PURELY through SQL —
+    // the store registered on a DataSourceV2 TableCatalog
+    // (graft.catalog.GraftCatalog) and queried by name, the way both
+    // reference stores are queryable in their own SQL dialects. The
+    // scan behind the name is Spark's parquet v2 over the manifest
+    // log's live file set, so the oracle match proves the catalog
+    // resolves exactly the committed snapshot.
+    "c37c_sql_catalog" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text || CASE WHEN doc_id % 2 = 0 THEN ' v2' ELSE '' END
+        |         AS chunk_text
+        |FROM documents WHERE doc_id % 17 <> 0
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = s"/tmp/graft-sqlcat-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val path = s"$wh/chunks"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true) // deterministic version history
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.select(
+        lit(0).as("chunk_id"), col("chunk_text"),
+        array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url"))
+      val docs = t(s, dir, "documents")
+      store.upsert(rows(docs.select(col("doc_id"),
+        col("text").as("chunk_text"))))
+      store.upsert(rows(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2"))
+          .as("chunk_text"))))
+      store.delete(docs.filter(col("doc_id") % 17 === 0)
+        .select(concat(lit("doc://"), col("doc_id")))
+        .collect().map(_.getString(0)).toSeq)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("SELECT document_url, chunk_text FROM graft.chunks " +
+        "ORDER BY document_url")
+    },
+
+    // C37d: time travel through SQL syntax — `VERSION AS OF 0` on the
+    // same history replays the pre-merge pre-delete state, which the
+    // oracle recomputes as plain v1 of every document. Proves the
+    // catalog maps Spark's VERSION AS OF clause onto the manifest
+    // log's readVersion, not just the head snapshot.
+    "c37d_sql_time_travel" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text
+        |FROM documents
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = s"/tmp/graft-sqltt-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val path = s"$wh/chunks"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(p)) f.delete(p, true) // version 0 must be the v1 load
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.select(
+        lit(0).as("chunk_id"), col("chunk_text"),
+        array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url"))
+      val docs = t(s, dir, "documents")
+      store.upsert(rows(docs.select(col("doc_id"),
+        col("text").as("chunk_text"))))                    // version 0
+      store.upsert(rows(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2"))
+          .as("chunk_text"))))                             // version 1
+      store.delete(docs.filter(col("doc_id") % 17 === 0)
+        .select(concat(lit("doc://"), col("doc_id")))
+        .collect().map(_.getString(0)).toSeq)              // version 2
+      s.conf.set("spark.sql.catalog.graft_tt",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
+      s.sql("SELECT document_url, chunk_text FROM graft_tt.chunks " +
+        "VERSION AS OF 0 ORDER BY document_url")
     }
   )
 }

@@ -469,14 +469,15 @@ class ManifestTableFormat(
   /** The current committed version (−1 before the first commit). */
   def version: Long = snapshot().version
 
-  /** Time-travel read: the table AS OF `asOf` — replay up to that
-    * version from the newest checkpoint at or below it. History is
-    * bounded by [[vacuum]] (pruned entries make old versions
-    * unreachable — the retention trade every log-structured table
-    * documents), and a gap in the surviving entries fails loudly
-    * rather than silently serving a wrong state.
+  /** Live data files of the current snapshot (absolute paths, sorted)
+    * — the file-set handle the SQL catalog builds its scans from.
     */
-  def readVersion(asOf: Long): DataFrame = {
+  def liveFiles: Seq[String] = snapshot().live.keys.toSeq.sorted
+
+  /** Live data files AS OF `asOf` (the [[readVersion]] replay without
+    * the read) — backs `VERSION AS OF` through the SQL catalog.
+    */
+  def filesAtVersion(asOf: Long): Seq[String] = {
     val f = fs
     require(f.exists(logDir), s"no log at $path")
     val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
@@ -502,8 +503,17 @@ class ManifestTableFormat(
       }
     if (ckpt >= 0) replay(checkpointPath(ckpt))
     wanted.foreach(v => replay(entryPath(v)))
-    readFiles(live.toSeq.sorted)
+    live.toSeq.sorted
   }
+
+  /** Time-travel read: the table AS OF `asOf` — replay up to that
+    * version from the newest checkpoint at or below it. History is
+    * bounded by [[vacuum]] (pruned entries make old versions
+    * unreachable — the retention trade every log-structured table
+    * documents), and a gap in the surviving entries fails loudly
+    * rather than silently serving a wrong state.
+    */
+  def readVersion(asOf: Long): DataFrame = readFiles(filesAtVersion(asOf))
 
   /** Delete data files no committed version references (crashed
     * writers' leftovers and removed-by-rm files), plus log entries

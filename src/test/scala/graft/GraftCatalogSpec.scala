@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** SQL-addressable catalog over the engine's own tables (the
+  * reference stores are queryable by name in plain SQL; VERDICT r5
+  * "what's missing" #1): `SELECT ... FROM <cat>.<table>`,
+  * `VERSION AS OF` on the manifest log, `INSERT INTO` as A18 append,
+  * per-layout read semantics, DDL basics.
+  */
+class GraftCatalogSpec extends SparkSpec {
+
+  private var n = 0
+  /** A fresh catalog per test — catalog instances are cached by name
+    * per session, so each test registers its own name + warehouse.
+    */
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val cat = s"graftcat$n"
+    val wh = Files.createTempDirectory(s"graft-cat-$n").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  private def chunkRows(ids: Range, tag: String): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (0, s"$tag$i", Seq(1f, 2f), 1, f"doc://$i%04d"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url")
+  }
+
+  test("manifest table: SELECT through SQL matches the store's read") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 50, "v1-"))
+    store.upsert(chunkRows(10 to 20, "v2-"))
+    store.delete(Seq("doc://0003", "doc://0004"))
+    val viaSql = spark.sql(
+      s"SELECT document_url, chunk_text FROM $cat.chunks")
+    val viaApi = store.read().select("document_url", "chunk_text")
+    assert(viaSql.exceptAll(viaApi).count() == 0 &&
+      viaApi.exceptAll(viaSql).count() == 0)
+    assert(viaSql.count() == 48)
+    // predicate + projection go through Spark's own parquet pushdown
+    val one = spark.sql(s"SELECT chunk_text FROM $cat.chunks " +
+      "WHERE document_url = 'doc://0015'")
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("v2-15"))
+  }
+
+  test("manifest table: VERSION AS OF replays the log through SQL syntax") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 10, "v1-"))   // version 0
+    store.upsert(chunkRows(1 to 10, "v2-"))   // version 1
+    store.delete(Seq("doc://0001"))           // version 2
+    assert(spark.sql(s"SELECT * FROM $cat.chunks VERSION AS OF 0")
+      .filter(col("chunk_text").startsWith("v1-")).count() == 10)
+    assert(spark.sql(s"SELECT * FROM $cat.chunks VERSION AS OF 1")
+      .filter(col("chunk_text").startsWith("v2-")).count() == 10)
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 9)
+    // frozen history: a time-travel identifier is not writable
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.chunks VERSION AS OF 0 " +
+        "VALUES (0, 'x', array(1.0F), 1, 'doc://x')")
+    }
+    assert(e != null)
+  }
+
+  test("INSERT INTO is the A18 append, committed through the manifest log") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 5, "v1-"))
+    val v = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+      .version
+    spark.sql(s"INSERT INTO $cat.chunks VALUES " +
+      "(0, 'ins', array(1.0F, 2.0F), 1, 'doc://ins1')")
+    // the insert is log-committed (version advanced), and visible to
+    // both the SQL and the API read
+    assert(new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+      .version == v + 1)
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 6)
+    assert(store.read()
+      .filter(col("document_url") === "doc://ins1").count() == 1)
+  }
+
+  test("SQL reads are snapshot-isolated: a resolved plan outlives a merge") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 20, "v1-"))
+    val pinned = spark.sql(
+      s"SELECT chunk_text FROM $cat.chunks WHERE document_url = 'doc://0007'")
+    store.upsert(chunkRows(1 to 20, "v2-")) // rewrites every file
+    // the pre-merge plan still reads the files it resolved (the
+    // rewrite adds files; vacuum retention governs how long)
+    assert(pinned.collect().map(_.getString(0)).toSeq == Seq("v1-7"))
+    assert(spark.sql(s"SELECT chunk_text FROM $cat.chunks " +
+      "WHERE document_url = 'doc://0007'")
+      .collect().map(_.getString(0)).toSeq == Seq("v2-7"))
+  }
+
+  test("per-document layout: partition-pruned SQL reads and INSERT") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/docs")
+    store.ensure()
+    store.upsert(chunkRows(1 to 10, "t-"))
+    assert(spark.sql(s"SELECT * FROM $cat.docs").count() == 10)
+    // document_url is the Hive partition column: an equality predicate
+    // must reach the scan as a partition filter
+    val pruned = spark.sql(s"SELECT chunk_text FROM $cat.docs " +
+      "WHERE document_url = 'doc://0004'")
+    assert(pruned.collect().map(_.getString(0)).toSeq == Seq("t-4"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(document_url"),
+      plan.take(2000))
+    spark.sql(s"INSERT INTO $cat.docs VALUES " +
+      "(1, 'ins', array(3.0F), 2, 'doc://0004')")
+    assert(spark.sql(s"SELECT * FROM $cat.docs " +
+      "WHERE document_url = 'doc://0004'").count() == 2)
+  }
+
+  test("bucketed layout: readable with doc_bucket visible, read-only") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/big", buckets = Some(4))
+    store.upsert(chunkRows(1 to 10, "t-"))
+    val df = spark.sql(s"SELECT * FROM $cat.big")
+    assert(df.columns.contains("doc_bucket"))
+    assert(df.count() == 10)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.big VALUES " +
+        "(0, 'x', array(1.0F), 1, 'doc://x', 0)")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("DDL basics: SHOW TABLES, CREATE TABLE, DROP TABLE") {
+    val (cat, wh) = freshCatalog()
+    new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+      .upsert(chunkRows(1 to 3, "a-"))
+    new ChunkStore(spark, s"$wh/docs").ensure()
+    val shown = spark.sql(s"SHOW TABLES IN $cat")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(shown == Set("chunks", "docs"))
+    spark.sql(s"CREATE TABLE $cat.fresh (chunk_id INT, " +
+      "chunk_text STRING, embedding ARRAY<FLOAT>, page_number INT, " +
+      "document_url STRING)")
+    spark.sql(s"INSERT INTO $cat.fresh VALUES " +
+      "(0, 'x', array(1.0F), 1, 'doc://x')")
+    assert(spark.sql(s"SELECT * FROM $cat.fresh").count() == 1)
+    spark.sql(s"DROP TABLE $cat.fresh")
+    assert(!spark.sql(s"SHOW TABLES IN $cat")
+      .select("tableName").collect().map(_.getString(0)).contains("fresh"))
+  }
+}
