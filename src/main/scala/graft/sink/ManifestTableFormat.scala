@@ -18,13 +18,17 @@ import graft.ops.Layout
   *    committed versions. Data files are immutable and invisible
   *    until an entry references them — a crashed writer leaves only
   *    unreferenced files (cleaned by [[vacuum]]), never a torn table.
-  *  - **Commits are one atomic rename.** An entry is staged to a temp
-  *    name and renamed to the next version; rename-if-absent is the
-  *    whole commit protocol (the primitive Delta uses on HDFS — no
-  *    directory renames anywhere, which is what makes this the
-  *    object-store answer to the staged-swap contract in SCALE.md §1;
-  *    S3-class stores need a conditional-put in place of the rename,
-  *    same as Delta's LogStore requirement).
+  *  - **Commits are one atomic publish.** An entry is staged to a
+  *    temp name and published at the next version with the strongest
+  *    fail-if-exists primitive the filesystem offers: hard-link on
+  *    local filesystems (POSIX link(2) fails on an existing target —
+  *    rename there would silently overwrite), rename-if-absent on
+  *    HDFS-class stores (rename fails onto an existing destination),
+  *    conditional put on S3-class stores (same contract as Delta's
+  *    LogStore requirement). No directory renames anywhere, which is
+  *    what makes this the object-store answer to the staged-swap
+  *    contract in SCALE.md §1. The cross-process race test pins the
+  *    local primitive with two concurrent writer JVMs.
   *  - **Add-actions carry per-file STATS, never key sets.** Each `add`
   *    records a fixed-size bloom filter over the file's document-url
   *    hashes plus the min/max url — O(1) bytes per file regardless of
@@ -261,14 +265,28 @@ class ManifestTableFormat(
     val out = f.create(tmp, false)
     try out.write(actions.map(renderAction).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // rename-if-absent IS the commit. On HDFS rename FAILS onto an
-    // existing destination — a true atomic check-and-commit. Plain
-    // POSIX rename overwrites, so there the exists pre-check leaves a
-    // narrow two-writer window (fine for the local harness; the same
-    // caveat as Delta's Hadoop LogStore on raw local filesystems).
-    // S3-class stores substitute a conditional put.
-    val won = !f.exists(target) && f.rename(tmp, target)
-    if (!won) f.delete(tmp, false)
+    // The commit is an atomic publish of `tmp` at `target`:
+    //  - local filesystems: hard-link-if-absent — POSIX link(2) FAILS
+    //    if the target exists, so two writers racing the same version
+    //    get exactly one winner (rename would silently OVERWRITE on
+    //    POSIX; the old exists pre-check left a two-writer window,
+    //    closed here — pinned by the cross-process race test).
+    //  - HDFS-class stores: rename-if-absent (rename fails onto an
+    //    existing destination there — a true check-and-commit).
+    //  - S3-class stores substitute a conditional put (same contract
+    //    as Delta's LogStore requirement).
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !f.exists(target) && f.rename(tmp, target)
+    f.delete(tmp, false) // link published a second name; tmp always goes
     won
   }
 

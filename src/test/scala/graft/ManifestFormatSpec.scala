@@ -314,6 +314,55 @@ class ManifestFormatSpec extends SparkSpec {
     assert(store.read().filter(col("chunk_text") === "old1501").count() == 1)
   }
 
+  test("two writer JVMs: every commit lands exactly once (cross-process race)") {
+    // the real multi-writer scenario: two SEPARATE processes share one
+    // log. The commit primitive on local filesystems is
+    // hard-link-if-absent (POSIX link(2) fails on an existing target),
+    // so racing writers at the same version get exactly one winner and
+    // the loser retries at the next — a silently-overwriting rename
+    // would drop whole commits and fail the version/row counts below.
+    val path = freshPath()
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val cp = sys.props("java.class.path")
+    def launch(tag: String): (Process, java.io.File) = {
+      val log = java.io.File.createTempFile(s"race-$tag", ".log")
+      val pb = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx2g",
+        "graft.tools.ManifestRaceProbe", path, tag, "3", "25")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      (pb.start(), log)
+    }
+    val (pa, la) = launch("wa")
+    val (pb, lb) = launch("wb")
+    def tail(f: java.io.File): String = {
+      val s = scala.io.Source.fromFile(f)
+      try s.getLines().toSeq.takeRight(25).mkString("\n") finally s.close()
+    }
+    assert(pa.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      pb.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "writer JVMs did not finish")
+    assert(pa.exitValue() == 0, s"writer A failed:\n${tail(la)}")
+    assert(pb.exitValue() == 0, s"writer B failed:\n${tail(lb)}")
+    // all 6 commits landed as 6 contiguous versions, none overwritten
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_log")).toSeq
+      .map(_.getPath.getName).filter(_.matches("\\d{12}\\.json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+    assert(versions == (0L to 5L), s"lost commits: versions $versions")
+    // every writer's every batch is present; LWW per writer holds
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val read = store.read().cache()
+    assert(read.count() == 50, s"expected 2×25 rows, got ${read.count()}")
+    Seq("wa", "wb").foreach { tag =>
+      assert(read.filter(col("chunk_text").startsWith(s"$tag-b3-"))
+        .count() == 25, s"$tag's final batch did not win")
+    }
+    read.unpersist()
+  }
+
   test("log round-trip survives hostile urls (quotes, commas, newlines)") {
     val path = freshPath()
     val store = new ChunkStore(spark, path,
