@@ -61,7 +61,30 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Ingest throughput (BASELINE.md's one enforceable envelope is
+    // chunks/s): the p2-shaped batch ingest — extract → chunk →
+    // deterministic embed → rows — timed end-to-end at this SF, so
+    // the round-over-round 2x ingest gate is numeric, not inferred.
+    val ingest =
+      if (filter.isEmpty || filter.exists("p2_ingest_throughput".startsWith)) {
+        try {
+          val docs = Tables(spark, sfDir, "documents")
+          val nDocs = docs.count()
+          val t0 = System.nanoTime()
+          val out = graft.pipeline.IngestPipeline.ingestDocumentsTable(
+            spark, docs, graft.embed.DeterministicEmbedder(64))
+          val nChunks = out.count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          f""","ingest":{"secs":$secs%.3f,"docs":$nDocs,"chunks":$nChunks,"docs_per_sec":${nDocs / secs}%.1f,"chunks_per_sec":${nChunks / secs}%.1f}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
+            ""
+        }
+      } else ""
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$ingest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
