@@ -6,8 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
@@ -59,11 +61,21 @@ import graft.sink.{ChunkStore, ManifestTableFormat}
   *    store API, and hiding that behind INSERT would invite
   *    mis-bucketed rows.
   *
-  * MERGE INTO (row-level operations) stays on the API/`TableFormat`
-  * path for now — the README roadmap names it with Delta/Iceberg
-  * interop.
+  * MERGE and table maintenance are SQL-reachable as STORED PROCEDURES
+  * (the Iceberg convention for operations outside the DML grammar;
+  * `MERGE INTO` row-level-operation plumbing proper stays on the
+  * roadmap with Delta/Iceberg interop):
+  *
+  * {{{
+  * CALL graft.merge_into('chunks', 'updates_view')  -- A17 upsert
+  * CALL graft.delete_where('chunks', 'stale_urls')  -- A20 delete
+  * CALL graft.compact('chunks')                     -- A21 maintenance
+  * CALL graft.checkpoint('chunks')                  -- manifest log
+  * CALL graft.vacuum('chunks')                      -- manifest log
+  * }}}
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -191,6 +203,98 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(old: Identifier, next: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME is not supported")
+
+  // ---- stored procedures (the Iceberg convention: operations the
+  // DML grammar lacks — MERGE by key, store maintenance — reachable
+  // as `CALL <catalog>.<proc>(...)`) ---------------------------------
+
+  /** The store behind `tableName`, whichever layout is on disk. */
+  private def storeFor(tableName: String): ChunkStore = {
+    val dir = s"$warehouse/$tableName"
+    val ident = Identifier.of(Array.empty, tableName)
+    if (!fs.exists(new Path(dir))) throw new NoSuchTableException(ident)
+    if (fs.exists(new Path(dir, "_log")))
+      new ChunkStore(spark, dir, format = ManifestTableFormat.factory)
+    else layoutTag(dir) match {
+      case Some("per-document") => new ChunkStore(spark, dir)
+      case Some(t) if t.startsWith("buckets=") =>
+        new ChunkStore(spark, dir,
+          buckets = Some(t.stripPrefix("buckets=").toInt))
+      case _ => throw new NoSuchTableException(ident)
+    }
+  }
+
+  private def manifestFor(tableName: String): ManifestTableFormat = {
+    val dir = s"$warehouse/$tableName"
+    if (!fs.exists(new Path(dir, "_log")))
+      throw new UnsupportedOperationException(
+        s"$catalogName.$tableName is not a manifest-format table — " +
+          "checkpoint/vacuum operate on the commit log")
+    new ManifestTableFormat(spark, dir, storeFor(tableName).schema)
+  }
+
+  private def procedure(
+      pname: String,
+      params: Seq[String],
+      descr: String)(run: Seq[String] => Unit): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = descr
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def description(): String = descr
+          override def parameters(): Array[ProcedureParameter] =
+            params.map(p => ProcedureParameter
+              .in(p, org.apache.spark.sql.types.StringType).build()).toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+            run(params.indices.map(i => input.getUTF8String(i).toString))
+            util.Collections.emptyIterator()
+          }
+        }
+    }
+
+  private lazy val procedures: Map[String, UnboundProcedure] = Seq(
+    procedure("merge_into", Seq("table", "source"),
+      "A17 keyed upsert: MERGE the rows of <source> (any view/table " +
+        "name the session resolves) into <table> by document_url — " +
+        "last writer wins per document")(args =>
+      storeFor(args(0)).upsert(spark.table(args(1)))),
+    procedure("delete_documents", Seq("table", "source"),
+      "A20 delete: drop every document whose url appears in the first " +
+        "column of <source>")(args =>
+      storeFor(args(0)).delete(
+        spark.table(args(1)).select(spark.table(args(1)).columns.head)
+          .distinct().collect().map(_.getString(0)).toSeq)),
+    procedure("compact", Seq("table"),
+      "A21 maintenance: rewrite small files (staged swap / " +
+        "log-committed per layout)")(args =>
+      storeFor(args(0)).compact()),
+    procedure("checkpoint", Seq("table"),
+      "manifest log: write a full-state summary entry so replay is " +
+        "O(commits since checkpoint)")(args =>
+      manifestFor(args(0)).checkpoint()),
+    procedure("vacuum", Seq("table"),
+      "manifest log: reclaim unreferenced data files and subsumed " +
+        "log entries")(args =>
+      manifestFor(args(0)).vacuum())
+  ).map(p => p.name() -> p).toMap
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+    procedures.keys.toArray.sorted.map(Identifier.of(Array.empty, _))
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (ident.namespace().nonEmpty)
+      throw new NoSuchNamespaceException(ident.namespace())
+    procedures.getOrElse(ident.name(),
+      throw new UnsupportedOperationException(
+        s"unknown procedure ${ident.name()}; available: " +
+          procedures.keys.toSeq.sorted.mkString(", ")))
+  }
 
   // ---- namespaces (single flat namespace) --------------------------
 

@@ -143,6 +143,49 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("CALL merge_into / delete_documents: MERGE semantics through SQL") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 20, "v1-"))
+    // MERGE: a view of replacement rows for docs 5..8, CALLed by name
+    chunkRows(5 to 8, "v2-").createOrReplaceTempView("cat_updates")
+    spark.sql(s"CALL $cat.merge_into('chunks', 'cat_updates')")
+    val read = store.read()
+    assert(read.count() == 20)
+    assert(read.filter(col("chunk_text").startsWith("v2-")).count() == 4)
+    assert(read.filter(col("chunk_text") === "v1-5").count() == 0)
+    // DELETE: urls listed in a view's first column
+    import spark.implicits._
+    Seq("doc://0001", "doc://0002").toDF("document_url")
+      .createOrReplaceTempView("cat_stale")
+    spark.sql(s"CALL $cat.delete_documents('chunks', 'cat_stale')")
+    assert(store.read().count() == 18)
+  }
+
+  test("CALL compact / checkpoint / vacuum: maintenance through SQL") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 10, "a-"))
+    store.upsert(chunkRows(1 to 10, "b-"))
+    store.upsert(chunkRows(1 to 10, "c-"))
+    spark.sql(s"CALL $cat.checkpoint('chunks')")
+    spark.sql(s"CALL $cat.vacuum('chunks')")
+    // state identical after the log maintenance; rewritten files gone
+    assert(store.read().count() == 10)
+    assert(store.read().filter(col("chunk_text").startsWith("c-"))
+      .count() == 10)
+    spark.sql(s"CALL $cat.compact('chunks')")
+    assert(store.read().count() == 10)
+    // maintenance procs refuse on a non-manifest table
+    new ChunkStore(spark, s"$wh/docs").ensure()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.vacuum('docs')")
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+
   test("DDL basics: SHOW TABLES, CREATE TABLE, DROP TABLE") {
     val (cat, wh) = freshCatalog()
     new ChunkStore(spark, s"$wh/chunks",
