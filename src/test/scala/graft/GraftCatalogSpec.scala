@@ -49,10 +49,17 @@ class GraftCatalogSpec extends SparkSpec {
     assert(viaSql.exceptAll(viaApi).count() == 0 &&
       viaApi.exceptAll(viaSql).count() == 0)
     assert(viaSql.count() == 48)
-    // predicate + projection go through Spark's own parquet pushdown
+    // predicate + projection go through Spark's own parquet pushdown:
+    // the scan behind the catalog name must carry PushedFilters and a
+    // pruned ReadSchema, exactly as a direct parquet read would
     val one = spark.sql(s"SELECT chunk_text FROM $cat.chunks " +
       "WHERE document_url = 'doc://0015'")
     assert(one.collect().map(_.getString(0)).toSeq == Seq("v2-15"))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(document_url), " +
+      "EqualTo(document_url,doc://0015)]"), plan.take(2000))
+    assert(plan.contains("chunk_text") && !plan.contains("embedding"),
+      plan.take(2000))
   }
 
   test("manifest table: VERSION AS OF replays the log through SQL syntax") {

@@ -166,6 +166,19 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(auto.contains("cosine_distance_stored_norm"), auto.take(1500))
   }
 
+  test("SQL function arity errors name the function, not an index") {
+    Tables(spark, sf(), "embeddings").createOrReplaceTempView("arity_emb")
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_distance_stored_norm(embedding, embedding) " +
+        "FROM arity_emb").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val msgs = chain(e).mkString(" | ")
+    assert(msgs.contains("cosine_distance_stored_norm") &&
+      msgs.contains("4 argument"), msgs.take(500))
+  }
+
   test("co-located bucketed join plans with zero exchanges") {
     import org.apache.spark.sql.functions._
     // chunks ↔ embeddings co-location: both sides bucketed on doc_id
