@@ -56,6 +56,94 @@ object Packing {
       .drop("__h")
   }
 
+  /** D24: token-budget SEQUENCE packing — the pretraining
+    * concat-and-chop step (distinct from [[packShards]]'s byte/token
+    * shard budgeting): documents concatenate in a deterministic
+    * pseudo-random order onto one global token tape, and the tape is
+    * cut into fixed-`seqLen` training sequences. A document that
+    * straddles a cut contributes one SPAN row per sequence it touches
+    * — exactly the (sequence, doc, offsets) records a training-data
+    * writer needs to emit packed examples with document-boundary
+    * attention masks (the GPT/T5 packing recipe).
+    *
+    * Output: one row per (seq_id, doc) overlap — `seq_id`, the id
+    * column, `tc` (the document's token count), `seq_offset` (span
+    * start within the sequence), `doc_offset` (span start within the
+    * document), `span_tokens` (span length). Per sequence the spans
+    * tile [0, seqLen) exactly (the final sequence may be short); per
+    * document they tile [0, tc) — both property-pinned.
+    *
+    * Scale — the naive form is a GLOBAL window (one Exchange
+    * SinglePartition: a non-starter at 100 TB). This is instead the
+    * classic two-level distributed prefix sum: md5's leading hex
+    * chars bucket the tape WITHOUT breaking its order (a string's
+    * prefix sorts before the rest of it), each bucket cumsums locally
+    * under one keyed window, bucket subtotals (≤ `16^leadHexChars`
+    * longs — KB-scale) come to the driver once for the exclusive
+    * scan, and the offsets broadcast back. Exchanges: one hash
+    * partition on the bucket + one tiny aggregate; the explode is
+    * per-row. Parallelism = bucket count (`leadHexChars`=2 → 256 for
+    * the local harness; 3-4 at cluster scale — the bucketing never
+    * changes any output value, only the parallelism).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqLen: Long,
+      leadHexChars: Int = 2,
+      salt: String = ""): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(leadHexChars >= 1 && leadHexChars <= 4,
+      s"leadHexChars must be in [1, 4], got $leadHexChars")
+    require(!df.columns.exists(c =>
+      Seq("seq_id", "seq_offset", "doc_offset", "span_tokens",
+        "__h", "__bkt", "__pre", "__off", "__gstart").contains(c) ||
+        (c == "tc" && tokensCol != "tc")),
+      "output/scratch columns are reserved by Packing.packSequences")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(
+      col(idCol), col(tokensCol).cast("long").as("tc"))
+      .filter(col("tc") > 0L)
+      .withColumn("__h", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("__bkt",
+        conv(substring(col("__h"), 1, leadHexChars), 16, 10).cast("long"))
+    val w = Window.partitionBy("__bkt").orderBy("__h", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = keyed
+      .withColumn("__pre", coalesce(sum("tc").over(w), lit(0L)))
+      .persist()
+    try {
+      // bucket subtotals → driver exclusive scan (≤ 16^leadHexChars
+      // rows of one long each) → broadcast offsets
+      val subtotals = cum.groupBy("__bkt").agg(sum("tc").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toIndexedSeq
+      val offsets = subtotals
+        .scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+        .sliding(2).map { case Seq((_, acc), (b, _)) => (b, acc) }
+        .toSeq
+      val offDf = offsets.toDF("__bkt", "__off")
+      cum.join(broadcast(offDf), Seq("__bkt"))
+        .withColumn("__gstart", col("__off") + col("__pre"))
+        .withColumn("seq_id", explode(sequence(
+          floor(col("__gstart") / seqLen),
+          floor((col("__gstart") + col("tc") - 1L) / seqLen))))
+        .withColumn("seq_offset",
+          greatest(col("seq_id") * seqLen, col("__gstart"))
+            - col("seq_id") * seqLen)
+        .withColumn("doc_offset",
+          greatest(col("seq_id") * seqLen, col("__gstart"))
+            - col("__gstart"))
+        .withColumn("span_tokens",
+          least((col("seq_id") + 1L) * seqLen, col("__gstart") + col("tc"))
+            - greatest(col("seq_id") * seqLen, col("__gstart")))
+        .select(col("seq_id"), col(idCol), col("tc"),
+          col("seq_offset"), col("doc_offset"), col("span_tokens"))
+    } finally cum.unpersist()
+  }
+
   /** D12b: the export manifest — one row per (grp, shard) with the
     * document count, token total, and an ORDER-IMMUNE membership
     * checksum: the sum of each member's 32-bit md5 prefix over

@@ -1178,6 +1178,47 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D24: token-budget SEQUENCE packing — the pretraining
+    // concat-and-chop: documents concatenate onto one md5-ordered
+    // token tape, the tape cuts into 512-token training sequences,
+    // and a straddling document emits one span row per sequence it
+    // touches. The engine computes the tape position as a two-level
+    // distributed prefix sum (per-bucket keyed window + broadcast
+    // bucket offsets — no global window, no Exchange SinglePartition,
+    // PackingSpec plan-pinned); the oracle recomputes it as DuckDB's
+    // global window, so every span boundary must agree exactly.
+    "d24_pack_sequences" -> QueryDef(
+      """WITH t AS (
+        |  SELECT doc_id, CAST(LENGTH(text) // 4 AS BIGINT) AS tc,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |  WHERE LENGTH(text) // 4 > 0),
+        |c AS (
+        |  SELECT doc_id, tc,
+        |         CAST(COALESCE(SUM(tc) OVER (ORDER BY h, doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              0) AS BIGINT) AS gstart
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, tc, gstart,
+        |         UNNEST(range(gstart // 512, (gstart + tc - 1) // 512 + 1))
+        |           AS seq_id
+        |  FROM c)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id, tc,
+        |       CAST(GREATEST(seq_id * 512, gstart) - seq_id * 512 AS BIGINT)
+        |         AS seq_offset,
+        |       CAST(GREATEST(seq_id * 512, gstart) - gstart AS BIGINT)
+        |         AS doc_offset,
+        |       CAST(LEAST((seq_id + 1) * 512, gstart + tc)
+        |            - GREATEST(seq_id * 512, gstart) AS BIGINT)
+        |         AS span_tokens
+        |FROM s ORDER BY seq_id, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(
+        col("doc_id"), token_count(col("text")).cast("long").as("tc"))
+      Packing.packSequences(docs, "doc_id", "tc", seqLen = 512L)
+        .orderBy("seq_id", "doc_id")
+    },
+
     // D12b: export manifest over the packed shards — doc count, token
     // total, and an order-immune md5-based membership checksum per
     // (grp, shard). The oracle recomputes the full packing scheme AND

@@ -70,6 +70,41 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing tiles every sequence and every document exactly") {
+    val seqLen = 128L
+    val in = docs(300) // token counts 50..449: many docs straddle cuts
+    val total = in.agg(sum("tc")).as[Long].head()
+    val spans = Packing.packSequences(in, "id", "tc", seqLen).cache()
+    // global conservation: spans sum to the tape length
+    assert(spans.agg(sum("span_tokens")).as[Long].head() == total)
+    // per document: spans tile [0, tc) contiguously
+    val perDoc = spans.groupBy("id").agg(
+      sum("span_tokens").as("s"), max("tc").as("tc"),
+      min("doc_offset").as("lo"),
+      max(col("doc_offset") + col("span_tokens")).as("hi"))
+    assert(perDoc.filter(col("s") =!= col("tc") || col("lo") =!= 0 ||
+      col("hi") =!= col("tc")).count() == 0)
+    // per sequence: spans tile [0, seqLen) exactly (last may be short)
+    val lastSeq = spans.agg(max("seq_id")).as[Long].head()
+    val perSeq = spans.groupBy("seq_id").agg(
+      sum("span_tokens").as("s"), min("seq_offset").as("lo"),
+      max(col("seq_offset") + col("span_tokens")).as("hi"))
+    assert(perSeq.filter(col("seq_id") < lastSeq &&
+      (col("s") =!= seqLen || col("lo") =!= 0 ||
+        col("hi") =!= seqLen)).count() == 0)
+    assert(lastSeq == (total - 1) / seqLen)
+    spans.unpersist()
+  }
+
+  test("sequence packing never plans a global window (no single-partition exchange)") {
+    val plan = Packing.packSequences(docs(100), "id", "tc", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"the tape cumsum must be the two-level prefix sum, not a " +
+        s"global window:\n${plan.take(2000)}")
+    assert(plan.contains("hashpartitioning(__bkt"), plan.take(2000))
+  }
+
   test("manifest checksum is order-immune and detects any membership change") {
     import spark.implicits._
     val in = (1L to 40L).map(i => (i, 10L + i % 7)).toDF("id", "tc")
