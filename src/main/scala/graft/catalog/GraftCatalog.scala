@@ -122,6 +122,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table =
     resolve(ident, asOf = Some(version.toLong))
 
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    // Spark hands TIMESTAMP AS OF as MICROS since epoch; commit times
+    // are the log entries' mtimes (millis) — the Delta convention
+    val dir = tableDir(ident)
+    if (!fs.exists(new Path(dir, "_log")))
+      throw new UnsupportedOperationException(
+        s"$catalogName.${ident.name()}: TIMESTAMP AS OF needs the " +
+          "manifest table format (plain parquet layouts keep no history)")
+    val store = new ChunkStore(spark, dir,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, dir, store.schema)
+    resolve(ident, asOf = Some(mtf.versionAtTimestamp(timestamp / 1000L)))
+  }
+
   private def layoutTag(dir: String): Option[String] = {
     val p = new Path(dir, "_graft_layout")
     if (!fs.exists(p)) return None

@@ -533,6 +533,34 @@ class ManifestTableFormat(
     */
   def readVersion(asOf: Long): DataFrame = readFiles(filesAtVersion(asOf))
 
+  /** The latest version committed at or before `tsMillis` (epoch ms)
+    * — commit time is the log entry's filesystem mtime, the Delta
+    * convention behind SQL `TIMESTAMP AS OF`. Versions whose entries
+    * a checkpoint+vacuum pruned are not independently dated; they
+    * resolve to the checkpoint's own mtime (the earliest state still
+    * reconstructable). Fails loudly when nothing was committed yet at
+    * the asked time.
+    */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val f = fs
+    require(f.exists(logDir), s"no log at $path")
+    val dated = f.listStatus(logDir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.matches("\\d{12}\\.json"))
+        Some(n.stripSuffix(".json").toLong -> st.getModificationTime)
+      else if (n.matches("\\d{12}\\.checkpoint\\.json"))
+        Some(n.stripSuffix(".checkpoint.json").toLong ->
+          st.getModificationTime)
+      else None
+    }
+    val eligible = dated.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version of $path was committed at or before epoch-ms " +
+        s"$tsMillis (earliest commit: ${
+          if (dated.isEmpty) "none" else dated.map(_._2).min.toString})")
+    eligible.map(_._1).max
+  }
+
   /** Delete data files no committed version references (crashed
     * writers' leftovers and removed-by-rm files), plus log entries
     * and older checkpoints a newer checkpoint subsumes.

@@ -82,6 +82,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e != null)
   }
 
+  test("TIMESTAMP AS OF resolves to the last version committed by then") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 10, "v1-"))   // version 0
+    Thread.sleep(1100)                        // mtime separation
+    val between = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    Thread.sleep(1100)
+    store.upsert(chunkRows(1 to 10, "v2-"))   // version 1
+    val asOf = spark.sql(s"SELECT chunk_text FROM $cat.chunks " +
+      s"TIMESTAMP AS OF '$between'")
+    assert(asOf.filter(col("chunk_text").startsWith("v1-")).count() == 10)
+    // before any commit → loud failure, not an empty table
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.chunks " +
+        "TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).mkString(" ").contains("no version"), chain(e).mkString(" ").take(400))
+  }
+
+  test("CTAS through the catalog lands as a created-and-filled table") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 6, "src-"))
+    spark.sql(s"CREATE TABLE $cat.copy AS SELECT * FROM $cat.chunks " +
+      "WHERE document_url <= 'doc://0003'")
+    assert(spark.sql(s"SELECT * FROM $cat.copy").count() == 3)
+    assert(new ChunkStore(spark, s"$wh/copy").exists)
+  }
+
   test("INSERT INTO is the A18 append, committed through the manifest log") {
     val (cat, wh) = freshCatalog()
     val store = new ChunkStore(spark, s"$wh/chunks",
