@@ -190,19 +190,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val dir = tableDir(ident)
-    val store = properties.asScala.get("format") match {
-      case Some("manifest") =>
+    val manifest = properties.asScala.get("format").contains("manifest")
+    val store =
+      if (manifest)
         new ChunkStore(spark, dir, format = ManifestTableFormat.factory)
-      case _ => properties.asScala.get("buckets") match {
+      else properties.asScala.get("buckets") match {
         case Some(n) => new ChunkStore(spark, dir, buckets = Some(n.toInt))
         case None => new ChunkStore(spark, dir)
       }
-    }
     require(schema.isEmpty ||
         schema.fieldNames.toSeq == store.schema.fieldNames.toSeq,
       s"graft tables have the fixed chunk schema " +
         s"${store.schema.simpleString}; got ${schema.simpleString}")
-    store.ensure()
+    if (manifest)
+      // the empty LOG is the empty manifest table (ensure()'s hive
+      // bootstrap would stamp the wrong layout for this format)
+      fs.mkdirs(new Path(dir, "_log"))
+    else store.ensure()
     loadTable(ident)
   }
 

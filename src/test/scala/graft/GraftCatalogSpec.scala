@@ -229,6 +229,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("manifest"))
   }
 
+  test("CREATE TABLE with format=manifest bootstraps an empty log-committed table") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.logged (chunk_id INT, " +
+      "chunk_text STRING, embedding ARRAY<FLOAT>, page_number INT, " +
+      "document_url STRING) TBLPROPERTIES ('format'='manifest')")
+    // empty scan works; the table classifies as manifest (log present)
+    assert(spark.sql(s"SELECT * FROM $cat.logged").count() == 0)
+    spark.sql(s"INSERT INTO $cat.logged VALUES " +
+      "(0, 'x', array(1.0F), 1, 'doc://x')")
+    assert(spark.sql(s"SELECT * FROM $cat.logged").count() == 1)
+    // the insert was log-committed, so time travel exists from birth
+    assert(spark.sql(s"SELECT * FROM $cat.logged VERSION AS OF 0")
+      .count() == 1)
+    // and MERGE through the procedure works against it
+    import spark.implicits._
+    Seq((0, "y", Seq(2f), 1, "doc://x"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url").createOrReplaceTempView("logged_updates")
+    spark.sql(s"CALL $cat.merge_into('logged', 'logged_updates')")
+    assert(spark.sql(s"SELECT chunk_text FROM $cat.logged")
+      .collect().map(_.getString(0)).toSeq == Seq("y"))
+  }
+
   test("DDL basics: SHOW TABLES, CREATE TABLE, DROP TABLE") {
     val (cat, wh) = freshCatalog()
     new ChunkStore(spark, s"$wh/chunks",
