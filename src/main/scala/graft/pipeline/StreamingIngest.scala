@@ -141,8 +141,9 @@ object StreamingIngest {
       detectDeletes(spark, inputDir, store, indexPaths)
     else if (warnedBucketedDeletes.compareAndSet(false, true)) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        "bucketed chunk store: per-batch delete detection is disabled " +
-          "(catalog requires a scan) — schedule StreamingIngest." +
+        "this store answers its document catalog with a scan " +
+          "(bucketed layout or log-committed format) — per-batch " +
+          "delete detection is disabled; schedule StreamingIngest." +
           "detectDeletes on a maintenance cadence to propagate deletes")
     }
     matches

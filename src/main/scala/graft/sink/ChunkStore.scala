@@ -95,9 +95,13 @@ final class ChunkStore(
   def exists: Boolean = fs.exists(new Path(path))
 
   /** True when the document catalog is a pure metadata operation
-    * (per-document layout); bucketed stores answer it with a scan.
+    * (per-document PARQUET layout, where partition directory names
+    * are the urls). Bucketed stores and log-committed formats answer
+    * the catalog with a (column-pruned) scan — streaming delete
+    * detection must poll those on a maintenance cadence, not per
+    * micro-batch.
     */
-  def hasMetadataCatalog: Boolean = buckets.isEmpty
+  def hasMetadataCatalog: Boolean = buckets.isEmpty && fmt.read().isEmpty
 
   // ---- layout metadata: the bucket count is part of the on-disk
   // format. Reopening a store with a different `buckets` would hash
