@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.word_shingles
+import graft.functions.GraftFunctions.{cosine_distance, word_shingles}
 
 /** Benchmark decontamination: flag corpus documents that share any
   * lowercase word n-gram with a blocklist (an eval/test set whose
@@ -57,6 +57,50 @@ object Decontaminate {
     grams.join(broadcast(bl), Seq("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** D11b — the EMBEDDING-SPACE sibling of the n-gram rule: flag
+    * corpus rows whose max cosine similarity against any eval-set
+    * embedding reaches `minSimilarity`. Catches the paraphrased /
+    * reworded leakage exact-gram matching misses (and misses nothing
+    * the gram rule needs — run both; a real pipeline unions the
+    * flags).
+    *
+    * Scale shape: the eval side BROADCASTS (eval sets are small by
+    * definition — the same contract as [[hitCounts]]'s blocklist);
+    * per-row work is `|eval| `codegen cosine kernels inside the scan
+    * stage, and the one exchange carries (id, max/count partials) —
+    * map-side combined, bounded by corpus rows, never embeddings.
+    * For eval sets too big to broadcast, route through
+    * [[Similarity.ivfPqAnnJoin]] instead (ANN candidate generation,
+    * exact re-rank).
+    *
+    * Output: one row per corpus row — `max_sim` (rounded to 6 for
+    * deterministic hashing), `n_hits` (eval items at or above the
+    * threshold), `contaminated`. No argmax column: a similarity tie
+    * would make the matched id engine-dependent where the count and
+    * max are not.
+    */
+  def semanticFlags(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minSimilarity: Double): DataFrame = {
+    require(minSimilarity >= -1.0 && minSimilarity <= 1.0,
+      s"minSimilarity must be a cosine similarity, got $minSimilarity")
+    val ev = broadcast(evalSet.select(col(vecCol).as("__evec")))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(ev)
+      .select(col(idCol),
+        (lit(1.0) - cosine_distance(col(vecCol), col("__evec")))
+          .as("__sim"))
+      .groupBy(col(idCol))
+      .agg(
+        (round(max(col("__sim")), 6) + lit(0.0)).as("max_sim"),
+        sum(when(col("__sim") >= minSimilarity, 1L).otherwise(0L))
+          .as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0L)
   }
 
   /** Corpus rows annotated with `n_hits` (distinct shared n-grams

@@ -1149,6 +1149,37 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D11b: SEMANTIC decontamination — the embedding-space sibling of
+    // the 8-gram rule (catches paraphrased eval leakage exact grams
+    // miss; a real pipeline unions both flags). The eval set is the
+    // high-id tail of the embeddings table; the corpus side never
+    // shuffles (broadcast eval × codegen cosine kernel, then an
+    // (id, max/count)-partial aggregate). The oracle recomputes every
+    // similarity with DuckDB's own cosine and must agree on the max,
+    // the threshold count, and the flag for every corpus row.
+    "d11b_semantic_decontaminate" -> QueryDef(
+      """WITH ev AS (
+        |  SELECT embedding FROM embeddings WHERE vec_id >= 480),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+        |sims AS (
+        |  SELECT c.vec_id,
+        |         list_cosine_similarity(c.embedding::DOUBLE[],
+        |                                ev.embedding::DOUBLE[]) AS sim
+        |  FROM c, ev)
+        |SELECT vec_id, ROUND(MAX(sim), 6) + 0.0 AS max_sim,
+        |       CAST(SUM(CASE WHEN sim >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hits,
+        |       (SUM(CASE WHEN sim >= 0.6 THEN 1 ELSE 0 END) > 0)
+        |         AS contaminated
+        |FROM sims GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Decontaminate.semanticFlags(
+          emb.filter(col("vec_id") < 400),
+          emb.filter(col("vec_id") >= 480),
+          "vec_id", "embedding", minSimilarity = 0.6)
+        .orderBy("vec_id")
+    },
+
     // D12: deterministic token-budget shard packing (training export).
     // The oracle recomputes the full scheme — md5 shuffle order, hex
     // pack group, exclusive prefix sum, budget division — so every
