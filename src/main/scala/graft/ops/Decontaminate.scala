@@ -79,7 +79,9 @@ object Decontaminate {
     * deterministic hashing), `n_hits` (eval items at or above the
     * threshold), `contaminated`. No argmax column: a similarity tie
     * would make the matched id engine-dependent where the count and
-    * max are not.
+    * max are not. An EMPTY eval set keeps every corpus row (`max_sim`
+    * null, `n_hits` 0, `contaminated` false) — the broadcast side
+    * joins left, so corpus rows never vanish.
     */
   def semanticFlags(
       corpus: DataFrame,
@@ -91,7 +93,7 @@ object Decontaminate {
       s"minSimilarity must be a cosine similarity, got $minSimilarity")
     val ev = broadcast(evalSet.select(col(vecCol).as("__evec")))
     corpus.select(col(idCol), col(vecCol))
-      .crossJoin(ev)
+      .join(ev, lit(true), "left")
       .select(col(idCol),
         (lit(1.0) - cosine_distance(col(vecCol), col("__evec")))
           .as("__sim"))

@@ -120,10 +120,11 @@ object Packing {
       val subtotals = cum.groupBy("__bkt").agg(sum("tc").as("t"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .sortBy(_._1).toIndexedSeq
-      val offsets = subtotals
-        .scanLeft((-1L, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
-        .sliding(2).map { case Seq((_, acc), (b, _)) => (b, acc) }
-        .toSeq
+      // Exclusive scan via zip-with-init: empty subtotals (no rows
+      // with tc > 0) yields an empty offset table and an empty span
+      // frame with the output schema, not a MatchError.
+      val running = subtotals.scanLeft(0L) { case (acc, (_, t)) => acc + t }
+      val offsets = subtotals.map(_._1).zip(running.init)
       val offDf = offsets.toDF("__bkt", "__off")
       cum.join(broadcast(offDf), Seq("__bkt"))
         .withColumn("__gstart", col("__off") + col("__pre"))

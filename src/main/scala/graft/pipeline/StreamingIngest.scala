@@ -198,39 +198,43 @@ object StreamingIngest {
     try {
       if (catalog.isEmpty) return
       // stream the source listing into a disk-backed frame — O(batch)
-      // driver heap at any listing size
+      // driver heap at any listing size; the spool is closed once the
+      // anti-join has collected, so a long-running job holds at most
+      // one listing copy on disk at a time
       val files = ifs.listFiles(inPath, true)
-      val (listing, listed) = graft.sink.StreamedNames.toFrame(
+      val sp = graft.sink.StreamedNames.spool(
         spark, "__p", new Iterator[String] {
           def hasNext: Boolean = files.hasNext
           def next(): String = files.next().getPath.toString
         })
-      if (listed == 0L) {
-        log.warn(s"delete detection skipped: input listing at $inputDir is " +
-          s"empty but the store holds ${catalog.count()} documents — " +
-          "refusing to mass-delete; wipe explicitly via store.delete if " +
-          "intended")
-        return
-      }
-      // Both sides normalized through the same Hadoop Path rendering:
-      // document_url originates from the binaryFile source's `path`
-      // column (a Path.toString), but re-render the stored side so a
-      // divergence (file:/// vs file:/, URI escaping, another source)
-      // can't make every document look deleted. The diff is a LEFT
-      // ANTI JOIN — only the churn-bounded survivors are collected.
-      val rendered = catalog.as[String]
-        .map(u => (u, new org.apache.hadoop.fs.Path(u).toString))
-        .toDF("document_url", "__p")
-      val gone = rendered.join(listing, Seq("__p"), "left_anti")
-        .select("document_url").as[String].collect().toSeq
-      if (gone.nonEmpty) {
-        store.delete(gone)
-        if (indexPaths.nonEmpty) {
-          val ids = gone.toDF("document_url")
-          indexPaths.foreach(p =>
-            graft.ops.IndexMaintenance.deleteFrom(spark, p, ids))
+      try {
+        if (sp.count == 0L) {
+          log.warn(s"delete detection skipped: input listing at $inputDir " +
+            s"is empty but the store holds ${catalog.count()} documents — " +
+            "refusing to mass-delete; wipe explicitly via store.delete if " +
+            "intended")
+          return
         }
-      }
+        // Both sides normalized through the same Hadoop Path rendering:
+        // document_url originates from the binaryFile source's `path`
+        // column (a Path.toString), but re-render the stored side so a
+        // divergence (file:/// vs file:/, URI escaping, another source)
+        // can't make every document look deleted. The diff is a LEFT
+        // ANTI JOIN — only the churn-bounded survivors are collected.
+        val rendered = catalog.as[String]
+          .map(u => (u, new org.apache.hadoop.fs.Path(u).toString))
+          .toDF("document_url", "__p")
+        val gone = rendered.join(sp.df, Seq("__p"), "left_anti")
+          .select("document_url").as[String].collect().toSeq
+        if (gone.nonEmpty) {
+          store.delete(gone)
+          if (indexPaths.nonEmpty) {
+            val ids = gone.toDF("document_url")
+            indexPaths.foreach(p =>
+              graft.ops.IndexMaintenance.deleteFrom(spark, p, ids))
+          }
+        }
+      } finally sp.close()
     } finally catalog.unpersist()
   }
 }

@@ -793,11 +793,11 @@ object RelationalQueries {
         |         AS chunk_text
         |FROM documents WHERE doc_id % 17 <> 0
         |ORDER BY document_url""".stripMargin) { (s, dir) =>
-      val wh = s"/tmp/graft-sqlcat-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      // run-scoped warehouse: concurrent gate runs against the same
+      // source never collide on a shared path (the b2b pattern)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sqlcat").toString
       val path = s"$wh/chunks"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (f.exists(p)) f.delete(p, true) // deterministic version history
       val store = new graft.sink.ChunkStore(s, path,
         format = graft.sink.ManifestTableFormat.factory)
       def rows(df: org.apache.spark.sql.DataFrame) = df.select(
@@ -830,11 +830,11 @@ object RelationalQueries {
         |       text AS chunk_text
         |FROM documents
         |ORDER BY document_url""".stripMargin) { (s, dir) =>
-      val wh = s"/tmp/graft-sqltt-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      // run-scoped warehouse (fresh dir ⇒ version 0 is the v1 load);
+      // no cross-run collision on a fixed /tmp path
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sqltt").toString
       val path = s"$wh/chunks"
-      val p = new org.apache.hadoop.fs.Path(path)
-      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (f.exists(p)) f.delete(p, true) // version 0 must be the v1 load
       val store = new graft.sink.ChunkStore(s, path,
         format = graft.sink.ManifestTableFormat.factory)
       def rows(df: org.apache.spark.sql.DataFrame) = df.select(

@@ -490,8 +490,15 @@ final class ChunkStore(
     * the store — no driver collect at ANY catalog size. The
     * per-document layout streams its partition-directory names
     * through a disk-backed frame ([[StreamedNames]]), so driver heap
-    * stays O(batch) rather than O(catalog) there too.
+    * stays O(batch) rather than O(catalog) there too. The spool dir is
+    * per-store and wiped on each call — repeated per-micro-batch calls
+    * hold at most ONE catalog copy on disk, not one per batch (callers
+    * consume the previous frame before asking for the next, which the
+    * ingest loop's sequential batches guarantee).
     */
+  private lazy val catalogSpoolDir =
+    java.nio.file.Files.createTempDirectory("graft-catalog-spool")
+
   def documentCatalog(): DataFrame = buckets match {
     case None if fmt.read().isEmpty =>
       checkLayout()
@@ -515,7 +522,8 @@ final class ChunkStore(
             val v = pending.get; pending = None; v
           }
         }
-        StreamedNames.toFrame(spark, "document_url", names)._1
+        StreamedNames.toFrame(spark, "document_url", names,
+          reuseDir = Some(catalogSpoolDir))._1
       }
     case _ => read().select("document_url").distinct()
   }

@@ -68,4 +68,18 @@ class DecontaminateSpec extends SparkSpec {
       Decontaminate.flag(corpus, corpus, "doc_id", "text")
     }
   }
+
+  test("semanticFlags keeps every corpus row when the eval set is empty") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f))
+    ).toDF("doc_id", "vec")
+    val eval = Seq.empty[(Long, Array[Float])].toDF("doc_id", "vec")
+    val out = Decontaminate.semanticFlags(corpus, eval,
+        "doc_id", "vec", minSimilarity = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.isNullAt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // max_sim null, zero hits, not contaminated — rows never vanish
+    assert(out.values.forall(_ == ((true, 0L, false))))
+  }
 }

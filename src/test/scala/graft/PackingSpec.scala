@@ -105,6 +105,18 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(__bkt"), plan.take(2000))
   }
 
+  test("sequence packing of an empty / all-zero input is an empty span frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "tc")
+    val out = Packing.packSequences(empty, "id", "tc", 64L)
+    assert(out.columns.toSeq == Seq(
+      "seq_id", "id", "tc", "seq_offset", "doc_offset", "span_tokens"))
+    assert(out.count() == 0L)
+    // all token counts <= 0 filter to nothing — same empty contract
+    val zeros = Seq((1L, 0L), (2L, -3L)).toDF("id", "tc")
+    assert(Packing.packSequences(zeros, "id", "tc", 64L).count() == 0L)
+  }
+
   test("manifest checksum is order-immune and detects any membership change") {
     import spark.implicits._
     val in = (1L to 40L).map(i => (i, 10L + i % 7)).toDF("id", "tc")
