@@ -282,10 +282,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       storeFor(args(0)).upsert(spark.table(args(1)))),
     procedure("delete_documents", Seq("table", "source"),
       "A20 delete: drop every document whose url appears in the first " +
-        "column of <source>")(args =>
-      storeFor(args(0)).delete(
-        spark.table(args(1)).select(spark.table(args(1)).columns.head)
-          .distinct().collect().map(_.getString(0)).toSeq)),
+        "column of <source>")(args => {
+      // frame-native: the url set never collects to the driver — a
+      // delete keyed by a large source table stays a Spark anti-join
+      // all the way down (TableFormat.delete(DataFrame))
+      val src = spark.table(args(1))
+      storeFor(args(0)).delete(src.select(
+        org.apache.spark.sql.functions.col(src.columns.head)
+          .cast("string").as("document_url")))
+    }),
     procedure("compact", Seq("table"),
       "A21 maintenance: rewrite small files (staged swap / " +
         "log-committed per layout)")(args =>

@@ -220,20 +220,21 @@ object StreamingIngest {
         // column (a Path.toString), but re-render the stored side so a
         // divergence (file:/// vs file:/, URI escaping, another source)
         // can't make every document look deleted. The diff is a LEFT
-        // ANTI JOIN — only the churn-bounded survivors are collected.
+        // ANTI JOIN whose result flows to the store and the indexes as
+        // a FRAME (TableFormat.delete(DataFrame)) — nothing url-shaped
+        // ever collects to the driver, at any churn size.
         val rendered = catalog.as[String]
           .map(u => (u, new org.apache.hadoop.fs.Path(u).toString))
           .toDF("document_url", "__p")
         val gone = rendered.join(sp.df, Seq("__p"), "left_anti")
-          .select("document_url").as[String].collect().toSeq
-        if (gone.nonEmpty) {
-          store.delete(gone)
-          if (indexPaths.nonEmpty) {
-            val ids = gone.toDF("document_url")
+          .select("document_url").persist()
+        try {
+          if (!gone.isEmpty) {
+            store.delete(gone)
             indexPaths.foreach(p =>
-              graft.ops.IndexMaintenance.deleteFrom(spark, p, ids))
+              graft.ops.IndexMaintenance.deleteFrom(spark, p, gone))
           }
-        }
+        } finally gone.unpersist()
       } finally sp.close()
     } finally catalog.unpersist()
   }

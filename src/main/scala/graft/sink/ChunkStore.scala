@@ -57,6 +57,8 @@ final class ChunkStore(
     def merge(rows: DataFrame): Unit = upsertParquet(rows)
     def delete(documentUrls: Seq[String]): Unit =
       deleteParquet(documentUrls)
+    override def delete(urls: DataFrame): Unit =
+      deleteParquetFrame(urls)
     def compact(): Unit = compactParquet()
   }
 
@@ -248,6 +250,52 @@ final class ChunkStore(
     * the deleted documents.
     */
   def delete(documentUrls: Seq[String]): Unit = fmt.delete(documentUrls)
+
+  /** Frame-native A20: the url set flows as a Spark frame end-to-end
+    * — the path for deletes keyed by a TABLE (delete detection at
+    * catalog scale, `CALL graft.delete_documents`), where collecting
+    * the urls would put O(deleted) on the driver.
+    */
+  def delete(urls: DataFrame): Unit = fmt.delete(urls)
+
+  private def deleteParquetFrame(urls: DataFrame): Unit = {
+    val u = urls.select(col("document_url").cast("string")
+      .as("document_url")).distinct()
+    buckets match {
+      case None =>
+        checkLayout()
+        // partition-directory removal is inherently a driver-side
+        // metadata call per document; stream the url frame so driver
+        // HEAP stays O(batch) while the fs does O(deleted) renames —
+        // the same envelope as the listing side (StreamedNames)
+        val f = fs
+        val it = u.toLocalIterator()
+        while (it.hasNext) {
+          val dir = new Path(path, "document_url=" +
+            ExternalCatalogUtils.escapePathName(it.next().getString(0)))
+          if (f.exists(dir)) f.delete(dir, true)
+        }
+      case Some(_) =>
+        checkLayout()
+        if (exists) {
+          val probe = u.persist()
+          try {
+            // affected buckets: bounded by the bucket count, not the
+            // url count — the only thing collected
+            val ids = probe.select(bucketOf(col("document_url")))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            if (ids.nonEmpty) {
+              // no broadcast hint: a table-keyed delete set may be
+              // large; AQE picks broadcast when it is small
+              val keep = rawRead()
+                .filter(col(bucketCol).isin(ids: _*))
+                .join(probe, Seq("document_url"), "left_anti")
+              rewriteBuckets(ids, keep)
+            }
+          } finally probe.unpersist()
+        }
+    }
+  }
 
   private def deleteParquet(documentUrls: Seq[String]): Unit =
     buckets match {

@@ -443,11 +443,28 @@ class ManifestTableFormat(
   override def delete(documentUrls: Seq[String]): Unit = {
     if (documentUrls.isEmpty) return
     import spark.implicits._
-    val probe = documentUrls.distinct.toDF("document_url")
-    commitCycle(
-      snap => affectedFiles(snap, probe),
-      (_, files) => readFiles(files)
-        .join(broadcast(probe), Seq("document_url"), "left_anti"))
+    delete(documentUrls.distinct.toDF("document_url"))
+  }
+
+  /** Frame-native delete — the url set stays a Spark frame end-to-end:
+    * affected-file selection probes the per-file bloom stats with the
+    * frame's url hashes ([[affectedFiles]]), and the survivor rewrite
+    * anti-joins the same frame. Nothing url-shaped ever collects to
+    * the driver; only the affected FILE names do (churn-bounded). The
+    * anti-join's build side is hinted broadcast: delete sets are
+    * churn-scale by contract (they must also fit the per-file bloom
+    * probe), and the hint is that contract's documented memory bound.
+    */
+  override def delete(urls: DataFrame): Unit = {
+    val probe = urls.select(col("document_url").cast("string")
+      .as("document_url")).distinct().persist()
+    try {
+      if (probe.isEmpty) return
+      commitCycle(
+        snap => affectedFiles(snap, probe),
+        (_, files) => readFiles(files)
+          .join(broadcast(probe), Seq("document_url"), "left_anti"))
+    } finally probe.unpersist()
   }
 
   override def compact(): Unit =

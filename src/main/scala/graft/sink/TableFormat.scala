@@ -38,8 +38,30 @@ trait TableFormat {
     */
   def merge(rows: DataFrame): Unit
 
-  /** Drop all chunks of the given documents; absent urls are no-ops. */
+  /** Drop all chunks of the given documents; absent urls are no-ops.
+    * The Seq form is for CALLER-BOUNDED url sets (churn-size lists);
+    * a delete keyed by a table belongs on the [[delete(urls*]] frame
+    * overload, which never materializes the url set on the driver.
+    */
   def delete(documentUrls: Seq[String]): Unit
+
+  /** Frame-native delete: drop all chunks of every document whose url
+    * appears in `urls` (a frame with a `document_url` column). The
+    * scalable twin of the Seq form — the url set flows end-to-end as
+    * a Spark frame, so driver memory stays O(1) however large the
+    * source. The default bridges to the Seq form in fixed-size
+    * batches (O(batch) driver heap, one Seq-delete per batch) for
+    * formats without a native frame path; formats with one override.
+    */
+  def delete(urls: DataFrame): Unit = {
+    val it = urls.select("document_url").distinct().toLocalIterator()
+    val buf = new scala.collection.mutable.ArrayBuffer[String](1 << 16)
+    while (it.hasNext) {
+      buf += it.next().getString(0)
+      if (buf.length >= (1 << 16)) { delete(buf.toSeq); buf.clear() }
+    }
+    if (buf.nonEmpty) delete(buf.toSeq)
+  }
 
   /** Collapse small files; rows and layout semantics unchanged. */
   def compact(): Unit

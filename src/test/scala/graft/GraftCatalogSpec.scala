@@ -206,6 +206,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(store.read().count() == 18)
   }
 
+  test("CALL delete_documents from a large source stays frame-native") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 500, "v1-"))
+    // the delete key set is a 100k-row TABLE (mostly absent urls) —
+    // the procedure must push it down as a frame (an url collect here
+    // would be O(source) driver memory; the TableFormat frame path
+    // anti-joins instead, pinned by ManifestFormatSpec's plan test)
+    spark.range(1, 100001)
+      .select(format_string("doc://%04d", col("id")).as("u"))
+      .filter(col("u") <= "doc://0100" || col("u") >= "doc://1000")
+      .createOrReplaceTempView("cat_bulk_stale")
+    spark.sql(s"CALL $cat.delete_documents('chunks', 'cat_bulk_stale')")
+    // docs 101..500 survive; 1..100 deleted; absent urls are no-ops
+    assert(store.read().count() == 400)
+    assert(store.read()
+      .filter(col("document_url") === "doc://0101").count() == 1)
+    assert(store.read()
+      .filter(col("document_url") === "doc://0100").count() == 0)
+  }
+
   test("CALL compact / checkpoint / vacuum: maintenance through SQL") {
     val (cat, wh) = freshCatalog()
     val store = new ChunkStore(spark, s"$wh/chunks",

@@ -314,6 +314,52 @@ class ManifestFormatSpec extends SparkSpec {
     assert(store.read().filter(col("chunk_text") === "old1501").count() == 1)
   }
 
+  test("frame-native delete: anti-join rewrite, no url In-literals, no url collect") {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val path = freshPath()
+    var captured: List[DataFrame] = Nil
+    val store = new ChunkStore(spark, path,
+      format = s => new ManifestTableFormat(s.spark, s.path, s.schema) {
+        override protected def onRewrite(df: DataFrame): DataFrame = {
+          captured ::= df; df
+        }
+      })
+    import spark.implicits._
+    store.upsert((1 to 2000).map(i => (0, s"t$i", Seq(1f), 1,
+        s"doc://fd/$i"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url"))
+    captured = Nil
+    // a TABLE-shaped delete source (range frame, never a driver Seq):
+    // 1200 present urls + 300 absent ones (no-ops by contract)
+    val urls = spark.range(1, 1501).select(
+      when(col("id") <= 1200, concat(lit("doc://fd/"), col("id")))
+        .otherwise(concat(lit("doc://absent/"), col("id")))
+        .as("document_url"))
+    store.delete(urls)
+    val rewrite = captured.last
+    val opt = rewrite.queryExecution.optimizedPlan
+    val inLits = opt.collect { case p => p.expressions }.flatten
+      .flatMap(_.collect { case e: In => e: Any; case e: InSet => e: Any })
+    assert(inLits.isEmpty,
+      s"frame delete plans url In-literals: ${inLits.take(3)}")
+    assert(opt.collect {
+        case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+      "survivor rewrite must be a left anti join")
+    // 800 survivors; absent urls were no-ops; a specific survivor holds
+    assert(store.read().count() == 800)
+    assert(store.read().filter(col("document_url") === "doc://fd/1500")
+      .count() == 1)
+    assert(store.read().filter(col("document_url") === "doc://fd/1200")
+      .count() == 0)
+    // Seq form delegates to the same frame path (one more rewrite)
+    captured = Nil
+    store.delete(Seq("doc://fd/1999", "doc://fd/2000"))
+    assert(captured.nonEmpty && store.read().count() == 798)
+  }
+
   test("two writer JVMs: every commit lands exactly once (cross-process race)") {
     // the real multi-writer scenario: two SEPARATE processes share one
     // log. The commit primitive on local filesystems is

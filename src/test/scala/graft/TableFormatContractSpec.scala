@@ -65,6 +65,24 @@ abstract class TableFormatContract extends SparkSpec {
     assert(state(store).contains(("doc://b", 0, "b0-v2")))
   }
 
+  test(s"[$layoutName] frame delete: same semantics as the Seq form, " +
+      "url set never a driver Seq") {
+    import spark.implicits._
+    val store = makeStore(
+      Files.createTempDirectory("graft-tfc").toString + "/t")
+    store.upsert(chunksOf("doc://a", "a0")
+      .unionByName(chunksOf("doc://b", "b0"))
+      .unionByName(chunksOf("doc://c", "c0")))
+    store.delete(Seq("doc://b", "doc://missing").toDF("document_url"))
+    assert(state(store) == Set(("doc://a", 0, "a0"), ("doc://c", 0, "c0")))
+    // empty frame: no-op, store untouched
+    store.delete(Seq.empty[String].toDF("document_url"))
+    assert(state(store).size == 2)
+    // delete then re-merge resurrects the document cleanly
+    store.upsert(chunksOf("doc://b", "b0-v2"))
+    assert(state(store).contains(("doc://b", 0, "b0-v2")))
+  }
+
   test(s"[$layoutName] compact preserves rows and the store stays " +
       "writable") {
     val store = makeStore(
@@ -116,5 +134,12 @@ class TableFormatSeamSpec extends SparkSpec {
     store.compact()
     assert(calls.toSeq == Seq("merge", "delete:1", "compact"))
     assert(store.read().count() == 0)
+    // a format WITHOUT a native frame path still serves frame deletes:
+    // the trait's default bridges to the Seq form in bounded batches
+    store.upsert(Seq((0, "y", Seq(1f), 1, "doc://b"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url"))
+    store.delete(Seq("doc://b").toDF("document_url"))
+    assert(calls.last == "delete:1" && store.read().count() == 0)
   }
 }
