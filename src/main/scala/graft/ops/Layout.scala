@@ -244,7 +244,7 @@ object Layout {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
 
-  private def bloomPos(h: Long, i: Int, numBits: Int): Int = {
+  private[graft] def bloomPos(h: Long, i: Int, numBits: Int): Int = {
     val h1 = h >>> 32
     val h2 = (h & 0xFFFFFFFFL) | 1L // odd → walks all positions
     java.lang.Math.floorMod(h1 + i * h2, numBits.toLong).toInt

@@ -61,11 +61,20 @@ import graft.ops.Layout
   *    maintenance cadence (mind scan retention, as with any
   *    log-structured table).
   *
-  * Driver state: one replayed snapshot is `files × (bloomBits/8 +
-  * 2 urls)` bytes — ~1 KB/file at the 8192-bit default, so 10⁵ files
-  * ≈ 100 MB. The 10⁷-file end wants the replay itself as a Spark job
-  * over a parquet checkpoint (Delta's answer); bounded and named in
-  * SCALE.md.
+  * Driver state: bounded by CHECKPOINT CADENCE, not table size.
+  * Checkpoints are PARQUET (Delta's answer to log replay): snapshot
+  * assembly reads them as a Spark job ([[statsFrame]]) and the driver
+  * holds only (a) the tail — per-file stats of commits since the
+  * newest checkpoint, ~1 KB/file — and (b) live file NAMES when a
+  * scan is planned (the O(names) any file-list read holds). A
+  * 10⁷-file table with a maintenance-cadence checkpoint keeps the
+  * driver at O(churn since checkpoint) + O(names), never
+  * O(table × stats). Protocol: v1 logs (exact url sets per
+  * add-action) and v1 JSON checkpoints are still READ (stats
+  * synthesized on parse; same bit walk) — the next checkpoint
+  * re-records everything in the current protocol; an unrecognized
+  * line fails with an explicit protocol message, never a half-read
+  * table.
   *
   * Use with the per-document-free layout only (`buckets = None` and
   * this format — the log supersedes hive partitioning):
@@ -100,8 +109,22 @@ class ManifestTableFormat(
   private[sink] final case class Action(
       add: Boolean, file: String, stats: Option[FileStats])
 
+  /** A replayed snapshot. Driver state is bounded by CHECKPOINT
+    * CADENCE, not table size: `base` holds only the stats of files
+    * added since the newest parquet checkpoint (plus the whole state
+    * when no parquet checkpoint exists yet — the pre-checkpoint
+    * bootstrap, or a legacy JSON checkpoint), and `removed` the names
+    * the tail removed from the checkpoint. The checkpoint itself
+    * stays ON DISK as parquet and is consumed as a Spark read
+    * ([[statsFrame]]); only live-file NAMES ever transit the driver
+    * (to plan parquet scans — the same O(names) any file-list read
+    * holds), never the per-file bloom stats.
+    */
   private[sink] final case class Snapshot(
-      version: Long, live: Map[String, FileStats])
+      version: Long,
+      ckptParquet: Option[Path],
+      base: Map[String, FileStats],
+      removed: Set[String])
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -155,43 +178,133 @@ class ManifestTableFormat(
   }
 
   private[sink] def parseAction(line: String): Action = {
-    // strict parser for exactly the two shapes renderAction emits
-    def field(key: String): String = {
+    // strict parser for the shapes this engine has ever emitted; an
+    // unrecognized shape fails with a protocol message, not a generic
+    // parse error (a NEWER writer's log must not be half-read)
+    def fail(what: String): Nothing = throw new IllegalArgumentException(
+      s"unrecognized manifest log line ($what) at $path — the log was " +
+        "written by a newer engine protocol than this reader " +
+        s"understands, or is corrupt: ${line.take(200)}")
+    def fieldAt(key: String): Option[(Int, Int)] = {
       val tag = "\"" + key + "\":\""
       val i = line.indexOf(tag)
-      require(i >= 0, s"bad log line: $line")
-      val start = i + tag.length
-      // escape-aware scan (a backslash consumes the next char, so an
-      // escaped-backslash-final value cannot hide the closing quote)
-      var j = start
-      var closed = false
-      while (!closed) {
-        line.charAt(j) match {
-          case '\\' => j += 2
-          case '"' => closed = true
-          case _ => j += 1
+      if (i < 0) None
+      else {
+        val start = i + tag.length
+        // escape-aware scan (a backslash consumes the next char, so an
+        // escaped-backslash-final value cannot hide the closing quote)
+        var j = start
+        var closed = false
+        while (!closed) {
+          line.charAt(j) match {
+            case '\\' => j += 2
+            case '"' => closed = true
+            case _ => j += 1
+          }
         }
+        Some((start, j))
       }
-      unesc(line.substring(start, j))
+    }
+    def field(key: String): String = fieldAt(key) match {
+      case Some((s, e)) => unesc(line.substring(s, e))
+      case None => fail(s"missing field $key")
     }
     def num(key: String): Int = {
       val tag = "\"" + key + "\":"
       val i = line.indexOf(tag)
-      require(i >= 0, s"bad log line: $line")
+      if (i < 0) fail(s"missing field $key")
       var j = i + tag.length
       while (j < line.length && line.charAt(j).isDigit) j += 1
       line.substring(i + tag.length, j).toInt
     }
     if (line.contains("\"a\":\"add\"")) {
-      Action(add = true, field("f"), Some(FileStats(
-        unpackBits(field("b")), field("lo"), field("hi"),
-        num("nb"), num("nh"))))
-    } else Action(add = false, field("f"), None)
+      if (fieldAt("b").nonEmpty)
+        Action(add = true, field("f"), Some(FileStats(
+          unpackBits(field("b")), field("lo"), field("hi"),
+          num("nb"), num("nh"))))
+      else if (line.contains("\"u\":[")) {
+        // PROTOCOL V1 add-action: the file's exact url set instead of
+        // bloom stats. Accepted on read — stats are synthesized with
+        // the same xxhash64+double-hash bit walk the write side uses,
+        // so a pre-stats table stays readable (and its point reads
+        // prunable) with no migration step; the next checkpoint or
+        // rewrite re-records it in the current protocol.
+        val urls = parseUrlArray(line)
+        if (urls.isEmpty) fail("v1 add-action with empty url set")
+        val bits = new Array[Long](bloomBits / 64)
+        urls.foreach { u =>
+          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(org.apache.spark.unsafe.types.UTF8String.fromString(u),
+              org.apache.spark.sql.types.StringType, 42L)
+          var i = 0
+          while (i < bloomHashes) {
+            val pos = Layout.bloomPos(h, i, bloomBits)
+            bits(pos >> 6) |= (1L << (pos & 63))
+            i += 1
+          }
+        }
+        Action(add = true, field("f"), Some(FileStats(
+          bits.toSeq, urls.min, urls.max, bloomBits, bloomHashes)))
+      } else fail("add-action with neither stats nor url set")
+    } else if (line.contains("\"a\":\"rm\"")) Action(add = false, field("f"), None)
+    else fail("unknown action")
+  }
+
+  /** Parse protocol-v1's `"u":["...","..."]` url array (escape-aware,
+    * same quoting rules as [[unesc]]).
+    */
+  private def parseUrlArray(line: String): Seq[String] = {
+    val tag = "\"u\":["
+    val start = line.indexOf(tag) + tag.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = start
+    while (i < line.length && line.charAt(i) != ']') {
+      if (line.charAt(i) == '"') {
+        var j = i + 1
+        var closed = false
+        while (!closed) {
+          line.charAt(j) match {
+            case '\\' => j += 2
+            case '"' => closed = true
+            case _ => j += 1
+          }
+        }
+        out += unesc(line.substring(i + 1, j))
+        i = j + 1
+      } else i += 1
+    }
+    out.toSeq
   }
 
   private def entryPath(v: Long) = new Path(logDir, f"$v%012d.json")
   private def checkpointPath(v: Long) =
     new Path(logDir, f"$v%012d.checkpoint.json")
+  private def ckptParquetPath(v: Long) =
+    new Path(logDir, f"$v%012d.checkpoint.parquet")
+
+  /** A parquet checkpoint directory counts only when its write
+    * completed (`_SUCCESS` present — Spark writes it last). A torn
+    * checkpoint (crashed writer) is ignored and replay falls back to
+    * the previous checkpoint + entries, which remain sound.
+    */
+  private def validCkptParquet(f: org.apache.hadoop.fs.FileSystem,
+      v: Long): Boolean =
+    f.exists(new Path(ckptParquetPath(v), "_SUCCESS"))
+
+  /** Log-directory census: committed entry versions, legacy JSON
+    * checkpoint versions, and completed parquet checkpoint versions.
+    */
+  private def census(f: org.apache.hadoop.fs.FileSystem)
+      : (Seq[Long], Seq[Long], Seq[Long]) = {
+    val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
+    (names.filter(_.matches("\\d{12}\\.json"))
+       .map(_.stripSuffix(".json").toLong),
+     names.filter(_.matches("\\d{12}\\.checkpoint\\.json"))
+       .map(_.stripSuffix(".checkpoint.json").toLong),
+     names.filter(_.matches("\\d{12}\\.checkpoint\\.parquet"))
+       .map(_.stripSuffix(".checkpoint.parquet").toLong)
+       .filter(validCkptParquet(f, _)))
+  }
 
   private def readText(p: Path): String = {
     val in = fs.open(p)
@@ -204,52 +317,65 @@ class ManifestTableFormat(
     } finally in.close()
   }
 
-  /** Replay the committed log into the live file map, starting from
-    * the newest checkpoint (a full-state summary entry — the replay
-    * bound that keeps snapshot cost O(commits since checkpoint), not
-    * O(table lifetime)). Temp files (crashed commit/checkpoint
-    * staging) are ignored: only fully-renamed numbered files count.
+  /** Replay the committed log, starting from the newest checkpoint (a
+    * full-state summary — the replay bound that keeps snapshot cost
+    * O(commits since checkpoint), not O(table lifetime)). A PARQUET
+    * checkpoint is not parsed here at all: the snapshot only records
+    * its path, and [[statsFrame]] consumes it as a Spark read — the
+    * driver holds just the tail (entries after the checkpoint).
+    * Legacy JSON checkpoints replay driver-side as before. Temp files
+    * (crashed commit/checkpoint staging) are ignored: only
+    * fully-renamed numbered files (and `_SUCCESS`-complete parquet
+    * directories) count.
     */
   private[sink] def snapshot(): Snapshot = {
     val f = fs
-    if (!f.exists(logDir)) return Snapshot(-1L, Map.empty)
-    val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
-    val entries = names.filter(_.matches("\\d{12}\\.json"))
-      .map(n => n.stripSuffix(".json").toLong)
-    val checkpoints = names.filter(_.matches("\\d{12}\\.checkpoint\\.json"))
-      .map(_.stripSuffix(".checkpoint.json").toLong)
-    val ckpt = if (checkpoints.isEmpty) -1L else checkpoints.max
-    var live = Map.empty[String, FileStats]
+    if (!f.exists(logDir)) return Snapshot(-1L, None, Map.empty, Set.empty)
+    val (entries, jsonCkpts, pqCkpts) = census(f)
+    val jc = if (jsonCkpts.isEmpty) -1L else jsonCkpts.max
+    val pc = if (pqCkpts.isEmpty) -1L else pqCkpts.max
+    val ckpt = math.max(jc, pc)
+    var base = Map.empty[String, FileStats]
+    var removed = Set.empty[String]
+    val parquetBase = pc >= jc && pc >= 0
     def replay(p: Path): Unit =
       readText(p).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
-        if (a.add) live += (a.file -> a.stats.get) else live -= a.file
+        if (a.add) { base += (a.file -> a.stats.get); removed -= a.file }
+        else { base -= a.file; removed += a.file }
       }
-    if (ckpt >= 0) replay(checkpointPath(ckpt))
+    if (!parquetBase && ckpt >= 0) replay(checkpointPath(ckpt))
     entries.filter(_ > ckpt).sorted.foreach(v => replay(entryPath(v)))
-    Snapshot((entries ++ checkpoints).foldLeft(-1L)(math.max), live)
+    Snapshot(
+      (entries ++ jsonCkpts ++ pqCkpts).foldLeft(-1L)(math.max),
+      if (parquetBase) Some(ckptParquetPath(pc)) else None,
+      base,
+      if (parquetBase) removed else Set.empty)
   }
 
-  /** Write the current live state as a checkpoint entry (atomic
-    * rename, same commit primitive). Replay thereafter starts at the
-    * checkpoint; [[vacuum]] prunes the subsumed older entries. Safe
-    * to race: a lost rename means someone else checkpointed — both
-    * summaries describe a committed state, keeping either is sound.
+  /** Write the current live state as a PARQUET checkpoint — assembled
+    * as a Spark job over the previous checkpoint + tail
+    * ([[statsFrame]]), so checkpointing never materializes per-file
+    * stats on the driver either. Published by staged-write + rename
+    * with `_SUCCESS` as the completeness marker (a torn directory is
+    * ignored by replay). Safe to race: a lost rename means someone
+    * else checkpointed — both summaries describe a committed state,
+    * keeping either is sound. Replay thereafter starts at the
+    * checkpoint; [[vacuum]] prunes the subsumed older entries.
     */
   def checkpoint(): Unit = {
     val snap = snapshot()
     if (snap.version < 0) return
-    val target = checkpointPath(snap.version)
     val f = fs
-    if (f.exists(target)) return
-    val tmp = new Path(logDir, s"tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(snap.live.toSeq.sortBy(_._1)
-      .map { case (file, st) => renderAction(Action(add = true, file, Some(st))) }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    if (f.exists(checkpointPath(snap.version)) ||
+        validCkptParquet(f, snap.version)) return
+    val target = ckptParquetPath(snap.version)
+    val tmp = new Path(logDir, s"tmp-ckpt-${java.util.UUID.randomUUID()}")
+    // files-count rows of KB-scale stats: one output file is right at
+    // any table size the log itself can reach
+    statsFrame(snap).coalesce(1).write.parquet(tmp.toString)
     if (!(!f.exists(target) && f.rename(tmp, target)))
-      f.delete(tmp, false)
+      f.delete(tmp, true)
   }
 
   /** Stage `actions` as version `base.version + 1` and rename into
@@ -302,15 +428,46 @@ class ManifestTableFormat(
 
   /** The snapshot's per-file stats as a DataFrame, shaped for
     * [[Layout.bloomTest]] — so affected-file selection runs as a Spark
-    * job over (file, bits, lo, hi), never as a driver loop.
+    * job over (file, bits, lo, hi), never as a driver loop. With a
+    * parquet checkpoint the bulk of the frame is a NARROW PARQUET READ
+    * (checkpoint minus tail-removed names, anti-joined as a frame,
+    * union the tail's adds); only the tail is a driver-local relation.
     */
   private def statsFrame(snap: Snapshot): DataFrame = {
     import spark.implicits._
-    snap.live.toSeq
+    val tail = snap.base.toSeq
       .map { case (f, st) =>
         (f, st.bits, st.lo, st.hi, st.numBits, st.numHashes) }
       .toDF("file", "bits", "lo", "hi", "num_bits", "num_hashes")
+    snap.ckptParquet match {
+      case None => tail
+      case Some(dir) =>
+        val ck = spark.read.parquet(dir.toString)
+        // names the tail removed or re-added supersede the checkpoint
+        val shadowed = (snap.removed ++ snap.base.keySet).toSeq
+        val kept =
+          if (shadowed.isEmpty) ck
+          else ck.join(shadowed.toDF("file"), Seq("file"), "left_anti")
+        kept.unionByName(tail)
+    }
   }
+
+  /** Live file names, sorted — the ONLY thing that ever transits the
+    * driver from a parquet checkpoint (a single-column projection of
+    * the stats frame; parquet reads just the `file` column). Any
+    * file-list-planned scan holds this much; the per-file stats stay
+    * executor-side.
+    */
+  private def liveNames(snap: Snapshot): Seq[String] = snap.ckptParquet match {
+    case None => snap.base.keys.toSeq.sorted
+    case Some(_) =>
+      statsFrame(snap).select("file")
+        .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  private def isLiveEmpty(snap: Snapshot): Boolean =
+    snap.base.isEmpty &&
+      (snap.ckptParquet.isEmpty || statsFrame(snap).isEmpty)
 
   /** Files whose stats say they MAY hold any of `probe`'s urls: the
     * stats frame joins the broadcast distinct url-hash frame; min/max
@@ -321,7 +478,7 @@ class ManifestTableFormat(
     * column.
     */
   private def affectedFiles(snap: Snapshot, probe: DataFrame): Seq[String] = {
-    if (snap.live.isEmpty) return Seq.empty
+    if (isLiveEmpty(snap)) return Seq.empty
     val hashes = probe
       .select(col("document_url").as("u"),
         xxhash64(col("document_url")).as("h"))
@@ -394,8 +551,11 @@ class ManifestTableFormat(
         val now = snapshot()
         // file-level conflict: the winner removed something we read
         // (rewrote or planned to remove) — our staged rewrite is
-        // stale, abandon it and re-run against the new snapshot
-        if (files.exists(f => !now.live.contains(f))) {
+        // stale, abandon it and re-run against the new snapshot.
+        // Membership is checked against live NAMES (churn-bounded
+        // `files` probed against a names-only set).
+        val nowNames = liveNames(now).toSet
+        if (files.exists(f => !nowNames.contains(f))) {
           adds.foreach(a => fs.delete(new Path(a.file), false))
           rerun = true
         } else {
@@ -469,7 +629,7 @@ class ManifestTableFormat(
 
   override def compact(): Unit =
     commitCycle(
-      snap => snap.live.keys.toSeq.sorted,
+      snap => liveNames(snap),
       (_, files) => readFiles(files).coalesce(1))
 
   /** A18 append, log-committed: new files only, no removes — so a
@@ -482,7 +642,7 @@ class ManifestTableFormat(
   }
 
   override def read(): Option[DataFrame] =
-    Some(readFiles(snapshot().live.keys.toSeq.sorted))
+    Some(readFiles(liveNames(snapshot())))
 
   /** Point/multi-document reads prune to the files whose stats MAY
     * hold a probed url (bloom + min/max from log metadata — no data
@@ -507,7 +667,7 @@ class ManifestTableFormat(
   /** Live data files of the current snapshot (absolute paths, sorted)
     * — the file-set handle the SQL catalog builds its scans from.
     */
-  def liveFiles: Seq[String] = snapshot().live.keys.toSeq.sorted
+  def liveFiles: Seq[String] = liveNames(snapshot())
 
   /** Live data files AS OF `asOf` (the [[readVersion]] replay without
     * the read) — backs `VERSION AS OF` through the SQL catalog.
@@ -515,29 +675,38 @@ class ManifestTableFormat(
   def filesAtVersion(asOf: Long): Seq[String] = {
     val f = fs
     require(f.exists(logDir), s"no log at $path")
-    val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
-    val entries = names.filter(_.matches("\\d{12}\\.json"))
-      .map(_.stripSuffix(".json").toLong)
-    val checkpoints = names.filter(_.matches("\\d{12}\\.checkpoint\\.json"))
-      .map(_.stripSuffix(".checkpoint.json").toLong)
-    val latest = (entries ++ checkpoints).foldLeft(-1L)(math.max)
+    val (entries, jsonCkpts, pqCkpts) = census(f)
+    val latest = (entries ++ jsonCkpts ++ pqCkpts).foldLeft(-1L)(math.max)
     require(asOf >= 0 && asOf <= latest,
       s"version $asOf out of range [0, $latest] at $path")
-    val usable = checkpoints.filter(_ <= asOf)
-    val ckpt = if (usable.isEmpty) -1L else usable.max
+    val uj = jsonCkpts.filter(_ <= asOf)
+    val up = pqCkpts.filter(_ <= asOf)
+    val jc = if (uj.isEmpty) -1L else uj.max
+    val pc = if (up.isEmpty) -1L else up.max
+    val ckpt = math.max(jc, pc)
     val wanted = entries.filter(v => v > ckpt && v <= asOf).sorted
     require(wanted.size == (asOf - ckpt),
       s"version $asOf at $path is no longer reconstructable — " +
         s"entries in (${ckpt}, $asOf] were vacuumed (history " +
         "retention is bounded by checkpoint + vacuum)")
+    // names-only replay: a parquet checkpoint contributes via a
+    // single-column Spark read, a legacy JSON one by driver parse
     var live = Set.empty[String]
-    def replay(p: Path): Unit =
-      readText(p).linesIterator.filter(_.nonEmpty).foreach { line =>
+    if (pc >= jc && pc >= 0)
+      live = spark.read.parquet(ckptParquetPath(pc).toString)
+        .select("file").collect().map(_.getString(0)).toSet
+    else if (ckpt >= 0)
+      readText(checkpointPath(ckpt)).linesIterator.filter(_.nonEmpty)
+        .foreach { line =>
+          val a = parseAction(line)
+          if (a.add) live += a.file else live -= a.file
+        }
+    wanted.foreach { v =>
+      readText(entryPath(v)).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
         if (a.add) live += a.file else live -= a.file
       }
-    if (ckpt >= 0) replay(checkpointPath(ckpt))
-    wanted.foreach(v => replay(entryPath(v)))
+    }
     live.toSeq.sorted
   }
 
@@ -568,6 +737,10 @@ class ManifestTableFormat(
       else if (n.matches("\\d{12}\\.checkpoint\\.json"))
         Some(n.stripSuffix(".checkpoint.json").toLong ->
           st.getModificationTime)
+      else if (n.matches("\\d{12}\\.checkpoint\\.parquet") &&
+          validCkptParquet(f, n.stripSuffix(".checkpoint.parquet").toLong))
+        Some(n.stripSuffix(".checkpoint.parquet").toLong ->
+          st.getModificationTime)
       else None
     }
     val eligible = dated.filter(_._2 <= tsMillis)
@@ -588,8 +761,8 @@ class ManifestTableFormat(
   def vacuum(): Unit = {
     val f = fs
     if (f.exists(dataDir)) {
-      val live = snapshot().live.keySet
-        .map(p => new Path(p).toUri.getPath)
+      val live = liveNames(snapshot())
+        .map(p => new Path(p).toUri.getPath).toSet
       val it = f.listFiles(dataDir, true)
       val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
       while (it.hasNext) {
@@ -602,17 +775,28 @@ class ManifestTableFormat(
       dead.foreach(f.delete(_, false))
     }
     if (f.exists(logDir)) {
-      val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
-      val checkpoints = names.filter(_.matches("\\d{12}\\.checkpoint\\.json"))
-        .map(_.stripSuffix(".checkpoint.json").toLong)
-      if (checkpoints.nonEmpty) {
-        val ckpt = checkpoints.max
-        names.filter(_.matches("\\d{12}\\.json"))
-          .filter(_.stripSuffix(".json").toLong <= ckpt)
-          .foreach(n => f.delete(new Path(logDir, n), false))
-        checkpoints.filter(_ < ckpt)
+      val (entries, jsonCkpts, pqCkpts) = census(f)
+      val all = jsonCkpts ++ pqCkpts
+      if (all.nonEmpty) {
+        val ckpt = all.max
+        entries.filter(_ <= ckpt)
+          .foreach(v => f.delete(entryPath(v), false))
+        jsonCkpts.filter(_ < ckpt)
           .foreach(v => f.delete(checkpointPath(v), false))
+        pqCkpts.filter(_ < ckpt)
+          .foreach(v => f.delete(ckptParquetPath(v), true))
+        // a same-version legacy JSON twin is subsumed by the parquet
+        // checkpoint (identical state, heavier replay) — drop it
+        if (pqCkpts.contains(ckpt) && jsonCkpts.contains(ckpt))
+          f.delete(checkpointPath(ckpt), false)
       }
+      // torn parquet checkpoints (no _SUCCESS): crashed writers'
+      // leftovers, never read — reclaim
+      f.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .filter(_.matches("\\d{12}\\.checkpoint\\.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet").toLong)
+        .filterNot(validCkptParquet(f, _))
+        .foreach(v => f.delete(ckptParquetPath(v), true))
     }
   }
 }

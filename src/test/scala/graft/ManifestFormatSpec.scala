@@ -178,7 +178,8 @@ class ManifestFormatSpec extends SparkSpec {
     val logNames = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$path/_log")).toSeq
       .map(_.getPath.getName).sorted
-    assert(logNames.count(_.endsWith(".checkpoint.json")) == 1)
+    assert(logNames.count(_.endsWith(".checkpoint.parquet")) == 1,
+      s"checkpoints are parquet directories now, got: $logNames")
     assert(logNames.count(n => n.matches("\\d{12}\\.json")) == 1,
       s"expected one post-checkpoint entry, got: $logNames")
     assert(state(store) == before + (("doc://6", 0, "t6")))

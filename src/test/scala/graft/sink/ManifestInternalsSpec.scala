@@ -1,0 +1,191 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Manifest-log internals only reachable from the `sink` package:
+  * protocol compatibility (v1 url-set logs, v1 JSON checkpoints) and
+  * the parquet-checkpoint driver-state bound (VERDICT r6 item #3 —
+  * snapshot assembly as a Spark read; the driver holds the tail and
+  * live NAMES, never per-file stats of checkpointed files).
+  */
+class ManifestInternalsSpec extends SparkSpec {
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-mis").toString + "/t"
+
+  private def chunkRows(ids: Range, tag: String) = {
+    import spark.implicits._
+    ids.map(i => (0, s"$tag$i", Seq(1f), 1, f"doc://$i%05d"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url")
+  }
+
+  private def writeLogFile(path: Path, lines: Seq[String]): Unit = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, false)
+    try out.write(lines.mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  test("protocol v1 (url-set add-actions) logs stay readable; stats " +
+      "are synthesized and point reads still prune") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    // two commits → two files with disjoint url ranges
+    store.append(chunkRows(1 to 50, "a-"))
+    store.append(chunkRows(51 to 100, "b-"))
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    // rewrite the committed log into PROTOCOL V1: each add-action
+    // carries the file's exact url set instead of bloom stats
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(path, "_log")
+    def esc(s: String) = s // urls here need no escaping
+    fs.listStatus(logDir).toSeq.map(_.getPath)
+      .filter(_.getName.matches("\\d{12}\\.json")).foreach { p =>
+        val lines = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+          .getLines().toList
+        val v1 = lines.map { line =>
+          val a = mtf.parseAction(line)
+          if (!a.add) line
+          else {
+            val urls = spark.read.parquet(a.file)
+              .select("document_url").distinct()
+              .collect().map(_.getString(0)).sorted
+            s"""{"a":"add","f":"${esc(a.file)}","u":[${
+              urls.map(u => "\"" + esc(u) + "\"").mkString(",")}]}"""
+          }
+        }
+        fs.delete(p, false)
+        writeLogFile(p, v1)
+      }
+    // a fresh reader on the v1 log: full read, point read, and the
+    // point read prunes to ONE file via the synthesized stats
+    val reader = new ManifestTableFormat(spark, path, store.schema)
+    assert(reader.read().get.count() == 100)
+    val snap = reader.snapshot()
+    assert(snap.base.values.forall(_.bits.exists(_ != 0L)),
+      "v1 parse must synthesize non-empty bloom stats")
+    val one = reader.readDocuments(Seq("doc://00007")).get
+    assert(one.count() == 1)
+    assert(one.inputFiles.length == 1,
+      s"v1 stats must prune to one file, read ${one.inputFiles.length}")
+    // MERGE over a v1 log works (stats feed affected-file selection)
+    store.upsert(chunkRows(7 to 7, "v2-"))
+    assert(store.read().filter(col("chunk_text") === "v2-7").count() == 1)
+    assert(store.read().count() == 100)
+    // a checkpoint re-records everything in the current protocol
+    reader.checkpoint()
+    val after = new ManifestTableFormat(spark, path, store.schema).snapshot()
+    assert(after.ckptParquet.nonEmpty)
+  }
+
+  test("unrecognized log lines fail with an explicit protocol message") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.append(chunkRows(1 to 5, "x-"))
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    val e = intercept[IllegalArgumentException] {
+      mtf.parseAction("""{"a":"add","f":"x","zz":true}""")
+    }
+    assert(e.getMessage.contains("protocol"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      mtf.parseAction("""{"a":"truncate"}""")
+    }
+    assert(e2.getMessage.contains("protocol"), e2.getMessage)
+  }
+
+  test("parquet checkpoint: 1e5-file log replays with NO per-file " +
+      "stats on the driver (snapshot holds names + tail only)") {
+    val path = freshPath()
+    val schema = new ChunkStore(spark, freshPath()).schema
+    // small blooms keep the synthetic log light; the structure under
+    // test (checkpoint → Spark-read replay) is bloom-size-independent
+    val mtf = new ManifestTableFormat(spark, path, schema,
+      bloomBits = 64, bloomHashes = 2)
+    val logDir = new Path(path, "_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir)
+    val n = 100000
+    val perEntry = 25000
+    (0 until n / perEntry).foreach { e =>
+      val lines = (e * perEntry until (e + 1) * perEntry).map { i =>
+        mtf.renderAction(mtf.Action(add = true,
+          f"file:/fake/part-$i%06d.parquet",
+          Some(mtf.FileStats(Seq(0x5L), f"doc://$i%06d", f"doc://$i%06d",
+            64, 2))))
+      }
+      writeLogFile(new Path(logDir, f"$e%012d.json"), lines)
+    }
+    // bootstrap (no checkpoint yet): driver replay holds the stats —
+    // the documented pre-checkpoint cost
+    assert(mtf.version == 3L)
+    assert(mtf.liveFiles.size == n)
+    mtf.checkpoint()
+    assert(fs.exists(new Path(path, "_log/000000000003.checkpoint.parquet/_SUCCESS")))
+    // post-checkpoint: a fresh reader's snapshot holds NOTHING
+    // file-stat-shaped on the driver — the parquet checkpoint is the
+    // state, consumed as a Spark read
+    val reader = new ManifestTableFormat(spark, path, schema,
+      bloomBits = 64, bloomHashes = 2)
+    val snap = reader.snapshot()
+    assert(snap.ckptParquet.nonEmpty)
+    assert(snap.base.isEmpty,
+      s"driver snapshot carries ${snap.base.size} file stats " +
+        "after a parquet checkpoint")
+    assert(snap.removed.isEmpty)
+    // names-only consumers still see the full table
+    assert(reader.liveFiles.size == n)
+    assert(reader.filesAtVersion(3L).size == n)
+    // a post-checkpoint commit lands in the tail; checkpoint state
+    // remains on disk
+    val extra = mtf.renderAction(mtf.Action(add = true,
+      "file:/fake/extra.parquet",
+      Some(mtf.FileStats(Seq(0x5L), "doc://x", "doc://x", 64, 2))))
+    writeLogFile(new Path(logDir, f"${4}%012d.json"), Seq(extra))
+    val snap2 = new ManifestTableFormat(spark, path, schema,
+      bloomBits = 64, bloomHashes = 2).snapshot()
+    assert(snap2.base.size == 1 && snap2.ckptParquet.nonEmpty)
+    assert(snap2.version == 4L)
+    // vacuum subsumes the pre-checkpoint entries; state unchanged
+    mtf.vacuum()
+    assert(!fs.exists(new Path(logDir, f"${0}%012d.json")))
+    assert(new ManifestTableFormat(spark, path, schema,
+      bloomBits = 64, bloomHashes = 2).liveFiles.size == n + 1)
+  }
+
+  test("legacy JSON checkpoints are still read; the next checkpoint " +
+      "upgrades to parquet and vacuum drops the twin") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 30, "a-"))
+    store.upsert(chunkRows(10 to 20, "b-"))
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    // write a LEGACY JSON checkpoint at the head version by hand
+    // (what a pre-parquet engine left behind)
+    val snap = mtf.snapshot()
+    val lines = (snap.base.toSeq.sortBy(_._1)).map { case (f, st) =>
+      mtf.renderAction(mtf.Action(add = true, f, Some(st)))
+    }
+    writeLogFile(new Path(path, f"_log/${snap.version}%012d.checkpoint.json"),
+      lines)
+    val reader = new ManifestTableFormat(spark, path, store.schema)
+    assert(reader.read().get.count() == 30)
+    // further commits + a new checkpoint → parquet takes over
+    store.upsert(chunkRows(31 to 35, "c-"))
+    reader.checkpoint()
+    val s2 = new ManifestTableFormat(spark, path, store.schema).snapshot()
+    assert(s2.ckptParquet.nonEmpty && s2.base.isEmpty)
+    assert(reader.read().get.count() == 35)
+    reader.vacuum()
+    assert(reader.read().get.count() == 35)
+  }
+}
