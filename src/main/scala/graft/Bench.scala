@@ -71,12 +71,15 @@ object Bench {
         try {
           val docs = Tables(spark, sfDir, "documents")
           val nDocs = docs.count()
+          val m = new graft.pipeline.IngestMetrics(spark.sparkContext)
           val t0 = System.nanoTime()
           val out = graft.pipeline.IngestPipeline.ingestDocumentsTable(
-            spark, docs, graft.embed.DeterministicEmbedder(64))
+            spark, docs, graft.embed.DeterministicEmbedder(64),
+            metrics = Some(m))
           val nChunks = out.count()
           val secs = (System.nanoTime() - t0) / 1e9
-          f""","ingest":{"secs":$secs%.3f,"docs":$nDocs,"chunks":$nChunks,"docs_per_sec":${nDocs / secs}%.1f,"chunks_per_sec":${nChunks / secs}%.1f}"""
+          val ms = m.snapshot
+          f""","ingest":{"secs":$secs%.3f,"docs":$nDocs,"chunks":$nChunks,"docs_per_sec":${nDocs / secs}%.1f,"chunks_per_sec":${nChunks / secs}%.1f,"embed_batches":${ms("embed_batches")},"embed_texts":${ms("embed_texts")},"embed_retries":${ms("embed_retries")},"embed_millis":${ms("embed_millis")}}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")

@@ -68,7 +68,8 @@ final case class RetryPolicy(
 final class RetryingEmbedder(
     inner: Embedder,
     policy: RetryPolicy = RetryPolicy(),
-    sleep: Long => Unit = Thread.sleep) extends Embedder {
+    sleep: Long => Unit = Thread.sleep,
+    onRetry: () => Unit = () => ()) extends Embedder {
 
   override def dimensions: Int = inner.dimensions
 
@@ -81,9 +82,35 @@ final class RetryingEmbedder(
         case e: RetryableEmbeddingException =>
           attempt += 1
           if (attempt > policy.maxRetries) throw e
+          onRetry()
           sleep(policy.delayMillis)
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Telemetry wrapper: counts batches/texts and sums call latency into
+  * an [[graft.pipeline.IngestMetrics]]. Compose OUTSIDE the retry
+  * wrapper to measure end-to-end batch latency including retry sleeps
+  * (`metered(retrying(http))` — what `embedChunks` builds), or INSIDE
+  * it to count every attempt; either way the retry counter
+  * ([[RetryingEmbedder]]'s `onRetry` hook) distinguishes a slow
+  * service from a rate-limited one.
+  */
+final class MeteredEmbedder(
+    inner: Embedder,
+    metrics: graft.pipeline.IngestMetrics) extends Embedder {
+
+  override def dimensions: Int = inner.dimensions
+
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    val t0 = System.nanoTime()
+    try inner.embed(texts)
+    finally {
+      metrics.embedBatches.add(1L)
+      metrics.embedTexts.add(texts.size.toLong)
+      metrics.embedMillis.add((System.nanoTime() - t0) / 1000000L)
+    }
   }
 }

@@ -52,14 +52,15 @@ object IngestPipeline {
   def routeAndChunk(
       files: Dataset[(String, Array[Byte])],
       extractor: Extractor,
-      cfg: Config = Config()): Dataset[PendingChunk] = {
+      cfg: Config = Config(),
+      metrics: Option[IngestMetrics] = None): Dataset[PendingChunk] = {
     import files.sparkSession.implicits._
     files.flatMap { case (path, bytes) =>
       val ext = path.lastIndexOf('.') match {
         case -1 => ""
         case i  => path.substring(i + 1).toLowerCase
       }
-      ext match {
+      val out = ext match {
         case "txt" =>
           // reference quirk preserved: the .txt path also uses the
           // markdown splitter (DocumentChunker.cs:63-71)
@@ -75,6 +76,10 @@ object IngestPipeline {
               cfg.maxTokens, cfg.overlapTokens)
             .map(c => PendingChunk(path, c.chunkNumber, c.text, c.pageNumber))
       }
+      metrics.foreach { m =>
+        m.docs.add(1L); m.chunks.add(out.size.toLong)
+      }
+      out
     }
   }
 
@@ -138,16 +143,26 @@ object IngestPipeline {
   def embedChunks(
       chunks: Dataset[PendingChunk],
       embedder: Embedder,
-      cfg: Config = Config()): Dataset[EmbeddedChunk] = {
+      cfg: Config = Config(),
+      metrics: Option[IngestMetrics] = None): Dataset[EmbeddedChunk] = {
     import chunks.sparkSession.implicits._
     val sized =
       if (cfg.embedPartitions > 0) chunks.repartition(cfg.embedPartitions)
       else chunks
+    // metered OUTSIDE any retry wrapper the caller composed: batches
+    // count logical service batches, latency is end-to-end including
+    // retry sleeps, and the separate retry counter (RetryingEmbedder's
+    // onRetry hook) distinguishes a slow service from a rate-limited
+    // one
+    val instrumented = metrics
+      .map(new graft.embed.MeteredEmbedder(embedder, _): Embedder)
+      .getOrElse(embedder)
     sized.mapPartitions { it =>
       val batches = it.grouped(cfg.batchSize)
       if (cfg.maxInFlight <= 1)
-        batches.flatMap(b => align(b, embedder.embed(b.map(_.chunk_text))))
-      else pipelined(batches, embedder, cfg.maxInFlight)
+        batches.flatMap(b =>
+          align(b, instrumented.embed(b.map(_.chunk_text))))
+      else pipelined(batches, instrumented, cfg.maxInFlight)
     }
   }
 
@@ -245,14 +260,19 @@ object IngestPipeline {
     embedChunks(toEmbed, embedder, cfg).toDF().unionByName(reused)
   }
 
-  /** End-to-end batch ingest of the harness documents table. */
+  /** End-to-end batch ingest of the harness documents table. The
+    * chunking here is declarative (codegen chunk_text — no typed
+    * hooks), so `docs`/`chunks` metrics come from the embed stage's
+    * text counter; service-stage metrics are the accumulators.
+    */
   def ingestDocumentsTable(
       spark: SparkSession,
       docs: DataFrame,
       embedder: Embedder,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      metrics: Option[IngestMetrics] = None): DataFrame = {
     import spark.implicits._
     val pending = chunkDocumentsTable(docs, cfg).as[PendingChunk]
-    embedChunks(pending, embedder, cfg).toDF()
+    embedChunks(pending, embedder, cfg, metrics).toDF()
   }
 }

@@ -57,7 +57,8 @@ object StreamingIngest {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       dedup: Option[DedupConfig] = None,
-      indexPaths: Seq[String] = Nil): StreamingQuery = {
+      indexPaths: Seq[String] = Nil,
+      metrics: Option[IngestMetrics] = None): StreamingQuery = {
     store.ensure()
     val files = spark.readStream
       .format("binaryFile")
@@ -70,7 +71,7 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         processBatch(spark, batch, inputDir, store, embedder, extractor,
-          cfg, dedup, indexPaths)
+          cfg, dedup, indexPaths, metrics)
         ()
       }
       .start()
@@ -93,7 +94,8 @@ object StreamingIngest {
       extractor: Extractor,
       cfg: IngestPipeline.Config,
       dedup: Option[DedupConfig] = None,
-      indexPaths: Seq[String] = Nil): DataFrame = {
+      indexPaths: Seq[String] = Nil,
+      metrics: Option[IngestMetrics] = None): DataFrame = {
     import spark.implicits._
     val allFiles = batch.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -123,7 +125,8 @@ object StreamingIngest {
     }
     val chunks =
       IngestPipeline.embedChunks(
-        IngestPipeline.routeAndChunk(files, extractor, cfg), embedder, cfg)
+        IngestPipeline.routeAndChunk(files, extractor, cfg, metrics),
+        embedder, cfg, metrics)
     // no emptiness pre-check: that would execute the embedding stage
     // twice per micro-batch; an empty frame under dynamic partition
     // overwrite touches no partitions anyway

@@ -69,6 +69,43 @@ class PipelineSpec extends SparkSpec {
     out1.unpersist()
   }
 
+  test("ingest metrics: per-stage counters through a rate-limited run") {
+    import graft.pipeline.IngestMetrics
+    val docs = Tables(spark, sf(), "documents")
+    val nDocs = docs.count()
+    val m = new IngestMetrics(spark.sparkContext)
+    // every service batch 429s exactly once; the A16 retry loop feeds
+    // the retry counter through its hook
+    val embedder = new RetryingEmbedder(
+      new FlakyOncePerBatch(DeterministicEmbedder(64)),
+      RetryPolicy(maxRetries = 3, delayMillis = 0L),
+      onRetry = () => m.embedRetries.add(1L))
+    val out = IngestPipeline.ingestDocumentsTable(spark, docs, embedder,
+      IngestPipeline.Config(batchSize = 10), metrics = Some(m))
+    assert(out.count() == nDocs)
+    val s = m.snapshot
+    assert(s("embed_texts") == nDocs,
+      s"every chunk must pass through the metered embedder: $s")
+    // batches of ≤10 per partition: at least ceil(n/10), plus partial
+    // partition-boundary batches
+    assert(s("embed_batches") >= nDocs / 10 &&
+      s("embed_batches") <= nDocs, s.toString)
+    assert(s("embed_retries") == s("embed_batches"),
+      s"each batch 429'd exactly once: $s")
+    assert(s("embed_millis") >= 0L)
+    // the typed routing path counts docs + chunks executor-side
+    import spark.implicits._
+    val m2 = new IngestMetrics(spark.sparkContext)
+    val files = Seq(
+      ("a.txt", ("word " * 90).getBytes(UTF_8)),
+      ("b.md", "# t\nbody".getBytes(UTF_8)),
+      ("c.bin", "stuff here".getBytes(UTF_8))).toDS()
+    val routed = IngestPipeline.routeAndChunk(files, StubAnalyzeExtractor(),
+      IngestPipeline.Config(maxTokens = 40), metrics = Some(m2)).collect()
+    assert(m2.snapshot("docs") == 3L)
+    assert(m2.snapshot("chunks") == routed.length.toLong)
+  }
+
   test("extension routing: txt/md decode in-process, others extract (A3)") {
     import spark.implicits._
     val line = "word " * 30
@@ -490,4 +527,24 @@ class PipelineSpec extends SparkSpec {
     assert(!scan.contains("PartitionFilters: []"),
       s"expected partition filters in: $scan")
   }
+}
+
+/** Executor-shippable flaky embedder: each distinct batch fails with a
+  * retryable 429 exactly once (JVM-static memory — local-mode spec
+  * helper), then succeeds. Drives the A16 retry counter
+  * deterministically.
+  */
+class FlakyOncePerBatch(inner: graft.embed.Embedder)
+    extends graft.embed.Embedder {
+  override def dimensions: Int = inner.dimensions
+  override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+    val key = texts.mkString(" ")
+    if (FlakyOncePerBatch.seen.add(key))
+      throw new RetryableEmbeddingException("429 (scripted)")
+    inner.embed(texts)
+  }
+}
+object FlakyOncePerBatch {
+  val seen: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
