@@ -111,7 +111,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(p => fs.exists(new Path(p, "_graft_layout")) ||
-        fs.exists(new Path(p, "_log")))
+        fs.exists(new Path(p, "_log")) ||
+        fs.exists(new Path(p, "_hulls")) ||
+        fs.exists(new Path(p, "_keybloom")))
       .map(p => Identifier.of(Array.empty, p.getName))
       .toArray
   }
@@ -180,7 +182,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             StructField("doc_bucket", IntegerType))
         new GraftTable(fullName, spark, schema, Seq(dir),
           insert = if (tag == "per-document") Some(store.append) else None)
-      case None => throw new NoSuchTableException(ident)
+      case None =>
+        // a Layout-managed table: flat parquet with `_hulls` and/or
+        // `_keybloom` sidecars (z-order family). Readable by name;
+        // selective predicates prune to the file subset the sidecars
+        // admit (the SQL twin of Layout.prunedScan/prunedScanByKey).
+        if (fs.exists(new Path(dir, "_hulls")) ||
+            fs.exists(new Path(dir, "_keybloom"))) {
+          if (asOf.isDefined) throw new UnsupportedOperationException(
+            s"$fullName: VERSION AS OF needs the manifest table format")
+          new GraftTable(fullName, spark,
+            spark.read.parquet(dir).schema, Seq(dir),
+            insert = None, sidecarDir = Some(dir))
+        } else throw new NoSuchTableException(ident)
     }
   }
 
@@ -361,7 +375,8 @@ private[catalog] class GraftTable(
     spark: SparkSession,
     tableSchema: StructType,
     paths: Seq[String],
-    insert: Option[DataFrame => Unit]) extends Table
+    insert: Option[DataFrame => Unit],
+    sidecarDir: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite {
 
   private lazy val delegate = ParquetTable(
@@ -377,8 +392,14 @@ private[catalog] class GraftTable(
       insert.map(_ => TableCapability.V1_BATCH_WRITE)).asJava
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+      options: CaseInsensitiveStringMap): ScanBuilder = sidecarDir match {
+    case Some(dir) =>
+      // sidecar-aware scan: `_hulls`/`_keybloom` shrink the file list
+      // from the pushed predicates before parquet plans the read
+      new org.apache.spark.sql.graftbridge.SidecarPrunedScanBuilder(
+        spark, tableName, dir, tableSchema, options)
+    case None => delegate.newScanBuilder(options)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val doInsert = insert.getOrElse(throw new UnsupportedOperationException(

@@ -385,6 +385,71 @@ object Layout {
       .filter(f => !known.contains(f) || sel.contains(f))
   }
 
+  /** The file SUBSET a sidecar-aware scan should read, or None when
+    * neither sidecar applies — the pruning core of [[prunedScan]] /
+    * [[prunedScanByKey]] exposed for the SQL catalog's scan builder
+    * (predicates arrive from Catalyst there, not as API arguments).
+    *
+    * `intervals` consult `_hulls` (only dims the manifest records —
+    * others are ignored, sound); `keyEqs` consult `_keybloom` (only
+    * when the probed column IS the recorded key; values probe as
+    * strings and are cast to the recorded key type before hashing).
+    * Both selections go through [[readSet]] so stale manifests stay
+    * sound, and multiple applicable sidecars INTERSECT (a file must
+    * survive every manifest that knows it).
+    */
+  def pruneFilesForScan(spark: SparkSession, path: String,
+      intervals: Seq[(String, Double, Double)],
+      keyEqs: Map[String, Seq[String]]): Option[Seq[String]] = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    def sidecar(name: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$name")
+      p.getFileSystem(conf).exists(p)
+    }
+    val picks = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], Seq[String])] // (manifest files, selected)
+    // pruning FAILS OPEN: a malformed/stale sidecar must degrade a SQL
+    // read to the full scan, never break it
+    def attempt(what: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$what sidecar at $path unusable for scan pruning " +
+              s"(${e.getMessage}); reading unpruned")
+      }
+    if (sidecar("_hulls") && intervals.nonEmpty) attempt("_hulls") {
+      val hulls = spark.read.parquet(s"$path/_hulls")
+      val dims = hulls.schema.fieldNames
+        .filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSet
+      val usable = intervals.filter(p => dims.contains(p._1))
+      if (usable.nonEmpty)
+        picks += ((hulls.select("file").collect().map(_.getString(0)).toSeq,
+          selectFiles(spark, path, usable)))
+    }
+    if (sidecar("_keybloom") && keyEqs.nonEmpty) attempt("_keybloom") {
+      val manifest = spark.read.parquet(s"$path/_keybloom")
+      val hd = manifest.select("key").limit(1).collect()
+      if (hd.nonEmpty) keyEqs.get(hd.head.getString(0)).filter(_.nonEmpty)
+        .foreach { vals =>
+          picks += ((manifest.select("file").collect()
+              .map(_.getString(0)).toSeq,
+            selectFilesByKey(spark, path,
+              vals.toDF(hd.head.getString(0)))))
+        }
+    }
+    if (picks.isEmpty) None
+    else {
+      val listing = spark.read.parquet(path).inputFiles.toSeq
+      val sets = picks.map { case (mf, sel) =>
+        val known = mf.toSet
+        val s = sel.toSet
+        listing.filter(f => !known.contains(f) || s.contains(f)).toSet
+      }
+      Some(listing.filter(f => sets.forall(_.contains(f))))
+    }
+  }
+
   def prunedScan(spark: SparkSession, path: String,
       preds: Seq[(String, Double, Double)]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()

@@ -13,7 +13,8 @@ import graft.sink.{ChunkStore, ManifestTableFormat}
   * `VERSION AS OF` on the manifest log, `INSERT INTO` as A18 append,
   * per-layout read semantics, DDL basics.
   */
-class GraftCatalogSpec extends SparkSpec {
+class GraftCatalogSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private var n = 0
   /** A fresh catalog per test — catalog instances are cached by name
@@ -226,6 +227,58 @@ class GraftCatalogSpec extends SparkSpec {
       .filter(col("document_url") === "doc://0101").count() == 1)
     assert(store.read()
       .filter(col("document_url") === "doc://0100").count() == 0)
+  }
+
+  test("z-ordered table: SQL predicates prune through _hulls/_keybloom") {
+    import graft.ops.Layout
+    val (cat, wh) = freshCatalog()
+    val dir = s"$wh/zt"
+    val df = spark.range(0, 10000).select(col("id"),
+      (col("id") % 100).as("x"), (col("id") / 100).as("y"))
+    Layout.zorderWriteAuto(df, Seq("x", "y"), dir, numFiles = 16)
+    Layout.writeManifest(spark, dir, Seq("x", "y"))
+    Layout.writeKeyManifest(spark, dir, "id")
+    val all = spark.read.parquet(dir).inputFiles.length
+    assert(all >= 8, s"layout produced only $all files")
+    // the catalog lists and resolves the sidecar table
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains("zt"))
+
+    def plannedFiles(q: org.apache.spark.sql.DataFrame): Int = {
+      val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b
+      }
+      scans.head.scan
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+        .fileIndex.inputFiles.length
+    }
+
+    // selective z-region predicate: correct rows, file SUBSET planned
+    val q = spark.sql(s"SELECT id FROM $cat.zt " +
+      "WHERE x >= 10 AND x <= 12 AND y >= 10 AND y <= 12")
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    val want = df.filter(col("x").between(10, 12) &&
+        col("y").between(10, 12))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    assert(plannedFiles(q) < all,
+      s"hull pruning planned ${plannedFiles(q)} of $all files")
+
+    // point probe through the key bloom: one row, file subset
+    val q2 = spark.sql(s"SELECT x FROM $cat.zt WHERE id = 4242")
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    assert(plannedFiles(q2) < all,
+      s"keybloom pruning planned ${plannedFiles(q2)} of $all files")
+
+    // parquet pushdown still reaches the scan under the pruned list
+    assert(q2.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(id), EqualTo(id,4242)]"),
+      q2.queryExecution.executedPlan.toString.take(2000))
+
+    // unselective reads stay full and exact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.zt").head().getLong(0)
+      == 10000L)
   }
 
   test("CALL compact / checkpoint / vacuum: maintenance through SQL") {
