@@ -6,18 +6,28 @@ import org.apache.spark.sql.functions._
 import graft.sink.{ChunkStore, ManifestTableFormat}
 
 /** Dev probe (spawned as a SEPARATE JVM by the cross-process race
-  * test): performs `batches` merges of `rows` disjoint-keyed chunk
-  * rows each into the manifest store at `path`, then exits 0. Two of
-  * these racing against one log is the real multi-writer scenario the
-  * in-process spec can only simulate — every commit must land as its
-  * own version or retry loudly; exit code != 0 means a lost/livelocked
-  * commit.
+  * tests): performs `batches` writes of `rows` chunk rows each into
+  * the manifest store at `path`, then exits 0. Two of these racing
+  * against one log is the real multi-writer scenario the in-process
+  * spec can only simulate — every commit must land as its own version
+  * or retry loudly; exit code != 0 means a lost/livelocked commit.
   *
-  * Usage: ManifestRaceProbe <storePath> <tag> <batches> <rowsPerBatch>
+  * Modes:
+  *  - `api` (default): disjoint-keyed `ChunkStore.upsert` merges —
+  *    the store-API race.
+  *  - `sql-insert`: `INSERT INTO <catalog>.chunks` through a
+  *    registered [[graft.catalog.GraftCatalog]] — the SQL layer on
+  *    top of the same commit protocol (`path` is the WAREHOUSE root;
+  *    the table is `<path>/chunks`). Appends, so rows accumulate.
+  *
+  * Usage: ManifestRaceProbe <path> <tag> <batches> <rowsPerBatch> [mode]
   */
 object ManifestRaceProbe {
   def main(args: Array[String]): Unit = {
-    val Array(path, tag, batchesS, rowsS) = args
+    val (path, tag, batchesS, rowsS, mode) = args match {
+      case Array(p, t, b, r) => (p, t, b, r, "api")
+      case Array(p, t, b, r, m) => (p, t, b, r, m)
+    }
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-race-probe-$tag")
@@ -26,16 +36,34 @@ object ManifestRaceProbe {
       .getOrCreate()
     try {
       import spark.implicits._
-      val store = new ChunkStore(spark, path,
-        format = ManifestTableFormat.factory)
       val batches = batchesS.toInt
       val rows = rowsS.toInt
-      for (b <- 1 to batches) {
-        store.upsert(
-          (1 to rows).map(i =>
-            (0, s"$tag-b$b-r$i", Seq(1f), 1, f"doc://$tag/$i%04d"))
-            .toDF("chunk_id", "chunk_text", "embedding", "page_number",
-              "document_url"))
+      def batchDf(b: Int) =
+        (1 to rows).map(i =>
+          (0, s"$tag-b$b-r$i", Seq(1f), 1, f"doc://$tag/$i%04d"))
+          .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+            "document_url")
+      mode match {
+        case "api" =>
+          val store = new ChunkStore(spark, path,
+            format = ManifestTableFormat.factory)
+          for (b <- 1 to batches) store.upsert(batchDf(b))
+        case "sql-insert" =>
+          spark.conf.set("spark.sql.catalog.graftrace",
+            classOf[graft.catalog.GraftCatalog].getName)
+          spark.conf.set("spark.sql.catalog.graftrace.warehouse", path)
+          spark.sql(
+            "CREATE TABLE IF NOT EXISTS graftrace.chunks (" +
+              "chunk_id INT, chunk_text STRING, embedding ARRAY<FLOAT>, " +
+              "page_number INT, document_url STRING) " +
+              "TBLPROPERTIES('format'='manifest')")
+          for (b <- 1 to batches) {
+            batchDf(b).createOrReplaceTempView("race_batch")
+            spark.sql("INSERT INTO graftrace.chunks " +
+              "SELECT * FROM race_batch")
+          }
+        case other =>
+          sys.error(s"unknown ManifestRaceProbe mode '$other'")
       }
     } finally spark.stop()
   }

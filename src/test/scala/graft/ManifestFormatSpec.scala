@@ -410,6 +410,56 @@ class ManifestFormatSpec extends SparkSpec {
     read.unpersist()
   }
 
+  test("two writer JVMs through SQL INSERT INTO: no lost rows (catalog race)") {
+    // the catalog's INSERT path layers V1Write → store.append →
+    // commitCycle on the same log; two processes inserting through
+    // `INSERT INTO graftrace.chunks` must land every batch (appends
+    // never conflict at the file level, so a lost race simply
+    // recommits at the next version)
+    val wh = freshPath()
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val cp = sys.props("java.class.path")
+    def launch(tag: String): (Process, java.io.File) = {
+      val log = java.io.File.createTempFile(s"sqlrace-$tag", ".log")
+      val pb = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx2g",
+        "graft.tools.ManifestRaceProbe", wh, tag, "3", "25", "sql-insert")
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(log)
+      (pb.start(), log)
+    }
+    val (pa, la) = launch("sa")
+    val (pb, lb) = launch("sb")
+    def tail(f: java.io.File): String = {
+      val s = scala.io.Source.fromFile(f)
+      try s.getLines().toSeq.takeRight(25).mkString("\n") finally s.close()
+    }
+    assert(pa.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      pb.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "writer JVMs did not finish")
+    assert(pa.exitValue() == 0, s"writer A failed:\n${tail(la)}")
+    assert(pb.exitValue() == 0, s"writer B failed:\n${tail(lb)}")
+    // all 6 INSERT commits landed as 6 contiguous versions
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$wh/chunks/_log")).toSeq
+      .map(_.getPath.getName).filter(_.matches("\\d{12}\\.json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+    assert(versions == (0L to 5L), s"lost commits: versions $versions")
+    // INSERT is append: every writer's every batch row is present
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    val read = store.read().cache()
+    assert(read.count() == 150, s"expected 2x3x25 rows, got ${read.count()}")
+    Seq("sa", "sb").foreach { tag =>
+      (1 to 3).foreach { b =>
+        assert(read.filter(col("chunk_text").startsWith(s"$tag-b$b-"))
+          .count() == 25, s"$tag batch $b lost rows")
+      }
+    }
+    read.unpersist()
+  }
+
   test("log round-trip survives hostile urls (quotes, commas, newlines)") {
     val path = freshPath()
     val store = new ChunkStore(spark, path,
