@@ -242,6 +242,39 @@ object VectorQueries {
           .limit(50)
     },
 
+    // B11e: the SQL face of b11b/b11c — the same z-ordered table
+    // registered on the graft catalog and queried by NAME with plain
+    // SQL predicates; the sidecar-aware scan builder mines the pushed
+    // conjuncts for hull intervals + key probes and plans the file
+    // subset (GraftCatalogSpec pins the subset; this gate pins the
+    // ROWS against DuckDB filtering the raw table — pruning must be
+    // invisible to results).
+    "b11e_sql_pruned_scan" -> QueryDef(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 200 AND 220 AND l_suppkey = 3
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin) {
+      (s, dir) =>
+        // run-scoped warehouse (the b2b pattern: no cross-run collision)
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft-sqlz").toString
+        val path = s"$wh/zt"
+        val li = Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        Layout.zorderWriteAuto(li, Seq("l_partkey", "l_suppkey"), path,
+          numFiles = 8, bits = 10)
+        Layout.writeManifest(s, path, Seq("l_partkey", "l_suppkey"))
+        Layout.writeKeyManifest(s, path, "l_suppkey")
+        s.conf.set("spark.sql.catalog.graft_z",
+          classOf[graft.catalog.GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.graft_z.warehouse", wh)
+        s.sql("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+          |FROM graft_z.zt
+          |WHERE l_partkey BETWEEN 200 AND 220 AND l_suppkey = 3
+          |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+          .stripMargin)
+    },
+
     // B1 exercised directly: norms and pairwise distance measures.
     "b1_vector_measures" -> QueryDef(
       """WITH pairs AS (
