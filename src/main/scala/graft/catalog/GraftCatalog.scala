@@ -162,7 +162,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val files = asOf.fold(mtf.liveFiles)(mtf.filesAtVersion)
       new GraftTable(fullName, spark, store.schema, files,
         // time-travel reads are frozen history: never writable
-        insert = if (asOf.isDefined) None else Some(store.append))
+        insert = if (asOf.isDefined) None else Some(store.append),
+        deleteDocs =
+          if (asOf.isDefined) None else Some(store.delete(_: Seq[String])))
     } else layoutTag(dir) match {
       case Some(tag) =>
         if (asOf.isDefined) throw new UnsupportedOperationException(
@@ -181,7 +183,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else StructType(store.schema.fields :+
             StructField("doc_bucket", IntegerType))
         new GraftTable(fullName, spark, schema, Seq(dir),
-          insert = if (tag == "per-document") Some(store.append) else None)
+          insert = if (tag == "per-document") Some(store.append) else None,
+          deleteDocs = Some(store.delete(_: Seq[String])))
       case None =>
         // a Layout-managed table: flat parquet with `_hulls` and/or
         // `_keybloom` sidecars (z-order family). Readable by name;
@@ -376,8 +379,62 @@ private[catalog] class GraftTable(
     tableSchema: StructType,
     paths: Seq[String],
     insert: Option[DataFrame => Unit],
-    sidecarDir: Option[String] = None) extends Table
-    with SupportsRead with SupportsWrite {
+    sidecarDir: Option[String] = None,
+    deleteDocs: Option[Seq[String] => Unit] = None) extends Table
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** `DELETE FROM <cat>.<table> WHERE …` maps to the store's A20
+    * whole-document delete when — and only when — the predicate is a
+    * conjunction of `document_url` equality/IN terms (the table's
+    * delete unit IS the document; anything finer would need
+    * row-level-operation rewrite plumbing). Unsupported predicates
+    * and unqualified DELETE/TRUNCATE refuse loudly — a whole-table
+    * wipe goes through DROP TABLE or the store API, not a typo'd
+    * DELETE.
+    */
+  private def urlSet(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.sources._
+    var constraint: Option[Set[String]] = None
+    def and(vs: Set[String]): Unit =
+      constraint = Some(constraint.fold(vs)(_ intersect vs))
+    filters.foreach {
+      case IsNotNull("document_url") => // implied by equality; no-op
+      case EqualTo("document_url", v: String) => and(Set(v))
+      case EqualNullSafe("document_url", v: String) => and(Set(v))
+      case In("document_url", vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        and(vs.map(_.asInstanceOf[String]).toSet)
+      case _ => return None
+    }
+    constraint.map(_.toSeq.sorted)
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    deleteDocs.nonEmpty && urlSet(filters).nonEmpty
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val doDelete = deleteDocs.getOrElse(
+      throw new UnsupportedOperationException(
+        s"$tableName does not support SQL DELETE (time-travel reads " +
+          "are frozen history; layout tables have no document key)"))
+    val urls = urlSet(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$tableName: DELETE supports document_url equality/IN " +
+          "predicates only (the delete unit is the whole document); " +
+          s"got ${filters.mkString(", ")}. For keyed bulk deletes use " +
+          "CALL <catalog>.delete_documents(table, source)."))
+    doDelete(urls)
+  }
+
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      s"$tableName: TRUNCATE/unqualified DELETE is refused — wipe via " +
+        "DROP TABLE or the store API, explicitly")
 
   private lazy val delegate = ParquetTable(
     tableName, spark, CaseInsensitiveStringMap.empty(), paths,

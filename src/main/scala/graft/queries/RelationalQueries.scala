@@ -855,6 +855,54 @@ object RelationalQueries {
       s.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
       s.sql("SELECT document_url, chunk_text FROM graft_tt.chunks " +
         "VERSION AS OF 0 ORDER BY document_url")
+    },
+
+    // C37e: CHANGE FEED over the same history — the Cosmos change-feed
+    // / Delta CDF capability, computed from the manifest log's file
+    // diff (added-minus-removed rows = net inserts; the reverse = net
+    // deletes; copy-on-write survivor rows cancel via exceptAll
+    // without being special-cased). The oracle recomputes the v0→head
+    // delta from first principles: the merged evens appear as
+    // insert(v2 text) + delete(v1 text), deleted documents as
+    // delete(v1 text).
+    "c37e_change_feed" -> QueryDef(
+      """SELECT 'insert' AS _change_type,
+        |       'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text || ' v2' AS chunk_text
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 17 <> 0
+        |UNION ALL
+        |SELECT 'delete', 'doc://' || CAST(doc_id AS VARCHAR),
+        |       text
+        |FROM documents WHERE doc_id % 2 = 0 AND doc_id % 17 <> 0
+        |UNION ALL
+        |SELECT 'delete', 'doc://' || CAST(doc_id AS VARCHAR),
+        |       text
+        |FROM documents WHERE doc_id % 17 = 0
+        |ORDER BY _change_type, document_url, chunk_text""".stripMargin) {
+      (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cdf").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.select(
+        lit(0).as("chunk_id"), col("chunk_text"),
+        array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url"))
+      val docs = t(s, dir, "documents")
+      store.upsert(rows(docs.select(col("doc_id"),
+        col("text").as("chunk_text"))))                    // version 0
+      store.upsert(rows(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2"))
+          .as("chunk_text"))))                             // version 1
+      store.delete(docs.filter(col("doc_id") % 17 === 0)
+        .select(concat(lit("doc://"), col("doc_id"))
+          .as("document_url")))                            // version 2
+      val mtf = new graft.sink.ManifestTableFormat(s, path, store.schema)
+      mtf.changesBetween(0L, mtf.version)
+        .select(col("_change_type"), col("document_url"),
+          col("chunk_text"))
+        .orderBy("_change_type", "document_url", "chunk_text")
     }
   )
 }

@@ -719,6 +719,43 @@ class ManifestTableFormat(
     */
   def readVersion(asOf: Long): DataFrame = readFiles(filesAtVersion(asOf))
 
+  /** CHANGE FEED: the row-level delta between two committed versions —
+    * the capability the reference's store exposes as the Cosmos change
+    * feed (its blob trigger IS a change-feed consumer) and Delta calls
+    * CDF, derived here from the log alone. One row per changed chunk
+    * with `_change_type` `insert` or `delete`; an upsert that replaced
+    * a document appears as its old rows deleted + new rows inserted.
+    *
+    * How: the file sets at `fromVersion` and `toVersion` diff to
+    * added/removed files (names only); rows in added-minus-removed =
+    * net inserts, removed-minus-added = net deletes (`exceptAll`, so
+    * duplicate rows keep multiplicity). Files live at BOTH versions
+    * cancel without being read — copy-on-write rewrites carry
+    * survivors into the added files, and the identical survivor rows
+    * in the removed files cancel them exactly.
+    *
+    * Scale shape: reads ONLY the churn-touched files; the exceptAll
+    * shuffles changed-file rows, never the table. Both versions must
+    * still be reconstructable (same retention contract as
+    * [[readVersion]]). `fromVersion = -1` means "since before the
+    * first commit" (everything at `toVersion` is an insert).
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween needs fromVersion <= toVersion, " +
+        s"got ($fromVersion, $toVersion]")
+    val before =
+      if (fromVersion < 0) Set.empty[String]
+      else filesAtVersion(fromVersion).toSet
+    val after = filesAtVersion(toVersion).toSet
+    val addedRows = readFiles((after -- before).toSeq.sorted)
+    val removedRows = readFiles((before -- after).toSeq.sorted)
+    addedRows.exceptAll(removedRows)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(removedRows.exceptAll(addedRows)
+        .withColumn("_change_type", lit("delete")))
+  }
+
   /** The latest version committed at or before `tsMillis` (epoch ms)
     * — commit time is the log entry's filesystem mtime, the Delta
     * convention behind SQL `TIMESTAMP AS OF`. Versions whose entries

@@ -229,6 +229,42 @@ class GraftCatalogSpec extends SparkSpec
       .filter(col("document_url") === "doc://0100").count() == 0)
   }
 
+  test("DELETE FROM by document_url: equality, IN, refusals") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 20, "v1-"))
+    spark.sql(s"DELETE FROM $cat.chunks WHERE document_url = 'doc://0003'")
+    assert(store.read().count() == 19)
+    spark.sql(s"DELETE FROM $cat.chunks " +
+      "WHERE document_url IN ('doc://0001', 'doc://0002', 'doc://absent')")
+    assert(store.read().count() == 17)
+    // non-url predicates refuse (the delete unit is the document)
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.chunks WHERE chunk_id = 0")
+    }
+    assert(e.getMessage != null)
+    assert(store.read().count() == 17)
+    // unqualified DELETE refuses — a wipe must be explicit
+    val e2 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.chunks")
+    }
+    assert(e2.getMessage != null)
+    assert(store.read().count() == 17)
+    // per-document layout: same surface
+    val store2 = new ChunkStore(spark, s"$wh/docs")
+    store2.ensure()
+    store2.upsert(chunkRows(1 to 5, "d-"))
+    spark.sql(s"DELETE FROM $cat.docs WHERE document_url = 'doc://0002'")
+    assert(store2.read().count() == 4)
+    // time-travel reads are frozen: DELETE refuses
+    val e3 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.chunks VERSION AS OF 0 " +
+        "WHERE document_url = 'doc://0005'")
+    }
+    assert(e3.getMessage != null)
+  }
+
   test("z-ordered table: SQL predicates prune through _hulls/_keybloom") {
     import graft.ops.Layout
     val (cat, wh) = freshCatalog()

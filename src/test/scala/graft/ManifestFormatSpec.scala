@@ -460,6 +460,37 @@ class ManifestFormatSpec extends SparkSpec {
     read.unpersist()
   }
 
+  test("change feed: row-level version deltas from the log's file diff") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "a-v1")
+      .unionByName(chunksOf("doc://b", "b-v1")))          // version 0
+    store.upsert(chunksOf("doc://a", "a-v2"))             // version 1
+    store.delete(Seq("doc://b"))                          // version 2
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    def delta(from: Long, to: Long): Set[(String, String)] =
+      mtf.changesBetween(from, to)
+        .select("_change_type", "chunk_text")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // since-genesis: everything at v0 is an insert
+    assert(delta(-1L, 0L) ==
+      Set(("insert", "a-v1"), ("insert", "b-v1")))
+    // the upsert is delete(old)+insert(new); b's survivor rows cancel
+    assert(delta(0L, 1L) ==
+      Set(("insert", "a-v2"), ("delete", "a-v1")))
+    assert(delta(1L, 2L) == Set(("delete", "b-v1")))
+    // spans compose to the net state diff
+    assert(delta(0L, 2L) ==
+      Set(("insert", "a-v2"), ("delete", "a-v1"), ("delete", "b-v1")))
+    // identical versions: empty feed
+    assert(delta(2L, 2L) == Set.empty)
+    // out-of-range fails loudly (same contract as readVersion)
+    intercept[IllegalArgumentException] {
+      mtf.changesBetween(0L, 99L)
+    }
+  }
+
   test("log round-trip survives hostile urls (quotes, commas, newlines)") {
     val path = freshPath()
     val store = new ChunkStore(spark, path,
