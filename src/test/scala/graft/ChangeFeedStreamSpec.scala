@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** The manifest change feed as a Structured Streaming SOURCE
+  * (`format("graft-cdf")`): offsets are manifest versions, each
+  * micro-batch is the net `changesBetween` delta, and restart rides
+  * the sink checkpoint. Twin of the batch gate c37e_change_feed.
+  */
+class ChangeFeedStreamSpec extends SparkSpec {
+
+  private def freshPath(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def chunksOf(url: String, texts: String*): DataFrame = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) =>
+      (i, t, Seq(i.toFloat, 1f), 1, url)
+    }.toDF("chunk_id", "chunk_text", "embedding", "page_number",
+      "document_url")
+  }
+
+  /** Drain everything currently available (AvailableNow), resuming
+    * from `ckpt`, and return the sunk rows as (url, chunk_text,
+    * change_type) triples. foreachBatch because it supports
+    * checkpoint RECOVERY (the memory sink does not in append mode) —
+    * resume-across-runs is exactly what these cases pin.
+    */
+  private def drain(
+      path: String, ckpt: String, name: String,
+      extraOptions: Map[String, String] = Map.empty)
+      : Seq[(String, String, String)] = {
+    val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val reader = spark.readStream.format("graft-cdf").option("path", path)
+    val q = extraOptions.foldLeft(reader) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("document_url", "chunk_text", "_change_type")
+          .collect()
+          .foreach(r => buf.add((r.getString(0), r.getString(1), r.getString(2))))
+      }
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSeq
+  }
+
+  test("fresh query streams the current snapshot, then only deltas") {
+    val tbl = freshPath("graft-cdf-tbl") + "/t"
+    val ckpt = freshPath("graft-cdf-ckpt")
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "a1", "a2")) // v0
+    store.upsert(chunksOf("doc://b", "b1"))       // v1
+
+    val first = drain(tbl, ckpt, "cdf_run1")
+    assert(first.toSet == Set(
+      ("doc://a", "a1", "insert"), ("doc://a", "a2", "insert"),
+      ("doc://b", "b1", "insert")))
+
+    // no new commits -> restart produces nothing new
+    val second = drain(tbl, ckpt, "cdf_run2")
+    assert(second.isEmpty)
+
+    // an upsert rewriting doc://a shows as its old rows deleted +
+    // new rows inserted; doc://b (untouched file) does not reappear
+    store.upsert(chunksOf("doc://a", "a1v2"))     // v2
+    val third = drain(tbl, ckpt, "cdf_run3")
+    assert(third.toSet == Set(
+      ("doc://a", "a1", "delete"), ("doc://a", "a2", "delete"),
+      ("doc://a", "a1v2", "insert")))
+
+    // a document delete shows as deletes only
+    store.delete(Seq("doc://b"))                  // v3
+    val fourth = drain(tbl, ckpt, "cdf_run4")
+    assert(fourth.toSet == Set(("doc://b", "b1", "delete")))
+  }
+
+  test("startingVersion skips history; maxVersionsPerBatch paces batches") {
+    val tbl = freshPath("graft-cdf-sv") + "/t"
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://old", "o1"))     // v0
+    store.upsert(chunksOf("doc://new", "n1"))     // v1
+    store.upsert(chunksOf("doc://new2", "n2"))    // v2
+
+    // start past v0: the old document never streams
+    val fromV0 = drain(tbl, freshPath("graft-cdf-sv-ck"), "cdf_sv",
+      Map("startingVersion" -> "0"))
+    assert(fromV0.map(_._1).toSet == Set("doc://new", "doc://new2"))
+
+    // rate limit: one version per micro-batch still drains everything
+    // under AvailableNow (three one-version batches), same net rows
+    val paced = drain(tbl, freshPath("graft-cdf-mv-ck"), "cdf_mv",
+      Map("maxVersionsPerBatch" -> "1"))
+    assert(paced.toSet == Set(
+      ("doc://old", "o1", "insert"),
+      ("doc://new", "n1", "insert"),
+      ("doc://new2", "n2", "insert")))
+  }
+
+  test("empty table yields no batch; a first commit then streams") {
+    val tbl = freshPath("graft-cdf-empty") + "/t"
+    val ckpt = freshPath("graft-cdf-empty-ck")
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    // no commits yet: the stream starts and terminates with nothing
+    assert(drain(tbl, ckpt, "cdf_e1").isEmpty)
+    store.upsert(chunksOf("doc://x", "x1"))
+    assert(drain(tbl, ckpt, "cdf_e2").toSet ==
+      Set(("doc://x", "x1", "insert")))
+  }
+}
