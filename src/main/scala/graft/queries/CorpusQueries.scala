@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TopKAggregate.topk_agg
-import graft.ops.{Curation, Dedup, KMeans, Sampling, TextAnalysis}
+import graft.ops.{Curation, Dedup, KMeans, QualityClassifier, Sampling, TextAnalysis}
 
 /** Corpus-scale curation conformance queries (SURVEY D13-D17, P6):
   * semantic dedup, vocabulary statistics (exact + sketch), importance
@@ -454,6 +454,49 @@ object CorpusQueries {
       Curation.auditReport(Tables(s, dir, "documents"),
           "source", "doc_id", "text", "lang", "n_chars")
         .orderBy("source")
+    },
+
+    // D25: trained quality classifier (fastText-style hashed-n-gram
+    // logistic regression via spark.ml). Training outcome isn't
+    // SQL-expressible, so the gate plants the contract: positives are
+    // the real documents, negatives their deterministic hex-soup
+    // twins (md5-chain tokens — no real words, alien token
+    // distribution); train on even doc_ids, score the held-out odd
+    // half. Pinned: train/test sizes, held-out accuracy >= 0.95 at
+    // the 0.5 threshold, and mean score separation >= 0.5 between
+    // real and garbled test docs — a linear model that learned
+    // anything about "looks like the corpus" clears both with room.
+    "d25_quality_classifier" -> QueryDef(
+      """SELECT CAST(2 * (SELECT COUNT(*) FROM documents
+        |                 WHERE doc_id % 2 = 0) AS BIGINT) AS n_train,
+        |       CAST(2 * (SELECT COUNT(*) FROM documents
+        |                 WHERE doc_id % 2 = 1) AS BIGINT) AS n_test,
+        |       TRUE AS acc_ok, TRUE AS sep_ok""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val garbled = concat_ws(" ",
+        transform(sequence(lit(1), lit(6)),
+          i => md5(concat(col("text"), i.cast("string")))))
+      val all = docs.select(col("doc_id"), col("text"),
+          lit(1).as("label"))
+        .unionByName(docs.select(col("doc_id"), garbled.as("text"),
+          lit(0).as("label")))
+      val model = QualityClassifier.train(
+        all.filter(col("doc_id") % 2 === 0), "text", col("label"),
+        QualityClassifier.Config(numFeatures = 1 << 16, maxIter = 30))
+      val scored = QualityClassifier.score(
+        all.filter(col("doc_id") % 2 === 1), model)
+      val nTrain = all.filter(col("doc_id") % 2 === 0).count()
+      val stats = scored.agg(
+        count(lit(1)).as("n_test"),
+        avg(((col("quality_prob") >= 0.5).cast("int") === col("label"))
+          .cast("int")).as("acc"),
+        (avg(when(col("label") === 1, col("quality_prob"))) -
+          avg(when(col("label") === 0, col("quality_prob")))).as("sep"))
+        .collect().head
+      import s.implicits._
+      Seq((nTrain, stats.getLong(0),
+          stats.getDouble(1) >= 0.95, stats.getDouble(2) >= 0.5))
+        .toDF("n_train", "n_test", "acc_ok", "sep_ok")
     }
   )
 }
