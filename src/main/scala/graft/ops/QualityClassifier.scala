@@ -19,10 +19,14 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first shape — everything rides spark.ml, no hand-rolled
   * optimization:
-  *  - features: lowercase word tokens + their bigrams, each hashed
-  *    into a fixed-width term-frequency vector (`HashingTF`, the
-  *    fastText bucket trick — vocabulary never materializes, feature
-  *    width is a constant knob);
+  *  - features: lowercase word tokens + CHARACTER TRIGRAMS, each
+  *    hashed into a fixed-width term-frequency vector (`HashingTF`,
+  *    the fastText bucket trick — vocabulary never materializes,
+  *    feature width is a constant knob). The char-gram channel is
+  *    what generalizes across vocabulary shift: garbage shares
+  *    character statistics (hex runs, repeated punctuation) even when
+  *    its exact tokens never repeat, and natural text shares its
+  *    language's trigram profile across topics;
   *  - model: `LogisticRegression` (L-BFGS). Training cost is one
   *    corpus scan per iteration with map-side-combined gradient
   *    partials (`treeAggregate`); driver state is the coefficient
@@ -49,6 +53,7 @@ object QualityClassifier {
       elasticNetParam: Double = 0.0)
 
   private val toks = "__qc_toks"
+  private val chars = "__qc_chars"
   private val bi = "__qc_bi"
   private val tf1 = "__qc_tf1"
   private val tf2 = "__qc_tf2"
@@ -62,7 +67,10 @@ object QualityClassifier {
       : Array[PipelineStage] = Array(
     new RegexTokenizer().setInputCol(textCol).setOutputCol(toks)
       .setPattern("\\W+").setToLowercase(true),
-    new NGram().setN(2).setInputCol(toks).setOutputCol(bi),
+    // char stream (gaps=false: every char is a token) -> trigrams
+    new RegexTokenizer().setInputCol(textCol).setOutputCol(chars)
+      .setPattern("(?s).").setGaps(false).setToLowercase(true),
+    new NGram().setN(3).setInputCol(chars).setOutputCol(bi),
     new HashingTF().setInputCol(toks).setOutputCol(tf1)
       .setNumFeatures(numFeatures),
     new HashingTF().setInputCol(bi).setOutputCol(tf2)
@@ -104,7 +112,7 @@ object QualityClassifier {
       "column prefix __qc_ is reserved by QualityClassifier")
     model.transform(df)
       .withColumn(outCol, vector_to_array(col(probVec)).getItem(1))
-      .drop(toks, bi, tf1, tf2, feats, rawCol, probVec, predCol)
+      .drop(toks, chars, bi, tf1, tf2, feats, rawCol, probVec, predCol)
   }
 
   /** The curation filter: keep documents the model scores at or above

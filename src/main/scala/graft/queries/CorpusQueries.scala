@@ -480,9 +480,15 @@ object CorpusQueries {
           lit(1).as("label"))
         .unionByName(docs.select(col("doc_id"), garbled.as("text"),
           lit(0).as("label")))
+      // gate-scale tuning: hex soup is trivially separable, so a few
+      // L-BFGS rounds and a narrow hash width reach the contract
+      // thresholds; coalesce keeps per-iteration task overhead from
+      // dominating a training set this small (the 100 TB path samples
+      // into a bounded training set the same way — SCALE.md D25)
       val model = QualityClassifier.train(
-        all.filter(col("doc_id") % 2 === 0), "text", col("label"),
-        QualityClassifier.Config(numFeatures = 1 << 16, maxIter = 30))
+        all.filter(col("doc_id") % 2 === 0).coalesce(8),
+        "text", col("label"),
+        QualityClassifier.Config(numFeatures = 1 << 13, maxIter = 8))
       val scored = QualityClassifier.score(
         all.filter(col("doc_id") % 2 === 1), model)
       val nTrain = all.filter(col("doc_id") % 2 === 0).count()
