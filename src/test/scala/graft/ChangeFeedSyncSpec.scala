@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.ChangeFeedSync
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** P10: change-feed-driven derived-table maintenance. A target store
+  * tracks a source manifest table through upserts and deletes with a
+  * per-document transform, resumes from its checkpoint, and replays
+  * idempotently.
+  */
+class ChangeFeedSyncSpec extends SparkSpec {
+
+  private def fresh(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def chunksOf(url: String, texts: String*): DataFrame = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) =>
+      (i, t, Seq(i.toFloat, 1f), 1, url)
+    }.toDF("chunk_id", "chunk_text", "embedding", "page_number",
+      "document_url")
+  }
+
+  private def state(store: ChunkStore): Set[(String, Int, String)] =
+    store.read().select("document_url", "chunk_id", "chunk_text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .toSet
+
+  test("replica tracks source through upserts and deletes; replay is idempotent") {
+    val srcPath = fresh("graft-sync-src") + "/t"
+    val dstPath = fresh("graft-sync-dst") + "/t"
+    val ckpt = fresh("graft-sync-ck")
+    val src = new ChunkStore(spark, srcPath,
+      format = ManifestTableFormat.factory)
+    val dst = new ChunkStore(spark, dstPath,
+      format = ManifestTableFormat.factory)
+    // the derived table is a PROJECTION: uppercased text
+    val upper = (df: DataFrame) =>
+      df.withColumn("chunk_text", org.apache.spark.sql.functions.upper(col("chunk_text")))
+
+    src.upsert(chunksOf("doc://a", "a1", "a2"))
+    src.upsert(chunksOf("doc://b", "b1"))
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, upper)
+    assert(state(dst) == Set(
+      ("doc://a", 0, "A1"), ("doc://a", 1, "A2"), ("doc://b", 0, "B1")))
+
+    // upsert rewrites a document; delete removes one — one drain
+    src.upsert(chunksOf("doc://a", "a1v2"))
+    src.delete(Seq("doc://b"))
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, upper)
+    assert(state(dst) == Set(("doc://a", 0, "A1V2")))
+
+    // nothing new: a drain changes nothing (checkpoint resume)
+    val v = dst.read().count()
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, upper)
+    assert(state(dst) == Set(("doc://a", 0, "A1V2")))
+    assert(dst.read().count() == v)
+
+    // replay idempotence: a FRESH checkpoint replays all history onto
+    // the existing target and converges to the same state
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, fresh("graft-sync-ck2"),
+      upper)
+    assert(state(dst) == Set(("doc://a", 0, "A1V2")))
+  }
+
+  test("transform must keep the sync key") {
+    val srcPath = fresh("graft-sync-key") + "/t"
+    val src = new ChunkStore(spark, srcPath,
+      format = ManifestTableFormat.factory)
+    src.upsert(chunksOf("doc://a", "a1"))
+    val dst = new ChunkStore(spark, fresh("graft-sync-key-dst") + "/t",
+      format = ManifestTableFormat.factory)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangeFeedSync.syncOnce(spark, srcPath, dst,
+        fresh("graft-sync-key-ck"), _.drop("document_url"))
+    }
+    assert(e.getCause.getMessage.contains("document_url"))
+  }
+}
