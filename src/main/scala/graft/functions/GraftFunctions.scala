@@ -55,6 +55,9 @@ object GraftFunctions {
     Bridge.column(TokenCount(Bridge.expression(s, text)))
   }
 
+  def bpe_encode(text: Column, merges: Column): Column =
+    binary(text, merges, BpeEncode)
+
   def nfc_normalize(text: Column): Column = {
     val s = activeSession
     Bridge.column(NfcNormalize(Bridge.expression(s, text)))
@@ -159,7 +162,8 @@ object GraftFunctions {
       es => WinnowFingerprints(es(0), es(1), es(2))),
     fn("profile_scores", 3)(es => ProfileScores(es(0), es(1), es(2))),
     fn("q8_cosine_distance", 4)(
-      es => Q8CosineDistance(es(0), es(1), es(2), es(3))))
+      es => Q8CosineDistance(es(0), es(1), es(2), es(3))),
+    fn("bpe_encode", 2)(es => BpeEncode(es(0), es(1))))
 
   /** Register all graft SQL functions on the given session. Idempotent. */
   def register(spark: SparkSession): Unit =

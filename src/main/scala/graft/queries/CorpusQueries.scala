@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TopKAggregate.topk_agg
-import graft.ops.{Curation, Dedup, KMeans, QualityClassifier, Sampling, TextAnalysis}
+import graft.ops.{BpeTrainer, Curation, Dedup, KMeans, QualityClassifier, Sampling, TextAnalysis}
 
 /** Corpus-scale curation conformance queries (SURVEY D13-D17, P6):
   * semantic dedup, vocabulary statistics (exact + sketch), importance
@@ -503,6 +503,43 @@ object CorpusQueries {
       Seq((nTrain, stats.getLong(0),
           stats.getDouble(1) >= 0.95, stats.getDouble(2) >= 0.5))
         .toDF("n_train", "n_test", "acc_ok", "sep_ok")
+    },
+
+    // D26: BPE vocabulary induction (Sennrich merge training) +
+    // per-row encode. Merge CHOICES depend on corpus frequencies, so
+    // the gate pins the trainer's contract instead of the table: the
+    // merge budget is met (the corpus has pair mass to spare),
+    // encoding round-trips the GPT-2 pre-tokens byte-losslessly on
+    // EVERY document, learned merges strictly compress vs the
+    // character baseline, and the wire form round-trips.
+    "d26_bpe_vocab" -> QueryDef(
+      """SELECT CAST(40 AS BIGINT) AS n_merges,
+        |       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+        |       TRUE AS lossless_ok, TRUE AS compress_ok,
+        |       TRUE AS wire_ok""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val model = BpeTrainer.learn(docs, "text", numMerges = 40,
+        maxTypes = 1 << 14)
+      val pat =
+        "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+      val enc = docs
+        .withColumn("toks", BpeTrainer.encode(col("text"), model))
+        .withColumn("pre",
+          regexp_extract_all(col("text"), lit(pat), lit(0)))
+      val stats = enc.agg(
+        count(lit(1)).as("n_docs"),
+        min((concat_ws("", col("toks")) === concat_ws("", col("pre")))
+          .cast("int")).as("lossless"),
+        sum(size(col("toks")).cast("long")).as("n_toks"),
+        sum(aggregate(col("pre"), lit(0L), (a, w) => a + length(w)))
+          .as("n_chars"))
+        .collect().head
+      import s.implicits._
+      Seq((model.merges.size.toLong, stats.getLong(0),
+          stats.getInt(1) == 1,
+          stats.getLong(2) < stats.getLong(3),
+          BpeTrainer.BpeModel.parse(model.serialized) == model))
+        .toDF("n_merges", "n_docs", "lossless_ok", "compress_ok", "wire_ok")
     }
   )
 }
