@@ -62,7 +62,7 @@ object VectorIndex {
       centroids: Seq[Seq[Float]],
       pq: Option[Quantize.PqModel])
 
-  private def dataPath(path: String) = s"$path/data"
+  private[ops] def dataPath(path: String) = s"$path/data"
 
   // ----------------------------------------------------------------
   // build
@@ -193,12 +193,12 @@ object VectorIndex {
   // delete — tombstones + query-time anti-join + physical compaction
   // ----------------------------------------------------------------
 
-  private def tombPath(path: String) = s"$path/tombstones"
+  private[ops] def tombPath(path: String) = s"$path/tombstones"
 
   /** The data table's id column name: the ivfpq/lsh layouts rename the
     * id to `nn_id` at build time; q8 keeps the caller's column.
     */
-  private def dataIdCol(meta: Meta): String =
+  private[ops] def dataIdCol(meta: Meta): String =
     if (meta.kind == "q8") meta.idCol else "nn_id"
 
   /** Mark ids as deleted: O(ids) — the id set appends to a
@@ -465,7 +465,7 @@ object VectorIndex {
   /** Load whatever kind is stamped at `path` (for kind-dispatching
     * callers like [[append]]); same loud failure on a missing stamp.
     */
-  private def loadAny(spark: SparkSession, path: String): Meta = {
+  private[ops] def loadAny(spark: SparkSession, path: String): Meta = {
     val (p, fs) = stampFile(spark, path)
     require(fs.exists(p),
       s"no vector index at $path (missing $StampName stamp) — " +

@@ -328,6 +328,61 @@ object LlmOpsQueries {
           (col("napprox") === lit(50)).as("complete_topk"))
     },
 
+    // D3i: the index FOLLOWS the table — IndexSync.catchUp advances a
+    // persistent IVF-PQ index to a manifest table's head off the
+    // change feed (B13). Contract booleans: one catch-up applies
+    // exactly the churn (100 new + 20 rewritten appended; 20 old
+    // contents + 20 deletes tombstoned), a second catch-up is a
+    // no-op, and a full from-scratch replay (lost sync record)
+    // converges without appending anything twice. IndexSyncSpec adds
+    // the query-level serving checks (delete masks, revive unmasks).
+    "d3i_ann_index_sync" -> QueryDef(
+      "SELECT TRUE AS follows_ok, TRUE AS idempotent_ok, " +
+        "TRUE AS replay_ok") { (s, dir) =>
+      import graft.ops.IndexSync
+      import graft.sink.{ChunkStore, ManifestTableFormat}
+      val e = Tables(s, dir, "embeddings")
+      def rowsOf(df: org.apache.spark.sql.DataFrame,
+          flip: Boolean): org.apache.spark.sql.DataFrame =
+        df.select(lit(0).as("chunk_id"), lit("t").as("chunk_text"),
+          (if (flip) transform(col("embedding"), x => -x)
+           else col("embedding")).as("embedding"),
+          lit(1).as("page_number"),
+          concat(lit("vec://"), col("vec_id")).as("document_url"))
+      val prepare = (rows: org.apache.spark.sql.DataFrame) =>
+        rows.select(
+          IndexSync.contentAddressedId(
+            Seq(col("document_url"), col("chunk_id")),
+            Seq(col("embedding"))).as("vid"),
+          col("embedding").as("v"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-isync-gate").toString
+      val tbl = s"$base/t"
+      val idx = s"$base/ix"
+      val store = new ChunkStore(s, tbl,
+        format = ManifestTableFormat.factory)
+      val mtf = new ManifestTableFormat(s, tbl, store.schema)
+      store.upsert(rowsOf(e.filter(col("vec_id") < 200), flip = false))
+      VectorIndex.buildIvfPq(prepare(store.read()), idx, "vid", "v",
+        nlist = 8, m = 8, ks = 16)
+      IndexSync.markSynced(s, idx, mtf.version)
+      // churn: 100 new, 20 rewritten (vector flips), 20 deleted
+      store.upsert(rowsOf(
+        e.filter(col("vec_id") >= 200 && col("vec_id") < 300),
+        flip = false))
+      store.upsert(rowsOf(e.filter(col("vec_id") < 20), flip = true))
+      store.delete((20 until 40).map(i => s"vec://$i"))
+      val s1 = IndexSync.catchUp(s, tbl, idx, prepare)
+      val s2 = IndexSync.catchUp(s, tbl, idx, prepare)
+      IndexSync.markSynced(s, idx, -1L)
+      val s3 = IndexSync.catchUp(s, tbl, idx, prepare)
+      import s.implicits._
+      Seq((s1.appended == 120L && s1.tombstoned == 40L,
+          s2 == IndexSync.Stats(s1.toVersion, s1.toVersion, 0L, 0L),
+          s3.appended == 0L && s3.tombstoned == 0L))
+        .toDF("follows_ok", "idempotent_ok", "replay_ok")
+    },
+
     // D6: embedding-cosine near-duplicate pairs.
     "d6_embedding_neardup" -> QueryDef(
       """SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IndexSync, VectorIndex}
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** D3i: a persistent IVF-PQ index follows a manifest table through
+  * the change feed — upserts re-point, deletes stop serving, identical
+  * re-inserts revive, and replaying any span appends nothing twice.
+  */
+class IndexSyncSpec extends SparkSpec {
+
+  private def fresh(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def chunkOf(url: String, vec: Seq[Float], text: String): DataFrame = {
+    import spark.implicits._
+    Seq((0, text, vec, 1, url))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url")
+  }
+
+  /** Content-addressed index rows: id moves when the embedding does. */
+  private def prepare(rows: DataFrame): DataFrame =
+    rows.select(
+      IndexSync.contentAddressedId(
+        Seq(col("document_url"), col("chunk_id")),
+        Seq(col("embedding"))).as("vid"),
+      col("embedding").as("v"))
+
+  private def served(idxPath: String, probe: Seq[Float]): Seq[String] = {
+    import spark.implicits._
+    val probes = Seq(("p", probe)).toDF("vid", "v")
+    VectorIndex.queryIvfPq(spark, idxPath, probes, k = 10,
+        nprobe = 2, rerankPerProbe = 64)
+      .select("nn_id").collect().map(_.getString(0)).toSeq
+  }
+
+  test("index follows the table: upsert, delete, revive, replay") {
+    val tbl = fresh("graft-isync-tbl") + "/t"
+    val idx = fresh("graft-isync-idx") + "/ix"
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, tbl, store.schema)
+
+    val va = Seq(1f, 0f, 0f, 0f)
+    val vb = Seq(0f, 1f, 0f, 0f)
+    val vc = Seq(0f, 0f, 1f, 0f)
+    store.upsert(chunkOf("doc://a", va, "a"))
+    store.upsert(chunkOf("doc://b", vb, "b"))
+    store.upsert(chunkOf("doc://c", vc, "c"))
+
+    VectorIndex.buildIvfPq(prepare(store.read()), idx, "vid", "v",
+      nlist = 2, m = 2, ks = 4)
+    IndexSync.markSynced(spark, idx, mtf.version)
+    assert(IndexSync.lastSynced(spark, idx) == mtf.version)
+
+    // a no-op catch-up does nothing
+    assert(IndexSync.catchUp(spark, tbl, idx, prepare) ==
+      IndexSync.Stats(mtf.version, mtf.version, 0L, 0L))
+
+    // new doc d, rewritten a (vector moves), deleted b
+    val vd = Seq(0f, 0f, 0f, 1f)
+    val va2 = Seq(0.9f, 0.1f, 0f, 0f)
+    store.upsert(chunkOf("doc://d", vd, "d"))
+    store.upsert(chunkOf("doc://a", va2, "a2"))
+    store.delete(Seq("doc://b"))
+    val s1 = IndexSync.catchUp(spark, tbl, idx, prepare)
+    assert(s1.appended == 2L, s1)   // d + rewritten a
+    assert(s1.tombstoned == 2L, s1) // old a + b
+
+    val all = served(idx, vd)
+    assert(all.exists(_.startsWith("doc://d#")), all)
+    assert(all.exists(_.startsWith("doc://a#")), all)
+    assert(!all.exists(_.startsWith("doc://b#")), all)
+    // the rewritten doc serves its NEW id only (old content id is gone)
+    val aIds = all.filter(_.startsWith("doc://a#"))
+    assert(aIds.size == 1, all)
+
+    // idempotence: catching up again applies nothing
+    val s2 = IndexSync.catchUp(spark, tbl, idx, prepare)
+    assert(s2.appended == 0L && s2.tombstoned == 0L, s2)
+
+    // full replay (lost sync record) converges without duplicates,
+    // and earlier tombstones survive the replay's revive rewrite
+    // (the rewrite must keep the sidecar's schema — a renamed column
+    // reads back as nulls and silently serves every deleted id)
+    IndexSync.markSynced(spark, idx, -1L)
+    val s3 = IndexSync.catchUp(spark, tbl, idx, prepare)
+    assert(s3.appended == 0L && s3.tombstoned == 0L, s3)
+    val replayed = served(idx, vd)
+    assert(replayed.count(_.startsWith("doc://d#")) == 1)
+    assert(!replayed.exists(_.startsWith("doc://b#")), replayed)
+    assert(replayed.count(_.startsWith("doc://a#")) == 1, replayed)
+
+    // delete d, then re-insert it with IDENTICAL content: the revive
+    // path must unmask the same physical rows (nothing re-appended)
+    store.delete(Seq("doc://d"))
+    val s4 = IndexSync.catchUp(spark, tbl, idx, prepare)
+    assert(s4.tombstoned == 1L, s4)
+    val afterDelete = served(idx, vd)
+    assert(!afterDelete.exists(_.startsWith("doc://d#")), afterDelete)
+    assert(!afterDelete.exists(_.startsWith("doc://b#")), afterDelete)
+    store.upsert(chunkOf("doc://d", vd, "d"))
+    val s5 = IndexSync.catchUp(spark, tbl, idx, prepare)
+    assert(s5.appended == 0L && s5.tombstoned == 0L, s5)
+    assert(served(idx, vd).exists(_.startsWith("doc://d#")))
+  }
+
+  test("an index synced past the table fails loudly") {
+    val tbl = fresh("graft-isync-bad") + "/t"
+    val idx = fresh("graft-isync-bad-idx") + "/ix"
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkOf("doc://a", Seq(1f, 0f, 0f, 0f), "a"))
+    VectorIndex.buildIvfPq(prepare(store.read()), idx, "vid", "v",
+      nlist = 2, m = 2, ks = 4)
+    IndexSync.markSynced(spark, idx, 99L)
+    val e = intercept[IllegalArgumentException] {
+      IndexSync.catchUp(spark, tbl, idx, prepare)
+    }
+    assert(e.getMessage.contains("synced past"))
+  }
+}
