@@ -319,7 +319,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     procedure("vacuum", Seq("table"),
       "manifest log: reclaim unreferenced data files and subsumed " +
         "log entries")(args =>
-      manifestFor(args(0)).vacuum())
+      manifestFor(args(0)).vacuum()),
+    procedure("sync_index", Seq("table", "index_path"),
+      "D3i index-follows-table: advance the persistent vector index " +
+        "at <index_path> to <table>'s current version by replaying " +
+        "the table's change feed (content-addressed chunk ids; " +
+        "idempotent — safe to re-run)")(args => {
+      manifestFor(args(0)) // change feed needs the manifest log
+      graft.ops.IndexSync.catchUp(spark, s"$warehouse/${args(0)}",
+        args(1), graft.ops.IndexSync.chunkPrepare(spark, args(1)))
+    })
   ).map(p => p.name() -> p).toMap
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {

@@ -63,6 +63,21 @@ object IndexSync {
     concat_ws("#",
       (keyCols :+ xxhash64(contentCols: _*)).map(_.cast("string")): _*)
 
+  /** The chunk-schema `prepare` for SQL/procedure callers: id =
+    * content-addressed over (document_url, chunk_id, embedding),
+    * vector = embedding, emitted under the index's own stamped
+    * column names.
+    */
+  def chunkPrepare(
+      spark: SparkSession, indexPath: String): DataFrame => DataFrame = {
+    val meta = VectorIndex.loadAny(spark, indexPath)
+    rows => rows.select(
+      contentAddressedId(
+        Seq(col("document_url"), col("chunk_id")),
+        Seq(col("embedding"))).as(meta.idCol),
+      col("embedding").as(meta.vecCol))
+  }
+
   private def syncPath(indexPath: String) = s"$indexPath/_sync_version"
 
   /** The table version the index has fully applied; −1 if never. */

@@ -382,4 +382,43 @@ class GraftCatalogSpec extends SparkSpec
     assert(!spark.sql(s"SHOW TABLES IN $cat")
       .select("tableName").collect().map(_.getString(0)).contains("fresh"))
   }
+
+  test("CALL sync_index advances a vector index to the table head") {
+    import graft.ops.{IndexSync, VectorIndex}
+    val (cat, wh) = freshCatalog()
+    val idx = Files.createTempDirectory("graft-cat-sync-idx").toString + "/ix"
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    val vecRows = (ids: Range, v: Float) => {
+      import spark.implicits._
+      ids.map(i => (0, s"t$i", Seq(v, i.toFloat, 0f, 1f), 1, s"doc://$i"))
+        .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+          "document_url")
+    }
+    store.upsert(vecRows(0 until 40, 1f))
+    val mtf = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    VectorIndex.buildIvfPq(
+      store.read().select(
+        IndexSync.contentAddressedId(
+          Seq(col("document_url"), col("chunk_id")),
+          Seq(col("embedding"))).as("vid"),
+        col("embedding").as("v")),
+      idx, "vid", "v", nlist = 4, m = 2, ks = 4)
+    IndexSync.markSynced(spark, idx, mtf.version)
+    // churn through SQL, then CALL the sync
+    spark.sql(s"INSERT INTO $cat.chunks VALUES " +
+      "(0, 'new', array(9.0F, 9.0F, 9.0F, 9.0F), 1, 'doc://new')")
+    spark.sql(s"DELETE FROM $cat.chunks WHERE document_url = 'doc://5'")
+    spark.sql(s"CALL $cat.sync_index('chunks', '$idx')")
+    import spark.implicits._
+    val probes = Seq(("p", Seq(9f, 9f, 9f, 9f))).toDF("vid", "v")
+    val got = VectorIndex.queryIvfPq(spark, idx, probes, k = 50,
+        nprobe = 4, rerankPerProbe = 64)
+      .select("nn_id").collect().map(_.getString(0)).toSeq
+    assert(got.exists(_.startsWith("doc://new#")), got)
+    assert(!got.exists(_.startsWith("doc://5#")), got)
+    // idempotent: a second CALL is a no-op
+    spark.sql(s"CALL $cat.sync_index('chunks', '$idx')")
+    assert(IndexSync.lastSynced(spark, idx) == mtf.version)
+  }
 }
