@@ -171,11 +171,42 @@ object IndexSync {
     * content-addressed — see the object doc). Returns the span and
     * row counts applied; a no-op span returns zeros.
     */
+  private def lockPath(indexPath: String) = s"$indexPath/_sync_lock"
+
+  /** Single-maintainer guard: two concurrent catch-ups would each
+    * pass the existence anti-join before the other's append lands and
+    * double-append the span. The lock is the same fail-if-exists
+    * create the manifest log's commit publish relies on; a crashed
+    * run leaves it behind — the error names the file, the operator
+    * (or the next maintenance run's wrapper) removes it after
+    * confirming no catch-up is live, and replay convergence makes
+    * the re-run safe.
+    */
+  private def withSyncLock[T](spark: SparkSession, indexPath: String)(
+      body: => T): T = {
+    val p = new Path(lockPath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"another IndexSync.catchUp holds $p (or a crashed run " +
+              "left it) — wait for it, or remove the lock file after " +
+              "confirming nothing is running; re-running is safe",
+            e)
+      }
+    try out.write(
+      s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+    try body finally fs.delete(p, false)
+  }
+
   def catchUp(
       spark: SparkSession,
       tablePath: String,
       indexPath: String,
-      prepare: DataFrame => DataFrame): Stats = {
+      prepare: DataFrame => DataFrame): Stats = withSyncLock(spark, indexPath) {
     val store = new ChunkStore(spark, tablePath,
       format = ManifestTableFormat.factory)
     val mtf = new ManifestTableFormat(spark, tablePath, store.schema)

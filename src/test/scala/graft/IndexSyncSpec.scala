@@ -111,6 +111,28 @@ class IndexSyncSpec extends SparkSpec {
     assert(served(idx, vd).exists(_.startsWith("doc://d#")))
   }
 
+  test("a held sync lock refuses a second catch-up, release admits it") {
+    val tbl = fresh("graft-isync-lock") + "/t"
+    val idx = fresh("graft-isync-lock-idx") + "/ix"
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkOf("doc://a", Seq(1f, 0f, 0f, 0f), "a"))
+    VectorIndex.buildIvfPq(prepare(store.read()), idx, "vid", "v",
+      nlist = 2, m = 2, ks = 4)
+    IndexSync.markSynced(spark, idx, 0L)
+    val lock = new org.apache.hadoop.fs.Path(idx + "/_sync_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException] {
+      IndexSync.catchUp(spark, tbl, idx, prepare)
+    }
+    assert(e.getMessage.contains("_sync_lock"))
+    fs.delete(lock, false)
+    // released: the catch-up runs (no-op span) and removes its lock
+    IndexSync.catchUp(spark, tbl, idx, prepare)
+    assert(!fs.exists(lock))
+  }
+
   test("an index synced past the table fails loudly") {
     val tbl = fresh("graft-isync-bad") + "/t"
     val idx = fresh("graft-isync-bad-idx") + "/ix"
