@@ -109,10 +109,15 @@ object IndexSync {
     * re-inserted content serves again. No-op without tombstones.
     */
   private def revive(
-      spark: SparkSession, indexPath: String, ids: DataFrame): Unit = {
-    val tomb = new Path(VectorIndex.tombPath(indexPath))
+      spark: SparkSession, indexPath: String, ids: DataFrame): Unit =
+    reviveSidecar(spark, VectorIndex.tombPath(indexPath), ids)
+
+  /** Returns false when there was no tombstone sidecar to rewrite. */
+  private def reviveSidecar(
+      spark: SparkSession, tombDir: String, ids: DataFrame): Boolean = {
+    val tomb = new Path(tombDir)
     val fs = tomb.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tomb)) return
+    if (!fs.exists(tomb)) return false
     val current = spark.read.parquet(tomb.toString)
     // keep the sidecar's OWN column name and type: the rewrite must
     // stay schema-identical to what VectorIndex.delete appends later,
@@ -129,6 +134,7 @@ object IndexSync {
       java.util.UUID.randomUUID())
     survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     StagedSwap.swap(fs, tomb, tmp)
+    true
   }
 
   /** Ids already physically present in the index, probed only in the
@@ -202,11 +208,10 @@ object IndexSync {
     try body finally fs.delete(p, false)
   }
 
-  def catchUp(
-      spark: SparkSession,
-      tablePath: String,
-      indexPath: String,
-      prepare: DataFrame => DataFrame): Stats = withSyncLock(spark, indexPath) {
+  /** The manifest handle + the span to apply; None = already at head. */
+  private def spanOf(
+      spark: SparkSession, tablePath: String, indexPath: String)
+      : (ManifestTableFormat, Long, Long) = {
     val store = new ChunkStore(spark, tablePath,
       format = ManifestTableFormat.factory)
     val mtf = new ManifestTableFormat(spark, tablePath, store.schema)
@@ -215,6 +220,15 @@ object IndexSync {
     require(head >= from,
       s"index at $indexPath is synced past the table ($from > $head) — " +
         "wrong table, or the table's log was replaced")
+    (mtf, from, head)
+  }
+
+  def catchUp(
+      spark: SparkSession,
+      tablePath: String,
+      indexPath: String,
+      prepare: DataFrame => DataFrame): Stats = withSyncLock(spark, indexPath) {
+    val (mtf, from, head) = spanOf(spark, tablePath, indexPath)
     if (head == from) return Stats(from, head, 0L, 0L)
     val meta = VectorIndex.loadAny(spark, indexPath)
     val delta = mtf.changesBetween(from, head).persist()
@@ -247,6 +261,94 @@ object IndexSync {
           try {
             val n = fresh.count()
             if (n > 0) VectorIndex.append(fresh, indexPath)
+            n
+          } finally fresh.unpersist()
+        markSynced(spark, indexPath, head)
+        Stats(from, head, nFresh, nDead)
+      } finally ins.unpersist()
+    } finally delta.unpersist()
+  }
+
+  /** The chunk-schema text prepare: content-addressed id over
+    * (document_url, chunk_id, chunk_text), text = chunk_text, under
+    * the text index's stamped id column plus a `text` column.
+    */
+  def chunkTextPrepare(
+      spark: SparkSession, indexPath: String): DataFrame => DataFrame = {
+    val meta = TextIndex.load(spark, indexPath)
+    rows => rows.select(
+      contentAddressedId(
+        Seq(col("document_url"), col("chunk_id")),
+        Seq(col("chunk_text"))).as(meta.idCol),
+      col("chunk_text").as("text"))
+  }
+
+  /** [[catchUp]]'s twin for the BM25 text index ([[TextIndex]]):
+    * advance the index at `indexPath` to the table head off the
+    * change feed. `prepare` maps changed table rows to
+    * (stamped id column, `text`) — ids content-addressed, as in
+    * [[catchUp]]. Same revive → tombstone → existence-anti-join →
+    * append algebra; differences owed to the text index's design:
+    *  - the existence probe is the NARROW `doclen` table (one tiny
+    *    row per document — the flat-index trade, no partition
+    *    geometry to prune by);
+    *  - after a revive rewrite the stamped corpus stats (docCount,
+    *    sumDl — the BM25 normalizers) are re-derived with the text
+    *    index's own self-healing recount ([[TextIndex.delete]] with
+    *    an empty id set recounts doclen minus tombstones).
+    * Crash window, stated honestly: a crash INSIDE one append (after
+    * postings, before doclen) duplicates that batch's postings on
+    * replay until a rebuild — the doclen row is the existence
+    * anchor and lands last. The lock + version-record ordering make
+    * every other interleaving convergent.
+    */
+  def catchUpText(
+      spark: SparkSession,
+      tablePath: String,
+      indexPath: String,
+      prepare: DataFrame => DataFrame): Stats = withSyncLock(spark, indexPath) {
+    val (mtf, from, head) = spanOf(spark, tablePath, indexPath)
+    if (head == from) return Stats(from, head, 0L, 0L)
+    val meta = TextIndex.load(spark, indexPath)
+    val delta = mtf.changesBetween(from, head).persist()
+    try {
+      val ins = prepare(
+        delta.filter(col("_change_type") === "insert")
+          .drop("_change_type"))
+        .select(col(meta.idCol), col("text")).persist()
+      val dels = prepare(
+        delta.filter(col("_change_type") === "delete")
+          .drop("_change_type"))
+        .select(col(meta.idCol))
+      try {
+        val revived = reviveSidecar(spark,
+          TextIndex.tombPath(indexPath), ins.select(meta.idCol))
+        // recount the stamped BM25 stats against the revived
+        // tombstone set (empty-id delete = the index's own recount)
+        if (revived) TextIndex.delete(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(meta.idCol,
+                org.apache.spark.sql.types.StringType)))),
+          indexPath)
+        val dead = dels.join(ins.select(meta.idCol).distinct(),
+          Seq(meta.idCol), "left_anti").persist()
+        val nDead =
+          try {
+            val n = dead.count()
+            if (n > 0) TextIndex.delete(dead, indexPath)
+            n
+          } finally dead.unpersist()
+        val existing = spark.read
+          .parquet(TextIndex.doclenPath(indexPath))
+          .select(col("doc_id").as(meta.idCol)).distinct()
+        val fresh = ins.join(existing, Seq(meta.idCol), "left_anti")
+          .persist()
+        val nFresh =
+          try {
+            val n = fresh.count()
+            if (n > 0) TextIndex.append(fresh, indexPath, "text")
             n
           } finally fresh.unpersist()
         markSynced(spark, indexPath, head)

@@ -54,8 +54,8 @@ object TextIndex {
     def avgdl: Double = sumDl / docCount
   }
 
-  private def postingsPath(path: String) = s"$path/postings"
-  private def doclenPath(path: String) = s"$path/doclen"
+  private[ops] def postingsPath(path: String) = s"$path/postings"
+  private[ops] def doclenPath(path: String) = s"$path/doclen"
 
   /** Driver-side twin of the build's `pmod(hash(term), nb)` column. */
   private[graft] def termBucket(term: String, nb: Int): Int = {
@@ -131,7 +131,7 @@ object TextIndex {
   // delete-consistent by construction).
   // ---------------------------------------------------------------
 
-  private def tombPath(path: String) = s"$path/tombstones"
+  private[ops] def tombPath(path: String) = s"$path/tombstones"
 
   /** Mark documents as deleted. Two effects, both O(ids) + one NARROW
     * doclen scan:

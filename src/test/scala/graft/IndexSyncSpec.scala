@@ -111,6 +111,64 @@ class IndexSyncSpec extends SparkSpec {
     assert(served(idx, vd).exists(_.startsWith("doc://d#")))
   }
 
+  test("text index follows the table: upsert, delete, revive, replay") {
+    import graft.ops.TextIndex
+    val tbl = fresh("graft-tsync-tbl") + "/t"
+    val idx = fresh("graft-tsync-idx") + "/ix"
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, tbl, store.schema)
+    def doc(url: String, text: String) =
+      chunkOf(url, Seq(1f, 0f, 0f, 0f), text)
+    store.upsert(doc("doc://a", "apples and oranges"))
+    store.upsert(doc("doc://b", "bananas and apples"))
+    val tprep = (rows: DataFrame) => rows.select(
+      graft.ops.IndexSync.contentAddressedId(
+        Seq(col("document_url"), col("chunk_id")),
+        Seq(col("chunk_text"))).as("tid"),
+      col("chunk_text").as("text"))
+    TextIndex.build(tprep(store.read()), idx, "tid", "text")
+    IndexSync.markSynced(spark, idx, mtf.version)
+
+    def hits(term: String): Seq[String] =
+      TextIndex.query(spark, idx, Seq(term), k = 10)
+        .select("doc_id").collect().map(_.getString(0)).toSeq
+
+    // churn: new doc, rewritten a, deleted b
+    store.upsert(doc("doc://c", "cherries everywhere"))
+    store.upsert(doc("doc://a", "apples replaced by pears"))
+    store.delete(Seq("doc://b"))
+    val s1 = IndexSync.catchUpText(spark, tbl, idx, tprep)
+    assert(s1.appended == 2L && s1.tombstoned == 2L, s1)
+    assert(hits("cherries").exists(_.startsWith("doc://c#")))
+    assert(hits("pears").exists(_.startsWith("doc://a#")))
+    assert(!hits("oranges").exists(_.startsWith("doc://a#")))
+    assert(!hits("bananas").exists(_.startsWith("doc://b#")))
+    // stamped BM25 stats track the live corpus exactly: a(rewritten)
+    // and c live; b deleted
+    assert(TextIndex.load(spark, idx).docCount == 2.0)
+
+    // idempotent + full replay converges
+    val s2 = IndexSync.catchUpText(spark, tbl, idx, tprep)
+    assert(s2.appended == 0L && s2.tombstoned == 0L, s2)
+    IndexSync.markSynced(spark, idx, -1L)
+    val s3 = IndexSync.catchUpText(spark, tbl, idx, tprep)
+    assert(s3.appended == 0L && s3.tombstoned == 0L, s3)
+    assert(!hits("bananas").exists(_.startsWith("doc://b#")))
+
+    // delete + identical re-insert: revive unmasks, stats recount
+    store.delete(Seq("doc://c"))
+    val s4 = IndexSync.catchUpText(spark, tbl, idx, tprep)
+    assert(s4.tombstoned == 1L, s4)
+    assert(hits("cherries").isEmpty)
+    assert(TextIndex.load(spark, idx).docCount == 1.0)
+    store.upsert(doc("doc://c", "cherries everywhere"))
+    val s5 = IndexSync.catchUpText(spark, tbl, idx, tprep)
+    assert(s5.appended == 0L && s5.tombstoned == 0L, s5)
+    assert(hits("cherries").exists(_.startsWith("doc://c#")))
+    assert(TextIndex.load(spark, idx).docCount == 2.0)
+  }
+
   test("a held sync lock refuses a second catch-up, release admits it") {
     val tbl = fresh("graft-isync-lock") + "/t"
     val idx = fresh("graft-isync-lock-idx") + "/ix"
