@@ -489,6 +489,51 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("change feed reads only churn-touched files (B13)") {
+    import org.apache.spark.sql.functions.col
+    import graft.sink.{ChunkStore, ManifestTableFormat}
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-plan-cdf").toString + "/t"
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    def doc(u: String, t: String) =
+      Seq((0, t, Seq(1f, 2f), 1, u)).toDF("chunk_id", "chunk_text",
+        "embedding", "page_number", "document_url")
+    store.upsert(doc("doc://a", "a"))   // v0
+    store.upsert(doc("doc://b", "b"))   // v1
+    store.upsert(doc("doc://c", "c"))   // v2
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    // the (v1, v2] delta must open ONLY the files that commit touched
+    // (inputFiles is exact here: changesBetween plans from explicit
+    // file lists)
+    val span = mtf.changesBetween(1L, 2L)
+    val touched = span.inputFiles.toSet
+    val all = mtf.liveFiles.toSet
+    assert(touched.nonEmpty && touched.size < all.size,
+      s"delta opened ${touched.size} of ${all.size} live files")
+    // a's and b's files (untouched by v2) never open
+    val v1Files = mtf.filesAtVersion(1L).toSet
+    assert(touched.intersect(v1Files).isEmpty,
+      "delta read files live at both span ends")
+  }
+
+  test("BPE type counting is a bounded TakeOrdered, not a global sort (D26)") {
+    val docs = Tables(spark, sf(), "documents")
+    // wordTypeCounts collects, so pin the plan of the same shape
+    import org.apache.spark.sql.functions._
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+    val shaped = docs.select(explode(
+        regexp_extract_all(col("text"), lit(pat), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(1000)
+    val p = planString(shaped)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort exchange in the type-count path:\n" + p.take(2000))
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet
