@@ -11,12 +11,12 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sink.{ChunkStore, ManifestTableFormat}
@@ -291,6 +291,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
     }
 
+  /** A procedure that RETURNS rows (the Spark 4 `BoundProcedure`
+    * result-set path, via a driver-local [[LocalScan]]): operation
+    * summaries — a handful of longs — not data (data reads go through
+    * the table surface).
+    */
+  private def rowProcedure(
+      pname: String,
+      params: Seq[String],
+      descr: String,
+      resultSchema: StructType)(
+      run: Seq[String] => Array[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = descr
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def description(): String = descr
+          override def parameters(): Array[ProcedureParameter] =
+            params.map(p => ProcedureParameter
+              .in(p, org.apache.spark.sql.types.StringType).build()).toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): util.Iterator[Scan] = {
+            val out =
+              run(params.indices.map(i => input.getUTF8String(i).toString))
+            util.Collections.singletonList[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = out
+              override def readSchema(): StructType = resultSchema
+            }).iterator()
+          }
+        }
+    }
+
+  private def longsRow(vs: Long*): Array[InternalRow] = Array(
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      vs.map(v => v: Any).toArray))
+
   private lazy val procedures: Map[String, UnboundProcedure] = Seq(
     procedure("merge_into", Seq("table", "source"),
       "A17 keyed upsert: MERGE the rows of <source> (any view/table " +
@@ -316,19 +353,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "manifest log: write a full-state summary entry so replay is " +
         "O(commits since checkpoint)")(args =>
       manifestFor(args(0)).checkpoint()),
-    procedure("vacuum", Seq("table"),
+    rowProcedure("vacuum", Seq("table"),
       "manifest log: reclaim unreferenced data files and subsumed " +
-        "log entries")(args =>
-      manifestFor(args(0)).vacuum()),
-    procedure("sync_index", Seq("table", "index_path"),
+        "log entries; returns what was reclaimed",
+      StructType(Seq(
+        StructField("data_files_reclaimed", LongType, nullable = false),
+        StructField("log_entries_reclaimed", LongType, nullable = false))))(
+      args => {
+        val (nData, nLog) = manifestFor(args(0)).vacuum()
+        longsRow(nData, nLog)
+      }),
+    rowProcedure("sync_index", Seq("table", "index_path"),
       "D3i index-follows-table: advance the persistent vector index " +
         "at <index_path> to <table>'s current version by replaying " +
         "the table's change feed (content-addressed chunk ids; " +
-        "idempotent — safe to re-run)")(args => {
-      manifestFor(args(0)) // change feed needs the manifest log
-      graft.ops.IndexSync.catchUp(spark, s"$warehouse/${args(0)}",
-        args(1), graft.ops.IndexSync.chunkPrepare(spark, args(1)))
-    })
+        "idempotent — safe to re-run); returns the span and row " +
+        "counts applied",
+      StructType(Seq(
+        StructField("from_version", LongType, nullable = false),
+        StructField("to_version", LongType, nullable = false),
+        StructField("appended", LongType, nullable = false),
+        StructField("tombstoned", LongType, nullable = false))))(
+      args => {
+        manifestFor(args(0)) // change feed needs the manifest log
+        val st = graft.ops.IndexSync.catchUp(spark,
+          s"$warehouse/${args(0)}", args(1),
+          graft.ops.IndexSync.chunkPrepare(spark, args(1)))
+        longsRow(st.fromVersion, st.toVersion, st.appended, st.tombstoned)
+      })
   ).map(p => p.name() -> p).toMap
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {

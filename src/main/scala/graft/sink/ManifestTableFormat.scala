@@ -793,10 +793,13 @@ class ManifestTableFormat(
     * and older checkpoints a newer checkpoint subsumes.
     * Maintenance-cadence: a scan planned before the vacuum may still
     * want the bytes — retention is the operator's call, as with any
-    * log-structured table.
+    * log-structured table. Returns (data files reclaimed, log
+    * entries/checkpoints reclaimed) for the operator's report.
     */
-  def vacuum(): Unit = {
+  def vacuum(): (Long, Long) = {
     val f = fs
+    var nData = 0L
+    var nLog = 0L
     if (f.exists(dataDir)) {
       val live = liveNames(snapshot())
         .map(p => new Path(p).toUri.getPath).toSet
@@ -810,31 +813,37 @@ class ManifestTableFormat(
           dead += st.getPath
       }
       dead.foreach(f.delete(_, false))
+      nData = dead.size.toLong
     }
     if (f.exists(logDir)) {
       val (entries, jsonCkpts, pqCkpts) = census(f)
       val all = jsonCkpts ++ pqCkpts
       if (all.nonEmpty) {
         val ckpt = all.max
-        entries.filter(_ <= ckpt)
-          .foreach(v => f.delete(entryPath(v), false))
-        jsonCkpts.filter(_ < ckpt)
-          .foreach(v => f.delete(checkpointPath(v), false))
-        pqCkpts.filter(_ < ckpt)
-          .foreach(v => f.delete(ckptParquetPath(v), true))
+        val oldEntries = entries.filter(_ <= ckpt)
+        oldEntries.foreach(v => f.delete(entryPath(v), false))
+        val oldJson = jsonCkpts.filter(_ < ckpt)
+        oldJson.foreach(v => f.delete(checkpointPath(v), false))
+        val oldPq = pqCkpts.filter(_ < ckpt)
+        oldPq.foreach(v => f.delete(ckptParquetPath(v), true))
+        nLog += oldEntries.size + oldJson.size + oldPq.size
         // a same-version legacy JSON twin is subsumed by the parquet
         // checkpoint (identical state, heavier replay) — drop it
-        if (pqCkpts.contains(ckpt) && jsonCkpts.contains(ckpt))
+        if (pqCkpts.contains(ckpt) && jsonCkpts.contains(ckpt)) {
           f.delete(checkpointPath(ckpt), false)
+          nLog += 1
+        }
       }
       // torn parquet checkpoints (no _SUCCESS): crashed writers'
       // leftovers, never read — reclaim
-      f.listStatus(logDir).toSeq.map(_.getPath.getName)
+      val torn = f.listStatus(logDir).toSeq.map(_.getPath.getName)
         .filter(_.matches("\\d{12}\\.checkpoint\\.parquet"))
         .map(_.stripSuffix(".checkpoint.parquet").toLong)
         .filterNot(validCkptParquet(f, _))
-        .foreach(v => f.delete(ckptParquetPath(v), true))
+      torn.foreach(v => f.delete(ckptParquetPath(v), true))
+      nLog += torn.size
     }
+    (nData, nLog)
   }
 }
 

@@ -325,7 +325,12 @@ class GraftCatalogSpec extends SparkSpec
     store.upsert(chunkRows(1 to 10, "b-"))
     store.upsert(chunkRows(1 to 10, "c-"))
     spark.sql(s"CALL $cat.checkpoint('chunks')")
-    spark.sql(s"CALL $cat.vacuum('chunks')")
+    // vacuum REPORTS what it reclaimed: the three upserts left two
+    // superseded file generations + subsumed log entries
+    val reclaimed = spark.sql(s"CALL $cat.vacuum('chunks')")
+      .collect().head
+    assert(reclaimed.getLong(0) >= 2, reclaimed)  // data files
+    assert(reclaimed.getLong(1) >= 3, reclaimed)  // log entries
     // state identical after the log maintenance; rewritten files gone
     assert(store.read().count() == 10)
     assert(store.read().filter(col("chunk_text").startsWith("c-"))
@@ -409,7 +414,11 @@ class GraftCatalogSpec extends SparkSpec
     spark.sql(s"INSERT INTO $cat.chunks VALUES " +
       "(0, 'new', array(9.0F, 9.0F, 9.0F, 9.0F), 1, 'doc://new')")
     spark.sql(s"DELETE FROM $cat.chunks WHERE document_url = 'doc://5'")
-    spark.sql(s"CALL $cat.sync_index('chunks', '$idx')")
+    // the CALL returns its stats row: span (v0, v0+2], 1 append, 1 kill
+    val stats = spark.sql(s"CALL $cat.sync_index('chunks', '$idx')")
+      .collect().head
+    assert(stats.getLong(2) == 1L && stats.getLong(3) == 1L, stats)
+    assert(stats.getLong(1) == stats.getLong(0) + 2, stats)
     import spark.implicits._
     val probes = Seq(("p", Seq(9f, 9f, 9f, 9f))).toDF("vid", "v")
     val got = VectorIndex.queryIvfPq(spark, idx, probes, k = 50,
