@@ -115,6 +115,16 @@ object QualityClassifier {
       .drop(toks, chars, bi, tf1, tf2, feats, rawCol, probVec, predCol)
   }
 
+  /** Persist a trained model (spark.ml's own ML-writer format —
+    * metadata JSON + coefficient parquet), so train-once /
+    * score-everywhere works across sessions and clusters.
+    */
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): PipelineModel =
+    PipelineModel.load(path)
+
   /** The curation filter: keep documents the model scores at or above
     * `threshold` (the recipes' usual 0.5, tuned per corpus).
     */

@@ -22,6 +22,11 @@ import graft.sink.{ChunkStore, ManifestTableFormat}
   *    query starting WITHOUT a sink checkpoint. −1 streams the full
   *    current snapshot as inserts first (Delta's default), the
   *    table's current version streams deltas only from "now".
+  *  - `startingTimestamp` (epoch millis or ISO `yyyy-MM-dd HH:mm:ss`):
+  *    resolved to the newest version committed at or before it (the
+  *    `TIMESTAMP AS OF` convention — commit mtimes), then used as the
+  *    exclusive lower bound. Mutually exclusive with
+  *    `startingVersion`.
   *  - `maxVersionsPerBatch` (optional): rate limit — at most this
   *    many log versions per micro-batch (Delta's maxFilesPerTrigger
   *    analog at version granularity).
@@ -66,7 +71,18 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
       format = ManifestTableFormat.factory)
     val mtf = new ManifestTableFormat(spark, path, store.schema)
     val startingVersion =
-      parameters.get("startingVersion").map(_.toLong).getOrElse(-1L)
+      (parameters.get("startingVersion"),
+          parameters.get("startingTimestamp")) match {
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "graft-cdf: startingVersion and startingTimestamp are " +
+            "mutually exclusive")
+        case (Some(v), None) => v.toLong
+        case (None, Some(ts)) =>
+          val millis = ts.trim.toLongOption.getOrElse(
+            java.sql.Timestamp.valueOf(ts.trim).getTime)
+          mtf.versionAtTimestamp(millis)
+        case (None, None) => -1L
+      }
     val maxPerBatch = parameters.get("maxVersionsPerBatch").map(_.toLong)
     new GraftChangeFeedSource(
       sqlContext,

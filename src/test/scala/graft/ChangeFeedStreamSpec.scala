@@ -110,6 +110,24 @@ class ChangeFeedStreamSpec extends SparkSpec {
       ("doc://new2", "n2", "insert")))
   }
 
+  test("startingTimestamp resolves to the commit clock") {
+    val tbl = freshPath("graft-cdf-ts") + "/t"
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://old", "o1"))     // v0
+    Thread.sleep(1100)                            // separate commit mtimes
+    val cut = System.currentTimeMillis()
+    store.upsert(chunksOf("doc://new", "n1"))     // v1
+    val got = drain(tbl, freshPath("graft-cdf-ts-ck"), "cdf_ts",
+      Map("startingTimestamp" -> cut.toString))
+    assert(got.map(_._1) == Seq("doc://new"))
+    intercept[Exception] {
+      drain(tbl, freshPath("graft-cdf-ts-ck2"), "cdf_ts2",
+        Map("startingTimestamp" -> cut.toString,
+          "startingVersion" -> "0"))
+    }
+  }
+
   test("empty table yields no batch; a first commit then streams") {
     val tbl = freshPath("graft-cdf-empty") + "/t"
     val ckpt = freshPath("graft-cdf-empty-ck")

@@ -62,6 +62,23 @@ class QualityClassifierSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("a saved model reloads and scores identically") {
+    val data = corpus(40)
+    val model = QualityClassifier.train(data, "text", col("label"),
+      QualityClassifier.Config(numFeatures = 1 << 12, maxIter = 10))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-qc-model").toString + "/m"
+    QualityClassifier.save(model, path)
+    val reloaded = QualityClassifier.load(spark, path)
+    val a = QualityClassifier.score(data, model)
+      .select("id", "quality_prob").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = QualityClassifier.score(data, reloaded)
+      .select("id", "quality_prob").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+
   test("reserved scratch prefix refuses colliding inputs") {
     import spark.implicits._
     val bad = Seq((1L, "x", 1)).toDF("id", "text", "label")
