@@ -58,6 +58,9 @@ object GraftFunctions {
   def bpe_encode(text: Column, merges: Column): Column =
     binary(text, merges, BpeEncode)
 
+  def bow_embed(text: Column, dim: Column): Column =
+    binary(text, dim, BowEmbed)
+
   def nfc_normalize(text: Column): Column = {
     val s = activeSession
     Bridge.column(NfcNormalize(Bridge.expression(s, text)))
@@ -163,7 +166,8 @@ object GraftFunctions {
     fn("profile_scores", 3)(es => ProfileScores(es(0), es(1), es(2))),
     fn("q8_cosine_distance", 4)(
       es => Q8CosineDistance(es(0), es(1), es(2), es(3))),
-    fn("bpe_encode", 2)(es => BpeEncode(es(0), es(1))))
+    fn("bpe_encode", 2)(es => BpeEncode(es(0), es(1))),
+    fn("bow_embed", 2)(es => BowEmbed(es(0), es(1))))
 
   /** Register all graft SQL functions on the given session. Idempotent. */
   def register(spark: SparkSession): Unit =

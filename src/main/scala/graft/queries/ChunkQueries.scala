@@ -146,6 +146,53 @@ object ChunkQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), token_count(col("text")).as("tc"))
         .orderBy("doc_id")
+    },
+
+    // D27: semantic chunking. Boundary CHOICES depend on the
+    // embedding, so the gate plants sentence structure (the corpus is
+    // punctuation-free word soup: re-terminate every 6 words) and
+    // pins the operator's contract over every document: ordered
+    // reassembly is byte-lossless, no chunk exceeds the sentence
+    // budget, chunk numbering is dense from 0, and every document
+    // survives. SemanticChunkerSpec pins the boundary placement
+    // itself on planted two-topic text.
+    "d27_semantic_chunks" -> QueryDef(
+      """SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+        |         AS n_docs,
+        |       TRUE AS lossless_ok, TRUE AS budget_ok,
+        |       TRUE AS dense_ok""".stripMargin) { (s, dir) =>
+      import graft.chunk.SemanticChunker
+      val sentenced = Tables(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ", transform(
+          // groups of 6 words -> planted sentences ending in "."
+          filter(transform(
+            sequence(lit(0),
+              ((size(split(col("text"), " ")) - 1) / 6).cast("int")),
+            g => concat_ws(" ", slice(split(col("text"), " "),
+              g * 6 + 1, lit(6)))),
+            p => length(p) > 0),
+          p => concat(p, lit(".")))).as("text"))
+      val chunks = SemanticChunker.chunk(sentenced, "doc_id", "text",
+        maxDistance = 0.7, maxSentences = 4)
+      val per = chunks.groupBy("doc_id").agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(
+            col("chunk_number"), col("chunk_text")))),
+          c => c.getField("chunk_text"))).as("rebuilt"),
+        max("n_sentences").as("max_n"),
+        (max("chunk_number") === count(lit(1)) - 1 &&
+          min("chunk_number") === 0).as("dense"))
+      val checks = sentenced.join(per, Seq("doc_id")).agg(
+        count(lit(1)).as("n_docs"),
+        min((col("rebuilt") === col("text")).cast("int")).as("lossless"),
+        max("max_n").as("worst_n"),
+        min(col("dense").cast("int")).as("dense_min"))
+        .collect().head
+      import s.implicits._
+      Seq((checks.getLong(0), checks.getInt(1) == 1,
+          checks.getInt(2) <= 4, checks.getInt(3) == 1))
+        .toDF("n_docs", "lossless_ok", "budget_ok", "dense_ok")
     }
   )
 }
