@@ -68,6 +68,59 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(state(dst) == Set(("doc://a", 0, "A1V2")))
   }
 
+  test("derived semantic-chunk table follows a documents table " +
+      "(the reference pipeline, incremental)") {
+    import graft.chunk.SemanticChunker
+    import graft.functions.GraftFunctions.bow_embed
+    val srcPath = fresh("graft-sync-rechunk-src") + "/t"
+    val dstPath = fresh("graft-sync-rechunk-dst") + "/t"
+    val ckpt = fresh("graft-sync-rechunk-ck")
+    val src = new ChunkStore(spark, srcPath,
+      format = ManifestTableFormat.factory)
+    val dst = new ChunkStore(spark, dstPath,
+      format = ManifestTableFormat.factory)
+    // whole documents ride the source table as single-chunk rows;
+    // the DERIVED table holds their semantic chunks + embeddings —
+    // the reference's extract->chunk->embed->upsert dataflow as an
+    // incremental consumer of the change feed
+    val rechunk = (docs: DataFrame) =>
+      SemanticChunker.chunk(
+        docs.select(col("document_url"), col("chunk_text")),
+        "document_url", "chunk_text",
+        maxDistance = 0.6, maxSentences = 4)
+        .select(col("chunk_number").as("chunk_id"),
+          col("chunk_text"),
+          bow_embed(col("chunk_text"), lit(8)).as("embedding"),
+          lit(1).as("page_number"), col("document_url"))
+
+    src.upsert(chunksOf("doc://a",
+      "Spark shuffles partition data. Spark shuffles partition " +
+        "codegen. Cats purr milk whiskers. Cats purr milk bowls."))
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, rechunk)
+    val chunks1 = dst.read()
+      .select("document_url", "chunk_id", "chunk_text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(chunks1.length == 2, chunks1.mkString("\n"))
+    assert(chunks1.exists(c => c._3.startsWith("Spark")) &&
+      chunks1.exists(c => c._3.startsWith("Cats")))
+    // embeddings landed alongside
+    assert(dst.read().select("embedding").collect()
+      .forall(_.getSeq[Float](0).length == 8))
+
+    // rewriting the document re-chunks it wholesale in the replica
+    src.upsert(chunksOf("doc://a", "Only one topic now."))
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, rechunk)
+    val chunks2 = dst.read()
+      .select("chunk_id", "chunk_text").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(chunks2.toSeq == Seq((0, "Only one topic now.")))
+
+    // deleting the document empties the derived table
+    src.delete(Seq("doc://a"))
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, rechunk)
+    assert(dst.read().count() == 0)
+  }
+
   test("transform must keep the sync key") {
     val srcPath = fresh("graft-sync-key") + "/t"
     val src = new ChunkStore(spark, srcPath,
