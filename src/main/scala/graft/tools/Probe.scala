@@ -45,6 +45,36 @@ object Probe {
     SparkEntry.all("b2_vector_topk").fn(spark, "/root/testdata/sf0.001")
       .explain("formatted")
 
+    println("== round-7 kernels through SQL ==")
+    Tables(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id,
+        |       size(bpe_encode(text, '')) n_raw,
+        |       round(cosine_distance(bow_embed(text, 16),
+        |                             bow_embed(text, 16)), 6) self_d
+        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin)
+      .show(truncate = false)
+
+    println("== graft-cdf streaming source smoke ==")
+    locally {
+      import graft.sink.{ChunkStore, ManifestTableFormat}
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-probe-cdf").toString + "/t"
+      new ChunkStore(spark, dir, format = ManifestTableFormat.factory)
+        .upsert(Seq((0, "probe", Seq(1f, 2f), 1, "doc://p"))
+          .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+            "document_url"))
+      val q = spark.readStream.format("graft-cdf").option("path", dir)
+        .load()
+        .writeStream.format("memory").queryName("probe_cdf")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println("cdf rows: " + spark.table("probe_cdf").count())
+    }
+
     spark.stop()
   }
 }
