@@ -154,15 +154,21 @@ object IndexSync {
           .distinct().collect().map(_.getInt(0)).toIndexedSeq
         data.filter(col("cell").isin(cells: _*)).select(idName)
       case "lsh" =>
-        // bucket set of the batch is (numTables × batch) bounded; the
-        // id can live in any of its band buckets — probe them all
+        // the batch's band buckets, capped: distinct buckets are
+        // bounded by min(numTables × batch, numTables × 2^numPlanes),
+        // but a massive catch-up batch could still blow the driver
+        // list / the literal OR-filter — past the cap, the flat
+        // id-column scan is the cheaper plan anyway
+        val maxBucketLiterals = 4096
         val buckets = ins
           .select(posexplode(Similarity.lshTableBuckets(col(meta.vecCol),
             meta.dim, meta.numPlanes, meta.seed, meta.numTables))
             .as(Seq("tbl", "bucket")))
-          .select("tbl", "bucket").distinct().collect()
+          .select("tbl", "bucket").distinct()
+          .limit(maxBucketLiterals + 1).collect()
           .map(r => (r.getInt(0), r.getLong(1))).toIndexedSeq
-        data.filter(
+        if (buckets.size > maxBucketLiterals) data.select(idName)
+        else data.filter(
             buckets.map { case (t, b) =>
               col("tbl") === t && col("bucket") === b
             }.reduceOption(_ || _).getOrElse(lit(false)))
