@@ -11,12 +11,33 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BowOps {
 
+  /** Vocabulary-bounded memo of word vectors: natural-language word
+    * frequencies are Zipfian, so almost every lookup after warmup is
+    * a hit and the MD5 + PRNG cost is paid once per word TYPE per
+    * executor, not per occurrence. Keyed by (word, dim); cleared
+    * wholesale at the bound (vectors are cheap to rebuild — the bound
+    * guards an adversarial unbounded-vocabulary stream).
+    */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Double]]()
+  private val maxMemo = 1 << 16
+
   /** One word's deterministic unit vector: MD5 of the lowercased word
     * seeds the JDK PRNG (LCG + nextGaussian are specified by the JDK
     * docs — cross-JVM stable, the [[graft.embed.DeterministicEmbedder]]
     * recipe applied per WORD).
     */
   private def wordVec(word: String, dim: Int): Array[Double] = {
+    val key = (word, dim)
+    val hit = memo.get(key)
+    if (hit != null) return hit
+    val v = computeWordVec(word, dim)
+    if (memo.size >= maxMemo) memo.clear()
+    memo.put(key, v)
+    v
+  }
+
+  private def computeWordVec(word: String, dim: Int): Array[Double] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(word.getBytes("UTF-8"))
     var h = 0L

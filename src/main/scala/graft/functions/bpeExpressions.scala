@@ -12,10 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * The merge table arrives as ONE serialized string literal: pairs
   * joined by U+001F within and U+001E between (`ops.BpeTrainer`
   * guarantees no symbol contains either separator — it refuses to
-  * merge word types that do). The compiled rank map is memoized on
-  * the literal so the per-row path never re-parses: every row of a
-  * stage shares the same literal object, and a changed model (new
-  * literal) swaps the cache.
+  * merge word types that do). Compiled rank maps are memoized in a
+  * small bounded cache keyed by the literal, so the per-row path
+  * never re-parses even when several distinct models run
+  * concurrently in one executor.
   */
 object BpeOps {
 
@@ -47,14 +47,24 @@ object BpeOps {
     }
   }
 
-  @volatile private var cached: (UTF8String, Model) = _
+  /** Bounded model memo: a handful of DISTINCT merge tables can be
+    * live at once (two encode calls in one stage, concurrent jobs) —
+    * a single-entry cache would thrash into per-row re-parsing. Keyed
+    * by the literal's string; cleared wholesale at the bound (models
+    * are cheap to rebuild, the bound only guards a pathological
+    * many-models job).
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  private val maxCachedModels = 8
 
   private def modelFor(merges: UTF8String): Model = {
-    val c = cached
-    if (c != null && c._1.equals(merges)) return c._2
+    val key = merges.toString
+    val hit = cache.get(key)
+    if (hit != null) return hit
     val ranks =
       new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
-    val s = merges.toString
+    val s = key
     if (s.nonEmpty) {
       var rank = 0
       s.split(mergeSep.toString, -1).foreach { pair =>
@@ -68,7 +78,8 @@ object BpeOps {
       }
     }
     val m = new Model(ranks)
-    cached = (merges.clone(), m)
+    if (cache.size >= maxCachedModels) cache.clear()
+    cache.put(key, m)
     m
   }
 
