@@ -380,6 +380,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"$warehouse/${args(0)}", args(1),
           graft.ops.IndexSync.chunkPrepare(spark, args(1)))
         longsRow(st.fromVersion, st.toVersion, st.appended, st.tombstoned)
+      }),
+    rowProcedure("sync_text_index", Seq("table", "index_path"),
+      "D3i's text twin: advance the persistent BM25 text index at " +
+        "<index_path> to <table>'s current version off the change " +
+        "feed (content-addressed chunk ids; idempotent); returns the " +
+        "span and row counts applied",
+      StructType(Seq(
+        StructField("from_version", LongType, nullable = false),
+        StructField("to_version", LongType, nullable = false),
+        StructField("appended", LongType, nullable = false),
+        StructField("tombstoned", LongType, nullable = false))))(
+      args => {
+        manifestFor(args(0))
+        val st = graft.ops.IndexSync.catchUpText(spark,
+          s"$warehouse/${args(0)}", args(1),
+          graft.ops.IndexSync.chunkTextPrepare(spark, args(1)))
+        longsRow(st.fromVersion, st.toVersion, st.appended, st.tombstoned)
       })
   ).map(p => p.name() -> p).toMap
 

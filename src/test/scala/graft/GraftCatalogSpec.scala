@@ -430,4 +430,30 @@ class GraftCatalogSpec extends SparkSpec
     spark.sql(s"CALL $cat.sync_index('chunks', '$idx')")
     assert(IndexSync.lastSynced(spark, idx) == mtf.version)
   }
+
+  test("CALL sync_text_index advances a text index to the table head") {
+    import graft.ops.{IndexSync, TextIndex}
+    val (cat, wh) = freshCatalog()
+    val idx = Files.createTempDirectory("graft-cat-tsync-idx").toString + "/ix"
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 20, "apples-"))
+    val mtf = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    TextIndex.build(
+      store.read().select(
+        IndexSync.contentAddressedId(
+          Seq(col("document_url"), col("chunk_id")),
+          Seq(col("chunk_text"))).as("tid"),
+        col("chunk_text").as("text")),
+      idx, "tid", "text")
+    IndexSync.markSynced(spark, idx, mtf.version)
+    spark.sql(s"INSERT INTO $cat.chunks VALUES " +
+      "(0, 'bananas everywhere', array(1.0F, 2.0F), 1, 'doc://nb')")
+    val stats = spark.sql(s"CALL $cat.sync_text_index('chunks', '$idx')")
+      .collect().head
+    assert(stats.getLong(2) == 1L && stats.getLong(3) == 0L, stats)
+    val hits = TextIndex.query(spark, idx, Seq("bananas"), k = 5)
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(hits.exists(_.startsWith("doc://nb#")), hits)
+  }
 }
