@@ -32,6 +32,48 @@ class ChangeFeedFuzzSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
       .sorted
 
+  test("sync fuzz: a replica equals the transformed source after any op sequence") {
+    import graft.pipeline.ChangeFeedSync
+    val srcPath = Files.createTempDirectory("graft-sync-fuzz-src")
+      .toString + "/t"
+    val dstPath = Files.createTempDirectory("graft-sync-fuzz-dst")
+      .toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-sync-fuzz-ck").toString
+    val src = new ChunkStore(spark, srcPath,
+      format = ManifestTableFormat.factory)
+    val dst = new ChunkStore(spark, dstPath,
+      format = ManifestTableFormat.factory)
+    val upperText = (df: DataFrame) =>
+      df.withColumn("chunk_text",
+        org.apache.spark.sql.functions.upper(col("chunk_text")))
+    val rnd = new scala.util.Random(7)
+    val live = scala.collection.mutable.ArrayBuffer.empty[String]
+    var gen = 0
+    (0 until 18).foreach { step =>
+      gen += 1
+      rnd.nextInt(5) match {
+        case 0 | 1 =>
+          val url = s"doc://sf$gen"
+          src.upsert(chunksOf(url, s"g$gen-a", s"g$gen-b"))
+          live += url
+        case 2 if live.nonEmpty =>
+          src.upsert(chunksOf(live(rnd.nextInt(live.size)), s"g$gen-rw"))
+        case 3 if live.nonEmpty =>
+          src.delete(Seq(live.remove(rnd.nextInt(live.size))))
+        case _ => src.compact()
+      }
+      // sync at random points (including twice in a row sometimes)
+      if (rnd.nextInt(3) == 0)
+        ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, upperText)
+    }
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, upperText)
+    val expected = rowsOf(upperText(src.read()))
+    assert(rowsOf(dst.read()) == expected)
+    // one more drain is a no-op
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, upperText)
+    assert(rowsOf(dst.read()) == expected)
+  }
+
   test("delta between any two versions reconstructs the later state") {
     val path = Files.createTempDirectory("graft-cdf-fuzz").toString + "/t"
     val store = new ChunkStore(spark, path,

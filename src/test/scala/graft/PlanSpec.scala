@@ -534,6 +534,26 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "global sort exchange in the type-count path:\n" + p.take(2000))
   }
 
+  test("semantic chunking is two doc-keyed exchanges, kernels in codegen (D27)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val docs = Seq((1L, "One sentence here. Another sentence there."))
+      .toDF("doc_id", "text")
+    val out = graft.chunk.SemanticChunker.chunk(docs, "doc_id", "text")
+    out.collect() // materialize so AQE finalizes the plan
+    val shuffles = collectWithSubqueries(out.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 2,
+      s"${shuffles.size} exchanges in the semantic-chunk plan")
+    // both exchanges are doc-keyed (never a global repartition)
+    shuffles.foreach { e =>
+      assert(e.outputPartitioning.toString.contains("doc_id"),
+        e.outputPartitioning.toString)
+    }
+  }
+
   test("point lookup pushes the key filter to the scan (B5)") {
     // partition-level pruning on the chunk store is covered in
     // PipelineSpec; here: the key predicate must reach the parquet
