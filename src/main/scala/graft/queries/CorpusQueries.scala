@@ -540,6 +540,36 @@ object CorpusQueries {
           stats.getLong(2) < stats.getLong(3),
           BpeTrainer.BpeModel.parse(model.serialized) == model))
         .toDF("n_merges", "n_docs", "lossless_ok", "compress_ok", "wire_ok")
+    },
+
+    // D28: fuzzy string join (edit distance <= 1) over the corpus
+    // vocabulary — deletion-neighborhood (FastSS) blocking + exact
+    // levenshtein verify, hash-checked pair-for-pair against DuckDB's
+    // brute-force quadratic formulation (both engines ship the same
+    // levenshtein). The blocked plan touches only neighborhood
+    // collisions; the oracle proves it loses and invents nothing.
+    "d28_fuzzy_join" -> QueryDef(
+      """WITH base AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS w
+        |              FROM documents),
+        |f AS (SELECT w FROM (
+        |        SELECT w FROM base
+        |        UNION SELECT substring(w, 2) FROM base)
+        |      WHERE LENGTH(w) >= 4)
+        |SELECT a.w AS w1, b.w AS w2,
+        |       CAST(levenshtein(a.w, b.w) AS INT) AS dist
+        |FROM f a JOIN f b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+        |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      // planted typo twins: each word's first-char-dropped variant is
+      // exactly one deletion away, so real pairs exist at every SF
+      val words = base
+        .unionByName(base.select(expr("substring(w, 2)").as("w")))
+        .filter(length(col("w")) >= 4).distinct()
+        .withColumn("id", col("w"))
+      graft.ops.FuzzyJoin.similarPairs(words, "id", "w", maxDist = 1)
+        .select(col("s1").as("w1"), col("s2").as("w2"), col("dist"))
+        .orderBy("w1", "w2")
     }
   )
 }
