@@ -82,12 +82,15 @@ final class JdkDocTransport(
   * token-refresh quirk retry; everything else is fatal,
   * BlobTriggerFunction.cs:129-156).
   *
-  * The TOTAL retry budget is BOUNDED BELOW the host envelope: the
-  * reference's own loop (100 × 10 s) exceeds its 10-minute function
-  * timeout (SURVEY §6 names this as a reference bug we do not
-  * reproduce); the defaults here cap retry sleep at 30 × 10 s = 300 s
-  * and polling at 300 × 1 s = 300 s — either path alone stays inside
-  * a 10-minute task budget.
+  * The TOTAL budget is a WALL-CLOCK DEADLINE enforced across the
+  * whole extract() call — submit retries, polls, poll retries, and
+  * the transport's own blocking time all count against it, so no
+  * composition of per-path bounds can exceed it (the reference's own
+  * loop, 100 × 10 s against a 10-minute function timeout, is the bug
+  * SURVEY §6 names; per-path caps alone still compose past the
+  * envelope, which is why the deadline is global). The per-path
+  * bounds (`maxRetries`, `maxPolls`) remain as fast-fail signals for
+  * a service that is answering but stuck.
   */
 final case class HttpExtractorConfig(
     endpoint: String,
@@ -96,7 +99,8 @@ final case class HttpExtractorConfig(
     maxRetries: Int = 30,
     retryDelayMillis: Long = 10000L,
     pollIntervalMillis: Long = 1000L,
-    maxPolls: Int = 300)
+    maxPolls: Int = 300,
+    deadlineMillis: Long = 480000L)
 
 /** Raised for retryable analyze-service failures (the extractor twin
   * of `RetryableEmbeddingException`).
@@ -154,6 +158,13 @@ final class HttpExtractor(
       cfg.apiKey.map(k => "api-key" -> k)
 
   private def analyze(path: String, content: Array[Byte]): Extracted = {
+    val deadline = System.currentTimeMillis() + cfg.deadlineMillis
+    def checkDeadline(stage: String): Unit =
+      if (System.currentTimeMillis() >= deadline)
+        throw new RetryableExtractionException(
+          s"analyze for $path exceeded the ${cfg.deadlineMillis} ms " +
+            s"wall-clock deadline at $stage — the global budget no " +
+            "retry/poll composition may pass")
     var retries = 0
     def retryOr(status: Int, stage: String)(fatal: => Nothing): Unit =
       if (cfg.retryableStatuses(status)) {
@@ -162,6 +173,7 @@ final class HttpExtractor(
           throw new RetryableExtractionException(
             s"analyze service still returning $status at $stage after " +
               s"${cfg.maxRetries} retries for $path")
+        checkDeadline(stage)
         sleep(cfg.retryDelayMillis)
       } else fatal
 
@@ -190,7 +202,7 @@ final class HttpExtractor(
         headers - "Content-Type")
       r.status match {
         case 200 =>
-          val root = new ObjectMapper().readTree(r.body)
+          val root = mapper.readTree(r.body)
           root.path("status").asText("") match {
             case "succeeded" => return parseResult(r.body, path)
             case "failed" => throw new java.io.IOException(
@@ -200,6 +212,7 @@ final class HttpExtractor(
               if (polls > cfg.maxPolls) throw new java.io.IOException(
                 s"analyze operation still running after ${cfg.maxPolls} " +
                   s"polls for $path — exceeds the bounded budget")
+              checkDeadline("poll")
               sleep(cfg.pollIntervalMillis)
           }
         case s => retryOr(s, "poll")(throw new java.io.IOException(
@@ -210,16 +223,20 @@ final class HttpExtractor(
     throw new IllegalStateException("unreachable")
   }
 
+  // one mapper per client: construction is Jackson's most expensive
+  // operation and it is thread-safe after configuration; transient
+  // because ObjectMapper is not serializable (rebuilt per executor)
+  @transient private lazy val mapper = new ObjectMapper()
+
   private def requestJson(content: Array[Byte]): Array[Byte] = {
-    val m = new ObjectMapper()
-    val root = m.createObjectNode()
+    val root = mapper.createObjectNode()
     root.put("base64Source",
       java.util.Base64.getEncoder.encodeToString(content))
-    m.writeValueAsString(root).getBytes(UTF_8)
+    mapper.writeValueAsString(root).getBytes(UTF_8)
   }
 
   private def parseResult(body: String, path: String): Extracted = {
-    val root = new ObjectMapper().readTree(body)
+    val root = mapper.readTree(body)
     val ar = root.path("analyzeResult")
     require(!ar.isMissingNode,
       s"analyze response for $path has no analyzeResult: ${body.take(200)}")

@@ -43,8 +43,13 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
-  /** Feature/trainer knobs. `numFeatures` is PER CHANNEL (unigram and
-    * bigram channels concatenate to 2 × numFeatures total width).
+  /** Feature/trainer knobs. `numFeatures` is PER CHANNEL (the word-
+    * unigram and CHAR-TRIGRAM channels concatenate to 2 × numFeatures
+    * total width — char trigrams, not word bigrams: they carry the
+    * signal across vocabulary shift, the fix BENCH_NOTES round 7
+    * credits for 0.77 → 1.0 held-out accuracy; collision behavior at
+    * a given width is char-trigram-shaped, ~50k distinct grams for
+    * ASCII-ish text).
     */
   final case class Config(
       numFeatures: Int = 1 << 18,

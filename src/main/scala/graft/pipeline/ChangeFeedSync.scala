@@ -21,7 +21,9 @@ import graft.sink.ChunkStore
   *  - documents with INSERT rows in the batch upsert their
   *    TRANSFORMED rows into the target (A17 merge — whole-document
   *    replace, so the delete half of an upsert pair needs no separate
-  *    handling);
+  *    handling); a document the transform FILTERS OUT entirely is
+  *    deleted from the target instead (a rewrite that newly fails a
+  *    filtering projection must evict the old version);
   *  - documents with ONLY delete rows propagate as whole-document
   *    deletes (A20), url-keyed, pushed down as a FRAME (never a
   *    driver url set).
@@ -97,11 +99,22 @@ object ChangeFeedSync {
         .join(insertedUrls, Seq("document_url"), "left_anti")
       if (!deleteOnly.isEmpty) target.delete(deleteOnly)
       if (!inserts.isEmpty) {
-        val out = transform(inserts)
-        require(out.columns.contains("document_url"),
-          "ChangeFeedSync transform must preserve document_url " +
-            "(the sync key) — produced: " + out.columns.mkString(", "))
-        target.upsert(out)
+        val out = transform(inserts).persist()
+        try {
+          require(out.columns.contains("document_url"),
+            "ChangeFeedSync transform must preserve document_url " +
+              "(the sync key) — produced: " + out.columns.mkString(", "))
+          // a FILTERING transform can drop a changed document
+          // entirely — its stale rows must leave the target too, or
+          // a rewrite that newly fails the filter would serve the old
+          // version forever (delete of a never-synced document is a
+          // no-op, so this stays idempotent)
+          val vanished = insertedUrls.join(
+            out.select("document_url").distinct(),
+            Seq("document_url"), "left_anti")
+          if (!vanished.isEmpty) target.delete(vanished)
+          if (!out.isEmpty) target.upsert(out)
+        } finally out.unpersist()
       }
     } finally pinned.unpersist()
   }

@@ -74,7 +74,14 @@ import graft.ops.Layout
   * synthesized on parse; same bit walk) — the next checkpoint
   * re-records everything in the current protocol; an unrecognized
   * line fails with an explicit protocol message, never a half-read
-  * table.
+  * table. The upgrade is ONE-WAY: compatibility guards live in THIS
+  * reader (new code reads v1 logs), but a v1-era binary knows no
+  * protocol file to check, so after a parquet checkpoint + vacuum
+  * prunes the entries a v1 reader would have replayed, that old
+  * binary reconstructs a tail-only state with no error — do not point
+  * pre-parquet-checkpoint engine builds at a vacuumed current log
+  * (the same operational contract as raising a Delta table's
+  * reader version).
   *
   * Use with the per-document-free layout only (`buckets = None` and
   * this format — the log supersedes hive partitioning):
@@ -370,12 +377,22 @@ class ManifestTableFormat(
     if (f.exists(checkpointPath(snap.version)) ||
         validCkptParquet(f, snap.version)) return
     val target = ckptParquetPath(snap.version)
+    // a TORN target (no _SUCCESS — a crashed or non-atomic publish)
+    // is never read; without this, every later checkpoint() at this
+    // version silently no-ops and replay stays O(entire log) until a
+    // vacuum happens to run — reclaim it here instead
+    if (f.exists(target) && !validCkptParquet(f, snap.version))
+      f.delete(target, true)
     val tmp = new Path(logDir, s"tmp-ckpt-${java.util.UUID.randomUUID()}")
     // files-count rows of KB-scale stats: one output file is right at
     // any table size the log itself can reach
-    statsFrame(snap).coalesce(1).write.parquet(tmp.toString)
-    if (!(!f.exists(target) && f.rename(tmp, target)))
-      f.delete(tmp, true)
+    try {
+      statsFrame(snap).coalesce(1).write.parquet(tmp.toString)
+      if (!(!f.exists(target) && f.rename(tmp, target)))
+        f.delete(tmp, true)
+    } catch {
+      case e: Throwable => f.delete(tmp, true); throw e
+    }
   }
 
   /** Stage `actions` as version `base.version + 1` and rename into
@@ -842,6 +859,16 @@ class ManifestTableFormat(
         .filterNot(validCkptParquet(f, _))
       torn.foreach(v => f.delete(ckptParquetPath(v), true))
       nLog += torn.size
+      // stale commit/checkpoint staging leftovers (hard-killed
+      // writers): never referenced, reclaimed only once provably
+      // stale — the mtime guard keeps a LIVE writer's staging safe
+      val staleMs = 60L * 60 * 1000
+      val now = System.currentTimeMillis()
+      val strays = f.listStatus(logDir).toSeq
+        .filter(st => st.getPath.getName.startsWith("tmp-") &&
+          now - st.getModificationTime > staleMs)
+      strays.foreach(st => f.delete(st.getPath, true))
+      nLog += strays.size
     }
     (nData, nLog)
   }

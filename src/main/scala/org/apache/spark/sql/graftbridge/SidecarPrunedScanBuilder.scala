@@ -75,40 +75,65 @@ class SidecarPrunedScanBuilder(
     case other => Seq(other)
   }
 
-  private def num(v: Any): Option[Double] = v match {
-    case n: Number => Some(n.doubleValue())
-    case d: java.math.BigDecimal => Some(d.doubleValue())
-    case d: scala.math.BigDecimal => Some(d.toDouble)
-    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
-    case _ => None
+  /** The literal as a DIRECTION-AWARE double pair (lo ≤ exact value ≤
+    * hi): Long/Decimal values beyond 2^53 are not exactly
+    * representable, and nearest-rounding a LOWER bound UP (or an
+    * upper bound down) would prune a file that holds matching rows —
+    * silently wrong results, the exact hazard `Layout.typedBounds`'s
+    * own comment warns about. Rounding outward instead only widens
+    * the interval: at worst one extra file is read.
+    */
+  private def num(v: Any): Option[(Double, Double)] = {
+    def outward(bd: scala.math.BigDecimal): (Double, Double) = {
+      val d = bd.toDouble
+      val back = scala.math.BigDecimal(d)
+      val lo = if (back > bd) Math.nextDown(d) else d
+      val hi = if (back < bd) Math.nextUp(d) else d
+      (lo, hi)
+    }
+    v match {
+      case n: java.lang.Long => Some(outward(scala.math.BigDecimal(n.longValue())))
+      case n: java.lang.Integer => Some((n.doubleValue(), n.doubleValue()))
+      case n: java.lang.Short => Some((n.doubleValue(), n.doubleValue()))
+      case n: java.lang.Byte => Some((n.doubleValue(), n.doubleValue()))
+      case n: java.lang.Double => Some((n.doubleValue(), n.doubleValue()))
+      case n: java.lang.Float => Some((n.doubleValue(), n.doubleValue()))
+      case d: java.math.BigDecimal => Some(outward(scala.math.BigDecimal(d)))
+      case d: scala.math.BigDecimal => Some(outward(d))
+      case d: org.apache.spark.sql.types.Decimal =>
+        Some(outward(d.toBigDecimal))
+      case n: Number => Some(outward(scala.math.BigDecimal(n.toString)))
+      case _ => None
+    }
   }
 
   /** A one-sided/closed interval a `_hulls` manifest can test. Strict
-    * bounds widen to non-strict (sound: may read one extra file).
+    * bounds widen to non-strict, and inexact literals widen outward
+    * (both sound: may read one extra file, never skip a matching one).
     */
   private def interval(e: Expression): Option[(String, Double, Double)] =
     e match {
       case GreaterThanOrEqual(a: Attribute, Literal(v, _: NumericType)) =>
-        num(v).map(d => (a.name, d, Double.MaxValue))
+        num(v).map { case (lo, _) => (a.name, lo, Double.MaxValue) }
       case GreaterThan(a: Attribute, Literal(v, _: NumericType)) =>
-        num(v).map(d => (a.name, d, Double.MaxValue))
+        num(v).map { case (lo, _) => (a.name, lo, Double.MaxValue) }
       case LessThanOrEqual(a: Attribute, Literal(v, _: NumericType)) =>
-        num(v).map(d => (a.name, -Double.MaxValue, d))
+        num(v).map { case (_, hi) => (a.name, -Double.MaxValue, hi) }
       case LessThan(a: Attribute, Literal(v, _: NumericType)) =>
-        num(v).map(d => (a.name, -Double.MaxValue, d))
+        num(v).map { case (_, hi) => (a.name, -Double.MaxValue, hi) }
       case EqualTo(a: Attribute, Literal(v, _: NumericType)) =>
-        num(v).map(d => (a.name, d, d))
+        num(v).map { case (lo, hi) => (a.name, lo, hi) }
       // literal-on-the-left mirrors
       case GreaterThanOrEqual(Literal(v, _: NumericType), a: Attribute) =>
-        num(v).map(d => (a.name, -Double.MaxValue, d))
+        num(v).map { case (_, hi) => (a.name, -Double.MaxValue, hi) }
       case GreaterThan(Literal(v, _: NumericType), a: Attribute) =>
-        num(v).map(d => (a.name, -Double.MaxValue, d))
+        num(v).map { case (_, hi) => (a.name, -Double.MaxValue, hi) }
       case LessThanOrEqual(Literal(v, _: NumericType), a: Attribute) =>
-        num(v).map(d => (a.name, d, Double.MaxValue))
+        num(v).map { case (lo, _) => (a.name, lo, Double.MaxValue) }
       case LessThan(Literal(v, _: NumericType), a: Attribute) =>
-        num(v).map(d => (a.name, d, Double.MaxValue))
+        num(v).map { case (lo, _) => (a.name, lo, Double.MaxValue) }
       case EqualTo(Literal(v, _: NumericType), a: Attribute) =>
-        num(v).map(d => (a.name, d, d))
+        num(v).map { case (lo, hi) => (a.name, lo, hi) }
       case _ => None
     }
 

@@ -68,6 +68,29 @@ class ChangeFeedSyncSpec extends SparkSpec {
     assert(state(dst) == Set(("doc://a", 0, "A1V2")))
   }
 
+  test("a filtering projection evicts documents that stop qualifying") {
+    val srcPath = fresh("graft-sync-filter-src") + "/t"
+    val dstPath = fresh("graft-sync-filter-dst") + "/t"
+    val ckpt = fresh("graft-sync-filter-ck")
+    val src = new ChunkStore(spark, srcPath,
+      format = ManifestTableFormat.factory)
+    val dst = new ChunkStore(spark, dstPath,
+      format = ManifestTableFormat.factory)
+    // the projection keeps only documents whose text contains "keep"
+    val onlyKeep = (df: DataFrame) =>
+      df.filter(col("chunk_text").contains("keep"))
+    src.upsert(chunksOf("doc://a", "keep me"))
+    src.upsert(chunksOf("doc://b", "drop me"))
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, onlyKeep)
+    assert(state(dst) == Set(("doc://a", 0, "keep me")))
+    // a REWRITE that newly fails the filter must evict the old rows
+    src.upsert(chunksOf("doc://a", "no longer qualifying"))
+    // and one that newly passes must appear
+    src.upsert(chunksOf("doc://b", "keep me now"))
+    ChangeFeedSync.syncOnce(spark, srcPath, dst, ckpt, onlyKeep)
+    assert(state(dst) == Set(("doc://b", 0, "keep me now")))
+  }
+
   test("derived semantic-chunk table follows a documents table " +
       "(the reference pipeline, incremental)") {
     import graft.chunk.SemanticChunker

@@ -138,6 +138,26 @@ class ExtractorSpec extends SparkSpec {
     assert(e.getMessage.contains("5 polls"))
   }
 
+  test("wall-clock deadline bounds any retry/poll composition") {
+    // per-path bounds individually generous, global deadline already
+    // spent: the FIRST retry or poll wait must abort — no composition
+    // of submit retries + polls can outrun the task envelope
+    val spent = cfg.copy(maxRetries = 1000, maxPolls = 100000,
+      deadlineMillis = 0L)
+    val always429 = new FakeDocTransport(Seq(DocResponse(429, Map.empty, "")))
+    val e1 = intercept[RetryableExtractionException] {
+      new HttpExtractor(spent, always429, sleep = _ => ())
+        .extract("doc.pdf", "x".getBytes)
+    }
+    assert(e1.getMessage.contains("deadline"))
+    val neverDone = new FakeDocTransport(Seq(accepted, running))
+    val e2 = intercept[RetryableExtractionException] {
+      new HttpExtractor(spent, neverDone, sleep = _ => ())
+        .extract("doc.pdf", "x".getBytes)
+    }
+    assert(e2.getMessage.contains("deadline"))
+  }
+
   test("202 without Operation-Location is a loud failure") {
     val t = new FakeDocTransport(Seq(DocResponse(202, Map.empty, "")))
     val e = intercept[java.io.IOException] {

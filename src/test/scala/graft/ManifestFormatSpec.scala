@@ -55,6 +55,26 @@ class ManifestFormatSpec extends SparkSpec {
     assert(state(store) == Set(("doc://a", 0, "v2")))
   }
 
+  test("checkpoint heals a torn predecessor instead of silently no-oping") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "v1"))
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    // plant a torn parquet checkpoint at the current version: a dir
+    // with no _SUCCESS (crashed / non-atomic publish) — never read
+    val torn = new org.apache.hadoop.fs.Path(
+      s"$path/_log/${"%012d".format(mtf.version)}.checkpoint.parquet")
+    val fs = torn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(torn)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(torn, "part-junk"), true)
+    try junk.write("x".getBytes("UTF-8")) finally junk.close()
+    // checkpoint() must reclaim the torn dir and publish a VALID one
+    mtf.checkpoint()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(torn, "_SUCCESS")))
+    assert(state(store) == Set(("doc://a", 0, "v1")))
+  }
+
   test("lost race on DISJOINT files recommits under the next version") {
     val path = freshPath()
     var raced = false
