@@ -48,6 +48,13 @@ object GraftSession {
     if (!extra.contains(graft.plans.PrenormalizeCosine))
       spark.experimental.extraOptimizations =
         extra :+ graft.plans.PrenormalizeCosine
+    // SQL UPDATE on graft catalog tables: extra strategies run before
+    // the built-ins, claiming UpdateTable before BasicOperators
+    // rejects it (see graft.plans.GraftUpdateStrategy)
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(graft.plans.GraftUpdateStrategy))
+      spark.experimental.extraStrategies =
+        strategies :+ graft.plans.GraftUpdateStrategy
     spark
   }
 }

@@ -164,7 +164,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // time-travel reads are frozen history: never writable
         insert = if (asOf.isDefined) None else Some(store.append),
         deleteDocs =
-          if (asOf.isDefined) None else Some(store.delete(_: Seq[String])))
+          if (asOf.isDefined) None else Some(store.delete(_: Seq[String])),
+        updateRows =
+          if (asOf.isDefined) None else Some(store.update))
     } else layoutTag(dir) match {
       case Some(tag) =>
         if (asOf.isDefined) throw new UnsupportedOperationException(
@@ -458,9 +460,28 @@ private[catalog] class GraftTable(
     paths: Seq[String],
     insert: Option[DataFrame => Unit],
     sidecarDir: Option[String] = None,
-    deleteDocs: Option[Seq[String] => Unit] = None) extends Table
-    with SupportsRead with SupportsWrite
+    deleteDocs: Option[Seq[String] => Unit] = None,
+    updateRows: Option[
+      (Option[org.apache.spark.sql.Column],
+        Seq[(String, org.apache.spark.sql.Column)]) => Unit] = None)
+    extends Table
+    with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `UPDATE` hook ([[GraftUpdatable]]): routed by
+    * `graft.plans.GraftUpdateStrategy` to the manifest format's
+    * copy-on-write rewrite. Only the head snapshot of a
+    * manifest-format table is updatable — frozen time-travel reads
+    * and plain parquet layouts refuse with the reason.
+    */
+  override def updateWhere(
+      condition: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)]): Unit =
+    updateRows.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName does not support SQL UPDATE (time-travel reads are " +
+        "frozen history; per-document/bucketed/layout tables are " +
+        "document-keyed — use the store API or CALL merge_into)"))(
+      condition, set)
 
   /** `DELETE FROM <cat>.<table> WHERE …` maps to the store's A20
     * whole-document delete when — and only when — the predicate is a

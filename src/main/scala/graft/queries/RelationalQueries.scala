@@ -903,6 +903,47 @@ object RelationalQueries {
         .select(col("_change_type"), col("document_url"),
           col("chunk_text"))
         .orderBy("_change_type", "document_url", "chunk_text")
+    },
+
+    // C37f: plain SQL `UPDATE t SET … WHERE …` on a catalog table —
+    // the row-level statement a store user reaches for first (both
+    // reference stores are full SQL engines). Planned by
+    // graft.plans.GraftUpdateStrategy into the manifest format's
+    // copy-on-write rewrite: a pre-scan finds the file NAMES that may
+    // hold a matching row (predicate pushed to the parquet scan), only
+    // those files are rewritten (`when(cond, new).otherwise(old)` per
+    // assigned column), and rm+add commit in one atomic log entry.
+    // The oracle replays the UPDATE relationally as CASE WHEN, so the
+    // post-update snapshot must match row-for-row — including rows the
+    // predicate did NOT touch (byte-preserved survivors) and the
+    // assignment that references the updated column itself.
+    "c37f_sql_update" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+        |            ELSE text END AS chunk_text,
+        |       CASE WHEN doc_id % 10 = 0 THEN 10 ELSE 0 END
+        |         AS page_number
+        |FROM documents
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sqlupd").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = t(s, dir, "documents")
+      store.upsert(docs.select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      s.conf.set("spark.sql.catalog.graft_upd",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_upd.warehouse", wh)
+      s.sql("UPDATE graft_upd.chunks " +
+        "SET chunk_text = chunk_text || ' v2', " +
+        "page_number = page_number + 10 " +
+        "WHERE document_url LIKE '%0'")
+      s.sql("SELECT document_url, chunk_text, page_number " +
+        "FROM graft_upd.chunks ORDER BY document_url")
     }
   )
 }

@@ -258,6 +258,20 @@ final class ChunkStore(
     */
   def delete(urls: DataFrame): Unit = fmt.delete(urls)
 
+  /** Row-level SQL UPDATE (`UPDATE t SET … WHERE …`), a capability of
+    * the manifest table format only — the parquet emulations' unit of
+    * atomicity is the whole document, not the row. Routes to the
+    * format's copy-on-write rewrite; refuses loudly on layouts that
+    * cannot do it transactionally.
+    */
+  def update(
+      condition: Option[Column], set: Seq[(String, Column)]): Unit =
+    if (!fmt.update(condition, set))
+      throw new UnsupportedOperationException(
+        s"store at $path: UPDATE needs the manifest table format " +
+          "(per-document/bucketed parquet layouts are document-keyed; " +
+          "use upsert() for whole-document replace)")
+
   private def deleteParquetFrame(urls: DataFrame): Unit = {
     val u = urls.select(col("document_url").cast("string")
       .as("document_url")).distinct()

@@ -644,6 +644,56 @@ class ManifestTableFormat(
     } finally probe.unpersist()
   }
 
+  /** SQL `UPDATE t SET … WHERE …` as a copy-on-write commit (the
+    * Delta convention): files that MAY hold a matching row are found
+    * by a PRE-SCAN — read the live set with the predicate pushed down
+    * (parquet min/max + the url bloom do the row-group work), project
+    * nothing but `input_file_name()`, collect the distinct file NAMES
+    * (churn-bounded driver state, same O as every other commit here).
+    * Only those files are rewritten: each row passes through
+    * `when(condition, value).otherwise(col)` per assigned column, so a
+    * NULL-valued predicate leaves the row unchanged (SQL three-valued
+    * WHERE semantics), then `rm`(affected) + `add`(new) commit in one
+    * entry — readers stay snapshot-isolated throughout, and a lost
+    * race re-runs against the new snapshot via [[commitCycle]]'s
+    * file-level conflict check. `condition = None` (no WHERE) rewrites
+    * the whole live set — the full-table UPDATE SQL permits.
+    */
+  override def update(
+      condition: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)]): Boolean = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val known = schema.fieldNames.toSet
+    set.foreach { case (n, _) => require(known.contains(n),
+      s"UPDATE at $path: unknown column '$n' " +
+        s"(table columns: ${schema.fieldNames.mkString(", ")})") }
+    require(set.map(_._1).distinct.size == set.size,
+      s"UPDATE at $path assigns a column twice: " +
+        set.map(_._1).mkString(", "))
+    val cond = condition.getOrElse(lit(true))
+    commitCycle(
+      snap => {
+        val names = liveNames(snap)
+        if (names.isEmpty) Seq.empty
+        else readFiles(names).filter(cond)
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      },
+      (_, files) => {
+        val src = readFiles(files)
+        val projected = schema.fields.toIndexedSeq.map { f =>
+          set.find(_._1 == f.name) match {
+            case Some((_, v)) =>
+              when(cond, v.cast(f.dataType)).otherwise(col(f.name))
+                .as(f.name)
+            case None => col(f.name)
+          }
+        }
+        src.select(projected: _*)
+      })
+    true
+  }
+
   override def compact(): Unit =
     commitCycle(
       snap => liveNames(snap),

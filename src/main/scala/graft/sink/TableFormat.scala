@@ -63,6 +63,19 @@ trait TableFormat {
     if (buf.nonEmpty) delete(buf.toSeq)
   }
 
+  /** Row-level UPDATE: set each named column to its new value on every
+    * row matching `condition` (`None` = all rows), leaving other rows
+    * and columns byte-identical. Returns true when the format handled
+    * it; false (the default) means the format has no transactional
+    * rewrite path and the caller must refuse — the parquet emulations
+    * stay whole-document-keyed (their unit of atomicity is the
+    * partition/bucket, not the row), so SQL `UPDATE` is a
+    * manifest-format capability, like SQL time travel.
+    */
+  def update(
+      condition: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)]): Boolean = false
+
   /** Collapse small files; rows and layout semantics unchanged. */
   def compact(): Unit
 

@@ -456,4 +456,86 @@ class GraftCatalogSpec extends SparkSpec
       .select("doc_id").collect().map(_.getString(0)).toSeq
     assert(hits.exists(_.startsWith("doc://nb#")), hits)
   }
+
+  test("SQL UPDATE: copy-on-write rewrite of ONLY the affected files") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    // two commits => at least two disjoint file sets in the live state
+    store.upsert(chunkRows(1 to 20, "lo-"))
+    store.append(chunkRows(100 to 120, "hi-"))
+    val mtf = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    val before = mtf.liveFiles.toSet
+    spark.sql(s"UPDATE $cat.chunks SET chunk_text = chunk_text || '!', " +
+      "page_number = 9 WHERE document_url >= 'doc://0100'")
+    val after = mtf.liveFiles.toSet
+    // the lo- files hold no matching row: they must survive UNTOUCHED
+    // (same physical file names — copy-on-write at file granularity,
+    // not a table rewrite)
+    val untouched = before.intersect(after)
+    assert(untouched.nonEmpty,
+      s"no shared files between $before and $after — UPDATE rewrote " +
+        "files its predicate never touched")
+    val rows = spark.sql(s"SELECT chunk_text, page_number FROM " +
+      s"$cat.chunks WHERE document_url = 'doc://0105'").collect().head
+    assert(rows.getString(0) == "hi-105!" && rows.getInt(1) == 9)
+    val lo = spark.sql(s"SELECT chunk_text, page_number FROM " +
+      s"$cat.chunks WHERE document_url = 'doc://0005'").collect().head
+    assert(lo.getString(0) == "lo-5" && lo.getInt(1) == 1)
+    // assignment referencing other columns + no-WHERE full update
+    spark.sql(s"UPDATE $cat.chunks SET chunk_id = page_number + 1")
+    val ids = spark.sql(s"SELECT DISTINCT chunk_id FROM $cat.chunks")
+      .collect().map(_.getInt(0)).toSet
+    assert(ids == Set(2, 10), ids)
+  }
+
+  test("SQL UPDATE: snapshot isolation — a resolved reader outlives it") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 10, "v1-"))
+    // resolve the reader BEFORE the update: its file list is pinned
+    val reader = spark.sql(
+      s"SELECT chunk_text FROM $cat.chunks WHERE document_url = " +
+        "'doc://0003'")
+    spark.sql(s"UPDATE $cat.chunks SET chunk_text = 'gone' " +
+      "WHERE document_url = 'doc://0003'")
+    // the pre-update plan still serves the pre-update snapshot (rm
+    // never deletes bytes; vacuum is a separate maintenance call)
+    assert(reader.collect().map(_.getString(0)).toSeq == Seq("v1-3"))
+    val now = spark.sql(
+      s"SELECT chunk_text FROM $cat.chunks WHERE document_url = " +
+        "'doc://0003'").collect().map(_.getString(0)).toSeq
+    assert(now == Seq("gone"))
+  }
+
+  test("SQL UPDATE: matching-nothing is a no-op commit-wise; refusals") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 5, "v1-"))
+    val mtf = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    val v = mtf.version
+    spark.sql(s"UPDATE $cat.chunks SET chunk_text = 'x' " +
+      "WHERE document_url = 'doc://nope'")
+    assert(mtf.version == v, "no-match UPDATE must not commit")
+    // time-travel targets are frozen history
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.chunks VERSION AS OF 0 SET chunk_text='x'")
+    }
+    // subqueries in WHERE refuse loudly with the CALL alternative
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE $cat.chunks SET chunk_text = 'x' WHERE " +
+        s"document_url IN (SELECT document_url FROM $cat.chunks)")
+    }
+    assert(e.getMessage.contains("subquery"))
+    // a per-document layout table refuses with the reason
+    val pd = new ChunkStore(spark, s"$wh/plain")
+    pd.upsert(chunkRows(1 to 3, "p-"))
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE $cat.plain SET chunk_text = 'x' " +
+        "WHERE document_url = 'doc://0001'")
+    }
+    assert(e2.getMessage.contains("UPDATE"), e2.getMessage)
+  }
 }
