@@ -62,8 +62,17 @@ object SemanticChunker {
       "column prefix __sc_ is reserved by SemanticChunker")
     val sentences = docs.select(
         col(idCol),
-        posexplode(filter(split(col(textCol), sentenceSplit),
+        posexplode_outer(filter(split(col(textCol), sentenceSplit),
           s => length(trim(s)) > 0)).as(Seq("__sc_idx", "__sc_sent")))
+      // a blank/whitespace-only (or NULL) document explodes to no
+      // sentence rows and would VANISH from the output; the _outer
+      // explode keeps one NULL row, coalesced to a single empty
+      // sentence, so chunk() is TOTAL over its input doc set — a
+      // blank document yields exactly one empty chunk
+      // (chunk_number 0, chunk_text '', n_sentences 0)
+      .select(col(idCol),
+        coalesce(col("__sc_idx"), lit(0)).as("__sc_idx"),
+        coalesce(col("__sc_sent"), lit("")).as("__sc_sent"))
     val w = Window.partitionBy(idCol).orderBy("__sc_idx")
     val withDist = sentences
       .withColumn("__sc_v", embed(col("__sc_sent")))
@@ -86,7 +95,10 @@ object SemanticChunker {
       .groupBy(col(idCol), col("__sc_chunk"))
       .agg(
         min("__sc_idx").as("__sc_first"),
-        count(lit(1)).cast("int").as("n_sentences"),
+        // real sentence rows are never empty (the split filter drops
+        // them), so the blank-document placeholder counts zero
+        sum(when(col("__sc_sent") =!= "", 1).otherwise(0))
+          .cast("int").as("n_sentences"),
         concat_ws(" ",
           transform(
             sort_array(collect_list(struct(

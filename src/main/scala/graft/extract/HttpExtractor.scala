@@ -84,13 +84,18 @@ final class JdkDocTransport(
   *
   * The TOTAL budget is a WALL-CLOCK DEADLINE enforced across the
   * whole extract() call — submit retries, polls, poll retries, and
-  * the transport's own blocking time all count against it, so no
-  * composition of per-path bounds can exceed it (the reference's own
-  * loop, 100 × 10 s against a 10-minute function timeout, is the bug
-  * SURVEY §6 names; per-path caps alone still compose past the
-  * envelope, which is why the deadline is global). The per-path
-  * bounds (`maxRetries`, `maxPolls`) remain as fast-fail signals for
-  * a service that is answering but stuck.
+  * the transport's own blocking time all count against it (the
+  * reference's own loop, 100 × 10 s against a 10-minute function
+  * timeout, is the bug SURVEY §6 names; per-path caps alone still
+  * compose past the envelope, which is why the deadline is global).
+  * Precision, stated honestly: sleeps are CLAMPED to the remaining
+  * budget and the deadline is re-checked before each, but a transport
+  * call already in flight when the budget runs out is not
+  * interrupted — total time can overshoot `deadlineMillis` by AT MOST
+  * one blocking transport call (the transport's own connect/read
+  * timeout bounds that). The per-path bounds (`maxRetries`,
+  * `maxPolls`) remain as fast-fail signals for a service that is
+  * answering but stuck.
   */
 final case class HttpExtractorConfig(
     endpoint: String,
@@ -165,6 +170,13 @@ final class HttpExtractor(
           s"analyze for $path exceeded the ${cfg.deadlineMillis} ms " +
             s"wall-clock deadline at $stage — the global budget no " +
             "retry/poll composition may pass")
+    // never sleep past the deadline: a wait that would overshoot is
+    // cut to the remaining budget, so the only possible overshoot is
+    // one in-flight transport call (see the class doc)
+    def boundedSleep(ms: Long): Unit = {
+      val remaining = deadline - System.currentTimeMillis()
+      if (remaining > 0) sleep(math.min(ms, remaining))
+    }
     var retries = 0
     def retryOr(status: Int, stage: String)(fatal: => Nothing): Unit =
       if (cfg.retryableStatuses(status)) {
@@ -174,7 +186,7 @@ final class HttpExtractor(
             s"analyze service still returning $status at $stage after " +
               s"${cfg.maxRetries} retries for $path")
         checkDeadline(stage)
-        sleep(cfg.retryDelayMillis)
+        boundedSleep(cfg.retryDelayMillis)
       } else fatal
 
     val body = requestJson(content)
@@ -213,7 +225,7 @@ final class HttpExtractor(
                 s"analyze operation still running after ${cfg.maxPolls} " +
                   s"polls for $path — exceeds the bounded budget")
               checkDeadline("poll")
-              sleep(cfg.pollIntervalMillis)
+              boundedSleep(cfg.pollIntervalMillis)
           }
         case s => retryOr(s, "poll")(throw new java.io.IOException(
           s"analyze poll returned fatal status $s for $path: ${

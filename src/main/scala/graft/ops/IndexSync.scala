@@ -185,29 +185,52 @@ object IndexSync {
     */
   private def lockPath(indexPath: String) = s"$indexPath/_sync_lock"
 
+  /** How long a sync lock may sit before a later run treats it as a
+    * hard-killed holder's leftover and takes it over (the same bound
+    * vacuum applies to stale `tmp-` staging). Generous on purpose: a
+    * LIVE catch-up of any realistic span finishes well inside it.
+    */
+  private val lockStaleMs = 60L * 60 * 1000
+
   /** Single-maintainer guard: two concurrent catch-ups would each
     * pass the existence anti-join before the other's append lands and
     * double-append the span. The lock is the same fail-if-exists
-    * create the manifest log's commit publish relies on; a crashed
-    * run leaves it behind — the error names the file, the operator
-    * (or the next maintenance run's wrapper) removes it after
-    * confirming no catch-up is live, and replay convergence makes
-    * the re-run safe.
+    * create the manifest log's commit publish relies on. A lock older
+    * than [[lockStaleMs]] is a hard-killed holder's leftover (OOM,
+    * SIGKILL): it is deleted and re-acquired — replay is convergent
+    * by the module's crash contract, so the takeover is safe, and
+    * without it every later catchUp/CALL sync_index would wedge until
+    * an operator deleted the file by hand. Only a FRESH lock (a
+    * plausibly live run) errors loudly.
     */
   private def withSyncLock[T](spark: SparkSession, indexPath: String)(
       body: => T): T = {
     val p = new Path(lockPath(indexPath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out =
+    def acquire(mayTakeOver: Boolean): org.apache.hadoop.fs.FSDataOutputStream =
       try fs.create(p, false)
       catch {
         case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"another IndexSync.catchUp holds $p (or a crashed run " +
-              "left it) — wait for it, or remove the lock file after " +
-              "confirming nothing is running; re-running is safe",
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime > lockStaleMs
+            catch {
+              // holder finished between our create and stat: free now
+              case _: java.io.FileNotFoundException => true
+            }
+          if (stale && mayTakeOver) {
+            fs.delete(p, false)
+            // second attempt never takes over: two racing takeovers
+            // resolve to one winner of the fail-if-exists create
+            acquire(mayTakeOver = false)
+          } else throw new IllegalStateException(
+            s"another IndexSync.catchUp holds $p (created under " +
+              s"${lockStaleMs / 60000} min ago, so plausibly live) — " +
+              "wait for it, or remove the lock file after confirming " +
+              "nothing is running; re-running is safe",
             e)
       }
+    val out = acquire(mayTakeOver = true)
     try out.write(
       s"${System.currentTimeMillis()}\n".getBytes("UTF-8"))
     finally out.close()
@@ -302,11 +325,13 @@ object IndexSync {
     *    sumDl — the BM25 normalizers) are re-derived with the text
     *    index's own self-healing recount ([[TextIndex.delete]] with
     *    an empty id set recounts doclen minus tombstones).
-    * Crash window, stated honestly: a crash INSIDE one append (after
-    * postings, before doclen) duplicates that batch's postings on
-    * replay until a rebuild — the doclen row is the existence
-    * anchor and lands last. The lock + version-record ordering make
-    * every other interleaving convergent.
+    * The one formerly non-convergent window — a crash INSIDE an
+    * append, postings landed but the doclen existence anchor not —
+    * is closed by the staged append journal: each batch publishes a
+    * pending marker naming its postings buckets before writing, and
+    * the next run's [[TextIndex.healTornAppend]] drops the orphaned
+    * postings from exactly those buckets and recounts the stamp
+    * before replaying. Every interleaving is now convergent.
     */
   def catchUpText(
       spark: SparkSession,
@@ -316,6 +341,10 @@ object IndexSync {
     val (mtf, from, head) = spanOf(spark, tablePath, indexPath)
     if (head == from) return Stats(from, head, 0L, 0L)
     val meta = TextIndex.load(spark, indexPath)
+    // consume any torn-append journal BEFORE the existence probe, so
+    // a crashed previous run's half-landed batch is scrubbed and the
+    // anti-join re-admits it cleanly
+    TextIndex.healTornAppend(spark, indexPath)
     val delta = mtf.changesBetween(from, head).persist()
     try {
       val ins = prepare(
@@ -354,7 +383,7 @@ object IndexSync {
         val nFresh =
           try {
             val n = fresh.count()
-            if (n > 0) TextIndex.append(fresh, indexPath, "text")
+            if (n > 0) TextIndex.appendStaged(fresh, indexPath, "text")
             n
           } finally fresh.unpersist()
         markSynced(spark, indexPath, head)

@@ -122,6 +122,102 @@ object TextIndex {
       sumDl = meta.sumDl + stats.getDouble(1)))
   }
 
+  private[ops] def pendingPath(path: String) = s"$path/_append_pending"
+
+  /** [[append]] wrapped in a crash-convergence journal, for the
+    * single-maintainer sync path (`IndexSync.catchUpText`). The naked
+    * append has one non-convergent crash window: postings landed,
+    * doclen not yet — the id is then absent from the doclen existence
+    * anchor, so a replay re-appends the batch and BM25 term
+    * frequencies double. Here a pending MARKER naming the batch's
+    * touched postings buckets publishes BEFORE any write and clears
+    * only after postings + doclen + stamp all landed;
+    * [[healTornAppend]] consumes a leftover marker on the next run by
+    * dropping orphaned postings (rows with no doclen anchor) from
+    * exactly the marked buckets and recounting the stamp stats —
+    * after which the existence anti-join re-admits the batch and the
+    * replay converges. Single-maintainer only (the sync lock): the
+    * marker is not a concurrency primitive.
+    */
+  def appendStaged(docs: DataFrame, path: String, textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = load(spark, path)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val postings = postingsFor(docs, meta.idCol, textCol, meta.numBuckets)
+      .persist()
+    try {
+      val buckets = postings.select("tb").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (buckets.nonEmpty) {
+        val out = fs.create(new Path(pendingPath(path)), true)
+        try out.write(buckets.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(size(split(col(textCol), " ")).cast("double")).as("sumdl"))
+        .head()
+      postings.write.mode(SaveMode.Append).partitionBy("tb")
+        .parquet(postingsPath(path))
+      docs.select(col(meta.idCol).as("doc_id"),
+          size(split(col(textCol), " ")).cast("double").as("dl"))
+        .write.mode(SaveMode.Append).parquet(doclenPath(path))
+      stamp(spark, path, meta.copy(
+        docCount = meta.docCount + stats.getDouble(0),
+        sumDl = meta.sumDl + stats.getDouble(1)))
+      fs.delete(new Path(pendingPath(path)), false)
+    } finally postings.unpersist()
+  }
+
+  /** Consume a leftover [[appendStaged]] marker: rewrite the marked
+    * postings buckets keeping only rows with a doclen anchor (the
+    * orphans are the torn batch's half-landed postings), re-derive
+    * the stamp stats with the index's own recount, then clear the
+    * marker. Idempotent — a crash inside the heal re-heals. Returns
+    * true when a marker was found. Covers every torn interleaving:
+    * nothing written (no orphans, recount no-op), postings-only
+    * (orphans dropped), postings+doclen but no stamp (recount fixes
+    * stats), all landed but marker not yet cleared (no orphans,
+    * recount idempotent).
+    */
+  def healTornAppend(spark: SparkSession, path: String): Boolean = {
+    val marker = new Path(pendingPath(path))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return false
+    val in = fs.open(marker)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+    val buckets = text.linesIterator.filter(_.nonEmpty).map(_.toInt).toSeq
+    val anchored = spark.read.parquet(doclenPath(path))
+      .select("doc_id").distinct()
+    buckets.foreach { b =>
+      val dir = new Path(s"${postingsPath(path)}/tb=$b")
+      if (fs.exists(dir)) {
+        val survivors = spark.read.parquet(dir.toString)
+          .join(broadcast(anchored), Seq("doc_id"), "left_semi")
+        val tmp = new Path(
+          dir.toString + ".healing-" + java.util.UUID.randomUUID())
+        survivors.write.parquet(tmp.toString)
+        graft.sink.StagedSwap.swap(fs, dir, tmp)
+      }
+    }
+    // stamp recount (empty-id delete = the index's own self-heal)
+    delete(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.StringType)))), path)
+    fs.delete(marker, false)
+    true
+  }
+
   // ---------------------------------------------------------------
   // delete — tombstones + exact stamp-stat update + query-time
   // anti-join + physical compaction (the text-side twin of

@@ -45,6 +45,37 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "graft-cdf needs .option(\"path\", <manifest table root>)"))
 
+  /** Read the pinned starting version from the source's metadata dir,
+    * or resolve it now and persist it (the V1 `Source` metadataPath
+    * exists for exactly this — per-query, checkpoint-scoped state).
+    * Driver-only single writer; the pin makes timestamp resolution a
+    * one-time event per query lifetime, stable across restarts.
+    */
+  private[graft] def pinnedVersion(
+      spark: org.apache.spark.sql.SparkSession,
+      metadataPath: String,
+      resolve: () => Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pin = new org.apache.hadoop.fs.Path(dir, "starting_version")
+    if (fs.exists(pin)) {
+      val in = fs.open(pin)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8").trim.toLong
+      } finally in.close()
+    } else {
+      val v = resolve()
+      if (!fs.exists(dir)) fs.mkdirs(dir)
+      val out = fs.create(pin, false)
+      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+      v
+    }
+  }
+
   private def feedSchema(sqlContext: SQLContext, path: String): StructType = {
     val store = new ChunkStore(sqlContext.sparkSession, path,
       format = ManifestTableFormat.factory)
@@ -80,7 +111,14 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
         case (None, Some(ts)) =>
           val millis = ts.trim.toLongOption.getOrElse(
             java.sql.Timestamp.valueOf(ts.trim).getTime)
-          mtf.versionAtTimestamp(millis)
+          // resolve the timestamp to a version ONCE per query and pin
+          // it in the source's metadata dir: versionAtTimestamp dates
+          // vacuum-pruned history by the checkpoint file's mtime, so
+          // re-resolving on restart could shift the lower bound upward
+          // and a replayed batch-0 would silently carry fewer snapshot
+          // rows than the original run delivered
+          pinnedVersion(spark, metadataPath,
+            () => mtf.versionAtTimestamp(millis))
         case (None, None) => -1L
       }
     val maxPerBatch = parameters.get("maxVersionsPerBatch").map(_.toLong)

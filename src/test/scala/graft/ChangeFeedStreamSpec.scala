@@ -139,4 +139,15 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(drain(tbl, ckpt, "cdf_e2").toSet ==
       Set(("doc://x", "x1", "insert")))
   }
+
+  test("startingTimestamp resolves ONCE per query: the pinned version " +
+      "survives a restart even if commit mtimes later shift") {
+    val meta = Files.createTempDirectory("graft-cdf-pin").toString
+    val p = new graft.streaming.ChangeFeedProvider
+    // first resolution pins; a later re-creation of the source (query
+    // restart) must read the pin back, not re-resolve against the
+    // now-mutated clock (vacuumed history dates by checkpoint mtime)
+    assert(p.pinnedVersion(spark, meta, () => 5L) == 5L)
+    assert(p.pinnedVersion(spark, meta, () => 99L) == 5L)
+  }
 }

@@ -191,6 +191,94 @@ class IndexSyncSpec extends SparkSpec {
     assert(!fs.exists(lock))
   }
 
+  test("a STALE sync lock (hard-killed holder) is taken over") {
+    val tbl = fresh("graft-isync-stale") + "/t"
+    val idx = fresh("graft-isync-stale-idx") + "/ix"
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkOf("doc://a", Seq(1f, 0f, 0f, 0f), "a"))
+    VectorIndex.buildIvfPq(prepare(store.read()), idx, "vid", "v",
+      nlist = 2, m = 2, ks = 4)
+    IndexSync.markSynced(spark, idx, 0L)
+    val lock = new org.apache.hadoop.fs.Path(idx + "/_sync_lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    // age the lock past the staleness bound: an OOM/SIGKILL'd sync
+    // can never delete its own lock, and without takeover every later
+    // catchUp / CALL sync_index would wedge until manual cleanup
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    fs.setTimes(lock, old, old)
+    IndexSync.catchUp(spark, tbl, idx, prepare) // takes over, runs
+    assert(!fs.exists(lock))
+  }
+
+  test("catchUpText heals a torn append instead of double-counting") {
+    import graft.ops.TextIndex
+    val tbl = fresh("graft-tsync-torn") + "/t"
+    val idx = fresh("graft-tsync-torn-idx") + "/ix"
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, tbl, store.schema)
+    def doc(url: String, text: String) =
+      chunkOf(url, Seq(1f, 0f, 0f, 0f), text)
+    val tprep = (rows: DataFrame) => rows.select(
+      IndexSync.contentAddressedId(
+        Seq(col("document_url"), col("chunk_id")),
+        Seq(col("chunk_text"))).as("tid"),
+      col("chunk_text").as("text"))
+    store.upsert(doc("doc://a", "apples and oranges"))
+    TextIndex.build(tprep(store.read()), idx, "tid", "text")
+    IndexSync.markSynced(spark, idx, mtf.version)
+
+    // new doc commits to the TABLE; now simulate a hard-killed sync
+    // that crashed between its postings write and its doclen write:
+    // the batch's postings landed, the doclen existence anchor did
+    // not, and the pending marker names the touched buckets
+    store.upsert(doc("doc://c", "cherries and apples"))
+    val tornId = tprep(store.read()
+        .filter(col("document_url") === "doc://c"))
+      .select("tid").collect().head.getString(0)
+    val posts = spark.read.parquet(idx + "/postings")
+    val appleTb = posts.filter(col("term") === "apples")
+      .select("tb").collect().head.getInt(0)
+    import spark.implicits._
+    Seq((tornId, "apples", 1.0, Seq(1)), (tornId, "cherries", 1.0, Seq(0)))
+      .toDF("doc_id", "term", "tf", "positions")
+      .withColumn("tb", when(col("term") === "apples", appleTb)
+        .otherwise(pmod(hash(col("term")),
+          lit(TextIndex.load(spark, idx).numBuckets))))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("tb").parquet(idx + "/postings")
+    val tornTbs = spark.read.parquet(idx + "/postings")
+      .filter(col("doc_id") === tornId)
+      .select("tb").distinct().collect().map(_.getInt(0)).sorted
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(idx + "/_append_pending"), true)
+    out.write(tornTbs.mkString("\n").getBytes("UTF-8")); out.close()
+
+    // the replay heals the orphans FIRST, then re-appends the batch
+    // exactly once: without the heal, doc c's "apples"/"cherries"
+    // term frequencies would double
+    val s1 = IndexSync.catchUpText(spark, tbl, idx, tprep)
+    assert(s1.appended == 1L, s1)
+    val dup = spark.read.parquet(idx + "/postings")
+      .groupBy("doc_id", "term").count().filter(col("count") > 1)
+    assert(dup.isEmpty,
+      s"duplicated postings: ${dup.collect().mkString(", ")}")
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(idx + "/_append_pending")))
+    def hits(term: String) =
+      TextIndex.query(spark, idx, Seq(term), k = 10)
+        .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(hits("cherries").exists(_.startsWith("doc://c#")))
+    assert(hits("apples").count(_.nonEmpty) == 2)
+    assert(TextIndex.load(spark, idx).docCount == 2.0)
+    // no marker → heal is a no-op
+    assert(!TextIndex.healTornAppend(spark, idx))
+  }
+
   test("an index synced past the table fails loudly") {
     val tbl = fresh("graft-isync-bad") + "/t"
     val idx = fresh("graft-isync-bad-idx") + "/ix"

@@ -74,4 +74,24 @@ class SemanticChunkerSpec extends SparkSpec {
     assert(byDoc(1L).map(_.getAs[Int]("chunk_number")).sorted.toSeq ==
       byDoc(1L).indices.toSeq)
   }
+
+  test("blank, whitespace-only and NULL documents survive as one " +
+      "empty chunk — chunk() is total over its input doc set") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One fish. Two fish."),
+      (2L, ""), (3L, "   \n  "), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = SemanticChunker.chunk(docs, "doc_id", "text")
+    assert(out.select("doc_id").distinct().count() == 4)
+    Seq(2L, 3L, 4L).foreach { id =>
+      val rows = out.filter(col("doc_id") === id).collect()
+      assert(rows.length == 1, s"doc $id: ${rows.mkString(",")}")
+      assert(rows.head.getAs[String]("chunk_text") == "")
+      assert(rows.head.getAs[Int]("chunk_number") == 0)
+      assert(rows.head.getAs[Int]("n_sentences") == 0)
+    }
+    val real = out.filter(col("doc_id") === 1L).collect().head
+    assert(real.getAs[Int]("n_sentences") == 2)
+  }
 }
