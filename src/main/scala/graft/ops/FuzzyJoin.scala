@@ -49,21 +49,37 @@ object FuzzyJoin {
   }
 
   /** All (left, right) pairs with `levenshtein ≤ maxDist`. Inputs are
-    * (id, string) projections; output is (id1, s1, id2, s2, dist),
-    * one row per matched pair.
+    * (id, string) projections — ids must uniquely key their strings
+    * (the entity-resolution contract; a duplicated id would duplicate
+    * its pairs through the string rejoin). Output is
+    * (id1, s1, id2, s2, dist), one row per matched pair.
+    *
+    * Exchange width: the variant-key join and the candidate dedup
+    * carry ONLY ids — a string appears |s|+1 times (O(|s|²) at k=2)
+    * under its deletion keys, so carrying the strings themselves
+    * through that exchange would multiply corpus bytes by the
+    * neighborhood size. Strings rejoin AFTER the (id1, id2) distinct,
+    * on the candidate set (collision-bounded), for the codegen
+    * `levenshtein` verify.
     */
   def joinWithin(
       left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
       maxDist: Int): DataFrame = {
-    val lk = left.select(col(leftId).as("id1"), col(leftStr).as("s1"),
+    val lk = left.select(col(leftId).as("id1"),
         explode(deletionKeys(col(leftStr), maxDist)).as("__fk"))
-    val rk = right.select(col(rightId).as("id2"), col(rightStr).as("s2"),
+    val rk = right.select(col(rightId).as("id2"),
         explode(deletionKeys(col(rightStr), maxDist)).as("__fk"))
-    lk.join(rk, "__fk")
-      .select("id1", "s1", "id2", "s2").distinct()
+    val candidates = lk.join(rk, "__fk")
+      .select("id1", "id2").distinct()
+    candidates
+      .join(left.select(col(leftId).as("id1"), col(leftStr).as("s1")),
+        Seq("id1"))
+      .join(right.select(col(rightId).as("id2"), col(rightStr).as("s2")),
+        Seq("id2"))
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
       .filter(col("dist") <= maxDist)
+      .select("id1", "s1", "id2", "s2", "dist")
   }
 
   /** Self-join: unordered pairs (id1 < id2) within `maxDist` — the

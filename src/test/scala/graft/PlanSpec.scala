@@ -564,4 +564,31 @@ class PlanSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .filter(col("o_orderkey") === 42).select("o_orderkey", "o_totalprice"))
     assert(p.contains("EqualTo(o_orderkey,42)"), p.take(2000))
   }
+
+  test("d28: the fuzzy-join candidate exchanges carry ids, not strings") {
+    // a string rides the variant-key exchange once PER deletion key
+    // (|s|+1 copies at k=1) — if s1/s2 were projected through it, the
+    // exchange bytes would multiply by the neighborhood size; the
+    // strings must rejoin only AFTER the (id1, id2) dedup
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val df = Seq((1L, "spark"), (2L, "spork"), (3L, "flink"))
+      .toDF("id", "w")
+    val out = graft.ops.FuzzyJoin.similarPairs(df, "id", "w", maxDist = 1)
+    out.collect()
+    val shuffles = collectWithSubqueries(out.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => e
+    }
+    val preVerify = shuffles.filter { e =>
+      val names = e.output.map(_.name).toSet
+      names.contains("__fk") ||
+        (names.contains("id1") && names.contains("id2"))
+    }
+    assert(preVerify.nonEmpty, "expected variant-key/dedup exchanges")
+    preVerify.foreach { e =>
+      val names = e.output.map(_.name).toSet
+      assert(!names.contains("s1") && !names.contains("s2"),
+        s"candidate exchange carries strings: $names")
+    }
+  }
 }
