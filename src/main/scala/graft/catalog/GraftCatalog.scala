@@ -160,7 +160,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         format = ManifestTableFormat.factory)
       val mtf = new ManifestTableFormat(spark, dir, store.schema)
       val files = asOf.fold(mtf.liveFiles)(mtf.filesAtVersion)
-      new GraftTable(fullName, spark, store.schema, files,
+      // effective schema AT the resolved version: ADD COLUMNs apply
+      // from their commit on; a pre-ALTER time travel shows the old
+      // shape (the Delta/Iceberg schema-tracking convention)
+      val tblSchema = asOf.fold(mtf.currentSchema)(mtf.schemaAtVersion)
+      new GraftTable(fullName, spark, tblSchema, files,
         // time-travel reads are frozen history: never writable
         insert = if (asOf.isDefined) None else Some(store.append),
         deleteDocs =
@@ -229,9 +233,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables have a fixed schema; ALTER TABLE is not supported")
+  /** Schema evolution: `ALTER TABLE … ADD COLUMN` on manifest-format
+    * tables — nullable, top-level, appended at the end; old data
+    * files read the new column as NULL (no rewrite; the schema change
+    * is one sidecar + one empty commit in the log). Everything else —
+    * drops, renames, type changes, NOT NULL, nested/positioned adds,
+    * non-manifest layouts — refuses loudly: the store's readers
+    * depend on the base chunk columns, and a 100 TB table must never
+    * be silently committed to a full rewrite by a DDL statement.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!fs.exists(new Path(dir, "_log")))
+      throw new UnsupportedOperationException(
+        s"$catalogName.${ident.name()}: ALTER TABLE needs the manifest " +
+          "table format (plain parquet layouts have a fixed schema)")
+    val store = new ChunkStore(spark, dir,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, dir, store.schema)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName.${ident.name()}: only top-level ADD COLUMN " +
+              s"is supported, got ${add.fieldNames().mkString(".")}")
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            s"$catalogName.${ident.name()}: added columns must be " +
+              "nullable — files written before the ALTER read the " +
+              "column as NULL")
+        if (add.position() != null)
+          throw new UnsupportedOperationException(
+            s"$catalogName.${ident.name()}: FIRST/AFTER positions are " +
+              "not supported — new columns append at the end (old " +
+              "files' layout is immutable)")
+        mtf.addColumn(add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName.${ident.name()}: unsupported ALTER $other — " +
+          "only ADD COLUMN (nullable, top-level) evolves a graft table")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tableDir(ident))

@@ -944,6 +944,39 @@ object RelationalQueries {
         "WHERE document_url LIKE '%0'")
       s.sql("SELECT document_url, chunk_text, page_number " +
         "FROM graft_upd.chunks ORDER BY document_url")
+    },
+
+    // C37g: schema evolution through SQL — `ALTER TABLE ADD COLUMN`
+    // commits a schema sidecar to the manifest log (no data rewrite),
+    // old files read the new column as NULL, and the evolved column
+    // is immediately UPDATE-able. The final scan mixes pre-ALTER
+    // files (null-filled), post-ALTER rewritten files, and the
+    // copy-on-write UPDATE's survivors; the oracle recomputes the
+    // whole evolution relationally.
+    "c37g_schema_evolution" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text,
+        |       CASE WHEN doc_id % 10 = 7 THEN 'en' END AS lang
+        |FROM documents
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sqlevo").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = t(s, dir, "documents")
+      store.upsert(docs.select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      s.conf.set("spark.sql.catalog.graft_se",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_se.warehouse", wh)
+      s.sql("ALTER TABLE graft_se.chunks ADD COLUMN lang STRING")
+      s.sql("UPDATE graft_se.chunks SET lang = 'en' " +
+        "WHERE document_url LIKE '%7'")
+      s.sql("SELECT document_url, chunk_text, lang " +
+        "FROM graft_se.chunks ORDER BY document_url")
     }
   )
 }

@@ -231,7 +231,10 @@ final class ChunkStore(
     * reference's SQL variant).
     */
   def append(chunks: DataFrame): Unit =
-    if (!fmt.append(normalized(chunks))) {
+    // the format sees the RAW frame: a schema-evolving format keeps
+    // evolved columns the caller carries (and conforms internally);
+    // only the fixed-schema parquet fallback normalizes to base
+    if (!fmt.append(chunks)) {
       ensure()
       buckets match {
         case None =>

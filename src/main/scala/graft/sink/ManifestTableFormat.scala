@@ -3,7 +3,7 @@ package graft.sink
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.ops.Layout
 
@@ -131,7 +131,8 @@ class ManifestTableFormat(
       version: Long,
       ckptParquet: Option[Path],
       base: Map[String, FileStats],
-      removed: Set[String])
+      removed: Set[String],
+      tableSchema: StructType)
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -288,6 +289,102 @@ class ManifestTableFormat(
     new Path(logDir, f"$v%012d.checkpoint.json")
   private def ckptParquetPath(v: Long) =
     new Path(logDir, f"$v%012d.checkpoint.parquet")
+  private def schemaFilePath(v: Long) =
+    new Path(logDir, f"$v%012d.schema.json")
+
+  // ---- schema evolution --------------------------------------------
+  //
+  // ADD COLUMN is recorded as an immutable `<version>.schema.json`
+  // sidecar in the log dir carrying the FULL evolved schema
+  // (StructType JSON), linearized by claiming its version with an
+  // empty log entry through the same fail-if-exists commit as data.
+  // The effective schema at version v is the newest sidecar at or
+  // below v (the ctor's base schema before any). Old data files lack
+  // the new columns and read as NULL through the explicit read schema
+  // — no rewrite, the Delta convention. Sidecars are never vacuumed
+  // (bounded by ALTER count, not table size), so time travel across
+  // the boundary keeps working after checkpoints prune the entries.
+  // Protocol note: a pre-evolution reader knows no schema sidecar and
+  // would read evolved tables with the base schema silently — the
+  // same one-way-upgrade contract as the parquet-checkpoint bump
+  // (class doc above); this reader is the compatibility boundary.
+
+  /** Versions that have a schema sidecar, ascending. */
+  private def schemaVersions(f: org.apache.hadoop.fs.FileSystem): Seq[Long] =
+    if (!f.exists(logDir)) Seq.empty
+    else f.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{12}\\.schema\\.json"))
+      .map(_.stripSuffix(".schema.json").toLong).sorted
+
+  private def parseSchemaFile(v: Long): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      readText(schemaFilePath(v))) match {
+      case s: StructType => s
+      case other => throw new IllegalStateException(
+        s"schema sidecar ${schemaFilePath(v)} holds a ${other.typeName}" +
+          ", not a struct — corrupt or foreign file")
+    }
+
+  /** Effective schema at `asOf` (−1/any pre-first-commit = base). */
+  def schemaAtVersion(asOf: Long): StructType = {
+    val vs = schemaVersions(fs).filter(_ <= asOf)
+    if (vs.isEmpty) schema else parseSchemaFile(vs.max)
+  }
+
+  /** The current effective schema (base + committed ADD COLUMNs). */
+  def currentSchema: StructType = {
+    val vs = schemaVersions(fs)
+    if (vs.isEmpty) schema else parseSchemaFile(vs.max)
+  }
+
+  /** ADD COLUMN: nullable, top-level, default-null read of old files.
+    * Incompatible evolution (duplicate name, dropping the nullable
+    * guarantee) refuses loudly; drops/renames/type-changes are not
+    * supported at all — the store's readers depend on the base
+    * columns. Linearized: the new schema's version is claimed with an
+    * empty log entry, so concurrent ALTERs serialize and a lost race
+    * re-validates against the winner's schema.
+    */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType)
+      : Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"ALTER TABLE at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      require(!snap.tableSchema.fieldNames
+          .exists(_.equalsIgnoreCase(name)),
+        s"ALTER TABLE at $path: column '$name' already exists " +
+          s"(schema: ${snap.tableSchema.fieldNames.mkString(", ")})")
+      val next = StructType(snap.tableSchema.fields :+
+        StructField(name, dataType, nullable = true))
+      if (tryCommit(snap, Seq.empty)) {
+        val out = fs.create(schemaFilePath(snap.version + 1), false)
+        try out.write(next.json.getBytes("UTF-8")) finally out.close()
+        done = true
+      }
+      // lost race: loop re-snapshots (maybe the winner added the same
+      // column — the duplicate check above then refuses)
+    }
+  }
+
+  /** Shape `df` to `s`: base columns must be present (loud error via
+    * unresolved column otherwise), EXTENSION columns absent from `df`
+    * null-fill (the default-null contract), extra caller columns are
+    * projected away (the store has always been a fixed-schema sink —
+    * callers pass pipeline frames with working columns).
+    */
+  private def conform(df: DataFrame, s: StructType): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    df.select(s.fields.toIndexedSeq.map { f =>
+      if (have.contains(f.name.toLowerCase)) col(f.name)
+      else if (schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        col(f.name) // base column missing: fail loudly downstream
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
 
   /** A parquet checkpoint directory counts only when its write
     * completed (`_SUCCESS` present — Spark writes it last). A torn
@@ -337,7 +434,8 @@ class ManifestTableFormat(
     */
   private[sink] def snapshot(): Snapshot = {
     val f = fs
-    if (!f.exists(logDir)) return Snapshot(-1L, None, Map.empty, Set.empty)
+    if (!f.exists(logDir))
+      return Snapshot(-1L, None, Map.empty, Set.empty, schema)
     val (entries, jsonCkpts, pqCkpts) = census(f)
     val jc = if (jsonCkpts.isEmpty) -1L else jsonCkpts.max
     val pc = if (pqCkpts.isEmpty) -1L else pqCkpts.max
@@ -353,11 +451,13 @@ class ManifestTableFormat(
       }
     if (!parquetBase && ckpt >= 0) replay(checkpointPath(ckpt))
     entries.filter(_ > ckpt).sorted.foreach(v => replay(entryPath(v)))
+    val version = (entries ++ jsonCkpts ++ pqCkpts).foldLeft(-1L)(math.max)
     Snapshot(
-      (entries ++ jsonCkpts ++ pqCkpts).foldLeft(-1L)(math.max),
+      version,
       if (parquetBase) Some(ckptParquetPath(pc)) else None,
       base,
-      if (parquetBase) removed else Set.empty)
+      if (parquetBase) removed else Set.empty,
+      schemaAtVersion(version))
   }
 
   /** Write the current live state as a PARQUET checkpoint — assembled
@@ -435,13 +535,18 @@ class ManifestTableFormat(
 
   // ---- data files --------------------------------------------------
 
-  private def emptyFrame: DataFrame =
+  private def emptyFrame(s: StructType): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
 
-  private def readFiles(files: Seq[String]): DataFrame =
-    if (files.isEmpty) emptyFrame
-    else spark.read.schema(schema).parquet(files: _*)
+  /** Read `files` under the effective schema `s`: files written
+    * before an ADD COLUMN lack the new columns and come back NULL
+    * through the explicit read schema — old and new files mix in one
+    * scan with no rewrite.
+    */
+  private def readFiles(files: Seq[String], s: StructType): DataFrame =
+    if (files.isEmpty) emptyFrame(s)
+    else spark.read.schema(s).parquet(files: _*)
 
   /** The snapshot's per-file stats as a DataFrame, shaped for
     * [[Layout.bloomTest]] — so affected-file selection runs as a Spark
@@ -513,12 +618,12 @@ class ManifestTableFormat(
     * (map-side, fixed-size buffers — [[Layout.bloomAgg]]) and min/max.
     * O(1) metadata per file, however many documents it packs.
     */
-  private def writeData(rows: DataFrame): Seq[Action] = {
+  private def writeData(rows: DataFrame, s: StructType): Seq[Action] = {
     val batchDir = new Path(dataDir,
       s"batch-${java.util.UUID.randomUUID()}")
-    rows.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    rows.select(s.fieldNames.map(col).toIndexedSeq: _*)
       .write.parquet(batchDir.toString)
-    val written = spark.read.schema(schema).parquet(batchDir.toString)
+    val written = spark.read.schema(s).parquet(batchDir.toString)
     if (written.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
     val agg = udaf(Layout.bloomAgg(bloomBits, bloomHashes))
     written
@@ -556,7 +661,7 @@ class ManifestTableFormat(
       guard()
       val snap = snapshot()
       val files = affected(snap)
-      val adds = writeData(onRewrite(rewrite(snap, files)))
+      val adds = writeData(onRewrite(rewrite(snap, files)), snap.tableSchema)
       val actions = files.map(Action(add = false, _, None)) ++ adds
       if (actions.isEmpty) return
       beforeCommit()
@@ -602,17 +707,18 @@ class ManifestTableFormat(
   // ---- TableFormat -------------------------------------------------
 
   override def merge(rows: DataFrame): Unit = {
-    val incoming = rows.select(
-      col("chunk_id"), col("chunk_text"), col("embedding"),
-      col("page_number"), col("document_url")).persist()
+    // conform up-front (prunes pipeline working columns before the
+    // persist; null-fills evolved columns the caller doesn't carry),
+    // re-conform per attempt in case an ALTER lands mid-retry
+    val incoming = conform(rows, currentSchema).persist()
     try {
       if (incoming.isEmpty) return
       val probe = incoming.select("document_url").distinct().persist()
       try commitCycle(
         snap => affectedFiles(snap, probe),
-        (_, files) => readFiles(files)
+        (snap, files) => readFiles(files, snap.tableSchema)
           .join(broadcast(probe), Seq("document_url"), "left_anti")
-          .unionByName(incoming))
+          .unionByName(conform(incoming, snap.tableSchema)))
       finally probe.unpersist()
     } finally incoming.unpersist()
   }
@@ -639,7 +745,7 @@ class ManifestTableFormat(
       if (probe.isEmpty) return
       commitCycle(
         snap => affectedFiles(snap, probe),
-        (_, files) => readFiles(files)
+        (snap, files) => readFiles(files, snap.tableSchema)
           .join(broadcast(probe), Seq("document_url"), "left_anti"))
     } finally probe.unpersist()
   }
@@ -663,10 +769,10 @@ class ManifestTableFormat(
       condition: Option[org.apache.spark.sql.Column],
       set: Seq[(String, org.apache.spark.sql.Column)]): Boolean = {
     require(set.nonEmpty, "UPDATE needs at least one assignment")
-    val known = schema.fieldNames.toSet
+    val known = currentSchema.fieldNames.toSet
     set.foreach { case (n, _) => require(known.contains(n),
       s"UPDATE at $path: unknown column '$n' " +
-        s"(table columns: ${schema.fieldNames.mkString(", ")})") }
+        s"(table columns: ${known.toSeq.sorted.mkString(", ")})") }
     require(set.map(_._1).distinct.size == set.size,
       s"UPDATE at $path assigns a column twice: " +
         set.map(_._1).mkString(", "))
@@ -675,13 +781,13 @@ class ManifestTableFormat(
       snap => {
         val names = liveNames(snap)
         if (names.isEmpty) Seq.empty
-        else readFiles(names).filter(cond)
+        else readFiles(names, snap.tableSchema).filter(cond)
           .select(input_file_name().as("f")).distinct()
           .collect().map(_.getString(0)).toSeq.sorted
       },
-      (_, files) => {
-        val src = readFiles(files)
-        val projected = schema.fields.toIndexedSeq.map { f =>
+      (snap, files) => {
+        val src = readFiles(files, snap.tableSchema)
+        val projected = snap.tableSchema.fields.toIndexedSeq.map { f =>
           set.find(_._1 == f.name) match {
             case Some((_, v)) =>
               when(cond, v.cast(f.dataType)).otherwise(col(f.name))
@@ -697,19 +803,22 @@ class ManifestTableFormat(
   override def compact(): Unit =
     commitCycle(
       snap => liveNames(snap),
-      (_, files) => readFiles(files).coalesce(1))
+      (snap, files) => readFiles(files, snap.tableSchema).coalesce(1))
 
   /** A18 append, log-committed: new files only, no removes — so a
     * lost commit race can never conflict and simply recommits.
     */
   override def append(rows: DataFrame): Boolean = {
     if (!rows.isEmpty)
-      commitCycle(_ => Seq.empty, (_, _) => rows)
+      commitCycle(_ => Seq.empty,
+        (snap, _) => conform(rows, snap.tableSchema))
     true
   }
 
-  override def read(): Option[DataFrame] =
-    Some(readFiles(liveNames(snapshot())))
+  override def read(): Option[DataFrame] = {
+    val snap = snapshot()
+    Some(readFiles(liveNames(snap), snap.tableSchema))
+  }
 
   /** Point/multi-document reads prune to the files whose stats MAY
     * hold a probed url (bloom + min/max from log metadata — no data
@@ -722,10 +831,11 @@ class ManifestTableFormat(
   override def readDocuments(urls: Seq[String]): Option[DataFrame] = {
     import spark.implicits._
     val probe = urls.distinct.toDF("document_url")
-    val files = affectedFiles(snapshot(), probe)
-    Some(readFiles(files)
+    val snap = snapshot()
+    val files = affectedFiles(snap, probe)
+    Some(readFiles(files, snap.tableSchema)
       .join(broadcast(probe), Seq("document_url"), "left_semi")
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*))
+      .select(snap.tableSchema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
   /** The current committed version (−1 before the first commit). */
@@ -784,7 +894,8 @@ class ManifestTableFormat(
     * documents), and a gap in the surviving entries fails loudly
     * rather than silently serving a wrong state.
     */
-  def readVersion(asOf: Long): DataFrame = readFiles(filesAtVersion(asOf))
+  def readVersion(asOf: Long): DataFrame =
+    readFiles(filesAtVersion(asOf), schemaAtVersion(asOf))
 
   /** CHANGE FEED: the row-level delta between two committed versions —
     * the capability the reference's store exposes as the Cosmos change
@@ -815,8 +926,11 @@ class ManifestTableFormat(
       if (fromVersion < 0) Set.empty[String]
       else filesAtVersion(fromVersion).toSet
     val after = filesAtVersion(toVersion).toSet
-    val addedRows = readFiles((after -- before).toSeq.sorted)
-    val removedRows = readFiles((before -- after).toSeq.sorted)
+    // both sides read under the TO version's schema: the delta is
+    // expressed in the evolved shape, pre-ALTER rows null-filled
+    val s = schemaAtVersion(toVersion)
+    val addedRows = readFiles((after -- before).toSeq.sorted, s)
+    val removedRows = readFiles((before -- after).toSeq.sorted, s)
     addedRows.exceptAll(removedRows)
       .withColumn("_change_type", lit("insert"))
       .unionByName(removedRows.exceptAll(addedRows)

@@ -538,4 +538,42 @@ class GraftCatalogSpec extends SparkSpec
     }
     assert(e2.getMessage.contains("UPDATE"), e2.getMessage)
   }
+
+  test("ALTER TABLE ADD COLUMN evolves the schema; the rest refuses") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 10, "v1-"))
+    spark.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang STRING")
+    assert(spark.table(s"$cat.chunks").columns.contains("lang"))
+    // old files scan NULL; INSERT and UPDATE speak the evolved shape
+    spark.sql(s"INSERT INTO $cat.chunks VALUES " +
+      "(0, 'neu', array(1.0F, 2.0F), 1, 'doc://new', 'de')")
+    spark.sql(s"UPDATE $cat.chunks SET lang = 'en' " +
+      "WHERE document_url = 'doc://0001'")
+    val langs = spark.sql(s"SELECT document_url, lang FROM $cat.chunks")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(langs("doc://new") == Some("de"))
+    assert(langs("doc://0001") == Some("en"))
+    assert(langs("doc://0002").isEmpty)
+    // incompatible DDL refuses loudly, schema unchanged after each
+    Seq(
+      s"ALTER TABLE $cat.chunks DROP COLUMN lang",
+      s"ALTER TABLE $cat.chunks RENAME COLUMN lang TO language",
+      s"ALTER TABLE $cat.chunks ALTER COLUMN lang TYPE INT",
+      s"ALTER TABLE $cat.chunks ADD COLUMN score INT NOT NULL",
+      s"ALTER TABLE $cat.chunks ADD COLUMN pos INT FIRST"
+    ).foreach { ddl =>
+      intercept[Exception] { spark.sql(ddl) }
+      assert(spark.table(s"$cat.chunks").columns.toSeq ==
+        Seq("chunk_id", "chunk_text", "embedding", "page_number",
+          "document_url", "lang"), ddl)
+    }
+    // per-document layout: no evolution path
+    val pd = new ChunkStore(spark, s"$wh/plain")
+    pd.upsert(chunkRows(1 to 3, "p-"))
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $cat.plain ADD COLUMN lang STRING")
+    }
+  }
 }

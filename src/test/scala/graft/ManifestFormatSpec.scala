@@ -521,4 +521,54 @@ class ManifestFormatSpec extends SparkSpec {
     store.delete(Seq(evil.head))
     assert(store.listDocumentUrls().toSet == evil.tail.toSet)
   }
+
+  test("schema evolution: ADD COLUMN null-fills old files, one scan " +
+      "mixes old+new, time travel keeps the old shape") {
+    import org.apache.spark.sql.types.StringType
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    store.upsert(chunksOf("doc://old", "before"))        // v0: base shape
+    val preAlter = mtf.version
+    mtf.addColumn("lang", StringType)                     // v1: schema
+    assert(mtf.currentSchema.fieldNames.last == "lang")
+    assert(mtf.currentSchema("lang").nullable)
+    // a post-ALTER append CARRIES the column; the caller frame has it
+    import spark.implicits._
+    store.append(Seq((0, "after", Seq(1f), 1, "doc://new", "en"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url", "lang")
+      .withColumn("embedding", col("embedding").cast("array<float>")))
+    // one scan over old+new files: the pre-ALTER file reads NULL
+    val got = store.read().select("document_url", "chunk_text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(got == Set(("doc://old", "before", None),
+      ("doc://new", "after", Some("en"))), got)
+    // a post-ALTER upsert WITHOUT the column null-fills (default-null)
+    store.upsert(chunksOf("doc://plain", "nofield"))
+    assert(store.read().filter(col("document_url") === "doc://plain")
+      .select("lang").collect().head.isNullAt(0))
+    // time travel BEFORE the ALTER: the old shape, no lang column
+    val old = mtf.readVersion(preAlter)
+    assert(!old.columns.contains("lang"), old.columns.mkString(","))
+    // change feed across the boundary speaks the evolved shape
+    val feed = mtf.changesBetween(preAlter, mtf.version)
+    assert(feed.columns.contains("lang"))
+    // evolution survives checkpoint + vacuum (sidecars are never
+    // pruned), and the evolved column is UPDATE-able
+    mtf.checkpoint(); mtf.vacuum()
+    assert(mtf.currentSchema.fieldNames.contains("lang"))
+    store.update(Some(col("document_url") === "doc://old"),
+      Seq("lang" -> lit("la")))
+    val langs = store.read().select("document_url", "lang")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(langs("doc://old") == Some("la") &&
+      langs("doc://new") == Some("en") && langs("doc://plain").isEmpty)
+    // incompatible evolution refuses loudly
+    intercept[IllegalArgumentException] {
+      mtf.addColumn("LANG", StringType) // case-insensitive duplicate
+    }
+  }
 }
