@@ -441,6 +441,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"$warehouse/${args(0)}", args(1),
           graft.ops.IndexSync.chunkTextPrepare(spark, args(1)))
         longsRow(st.fromVersion, st.toVersion, st.appended, st.tombstoned)
+      }),
+    // ---- SQL surface for the D25/D27/D28 operators (the stores'
+    // users are SQL-first; Scala-only operators are unreachable for
+    // them). Pattern: <source> is any table/view name the session
+    // resolves (the merge_into convention); large results register as
+    // a TEMP VIEW the caller then SELECTs — only operation-summary
+    // longs return through the procedure result set.
+    rowProcedure("train_quality_classifier",
+      Seq("source", "text_col", "label_expr", "model_path"),
+      "D25: fit the two-channel (word + char-trigram) hashed logistic " +
+        "quality model on <source>; <label_expr> is a SQL expression " +
+        "evaluating to 1 (keep) / 0 (reject) per row; the fitted " +
+        "model persists at <model_path> (spark.ml writer format). " +
+        "Train on a D7-sampled slice at corpus scale (SCALE.md D25).",
+      StructType(Seq(
+        StructField("rows_trained", LongType, nullable = false))))(
+      args => {
+        val df = spark.table(args(0))
+        val model = graft.ops.QualityClassifier.train(df, args(1),
+          org.apache.spark.sql.functions.expr(args(2)))
+        graft.ops.QualityClassifier.save(model, args(3))
+        longsRow(df.count())
+      }),
+    rowProcedure("score_quality",
+      Seq("source", "model_path", "out_view"),
+      "D25: score <source> with the model at <model_path> (the " +
+        "source must carry the column the model was trained on); " +
+        "registers <out_view> = source plus `quality_prob` " +
+        "(exchange-free per-row scoring) and returns the row count",
+      StructType(Seq(
+        StructField("rows_scored", LongType, nullable = false))))(
+      args => {
+        val model = graft.ops.QualityClassifier.load(spark, args(1))
+        val scored = graft.ops.QualityClassifier
+          .score(spark.table(args(0)), model)
+        scored.createOrReplaceTempView(args(2))
+        longsRow(scored.count())
+      }),
+    rowProcedure("semantic_chunk",
+      Seq("source", "id_col", "text_col", "out_view"),
+      "D27: semantic (embedding-drift) chunking of <source>'s " +
+        "<text_col>, one row per chunk keyed by <id_col>; registers " +
+        "<out_view> (id, chunk_number, chunk_text, n_sentences) and " +
+        "returns the chunk count",
+      StructType(Seq(
+        StructField("n_chunks", LongType, nullable = false))))(
+      args => {
+        val out = graft.chunk.SemanticChunker.chunk(
+          spark.table(args(0)), args(1), args(2))
+        out.createOrReplaceTempView(args(3))
+        longsRow(out.count())
+      }),
+    rowProcedure("fuzzy_pairs",
+      Seq("source", "id_col", "str_col", "max_dist", "out_view"),
+      "D28: all unordered pairs of <source> rows whose <str_col> " +
+        "values are within levenshtein <max_dist> (1 or 2) — " +
+        "deletion-neighborhood blocked, exact-verified; registers " +
+        "<out_view> (id1, s1, id2, s2, dist) and returns the pair " +
+        "count",
+      StructType(Seq(
+        StructField("n_pairs", LongType, nullable = false))))(
+      args => {
+        val out = graft.ops.FuzzyJoin.similarPairs(
+          spark.table(args(0)), args(1), args(2), args(3).trim.toInt)
+        out.createOrReplaceTempView(args(4))
+        longsRow(out.count())
       })
   ).map(p => p.name() -> p).toMap
 

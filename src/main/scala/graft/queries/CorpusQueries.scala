@@ -570,6 +570,38 @@ object CorpusQueries {
       graft.ops.FuzzyJoin.similarPairs(words, "id", "w", maxDist = 1)
         .select(col("s1").as("w1"), col("s2").as("w2"), col("dist"))
         .orderBy("w1", "w2")
+    },
+
+    // D28b: the SAME fuzzy-pair semantics reached purely through SQL —
+    // `CALL <catalog>.fuzzy_pairs(source, id, str, k, out_view)` runs
+    // the deletion-neighborhood join and registers the pair view;
+    // the oracle is d28's quadratic DuckDB formulation unchanged, so
+    // the CALL surface must be semantics-identical to the Scala API.
+    "d28b_fuzzy_pairs_sql" -> QueryDef(
+      """WITH base AS (SELECT DISTINCT UNNEST(string_split(text, ' ')) AS w
+        |              FROM documents),
+        |f AS (SELECT w FROM (
+        |        SELECT w FROM base
+        |        UNION SELECT substring(w, 2) FROM base)
+        |      WHERE LENGTH(w) >= 4)
+        |SELECT a.w AS w1, b.w AS w2,
+        |       CAST(levenshtein(a.w, b.w) AS INT) AS dist
+        |FROM f a JOIN f b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+        |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val words = base
+        .unionByName(base.select(expr("substring(w, 2)").as("w")))
+        .filter(length(col("w")) >= 4).distinct()
+        .withColumn("id", col("w"))
+      words.createOrReplaceTempView("d28b_words")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-fp").toString
+      val cat = QueryDef.freshCatalog(s, "graft_fp", wh)
+      s.sql(s"CALL $cat.fuzzy_pairs(" +
+        "'d28b_words', 'id', 'w', '1', 'd28b_pairs')")
+      s.sql("SELECT s1 AS w1, s2 AS w2, dist FROM d28b_pairs " +
+        "ORDER BY w1, w2")
     }
   )
 }

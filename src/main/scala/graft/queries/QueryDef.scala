@@ -16,4 +16,22 @@ object QueryDef {
     QueryDef(fn, Some(oracle))
   def rowsOnly(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(fn, None)
+
+  /** Register a FRESH GraftCatalog under an invocation-unique name
+    * pointing at `warehouse`, returning the name. Needed because
+    * Spark caches catalog INSTANCES by name per session with the
+    * warehouse they were initialized with — a gate re-invoked on the
+    * same session (the bench's warmup pass + timed pass) would
+    * otherwise hit the PREVIOUS invocation's warehouse through the
+    * cached instance (observed: c37g's second ALTER failing with
+    * FIELD_ALREADY_EXISTS against the warmup run's table).
+    */
+  def freshCatalog(s: SparkSession, prefix: String,
+      warehouse: String): String = {
+    val cat = s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    cat
+  }
 }

@@ -813,10 +813,8 @@ object RelationalQueries {
       store.delete(docs.filter(col("doc_id") % 17 === 0)
         .select(concat(lit("doc://"), col("doc_id")))
         .collect().map(_.getString(0)).toSeq)
-      s.conf.set("spark.sql.catalog.graft",
-        classOf[graft.catalog.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      s.sql("SELECT document_url, chunk_text FROM graft.chunks " +
+      val cat = QueryDef.freshCatalog(s, "graft", wh)
+      s.sql(s"SELECT document_url, chunk_text FROM $cat.chunks " +
         "ORDER BY document_url")
     },
 
@@ -850,10 +848,8 @@ object RelationalQueries {
       store.delete(docs.filter(col("doc_id") % 17 === 0)
         .select(concat(lit("doc://"), col("doc_id")))
         .collect().map(_.getString(0)).toSeq)              // version 2
-      s.conf.set("spark.sql.catalog.graft_tt",
-        classOf[graft.catalog.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
-      s.sql("SELECT document_url, chunk_text FROM graft_tt.chunks " +
+      val cat = QueryDef.freshCatalog(s, "graft_tt", wh)
+      s.sql(s"SELECT document_url, chunk_text FROM $cat.chunks " +
         "VERSION AS OF 0 ORDER BY document_url")
     },
 
@@ -935,15 +931,13 @@ object RelationalQueries {
         lit(0).as("chunk_id"), col("text").as("chunk_text"),
         array(lit(0f)).as("embedding"), lit(0).as("page_number"),
         concat(lit("doc://"), col("doc_id")).as("document_url")))
-      s.conf.set("spark.sql.catalog.graft_upd",
-        classOf[graft.catalog.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_upd.warehouse", wh)
-      s.sql("UPDATE graft_upd.chunks " +
+      val cat = QueryDef.freshCatalog(s, "graft_upd", wh)
+      s.sql(s"UPDATE $cat.chunks " +
         "SET chunk_text = chunk_text || ' v2', " +
         "page_number = page_number + 10 " +
         "WHERE document_url LIKE '%0'")
-      s.sql("SELECT document_url, chunk_text, page_number " +
-        "FROM graft_upd.chunks ORDER BY document_url")
+      s.sql(s"SELECT document_url, chunk_text, page_number " +
+        s"FROM $cat.chunks ORDER BY document_url")
     },
 
     // C37g: schema evolution through SQL — `ALTER TABLE ADD COLUMN`
@@ -969,14 +963,12 @@ object RelationalQueries {
         lit(0).as("chunk_id"), col("text").as("chunk_text"),
         array(lit(0f)).as("embedding"), lit(0).as("page_number"),
         concat(lit("doc://"), col("doc_id")).as("document_url")))
-      s.conf.set("spark.sql.catalog.graft_se",
-        classOf[graft.catalog.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft_se.warehouse", wh)
-      s.sql("ALTER TABLE graft_se.chunks ADD COLUMN lang STRING")
-      s.sql("UPDATE graft_se.chunks SET lang = 'en' " +
+      val cat = QueryDef.freshCatalog(s, "graft_se", wh)
+      s.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang STRING")
+      s.sql(s"UPDATE $cat.chunks SET lang = 'en' " +
         "WHERE document_url LIKE '%7'")
-      s.sql("SELECT document_url, chunk_text, lang " +
-        "FROM graft_se.chunks ORDER BY document_url")
+      s.sql(s"SELECT document_url, chunk_text, lang " +
+        s"FROM $cat.chunks ORDER BY document_url")
     }
   )
 }

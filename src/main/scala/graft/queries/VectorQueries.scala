@@ -265,11 +265,9 @@ object VectorQueries {
           numFiles = 8, bits = 10)
         Layout.writeManifest(s, path, Seq("l_partkey", "l_suppkey"))
         Layout.writeKeyManifest(s, path, "l_suppkey")
-        s.conf.set("spark.sql.catalog.graft_z",
-          classOf[graft.catalog.GraftCatalog].getName)
-        s.conf.set("spark.sql.catalog.graft_z.warehouse", wh)
-        s.sql("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
-          |FROM graft_z.zt
+        val cat = QueryDef.freshCatalog(s, "graft_z", wh)
+        s.sql(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+          |FROM $cat.zt
           |WHERE l_partkey BETWEEN 200 AND 220 AND l_suppkey = 3
           |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
           .stripMargin)

@@ -576,4 +576,54 @@ class GraftCatalogSpec extends SparkSpec
       spark.sql(s"ALTER TABLE $cat.plain ADD COLUMN lang STRING")
     }
   }
+
+  test("CALL train_quality_classifier / score_quality: D25 from SQL") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    // separable corpus: quality rows are wordy prose, junk is noise
+    val rows = (1 to 60).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, "the quick brown fox jumps over the lazy dog again " +
+          s"and tells a long story number $i", 1)
+      else (i.toLong, s"@@## $i ~~~ %%% $i ###", 0)
+    }
+    rows.toDF("doc_id", "text", "label")
+      .createOrReplaceTempView("qc_train_src")
+    val model = s"$wh/qc_model"
+    val trained = spark.sql(s"CALL $cat.train_quality_classifier(" +
+      s"'qc_train_src', 'text', 'label', '$model')").collect().head
+    assert(trained.getLong(0) == 60L)
+    val scored = spark.sql(s"CALL $cat.score_quality(" +
+      s"'qc_train_src', '$model', 'qc_scored')").collect().head
+    assert(scored.getLong(0) == 60L)
+    val acc = spark.sql(
+      "SELECT AVG(CAST((quality_prob >= 0.5) = (label = 1) AS DOUBLE)) " +
+        "FROM qc_scored").collect().head.getDouble(0)
+    assert(acc >= 0.95, s"train-set accuracy $acc")
+  }
+
+  test("CALL semantic_chunk / fuzzy_pairs: D27/D28 from SQL") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    Seq((1L, "Spark shuffles partition data. Spark shuffles exchanges. " +
+        "Cats purr milk bowls. Cats purr milk whiskers."))
+      .toDF("doc_id", "text").createOrReplaceTempView("sc_src")
+    val n = spark.sql(s"CALL $cat.semantic_chunk(" +
+      "'sc_src', 'doc_id', 'text', 'sc_out')").collect().head.getLong(0)
+    assert(n >= 2, s"$n chunks")
+    val chunks = spark.sql(
+      "SELECT chunk_text FROM sc_out ORDER BY chunk_number")
+      .collect().map(_.getString(0))
+    assert(chunks.head.startsWith("Spark") &&
+      chunks.last.startsWith("Cats"))
+    Seq((1L, "spark"), (2L, "spork"), (3L, "flink"), (4L, "blink"))
+      .toDF("id", "w").createOrReplaceTempView("fp_src")
+    val np = spark.sql(s"CALL $cat.fuzzy_pairs(" +
+      "'fp_src', 'id', 'w', '1', 'fp_out')").collect().head.getLong(0)
+    assert(np == 2L, s"$np pairs")
+    // pairs are unordered, keyed id1 < id2: (1,2) and (3,4)
+    val pairs = spark.sql("SELECT s1, s2 FROM fp_out ORDER BY s1")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("flink", "blink"), ("spark", "spork")), pairs)
+  }
 }
