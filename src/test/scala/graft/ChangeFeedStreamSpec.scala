@@ -142,12 +142,16 @@ class ChangeFeedStreamSpec extends SparkSpec {
 
   test("startingTimestamp resolves ONCE per query: the pinned version " +
       "survives a restart even if commit mtimes later shift") {
-    val meta = Files.createTempDirectory("graft-cdf-pin").toString
-    val p = new graft.streaming.ChangeFeedProvider
-    // first resolution pins; a later re-creation of the source (query
+    val meta = new org.apache.hadoop.fs.Path(
+      Files.createTempDirectory("graft-cdf-pin").toString,
+      "graft-starting-version")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // first resolution pins; a later re-creation of the stream (query
     // restart) must read the pin back, not re-resolve against the
     // now-mutated clock (vacuumed history dates by checkpoint mtime)
-    assert(p.pinnedVersion(spark, meta, () => 5L) == 5L)
-    assert(p.pinnedVersion(spark, meta, () => 99L) == 5L)
+    assert(graft.streaming.GraftChangeFeedStream
+      .pinnedLong(fs, meta, () => 5L) == 5L)
+    assert(graft.streaming.GraftChangeFeedStream
+      .pinnedLong(fs, meta, () => 99L) == 5L)
   }
 }
