@@ -484,10 +484,16 @@ class ManifestTableFormat(
     if (f.exists(target) && !validCkptParquet(f, snap.version))
       f.delete(target, true)
     val tmp = new Path(logDir, s"tmp-ckpt-${java.util.UUID.randomUUID()}")
-    // files-count rows of KB-scale stats: one output file is right at
-    // any table size the log itself can reach
+    // MANIFEST-LIST sizing (the Iceberg idea): the checkpoint is a
+    // DIRECTORY of manifest part-files, ~100k file-stats (~100 MB)
+    // each, so a 10⁷-file table checkpoints as ~100 parallel parts —
+    // written AND read as a distributed job; the driver ever holds
+    // one directory name. Small tables still get one part.
     try {
-      statsFrame(snap).coalesce(1).write.parquet(tmp.toString)
+      val stats = statsFrame(snap)
+      val parts = math.max(1L,
+        stats.count() / ManifestTableFormat.statsPerManifestPart).toInt
+      stats.repartition(parts).write.parquet(tmp.toString)
       if (!(!f.exists(target) && f.rename(tmp, target)))
         f.delete(tmp, true)
     } catch {
@@ -674,10 +680,18 @@ class ManifestTableFormat(
         // file-level conflict: the winner removed something we read
         // (rewrote or planned to remove) — our staged rewrite is
         // stale, abandon it and re-run against the new snapshot.
-        // Membership is checked against live NAMES (churn-bounded
-        // `files` probed against a names-only set).
-        val nowNames = liveNames(now).toSet
-        if (files.exists(f => !nowNames.contains(f))) {
+        // Checked as a JOIN: the churn-bounded `files` list
+        // anti-joins the live-name FRAME (checkpoint manifests read
+        // executor-side), so the driver never materializes the live
+        // set — the check stays O(churn) at any table size.
+        val conflicted = files.nonEmpty && {
+          import spark.implicits._
+          files.toDF("file")
+            .join(statsFrame(now).select("file"), Seq("file"),
+              "left_anti")
+            .limit(1).count() > 0
+        }
+        if (conflicted) {
           adds.foreach(a => fs.delete(new Path(a.file), false))
           rerun = true
         } else {
@@ -982,19 +996,38 @@ class ManifestTableFormat(
     var nData = 0L
     var nLog = 0L
     if (f.exists(dataDir)) {
-      val live = liveNames(snapshot())
-        .map(p => new Path(p).toUri.getPath).toSet
-      val it = f.listFiles(dataDir, true)
-      val dead = scala.collection.mutable.ArrayBuffer.empty[Path]
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
-            !live.contains(st.getPath.toUri.getPath))
-          dead += st.getPath
-      }
-      dead.foreach(f.delete(_, false))
-      nData = dead.size.toLong
+      // dead-file detection as BATCHED ANTI-JOINS against the
+      // live-name frame, keyed on BASENAME (part-file uuids are
+      // globally unique; a collision only ever KEEPS a file): the
+      // driver holds one listing batch + the dead names — bounded by
+      // garbage, never by table size. The live set itself stays in
+      // the checkpoint manifests, read executor-side per batch.
+      import spark.implicits._
+      val liveBase = statsFrame(snapshot())
+        .select(element_at(split(col("file"), "/"), -1).as("name"))
+        .persist()
+      try {
+        val it = f.listFiles(dataDir, true)
+        val batch = scala.collection.mutable
+          .ArrayBuffer.empty[(String, String)]
+        def flush(): Unit = if (batch.nonEmpty) {
+          val dead = batch.toSeq.toDF("path", "name")
+            .join(liveBase, Seq("name"), "left_anti")
+            .select("path").collect().map(_.getString(0))
+          dead.foreach(p => f.delete(new Path(p), false))
+          nData += dead.length
+          batch.clear()
+        }
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+            batch += ((st.getPath.toString, name))
+          if (batch.size >= ManifestTableFormat.statsPerManifestPart)
+            flush()
+        }
+        flush()
+      } finally liveBase.unpersist()
     }
     if (f.exists(logDir)) {
       val (entries, jsonCkpts, pqCkpts) = census(f)
@@ -1039,6 +1072,12 @@ class ManifestTableFormat(
 }
 
 object ManifestTableFormat {
+
+  /** Stats rows per checkpoint manifest part (~100 MB of per-file
+    * stats each) and the vacuum listing batch size — the two knobs
+    * that keep driver state bounded at the 10⁷-file end.
+    */
+  private[sink] val statsPerManifestPart = 100000L
 
   /** Constructor-ready factory:
     * `new ChunkStore(spark, path, format = ManifestTableFormat.factory)`.

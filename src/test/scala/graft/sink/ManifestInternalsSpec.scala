@@ -161,6 +161,74 @@ class ManifestInternalsSpec extends SparkSpec {
       bloomBits = 64, bloomHashes = 2).liveFiles.size == n + 1)
   }
 
+  test("1e6-file table: manifest-list checkpoint is multi-part and " +
+      "every metadata op stays churn-bounded on the driver") {
+    import spark.implicits._
+    val path = freshPath()
+    val schema = new ChunkStore(spark, freshPath()).schema
+    val logDir = new Path(path, "_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir)
+    // synthesize the 1e6-file state DIRECTLY as a parquet checkpoint
+    // (a distributed write — the stats never exist on the driver,
+    // exactly as a real checkpoint is produced)
+    val n = 1000000L
+    spark.range(n).select(
+        concat(lit("file:/fake/deep/part-"), col("id"),
+          lit(".parquet")).as("file"),
+        array(lit(0x5L)).as("bits"),
+        concat(lit("doc://"), col("id")).as("lo"),
+        concat(lit("doc://"), col("id")).as("hi"),
+        lit(64).as("num_bits"), lit(2).as("num_hashes"))
+      .repartition(10)
+      .write.parquet(s"$path/_log/000000000000.checkpoint.parquet")
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, path, schema)
+    assert(mtf.version == 0L)
+    // the driver's snapshot holds ZERO per-file stats — the 1e6-row
+    // state lives in the checkpoint manifests, consumed executor-side
+    assert(mtf.snapshot().base.isEmpty)
+
+    // commits against the huge state: append (no affected files) and
+    // a MERGE whose probe the stats must exclude — the affected-file
+    // selection is a join against the 1e6-row frame, collecting the
+    // empty survivor set, never the live names
+    store.append(chunkRows(1 to 1, "seed-"))
+    store.upsert(Seq((0, "zzz-doc", Seq(1f), 1, "doc://zzz"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url"))
+    // point read prunes THROUGH the 1e6-row stats frame to just the
+    // real file (every fake file's [lo, hi] excludes the probe)
+    val one = store.readDocuments(Seq("doc://zzz"))
+    assert(one.count() == 1)
+    assert(one.inputFiles.length == 1, one.inputFiles.length)
+
+    // the new checkpoint is a MANIFEST LIST: ~100k stats per part,
+    // so 1e6 files land as ~10 parallel parts
+    mtf.checkpoint()
+    val head = mtf.version
+    val ckpt = new Path(s"$path/_log/" + f"$head%012d" +
+      ".checkpoint.parquet")
+    assert(fs.exists(new Path(ckpt, "_SUCCESS")))
+    val parts = fs.listStatus(ckpt)
+      .count(st => st.getPath.getName.startsWith("part-"))
+    assert(parts >= 10, s"$parts checkpoint manifest parts")
+
+    // vacuum's dead detection: plant strays under data/ — detection
+    // anti-joins listing batches against the live-name frame, so the
+    // driver holds one batch + the DEAD names (3), never 1e6 names
+    val dataDir = new Path(path, "data")
+    (1 to 3).foreach { i =>
+      val out = fs.create(new Path(dataDir, s"stray-$i.parquet"), false)
+      out.write(Array[Byte](1, 2, 3)); out.close()
+    }
+    val (nDead, _) = mtf.vacuum()
+    assert(nDead == 3L, s"vacuum reclaimed $nDead")
+    // the real files survived (their basenames are in the manifests)
+    assert(store.readDocuments(Seq("doc://zzz")).count() == 1)
+  }
+
   test("legacy JSON checkpoints are still read; the next checkpoint " +
       "upgrades to parquet and vacuum drops the twin") {
     val path = freshPath()
