@@ -24,6 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.PrenormalizeCosine)
-    ext.injectPlannerStrategy(_ => graft.plans.GraftUpdateStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftDmlStrategy)
   }
 }

@@ -50,11 +50,11 @@ object GraftSession {
         extra :+ graft.plans.PrenormalizeCosine
     // SQL UPDATE on graft catalog tables: extra strategies run before
     // the built-ins, claiming UpdateTable before BasicOperators
-    // rejects it (see graft.plans.GraftUpdateStrategy)
+    // rejects it (see graft.plans.GraftDmlStrategy)
     val strategies = spark.experimental.extraStrategies
-    if (!strategies.contains(graft.plans.GraftUpdateStrategy))
+    if (!strategies.contains(graft.plans.GraftDmlStrategy))
       spark.experimental.extraStrategies =
-        strategies :+ graft.plans.GraftUpdateStrategy
+        strategies :+ graft.plans.GraftDmlStrategy
     spark
   }
 }

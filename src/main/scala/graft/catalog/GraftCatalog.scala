@@ -61,14 +61,18 @@ import graft.sink.{ChunkStore, ManifestTableFormat}
   *    store API, and hiding that behind INSERT would invite
   *    mis-bucketed rows.
   *
-  * MERGE and table maintenance are SQL-reachable as STORED PROCEDURES
-  * (the Iceberg convention for operations outside the DML grammar;
-  * `MERGE INTO` row-level-operation plumbing proper stays on the
-  * roadmap with Delta/Iceberg interop):
+  * Row-level DML is first-class SQL on manifest tables (planned by
+  * `graft.plans.GraftDmlStrategy` onto the log's copy-on-write
+  * commits): `UPDATE t SET … WHERE …`, arbitrary-predicate
+  * `DELETE FROM t WHERE …` (url-keyed deletes keep the bloom/metadata
+  * fast lane), and `MERGE INTO t USING s ON … WHEN …` with the full
+  * clause algebra. Maintenance and the operator surface are STORED
+  * PROCEDURES (the Iceberg convention for operations outside the DML
+  * grammar):
   *
   * {{{
   * CALL graft.merge_into('chunks', 'updates_view')  -- A17 upsert
-  * CALL graft.delete_where('chunks', 'stale_urls')  -- A20 delete
+  * CALL graft.delete_documents('chunks', 'stale')   -- A20 delete
   * CALL graft.compact('chunks')                     -- A21 maintenance
   * CALL graft.checkpoint('chunks')                  -- manifest log
   * CALL graft.vacuum('chunks')                      -- manifest log
@@ -170,7 +174,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         deleteDocs =
           if (asOf.isDefined) None else Some(store.delete(_: Seq[String])),
         updateRows =
-          if (asOf.isDefined) None else Some(store.update))
+          if (asOf.isDefined) None else Some(store.update),
+        deleteRows =
+          if (asOf.isDefined) None else Some(store.deleteWhere),
+        mergeHook =
+          if (asOf.isDefined) None else Some(store.mergeInto))
     } else layoutTag(dir) match {
       case Some(tag) =>
         if (asOf.isDefined) throw new UnsupportedOperationException(
@@ -571,13 +579,20 @@ private[catalog] class GraftTable(
     deleteDocs: Option[Seq[String] => Unit] = None,
     updateRows: Option[
       (Option[org.apache.spark.sql.Column],
-        Seq[(String, org.apache.spark.sql.Column)]) => Unit] = None)
+        Seq[(String, org.apache.spark.sql.Column)]) => Unit] = None,
+    deleteRows: Option[org.apache.spark.sql.Column => Unit] = None,
+    mergeHook: Option[
+      (DataFrame, org.apache.spark.sql.Column,
+        Seq[graft.sink.GraftMergeAction],
+        Seq[graft.sink.GraftMergeAction],
+        Seq[graft.sink.GraftMergeAction],
+        Option[DataFrame]) => Unit] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** SQL `UPDATE` hook ([[GraftUpdatable]]): routed by
-    * `graft.plans.GraftUpdateStrategy` to the manifest format's
+    * `graft.plans.GraftDmlStrategy` to the manifest format's
     * copy-on-write rewrite. Only the head snapshot of a
     * manifest-format table is updatable — frozen time-travel reads
     * and plain parquet layouts refuse with the reason.
@@ -590,6 +605,31 @@ private[catalog] class GraftTable(
         "frozen history; per-document/bucketed/layout tables are " +
         "document-keyed — use the store API or CALL merge_into)"))(
       condition, set)
+
+  /** Row-level DELETE hook: predicates beyond the url-keyed
+    * `SupportsDelete` surface route here (manifest head only).
+    */
+  override def deleteRowsWhere(
+      condition: org.apache.spark.sql.Column): Unit =
+    deleteRows.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName: row-level DELETE supports only the manifest " +
+        "table format's head snapshot (document-keyed layouts delete " +
+        "whole documents by document_url; time travel is frozen)"))(
+      condition)
+
+  /** SQL MERGE INTO hook ([[GraftUpdatable]]). */
+  override def mergeRows(
+      source: DataFrame,
+      onCond: org.apache.spark.sql.Column,
+      matched: Seq[graft.sink.GraftMergeAction],
+      notMatched: Seq[graft.sink.GraftMergeAction],
+      notMatchedBySource: Seq[graft.sink.GraftMergeAction],
+      urlProbe: Option[DataFrame]): Unit =
+    mergeHook.getOrElse(throw new UnsupportedOperationException(
+      s"$tableName: MERGE INTO supports only the manifest table " +
+        "format's head snapshot — document-keyed layouts upsert " +
+        "whole documents (CALL merge_into); time travel is frozen"))(
+      source, onCond, matched, notMatched, notMatchedBySource, urlProbe)
 
   /** `DELETE FROM <cat>.<table> WHERE …` maps to the store's A20
     * whole-document delete when — and only when — the predicate is a

@@ -904,7 +904,7 @@ object RelationalQueries {
     // C37f: plain SQL `UPDATE t SET … WHERE …` on a catalog table —
     // the row-level statement a store user reaches for first (both
     // reference stores are full SQL engines). Planned by
-    // graft.plans.GraftUpdateStrategy into the manifest format's
+    // graft.plans.GraftDmlStrategy into the manifest format's
     // copy-on-write rewrite: a pre-scan finds the file NAMES that may
     // hold a matching row (predicate pushed to the parquet scan), only
     // those files are rewritten (`when(cond, new).otherwise(old)` per
@@ -969,6 +969,85 @@ object RelationalQueries {
         "WHERE document_url LIKE '%7'")
       s.sql(s"SELECT document_url, chunk_text, lang " +
         s"FROM $cat.chunks ORDER BY document_url")
+    },
+
+    // C37h: row-level SQL DELETE — an arbitrary (non-document-key)
+    // predicate routes to the copy-on-write rewrite (pre-scan picks
+    // the affected files, survivors keep rows where the predicate is
+    // false or NULL); url-keyed deletes keep the bloom-pruned fast
+    // lane. The oracle filters relationally.
+    "c37h_sql_delete_rows" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text,
+        |       CAST(doc_id % 3 AS INTEGER) AS page_number
+        |FROM documents WHERE doc_id % 3 <> 1
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sqldel").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = t(s, dir, "documents")
+      store.upsert(docs.select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        (col("doc_id") % 3).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      val cat = QueryDef.freshCatalog(s, "graft_del", wh)
+      s.sql(s"DELETE FROM $cat.chunks WHERE page_number = 1")
+      s.sql(s"SELECT document_url, chunk_text, page_number " +
+        s"FROM $cat.chunks ORDER BY document_url")
+    },
+
+    // C37i: SQL `MERGE INTO` with the full WHEN-clause algebra in ONE
+    // atomic commit — matched UPDATE, conditional NOT MATCHED INSERT,
+    // and a conditional NOT MATCHED BY SOURCE DELETE, planned by
+    // GraftDmlStrategy onto the manifest's copy-on-write merge (url
+    // equality in ON feeds the bloom fast path when no BY SOURCE
+    // clause forces a full pass). The oracle replays the algebra
+    // relationally: evens updated, unmatched targets ending in 7
+    // deleted, every doc_id % 5 = 0 source row inserted.
+    "c37i_sql_merge" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       CASE WHEN doc_id % 2 = 0 THEN text || ' v2'
+        |            ELSE text END AS chunk_text
+        |FROM documents WHERE doc_id % 10 <> 7
+        |UNION ALL
+        |SELECT 'new://' || CAST(doc_id AS VARCHAR),
+        |       'fresh ' || CAST(doc_id AS VARCHAR)
+        |FROM documents WHERE doc_id % 5 = 0
+        |ORDER BY document_url, chunk_text""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sqlmrg").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = t(s, dir, "documents")
+      store.upsert(docs.select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(lit(0).as("chunk_id"),
+          concat(col("text"), lit(" v2")).as("chunk_text"),
+          array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+          concat(lit("doc://"), col("doc_id")).as("document_url"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select(lit(0).as("chunk_id"),
+            concat(lit("fresh "), col("doc_id")).as("chunk_text"),
+            array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+            concat(lit("new://"), col("doc_id")).as("document_url")))
+        .createOrReplaceTempView("c37i_src")
+      val cat = QueryDef.freshCatalog(s, "graft_mrg", wh)
+      s.sql(
+        s"""MERGE INTO $cat.chunks t USING c37i_src s
+           |ON t.document_url = s.document_url
+           |WHEN MATCHED THEN UPDATE SET t.chunk_text = s.chunk_text
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE
+           |  AND t.document_url LIKE '%7' THEN DELETE""".stripMargin)
+      s.sql(s"SELECT document_url, chunk_text FROM $cat.chunks " +
+        "ORDER BY document_url, chunk_text")
     }
   )
 }

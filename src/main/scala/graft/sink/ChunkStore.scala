@@ -275,6 +275,36 @@ final class ChunkStore(
           "(per-document/bucketed parquet layouts are document-keyed; " +
           "use upsert() for whole-document replace)")
 
+  /** Row-level SQL DELETE by arbitrary predicate — manifest format
+    * only; url-keyed deletes route through [[delete]] (bloom-pruned,
+    * no pre-scan).
+    */
+  def deleteWhere(condition: Column): Unit =
+    if (!fmt.deleteWhere(condition))
+      throw new UnsupportedOperationException(
+        s"store at $path: row-level DELETE needs the manifest table " +
+          "format (parquet layouts delete whole documents by url)")
+
+  /** SQL `MERGE INTO` with the full WHEN-clause algebra — manifest
+    * format only (one atomic copy-on-write commit); document-keyed
+    * layouts upsert whole documents via [[upsert]].
+    */
+  def mergeInto(
+      source: DataFrame,
+      onCond: Column,
+      matched: Seq[GraftMergeAction],
+      notMatched: Seq[GraftMergeAction],
+      notMatchedBySource: Seq[GraftMergeAction],
+      urlProbe: Option[DataFrame]): Unit = fmt match {
+    case m: ManifestTableFormat =>
+      m.mergeInto(source, onCond, matched, notMatched,
+        notMatchedBySource, urlProbe)
+    case _ => throw new UnsupportedOperationException(
+      s"store at $path: MERGE INTO needs the manifest table format " +
+        "(document-keyed layouts upsert whole documents — use " +
+        "upsert()/CALL merge_into)")
+  }
+
   private def deleteParquetFrame(urls: DataFrame): Unit = {
     val u = urls.select(col("document_url").cast("string")
       .as("document_url")).distinct()

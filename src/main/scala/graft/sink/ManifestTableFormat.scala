@@ -1,7 +1,7 @@
 package graft.sink
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -762,6 +762,174 @@ class ManifestTableFormat(
         (snap, files) => readFiles(files, snap.tableSchema)
           .join(broadcast(probe), Seq("document_url"), "left_anti"))
     } finally probe.unpersist()
+  }
+
+  /** SQL `MERGE INTO t USING s ON … WHEN …` as ONE copy-on-write
+    * commit — the full three-sided clause algebra (MATCHED
+    * UPDATE/DELETE, NOT MATCHED INSERT, NOT MATCHED BY SOURCE
+    * UPDATE/DELETE), first-match-wins per side, arbitrary per-clause
+    * conditions. Expressions arrive as Columns rebound to the
+    * `__graft_t` / `__graft_s` aliases this method joins under.
+    *
+    * Affected-file selection, narrowest applicable first:
+    *  - NOT MATCHED BY SOURCE clauses present → every live file (the
+    *    clause's semantics touch every unmatched target row);
+    *  - `urlProbe` (the planner found a `t.document_url = <source
+    *    expr>` conjunct in ON) → the per-file url bloom stats pick
+    *    the files that MAY hold a matched document — the same pruning
+    *    as the keyed [[merge]], no pre-scan. Sound for the INSERT
+    *    anti-join too: blooms have no false negatives, so every file
+    *    holding a matching url is admitted;
+    *  - otherwise → a pre-scan semi-join collects the file NAMES
+    *    holding at least one match.
+    *
+    * Ambiguity guard (the Delta convention): a target row matched by
+    * MORE than one source row under ON has nondeterministic UPDATE
+    * results — detected with one row-id-tagged count job and refused
+    * loudly before anything is written.
+    */
+  def mergeInto(
+      source: DataFrame,
+      onCond: Column,
+      matched: Seq[GraftMergeAction],
+      notMatched: Seq[GraftMergeAction],
+      notMatchedBySource: Seq[GraftMergeAction],
+      urlProbe: Option[DataFrame]): Unit = {
+    require(!source.columns.exists(_.startsWith("__graft_")),
+      "source column prefix __graft_ is reserved by MERGE")
+    matched.foreach {
+      case _: GraftMergeInsert => throw new IllegalArgumentException(
+        "WHEN MATCHED cannot INSERT")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case _: GraftMergeInsert => ()
+      case other => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED supports INSERT only, got $other")
+    }
+    val src = source.withColumn("__graft_m", lit(true)).persist()
+    try {
+      commitCycle(
+        snap => {
+          val names = liveNames(snap)
+          if (names.isEmpty) Seq.empty
+          else if (notMatchedBySource.nonEmpty) names
+          else urlProbe match {
+            case Some(p) => affectedFiles(snap, p)
+            case None =>
+              readFiles(names, snap.tableSchema).alias("__graft_t")
+                .join(src.alias("__graft_s"), onCond, "left_semi")
+                .select(input_file_name().as("f")).distinct()
+                .collect().map(_.getString(0)).toSeq.sorted
+          }
+        },
+        (snap, files) => mergeOutput(snap, files, src, onCond,
+          matched, notMatched, notMatchedBySource))
+    } finally src.unpersist()
+  }
+
+  /** The replacement rows for `files` under the merge algebra. */
+  private def mergeOutput(
+      snap: Snapshot,
+      files: Seq[String],
+      src: DataFrame,
+      onCond: Column,
+      matched: Seq[GraftMergeAction],
+      notMatched: Seq[GraftMergeAction],
+      notMatchedBySource: Seq[GraftMergeAction]): DataFrame = {
+    val t = readFiles(files, snap.tableSchema).alias("__graft_t")
+    val s = src.alias("__graft_s")
+
+    // ambiguity guard: row-id tags are assigned and counted inside
+    // ONE job, so the check is self-consistent; nothing is written
+    // before it passes
+    if (matched.nonEmpty && files.nonEmpty) {
+      val dup = t.withColumn("__graft_rid", monotonically_increasing_id())
+        .join(s, onCond, "inner")
+        .groupBy("__graft_rid").count()
+        .filter(col("count") > 1).limit(1)
+      require(dup.isEmpty,
+        s"MERGE at $path: a target row matches more than one source " +
+          "row under the ON condition — the UPDATE/DELETE outcome " +
+          "would be nondeterministic (dedup the source on the merge " +
+          "key first)")
+    }
+
+    // NULL-safe clause gate: a NULL condition never fires the clause
+    def live(c: Option[Column]): Column =
+      c.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+    // first-match-wins gate sequence under `base`
+    def gates(actions: Seq[GraftMergeAction], base: Column)
+        : Seq[(GraftMergeAction, Column)] = {
+      var prior: Column = lit(false)
+      actions.map { a =>
+        val g = base && !prior && live(a.cond)
+        prior = prior || live(a.cond)
+        (a, g)
+      }
+    }
+
+    val joined = t.join(s, onCond, "left_outer")
+    val isMatched = coalesce(col("__graft_m"), lit(false))
+    val sided = gates(matched, isMatched) ++
+      gates(notMatchedBySource, !isMatched)
+    val deleted = sided.collect { case (_: GraftMergeDelete, g) => g }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val survivorCols = snap.tableSchema.fields.toIndexedSeq.map { f =>
+      sided.collect { case (GraftMergeUpdate(_, set), g) =>
+        set.collectFirst {
+          case (n, v) if n.equalsIgnoreCase(f.name) => (g, v) }
+      }.flatten
+        .foldLeft(col(s"__graft_t.${f.name}")) { case (acc, (g, v)) =>
+          when(g, v.cast(f.dataType)).otherwise(acc)
+        }.as(f.name)
+    }
+    val survivors = joined.filter(!deleted).select(survivorCols: _*)
+
+    if (notMatched.isEmpty) survivors
+    else {
+      // source rows with no target match anywhere the affected set
+      // can hold one (see the method doc for why this is the whole
+      // match space)
+      val unmatched = s.join(t, onCond, "left_anti")
+      val ig = gates(notMatched, lit(true))
+      val inserted = ig.map(_._2).reduce(_ || _)
+      val insertCols = snap.tableSchema.fields.toIndexedSeq.map { f =>
+        ig.collect { case (GraftMergeInsert(_, values), g) =>
+          values.collectFirst {
+            case (n, v) if n.equalsIgnoreCase(f.name) => (g, v) }
+        }.flatten
+          .foldLeft(lit(null).cast(f.dataType): Column) {
+            case (acc, (g, v)) => when(g, v.cast(f.dataType)).otherwise(acc)
+          }.as(f.name)
+      }
+      survivors.unionByName(
+        unmatched.filter(inserted).select(insertCols: _*))
+    }
+  }
+
+  /** Row-level `DELETE FROM t WHERE …` for predicates the
+    * document-keyed fast path cannot serve (anything beyond
+    * `document_url` equality/IN): the same copy-on-write shape as
+    * [[update]] — predicate-pushed pre-scan picks affected file
+    * NAMES, those files rewrite keeping rows where the condition is
+    * FALSE or NULL (SQL three-valued DELETE semantics), rm+add in one
+    * atomic commit. Url-keyed deletes should keep using
+    * [[delete(urls*]] — bloom pruning beats the pre-scan there.
+    */
+  override def deleteWhere(
+      condition: org.apache.spark.sql.Column): Boolean = {
+    commitCycle(
+      snap => {
+        val names = liveNames(snap)
+        if (names.isEmpty) Seq.empty
+        else readFiles(names, snap.tableSchema).filter(condition)
+          .select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      },
+      (snap, files) => readFiles(files, snap.tableSchema)
+        .filter(!coalesce(condition, lit(false))))
+    true
   }
 
   /** SQL `UPDATE t SET … WHERE …` as a copy-on-write commit (the

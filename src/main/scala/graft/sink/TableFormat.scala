@@ -76,6 +76,13 @@ trait TableFormat {
       condition: Option[org.apache.spark.sql.Column],
       set: Seq[(String, org.apache.spark.sql.Column)]): Boolean = false
 
+  /** Row-level DELETE by arbitrary predicate (the fallback when the
+    * document-keyed [[delete]] can't express the WHERE). Same
+    * returns-false-means-unsupported contract as [[update]].
+    */
+  def deleteWhere(
+      condition: org.apache.spark.sql.Column): Boolean = false
+
   /** Collapse small files; rows and layout semantics unchanged. */
   def compact(): Unit
 

@@ -22,6 +22,17 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .expression(c)
 
+  /** Materialize an analyzed LogicalPlan as a DataFrame (the hook a
+    * command exec needs to evaluate a statement's source relation —
+    * e.g. MERGE INTO's USING side — as a frame at execution time).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a builder for `name` on an existing session (post-hoc; no
     * SparkSessionExtensions needed, so it works on any caller session).
     */

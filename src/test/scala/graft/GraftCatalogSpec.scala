@@ -239,18 +239,16 @@ class GraftCatalogSpec extends SparkSpec
     spark.sql(s"DELETE FROM $cat.chunks " +
       "WHERE document_url IN ('doc://0001', 'doc://0002', 'doc://absent')")
     assert(store.read().count() == 17)
-    // non-url predicates refuse (the delete unit is the document)
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.chunks WHERE chunk_id = 0")
-    }
-    assert(e.getMessage != null)
-    assert(store.read().count() == 17)
+    // non-url predicates route to the ROW-LEVEL copy-on-write path
+    // on manifest tables (formerly a refusal)
+    spark.sql(s"DELETE FROM $cat.chunks WHERE chunk_text = 'v1-7'")
+    assert(store.read().count() == 16)
     // unqualified DELETE refuses — a wipe must be explicit
     val e2 = intercept[Exception] {
       spark.sql(s"DELETE FROM $cat.chunks")
     }
     assert(e2.getMessage != null)
-    assert(store.read().count() == 17)
+    assert(store.read().count() == 16)
     // per-document layout: same surface
     val store2 = new ChunkStore(spark, s"$wh/docs")
     store2.ensure()
@@ -625,5 +623,98 @@ class GraftCatalogSpec extends SparkSpec
     val pairs = spark.sql("SELECT s1, s2 FROM fp_out ORDER BY s1")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs == Set(("flink", "blink"), ("spark", "spork")), pairs)
+  }
+
+  test("SQL row-level DELETE: copy-on-write file subset; refusals") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 20, "lo-"))
+    store.append(chunkRows(100 to 120, "hi-"))
+    val mtf = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    val before = mtf.liveFiles.toSet
+    // predicate touches only the hi- rows: the lo- files must survive
+    // physically untouched (file-subset copy-on-write)
+    spark.sql(s"DELETE FROM $cat.chunks WHERE chunk_text LIKE 'hi-11%'")
+    assert(before.intersect(mtf.liveFiles.toSet).nonEmpty)
+    assert(store.read().count() == 20 + 21 - 10) // hi-110..hi-119 + hi-11
+    // NULL predicate rows are KEPT (three-valued DELETE)
+    spark.sql(s"UPDATE $cat.chunks SET chunk_id = 5 " +
+      "WHERE document_url = 'doc://0001'")
+    spark.sql(s"DELETE FROM $cat.chunks WHERE chunk_id != 5 " +
+      "AND page_number = 99") // matches nothing; sanity
+    // unqualified DELETE still refuses
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM $cat.chunks")
+    }
+    assert(e.getMessage.contains("explicit"), e.getMessage)
+    // per-document layout: non-url predicates still refuse
+    val pd = new ChunkStore(spark, s"$wh/plain")
+    pd.upsert(chunkRows(1 to 3, "p-"))
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"DELETE FROM $cat.plain WHERE chunk_text = 'p-1'")
+    }
+  }
+
+  test("SQL MERGE INTO: the full WHEN-clause algebra in one commit") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 10, "v1-"))
+    // source: updates for 1-3 (one flagged stale), new rows 21-22
+    Seq(
+      (1, "upd-1", 7, "doc://0001", false),
+      (2, "upd-2", 7, "doc://0002", true), // stale → DELETE clause
+      (3, "upd-3", 7, "doc://0003", false),
+      (21, "new-21", 7, "doc://0021", false),
+      (22, "new-22", 7, "doc://0022", true)) // stale new row → no insert
+      .toDF("chunk_id", "chunk_text", "page_number", "document_url",
+        "stale")
+      .withColumn("embedding", array(lit(9f)))
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO $cat.chunks t USING merge_src s
+         |ON t.document_url = s.document_url
+         |WHEN MATCHED AND s.stale THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.chunk_text = s.chunk_text,
+         |  t.page_number = s.page_number + t.page_number
+         |WHEN NOT MATCHED AND NOT s.stale THEN INSERT
+         |  (chunk_id, chunk_text, embedding, page_number, document_url)
+         |  VALUES (s.chunk_id, s.chunk_text, s.embedding,
+         |    s.page_number, s.document_url)
+         |WHEN NOT MATCHED BY SOURCE AND t.document_url = 'doc://0009'
+         |  THEN DELETE""".stripMargin)
+    val got = spark.sql(s"SELECT document_url, chunk_text, page_number " +
+      s"FROM $cat.chunks ORDER BY document_url")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val expected =
+      Seq(("doc://0001", "upd-1", 8), ("doc://0003", "upd-3", 8)) ++
+        (4 to 8).map(i => (f"doc://$i%04d", s"v1-$i", 1)) ++
+        Seq(("doc://0010", "v1-10", 1), ("doc://0021", "new-21", 7))
+    assert(got.toSeq == expected.sortBy(_._1), got.mkString("\n"))
+    // one atomic commit for the whole statement: upsert (v0) + merge
+    val mtf = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    assert(mtf.version == 1L, mtf.version)
+
+    // ambiguity guard: two source rows hitting one target row refuse
+    Seq(("a", "doc://0004"), ("b", "doc://0004"))
+      .toDF("chunk_text", "document_url")
+      .createOrReplaceTempView("dup_src")
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO $cat.chunks t USING dup_src s " +
+        "ON t.document_url = s.document_url " +
+        "WHEN MATCHED THEN UPDATE SET t.chunk_text = s.chunk_text")
+    }
+    assert(e.getMessage.contains("more than one source"), e.getMessage)
+    // document-keyed layouts refuse with the CALL alternative
+    val pd = new ChunkStore(spark, s"$wh/plain2")
+    pd.upsert(chunkRows(1 to 2, "p-"))
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"MERGE INTO $cat.plain2 t USING dup_src s " +
+        "ON t.document_url = s.document_url " +
+        "WHEN MATCHED THEN UPDATE SET t.chunk_text = s.chunk_text")
+    }
+    assert(e2.getMessage.contains("merge_into"), e2.getMessage)
   }
 }
