@@ -817,9 +817,14 @@ class ManifestTableFormat(
           else urlProbe match {
             case Some(p) => affectedFiles(snap, p)
             case None =>
-              readFiles(names, snap.tableSchema).alias("__graft_t")
+              // input_file_name must bind BEFORE the join: evaluated
+              // past an exchange it returns "" (no current file in
+              // that task context)
+              readFiles(names, snap.tableSchema)
+                .withColumn("__graft_f", input_file_name())
+                .alias("__graft_t")
                 .join(src.alias("__graft_s"), onCond, "left_semi")
-                .select(input_file_name().as("f")).distinct()
+                .select("__graft_f").distinct()
                 .collect().map(_.getString(0)).toSeq.sorted
           }
         },

@@ -1,0 +1,254 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+import graft.sink.{ChunkStore, GraftMergeDelete, GraftMergeInsert, GraftMergeUpdate, ManifestTableFormat}
+
+/** Round-8 fuzz: random sequences of the round's DML + evolution
+  * surface — upsert, append, row-level UPDATE/DELETE, keyed delete,
+  * MERGE algebra, ADD COLUMN, checkpoint, vacuum — executed against a
+  * manifest table AND a driver-side model simultaneously; the table
+  * must equal the model after every sequence, and still-reconstructable
+  * historical versions must equal the model's recorded history.
+  * One chunk per document keeps the model a url-keyed map; predicates
+  * are drawn from a closed family evaluable on both sides.
+  */
+class Round8DmlFuzzSpec extends SparkSpec {
+
+  // a model row: base columns + evolved extras (None = SQL NULL)
+  private type Doc = Map[String, Any]
+
+  /** Predicate family: evaluable as a Column AND on the model. */
+  private case class Pred(
+      sql: Column, model: Doc => Boolean, label: String)
+
+  private def preds(rnd: scala.util.Random,
+      evolved: Seq[String]): Pred = rnd.nextInt(4) match {
+    case 0 =>
+      val k = rnd.nextInt(3)
+      Pred(col("page_number") % 3 === k,
+        d => d("page_number").asInstanceOf[Int] % 3 == k,
+        s"page%3==$k")
+    case 1 =>
+      val digit = rnd.nextInt(10).toString
+      Pred(col("document_url").endsWith(digit),
+        d => d("document_url").asInstanceOf[String].endsWith(digit),
+        s"url endsWith $digit")
+    case 2 =>
+      val p = s"t${rnd.nextInt(4)}"
+      Pred(col("chunk_text").startsWith(p),
+        d => d("chunk_text").asInstanceOf[String].startsWith(p),
+        s"text startsWith $p")
+    case _ if evolved.nonEmpty =>
+      val c = evolved(rnd.nextInt(evolved.size))
+      Pred(col(c).isNull, d => d.get(c).flatMap(Option(_)).isEmpty,
+        s"$c isNull")
+    case _ =>
+      Pred(col("chunk_id") >= 0, _ => true, "always")
+  }
+
+  private def rowsDF(docs: Seq[Doc], cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(
+        org.apache.spark.sql.types.StructField("chunk_id", IntegerType),
+        org.apache.spark.sql.types.StructField("chunk_text", StringType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("page_number", IntegerType),
+        org.apache.spark.sql.types.StructField("document_url", StringType)
+      ) ++ cols.drop(5).map { c =>
+        org.apache.spark.sql.types.StructField(c,
+          if (c.startsWith("si")) IntegerType else StringType)
+      })
+    val data = docs.map { d =>
+      Row.fromSeq(schema.fieldNames.toSeq.map(n =>
+        d.get(n).map {
+          case s: Seq[_] => s
+          case x => x
+        }.orNull))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), schema)
+  }
+
+  private def freshDoc(rnd: scala.util.Random, url: String,
+      evolved: Seq[String]): Doc =
+    Map(
+      "chunk_id" -> 0,
+      "chunk_text" -> s"t${rnd.nextInt(4)}-${rnd.nextInt(1000)}",
+      "embedding" -> Seq(rnd.nextInt(5).toFloat),
+      "page_number" -> rnd.nextInt(9),
+      "document_url" -> url) ++
+      evolved.map(c => c -> null)
+
+  test("randomized DML + evolution sequences agree with the model, " +
+      "including surviving time-travel history") {
+    val rnd = new scala.util.Random(8282)
+    (1 to 3).foreach { round =>
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-dmlfuzz$round").toString + "/t"
+      val store = new ChunkStore(spark, path,
+        format = ManifestTableFormat.factory)
+      def mtf = new ManifestTableFormat(spark, path, store.schema)
+      val model = mutable.LinkedHashMap.empty[String, Doc]
+      var evolved = Vector.empty[String]
+      def allCols = Seq("chunk_id", "chunk_text", "embedding",
+        "page_number", "document_url") ++ evolved
+      val history = mutable.ArrayBuffer.empty[(Long, Map[String, Doc])]
+      var urlSeq = 0
+      def newUrl(): String = { urlSeq += 1; f"doc://$round%d-$urlSeq%04d" }
+
+      (1 to 22).foreach { _ =>
+        rnd.nextInt(10) match {
+          case 0 | 1 => // upsert: mix of existing + new docs
+            val existing = rnd.shuffle(model.keys.toSeq)
+              .take(rnd.nextInt(3))
+            val urls = existing ++ Seq.fill(1 + rnd.nextInt(3))(newUrl())
+            val docs = urls.map(u => freshDoc(rnd, u, evolved))
+            store.upsert(rowsDF(docs, allCols))
+            docs.foreach(d =>
+              model(d("document_url").asInstanceOf[String]) = d)
+          case 2 => // append new docs only (append-only contract)
+            val docs = Seq.fill(1 + rnd.nextInt(3))(
+              freshDoc(rnd, newUrl(), evolved))
+            store.append(rowsDF(docs, allCols))
+            docs.foreach(d =>
+              model(d("document_url").asInstanceOf[String]) = d)
+          case 3 => // row-level UPDATE
+            val p = preds(rnd, evolved)
+            val tag = s"u${rnd.nextInt(100)}"
+            store.update(Some(p.sql),
+              Seq("chunk_text" -> concat(col("chunk_text"), lit(tag)),
+                "page_number" -> (col("page_number") + 1)))
+            model.mapValuesInPlace { (_, d) =>
+              if (p.model(d))
+                d + ("chunk_text" ->
+                    (d("chunk_text").asInstanceOf[String] + tag)) +
+                  ("page_number" ->
+                    (d("page_number").asInstanceOf[Int] + 1))
+              else d
+            }
+          case 4 => // row-level DELETE
+            val p = preds(rnd, evolved)
+            store.deleteWhere(p.sql)
+            model.filterInPlace((_, d) => !p.model(d))
+          case 5 => // keyed delete
+            val urls = rnd.shuffle(model.keys.toSeq)
+              .take(rnd.nextInt(3))
+            if (urls.nonEmpty) {
+              store.delete(urls)
+              urls.foreach(model.remove)
+            }
+          case 6 => // ADD COLUMN (alternate string/int, bounded)
+            if (evolved.size < 3) {
+              val c =
+                if (evolved.size % 2 == 0) s"sc${evolved.size}"
+                else s"si${evolved.size}"
+              mtf.addColumn(c,
+                if (c.startsWith("si")) IntegerType else StringType)
+              evolved :+= c
+              model.mapValuesInPlace((_, d) => d + (c -> null))
+            }
+          case 7 => // MERGE: update matched, insert new, maybe delete
+            val matchedUrls = rnd.shuffle(model.keys.toSeq)
+              .take(rnd.nextInt(3))
+            val newDocs = Seq.fill(rnd.nextInt(2))(
+              freshDoc(rnd, newUrl(), evolved))
+            val srcDocs = matchedUrls.map(u =>
+              freshDoc(rnd, u, evolved)) ++ newDocs
+            if (srcDocs.nonEmpty) {
+              val bySourceDelete = rnd.nextBoolean()
+              val digit = rnd.nextInt(10).toString
+              store.mergeInto(
+                rowsDF(srcDocs, allCols),
+                col("__graft_t.document_url") ===
+                  col("__graft_s.document_url"),
+                matched = Seq(GraftMergeUpdate(None,
+                  Seq("chunk_text" -> col("__graft_s.chunk_text")))),
+                notMatched = Seq(GraftMergeInsert(None,
+                  allCols.map(c => c -> col(s"__graft_s.$c")))),
+                notMatchedBySource =
+                  if (bySourceDelete)
+                    Seq(GraftMergeDelete(Some(
+                      col("__graft_t.document_url").endsWith(digit))))
+                  else Seq.empty,
+                urlProbe = None)
+              val srcByUrl = srcDocs
+                .map(d => d("document_url").asInstanceOf[String] -> d)
+                .toMap
+              model.mapValuesInPlace { (u, d) =>
+                srcByUrl.get(u) match {
+                  case Some(s) => d + ("chunk_text" -> s("chunk_text"))
+                  case None => d
+                }
+              }
+              if (bySourceDelete)
+                model.filterInPlace((u, _) =>
+                  srcByUrl.contains(u) || !u.endsWith(digit))
+              newDocs.foreach(d =>
+                model(d("document_url").asInstanceOf[String]) = d)
+            }
+          case 8 => mtf.checkpoint()
+          case _ => mtf.vacuum()
+        }
+        history += ((mtf.version, model.toMap))
+      }
+
+      // final state: table == model on every column
+      def canon(rows: Seq[Map[String, Any]]): Seq[Seq[String]] =
+        rows.map(d => allCols.map(c =>
+          d.get(c).flatMap(Option(_)).fold("NULL")(_.toString)))
+          .sortBy(_.mkString("|"))
+      val got = store.read().collect().toIndexedSeq.map { r =>
+        allCols.map(c => c -> (r.get(r.fieldIndex(c)) match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case x => x
+        })).toMap
+      }
+      assert(canon(got) == canon(model.values.toSeq),
+        s"round $round final state diverged")
+
+      // surviving history: spot-check 3 recorded versions
+      val m = mtf
+      rnd.shuffle(history.toSeq).take(3).foreach { case (v, snap) =>
+        if (v >= 0) {
+          try {
+            val df = m.readVersion(v)
+            val cols = df.columns.toSeq
+            val gotV = df.collect().toIndexedSeq.map { r =>
+              cols.map(c => c -> (r.get(r.fieldIndex(c)) match {
+                case s: scala.collection.Seq[_] => s.toSeq
+                case x => x
+              })).toMap
+            }
+            val wantV = snap.values.toSeq.map(_.filter {
+              case (k, _) => cols.contains(k) })
+            def c2(rows: Seq[Map[String, Any]]) =
+              rows.map(d => cols.map(c =>
+                d.get(c).flatMap(Option(_)).fold("NULL")(_.toString)))
+                .sortBy(_.mkString("|"))
+            assert(c2(gotV) == c2(wantV),
+              s"round $round version $v diverged")
+          } catch {
+            // vacuumed past reconstructability: either the loud
+            // replay error (entries pruned) or PATH_NOT_FOUND at read
+            // time (entries linger until the next checkpoint+vacuum,
+            // but the old versions' data files are reclaimed) — both
+            // are the documented retention contract, never a wrong
+            // answer
+            case e: IllegalArgumentException
+                if e.getMessage.contains("reconstructable") => ()
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("PATH_NOT_FOUND") => ()
+          }
+        }
+      }
+    }
+  }
+}
