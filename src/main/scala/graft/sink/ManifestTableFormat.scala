@@ -1164,8 +1164,18 @@ class ManifestTableFormat(
     * log-structured table. Returns (data files reclaimed, log
     * entries/checkpoints reclaimed) for the operator's report.
     */
-  def vacuum(): (Long, Long) = {
+  def vacuum(): (Long, Long) = vacuum(0L)
+
+  /** [[vacuum]] with a RETENTION guard: unreferenced data files
+    * younger than `retentionMs` (by mtime) are kept — the margin that
+    * protects scans planned against a pre-vacuum snapshot and writers
+    * whose commit is in flight (Delta's retention-hours contract;
+    * `0` = reclaim immediately, the maintenance-window default the
+    * gates use).
+    */
+  def vacuum(retentionMs: Long): (Long, Long) = {
     val f = fs
+    val keepAfter = System.currentTimeMillis() - retentionMs
     var nData = 0L
     var nLog = 0L
     if (f.exists(dataDir)) {
@@ -1194,7 +1204,9 @@ class ManifestTableFormat(
         while (it.hasNext) {
           val st = it.next()
           val name = st.getPath.getName
-          if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          if (st.isFile && !name.startsWith("_") &&
+              !name.startsWith(".") &&
+              st.getModificationTime <= keepAfter)
             batch += ((st.getPath.toString, name))
           if (batch.size >= ManifestTableFormat.statsPerManifestPart)
             flush()

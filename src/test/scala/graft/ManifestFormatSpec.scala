@@ -522,6 +522,22 @@ class ManifestFormatSpec extends SparkSpec {
     assert(store.listDocumentUrls().toSet == evil.tail.toSet)
   }
 
+  test("vacuum retention keeps young dead files; 0 reclaims now") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "t1"))
+    store.upsert(chunksOf("doc://a", "t2")) // rewrites: t1's file dies
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    // within the retention window: nothing reclaimed
+    val (kept, _) = mtf.vacuum(retentionMs = 60L * 60 * 1000)
+    assert(kept == 0L, s"reclaimed $kept inside the retention window")
+    // immediate reclamation: the dead file goes
+    val (gone, _) = mtf.vacuum(0L)
+    assert(gone >= 1L, s"reclaimed $gone")
+    assert(state(store) == Set(("doc://a", 0, "t2")))
+  }
+
   test("schema evolution: ADD COLUMN null-fills old files, one scan " +
       "mixes old+new, time travel keeps the old shape") {
     import org.apache.spark.sql.types.StringType
