@@ -717,4 +717,32 @@ class GraftCatalogSpec extends SparkSpec
     }
     assert(e2.getMessage.contains("merge_into"), e2.getMessage)
   }
+
+  test("MERGE url fast path: only bloom-admitted files rewrite when " +
+      "ON carries a document_url equality and no BY SOURCE clause") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 20, "lo-"))     // commit 0
+    store.append(chunkRows(500 to 520, "hi-"))  // commit 1, new files
+    val mtf = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    val before = mtf.liveFiles.toSet
+    Seq((0, "patched", 1, "doc://0505"))
+      .toDF("chunk_id", "chunk_text", "page_number", "document_url")
+      .withColumn("embedding", array(lit(1f)))
+      .createOrReplaceTempView("fastpath_src")
+    spark.sql(s"MERGE INTO $cat.chunks t USING fastpath_src s " +
+      "ON t.document_url = s.document_url " +
+      "WHEN MATCHED THEN UPDATE SET t.chunk_text = s.chunk_text " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val after = mtf.liveFiles.toSet
+    // the lo- range cannot hold doc://0505 (min/max excludes it):
+    // those files must survive physically untouched
+    assert(before.intersect(after).nonEmpty,
+      s"url-keyed MERGE rewrote files outside the bloom-admitted set")
+    val got = spark.sql(s"SELECT chunk_text FROM $cat.chunks " +
+      "WHERE document_url = 'doc://0505'").collect().head.getString(0)
+    assert(got == "patched")
+  }
 }
