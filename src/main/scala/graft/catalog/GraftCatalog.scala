@@ -450,6 +450,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           graft.ops.IndexSync.chunkTextPrepare(spark, args(1)))
         longsRow(st.fromVersion, st.toVersion, st.appended, st.tombstoned)
       }),
+    rowProcedure("history", Seq("table"),
+      "manifest log: the surviving commit history, oldest first — " +
+        "one row per on-disk log object (version, commit epoch-ms, " +
+        "add/remove action counts, kind commit|schema|checkpoint); " +
+        "how far back rows reach is how far time travel reaches",
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("timestamp_ms", LongType, nullable = false),
+        StructField("adds", LongType, nullable = false),
+        StructField("removes", LongType, nullable = false),
+        StructField("kind",
+          org.apache.spark.sql.types.StringType, nullable = false))))(
+      args => manifestFor(args(0)).history().map {
+        case (v, ts, a, r, k) =>
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](v, ts, a, r,
+              org.apache.spark.unsafe.types.UTF8String.fromString(k)))
+            : InternalRow
+      }.toArray),
+    rowProcedure("vacuum_retain", Seq("table", "retain_ms"),
+      "manifest log: vacuum with a RETENTION window — unreferenced " +
+        "data files younger than <retain_ms> survive, protecting " +
+        "scans planned against a pre-vacuum snapshot; returns what " +
+        "was reclaimed",
+      StructType(Seq(
+        StructField("data_files_reclaimed", LongType, nullable = false),
+        StructField("log_entries_reclaimed", LongType, nullable = false))))(
+      args => {
+        val (nData, nLog) =
+          manifestFor(args(0)).vacuum(args(1).trim.toLong)
+        longsRow(nData, nLog)
+      }),
     // ---- SQL surface for the D25/D27/D28 operators (the stores'
     // users are SQL-first; Scala-only operators are unreachable for
     // them). Pattern: <source> is any table/view name the session

@@ -1025,6 +1025,36 @@ class ManifestTableFormat(
       .select(snap.tableSchema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
+  /** The surviving commit history, oldest first — one row per
+    * still-on-disk log object: `(version, mtimeMillis, adds, removes,
+    * kind)` with kind `commit` (data actions), `schema` (an ADD
+    * COLUMN's claim — empty entry + sidecar), or `checkpoint`.
+    * Driver cost is O(surviving entries) — bounded by the
+    * checkpoint+vacuum cadence, the same set replay walks. The
+    * operational `DESCRIBE HISTORY` answer: what changed, when, and
+    * how far back time travel still reaches.
+    */
+  def history(): Seq[(Long, Long, Long, Long, String)] = {
+    val f = fs
+    if (!f.exists(logDir)) return Seq.empty
+    val (entries, jsonCkpts, pqCkpts) = census(f)
+    val schemas = schemaVersions(f).toSet
+    val commitRows = entries.sorted.map { v =>
+      val acts = readText(entryPath(v)).linesIterator
+        .filter(_.nonEmpty).map(parseAction).toSeq
+      val kind =
+        if (acts.isEmpty && schemas.contains(v)) "schema" else "commit"
+      (v, f.getFileStatus(entryPath(v)).getModificationTime,
+        acts.count(_.add).toLong, acts.count(!_.add).toLong, kind)
+    }
+    val ckptRows = (jsonCkpts.map(v => (v, checkpointPath(v))) ++
+        pqCkpts.map(v => (v, ckptParquetPath(v))))
+      .map { case (v, p) =>
+        (v, f.getFileStatus(p).getModificationTime, 0L, 0L, "checkpoint")
+      }
+    (commitRows ++ ckptRows).sortBy(r => (r._1, r._5))
+  }
+
   /** The current committed version (−1 before the first commit). */
   def version: Long = snapshot().version
 

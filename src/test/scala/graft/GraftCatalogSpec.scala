@@ -718,6 +718,29 @@ class GraftCatalogSpec extends SparkSpec
     assert(e2.getMessage.contains("merge_into"), e2.getMessage)
   }
 
+  test("CALL history / vacuum_retain: the operational log surface") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 5, "a-"))                     // v0
+    spark.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang STRING") // v1
+    store.upsert(chunkRows(1 to 2, "b-"))                     // v2
+    val rows = spark.sql(s"CALL $cat.history('chunks')")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L), rows.mkString(","))
+    assert(rows(0)._4 == "commit" && rows(1)._4 == "schema" &&
+      rows(2)._4 == "commit", rows.mkString(","))
+    assert(rows(2)._2 > 0 && rows(2)._3 > 0) // merge: adds + removes
+    // retention keeps the young dead files; the summary says so
+    val kept = spark.sql(
+      s"CALL $cat.vacuum_retain('chunks', '3600000')").collect().head
+    assert(kept.getLong(0) == 0L, kept.toString)
+    val now = spark.sql(
+      s"CALL $cat.vacuum_retain('chunks', '0')").collect().head
+    assert(now.getLong(0) >= 1L, now.toString)
+  }
+
   test("MERGE url fast path: only bloom-admitted files rewrite when " +
       "ON carries a document_url equality and no BY SOURCE clause") {
     import spark.implicits._
