@@ -309,12 +309,12 @@ class ManifestTableFormat(
   // same one-way-upgrade contract as the parquet-checkpoint bump
   // (class doc above); this reader is the compatibility boundary.
 
-  /** Versions that have a schema sidecar, ascending. */
+  /** Versions that have a schema sidecar, ascending. One listing —
+    * the census already walked the log dir; reuse it (listings are
+    * the expensive primitive on object stores).
+    */
   private def schemaVersions(f: org.apache.hadoop.fs.FileSystem): Seq[Long] =
-    if (!f.exists(logDir)) Seq.empty
-    else f.listStatus(logDir).toSeq.map(_.getPath.getName)
-      .filter(_.matches("\\d{12}\\.schema\\.json"))
-      .map(_.stripSuffix(".schema.json").toLong).sorted
+    if (!f.exists(logDir)) Seq.empty else census(f)._4
 
   private def parseSchemaFile(v: Long): StructType =
     org.apache.spark.sql.types.DataType.fromJson(
@@ -395,11 +395,12 @@ class ManifestTableFormat(
       v: Long): Boolean =
     f.exists(new Path(ckptParquetPath(v), "_SUCCESS"))
 
-  /** Log-directory census: committed entry versions, legacy JSON
-    * checkpoint versions, and completed parquet checkpoint versions.
+  /** Log-directory census — ONE listing: committed entry versions,
+    * legacy JSON checkpoint versions, completed parquet checkpoint
+    * versions, and schema-sidecar versions (ascending).
     */
   private def census(f: org.apache.hadoop.fs.FileSystem)
-      : (Seq[Long], Seq[Long], Seq[Long]) = {
+      : (Seq[Long], Seq[Long], Seq[Long], Seq[Long]) = {
     val names = f.listStatus(logDir).toSeq.map(_.getPath.getName)
     (names.filter(_.matches("\\d{12}\\.json"))
        .map(_.stripSuffix(".json").toLong),
@@ -407,7 +408,9 @@ class ManifestTableFormat(
        .map(_.stripSuffix(".checkpoint.json").toLong),
      names.filter(_.matches("\\d{12}\\.checkpoint\\.parquet"))
        .map(_.stripSuffix(".checkpoint.parquet").toLong)
-       .filter(validCkptParquet(f, _)))
+       .filter(validCkptParquet(f, _)),
+     names.filter(_.matches("\\d{12}\\.schema\\.json"))
+       .map(_.stripSuffix(".schema.json").toLong).sorted)
   }
 
   private def readText(p: Path): String = {
@@ -436,7 +439,7 @@ class ManifestTableFormat(
     val f = fs
     if (!f.exists(logDir))
       return Snapshot(-1L, None, Map.empty, Set.empty, schema)
-    val (entries, jsonCkpts, pqCkpts) = census(f)
+    val (entries, jsonCkpts, pqCkpts, schemaVers) = census(f)
     val jc = if (jsonCkpts.isEmpty) -1L else jsonCkpts.max
     val pc = if (pqCkpts.isEmpty) -1L else pqCkpts.max
     val ckpt = math.max(jc, pc)
@@ -452,12 +455,14 @@ class ManifestTableFormat(
     if (!parquetBase && ckpt >= 0) replay(checkpointPath(ckpt))
     entries.filter(_ > ckpt).sorted.foreach(v => replay(entryPath(v)))
     val version = (entries ++ jsonCkpts ++ pqCkpts).foldLeft(-1L)(math.max)
+    // schema from the census's own listing — no second log-dir walk
+    val sv = schemaVers.filter(_ <= version)
     Snapshot(
       version,
       if (parquetBase) Some(ckptParquetPath(pc)) else None,
       base,
       if (parquetBase) removed else Set.empty,
-      schemaAtVersion(version))
+      if (sv.isEmpty) schema else parseSchemaFile(sv.max))
   }
 
   /** Write the current live state as a PARQUET checkpoint — assembled
@@ -1037,7 +1042,7 @@ class ManifestTableFormat(
   def history(): Seq[(Long, Long, Long, Long, String)] = {
     val f = fs
     if (!f.exists(logDir)) return Seq.empty
-    val (entries, jsonCkpts, pqCkpts) = census(f)
+    val (entries, jsonCkpts, pqCkpts, schemaVers) = census(f)
     val schemas = schemaVersions(f).toSet
     val commitRows = entries.sorted.map { v =>
       val acts = readText(entryPath(v)).linesIterator
@@ -1069,7 +1074,7 @@ class ManifestTableFormat(
   def filesAtVersion(asOf: Long): Seq[String] = {
     val f = fs
     require(f.exists(logDir), s"no log at $path")
-    val (entries, jsonCkpts, pqCkpts) = census(f)
+    val (entries, jsonCkpts, pqCkpts, schemaVers) = census(f)
     val latest = (entries ++ jsonCkpts ++ pqCkpts).foldLeft(-1L)(math.max)
     require(asOf >= 0 && asOf <= latest,
       s"version $asOf out of range [0, $latest] at $path")
@@ -1245,7 +1250,7 @@ class ManifestTableFormat(
       } finally liveBase.unpersist()
     }
     if (f.exists(logDir)) {
-      val (entries, jsonCkpts, pqCkpts) = census(f)
+      val (entries, jsonCkpts, pqCkpts, schemaVers) = census(f)
       val all = jsonCkpts ++ pqCkpts
       if (all.nonEmpty) {
         val ckpt = all.max

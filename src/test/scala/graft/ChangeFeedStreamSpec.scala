@@ -140,6 +140,45 @@ class ChangeFeedStreamSpec extends SparkSpec {
       Set(("doc://x", "x1", "insert")))
   }
 
+  test("change feed speaks the EVOLVED schema: post-ALTER streams " +
+      "carry the new column, pre-ALTER rows null-filled") {
+    import org.apache.spark.sql.functions._
+    val tbl = freshPath("graft-cdf-evo") + "/t"
+    val ckpt = freshPath("graft-cdf-evo-ckpt")
+    val store = new graft.sink.ChunkStore(spark, tbl,
+      format = graft.sink.ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://old", "before"))          // v0
+    val mtf = new graft.sink.ManifestTableFormat(
+      spark, tbl, store.schema)
+    mtf.addColumn("lang", org.apache.spark.sql.types.StringType) // v1
+    import spark.implicits._
+    store.append(Seq((0, "after", Seq(1f), 1, "doc://new", "de"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url", "lang")
+      .withColumn("embedding", col("embedding").cast("array<float>")))
+    // a stream created NOW infers the evolved feed schema; the
+    // snapshot batch carries pre-ALTER rows with lang = NULL
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Option[String], String)]()
+    val q = spark.readStream.format("graft-cdf").option("path", tbl)
+      .load()
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("document_url", "lang", "_change_type").collect()
+          .foreach(r => buf.add(
+            (r.getString(0), Option(r.getString(1)), r.getString(2))))
+      }
+      .queryName("cdf_evo")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(buf.asScala.toSet == Set(
+      ("doc://old", None, "insert"),
+      ("doc://new", Some("de"), "insert")), buf.asScala.toSet)
+  }
+
   test("startingTimestamp resolves ONCE per query: the pinned version " +
       "survives a restart even if commit mtimes later shift") {
     val meta = new org.apache.hadoop.fs.Path(
