@@ -993,9 +993,32 @@ class ManifestTableFormat(
   }
 
   override def compact(): Unit =
+    compact(ManifestTableFormat.defaultTargetFileBytes)
+
+  /** A21 maintenance with explicit file-size targeting: the live set
+    * rewrites into `ceil(totalBytes / targetFileBytes)` files — a
+    * small table collapses to one file (the former behavior), a
+    * 100 TB table re-bins to ~128 MB parquet files in parallel
+    * instead of funnelling through a single writer task. Sizes come
+    * from per-file metadata lookups over the same name list the
+    * rewrite reads anyway (metadata RPCs are noise next to rewriting
+    * every byte).
+    */
+  def compact(targetFileBytes: Long): Unit = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
     commitCycle(
       snap => liveNames(snap),
-      (snap, files) => readFiles(files, snap.tableSchema).coalesce(1))
+      (snap, files) => {
+        val f = fs
+        val totalBytes =
+          files.map(n => f.getFileStatus(new Path(n)).getLen).sum
+        val parts = math.max(1L,
+          (totalBytes + targetFileBytes - 1) / targetFileBytes)
+          .min(Int.MaxValue.toLong).toInt
+        readFiles(files, snap.tableSchema).repartition(parts)
+      })
+  }
 
   /** A18 append, log-committed: new files only, no removes — so a
     * lost commit race can never conflict and simply recommits.
@@ -1298,6 +1321,11 @@ object ManifestTableFormat {
     * that keep driver state bounded at the 10⁷-file end.
     */
   private[sink] val statsPerManifestPart = 100000L
+
+  /** Compaction's output file-size target (the parquet sweet spot —
+    * row groups fill, scans split well).
+    */
+  val defaultTargetFileBytes: Long = 128L << 20
 
   /** Constructor-ready factory:
     * `new ChunkStore(spark, path, format = ManifestTableFormat.factory)`.
