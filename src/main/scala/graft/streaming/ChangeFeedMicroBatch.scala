@@ -308,9 +308,13 @@ object ChangeFeedReaderFactory {
   /** parquet-mr Group → catalyst InternalRow for the feed's schema
     * shapes (primitives, strings, float arrays — the chunk schema
     * plus anything ADD COLUMN can introduce). Unknown types fail
-    * loudly rather than decode garbage.
+    * loudly rather than decode garbage. A column ABSENT from the
+    * file's own schema reads as NULL — the staged-delta twin of the
+    * table scan's default-null evolution contract (a restart can
+    * replay a batch staged BEFORE an ALTER under the evolved feed
+    * schema).
     */
-  private[streaming] def toRow(
+  private[graft] def toRow(
       g: org.apache.parquet.example.data.Group,
       schema: StructType): InternalRow = {
     val values = new Array[Any](schema.length)
@@ -318,7 +322,8 @@ object ChangeFeedReaderFactory {
     while (i < schema.length) {
       val f = schema(i)
       values(i) =
-        if (g.getFieldRepetitionCount(f.name) == 0) null
+        if (!g.getType.containsField(f.name) ||
+            g.getFieldRepetitionCount(f.name) == 0) null
         else f.dataType match {
           case IntegerType => g.getInteger(f.name, 0)
           case LongType => g.getLong(f.name, 0)

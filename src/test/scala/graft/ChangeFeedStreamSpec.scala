@@ -179,6 +179,32 @@ class ChangeFeedStreamSpec extends SparkSpec {
       ("doc://new", Some("de"), "insert")), buf.asScala.toSet)
   }
 
+  test("staged-delta reader null-fills columns the staged file lacks " +
+      "(replay of a pre-ALTER batch under the evolved feed schema)") {
+    import org.apache.parquet.schema.MessageTypeParser
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    // a group written under the OLD schema (no `lang` field)
+    val oldType = MessageTypeParser.parseMessageType(
+      """message chunk {
+        |  optional int32 chunk_id;
+        |  optional binary chunk_text (UTF8);
+        |}""".stripMargin)
+    val g = new SimpleGroupFactory(oldType).newGroup()
+    g.add("chunk_id", 7)
+    g.add("chunk_text", "hello")
+    val evolved = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("chunk_text",
+        org.apache.spark.sql.types.StringType)))
+    val row = graft.streaming.ChangeFeedReaderFactory.toRow(g, evolved)
+    assert(row.getInt(0) == 7)
+    assert(row.isNullAt(1), "absent column must read NULL")
+    assert(row.getUTF8String(2).toString == "hello")
+  }
+
   test("startingTimestamp resolves ONCE per query: the pinned version " +
       "survives a restart even if commit mtimes later shift") {
     val meta = new org.apache.hadoop.fs.Path(
