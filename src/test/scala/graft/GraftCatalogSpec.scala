@@ -767,5 +767,18 @@ class GraftCatalogSpec extends SparkSpec
     val got = spark.sql(s"SELECT chunk_text FROM $cat.chunks " +
       "WHERE document_url = 'doc://0505'").collect().head.getString(0)
     assert(got == "patched")
+    // pure-insert MERGE: the probe admits NO files (all-new url), the
+    // affected set is empty, and the insert side must still land
+    Seq((0, "brand-new", 1, "doc://9999"))
+      .toDF("chunk_id", "chunk_text", "page_number", "document_url")
+      .withColumn("embedding", array(lit(1f)))
+      .createOrReplaceTempView("pureinsert_src")
+    spark.sql(s"MERGE INTO $cat.chunks t USING pureinsert_src s " +
+      "ON t.document_url = s.document_url " +
+      "WHEN MATCHED THEN UPDATE SET t.chunk_text = s.chunk_text " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT chunk_text FROM $cat.chunks " +
+      "WHERE document_url = 'doc://9999'")
+      .collect().head.getString(0) == "brand-new")
   }
 }
