@@ -57,9 +57,9 @@ import graft.sink.{ChunkStore, ManifestTableFormat}
   *    appends through the store.
   *  - bucketed layout: root-path scan with `doc_bucket` visible as
   *    the partition column (it is part of the physical schema).
-  *    Read-only through SQL — writes must hash-route through the
-  *    store API, and hiding that behind INSERT would invite
-  *    mis-bucketed rows.
+  *    INSERT routes through the store's append, which derives the
+  *    bucket from the document url — a caller-supplied `doc_bucket`
+  *    is ignored and recomputed, so SQL writes cannot mis-bucket.
   *
   * Row-level DML is first-class SQL on manifest tables (planned by
   * `graft.plans.GraftDmlStrategy` onto the log's copy-on-write
@@ -197,7 +197,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else StructType(store.schema.fields :+
             StructField("doc_bucket", IntegerType))
         new GraftTable(fullName, spark, schema, Seq(dir),
-          insert = if (tag == "per-document") Some(store.append) else None,
+          // INSERT hash-routes through the store on BOTH layouts: the
+          // bucketed append derives doc_bucket from the url itself, so
+          // a caller-supplied bucket value is ignored and recomputed —
+          // mis-bucketed rows are impossible by construction
+          insert = Some(store.append),
           deleteDocs = Some(store.delete(_: Seq[String])))
       case None =>
         // a Layout-managed table: flat parquet with `_hulls` and/or

@@ -173,18 +173,29 @@ class GraftCatalogSpec extends SparkSpec
       "WHERE document_url = 'doc://0004'").count() == 2)
   }
 
-  test("bucketed layout: readable with doc_bucket visible, read-only") {
+  test("bucketed layout: doc_bucket visible; INSERT hash-routes and " +
+      "ignores a caller-supplied (possibly wrong) bucket") {
+    import org.apache.spark.sql.functions.xxhash64
     val (cat, wh) = freshCatalog()
     val store = new ChunkStore(spark, s"$wh/big", buckets = Some(4))
     store.upsert(chunkRows(1 to 10, "t-"))
     val df = spark.sql(s"SELECT * FROM $cat.big")
     assert(df.columns.contains("doc_bucket"))
     assert(df.count() == 10)
-    val e = intercept[Exception] {
-      spark.sql(s"INSERT INTO $cat.big VALUES " +
-        "(0, 'x', array(1.0F), 1, 'doc://x', 0)")
-    }
-    assert(e.getMessage != null)
+    // INSERT with a DELIBERATELY wrong doc_bucket (99): the store
+    // derives the real bucket from the url — mis-bucketing impossible
+    spark.sql(s"INSERT INTO $cat.big VALUES " +
+      "(0, 'x', array(1.0F), 1, 'doc://x', 99)")
+    val expected = spark.range(1)
+      .select(org.apache.spark.sql.functions
+        .pmod(xxhash64(org.apache.spark.sql.functions.lit("doc://x")),
+          org.apache.spark.sql.functions.lit(4L)).cast("int"))
+      .collect().head.getInt(0)
+    val landed = spark.sql(s"SELECT doc_bucket FROM $cat.big " +
+      "WHERE document_url = 'doc://x'").collect().map(_.getInt(0)).toSeq
+    assert(landed == Seq(expected), s"landed $landed != $expected")
+    // the point lookup still prunes to the derived bucket's partition
+    assert(store.readDocuments(Seq("doc://x")).count() == 1)
   }
 
   test("CALL merge_into / delete_documents: MERGE semantics through SQL") {
