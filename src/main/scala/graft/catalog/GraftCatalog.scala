@@ -178,7 +178,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         deleteRows =
           if (asOf.isDefined) None else Some(store.deleteWhere),
         mergeHook =
-          if (asOf.isDefined) None else Some(store.mergeInto))
+          if (asOf.isDefined) None else Some(store.mergeInto),
+        // file skipping off the log's own per-file stats — sound for
+        // time-travel reads too (a pre-stats or vacuumed-away file
+        // simply fails open and is read)
+        statsPruner = Some(mtf.pruneFilesForScan(files, _)))
     } else layoutTag(dir) match {
       case Some(tag) =>
         if (asOf.isDefined) throw new UnsupportedOperationException(
@@ -622,7 +626,10 @@ private[catalog] class GraftTable(
         Seq[graft.sink.GraftMergeAction],
         Seq[graft.sink.GraftMergeAction],
         Seq[graft.sink.GraftMergeAction],
-        Option[DataFrame]) => Unit] = None)
+        Option[DataFrame]) => Unit] = None,
+    statsPruner: Option[
+      Seq[graft.sink.ManifestTableFormat.StatsProbe] =>
+        Option[Seq[String]]] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -738,7 +745,15 @@ private[catalog] class GraftTable(
       // from the pushed predicates before parquet plans the read
       new org.apache.spark.sql.graftbridge.SidecarPrunedScanBuilder(
         spark, tableName, dir, tableSchema, options)
-    case None => delegate.newScanBuilder(options)
+    case None => statsPruner match {
+      case Some(pruner) =>
+        // manifest-native data skipping: the log's per-file stats
+        // (url bloom + per-column min/max) shrink the pinned file
+        // list from the pushed predicates before parquet plans
+        new org.apache.spark.sql.graftbridge.ManifestStatsScanBuilder(
+          spark, tableName, tableSchema, paths, options, pruner)
+      case None => delegate.newScanBuilder(options)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

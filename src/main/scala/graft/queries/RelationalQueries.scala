@@ -1048,6 +1048,45 @@ object RelationalQueries {
            |  AND t.document_url LIKE '%7' THEN DELETE""".stripMargin)
       s.sql(s"SELECT document_url, chunk_text FROM $cat.chunks " +
         "ORDER BY document_url, chunk_text")
+    },
+
+    // C37j: manifest-native DATA SKIPPING — add-actions carry
+    // per-column min/max + null-count stats (Delta's file-skipping
+    // idea, no sidecar), and the catalog's manifest scans prune the
+    // planned FILE list from the predicates Catalyst pushes
+    // (ManifestStatsScanBuilder → pruneFilesForScan; fail-open on any
+    // absent/uncastable stat). Three appends land disjoint
+    // page_number decades in disjoint file sets; the range query must
+    // return exactly the middle decade — the oracle recomputes it
+    // relationally, so a wrong prune (dropped matching file) or a
+    // stats/render bug shows as a hash mismatch. The file-subset
+    // plan shape itself is pinned by ManifestStatsSkipSpec.
+    "c37j_stats_pruned_scan" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text,
+        |       CAST(10 + doc_id % 10 AS INTEGER) AS page_number
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-skip").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = t(s, dir, "documents")
+      def part(m: Int, base: Int) = docs
+        .filter(col("doc_id") % 3 === m)
+        .select(lit(0).as("chunk_id"), col("text").as("chunk_text"),
+          array(lit(0f)).as("embedding"),
+          (lit(base) + col("doc_id") % 10).cast("int")
+            .as("page_number"),
+          concat(lit("doc://"), col("doc_id")).as("document_url"))
+      store.append(part(0, 0))   // pages 0..9
+      store.append(part(1, 10))  // pages 10..19
+      store.append(part(2, 20))  // pages 20..29
+      val cat = QueryDef.freshCatalog(s, "graft_skip", wh)
+      s.sql(s"SELECT document_url, chunk_text, page_number " +
+        s"FROM $cat.chunks WHERE page_number BETWEEN 10 AND 19 " +
+        "ORDER BY document_url")
     }
   )
 }

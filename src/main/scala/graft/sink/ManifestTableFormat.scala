@@ -105,12 +105,30 @@ class ManifestTableFormat(
 
   // ---- log entries -------------------------------------------------
 
+  /** Per-column skipping stats an add-action may carry (the
+    * Delta/Iceberg data-skipping idea): min/max of the column's
+    * non-null values in this file, rendered as a canonical string
+    * (numeric kinds by `toString`/`toPlainString` of the encoded
+    * value — timestamps as epoch micros, dates as epoch days,
+    * booleans as 0/1 — strings truncated to a sound prefix bound),
+    * plus the null count. `lo`/`hi` are both present or both absent
+    * (absent = all-null column, or an unboundable truncated max).
+    */
+  private[sink] final case class ColStats(
+      name: String, lo: Option[String], hi: Option[String], nulls: Long)
+
   /** Per-file stats an add-action carries: a bloom bitset over
-    * xxhash64(document_url) plus the min/max url. Fixed size — the
-    * log stays O(files) however many documents a file packs.
+    * xxhash64(document_url) plus the min/max url — fixed size, so the
+    * log stays O(files) however many documents a file packs — and,
+    * from protocol v3 on, the file's row count plus per-column
+    * min/max/null-count skipping stats ([[ColStats]], bounded at
+    * [[ManifestTableFormat.maxStatsColumns]] columns). Pre-v3 actions
+    * parse with `rows = None, cols = Nil` and every consumer treats
+    * absent stats as "may match anything" (fail-open).
     */
   private[sink] final case class FileStats(
-      bits: Seq[Long], lo: String, hi: String, numBits: Int, numHashes: Int)
+      bits: Seq[Long], lo: String, hi: String, numBits: Int, numHashes: Int,
+      rows: Option[Long] = None, cols: Seq[ColStats] = Nil)
 
   /** One committed action: add (with the file's stats) or remove. */
   private[sink] final case class Action(
@@ -179,9 +197,30 @@ class ManifestTableFormat(
 
   private[sink] def renderAction(a: Action): String = a.stats match {
     case Some(st) =>
-      s"""{"a":"add","f":"${esc(a.file)}","lo":"${esc(st.lo)}","hi":"${
+      val base = s""""a":"add","f":"${esc(a.file)}","lo":"${esc(st.lo)}","hi":"${
         esc(st.hi)}","nb":${st.numBits},"nh":${st.numHashes},"b":"${
-        packBits(st.bits)}"}"""
+        packBits(st.bits)}""""
+      // column skipping stats (protocol v3): five PARALLEL arrays —
+      // names, lo, hi, a lo/hi validity flag (an empty string is a
+      // legitimate value, so absence needs its own bit), null counts —
+      // plus the file row count. An older reader ignores unknown
+      // fields, so v3 logs stay readable by the v2 parser.
+      val ext = st.rows match {
+        case None => ""
+        case Some(n) =>
+          val cs = st.cols
+          val names = cs.map(c => "\"" + esc(c.name) + "\"").mkString(",")
+          val los = cs.map(c => "\"" + esc(c.lo.getOrElse("")) + "\"")
+            .mkString(",")
+          val his = cs.map(c => "\"" + esc(c.hi.getOrElse("")) + "\"")
+            .mkString(",")
+          val valid = cs.map(c => if (c.lo.isDefined && c.hi.isDefined) 1
+            else 0).mkString(",")
+          val nulls = cs.map(_.nulls).mkString(",")
+          s""","rows":$n,"csn":[$names],"cslo":[$los],"cshi":[$his],""" +
+            s""""csv":[$valid],"csnn":[$nulls]"""
+      }
+      s"{$base$ext}"
     case None => s"""{"a":"rm","f":"${esc(a.file)}"}"""
   }
 
@@ -225,11 +264,39 @@ class ManifestTableFormat(
       while (j < line.length && line.charAt(j).isDigit) j += 1
       line.substring(i + tag.length, j).toInt
     }
+    def numLong(key: String): Option[Long] = {
+      val tag = "\"" + key + "\":"
+      val i = line.indexOf(tag)
+      if (i < 0) None
+      else {
+        var j = i + tag.length
+        while (j < line.length && line.charAt(j).isDigit) j += 1
+        Some(line.substring(i + tag.length, j).toLong)
+      }
+    }
+    def colStats: Seq[ColStats] =
+      if (!line.contains("\"csn\":[")) Nil
+      else {
+        val names = parseStringArray(line, "csn")
+        val los = parseStringArray(line, "cslo")
+        val his = parseStringArray(line, "cshi")
+        val valid = parseLongArray(line, "csv")
+        val nulls = parseLongArray(line, "csnn")
+        if (Seq(los, his).exists(_.size != names.size) ||
+            Seq(valid, nulls).exists(_.size != names.size))
+          fail("ragged column-stats arrays")
+        names.indices.map { i =>
+          val ok = valid(i) == 1L
+          ColStats(names(i),
+            if (ok) Some(los(i)) else None,
+            if (ok) Some(his(i)) else None, nulls(i))
+        }
+      }
     if (line.contains("\"a\":\"add\"")) {
       if (fieldAt("b").nonEmpty)
         Action(add = true, field("f"), Some(FileStats(
           unpackBits(field("b")), field("lo"), field("hi"),
-          num("nb"), num("nh"))))
+          num("nb"), num("nh"), numLong("rows"), colStats)))
       else if (line.contains("\"u\":[")) {
         // PROTOCOL V1 add-action: the file's exact url set instead of
         // bloom stats. Accepted on read — stats are synthesized with
@@ -261,9 +328,36 @@ class ManifestTableFormat(
   /** Parse protocol-v1's `"u":["...","..."]` url array (escape-aware,
     * same quoting rules as [[unesc]]).
     */
-  private def parseUrlArray(line: String): Seq[String] = {
-    val tag = "\"u\":["
-    val start = line.indexOf(tag) + tag.length
+  private def parseUrlArray(line: String): Seq[String] =
+    parseStringArray(line, "u")
+
+  /** Parse a `"key":[1,2,3]` array of non-negative integers. */
+  private def parseLongArray(line: String, key: String): Seq[Long] = {
+    val tag = "\"" + key + "\":["
+    val at = line.indexOf(tag)
+    if (at < 0) return Nil
+    val start = at + tag.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = start
+    while (i < line.length && line.charAt(i) != ']') {
+      if (line.charAt(i).isDigit) {
+        var j = i
+        while (j < line.length && line.charAt(j).isDigit) j += 1
+        out += line.substring(i, j).toLong
+        i = j
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Parse a `"key":["...","..."]` string array (escape-aware, same
+    * quoting rules as [[unesc]]).
+    */
+  private def parseStringArray(line: String, key: String): Seq[String] = {
+    val tag = "\"" + key + "\":["
+    val at = line.indexOf(tag)
+    if (at < 0) return Nil
+    val start = at + tag.length
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = start
     while (i < line.length && line.charAt(i) != ']') {
@@ -570,8 +664,14 @@ class ManifestTableFormat(
     import spark.implicits._
     val tail = snap.base.toSeq
       .map { case (f, st) =>
-        (f, st.bits, st.lo, st.hi, st.numBits, st.numHashes) }
-      .toDF("file", "bits", "lo", "hi", "num_bits", "num_hashes")
+        (f, st.bits, st.lo, st.hi, st.numBits, st.numHashes,
+          st.rows,
+          st.cols.map(_.name), st.cols.map(_.lo.getOrElse("")),
+          st.cols.map(_.hi.getOrElse("")),
+          st.cols.map(c => if (c.lo.isDefined && c.hi.isDefined) 1 else 0),
+          st.cols.map(_.nulls)) }
+      .toDF("file", "bits", "lo", "hi", "num_bits", "num_hashes",
+        "rows", "cs_names", "cs_lo", "cs_hi", "cs_valid", "cs_nn")
     snap.ckptParquet match {
       case None => tail
       case Some(dir) =>
@@ -581,7 +681,10 @@ class ManifestTableFormat(
         val kept =
           if (shadowed.isEmpty) ck
           else ck.join(shadowed.toDF("file"), Seq("file"), "left_anti")
-        kept.unionByName(tail)
+        // a pre-column-stats checkpoint lacks the stats columns:
+        // null-fill them (fail-open everywhere they are consulted);
+        // the next checkpoint re-records the full current shape
+        kept.unionByName(tail, allowMissingColumns = true)
     }
   }
 
@@ -623,11 +726,84 @@ class ManifestTableFormat(
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
+  // ---- column skipping stats (write side) ---------------------------
+
+  /** The schema's skippable columns, capped at
+    * [[ManifestTableFormat.maxStatsColumns]]: atomic orderable types
+    * whose min/max admit a sound canonical string rendering.
+    * `document_url` is excluded — it already has dedicated
+    * full-precision lo/hi + bloom fields.
+    */
+  private def statColumns(s: StructType): Seq[StructField] = {
+    import org.apache.spark.sql.types._
+    s.fields.toIndexedSeq.filter { f =>
+      !f.name.equalsIgnoreCase("document_url") && (f.dataType match {
+        case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+             _: FloatType | _: DoubleType | _: DecimalType |
+             _: BooleanType | _: DateType | _: TimestampType |
+             _: StringType => true
+        case _ => false
+      })
+    }.take(ManifestTableFormat.maxStatsColumns)
+  }
+
+  /** The column as its stats ENCODING: min/max aggregate over this
+    * expression so ordering is the column's own, and the collected
+    * value renders to the canonical string the scan side re-derives
+    * from pushed literals (timestamps → epoch micros, dates → epoch
+    * days, booleans → 0/1, everything else native).
+    */
+  private def statEncode(f: StructField): Column = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case _: TimestampType => unix_micros(col(f.name))
+      case _: DateType => unix_date(col(f.name))
+      case _: BooleanType => col(f.name).cast(IntegerType)
+      case _ => col(f.name)
+    }
+  }
+
+  /** Render a collected stats value canonically. Lower bounds may
+    * truncate a long string (a prefix is ≤ the value — sound). */
+  private def renderLo(v: Any): String = v match {
+    case s: String => truncPrefix(s)
+    case d: java.math.BigDecimal => d.toPlainString
+    case other => other.toString // Int/Long/Short/Byte/Float/Double
+  }
+
+  /** Render an UPPER bound: a truncated string prefix must be pushed
+    * back ABOVE the value — append U+10FFFF (the maximum code point;
+    * its UTF-8 encoding F4 8F BF BF dominates any continuation, so
+    * prefix+U+10FFFF ≥ prefix+anything under Spark's binary string
+    * ordering). Yields None only if truncation is impossible.
+    */
+  private def renderHi(v: Any): Option[String] = v match {
+    case s: String =>
+      if (s.length <= ManifestTableFormat.maxStatsStringLen) Some(s)
+      else Some(truncPrefix(s) + new String(Character.toChars(0x10FFFF)))
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case other => Some(other.toString)
+  }
+
+  /** First `maxStatsStringLen` chars, never splitting a surrogate
+    * pair (a dangling high surrogate is not valid UTF-8 and would
+    * compare unpredictably).
+    */
+  private def truncPrefix(s: String): String = {
+    val cap = ManifestTableFormat.maxStatsStringLen
+    if (s.length <= cap) s
+    else if (Character.isHighSurrogate(s.charAt(cap - 1)))
+      s.substring(0, cap - 1)
+    else s.substring(0, cap)
+  }
+
   /** Write `rows` as a fresh immutable file set under `data/` and
     * return add-actions carrying each new file's stats — ONE narrow
     * aggregate over the just-written files building the url bloom
-    * (map-side, fixed-size buffers — [[Layout.bloomAgg]]) and min/max.
-    * O(1) metadata per file, however many documents it packs.
+    * (map-side, fixed-size buffers — [[Layout.bloomAgg]]), the url
+    * min/max, the row count, and per-column min/max + null counts for
+    * the skippable columns ([[statColumns]]). O(1) metadata per file,
+    * however many documents it packs.
     */
   private def writeData(rows: DataFrame, s: StructType): Seq[Action] = {
     val batchDir = new Path(dataDir,
@@ -637,17 +813,39 @@ class ManifestTableFormat(
     val written = spark.read.schema(s).parquet(batchDir.toString)
     if (written.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
     val agg = udaf(Layout.bloomAgg(bloomBits, bloomHashes))
+    val sc = statColumns(s)
+    val extraAggs = Seq(count(lit(1)).as("__rows")) ++
+      sc.zipWithIndex.flatMap { case (f, i) =>
+        Seq(min(statEncode(f)).as(s"__lo$i"),
+          max(statEncode(f)).as(s"__hi$i"),
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn$i"))
+      }
     written
-      .select(input_file_name().as("f"), col("document_url"))
+      .select(input_file_name().as("f") +:
+        s.fieldNames.map(col).toIndexedSeq: _*)
       .groupBy("f")
       .agg(agg(xxhash64(col("document_url"))).as("bits"),
-        min("document_url").as("lo"), max("document_url").as("hi"))
+        (Seq(min("document_url").as("lo"), max("document_url").as("hi")) ++
+          extraAggs): _*)
       .collect()
-      .map(r => Action(add = true, r.getString(0), Some(FileStats(
-        r.getSeq[Long](1),
-        Option(r.getString(2)).getOrElse(""),
-        Option(r.getString(3)).getOrElse(""),
-        bloomBits, bloomHashes))))
+      .map { r =>
+        val rowCount = r.getLong(r.fieldIndex("__rows"))
+        val cols = sc.zipWithIndex.map { case (f, i) =>
+          val loV = r.get(r.fieldIndex(s"__lo$i"))
+          val hiV = r.get(r.fieldIndex(s"__hi$i"))
+          val nn = r.getLong(r.fieldIndex(s"__nn$i"))
+          if (loV == null || hiV == null) ColStats(f.name, None, None, nn)
+          else renderHi(hiV) match {
+            case Some(hi) => ColStats(f.name, Some(renderLo(loV)), Some(hi), nn)
+            case None => ColStats(f.name, None, None, nn)
+          }
+        }
+        Action(add = true, r.getString(0), Some(FileStats(
+          r.getSeq[Long](r.fieldIndex("bits")),
+          Option(r.getString(r.fieldIndex("lo"))).getOrElse(""),
+          Option(r.getString(r.fieldIndex("hi"))).getOrElse(""),
+          bloomBits, bloomHashes, Some(rowCount), cols)))
+      }
       .toSeq
   }
 
@@ -1091,6 +1289,95 @@ class ManifestTableFormat(
     */
   def liveFiles: Seq[String] = liveNames(snapshot())
 
+  /** FILE SKIPPING for a planned scan (the Delta data-skipping idea,
+    * manifest-native): given the scan's PINNED file list and the
+    * conjuncts the scan pushed (pre-extracted to [[StatsProbe]]s by
+    * the scan builder), return the subset of `pinned` that MAY hold a
+    * matching row per the per-file stats — or None when nothing could
+    * be pruned (caller keeps its list and plan).
+    *
+    * Soundness: a file is dropped only when its stats PROVE no row
+    * can match a conjunct. Every comparison fails open — a file
+    * absent from the current stats frame (e.g. removed by a commit
+    * after the scan pinned its snapshot), a column with no recorded
+    * stats (pre-v3 action, evolved column, all-null file, truncation
+    * overflow), a value outside DECIMAL(38,18) (try_cast → NULL), a
+    * NaN-polluted max — all survive. Numeric bounds compare after
+    * the SAME monotone cast on both sides (canonical string →
+    * DECIMAL(38,18)), so grid rounding can never invert an ordering;
+    * string bounds compare IN the frame under Spark's own string
+    * ordering; url equality probes use the bloom (no false
+    * negatives). The original predicates all remain on the scan, so
+    * the result equals the unpruned scan's on any manifest state.
+    *
+    * Scale shape: evaluation is a Spark job over the stats frame
+    * (checkpoint manifests read executor-side); the driver holds the
+    * pinned names it already held (scan planning is O(names) here by
+    * contract) plus the DROPPED name set.
+    */
+  def pruneFilesForScan(
+      pinned: Seq[String],
+      probes: Seq[ManifestTableFormat.StatsProbe]): Option[Seq[String]] = {
+    import ManifestTableFormat._
+    import org.apache.spark.sql.types.DecimalType
+    if (pinned.isEmpty || probes.isEmpty) return None
+    import spark.implicits._
+    // no broadcast hint: the pinned list is usually small enough that
+    // AQE broadcasts it anyway, but at the 10⁷-file end it must be
+    // allowed to shuffle rather than blow the driver's broadcast cap
+    val st = statsFrame(snapshot())
+      .join(pinned.toDF("file"), Seq("file"), "left_semi")
+
+    def statVal(arr: String, name: String): Column = {
+      val pos = array_position(col("cs_names"), name).cast("int")
+      when(pos > 0 && element_at(col("cs_valid"), pos) === 1,
+        element_at(col(arr), pos))
+    }
+    def nullsOf(name: String): Column = {
+      val pos = array_position(col("cs_names"), name).cast("int")
+      when(pos > 0, element_at(col("cs_nn"), pos))
+    }
+    val dec = DecimalType(38, 18)
+    def open(c: Column): Column = coalesce(c, lit(true))
+
+    val survive = probes.collect {
+      case NumRange(c, loB, hiB) =>
+        val loS = statVal("cs_lo", c).try_cast(dec)
+        val hiS = statVal("cs_hi", c).try_cast(dec)
+        (loB.map(l => open(hiS >= lit(l).try_cast(dec))) ++
+          hiB.map(h => open(loS <= lit(h).try_cast(dec))))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case StrRange(c, loB, hiB) =>
+        val (loS, hiS) =
+          if (c.equalsIgnoreCase("document_url"))
+            // dedicated full-precision url fields; "" lo/hi marks an
+            // all-null-url file (can match no url predicate, but
+            // "" <= anything keeps it — fail-open, costs one read)
+            (col("lo"), col("hi"))
+          else (statVal("cs_lo", c), statVal("cs_hi", c))
+        (loB.map(l => open(hiS >= lit(l))) ++
+          hiB.map(h => open(loS <= lit(h))))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case NullTest(c, isNull) =>
+        if (isNull) open(nullsOf(c) > 0)
+        else open(nullsOf(c) < col("rows"))
+    }.foldLeft(lit(true))(_ && _)
+
+    var dropped = st.filter(!survive).select("file")
+    probes.collect { case UrlIn(vs) => vs }.foreach { vs =>
+      val hashes = vs.distinct.toDF("u")
+        .select(col("u"), xxhash64(col("u")).as("h"))
+      val hits = st.join(broadcast(hashes))
+        .filter(col("u") >= col("lo") && col("u") <= col("hi"))
+        .filter(Layout.bloomTest)
+        .select("file").distinct()
+      dropped = dropped.union(
+        st.select("file").join(hits, Seq("file"), "left_anti"))
+    }
+    val gone = dropped.distinct().collect().map(_.getString(0)).toSet
+    if (gone.isEmpty) None else Some(pinned.filterNot(gone))
+  }
+
   /** Live data files AS OF `asOf` (the [[readVersion]] replay without
     * the read) — backs `VERSION AS OF` through the SQL catalog.
     */
@@ -1321,6 +1608,55 @@ object ManifestTableFormat {
     * that keep driver state bounded at the 10⁷-file end.
     */
   private[sink] val statsPerManifestPart = 100000L
+
+  /** At most this many leading skippable columns get per-file min/max
+    * stats (Delta's `dataSkippingNumIndexedCols` idea) — metadata per
+    * file stays O(1) however wide an evolved schema grows.
+    */
+  private[sink] val maxStatsColumns = 32
+
+  /** String column stats keep at most this many chars; a longer max
+    * is bounded upward by appending U+10FFFF (see [[truncHi]]).
+    */
+  private[sink] val maxStatsStringLen = 64
+
+  /** A scan-pushed conjunct the per-file stats can test. Extraction
+    * (Catalyst expression → probe) lives in the scan builder; the
+    * evaluation against the stats frame lives in
+    * [[ManifestTableFormat.pruneFilesForScan]]. All probes are
+    * FAIL-OPEN: a file whose stats are absent, invalid, or outside
+    * the comparable domain always survives.
+    */
+  sealed trait StatsProbe
+
+  /** `lo <= column <= hi` where the bound strings render the literal
+    * exactly as the stats side rendered the column's values (same
+    * canonical encoding — compared after a shared monotone cast to
+    * DECIMAL(38,18), overflow/NaN falling open via try_cast NULL).
+    * `None` = unbounded on that side.
+    */
+  final case class NumRange(column: String,
+      lo: Option[String], hi: Option[String]) extends StatsProbe
+
+  /** `lo <= column <= hi` under Spark's string ordering (evaluated
+    * IN the stats frame, so the comparison semantics are exactly the
+    * scan's). `document_url` consults the dedicated full-precision
+    * lo/hi fields; other string columns the (truncation-bounded)
+    * column stats.
+    */
+  final case class StrRange(column: String,
+      lo: Option[String], hi: Option[String]) extends StatsProbe
+
+  /** `column IS [NOT] NULL` — testable from the per-column null
+    * count plus the file row count.
+    */
+  final case class NullTest(column: String, isNull: Boolean)
+      extends StatsProbe
+
+  /** `document_url = v` / `IN (vs)` — testable by the per-file url
+    * bloom (no false negatives) + url min/max range.
+    */
+  final case class UrlIn(values: Seq[String]) extends StatsProbe
 
   /** Compaction's output file-size target (the parquet sweet spot —
     * row groups fill, scans split well).

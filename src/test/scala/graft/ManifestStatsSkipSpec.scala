@@ -1,0 +1,239 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** Manifest-native DATA SKIPPING: add-actions carry per-column
+  * min/max + null counts (and the url bloom), and the SQL catalog's
+  * manifest scans prune the planned FILE list from pushed predicates
+  * — Delta-style file skipping with no sidecar. Every test pins both
+  * halves: the result equals the unpruned scan's AND the plan read a
+  * strict file subset (or, for the fail-open cases, did NOT prune).
+  */
+class ManifestStatsSkipSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+
+  private var n = 0
+  private def freshCatalog(): (String, String) = {
+    n += 1
+    val cat = s"statskip$n"
+    val wh = Files.createTempDirectory(s"graft-skip-$n").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  /** One-file append: `ids` chunks with the given page + text. */
+  private def batch(ids: Range, page: Int => Int,
+      text: Int => String = i => s"t-$i"): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (0, text(i), Seq(1f), page(i), f"doc://$i%04d"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url")
+      .repartition(1)
+  }
+
+  private def plannedFiles(q: DataFrame): Int = {
+    q.collect()
+    val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b
+    }
+    scans.head.scan
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+      .fileIndex.inputFiles.length
+  }
+
+  test("numeric range predicates plan a file subset; results exact") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(batch(0 until 10, _ => 5))    // pages all 5
+    store.append(batch(10 until 20, _ => 15))  // pages all 15
+    store.append(batch(20 until 30, _ => 25))  // pages all 25
+    val all = plannedFiles(spark.sql(s"SELECT * FROM $cat.t"))
+    assert(all == 3, s"expected 3 one-file commits, planned $all")
+
+    val q = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number >= 20")
+    assert(q.collect().length == 10)
+    assert(plannedFiles(q) == 1, "page_number >= 20 must plan 1 file")
+
+    val q2 = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number BETWEEN 10 AND 20")
+    assert(q2.collect().length == 10)
+    assert(plannedFiles(q2) == 1)
+
+    // equality + IN over integral columns
+    val q3 = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number = 15")
+    assert(q3.collect().length == 10 && plannedFiles(q3) == 1)
+    val q4 = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number IN (5, 7)")
+    assert(q4.collect().length == 10 && plannedFiles(q4) == 1)
+
+    // an unsatisfiable range prunes everything
+    val q5 = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number > 1000")
+    assert(q5.collect().isEmpty && plannedFiles(q5) == 0)
+  }
+
+  test("document_url point predicates prune via the log's bloom") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(batch(0 until 100, _ => 0))
+    store.append(batch(100 until 200, _ => 0))
+    store.append(batch(200 until 300, _ => 0))
+
+    val q = spark.sql(
+      s"SELECT chunk_text FROM $cat.t WHERE document_url = 'doc://0150'")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("t-150"))
+    assert(plannedFiles(q) == 1, "url equality must plan 1 file")
+
+    val q2 = spark.sql(s"SELECT chunk_text FROM $cat.t " +
+      "WHERE document_url IN ('doc://0001', 'doc://0250')")
+    assert(q2.collect().length == 2)
+    assert(plannedFiles(q2) == 2)
+  }
+
+  test("IS NULL / IS NOT NULL prune from null counts") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(batch(0 until 10, _ => 0))
+    // a file whose chunk_text is entirely NULL
+    store.append(batch(10 until 20, _ => 0)
+      .withColumn("chunk_text", lit(null).cast("string")))
+
+    val q = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE chunk_text IS NULL")
+    assert(q.collect().length == 10 && plannedFiles(q) == 1)
+
+    val q2 = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE chunk_text IS NOT NULL")
+    assert(q2.collect().length == 10 && plannedFiles(q2) == 1)
+  }
+
+  test("string stats: truncation bounds stay sound for 64+ char values") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    val long1 = "a" * 100 + "LOW"   // truncates to a*64
+    val long2 = "z" * 100 + "HIGH"  // truncated max needs the U+10FFFF push
+    store.append(batch(0 until 5, _ => 0, _ => long1))
+    store.append(batch(5 until 10, _ => 0, _ => long2))
+    store.append(batch(10 until 15, _ => 0, _ => "mid"))
+
+    // equality on a truncated value must still find it (hi bound was
+    // pushed ABOVE the true max, lo is a prefix below it)
+    val q = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE chunk_text = '${"z" * 100}HIGH'")
+    assert(q.collect().length == 5)
+    assert(plannedFiles(q) == 1, "only the z-file can hold the z-value")
+
+    // a range above every TRUE value: the a- and mid-files prune on
+    // their exact stats; the z-file's truncated hi was pushed ABOVE
+    // the true max (that is what keeps equality sound), so it fails
+    // open and is read — one extra file, zero rows, never a miss
+    val q2 = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE chunk_text > '${"z" * 101}'")
+    assert(q2.collect().isEmpty && plannedFiles(q2) == 1)
+
+    // and one below the a-file's lo keeps only files that may match
+    val q3 = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE chunk_text < 'b'")
+    assert(q3.collect().length == 5 && plannedFiles(q3) == 1)
+  }
+
+  test("protocol-v1 add-actions (no column stats) fail open") {
+    val (cat, wh) = freshCatalog()
+    val dir = s"$wh/t"
+    // a data file written out-of-band + a v1-era log line naming it
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    batch(0 until 3, _ => 42).write.parquet(s"$dir/data/legacy")
+    val part = fs.listStatus(new Path(s"$dir/data/legacy")).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    val urls = (0 until 3).map(i => f""""doc://$i%04d"""").mkString(",")
+    val line = s"""{"a":"add","f":"${part.toString}","u":[$urls]}"""
+    fs.mkdirs(new Path(dir, "_log"))
+    val out = fs.create(new Path(dir, "_log/000000000000.json"), false)
+    out.write(line.getBytes("UTF-8")); out.close()
+
+    // no cs stats on the action: a page_number predicate cannot prune
+    // this file, and the rows still come back (fail-open)
+    val q = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number = 42")
+    assert(q.collect().length == 3)
+    assert(plannedFiles(q) == 1)
+    // but the v1 SYNTHESIZED url stats do prune url probes
+    val q2 = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE document_url = 'doc://9999'")
+    assert(q2.collect().isEmpty && plannedFiles(q2) == 0)
+  }
+
+  test("NaN in an evolved double column fails open and still matches") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(batch(0 until 5, _ => 0))
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN score DOUBLE")
+    spark.sql(s"UPDATE $cat.t SET score = cast('NaN' as double) " +
+      "WHERE document_url = 'doc://0002'")
+    spark.sql(s"UPDATE $cat.t SET score = 1.0 " +
+      "WHERE document_url = 'doc://0003'")
+    // Spark orders NaN above every double: the NaN row MATCHES
+    // score > 5.0 and its file's max renders "NaN" → uncastable →
+    // fail-open, so the row must survive any pruning
+    val q = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE score > 5.0")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("doc://0002"))
+  }
+
+  test("skipping keeps working after checkpoint + vacuum (parquet stats)") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(batch(0 until 10, _ => 5))
+    store.append(batch(10 until 20, _ => 15))
+    val mtf = new ManifestTableFormat(spark, s"$wh/t", store.schema)
+    mtf.checkpoint()
+    mtf.vacuum()
+    // entries are gone; the stats now live ONLY in the parquet
+    // checkpoint and must still drive the prune
+    store.append(batch(20 until 30, _ => 25))
+    val q = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number < 10")
+    assert(q.collect().length == 10)
+    assert(plannedFiles(q) == 1,
+      "checkpointed stats must prune to the page-5 file")
+    val q2 = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number >= 20")
+    assert(q2.collect().length == 10 && plannedFiles(q2) == 1)
+  }
+
+  test("log roundtrip: column stats survive render/parse with hostile text") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    val hostile = "line1\nline2\t\"quoted\\slash\","
+    store.append(batch(0 until 3, _ => 7, _ => hostile))
+    val q = spark.sql(
+      s"SELECT chunk_text FROM $cat.t WHERE page_number = 7")
+    assert(q.collect().map(_.getString(0)).toSeq ==
+      Seq.fill(3)(hostile))
+    // the hostile value as an equality probe (DataFrame API sidesteps
+    // SQL literal escaping; the pushed filter is the same)
+    val q2 = spark.table(s"$cat.t")
+      .filter(col("chunk_text") === hostile)
+      .select("document_url")
+    assert(q2.collect().length == 3)
+  }
+}
