@@ -1087,6 +1087,49 @@ object RelationalQueries {
       s.sql(s"SELECT document_url, chunk_text, page_number " +
         s"FROM $cat.chunks WHERE page_number BETWEEN 10 AND 19 " +
         "ORDER BY document_url")
+    },
+
+    // C37k: EXACTLY-ONCE streaming append into a manifest table — a
+    // parquet file stream drains through StreamWriter (foreachBatch +
+    // an atomic (appId, batchId) transaction marker in the commit,
+    // the Delta SetTransaction design), then drains AGAIN from the
+    // same checkpoint AND from a fresh checkpoint under the same
+    // app id. Any replayed batch that re-applied would double the
+    // row count — the oracle's exact per-document expectation makes
+    // that a hash mismatch, so the exactly-once contract is
+    // oracle-checked, not just spec-pinned (StreamWriterSpec pins
+    // the race/vacuum corners).
+    "c37k_stream_append" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text
+        |FROM documents
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-swr").toString
+      val path = s"$wh/chunks"
+      // file streams source from a DIRECTORY; stage the table file
+      val src = s"$wh/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        java.nio.file.Paths.get(s"$src/documents.parquet"))
+      val docsSchema = s.read.parquet(src).schema
+      def stream() = s.readStream.schema(docsSchema).parquet(src)
+        .select(lit(0).as("chunk_id"), col("text").as("chunk_text"),
+          array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+          concat(lit("doc://"), col("doc_id")).as("document_url"))
+      graft.streaming.StreamWriter.sync(
+        stream(), path, s"$wh/ckpt", Some("c37k"))
+      // same checkpoint: the source reports nothing new — no-op
+      graft.streaming.StreamWriter.sync(
+        stream(), path, s"$wh/ckpt", Some("c37k"))
+      // FRESH checkpoint, same app id: batch 0 re-delivers and the
+      // marker must make it a no-op
+      graft.streaming.StreamWriter.sync(
+        stream(), path, s"$wh/ckpt2", Some("c37k"))
+      val cat = QueryDef.freshCatalog(s, "graft_swr", wh)
+      s.sql(s"SELECT document_url, chunk_text FROM $cat.chunks " +
+        "ORDER BY document_url")
     }
   )
 }

@@ -130,9 +130,17 @@ class ManifestTableFormat(
       bits: Seq[Long], lo: String, hi: String, numBits: Int, numHashes: Int,
       rows: Option[Long] = None, cols: Seq[ColStats] = Nil)
 
-  /** One committed action: add (with the file's stats) or remove. */
+  /** One committed action: add (with the file's stats), remove, or —
+    * when `txn` is set (protocol v4) — a STREAMING TRANSACTION marker
+    * `(appId, batchId)` recording that a writer's micro-batch
+    * committed in this entry (the Delta `SetTransaction` idea). Txn
+    * actions carry no file (`file = ""`, `add = false`); replay keeps
+    * the MAX batchId per appId, which is what makes a restarted
+    * micro-batch replay idempotent ([[appendStream]]).
+    */
   private[sink] final case class Action(
-      add: Boolean, file: String, stats: Option[FileStats])
+      add: Boolean, file: String, stats: Option[FileStats],
+      txn: Option[(String, Long)] = None)
 
   /** A replayed snapshot. Driver state is bounded by CHECKPOINT
     * CADENCE, not table size: `base` holds only the stats of files
@@ -150,7 +158,8 @@ class ManifestTableFormat(
       ckptParquet: Option[Path],
       base: Map[String, FileStats],
       removed: Set[String],
-      tableSchema: StructType)
+      tableSchema: StructType,
+      txns: Map[String, Long] = Map.empty)
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -221,7 +230,11 @@ class ManifestTableFormat(
             s""""csv":[$valid],"csnn":[$nulls]"""
       }
       s"{$base$ext}"
-    case None => s"""{"a":"rm","f":"${esc(a.file)}"}"""
+    case None => a.txn match {
+      case Some((app, batch)) =>
+        s"""{"a":"txn","app":"${esc(app)}","batch":$batch}"""
+      case None => s"""{"a":"rm","f":"${esc(a.file)}"}"""
+    }
   }
 
   private[sink] def parseAction(line: String): Action = {
@@ -322,6 +335,10 @@ class ManifestTableFormat(
           bits.toSeq, urls.min, urls.max, bloomBits, bloomHashes)))
       } else fail("add-action with neither stats nor url set")
     } else if (line.contains("\"a\":\"rm\"")) Action(add = false, field("f"), None)
+    else if (line.contains("\"a\":\"txn\""))
+      Action(add = false, "", None,
+        Some((field("app"), numLong("batch").getOrElse(
+          fail("txn action without batch")))))
     else fail("unknown action")
   }
 
@@ -385,6 +402,8 @@ class ManifestTableFormat(
     new Path(logDir, f"$v%012d.checkpoint.parquet")
   private def schemaFilePath(v: Long) =
     new Path(logDir, f"$v%012d.schema.json")
+  private def txnsFilePath(v: Long) =
+    new Path(logDir, f"$v%012d.txns.json")
 
   // ---- schema evolution --------------------------------------------
   //
@@ -539,14 +558,29 @@ class ManifestTableFormat(
     val ckpt = math.max(jc, pc)
     var base = Map.empty[String, FileStats]
     var removed = Set.empty[String]
+    var txns = Map.empty[String, Long]
+    def takeTxn(app: String, batch: Long): Unit =
+      txns += (app -> math.max(batch, txns.getOrElse(app, Long.MinValue)))
     val parquetBase = pc >= jc && pc >= 0
     def replay(p: Path): Unit =
       readText(p).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
-        if (a.add) { base += (a.file -> a.stats.get); removed -= a.file }
-        else { base -= a.file; removed += a.file }
+        a.txn match {
+          case Some((app, batch)) => takeTxn(app, batch)
+          case None =>
+            if (a.add) { base += (a.file -> a.stats.get); removed -= a.file }
+            else { base -= a.file; removed += a.file }
+        }
       }
     if (!parquetBase && ckpt >= 0) replay(checkpointPath(ckpt))
+    // a checkpoint's txn SIDECAR carries the markers its subsumed
+    // entries held (vacuum prunes those entries; without the sidecar
+    // a very late micro-batch replay could double-append)
+    if (ckpt >= 0 && f.exists(txnsFilePath(ckpt)))
+      readText(txnsFilePath(ckpt)).linesIterator.filter(_.nonEmpty)
+        .foreach { line =>
+          parseAction(line).txn.foreach { case (a, b) => takeTxn(a, b) }
+        }
     entries.filter(_ > ckpt).sorted.foreach(v => replay(entryPath(v)))
     val version = (entries ++ jsonCkpts ++ pqCkpts).foldLeft(-1L)(math.max)
     // schema from the census's own listing — no second log-dir walk
@@ -556,7 +590,8 @@ class ManifestTableFormat(
       if (parquetBase) Some(ckptParquetPath(pc)) else None,
       base,
       if (parquetBase) removed else Set.empty,
-      if (sv.isEmpty) schema else parseSchemaFile(sv.max))
+      if (sv.isEmpty) schema else parseSchemaFile(sv.max),
+      txns)
   }
 
   /** Write the current live state as a PARQUET checkpoint — assembled
@@ -582,6 +617,19 @@ class ManifestTableFormat(
     // vacuum happens to run — reclaim it here instead
     if (f.exists(target) && !validCkptParquet(f, snap.version))
       f.delete(target, true)
+    // txn sidecar FIRST: its content for a version is deterministic
+    // (the replayed markers at that version), so a racing writer
+    // producing the same file is harmless, and ordering it before the
+    // parquet publish means vacuum can never prune marker-carrying
+    // entries subsumed by a checkpoint whose sidecar is missing
+    if (snap.txns.nonEmpty && !f.exists(txnsFilePath(snap.version))) {
+      val lines = snap.txns.toSeq.sortBy(_._1).map { case (app, b) =>
+        renderAction(Action(add = false, "", None, Some((app, b))))
+      }
+      val out = f.create(txnsFilePath(snap.version), true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     val tmp = new Path(logDir, s"tmp-ckpt-${java.util.UUID.randomUUID()}")
     // MANIFEST-LIST sizing (the Iceberg idea): the checkpoint is a
     // DIRECTORY of manifest part-files, ~100k file-stats (~100 MB)
@@ -1228,6 +1276,61 @@ class ManifestTableFormat(
     true
   }
 
+  /** EXACTLY-ONCE streaming append: the micro-batch's rows and a
+    * `(appId, batchId)` transaction marker commit in ONE atomic log
+    * entry (Delta's `SetTransaction` idea). A replayed micro-batch —
+    * the at-least-once delivery every foreachBatch checkpoint gives
+    * on crash — finds `batchId <=` the app's recorded high-water mark
+    * and returns false WITHOUT writing, so the (checkpoint, table)
+    * pair converges to each batch applied once. The marker is checked
+    * against a fresh snapshot on every (re)attempt, including after a
+    * lost commit race — two writers racing the SAME (app, batch)
+    * resolve to exactly one data commit, the loser deleting its
+    * staged files. Markers survive checkpoint + vacuum via the
+    * checkpoint's txn sidecar. Batch ids must be monotonically
+    * increasing per app (the micro-batch contract); an EMPTY batch
+    * still commits its marker, so a replay after a crash between an
+    * empty batch and its checkpoint stays unambiguous.
+    */
+  def appendStream(rows: DataFrame, appId: String, batchId: Long)
+      : Boolean = {
+    require(appId.nonEmpty, "appendStream needs a non-empty appId")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"streaming append at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      if (snap.txns.get(appId).exists(_ >= batchId)) return false
+      val adds = writeData(conform(rows, snap.tableSchema),
+        snap.tableSchema)
+      val actions = adds :+
+        Action(add = false, "", None, Some((appId, batchId)))
+      beforeCommit()
+      var base = snap
+      var committed = tryCommit(base, actions)
+      while (!committed) {
+        attempt += 1
+        require(attempt <= maxCommitRetries,
+          s"streaming append at $path lost $maxCommitRetries commit races")
+        val now = snapshot()
+        if (now.txns.get(appId).exists(_ >= batchId)) {
+          // someone else (a racing replay of this very batch)
+          // committed the marker: abandon our staged files — the
+          // batch IS in the table exactly once
+          adds.foreach(a => fs.delete(new Path(a.file), false))
+          return false
+        }
+        // append-only: no file-level conflict possible — recommit
+        // under the next version as-is
+        base = now
+        committed = tryCommit(base, actions)
+      }
+      return true
+    }
+    false // unreachable
+  }
+
   override def read(): Option[DataFrame] = {
     val snap = snapshot()
     Some(readFiles(liveNames(snap), snap.tableSchema))
@@ -1269,9 +1372,12 @@ class ManifestTableFormat(
       val acts = readText(entryPath(v)).linesIterator
         .filter(_.nonEmpty).map(parseAction).toSeq
       val kind =
-        if (acts.isEmpty && schemas.contains(v)) "schema" else "commit"
+        if (acts.isEmpty && schemas.contains(v)) "schema"
+        else if (acts.nonEmpty && acts.forall(_.txn.isDefined)) "txn"
+        else "commit"
       (v, f.getFileStatus(entryPath(v)).getModificationTime,
-        acts.count(_.add).toLong, acts.count(!_.add).toLong, kind)
+        acts.count(_.add).toLong,
+        acts.count(a => !a.add && a.txn.isEmpty).toLong, kind)
     }
     val ckptRows = (jsonCkpts.map(v => (v, checkpointPath(v))) ++
         pqCkpts.map(v => (v, ckptParquetPath(v))))
@@ -1408,12 +1514,16 @@ class ManifestTableFormat(
       readText(checkpointPath(ckpt)).linesIterator.filter(_.nonEmpty)
         .foreach { line =>
           val a = parseAction(line)
-          if (a.add) live += a.file else live -= a.file
+          if (a.txn.isEmpty) {
+            if (a.add) live += a.file else live -= a.file
+          }
         }
     wanted.foreach { v =>
       readText(entryPath(v)).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
-        if (a.add) live += a.file else live -= a.file
+        if (a.txn.isEmpty) {
+          if (a.add) live += a.file else live -= a.file
+        }
       }
     }
     live.toSeq.sorted
@@ -1570,6 +1680,9 @@ class ManifestTableFormat(
         oldJson.foreach(v => f.delete(checkpointPath(v), false))
         val oldPq = pqCkpts.filter(_ < ckpt)
         oldPq.foreach(v => f.delete(ckptParquetPath(v), true))
+        // txn sidecars of superseded checkpoints are subsumed by the
+        // newest checkpoint's own sidecar (markers only ever grow)
+        (oldJson ++ oldPq).foreach(v => f.delete(txnsFilePath(v), false))
         nLog += oldEntries.size + oldJson.size + oldPq.size
         // a same-version legacy JSON twin is subsumed by the parquet
         // checkpoint (identical state, heavier replay) — drop it

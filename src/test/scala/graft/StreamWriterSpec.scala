@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sink.{ChunkStore, ManifestTableFormat}
+import graft.streaming.StreamWriter
+
+/** Exactly-once streaming appends into a manifest table: the
+  * `(appId, batchId)` transaction marker commits atomically with the
+  * batch's files, so foreachBatch's at-least-once replay converges
+  * to each batch applied once — with no natural key on the rows
+  * (the contract `ChangeFeedSync`'s idempotent merges cannot give).
+  */
+class StreamWriterSpec extends SparkSpec {
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft-swr").toString
+
+  private def chunkify(df: DataFrame): DataFrame =
+    df.select(lit(0).as("chunk_id"), col("text").as("chunk_text"),
+      array(lit(1f)).as("embedding"), lit(0).as("page_number"),
+      col("url").as("document_url"))
+
+  test("appendStream: a replayed (app, batch) no-ops; new batches land") {
+    import spark.implicits._
+    val path = s"${fresh()}/t"
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    val rows = chunkify(Seq(("a", "doc://1"), ("b", "doc://2"))
+      .toDF("text", "url"))
+
+    assert(mtf.appendStream(rows, "app1", 0L))
+    assert(!mtf.appendStream(rows, "app1", 0L), "replay must no-op")
+    assert(store.read().count() == 2)
+
+    // an EARLIER batch id is also a replay (high-water mark, not set)
+    assert(!mtf.appendStream(rows, "app1", -1L))
+    assert(mtf.appendStream(rows, "app1", 1L))
+    assert(store.read().count() == 4)
+
+    // a different app is independent
+    assert(mtf.appendStream(rows, "app2", 0L))
+    assert(store.read().count() == 6)
+  }
+
+  test("empty batches still commit their marker") {
+    import spark.implicits._
+    val path = s"${fresh()}/t"
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    val empty = chunkify(Seq.empty[(String, String)].toDF("text", "url"))
+    assert(mtf.appendStream(empty, "app", 0L))
+    assert(!mtf.appendStream(empty, "app", 0L))
+    val rows = chunkify(Seq(("a", "doc://1")).toDF("text", "url"))
+    assert(!mtf.appendStream(rows, "app", 0L),
+      "a replay of the empty batch must not re-apply different rows")
+    assert(store.read().count() == 0)
+  }
+
+  test("markers survive checkpoint + vacuum (txn sidecar)") {
+    import spark.implicits._
+    val path = s"${fresh()}/t"
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    val rows = chunkify(Seq(("a", "doc://1")).toDF("text", "url"))
+    assert(mtf.appendStream(rows, "app", 7L))
+    mtf.checkpoint()
+    mtf.vacuum()
+    // the entry carrying the marker is gone; the sidecar holds it
+    val reader = new ManifestTableFormat(spark, path, store.schema)
+    assert(!reader.appendStream(rows, "app", 7L),
+      "vacuum must not forget streaming transaction markers")
+    assert(!reader.appendStream(rows, "app", 3L))
+    assert(reader.appendStream(rows, "app", 8L))
+    assert(store.read().count() == 2)
+  }
+
+  test("two writers racing the SAME batch: exactly one data commit") {
+    import spark.implicits._
+    val path = s"${fresh()}/t"
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val rows = chunkify(Seq(("a", "doc://1"), ("b", "doc://2"))
+      .toDF("text", "url"))
+    // the competitor commits the same (app, batch) INSIDE the victim's
+    // race window (after staging, before its first commit attempt)
+    val competitor = new ManifestTableFormat(spark, path, store.schema)
+    var injected = false
+    val victim = new ManifestTableFormat(spark, path, store.schema) {
+      override protected def beforeCommit(): Unit =
+        if (!injected) {
+          injected = true
+          assert(competitor.appendStream(rows, "app", 0L))
+        }
+    }
+    assert(!victim.appendStream(rows, "app", 0L),
+      "the losing replay must detect the winner's marker and abort")
+    assert(store.read().count() == 2, "exactly one copy of the batch")
+    // the loser's staged files were reclaimed eagerly (no garbage
+    // waiting for vacuum)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listFiles(
+      new org.apache.hadoop.fs.Path(path, "data"), true)
+    var n = 0
+    while (dataFiles.hasNext) {
+      val st = dataFiles.next()
+      if (st.isFile && st.getPath.getName.startsWith("part-")) n += 1
+    }
+    assert(n == store.read().inputFiles.length,
+      "no orphaned staged files from the losing writer")
+  }
+
+  test("StreamWriter end-to-end: restart from the same checkpoint " +
+      "replays without duplicates; appends keep flowing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = fresh()
+    val path = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    val input = MemoryStream[(String, String)]
+    val source = chunkify(input.toDF().toDF("text", "url"))
+
+    input.addData(("a", "doc://1"), ("b", "doc://2"))
+    StreamWriter.sync(source, path, ckpt) // appId defaults to queryId
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    assert(store.read().count() == 2)
+
+    // second drain from the SAME checkpoint: batch 0 must not replay
+    input.addData(("c", "doc://3"))
+    StreamWriter.sync(source, path, ckpt)
+    assert(store.read().count() == 3)
+    assert(store.read().select("chunk_text").as[String].collect().sorted
+      .toSeq == Seq("a", "b", "c"))
+
+    // and a THIRD drain with nothing new is a no-op
+    StreamWriter.sync(source, path, ckpt)
+    assert(store.read().count() == 3)
+  }
+
+  test("explicit appId shares a target across re-created queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = fresh()
+    val path = s"$root/t"
+    val input = MemoryStream[(String, String)]
+    val source = chunkify(input.toDF().toDF("text", "url"))
+    input.addData(("a", "doc://1"))
+    StreamWriter.sync(source, path, s"$root/ckpt1", Some("pipe"))
+    // a FRESH checkpoint restarts batch ids at 0 — with the same
+    // explicit appId the marker makes the re-delivered batch a no-op
+    val input2 = MemoryStream[(String, String)]
+    input2.addData(("a", "doc://1"))
+    StreamWriter.sync(chunkify(input2.toDF().toDF("text", "url")),
+      path, s"$root/ckpt2", Some("pipe"))
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    assert(store.read().count() == 1,
+      "same appId + fresh checkpoint must not duplicate batch 0")
+  }
+}
