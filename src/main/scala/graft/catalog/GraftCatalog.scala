@@ -409,6 +409,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "A21 maintenance: rewrite small files (staged swap / " +
         "log-committed per layout)")(args =>
       storeFor(args(0)).compact()),
+    procedure("compact_zorder", Seq("table", "columns"),
+      "B11 clustering for manifest tables: rewrite the live set " +
+        "z-ordered on <columns> (comma-separated) in one " +
+        "copy-on-write commit — the new files' per-column stats then " +
+        "serve selective predicates through file skipping")(args =>
+      manifestFor(args(0)).compactZorder(
+        args(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)),
     procedure("checkpoint", Seq("table"),
       "manifest log: write a full-state summary entry so replay is " +
         "O(commits since checkpoint)")(args =>

@@ -110,7 +110,19 @@ object Layout {
     * pass is the one range exchange.
     */
   def zorderWriteAuto(df: DataFrame, dimNames: Seq[String], path: String,
-      numFiles: Int, bits: Int = 16): Unit = {
+      numFiles: Int, bits: Int = 16): Unit =
+    zorderFrameAuto(df, dimNames, numFiles, bits)
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
+  /** The FRAME half of [[zorderWriteAuto]]: range stats + quantized
+    * curve partition/sort, `__z` still attached (drop it before
+    * writing). Lets callers that own their write path — the manifest
+    * format's copy-on-write compaction — reuse the auto-quantized
+    * curve without a second implementation.
+    */
+  def zorderFrameAuto(df: DataFrame, dimNames: Seq[String],
+      numFiles: Int, bits: Int = 16): DataFrame = {
     val stats = df.agg(
       dimNames.flatMap(d => Seq(min(col(d)).cast("double"),
         max(col(d)).cast("double"))).head,
@@ -126,7 +138,7 @@ object Layout {
         if (hi > lo) quantize(col(d), lo, hi, bits) else lit(0L)
       }
     }
-    zorderWrite(df, dims, path, numFiles, bits)
+    zorderFrame(df, dims, numFiles, bits)
   }
 
   /** Per-file bounding hulls of `dimCols` — the min/max stats a

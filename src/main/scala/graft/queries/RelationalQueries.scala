@@ -1130,6 +1130,43 @@ object RelationalQueries {
       val cat = QueryDef.freshCatalog(s, "graft_swr", wh)
       s.sql(s"SELECT document_url, chunk_text FROM $cat.chunks " +
         "ORDER BY document_url")
+    },
+
+    // C37l: Z-ORDER COMPACTION on a manifest table — `CALL
+    // compact_zorder(table, cols)` rewrites the live set clustered on
+    // the morton curve in one copy-on-write commit; the new files'
+    // per-column stats then serve the 2-dim range query through c37j
+    // file skipping (the `_hulls` sidecar layout's pruning with no
+    // sidecar). The oracle replays the query relationally, so a
+    // row lost or duplicated by the rewrite is a hash mismatch; the
+    // pruned plan shape is pinned by ManifestStatsSkipSpec.
+    "c37l_zorder_compact" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text,
+        |       CAST(doc_id % 50 AS INTEGER) AS page_number,
+        |       CAST(doc_id // 50 AS INTEGER) AS chunk_id
+        |FROM documents
+        |WHERE doc_id % 50 BETWEEN 10 AND 19
+        |  AND doc_id // 50 BETWEEN 2 AND 5
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-zcmp").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = t(s, dir, "documents")
+      store.append(docs.select(
+        (col("doc_id") / 50).cast("int").as("chunk_id"),
+        col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        (col("doc_id") % 50).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      val cat = QueryDef.freshCatalog(s, "graft_zc", wh)
+      s.sql(s"CALL $cat.compact_zorder('chunks', 'page_number,chunk_id')")
+      s.sql(s"SELECT document_url, chunk_text, page_number, chunk_id " +
+        s"FROM $cat.chunks " +
+        "WHERE page_number BETWEEN 10 AND 19 " +
+        "AND chunk_id BETWEEN 2 AND 5 ORDER BY document_url")
     }
   )
 }

@@ -1266,6 +1266,47 @@ class ManifestTableFormat(
       })
   }
 
+  /** Z-ORDER COMPACTION (B11 clustering for manifest tables): the
+    * live set rewrites clustered on the morton curve of `dimNames` —
+    * one range-stats pass over just the dim columns, one range
+    * exchange on the curve, a per-partition sort, size-targeted
+    * output files — all through the same copy-on-write commit as
+    * [[compact]], so readers stay snapshot-isolated and a lost race
+    * re-runs. Because [[writeData]] records per-column min/max stats
+    * on every new file, the clustered files immediately serve
+    * selective predicates through the c37j file skipping: curve
+    * locality makes each file's hull tight, so range conjuncts on
+    * the dims prune to a small file subset — the `_hulls` sidecar
+    * layout's pruning with NO sidecar to maintain. Non-numeric dims
+    * degrade to a constant curve coordinate (no clustering benefit,
+    * never an error); run on a maintenance cadence after appends
+    * dilute locality, exactly like the sidecar layout's `recluster`.
+    */
+  def compactZorder(dimNames: Seq[String],
+      targetFileBytes: Long = ManifestTableFormat.defaultTargetFileBytes)
+      : Unit = {
+    require(dimNames.nonEmpty, "compactZorder needs at least one column")
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    commitCycle(
+      snap => liveNames(snap),
+      (snap, files) => {
+        val known = snap.tableSchema.fieldNames.toSet
+        dimNames.foreach(d => require(known.contains(d),
+          s"compactZorder at $path: unknown column '$d' " +
+            s"(table columns: ${known.toSeq.sorted.mkString(", ")})"))
+        val f = fs
+        val totalBytes =
+          files.map(n => f.getFileStatus(new Path(n)).getLen).sum
+        val parts = math.max(1L,
+          (totalBytes + targetFileBytes - 1) / targetFileBytes)
+          .min(Int.MaxValue.toLong).toInt
+        Layout.zorderFrameAuto(
+          readFiles(files, snap.tableSchema), dimNames, parts)
+          .drop("__z")
+      })
+  }
+
   /** A18 append, log-committed: new files only, no removes — so a
     * lost commit race can never conflict and simply recommits.
     */

@@ -219,6 +219,46 @@ class ManifestStatsSkipSpec extends SparkSpec
     assert(q2.collect().length == 10 && plannedFiles(q2) == 1)
   }
 
+  test("compactZorder clusters the live set; range predicates then " +
+      "prune to a strict file subset through the stats") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    // 4000 rows over a 40x100 grid, appended in INTERLEAVED order so
+    // every pre-compaction file spans the whole x-range
+    val rows = spark.range(4000).select(
+      (col("id") % 100).cast("int").as("chunk_id"),
+      concat(lit("t-"), col("id")).as("chunk_text"),
+      array(lit(1f)).as("embedding"),
+      (col("id") / 100).cast("int").as("page_number"),
+      concat(lit("doc://"), col("id")).as("document_url"))
+      .repartition(4) // round-robin: files span the full grid
+    store.append(rows)
+    val mtf = new ManifestTableFormat(spark, s"$wh/t", store.schema)
+    // tiny target files so the rewrite produces a multi-file layout
+    mtf.compactZorder(Seq("page_number", "chunk_id"),
+      targetFileBytes = 16 << 10)
+    val all = plannedFiles(spark.sql(s"SELECT * FROM $cat.t"))
+    assert(all >= 4, s"compaction produced only $all files")
+
+    val q = spark.sql(s"SELECT document_url FROM $cat.t " +
+      "WHERE page_number BETWEEN 3 AND 6 AND chunk_id BETWEEN 10 AND 19")
+    val got = q.collect().map(_.getString(0)).sorted.toSeq
+    val want = (0 until 4000).filter(i =>
+        (i / 100) >= 3 && (i / 100) <= 6 &&
+        (i % 100) >= 10 && (i % 100) <= 19)
+      .map(i => s"doc://$i").sorted
+    assert(got == want && got.nonEmpty)
+    assert(plannedFiles(q) < all,
+      s"curve locality must prune: planned ${plannedFiles(q)} of $all")
+
+    // the CALL surface drives the same rewrite
+    spark.sql(s"CALL $cat.compact_zorder('t', 'page_number, chunk_id')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()
+      .head.getLong(0) == 4000)
+  }
+
   test("log roundtrip: column stats survive render/parse with hostile text") {
     val (cat, wh) = freshCatalog()
     val store = new ChunkStore(spark, s"$wh/t",
