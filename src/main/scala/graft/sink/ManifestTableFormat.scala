@@ -742,7 +742,7 @@ class ManifestTableFormat(
     * file-list-planned scan holds this much; the per-file stats stay
     * executor-side.
     */
-  private def liveNames(snap: Snapshot): Seq[String] = snap.ckptParquet match {
+  private[sink] def liveNames(snap: Snapshot): Seq[String] = snap.ckptParquet match {
     case None => snap.base.keys.toSeq.sorted
     case Some(_) =>
       statsFrame(snap).select("file")
@@ -1173,11 +1173,35 @@ class ManifestTableFormat(
     * atomic commit. Url-keyed deletes should keep using
     * [[delete(urls*]] — bloom pruning beats the pre-scan there.
     */
+  /** The DML pre-scan's metadata shortcut: extract stats probes from
+    * the condition (fail-open — an unextractable shape just yields no
+    * probes) and drop files the per-file stats PROVE hold no matching
+    * row, so the predicate-pushed pre-scan only opens footers of
+    * candidate files. A selective UPDATE/DELETE on a 10⁷-file table
+    * plans its pre-scan from metadata, same as a SELECT does.
+    */
+  private[sink] def preScanCandidates(
+      snap: Snapshot,
+      condition: org.apache.spark.sql.Column): Seq[String] = {
+    val names = liveNames(snap)
+    if (names.isEmpty) return names
+    val probes = try {
+      StatsProbes.extract(
+        Seq(org.apache.spark.sql.graftbridge.Bridge
+          .expression(spark, condition)),
+        n => snap.tableSchema.fields
+          .find(_.name.equalsIgnoreCase(n))
+          .map(f => (f.name, f.dataType)))
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (probes.isEmpty) names
+    else pruneFilesForScan(names, probes).getOrElse(names)
+  }
+
   override def deleteWhere(
       condition: org.apache.spark.sql.Column): Boolean = {
     commitCycle(
       snap => {
-        val names = liveNames(snap)
+        val names = preScanCandidates(snap, condition)
         if (names.isEmpty) Seq.empty
         else readFiles(names, snap.tableSchema).filter(condition)
           .select(input_file_name().as("f")).distinct()
@@ -1217,7 +1241,8 @@ class ManifestTableFormat(
     val cond = condition.getOrElse(lit(true))
     commitCycle(
       snap => {
-        val names = liveNames(snap)
+        val names = condition.fold(liveNames(snap))(
+          preScanCandidates(snap, _))
         if (names.isEmpty) Seq.empty
         else readFiles(names, snap.tableSchema).filter(cond)
           .select(input_file_name().as("f")).distinct()

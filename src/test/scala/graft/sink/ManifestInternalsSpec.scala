@@ -32,6 +32,39 @@ class ManifestInternalsSpec extends SparkSpec {
     finally out.close()
   }
 
+  test("DML pre-scans pre-prune from column stats: only candidate " +
+      "files reach the predicate-pushed footer read") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    def batch(ids: Range, page: Int) = {
+      import spark.implicits._
+      ids.map(i => (0, s"t-$i", Seq(1f), page, f"doc://$i%05d"))
+        .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+          "document_url").repartition(1)
+    }
+    store.append(batch(0 until 10, 5))
+    store.append(batch(10 until 20, 15))
+    store.append(batch(20 until 30, 25))
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    val snap = mtf.snapshot()
+    assert(mtf.liveNames(snap).size == 3)
+    // a selective numeric predicate: stats prove 2 of 3 files clean
+    assert(mtf.preScanCandidates(snap,
+      col("page_number") > 20).size == 1)
+    // a url equality routes through the bloom probe
+    assert(mtf.preScanCandidates(snap,
+      col("document_url") === "doc://00015").size == 1)
+    // an unextractable condition falls open to the full list
+    assert(mtf.preScanCandidates(snap,
+      length(col("chunk_text")) > 2).size == 3)
+    // and the full UPDATE through the pruned pre-scan stays correct
+    assert(mtf.update(Some(col("page_number") > 20),
+      Seq("chunk_text" -> lit("upd"))))
+    assert(store.read().filter(col("chunk_text") === "upd").count() == 10)
+    assert(store.read().count() == 30)
+  }
+
   test("protocol v1 (url-set add-actions) logs stay readable; stats " +
       "are synthesized and point reads still prune") {
     val path = freshPath()
