@@ -420,6 +420,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "manifest log: write a full-state summary entry so replay is " +
         "O(commits since checkpoint)")(args =>
       manifestFor(args(0)).checkpoint()),
+    rowProcedure("table_stats", Seq("table"),
+      "manifest metadata summary from the log's per-file stats alone " +
+        "(no data scan): current version, live file count, live row " +
+        "count — rows is -1 when any live file predates row-count " +
+        "stats (pre-v3 action; the next rewrite re-records it)",
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("files", LongType, nullable = false),
+        StructField("rows", LongType, nullable = false))))(
+      args => {
+        val (v, nFiles, nRows) = manifestFor(args(0)).tableStats()
+        longsRow(v, nFiles, nRows)
+      }),
     rowProcedure("vacuum", Seq("table"),
       "manifest log: reclaim unreferenced data files and subsumed " +
         "log entries; returns what was reclaimed",

@@ -1453,6 +1453,28 @@ class ManifestTableFormat(
     (commitRows ++ ckptRows).sortBy(r => (r._1, r._5))
   }
 
+  /** Metadata-only table summary: `(version, live files, live rows)`
+    * — one narrow aggregate over the stats frame (checkpoint
+    * manifests read executor-side), NO data scan. `rows` is −1 when
+    * any live file predates row-count stats (pre-v3 add-action —
+    * fail-honest rather than undercount; the next rewrite of that
+    * file re-records it). The `SELECT count(*)` a 100 TB operator
+    * actually wants, answered from the log.
+    */
+  def tableStats(): (Long, Long, Long) = {
+    val snap = snapshot()
+    val agg = statsFrame(snap)
+      .agg(count(lit(1)).as("files"), sum("rows").as("rows"),
+        count("rows").as("rows_known"))
+      .collect().head
+    val files = agg.getLong(0)
+    val rows =
+      if (files == 0) 0L
+      else if (agg.getLong(2) == files) agg.getLong(1)
+      else -1L
+    (snap.version, files, rows)
+  }
+
   /** The current committed version (−1 before the first commit). */
   def version: Long = snapshot().version
 

@@ -3,7 +3,8 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -47,7 +48,8 @@ class ManifestStatsScanBuilder(
     pruner: Seq[StatsProbe] => Option[Seq[String]])
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private def mk(files: Seq[String]): FileScanBuilder =
     ParquetTable(tableName, spark, options, files, Some(tableSchema),
@@ -73,4 +75,21 @@ class ManifestStatsScanBuilder(
     inner.pruneColumns(requiredSchema)
 
   override def build(): Scan = inner.build()
+
+  // aggregate pushdown forwards to the parquet delegate (footer
+  // MIN/MAX/COUNT, behind spark.sql.parquet.aggregatePushdown) — the
+  // file list is already pruned by the time the planner asks, so the
+  // delegate's footer aggregation runs over exactly the planned subset
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    inner match {
+      case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
+      case _ => false
+    }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    inner match {
+      case a: SupportsPushDownAggregates =>
+        a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
 }

@@ -177,6 +177,43 @@ class ManifestStatsSkipSpec extends SparkSpec
     val q2 = spark.sql(
       s"SELECT document_url FROM $cat.t WHERE document_url = 'doc://9999'")
     assert(q2.collect().isEmpty && plannedFiles(q2) == 0)
+    // and table_stats fails HONEST: the v1 file has no row count
+    val st = spark.sql(s"CALL $cat.table_stats('t')").collect().head
+    assert(st.getLong(1) == 1 && st.getLong(2) == -1L,
+      s"pre-v3 file must report rows=-1, got $st")
+  }
+
+  test("CALL table_stats: version/files/rows from metadata alone") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(batch(0 until 10, _ => 0))
+    store.append(batch(10 until 30, _ => 1))
+    val r = spark.sql(s"CALL $cat.table_stats('t')").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 30L,
+      s"got $r")
+    // a delete rewrites the touched file; counts follow
+    store.delete(Seq("doc://0005"))
+    val r2 = spark.sql(s"CALL $cat.table_stats('t')").collect().head
+    assert(r2.getLong(0) == 2L && r2.getLong(2) == 29L, s"got $r2")
+  }
+
+  test("aggregate pushdown forwards to the parquet delegate") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(batch(0 until 10, _ => 5))
+    store.append(batch(10 until 20, _ => 15))
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val q = spark.sql(s"SELECT count(*) AS c, min(page_number) AS lo, " +
+        s"max(page_number) AS hi FROM $cat.t")
+      val r = q.collect().head
+      assert(r.getLong(0) == 20 && r.getInt(1) == 5 && r.getInt(2) == 15)
+      assert(q.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"),
+        "count/min/max must reach the parquet footers")
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
   }
 
   test("NaN in an evolved double column fails open and still matches") {
