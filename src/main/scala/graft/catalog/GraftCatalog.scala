@@ -284,9 +284,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               "not supported — new columns append at the end (old " +
               "files' layout is immutable)")
         mtf.addColumn(add.fieldNames()(0), add.dataType())
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName.${ident.name()}: only top-level DROP COLUMN " +
+              s"is supported, got ${del.fieldNames().mkString(".")}")
+        // metadata-only; evolved columns only, never re-addable — the
+        // format enforces both (base columns refuse, resurrection
+        // guard on later ADDs)
+        mtf.dropColumn(del.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
         s"$catalogName.${ident.name()}: unsupported ALTER $other — " +
-          "only ADD COLUMN (nullable, top-level) evolves a graft table")
+          "only ADD/DROP COLUMN (nullable, top-level) evolves a graft " +
+          "table")
     }
     loadTable(ident)
   }
@@ -409,6 +419,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "A21 maintenance: rewrite small files (staged swap / " +
         "log-committed per layout)")(args =>
       storeFor(args(0)).compact()),
+    rowProcedure("compact_where", Seq("table", "predicate"),
+      "predicate-scoped OPTIMIZE for manifest tables: bin-pack only " +
+        "the small files whose stats overlap <predicate> (a SQL " +
+        "boolean expression) — the maintenance sweep a 100 TB table " +
+        "runs instead of a full rewrite; returns the file count " +
+        "rewritten",
+      StructType(Seq(
+        StructField("files_rewritten", LongType, nullable = false))))(
+      args => longsRow(manifestFor(args(0)).compactWhere(
+        org.apache.spark.sql.functions.expr(args(1))))),
     procedure("compact_zorder", Seq("table", "columns"),
       "B11 clustering for manifest tables: rewrite the live set " +
         "z-ordered on <columns> (comma-separated) in one " +

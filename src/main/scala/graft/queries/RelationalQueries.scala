@@ -1167,6 +1167,41 @@ object RelationalQueries {
         s"FROM $cat.chunks " +
         "WHERE page_number BETWEEN 10 AND 19 " +
         "AND chunk_id BETWEEN 2 AND 5 ORDER BY document_url")
+    },
+
+    // C37m: DROP COLUMN — the other half of schema evolution (c37g
+    // added). An evolved column fills with an UPDATE (rewriting some
+    // files), a second column is added, then the first DROPS —
+    // metadata-only: a new schema sidecar stops projecting it while
+    // the rewritten files still carry its bytes on disk. The head
+    // scan must show the base shape + the surviving evolved column
+    // (all NULL), with every document intact — the oracle recomputes
+    // relationally. Base-column drops and re-ADD resurrection are
+    // refused (GraftCatalogSpec pins those plus pre-drop time travel).
+    "c37m_drop_column" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text,
+        |       CAST(NULL AS DOUBLE) AS score
+        |FROM documents
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-drop").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = t(s, dir, "documents")
+      store.upsert(docs.select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      val cat = QueryDef.freshCatalog(s, "graft_dc", wh)
+      s.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang STRING")
+      s.sql(s"UPDATE $cat.chunks SET lang = 'en' " +
+        "WHERE document_url LIKE '%3'")
+      s.sql(s"ALTER TABLE $cat.chunks ADD COLUMN score DOUBLE")
+      s.sql(s"ALTER TABLE $cat.chunks DROP COLUMN lang")
+      s.sql(s"SELECT document_url, chunk_text, score " +
+        s"FROM $cat.chunks ORDER BY document_url")
     }
   )
 }

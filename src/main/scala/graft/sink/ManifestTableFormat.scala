@@ -471,6 +471,10 @@ class ManifestTableFormat(
           .exists(_.equalsIgnoreCase(name)),
         s"ALTER TABLE at $path: column '$name' already exists " +
           s"(schema: ${snap.tableSchema.fieldNames.mkString(", ")})")
+      require(!everNamed(fs).contains(name.toLowerCase),
+        s"ALTER TABLE at $path: column '$name' was previously DROPPED " +
+          "— re-adding it would resurrect stale values from files " +
+          "written while it lived; use a fresh name")
       val next = StructType(snap.tableSchema.fields :+
         StructField(name, dataType, nullable = true))
       if (tryCommit(snap, Seq.empty)) {
@@ -482,6 +486,49 @@ class ManifestTableFormat(
       // column — the duplicate check above then refuses)
     }
   }
+
+  /** DROP COLUMN — metadata-only, EVOLVED columns only: a new schema
+    * sidecar without the column claims the next version; data files
+    * keep their bytes and the explicit read schema simply stops
+    * projecting the column (the by-name parquet read ignores extras).
+    * Base columns refuse (the store's readers depend on them), and a
+    * dropped name can never be RE-ADDED: files written while the
+    * column lived still hold its values, so a re-add would silently
+    * resurrect stale data into the "new" column — [[addColumn]]
+    * checks the full sidecar history (bounded by ALTER count) and
+    * refuses, the same hazard Delta's column-mapping ids exist to
+    * solve. Time travel keeps each era's shape ([[schemaAtVersion]]).
+    */
+  def dropColumn(name: String): Unit = {
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"ALTER TABLE at $path: cannot drop base column '$name' — the " +
+        "store's readers depend on the base chunk schema")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"ALTER TABLE at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      require(snap.tableSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"ALTER TABLE at $path: no column '$name' to drop " +
+          s"(schema: ${snap.tableSchema.fieldNames.mkString(", ")})")
+      val next = StructType(snap.tableSchema.fields
+        .filterNot(_.name.equalsIgnoreCase(name)))
+      if (tryCommit(snap, Seq.empty)) {
+        val out = fs.create(schemaFilePath(snap.version + 1), false)
+        try out.write(next.json.getBytes("UTF-8")) finally out.close()
+        done = true
+      }
+    }
+  }
+
+  /** Every column name ANY schema sidecar ever carried — the
+    * resurrection guard's memory (see [[dropColumn]]).
+    */
+  private def everNamed(f: org.apache.hadoop.fs.FileSystem): Set[String] =
+    schemaVersions(f).flatMap(v => parseSchemaFile(v).fieldNames)
+      .map(_.toLowerCase).toSet
 
   /** Shape `df` to `s`: base columns must be present (loud error via
     * unresolved column otherwise), EXTENSION columns absent from `df`
@@ -1289,6 +1336,46 @@ class ManifestTableFormat(
           .min(Int.MaxValue.toLong).toInt
         readFiles(files, snap.tableSchema).repartition(parts)
       })
+  }
+
+  /** PREDICATE-SCOPED COMPACTION (the Delta `OPTIMIZE WHERE` idea):
+    * bin-pack only the SMALL files (< `targetFileBytes`) whose stats
+    * overlap `condition` — at 100 TB you never rewrite the whole
+    * table on a maintenance tick, you sweep the region a workload
+    * just fragmented. Candidate selection is pure metadata (the same
+    * probe extraction + stats pruning the DML pre-scans use; an
+    * unextractable predicate falls open to "all small files"), rows
+    * are carried UNCHANGED (this is a layout operation — the rewrite
+    * is `readFiles` with no filter), and the rm+add lands as one
+    * snapshot-isolated commit. Returns the number of files rewritten
+    * (0 = fewer than two candidates, nothing to gain).
+    */
+  def compactWhere(
+      condition: org.apache.spark.sql.Column,
+      targetFileBytes: Long = ManifestTableFormat.defaultTargetFileBytes)
+      : Long = {
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    var rewritten = 0L
+    commitCycle(
+      snap => {
+        val f = fs
+        val candidates = preScanCandidates(snap, condition)
+          .filter(n => f.getFileStatus(new Path(n)).getLen < targetFileBytes)
+        // one output bin from one input file is a rewrite for nothing
+        rewritten = if (candidates.size < 2) 0L else candidates.size.toLong
+        if (rewritten == 0L) Seq.empty else candidates
+      },
+      (snap, files) => {
+        val f = fs
+        val totalBytes =
+          files.map(n => f.getFileStatus(new Path(n)).getLen).sum
+        val parts = math.max(1L,
+          (totalBytes + targetFileBytes - 1) / targetFileBytes)
+          .min(Int.MaxValue.toLong).toInt
+        readFiles(files, snap.tableSchema).repartition(parts)
+      })
+    rewritten
   }
 
   /** Z-ORDER COMPACTION (B11 clustering for manifest tables): the

@@ -567,7 +567,6 @@ class GraftCatalogSpec extends SparkSpec
     assert(langs("doc://0002").isEmpty)
     // incompatible DDL refuses loudly, schema unchanged after each
     Seq(
-      s"ALTER TABLE $cat.chunks DROP COLUMN lang",
       s"ALTER TABLE $cat.chunks RENAME COLUMN lang TO language",
       s"ALTER TABLE $cat.chunks ALTER COLUMN lang TYPE INT",
       s"ALTER TABLE $cat.chunks ADD COLUMN score INT NOT NULL",
@@ -584,6 +583,39 @@ class GraftCatalogSpec extends SparkSpec
     intercept[UnsupportedOperationException] {
       spark.sql(s"ALTER TABLE $cat.plain ADD COLUMN lang STRING")
     }
+  }
+
+  test("ALTER TABLE DROP COLUMN: evolved columns drop metadata-only; " +
+      "base columns and resurrection refuse; time travel keeps eras") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 10, "v1-"))            // version 0
+    spark.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang STRING") // v1
+    spark.sql(s"UPDATE $cat.chunks SET lang = 'en' " +
+      "WHERE document_url = 'doc://0001'")             // version 2
+    val preDrop = new ManifestTableFormat(
+      spark, s"$wh/chunks", store.schema).version
+    spark.sql(s"ALTER TABLE $cat.chunks DROP COLUMN lang")       // v3
+    // head: base shape, every row intact, lang gone
+    assert(!spark.table(s"$cat.chunks").columns.contains("lang"))
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 10)
+    // pre-drop era still shows the column AND its written values
+    val old = spark.sql(s"SELECT document_url, lang FROM $cat.chunks " +
+      s"VERSION AS OF $preDrop")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(old("doc://0001") == Some("en") && old("doc://0002").isEmpty)
+    // base columns refuse; a dropped name can never come back
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.chunks DROP COLUMN chunk_text")
+    }
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang STRING")
+    }
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    // a FRESH name evolves fine after the drop
+    spark.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang2 STRING")
+    assert(spark.table(s"$cat.chunks").columns.contains("lang2"))
   }
 
   test("CALL train_quality_classifier / score_quality: D25 from SQL") {

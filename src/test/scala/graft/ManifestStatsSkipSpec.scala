@@ -296,6 +296,41 @@ class ManifestStatsSkipSpec extends SparkSpec
       .head.getLong(0) == 4000)
   }
 
+  test("compactWhere bin-packs only the small files the predicate's " +
+      "stats overlap; rows unchanged, untouched files stay put") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    // four small fragments in the page<20 region, one in page>=20
+    store.append(batch(0 until 5, _ => 5))
+    store.append(batch(5 until 10, _ => 6))
+    store.append(batch(10 until 15, _ => 7))
+    store.append(batch(15 until 20, _ => 8))
+    store.append(batch(20 until 30, _ => 25))
+    val mtf = new ManifestTableFormat(spark, s"$wh/t", store.schema)
+    val before = store.read().inputFiles.toSet
+    assert(before.size == 5)
+
+    val n = mtf.compactWhere(col("page_number") < 20)
+    assert(n == 4L, s"must rewrite the 4 overlapping fragments, got $n")
+    val after = store.read().inputFiles.toSet
+    // the page-25 file was untouched (same physical file)
+    assert(before.intersect(after).size == 1)
+    assert(after.size < before.size, "fragments must bin-pack")
+    // compaction is row-invariant
+    assert(store.read().count() == 30)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "WHERE page_number < 20").collect().head.getLong(0) == 20)
+
+    // nothing left to do in that region: a second sweep is a no-op
+    assert(mtf.compactWhere(col("page_number") < 20) == 0L)
+    // the CALL surface reports the same
+    val r = spark.sql(
+      s"CALL $cat.compact_where('t', 'page_number >= 20')")
+      .collect().head
+    assert(r.getLong(0) == 0L, s"single candidate file, got $r")
+  }
+
   test("log roundtrip: column stats survive render/parse with hostile text") {
     val (cat, wh) = freshCatalog()
     val store = new ChunkStore(spark, s"$wh/t",
