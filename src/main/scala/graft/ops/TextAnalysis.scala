@@ -191,6 +191,65 @@ object TextAnalysis {
         .as("logprob"))
   }
 
+  /** D4m: bigram STUPID-BACKOFF fluency — the CCNet/Gopher-style
+    * perplexity filter one rung up from [[unigramLogProb]]: a bigram
+    * LM trains on a REFERENCE corpus (`model`) and scores arbitrary
+    * documents, so unseen bigrams are real and the backoff path
+    * (Brants et al. 2007: score `α·c(w2)/N` when `c(w1,w2)=0`,
+    * flooring unseen words at `α/N`) actually fires — the
+    * quality-filter shape where a clean reference (e.g. wiki) scores
+    * a noisy crawl.
+    *
+    * Per-doc mean log-prob over the document's bigrams; documents
+    * with fewer than two tokens score NULL (kept — the op is total
+    * over the scored set). Scale shape: bigram pairs build per-row
+    * in codegen (`zip_with` of two `slice`s — no window, no extra
+    * exchange); the model tables broadcast back into the pair stream
+    * (same contract as [[unigramLogProb]]: drop the hints if a
+    * byte-level vocabulary outgrows a broadcast and the joins degrade
+    * to key shuffles); the per-doc mean aggregates narrow rows.
+    */
+  def bigramBackoffLogProb(
+      score: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    def pairs(c: Column): Column = {
+      val a = split(c, " ")
+      val n = size(a) - 1
+      explode(zip_with(slice(a, lit(1), greatest(n, lit(0))),
+        slice(a, lit(2), greatest(n, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2"))))
+    }
+    val uni = model.select(explode(split(col(textCol), " ")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c"))
+    val tot = uni.agg(sum("__c").as("__tot"))
+    val bi = model.select(pairs(col(textCol)).as("__p"))
+      .groupBy(col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val sb = score.select(col(idCol), pairs(col(textCol)).as("__p"))
+      .select(col(idCol), col("__p.w1").as("__w1"),
+        col("__p.w2").as("__w2"))
+    val scored = sb
+      .join(broadcast(bi), Seq("__w1", "__w2"), "left")
+      .join(broadcast(uni.select(col("__w").as("__w1"),
+        col("__c").as("__c1"))), Seq("__w1"), "left")
+      .join(broadcast(uni.select(col("__w").as("__w2"),
+        col("__c").as("__c2"))), Seq("__w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__lp",
+        when(col("__cb").isNotNull,
+          log(col("__cb") * lit(1.0) / col("__c1")))
+        .when(col("__c2").isNotNull,
+          log(lit(alpha) * col("__c2") / col("__tot")))
+        .otherwise(log(lit(alpha) / col("__tot"))))
+      .groupBy(col(idCol))
+      .agg(round(avg(col("__lp")), 6).as("logprob"))
+    score.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+  }
+
   /** PII scrubbing for training-data curation: emails, then long bare
     * digit runs (ids/SSNs), then phone-like sequences (digits with
     * separators), replaced with stable tags. Regexes stay in the

@@ -1468,6 +1468,47 @@ object LlmOpsQueries {
         .orderBy("doc_id")
     },
 
+    // D4m: bigram stupid-backoff fluency — the LM trains on the EVEN
+    // documents (the clean-reference half) and scores every document,
+    // so odd documents hit unseen bigrams and the backoff tiers
+    // (hit → ln(cb/c1), unigram backoff → ln(α·c2/N), unseen-word
+    // floor → ln(α/N), α = 0.4) all fire. The oracle rebuilds the
+    // model and every tier from scratch in SQL; DuckDB zips bigram
+    // pairs with two UNNESTs over shifted list slices.
+    "d4m_bigram_backoff" -> QueryDef(
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS l
+        |              FROM documents),
+        |sb AS (SELECT doc_id, UNNEST(l[1:len(l)-1]) AS w1,
+        |              UNNEST(l[2:len(l)]) AS w2 FROM docs),
+        |mdocs AS (SELECT l FROM docs WHERE doc_id % 2 = 0),
+        |mt AS (SELECT UNNEST(l) AS w FROM mdocs),
+        |uni AS (SELECT w, COUNT(*) AS c FROM mt GROUP BY w),
+        |tot AS (SELECT SUM(c) AS tot FROM uni),
+        |mb AS (SELECT w1, w2, COUNT(*) AS cb FROM (
+        |         SELECT UNNEST(l[1:len(l)-1]) AS w1,
+        |                UNNEST(l[2:len(l)]) AS w2 FROM mdocs)
+        |       GROUP BY w1, w2),
+        |s AS (SELECT d.doc_id,
+        |        ROUND(AVG(CASE
+        |          WHEN mb.cb IS NOT NULL THEN LN(mb.cb * 1.0 / u1.c)
+        |          WHEN u2.c IS NOT NULL THEN LN(0.4 * u2.c / tot.tot)
+        |          ELSE LN(0.4 / tot.tot) END), 6) AS logprob
+        |      FROM sb d
+        |      LEFT JOIN mb ON d.w1 = mb.w1 AND d.w2 = mb.w2
+        |      LEFT JOIN uni u1 ON d.w1 = u1.w
+        |      LEFT JOIN uni u2 ON d.w2 = u2.w
+        |      CROSS JOIN tot
+        |      GROUP BY d.doc_id)
+        |SELECT documents.doc_id, s.logprob
+        |FROM documents LEFT JOIN s ON documents.doc_id = s.doc_id
+        |ORDER BY documents.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.bigramBackoffLogProb(
+          docs, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // D4l: URL canonicalization + URL-level dedup — the normalization
     // every web-corpus pipeline runs before content filtering (drop
     // re-crawls of the same page behind cosmetic URL variation). The

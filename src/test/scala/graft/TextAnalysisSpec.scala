@@ -125,6 +125,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) > out(3L))
   }
 
+  test("bigramBackoffLogProb: all three tiers fire; <2-token docs " +
+      "score NULL but stay in the result (D4m)") {
+    import spark.implicits._
+    // model "a b a c": unigrams a:2 b:1 c:1 (N=4); bigrams ab:1 ba:1 ac:1
+    val model = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"),   // bigram hit:       ln(1/2)
+      (2L, "b c"),   // backoff, c seen:  ln(0.4 * 1 / 4)
+      (3L, "x y"),   // unseen-word floor: ln(0.4 / 4)
+      (4L, "solo"),  // one token -> NULL
+      (5L, "")       // blank -> NULL
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bigramBackoffLogProb(score, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == Some(r6(math.log(1.0 / 2))))
+    assert(got(2L) == Some(r6(math.log(0.4 * 1 / 4.0))))
+    assert(got(3L) == Some(r6(math.log(0.4 / 4.0))))
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+    assert(got.size == 5, "the op must be total over the scored set")
+  }
+
   test("oovRate: membership against the induced top-V vocabulary") {
     import spark.implicits._
     // counts: the×5, cat×3, sat×2, mat×1, rug×1 → top-3 vocab is
