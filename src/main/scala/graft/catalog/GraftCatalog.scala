@@ -440,6 +440,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "manifest log: write a full-state summary entry so replay is " +
         "O(commits since checkpoint)")(args =>
       manifestFor(args(0)).checkpoint()),
+    procedure("add_constraint", Seq("table", "name", "check_expr"),
+      "named CHECK constraint on a manifest table (T-SQL CHECK): " +
+        "every write path enforces <check_expr> (FALSE violates; " +
+        "NULL passes, SQL semantics); existing rows validate first " +
+        "or the ADD refuses")(args =>
+      manifestFor(args(0)).addConstraint(args(1), args(2))),
+    procedure("drop_constraint", Seq("table", "name"),
+      "drop a named CHECK constraint")(args =>
+      manifestFor(args(0)).dropConstraint(args(1))),
     rowProcedure("table_stats", Seq("table"),
       "manifest metadata summary from the log's per-file stats alone " +
         "(no data scan): current version, live file count, live row " +

@@ -530,6 +530,129 @@ class ManifestTableFormat(
     schemaVersions(f).flatMap(v => parseSchemaFile(v).fieldNames)
       .map(_.toLowerCase).toSet
 
+  // ---- CHECK constraints -------------------------------------------
+  //
+  // The store-surface feature every SQL engine the reference
+  // provisions has (T-SQL CHECK): named boolean expressions every
+  // written row must satisfy. Stored as an immutable
+  // `<version>.constraints.json` sidecar carrying the FULL current
+  // set (same linearization as schema sidecars: the version is
+  // claimed with an empty commit); enforcement lives at the single
+  // write choke point ([[writeData]] validates the just-written,
+  // still-unreferenced files and aborts before anything commits), so
+  // append, upsert, MERGE, UPDATE, streaming append — every path —
+  // enforces the same way. SQL semantics: a row passes when the
+  // expression is TRUE or NULL; only FALSE violates. ADD validates
+  // the existing live rows first, so a violation can never exist in
+  // a committed snapshot.
+
+  private def constraintsFilePath(v: Long) =
+    new Path(logDir, f"$v%012d.constraints.json")
+
+  private def constraintVersions(f: org.apache.hadoop.fs.FileSystem)
+      : Seq[Long] =
+    if (!f.exists(logDir)) Seq.empty
+    else f.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{12}\\.constraints\\.json"))
+      .map(_.stripSuffix(".constraints.json").toLong).sorted
+
+  /** The current named CHECK constraints (name → SQL expression). */
+  def constraints: Seq[(String, String)] = {
+    val vs = constraintVersions(fs)
+    if (vs.isEmpty) Seq.empty else parseConstraintsFile(vs.max)
+  }
+
+  private def parseConstraintsFile(v: Long): Seq[(String, String)] =
+    readText(constraintsFilePath(v)).linesIterator.filter(_.nonEmpty)
+      .map { line =>
+        (jsonStringField(line, "n"), jsonStringField(line, "e"))
+      }.toSeq
+
+  /** Escape-aware `"key":"value"` scan (same quoting as [[unesc]]). */
+  private def jsonStringField(line: String, key: String): String = {
+    val tag = "\"" + key + "\":\""
+    val i = line.indexOf(tag)
+    require(i >= 0, s"corrupt constraints sidecar line: ${line.take(120)}")
+    var j = i + tag.length
+    var closed = false
+    while (!closed) {
+      line.charAt(j) match {
+        case '\\' => j += 2
+        case '"' => closed = true
+        case _ => j += 1
+      }
+    }
+    unesc(line.substring(i + tag.length, j))
+  }
+
+  /** The combined VIOLATION predicate (FALSE-only, SQL three-valued
+    * CHECK semantics), or None when no constraints exist.
+    */
+  private def violationFilter(cs: Seq[(String, String)]): Option[Column] =
+    cs.map { case (_, sql) => !coalesce(expr(sql), lit(true)) }
+      .reduceOption(_ || _)
+
+  private def writeConstraintsSidecar(v: Long,
+      cs: Seq[(String, String)]): Unit = {
+    val lines = cs.map { case (n, e) =>
+      s"""{"n":"${esc(n)}","e":"${esc(e)}"}"""
+    }
+    val out = fs.create(constraintsFilePath(v), false)
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** ADD CONSTRAINT: validates the whole live table first (one
+    * predicate-pushed scan — a violation refuses the ALTER, the
+    * Delta convention), then claims the next version with the
+    * extended set. Duplicate names refuse.
+    */
+  def addConstraint(name: String, exprSql: String): Unit = {
+    require(name.nonEmpty, "constraint name must be non-empty")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"ADD CONSTRAINT at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      val current = constraints
+      require(!current.exists(_._1.equalsIgnoreCase(name)),
+        s"constraint '$name' already exists at $path")
+      val viol = readFiles(liveNames(snap), snap.tableSchema)
+        .filter(!coalesce(expr(exprSql), lit(true))).limit(1)
+      require(viol.isEmpty,
+        s"ADD CONSTRAINT $name at $path: existing rows violate " +
+          s"($exprSql) — clean the data first")
+      if (tryCommit(snap, Seq.empty)) {
+        writeConstraintsSidecar(snap.version + 1,
+          current :+ (name -> exprSql))
+        done = true
+      }
+    }
+  }
+
+  /** DROP CONSTRAINT by name (loud error when absent). */
+  def dropConstraint(name: String): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"DROP CONSTRAINT at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      val current = constraints
+      require(current.exists(_._1.equalsIgnoreCase(name)),
+        s"no constraint '$name' at $path (have: ${
+          current.map(_._1).mkString(", ")})")
+      if (tryCommit(snap, Seq.empty)) {
+        writeConstraintsSidecar(snap.version + 1,
+          current.filterNot(_._1.equalsIgnoreCase(name)))
+        done = true
+      }
+    }
+  }
+
   /** Shape `df` to `s`: base columns must be present (loud error via
     * unresolved column otherwise), EXTENSION columns absent from `df`
     * null-fill (the default-null contract), extra caller columns are
@@ -907,6 +1030,20 @@ class ManifestTableFormat(
       .write.parquet(batchDir.toString)
     val written = spark.read.schema(s).parquet(batchDir.toString)
     if (written.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
+    // CHECK enforcement at the single choke point: the just-written
+    // files are still UNREFERENCED, so aborting here leaves no torn
+    // state (the leftovers are vacuum fodder, same as a crashed
+    // writer) — one columnar re-scan of the batch, never of the table
+    violationFilter(constraints).foreach { bad =>
+      val hit = written.filter(bad).limit(1)
+      if (!hit.isEmpty) {
+        fs.delete(batchDir, true)
+        throw new IllegalArgumentException(
+          s"write to $path violates a CHECK constraint (${
+            constraints.map { case (n, e) => s"$n: $e" }
+              .mkString("; ")}) — no rows were committed")
+      }
+    }
     val agg = udaf(Layout.bloomAgg(bloomBits, bloomHashes))
     val sc = statColumns(s)
     val extraAggs = Seq(count(lit(1)).as("__rows")) ++

@@ -618,6 +618,51 @@ class GraftCatalogSpec extends SparkSpec
     assert(spark.table(s"$cat.chunks").columns.contains("lang2"))
   }
 
+  test("CALL add_constraint: CHECK enforced on every write path; " +
+      "NULL passes; pre-existing violations refuse the ADD") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 5, "v1-"))
+    spark.sql(
+      s"CALL $cat.add_constraint('chunks', 'pg_ok', 'page_number >= 0')")
+    // INSERT violating the check refuses, nothing committed
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.chunks VALUES " +
+        "(0, 'bad', array(1.0F), -1, 'doc://bad')")
+    }
+    assert(e.getMessage != null)
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 5)
+    // UPDATE producing a violation refuses too (same choke point)
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.chunks SET page_number = -7 " +
+        "WHERE document_url = 'doc://0001'")
+    }
+    assert(spark.sql(s"SELECT * FROM $cat.chunks " +
+      "WHERE page_number < 0").count() == 0)
+    // a passing write lands; NULL passes (three-valued CHECK)
+    spark.sql(s"ALTER TABLE $cat.chunks ADD COLUMN score DOUBLE")
+    spark.sql(
+      s"CALL $cat.add_constraint('chunks', 's_ok', 'score > 0.0')")
+    spark.sql(s"INSERT INTO $cat.chunks VALUES " +
+      "(0, 'neu', array(1.0F), 3, 'doc://new', NULL)") // score NULL ok
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 6)
+    intercept[Exception] {
+      spark.sql(s"UPDATE $cat.chunks SET score = -1.0 " +
+        "WHERE document_url = 'doc://new'")
+    }
+    // ADD over data that already violates refuses
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.add_constraint('chunks', 'impossible', " +
+        "'page_number > 100')")
+    }
+    // DROP re-opens the gate
+    spark.sql(s"CALL $cat.drop_constraint('chunks', 'pg_ok')")
+    spark.sql(s"INSERT INTO $cat.chunks VALUES " +
+      "(0, 'now ok', array(1.0F), -1, 'doc://neg', 1.0)")
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 7)
+  }
+
   test("CALL train_quality_classifier / score_quality: D25 from SQL") {
     import spark.implicits._
     val (cat, wh) = freshCatalog()
