@@ -27,12 +27,19 @@ class Round8DmlFuzzSpec extends SparkSpec {
       sql: Column, model: Doc => Boolean, label: String)
 
   private def preds(rnd: scala.util.Random,
-      evolved: Seq[String]): Pred = rnd.nextInt(4) match {
+      evolved: Seq[String]): Pred = rnd.nextInt(5) match {
     case 0 =>
       val k = rnd.nextInt(3)
       Pred(col("page_number") % 3 === k,
         d => d("page_number").asInstanceOf[Int] % 3 == k,
         s"page%3==$k")
+    case 4 =>
+      // stats-EXTRACTABLE shape: exercises the metadata pre-prune in
+      // the DML pre-scans (the other family members fail open)
+      val k = 2 + rnd.nextInt(8)
+      Pred(col("page_number") <= k,
+        d => d("page_number").asInstanceOf[Int] <= k,
+        s"page<=$k")
     case 1 =>
       val digit = rnd.nextInt(10).toString
       Pred(col("document_url").endsWith(digit),
@@ -106,9 +113,33 @@ class Round8DmlFuzzSpec extends SparkSpec {
       val history = mutable.ArrayBuffer.empty[(Long, Map[String, Doc])]
       var urlSeq = 0
       def newUrl(): String = { urlSeq += 1; f"doc://$round%d-$urlSeq%04d" }
+      var batchSeq = 0L
 
-      (1 to 22).foreach { _ =>
-        rnd.nextInt(10) match {
+      (1 to 26).foreach { _ =>
+        rnd.nextInt(13) match {
+          case 10 => // predicate-scoped OPTIMIZE: rows must not change
+            mtf.compactWhere(preds(rnd, evolved).sql,
+              targetFileBytes = 64 << 10)
+          case 11 => // z-order compaction: rows must not change
+            if (model.nonEmpty)
+              mtf.compactZorder(Seq("page_number"),
+                targetFileBytes = 64 << 10)
+          case 12 => // exactly-once streaming append, with deliberate
+            // replays of the previous batch id (must no-op)
+            val docs = Seq.fill(1 + rnd.nextInt(2))(
+              freshDoc(rnd, newUrl(), evolved))
+            val replay = rnd.nextBoolean() && batchSeq > 0
+            val bid = if (replay) batchSeq - 1 else batchSeq
+            val applied =
+              mtf.appendStream(rowsDF(docs, allCols), "fuzz", bid)
+            assert(applied == !replay,
+              s"appendStream(bid=$bid, replay=$replay) -> $applied")
+            if (applied) {
+              docs.foreach(d =>
+                model(d("document_url").asInstanceOf[String]) = d)
+              batchSeq += 1
+            }
+          case arm => arm match {
           case 0 | 1 => // upsert: mix of existing + new docs
             val existing = rnd.shuffle(model.keys.toSeq)
               .take(rnd.nextInt(3))
@@ -199,6 +230,7 @@ class Round8DmlFuzzSpec extends SparkSpec {
             }
           case 8 => mtf.checkpoint()
           case _ => mtf.vacuum()
+          }
         }
         history += ((mtf.version, model.toMap))
       }
@@ -216,6 +248,25 @@ class Round8DmlFuzzSpec extends SparkSpec {
       }
       assert(canon(got) == canon(model.values.toSeq),
         s"round $round final state diverged")
+
+      // SQL reads through the catalog exercise the stats-pruned scan
+      // (ManifestStatsScanBuilder) against the fuzzed end state —
+      // evolved schemas, zorder/partial compactions, vacuumed logs,
+      // streamed batches and all; counts must match the model exactly
+      val cat = s"fuzzcat${seed}_$round"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+        path.stripSuffix("/t"))
+      Seq(0, 4, 9, 1000).foreach { k =>
+        val sqlCount = spark.sql(
+          s"SELECT count(*) FROM $cat.t WHERE page_number <= $k")
+          .collect().head.getLong(0)
+        val modelCount = model.values.count(
+          _("page_number").asInstanceOf[Int] <= k).toLong
+        assert(sqlCount == modelCount,
+          s"round $round SQL page_number<=$k: $sqlCount != $modelCount")
+      }
 
       // surviving history: spot-check 3 recorded versions
       val m = mtf
