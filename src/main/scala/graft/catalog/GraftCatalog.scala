@@ -182,7 +182,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // file skipping off the log's own per-file stats — sound for
         // time-travel reads too (a pre-stats or vacuumed-away file
         // simply fails open and is read)
-        statsPruner = Some(mtf.pruneFilesForScan(files, _)))
+        statsPruner = Some(mtf.pruneFilesForScan(files, _)),
+        overwriteHook =
+          if (asOf.isDefined) None else Some(mtf.overwrite))
     } else layoutTag(dir) match {
       case Some(tag) =>
         if (asOf.isDefined) throw new UnsupportedOperationException(
@@ -678,7 +680,8 @@ private[catalog] class GraftTable(
         Option[DataFrame]) => Unit] = None,
     statsPruner: Option[
       Seq[graft.sink.ManifestTableFormat.StatsProbe] =>
-        Option[Seq[String]]] = None)
+        Option[Seq[String]]] = None,
+    overwriteHook: Option[DataFrame => Unit] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -785,7 +788,8 @@ private[catalog] class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] =
     (Set(TableCapability.BATCH_READ) ++
-      insert.map(_ => TableCapability.V1_BATCH_WRITE)).asJava
+      insert.map(_ => TableCapability.V1_BATCH_WRITE) ++
+      overwriteHook.map(_ => TableCapability.TRUNCATE)).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = sidecarDir match {
@@ -810,15 +814,27 @@ private[catalog] class GraftTable(
       s"$tableName is read-only through SQL (bucketed stores hash-route " +
         "writes through the ChunkStore API; time-travel reads are " +
         "frozen history)"))
-    new WriteBuilder {
+    // INSERT OVERWRITE arrives as the TRUNCATE write mode (the V1
+    // fallback always calls insert(df, false); the mode lives in the
+    // builder) — manifest tables map it to one atomic rm-all+add
+    // commit; other layouts never advertise the capability
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteMode = false
+      override def truncate(): WriteBuilder = {
+        overwriteMode = true; this
+      }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                s"$tableName: INSERT OVERWRITE is not supported — " +
-                  "whole-document replace is the store's upsert/MERGE")
-              doInsert(data)
+              if (overwriteMode || overwrite)
+                overwriteHook.getOrElse(
+                  throw new UnsupportedOperationException(
+                    s"$tableName: INSERT OVERWRITE needs the manifest " +
+                      "table format (document-keyed layouts replace " +
+                      "via upsert/MERGE)"))(data)
+              else doInsert(data)
             }
           }
       }

@@ -1202,6 +1202,41 @@ object RelationalQueries {
       s.sql(s"ALTER TABLE $cat.chunks DROP COLUMN lang")
       s.sql(s"SELECT document_url, chunk_text, score " +
         s"FROM $cat.chunks ORDER BY document_url")
+    },
+
+    // C37n: SQL INSERT OVERWRITE — whole-table replace as ONE atomic
+    // rm-all+add commit (snapshot-isolated; the old state stays
+    // time-travelable until vacuum). The table seeds with every
+    // document, then an overwrite keeps only the doc_id % 4 = 0
+    // quarter with rewritten text; the head scan must show exactly
+    // the replacement — a leaked pre-overwrite row or a lost new row
+    // is a hash mismatch. GraftCatalogSpec pins the version history
+    // and the non-manifest refusal.
+    "c37n_insert_overwrite" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text || ' v2' AS chunk_text
+        |FROM documents WHERE doc_id % 4 = 0
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-ow").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = t(s, dir, "documents")
+      store.upsert(docs.select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      docs.filter(col("doc_id") % 4 === 0)
+        .select(lit(0).as("chunk_id"),
+          concat(col("text"), lit(" v2")).as("chunk_text"),
+          array(lit(0f)).as("embedding"), lit(0).as("page_number"),
+          concat(lit("doc://"), col("doc_id")).as("document_url"))
+        .createOrReplaceTempView("c37n_src")
+      val cat = QueryDef.freshCatalog(s, "graft_ow", wh)
+      s.sql(s"INSERT OVERWRITE $cat.chunks SELECT * FROM c37n_src")
+      s.sql(s"SELECT document_url, chunk_text FROM $cat.chunks " +
+        "ORDER BY document_url")
     }
   )
 }

@@ -1566,6 +1566,19 @@ class ManifestTableFormat(
     true
   }
 
+  /** SQL `INSERT OVERWRITE`: replace the whole live set with `rows`
+    * in ONE atomic commit (rm every live file + add the new ones) —
+    * readers stay snapshot-isolated, the previous state remains
+    * time-travelable until vacuum, and CHECK constraints enforce at
+    * the shared write choke point. An empty `rows` leaves an empty
+    * table (the overwrite happened), unless the table was already
+    * empty (no-op).
+    */
+  def overwrite(rows: DataFrame): Unit =
+    commitCycle(
+      snap => liveNames(snap),
+      (snap, _) => conform(rows, snap.tableSchema))
+
   /** EXACTLY-ONCE streaming append: the micro-batch's rows and a
     * `(appId, batchId)` transaction marker commit in ONE atomic log
     * entry (Delta's `SetTransaction` idea). A replayed micro-batch —

@@ -618,6 +618,35 @@ class GraftCatalogSpec extends SparkSpec
     assert(spark.table(s"$cat.chunks").columns.contains("lang2"))
   }
 
+  test("INSERT OVERWRITE: one atomic replace on manifest tables; the " +
+      "old state stays time-travelable; other layouts refuse") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 10, "v1-"))            // version 0
+    spark.sql(s"INSERT OVERWRITE $cat.chunks VALUES " +
+      "(0, 'ow-a', array(1.0F), 1, 'doc://a'), " +
+      "(0, 'ow-b', array(1.0F), 2, 'doc://b')")
+    val now = spark.sql(s"SELECT document_url FROM $cat.chunks")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(now == Seq("doc://a", "doc://b"), s"got $now")
+    // the pre-overwrite snapshot survives until vacuum
+    assert(spark.sql(
+      s"SELECT * FROM $cat.chunks VERSION AS OF 0").count() == 10)
+    // appends keep working on the replaced table
+    spark.sql(s"INSERT INTO $cat.chunks VALUES " +
+      "(0, 'c', array(1.0F), 3, 'doc://c')")
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 3)
+    // document-keyed layouts refuse (no TRUNCATE capability)
+    val pd = new ChunkStore(spark, s"$wh/plain")
+    pd.upsert(chunkRows(1 to 3, "p-"))
+    intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.plain VALUES " +
+        "(0, 'x', array(1.0F), 1, 'doc://x')")
+    }
+    assert(spark.sql(s"SELECT * FROM $cat.plain").count() == 3)
+  }
+
   test("CALL add_constraint: CHECK enforced on every write path; " +
       "NULL passes; pre-existing violations refuse the ADD") {
     val (cat, wh) = freshCatalog()
