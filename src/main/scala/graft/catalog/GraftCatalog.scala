@@ -184,7 +184,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // simply fails open and is read)
         statsPruner = Some(mtf.pruneFilesForScan(files, _)),
         overwriteHook =
-          if (asOf.isDefined) None else Some(mtf.overwrite))
+          if (asOf.isDefined) None else Some(mtf.overwrite),
+        truncateHook =
+          if (asOf.isDefined) None else Some(() => mtf.truncate()))
     } else layoutTag(dir) match {
       case Some(tag) =>
         if (asOf.isDefined) throw new UnsupportedOperationException(
@@ -451,6 +453,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     procedure("drop_constraint", Seq("table", "name"),
       "drop a named CHECK constraint")(args =>
       manifestFor(args(0)).dropConstraint(args(1))),
+    rowProcedure("restore", Seq("table", "version"),
+      "RESTORE the table to <version>'s live file set as a NEW " +
+        "commit (Delta RESTORE semantics): no data rewrite, history " +
+        "keeps moving forward, vacuumed bytes fail loudly before " +
+        "anything commits; returns (files_restored, files_removed)",
+      StructType(Seq(
+        StructField("files_restored", LongType, nullable = false),
+        StructField("files_removed", LongType, nullable = false))))(
+      args => {
+        val (a, r) = manifestFor(args(0)).restore(args(1).trim.toLong)
+        longsRow(a, r)
+      }),
     rowProcedure("table_stats", Seq("table"),
       "manifest metadata summary from the log's per-file stats alone " +
         "(no data scan): current version, live file count, live row " +
@@ -681,7 +695,8 @@ private[catalog] class GraftTable(
     statsPruner: Option[
       Seq[graft.sink.ManifestTableFormat.StatsProbe] =>
         Option[Seq[String]]] = None,
-    overwriteHook: Option[DataFrame => Unit] = None)
+    overwriteHook: Option[DataFrame => Unit] = None,
+    truncateHook: Option[() => Unit] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -773,10 +788,18 @@ private[catalog] class GraftTable(
     doDelete(urls)
   }
 
-  override def truncateTable(): Boolean =
-    throw new UnsupportedOperationException(
-      s"$tableName: TRUNCATE/unqualified DELETE is refused — wipe via " +
-        "DROP TABLE or the store API, explicitly")
+  /** `TRUNCATE TABLE` on manifest tables: one atomic rm-all commit,
+    * reversible via time travel / CALL restore until vacuum — so the
+    * DROP-TABLE-instead refusal now applies only to layouts with no
+    * history to fall back on.
+    */
+  override def truncateTable(): Boolean = truncateHook match {
+    case Some(run) => run(); true
+    case None => throw new UnsupportedOperationException(
+      s"$tableName: TRUNCATE/unqualified DELETE is refused on " +
+        "non-manifest layouts (no history to restore from) — wipe " +
+        "via DROP TABLE or the store API, explicitly")
+  }
 
   private lazy val delegate = ParquetTable(
     tableName, spark, CaseInsensitiveStringMap.empty(), paths,

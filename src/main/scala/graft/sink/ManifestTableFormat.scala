@@ -1566,6 +1566,134 @@ class ManifestTableFormat(
     true
   }
 
+  /** SQL `TRUNCATE TABLE`: remove every live file in one atomic
+    * commit — reversible via time travel (and [[restore]]) until
+    * vacuum, unlike DROP TABLE.
+    */
+  def truncate(): Unit =
+    commitCycle(
+      snap => liveNames(snap),
+      (snap, _) => emptyFrame(snap.tableSchema))
+
+  /** The per-file stats of every live file AS OF `asOf` — the
+    * [[filesAtVersion]] replay keeping the stats (add-actions carry
+    * them; a parquet-checkpoint base contributes via a collected
+    * read). Driver cost is O(files at that version) — [[restore]]'s
+    * documented bound: the restore COMMIT itself must list every
+    * re-added file, so the entry is the same size either way.
+    */
+  private def statsAtVersion(asOf: Long): Map[String, FileStats] = {
+    val f = fs
+    require(f.exists(logDir), s"no log at $path")
+    val (entries, jsonCkpts, pqCkpts, _) = census(f)
+    val latest = (entries ++ jsonCkpts ++ pqCkpts).foldLeft(-1L)(math.max)
+    require(asOf >= 0 && asOf <= latest,
+      s"version $asOf out of range [0, $latest] at $path")
+    val uj = jsonCkpts.filter(_ <= asOf)
+    val up = pqCkpts.filter(_ <= asOf)
+    val jc = if (uj.isEmpty) -1L else uj.max
+    val pc = if (up.isEmpty) -1L else up.max
+    val ckpt = math.max(jc, pc)
+    val wanted = entries.filter(v => v > ckpt && v <= asOf).sorted
+    require(wanted.size == (asOf - ckpt),
+      s"version $asOf at $path is no longer reconstructable — " +
+        s"entries in (${ckpt}, $asOf] were vacuumed")
+    var live = Map.empty[String, FileStats]
+    if (pc >= jc && pc >= 0) {
+      val rows = spark.read.parquet(ckptParquetPath(pc).toString)
+        .collect()
+      live = rows.map { r =>
+        // pre-stats checkpoints lack the stats columns entirely
+        def opt[T](n: String): Option[T] =
+          if (!r.schema.fieldNames.contains(n)) None
+          else {
+            val i = r.fieldIndex(n)
+            if (r.isNullAt(i)) None else Some(r.getAs[T](n))
+          }
+        val names = opt[scala.collection.Seq[String]]("cs_names")
+          .map(_.toSeq).getOrElse(Nil)
+        val los = opt[scala.collection.Seq[String]]("cs_lo")
+          .map(_.toSeq).getOrElse(Nil)
+        val his = opt[scala.collection.Seq[String]]("cs_hi")
+          .map(_.toSeq).getOrElse(Nil)
+        val valid = opt[scala.collection.Seq[Int]]("cs_valid")
+          .map(_.toSeq).getOrElse(Nil)
+        val nulls = opt[scala.collection.Seq[Long]]("cs_nn")
+          .map(_.toSeq).getOrElse(Nil)
+        val cols = names.indices.map { i =>
+          val ok = i < valid.size && valid(i) == 1
+          ColStats(names(i),
+            if (ok) Some(los(i)) else None,
+            if (ok) Some(his(i)) else None,
+            if (i < nulls.size) nulls(i) else 0L)
+        }
+        r.getAs[String]("file") -> FileStats(
+          r.getAs[scala.collection.Seq[Long]]("bits").toSeq,
+          r.getAs[String]("lo"), r.getAs[String]("hi"),
+          r.getAs[Int]("num_bits"), r.getAs[Int]("num_hashes"),
+          opt[Long]("rows"), cols)
+      }.toMap
+    } else if (ckpt >= 0)
+      readText(checkpointPath(ckpt)).linesIterator.filter(_.nonEmpty)
+        .foreach { line =>
+          val a = parseAction(line)
+          if (a.txn.isEmpty) {
+            if (a.add) live += (a.file -> a.stats.get)
+            else live -= a.file
+          }
+        }
+    wanted.foreach { v =>
+      readText(entryPath(v)).linesIterator.filter(_.nonEmpty)
+        .foreach { line =>
+          val a = parseAction(line)
+          if (a.txn.isEmpty) {
+            if (a.add) live += (a.file -> a.stats.get)
+            else live -= a.file
+          }
+        }
+    }
+    live
+  }
+
+  /** RESTORE the table to the live file set of `asOf` as a NEW
+    * commit (the Delta RESTORE semantics): files live at both
+    * versions stay put, files added since are rm'd, files removed
+    * since are RE-ADDED with their original stats — no data rewrite.
+    * History keeps moving forward (the restore itself is
+    * time-travelable). Every re-added file's existence is verified
+    * FIRST: a file vacuum already reclaimed fails the restore loudly
+    * before anything commits (the same retention contract as
+    * [[readVersion]], enforced at write time). Returns
+    * (files re-added, files removed).
+    */
+  def restore(asOf: Long): (Long, Long) = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"RESTORE at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      if (snap.version == asOf) return (0L, 0L)
+      val wanted = statsAtVersion(asOf)
+      val current = liveNames(snap).toSet
+      val toAdd = wanted.filterNot { case (n, _) => current.contains(n) }
+      val toRm = current.filterNot(wanted.contains).toSeq.sorted
+      val gone = toAdd.keys.filterNot(n => fs.exists(new Path(n)))
+        .toSeq.sorted
+      require(gone.isEmpty,
+        s"RESTORE to $asOf at $path: ${gone.size} data files were " +
+          s"already vacuumed (first: ${gone.headOption.getOrElse("")})" +
+          " — that version's bytes are gone")
+      if (toAdd.isEmpty && toRm.isEmpty) return (0L, 0L)
+      val actions = toRm.map(Action(add = false, _, None)) ++
+        toAdd.toSeq.sortBy(_._1).map { case (n, st) =>
+          Action(add = true, n, Some(st)) }
+      if (tryCommit(snap, actions)) return (toAdd.size.toLong, toRm.size.toLong)
+      // lost race: loop recomputes against the new snapshot
+    }
+    (0L, 0L) // unreachable
+  }
+
   /** SQL `INSERT OVERWRITE`: replace the whole live set with `rows`
     * in ONE atomic commit (rm every live file + add the new ones) —
     * readers stay snapshot-isolated, the previous state remains

@@ -647,6 +647,51 @@ class GraftCatalogSpec extends SparkSpec
     assert(spark.sql(s"SELECT * FROM $cat.plain").count() == 3)
   }
 
+  test("TRUNCATE TABLE and CALL restore: reversible wipes, history " +
+      "moves forward, vacuumed versions fail loudly") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    store.upsert(chunkRows(1 to 10, "v1-"))            // version 0
+    store.append(chunkRows(11 to 15, "v2-"))           // version 1
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 15)
+
+    spark.sql(s"TRUNCATE TABLE $cat.chunks")           // version 2
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 0)
+    assert(spark.sql(
+      s"SELECT * FROM $cat.chunks VERSION AS OF 1").count() == 15)
+
+    // RESTORE re-adds the original files — no data rewrite
+    val r1 = spark.sql(s"CALL $cat.restore('chunks', '1')")
+      .collect().head
+    assert(r1.getLong(0) > 0 && r1.getLong(1) == 0, s"got $r1")
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 15)
+    // restore FURTHER back: drops the appended files
+    val r0 = spark.sql(s"CALL $cat.restore('chunks', '0')")
+      .collect().head
+    assert(r0.getLong(1) > 0, s"got $r0")
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 10)
+    // the whole dance is itself history
+    assert(spark.sql(
+      s"SELECT * FROM $cat.chunks VERSION AS OF 2").count() == 0)
+
+    // vacuum prunes reconstructability: restore then fails loudly
+    val mtf = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    mtf.checkpoint(); mtf.vacuum()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.restore('chunks', '1')")
+    }
+    assert(e.getMessage != null)
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 10,
+      "a failed restore must not have committed anything")
+
+    // non-manifest layouts keep refusing TRUNCATE
+    val pd = new ChunkStore(spark, s"$wh/plain")
+    pd.upsert(chunkRows(1 to 3, "p-"))
+    intercept[Exception] { spark.sql(s"TRUNCATE TABLE $cat.plain") }
+    assert(spark.sql(s"SELECT * FROM $cat.plain").count() == 3)
+  }
+
   test("CALL add_constraint: CHECK enforced on every write path; " +
       "NULL passes; pre-existing violations refuse the ADD") {
     val (cat, wh) = freshCatalog()
