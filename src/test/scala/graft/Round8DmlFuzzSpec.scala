@@ -116,7 +116,25 @@ class Round8DmlFuzzSpec extends SparkSpec {
       var batchSeq = 0L
 
       (1 to 26).foreach { _ =>
-        rnd.nextInt(13) match {
+        rnd.nextInt(15) match {
+          case 13 => // TRUNCATE: reversible rm-all commit
+            mtf.truncate()
+            model.clear()
+          case 14 => // RESTORE to a random recorded version; a
+            // vacuumed-away target must fail loudly WITHOUT changes
+            if (history.nonEmpty) {
+              val (v, snap) = history(rnd.nextInt(history.size))
+              if (v >= 0) {
+                val before = model.toMap
+                try {
+                  mtf.restore(v)
+                  model.clear(); model ++= snap
+                } catch {
+                  case _: IllegalArgumentException =>
+                    assert(model.toMap == before)
+                }
+              }
+            }
           case 10 => // predicate-scoped OPTIMIZE: rows must not change
             mtf.compactWhere(preds(rnd, evolved).sql,
               targetFileBytes = 64 << 10)
