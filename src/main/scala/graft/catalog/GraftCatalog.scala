@@ -467,16 +467,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }),
     rowProcedure("table_stats", Seq("table"),
       "manifest metadata summary from the log's per-file stats alone " +
-        "(no data scan): current version, live file count, live row " +
-        "count — rows is -1 when any live file predates row-count " +
-        "stats (pre-v3 action; the next rewrite re-records it)",
+        "(no data scan, no per-file RPCs): current version, live " +
+        "file/row/byte counts — rows/bytes are -1 when any live file " +
+        "predates the stat (pre-v3 action; the next rewrite " +
+        "re-records it)",
       StructType(Seq(
         StructField("version", LongType, nullable = false),
         StructField("files", LongType, nullable = false),
-        StructField("rows", LongType, nullable = false))))(
+        StructField("rows", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false))))(
       args => {
-        val (v, nFiles, nRows) = manifestFor(args(0)).tableStats()
-        longsRow(v, nFiles, nRows)
+        val (v, nFiles, nRows, nBytes) =
+          manifestFor(args(0)).tableStats()
+        longsRow(v, nFiles, nRows, nBytes)
       }),
     rowProcedure("vacuum", Seq("table"),
       "manifest log: reclaim unreferenced data files and subsumed " +

@@ -128,7 +128,8 @@ class ManifestTableFormat(
     */
   private[sink] final case class FileStats(
       bits: Seq[Long], lo: String, hi: String, numBits: Int, numHashes: Int,
-      rows: Option[Long] = None, cols: Seq[ColStats] = Nil)
+      rows: Option[Long] = None, cols: Seq[ColStats] = Nil,
+      bytes: Option[Long] = None)
 
   /** One committed action: add (with the file's stats), remove, or —
     * when `txn` is set (protocol v4) — a STREAMING TRANSACTION marker
@@ -214,8 +215,9 @@ class ManifestTableFormat(
       // legitimate value, so absence needs its own bit), null counts —
       // plus the file row count. An older reader ignores unknown
       // fields, so v3 logs stay readable by the v2 parser.
+      val sz = st.bytes.fold("")(b => "," + "\"sz\":" + b)
       val ext = st.rows match {
-        case None => ""
+        case None => sz
         case Some(n) =>
           val cs = st.cols
           val names = cs.map(c => "\"" + esc(c.name) + "\"").mkString(",")
@@ -226,7 +228,7 @@ class ManifestTableFormat(
           val valid = cs.map(c => if (c.lo.isDefined && c.hi.isDefined) 1
             else 0).mkString(",")
           val nulls = cs.map(_.nulls).mkString(",")
-          s""","rows":$n,"csn":[$names],"cslo":[$los],"cshi":[$his],""" +
+          s"""$sz,"rows":$n,"csn":[$names],"cslo":[$los],"cshi":[$his],""" +
             s""""csv":[$valid],"csnn":[$nulls]"""
       }
       s"{$base$ext}"
@@ -309,7 +311,8 @@ class ManifestTableFormat(
       if (fieldAt("b").nonEmpty)
         Action(add = true, field("f"), Some(FileStats(
           unpackBits(field("b")), field("lo"), field("hi"),
-          num("nb"), num("nh"), numLong("rows"), colStats)))
+          num("nb"), num("nh"), numLong("rows"), colStats,
+          numLong("sz"))))
       else if (line.contains("\"u\":[")) {
         // PROTOCOL V1 add-action: the file's exact url set instead of
         // bloom stats. Accepted on read — stats are synthesized with
@@ -883,13 +886,14 @@ class ManifestTableFormat(
     val tail = snap.base.toSeq
       .map { case (f, st) =>
         (f, st.bits, st.lo, st.hi, st.numBits, st.numHashes,
-          st.rows,
+          st.rows, st.bytes,
           st.cols.map(_.name), st.cols.map(_.lo.getOrElse("")),
           st.cols.map(_.hi.getOrElse("")),
           st.cols.map(c => if (c.lo.isDefined && c.hi.isDefined) 1 else 0),
           st.cols.map(_.nulls)) }
       .toDF("file", "bits", "lo", "hi", "num_bits", "num_hashes",
-        "rows", "cs_names", "cs_lo", "cs_hi", "cs_valid", "cs_nn")
+        "rows", "bytes", "cs_names", "cs_lo", "cs_hi", "cs_valid",
+        "cs_nn")
     snap.ckptParquet match {
       case None => tail
       case Some(dir) =>
@@ -1072,11 +1076,13 @@ class ManifestTableFormat(
             case None => ColStats(f.name, None, None, nn)
           }
         }
-        Action(add = true, r.getString(0), Some(FileStats(
+        val file = r.getString(0)
+        Action(add = true, file, Some(FileStats(
           r.getSeq[Long](r.fieldIndex("bits")),
           Option(r.getString(r.fieldIndex("lo"))).getOrElse(""),
           Option(r.getString(r.fieldIndex("hi"))).getOrElse(""),
-          bloomBits, bloomHashes, Some(rowCount), cols)))
+          bloomBits, bloomHashes, Some(rowCount), cols,
+          Some(fs.getFileStatus(new Path(file)).getLen))))
       }
       .toSeq
   }
@@ -1631,7 +1637,7 @@ class ManifestTableFormat(
           r.getAs[scala.collection.Seq[Long]]("bits").toSeq,
           r.getAs[String]("lo"), r.getAs[String]("hi"),
           r.getAs[Int]("num_bits"), r.getAs[Int]("num_hashes"),
-          opt[Long]("rows"), cols)
+          opt[Long]("rows"), cols, opt[Long]("bytes"))
       }.toMap
     } else if (ckpt >= 0)
       readText(checkpointPath(ckpt)).linesIterator.filter(_.nonEmpty)
@@ -1818,26 +1824,32 @@ class ManifestTableFormat(
     (commitRows ++ ckptRows).sortBy(r => (r._1, r._5))
   }
 
-  /** Metadata-only table summary: `(version, live files, live rows)`
-    * — one narrow aggregate over the stats frame (checkpoint
-    * manifests read executor-side), NO data scan. `rows` is −1 when
-    * any live file predates row-count stats (pre-v3 add-action —
-    * fail-honest rather than undercount; the next rewrite of that
-    * file re-records it). The `SELECT count(*)` a 100 TB operator
-    * actually wants, answered from the log.
+  /** Metadata-only table summary: `(version, live files, live rows,
+    * live bytes)` — one narrow aggregate over the stats frame
+    * (checkpoint manifests read executor-side), NO data scan and no
+    * per-file RPCs. `rows`/`bytes` are −1 when any live file
+    * predates the corresponding stat (fail-honest rather than
+    * undercount; the next rewrite of that file re-records it). The
+    * `SELECT count(*)` and du a 100 TB operator actually wants,
+    * answered from the log.
     */
-  def tableStats(): (Long, Long, Long) = {
+  def tableStats(): (Long, Long, Long, Long) = {
     val snap = snapshot()
     val agg = statsFrame(snap)
       .agg(count(lit(1)).as("files"), sum("rows").as("rows"),
-        count("rows").as("rows_known"))
+        count("rows").as("rows_known"), sum("bytes").as("bytes"),
+        count("bytes").as("bytes_known"))
       .collect().head
     val files = agg.getLong(0)
     val rows =
       if (files == 0) 0L
       else if (agg.getLong(2) == files) agg.getLong(1)
       else -1L
-    (snap.version, files, rows)
+    val bytes =
+      if (files == 0) 0L
+      else if (agg.getLong(4) == files) agg.getLong(3)
+      else -1L
+    (snap.version, files, rows, bytes)
   }
 
   /** The current committed version (−1 before the first commit). */

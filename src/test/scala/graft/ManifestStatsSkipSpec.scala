@@ -192,6 +192,7 @@ class ManifestStatsSkipSpec extends SparkSpec
     val r = spark.sql(s"CALL $cat.table_stats('t')").collect().head
     assert(r.getLong(0) == 1L && r.getLong(1) == 2L && r.getLong(2) == 30L,
       s"got $r")
+    assert(r.getLong(3) > 0L, s"bytes must come from the stats: $r")
     // a delete rewrites the touched file; counts follow
     store.delete(Seq("doc://0005"))
     val r2 = spark.sql(s"CALL $cat.table_stats('t')").collect().head
