@@ -75,6 +75,45 @@ object Probe {
       println("cdf rows: " + spark.table("probe_cdf").count())
     }
 
+    println("== manifest data skipping + maintenance smoke ==")
+    locally {
+      import graft.sink.{ChunkStore, ManifestTableFormat}
+      import spark.implicits._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-probe-skip").toString
+      val store = new ChunkStore(spark, s"$wh/t",
+        format = ManifestTableFormat.factory)
+      def batch(ids: Range, page: Int) =
+        ids.map(i => (0, s"t-$i", Seq(1f), page, f"doc://$i%04d"))
+          .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+            "document_url").repartition(1)
+      store.append(batch(0 until 50, 5))
+      store.append(batch(50 until 100, 15))
+      store.append(batch(100 until 150, 25))
+      spark.conf.set("spark.sql.catalog.probecat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.probecat.warehouse", wh)
+      val q = spark.sql("SELECT document_url FROM probecat.t " +
+        "WHERE page_number >= 20")
+      println("skip rows: " + q.count())
+      // the planned file subset (explicit-file-list scan: accurate)
+      println("planned files: " + q.queryExecution.executedPlan
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.scan.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+        }.getOrElse(-1) + " of 3")
+      val mtf = new ManifestTableFormat(spark, s"$wh/t", store.schema)
+      mtf.compactZorder(Seq("page_number"))
+      val (v, nf, nr, nb) = mtf.tableStats()
+      println(s"table_stats after zorder: v=$v files=$nf rows=$nr " +
+        s"bytes>0=${nb > 0}")
+      val ok = mtf.appendStream(batch(150 until 151, 30), "probe", 0L)
+      val replay = mtf.appendStream(batch(150 until 151, 30), "probe", 0L)
+      println(s"appendStream first=$ok replay=$replay")
+    }
+
     spark.stop()
   }
 }
