@@ -677,7 +677,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * ones; inserts route through the store's A18 append (log-committed
   * on the manifest format) via the `V1_BATCH_WRITE` bridge.
   */
-private[catalog] class GraftTable(
+private[graft] class GraftTable(
     tableName: String,
     spark: SparkSession,
     tableSchema: StructType,

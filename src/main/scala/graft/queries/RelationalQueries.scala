@@ -1237,6 +1237,36 @@ object RelationalQueries {
       s.sql(s"INSERT OVERWRITE $cat.chunks SELECT * FROM c37n_src")
       s.sql(s"SELECT document_url, chunk_text FROM $cat.chunks " +
         "ORDER BY document_url")
+    },
+
+    // B12b: path-based `format("graft")` — the catalog-free handle to
+    // a manifest table (Delta's format("delta") next to its catalog):
+    // the write goes through the V1 relation seam (mode=append = A18
+    // log commit), the read resolves the same snapshot-pinned,
+    // stats-skipping table the catalog builds, and the range
+    // predicate's result must hash-match the relational oracle.
+    // GraftDataSourceSpec pins time travel, overwrite mode, the
+    // pruned plan shape, and the non-manifest refusal.
+    "b12b_path_source" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text,
+        |       CAST(doc_id % 20 AS INTEGER) AS page_number
+        |FROM documents WHERE doc_id % 20 BETWEEN 5 AND 9
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-pathsrc").toString
+      val path = s"$wh/chunks"
+      val docs = t(s, dir, "documents")
+      docs.select(
+          lit(0).as("chunk_id"), col("text").as("chunk_text"),
+          array(lit(0f)).as("embedding"),
+          (col("doc_id") % 20).cast("int").as("page_number"),
+          concat(lit("doc://"), col("doc_id")).as("document_url"))
+        .write.format("graft").mode("append").save(path)
+      s.read.format("graft").load(path)
+        .filter(col("page_number").between(5, 9))
+        .select("document_url", "chunk_text", "page_number")
+        .orderBy("document_url")
     }
   )
 }

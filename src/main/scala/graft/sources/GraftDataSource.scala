@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** Path-based access to a manifest table with NO catalog
+  * registration — the `spark.read.format("graft")` twin of the
+  * catalog surface, for ad-hoc reads of a table you only have a path
+  * to (the same reason Delta ships `format("delta")` next to its
+  * catalog):
+  *
+  * {{{
+  * spark.read.format("graft").load("/data/t")                 // head
+  * spark.read.format("graft")
+  *   .option("versionAsOf", 3).load("/data/t")                // time travel
+  * spark.read.format("graft")
+  *   .option("timestampAsOf", "2026-08-14 12:00:00").load("/data/t")
+  * df.write.format("graft").mode("append").save("/data/t")    // A18 append
+  * df.write.format("graft").mode("overwrite").save("/data/t") // c37n
+  * }}}
+  *
+  * Resolution delegates to the same machinery the catalog uses
+  * ([[graft.catalog.GraftTable]]): snapshot-pinned file lists, stats
+  * file skipping on pushed predicates, log-committed appends,
+  * atomic overwrite. Time-travel reads are frozen (no write hooks).
+  * Only manifest-format tables resolve here — the store layouts are
+  * plain parquet trees a path read handles natively, and the catalog
+  * remains the place where they get their routing semantics.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
+
+  override def shortName(): String = "graft"
+
+  /** `df.write.format("graft")` arrives through the V1 write seam
+    * (`DataFrameWriter.save` only takes the V2 write path for tables
+    * claiming native BATCH_WRITE; a V1Write-backed table falls
+    * through — the same reason Delta's path writes ride
+    * CreatableRelationProvider). Modes: append = log-committed A18;
+    * overwrite = the c37n atomic replace; errorIfExists/ignore
+    * consult whether the table has ANY commit yet.
+    */
+  override def createRelation(
+      ctx: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    require(!parameters.contains("versionAsOf") &&
+        !parameters.contains("timestampAsOf"),
+      "format(\"graft\") writes target the head snapshot — time " +
+        "travel options are read-only")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"graft\") needs a path: .save(<manifest table root>)"))
+    val fs = new Path(path)
+      .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
+    // a fresh path bootstraps an empty manifest table (the log IS the
+    // table); an existing path must already be manifest-format
+    if (!fs.exists(new Path(path)))
+      fs.mkdirs(new Path(path, "_log"))
+    val mtf = mtfFor(path)
+    val exists = mtf.version >= 0
+    mode match {
+      case SaveMode.Append => mtf.append(data)
+      case SaveMode.Overwrite => mtf.overwrite(data)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"format(\"graft\"): $path already has commits " +
+            "(mode=errorifexists)")
+        else mtf.append(data)
+      case SaveMode.Ignore => if (!exists) mtf.append(data)
+    }
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = mtf.currentSchema
+    }
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "format(\"graft\") needs a path: .load(<manifest table root>)"))
+
+  private def exists(path: String): Boolean =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(path))
+
+  private def mtfFor(path: String): ManifestTableFormat = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(path)) ||
+        fs.exists(new Path(path, "_log")),
+      s"format(\"graft\"): $path is not a manifest-format table " +
+        "(no _log) — plain store layouts read as parquet directly")
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    new ManifestTableFormat(spark, path, store.schema)
+  }
+
+  /** `versionAsOf` / `timestampAsOf` (epoch millis, or ISO
+    * `yyyy-MM-dd HH:mm:ss[.f...]`) resolved to a pinned version;
+    * mutually exclusive.
+    */
+  private def asOf(options: CaseInsensitiveStringMap,
+      mtf: ManifestTableFormat): Option[Long] = {
+    val v = Option(options.get("versionAsOf"))
+    val t = Option(options.get("timestampAsOf"))
+    require(v.isEmpty || t.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    v.map(_.trim.toLong).orElse(t.map { raw =>
+      val ms =
+        if (raw.trim.matches("\\d+")) raw.trim.toLong
+        else java.sql.Timestamp.valueOf(raw.trim).getTime
+      mtf.versionAtTimestamp(ms)
+    })
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = pathOf(options)
+    // a not-yet-existing path is a WRITE about to bootstrap the table
+    // (DataFrameWriter loads the table before routing to the V1 write
+    // seam) — answer with the base chunk schema; reads of the missing
+    // path still fail at scan time
+    if (!exists(path))
+      new ChunkStore(spark, path, format = ManifestTableFormat.factory)
+        .schema
+    else {
+      val mtf = mtfFor(path)
+      asOf(options, mtf).fold(mtf.currentSchema)(mtf.schemaAtVersion)
+    }
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val path = pathOf(options)
+    if (!exists(path)) {
+      // write-bootstrap handle: DataFrameWriter loads the table before
+      // routing to the V1 write seam — a capability-less Table lets
+      // the write fall through to createRelation while reads of the
+      // missing path fail loudly (no SupportsRead)
+      val fixed = schema
+      return new Table {
+        override def name(): String = s"graft.`$path`"
+        override def schema(): StructType = fixed
+        override def capabilities(): util.Set[
+          org.apache.spark.sql.connector.catalog.TableCapability] =
+          java.util.Collections.emptySet()
+      }
+    }
+    val mtf = mtfFor(path)
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val pin = asOf(options, mtf)
+    val files = pin.fold(mtf.liveFiles)(mtf.filesAtVersion)
+    new graft.catalog.GraftTable(
+      s"graft.`$path`", spark,
+      pin.fold(mtf.currentSchema)(mtf.schemaAtVersion), files,
+      insert = if (pin.isDefined) None else Some(store.append),
+      statsPruner = Some(mtf.pruneFilesForScan(files, _)),
+      overwriteHook = if (pin.isDefined) None else Some(mtf.overwrite),
+      truncateHook =
+        if (pin.isDefined) None else Some(() => mtf.truncate()))
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
