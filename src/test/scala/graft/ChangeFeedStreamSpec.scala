@@ -87,6 +87,33 @@ class ChangeFeedStreamSpec extends SparkSpec {
     assert(fourth.toSet == Set(("doc://b", "b1", "delete")))
   }
 
+  test("TRUNCATE and RESTORE stream as their net row deltas") {
+    val tbl = freshPath("graft-cdf-rst") + "/t"
+    val ckpt = freshPath("graft-cdf-rst-ckpt")
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "a1"))       // v0
+    store.upsert(chunksOf("doc://b", "b1"))       // v1
+    assert(drain(tbl, ckpt, "cdf_rst1").size == 2)
+
+    val mtf = new ManifestTableFormat(spark, tbl, store.schema)
+    mtf.truncate()                                // v2
+    val afterTrunc = drain(tbl, ckpt, "cdf_rst2")
+    assert(afterTrunc.toSet == Set(
+      ("doc://a", "a1", "delete"), ("doc://b", "b1", "delete")))
+
+    mtf.restore(1L)                               // v3: both come back
+    val afterRestore = drain(tbl, ckpt, "cdf_rst3")
+    assert(afterRestore.toSet == Set(
+      ("doc://a", "a1", "insert"), ("doc://b", "b1", "insert")))
+
+    // a restore spanning PARTIAL overlap: drop doc://b again by
+    // restoring to v0 — only the net difference streams
+    mtf.restore(0L)                               // v4
+    val afterBack = drain(tbl, ckpt, "cdf_rst4")
+    assert(afterBack.toSet == Set(("doc://b", "b1", "delete")))
+  }
+
   test("startingVersion skips history; maxVersionsPerBatch paces batches") {
     val tbl = freshPath("graft-cdf-sv") + "/t"
     val store = new ChunkStore(spark, tbl,
