@@ -402,6 +402,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       vs.map(v => v: Any).toArray))
 
+  /** Result rows mixing strings and longs (strings as UTF8String —
+    * the InternalRow contract a LocalScan serves).
+    */
+  private def mixedRows(rows: Seq[Seq[Any]]): Array[InternalRow] =
+    rows.map { vs =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        vs.map {
+          case s: String =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(s): Any
+          case other => other
+        }.toArray)
+    }.toArray
+
   private lazy val procedures: Map[String, UnboundProcedure] = Seq(
     procedure("merge_into", Seq("table", "source"),
       "A17 keyed upsert: MERGE the rows of <source> (any view/table " +
@@ -453,6 +466,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     procedure("drop_constraint", Seq("table", "name"),
       "drop a named CHECK constraint")(args =>
       manifestFor(args(0)).dropConstraint(args(1))),
+    rowProcedure("show_constraints", Seq("table"),
+      "list the table's named CHECK constraints",
+      StructType(Seq(
+        StructField("name", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("check_expr", org.apache.spark.sql.types.StringType,
+          nullable = false))))(
+      args => mixedRows(manifestFor(args(0)).constraints
+        .map { case (n, e) => Seq(n, e) })),
+    rowProcedure("stream_txns", Seq("table"),
+      "streaming transaction high-water marks: (appId, last committed " +
+        "batchId) per writer app — has pipeline X delivered batch N yet",
+      StructType(Seq(
+        StructField("app_id", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("last_batch", LongType, nullable = false))))(
+      args => mixedRows(manifestFor(args(0)).streamTransactions
+        .map { case (a, b) => Seq(a, b) })),
     rowProcedure("restore", Seq("table", "version"),
       "RESTORE the table to <version>'s live file set as a NEW " +
         "commit (Delta RESTORE semantics): no data rewrite, history " +

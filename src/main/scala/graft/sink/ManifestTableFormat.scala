@@ -1852,6 +1852,13 @@ class ManifestTableFormat(
     (snap.version, files, rows, bytes)
   }
 
+  /** The streaming transaction high-water marks: (appId, last
+    * committed batchId) per app — the operator's answer to "has
+    * pipeline X delivered batch N yet".
+    */
+  def streamTransactions: Seq[(String, Long)] =
+    snapshot().txns.toSeq.sortBy(_._1)
+
   /** The current committed version (−1 before the first commit). */
   def version: Long = snapshot().version
 

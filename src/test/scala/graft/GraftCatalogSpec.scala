@@ -730,6 +730,11 @@ class GraftCatalogSpec extends SparkSpec
       spark.sql(s"CALL $cat.add_constraint('chunks', 'impossible', " +
         "'page_number > 100')")
     }
+    // the constraint set is SQL-visible
+    val listed = spark.sql(s"CALL $cat.show_constraints('chunks')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(listed == Map("pg_ok" -> "page_number >= 0",
+      "s_ok" -> "score > 0.0"), s"got $listed")
     // DROP re-opens the gate
     spark.sql(s"CALL $cat.drop_constraint('chunks', 'pg_ok')")
     spark.sql(s"INSERT INTO $cat.chunks VALUES " +

@@ -80,6 +80,7 @@ class StreamWriterSpec extends SparkSpec {
     assert(!reader.appendStream(rows, "app", 3L))
     assert(reader.appendStream(rows, "app", 8L))
     assert(store.read().count() == 2)
+    assert(reader.streamTransactions == Seq("app" -> 8L))
   }
 
   test("two writers racing the SAME batch: exactly one data commit") {
