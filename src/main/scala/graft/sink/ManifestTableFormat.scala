@@ -1087,6 +1087,24 @@ class ManifestTableFormat(
       .toSeq
   }
 
+  /** Per-file sizes for `files`, from the stats frame where recorded
+    * (one narrow collect — the names are driver-held already) with a
+    * status-RPC fallback for pre-bytes files; compaction's sizing
+    * costs one job instead of one RPC per live file.
+    */
+  private def sizesOf(snap: Snapshot, files: Seq[String])
+      : Map[String, Long] = {
+    import spark.implicits._
+    val known = statsFrame(snap)
+      .join(files.toDF("file"), Seq("file"), "left_semi")
+      .select("file", "bytes").collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getString(0) -> r.getLong(1))).toMap
+    val f = fs
+    files.map(n => n -> known.getOrElse(n,
+      f.getFileStatus(new Path(n)).getLen)).toMap
+  }
+
   /** Copy-on-write commit cycle shared by merge/delete/compact:
     * `affected` picks the files to rewrite from log metadata,
     * `rewrite` maps their rows to the surviving rows (incoming rows
@@ -1471,9 +1489,7 @@ class ManifestTableFormat(
     commitCycle(
       snap => liveNames(snap),
       (snap, files) => {
-        val f = fs
-        val totalBytes =
-          files.map(n => f.getFileStatus(new Path(n)).getLen).sum
+        val totalBytes = sizesOf(snap, files).values.sum
         val parts = math.max(1L,
           (totalBytes + targetFileBytes - 1) / targetFileBytes)
           .min(Int.MaxValue.toLong).toInt
@@ -1502,17 +1518,15 @@ class ManifestTableFormat(
     var rewritten = 0L
     commitCycle(
       snap => {
-        val f = fs
-        val candidates = preScanCandidates(snap, condition)
-          .filter(n => f.getFileStatus(new Path(n)).getLen < targetFileBytes)
+        val pruned = preScanCandidates(snap, condition)
+        val sizes = sizesOf(snap, pruned)
+        val candidates = pruned.filter(sizes(_) < targetFileBytes)
         // one output bin from one input file is a rewrite for nothing
         rewritten = if (candidates.size < 2) 0L else candidates.size.toLong
         if (rewritten == 0L) Seq.empty else candidates
       },
       (snap, files) => {
-        val f = fs
-        val totalBytes =
-          files.map(n => f.getFileStatus(new Path(n)).getLen).sum
+        val totalBytes = sizesOf(snap, files).values.sum
         val parts = math.max(1L,
           (totalBytes + targetFileBytes - 1) / targetFileBytes)
           .min(Int.MaxValue.toLong).toInt
@@ -1550,9 +1564,7 @@ class ManifestTableFormat(
         dimNames.foreach(d => require(known.contains(d),
           s"compactZorder at $path: unknown column '$d' " +
             s"(table columns: ${known.toSeq.sorted.mkString(", ")})"))
-        val f = fs
-        val totalBytes =
-          files.map(n => f.getFileStatus(new Path(n)).getLen).sum
+        val totalBytes = sizesOf(snap, files).values.sum
         val parts = math.max(1L,
           (totalBytes + targetFileBytes - 1) / targetFileBytes)
           .min(Int.MaxValue.toLong).toInt
