@@ -484,16 +484,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         StructField("last_batch", LongType, nullable = false))))(
       args => mixedRows(manifestFor(args(0)).streamTransactions
         .map { case (a, b) => Seq(a, b) })),
-    rowProcedure("restore", Seq("table", "version"),
-      "RESTORE the table to <version>'s live file set as a NEW " +
+    rowProcedure("restore", Seq("table", "version_or_timestamp"),
+      "RESTORE the table to a version's live file set as a NEW " +
         "commit (Delta RESTORE semantics): no data rewrite, history " +
         "keeps moving forward, vacuumed bytes fail loudly before " +
-        "anything commits; returns (files_restored, files_removed)",
+        "anything commits. The target is a version number, epoch " +
+        "millis, or an ISO timestamp (resolved via the commit " +
+        "clock); returns (files_restored, files_removed)",
       StructType(Seq(
         StructField("files_restored", LongType, nullable = false),
         StructField("files_removed", LongType, nullable = false))))(
       args => {
-        val (a, r) = manifestFor(args(0)).restore(args(1).trim.toLong)
+        val mtf = manifestFor(args(0))
+        val raw = args(1).trim
+        // version numbers are small; epoch millis are 13 digits — a
+        // pure number above the table's latest version reads as a
+        // timestamp, anything else as a version
+        val target =
+          if (raw.matches("\\d+")) {
+            val n = raw.toLong
+            if (n <= mtf.version) n else mtf.versionAtTimestamp(n)
+          } else mtf.versionAtTimestamp(
+            java.sql.Timestamp.valueOf(raw).getTime)
+        val (a, r) = mtf.restore(target)
         longsRow(a, r)
       }),
     rowProcedure("table_stats", Seq("table"),

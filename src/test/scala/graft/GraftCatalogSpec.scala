@@ -675,6 +675,12 @@ class GraftCatalogSpec extends SparkSpec
     assert(spark.sql(
       s"SELECT * FROM $cat.chunks VERSION AS OF 2").count() == 0)
 
+    // restore by TIMESTAMP: "now" resolves to the head state (no-op)
+    val rt = spark.sql(s"CALL $cat.restore('chunks', " +
+      s"'${System.currentTimeMillis()}')").collect().head
+    assert(rt.getLong(0) == 0 && rt.getLong(1) == 0, s"got $rt")
+    assert(spark.sql(s"SELECT * FROM $cat.chunks").count() == 10)
+
     // vacuum prunes reconstructability: restore then fails loudly
     val mtf = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
     mtf.checkpoint(); mtf.vacuum()
