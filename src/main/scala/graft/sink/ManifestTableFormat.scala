@@ -83,6 +83,24 @@ import graft.ops.Layout
   * (the same operational contract as raising a Delta table's
   * reader version).
   *
+  * PROTOCOL LEDGER (each one-way; this reader is the compatibility
+  * boundary — it reads every older shape, older binaries fail loudly
+  * on newer logs rather than half-reading):
+  *  - v1: add-actions carry exact url sets (`"u":[…]`) — read with
+  *    stats synthesized on parse.
+  *  - v2: add-actions carry fixed-size url bloom + min/max; parquet
+  *    manifest-list checkpoints.
+  *  - v3: add-actions additionally carry the file's row count, byte
+  *    size, and per-column min/max + null-count skipping stats
+  *    (`"rows"/"sz"/"cs*"` fields — ignored by a v2 reader, so v3
+  *    LOGS stay v2-readable; v3 CHECKPOINTS are not).
+  *  - v4: streaming transaction actions (`"a":"txn"`) + the
+  *    checkpoint txns sidecar.
+  *  - Versioned SIDECARS (never vacuumed; bounded by ALTER count):
+  *    `<v>.schema.json` (ADD/DROP COLUMN eras), `<v>.constraints.json`
+  *    (the named CHECK set), `<v>.txns.json` (checkpoint-subsumed
+  *    stream markers).
+  *
   * Use with the per-document-free layout only (`buckets = None` and
   * this format — the log supersedes hive partitioning):
   * `new ChunkStore(spark, path, format = ManifestTableFormat.factory)`.
