@@ -332,6 +332,30 @@ class ManifestStatsSkipSpec extends SparkSpec
     assert(r.getLong(0) == 0L, s"single candidate file, got $r")
   }
 
+  test("timestamp columns skip via epoch-micros stats") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, s"$wh/t", store.schema)
+    mtf.addColumn("ts", org.apache.spark.sql.types.TimestampType)
+    def tsBatch(ids: Range, day: String) =
+      batch(ids, _ => 0).withColumn("ts",
+        to_timestamp(concat(lit(s"$day "),
+          format_string("%02d:00:00", col("chunk_id") % 24))))
+    store.append(tsBatch(0 until 10, "2026-01-01"))
+    store.append(tsBatch(10 until 20, "2026-06-15"))
+    store.append(tsBatch(20 until 30, "2026-12-31"))
+
+    val q = spark.sql(s"SELECT document_url FROM $cat.t " +
+      "WHERE ts >= TIMESTAMP '2026-12-01 00:00:00'")
+    assert(q.collect().length == 10)
+    assert(plannedFiles(q) == 1, "micros-encoded stats must prune")
+    val q2 = spark.sql(s"SELECT document_url FROM $cat.t " +
+      "WHERE ts BETWEEN TIMESTAMP '2026-06-01 00:00:00' " +
+      "AND TIMESTAMP '2026-07-01 00:00:00'")
+    assert(q2.collect().length == 10 && plannedFiles(q2) == 1)
+  }
+
   test("log roundtrip: column stats survive render/parse with hostile text") {
     val (cat, wh) = freshCatalog()
     val store = new ChunkStore(spark, s"$wh/t",
