@@ -24,6 +24,13 @@ final class IngestMetrics(sc: SparkContext) extends Serializable {
   /** Chunks produced by the chunking stage (A8-A12). */
   val chunks: LongAccumulator = sc.longAccumulator("graft.ingest.chunks")
 
+  /** Documents quarantined by the isolating router (poison-document
+    * isolation; the reference's dead-letter analog). A non-zero value
+    * is the page: some inputs are not making it into the store.
+    */
+  val quarantined: LongAccumulator =
+    sc.longAccumulator("graft.ingest.quarantined")
+
   /** Embedding service batches attempted (A13: batches of ≤10);
     * includes retried attempts.
     */
@@ -50,6 +57,7 @@ final class IngestMetrics(sc: SparkContext) extends Serializable {
   def snapshot: Map[String, Long] = Map(
     "docs" -> docs.value,
     "chunks" -> chunks.value,
+    "quarantined" -> quarantined.value,
     "embed_batches" -> embedBatches.value,
     "embed_texts" -> embedTexts.value,
     "embed_retries" -> embedRetries.value,

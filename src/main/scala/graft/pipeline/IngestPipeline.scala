@@ -15,6 +15,26 @@ final case class PendingChunk(
     chunk_text: String,
     page_number: Option[Int])
 
+/** A document the ingest dataflow rejected instead of letting it kill
+  * the job (poison-document isolation — the reference host isolates
+  * failures per blob and dead-letters repeated failures:
+  * AzureCosmosDB/.../BlobTriggerFunction.cs:40-54 + the Functions
+  * blob-trigger poison-queue semantics). `stage` names the failing
+  * per-document stage (`decode`/`extract`/`chunk`), `error` carries
+  * the exception class + message (truncated), `byte_length` the input
+  * size — enough to triage and replay without re-running the fleet.
+  */
+final case class QuarantinedDoc(
+    document_url: String,
+    stage: String,
+    error: String,
+    byte_length: Long)
+
+/** Union row of the isolating router: exactly one side is set. */
+final case class RoutedOutcome(
+    chunk: Option[PendingChunk],
+    quarantined: Option[QuarantinedDoc])
+
 /** The persisted record (SURVEY §1.1 item 4). */
 final case class EmbeddedChunk(
     chunk_id: Int,
@@ -48,6 +68,11 @@ object IngestPipeline {
     * pluggable extractor (A5) then token chunking (A8). Typed flatMap:
     * per-file imperative logic is the honest shape here, exactly like
     * the reference's per-blob function body.
+    *
+    * STRICT variant: a per-document throw fails the task (and after
+    * `spark.task.maxFailures`, the job). Production ingest should use
+    * [[routeAndChunkIsolated]], which quarantines poison documents
+    * instead — [[StreamingIngest.processBatch]] does.
     */
   def routeAndChunk(
       files: Dataset[(String, Array[Byte])],
@@ -81,6 +106,84 @@ object IngestPipeline {
       }
       out
     }
+  }
+
+  /** [[routeAndChunk]] with per-document failure isolation. At 100 TB
+    * a poison document (corrupt payload, extractor throw after
+    * retries) is a certainty, and the strict router lets one such doc
+    * fail the task — and, after `spark.task.maxFailures`, the whole
+    * job. Here every per-document stage runs under a guard: a
+    * NonFatal throw costs ONE [[QuarantinedDoc]] row carrying the
+    * failing stage and error rendering, and the task moves to the
+    * next document. Fatal errors (OOM, interrupts) still propagate —
+    * those are task health, not document health. Mirrors the
+    * reference host's per-blob isolation
+    * (AzureCosmosDB/.../BlobTriggerFunction.cs:40-54).
+    *
+    * Split the union with [[chunksOf]] / [[quarantineOf]]; persist
+    * the outcome dataset first if both sides feed separate actions
+    * (extraction is the expensive stage — don't run it twice).
+    */
+  def routeAndChunkIsolated(
+      files: Dataset[(String, Array[Byte])],
+      extractor: Extractor,
+      cfg: Config = Config(),
+      metrics: Option[IngestMetrics] = None): Dataset[RoutedOutcome] = {
+    import files.sparkSession.implicits._
+    files.flatMap { case (path, bytes) =>
+      var stage = "decode"
+      try {
+        val ext = path.lastIndexOf('.') match {
+          case -1 => ""
+          case i  => path.substring(i + 1).toLowerCase
+        }
+        val out = ext match {
+          case "txt" =>
+            val lines = TextDecode.decodeLines(bytes)
+            stage = "chunk"
+            Chunkers.chunkTextLines(lines, cfg.maxTokens, cfg.overlapTokens)
+              .map(c => PendingChunk(path, c.chunkNumber, c.text, c.pageNumber))
+          case "md" =>
+            val lines = TextDecode.decodeLines(bytes)
+            stage = "chunk"
+            Chunkers.chunkMarkdownLines(lines, cfg.maxTokens,
+                cfg.overlapTokens)
+              .map(c => PendingChunk(path, c.chunkNumber, c.text, c.pageNumber))
+          case _ =>
+            stage = "extract"
+            val extracted = extractor.extract(path, bytes)
+            stage = "chunk"
+            Chunkers.fixedSizeChunking(extracted, cfg.maxTokens,
+                cfg.overlapTokens)
+              .map(c => PendingChunk(path, c.chunkNumber, c.text, c.pageNumber))
+        }
+        metrics.foreach { m =>
+          m.docs.add(1L); m.chunks.add(out.size.toLong)
+        }
+        out.map(c => RoutedOutcome(Some(c), None))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          metrics.foreach(_.quarantined.add(1L))
+          val msg = Option(e.getMessage).getOrElse("")
+          Seq(RoutedOutcome(None, Some(QuarantinedDoc(
+            path, stage,
+            s"${e.getClass.getName}: $msg".take(512),
+            bytes.length.toLong))))
+      }
+    }
+  }
+
+  /** The chunk side of [[routeAndChunkIsolated]]'s union. */
+  def chunksOf(outcomes: Dataset[RoutedOutcome]): Dataset[PendingChunk] = {
+    import outcomes.sparkSession.implicits._
+    outcomes.flatMap(_.chunk)
+  }
+
+  /** The quarantine side of [[routeAndChunkIsolated]]'s union. */
+  def quarantineOf(
+      outcomes: Dataset[RoutedOutcome]): Dataset[QuarantinedDoc] = {
+    import outcomes.sparkSession.implicits._
+    outcomes.flatMap(_.quarantined)
   }
 
   /** The document's TEXT rendering for document-level operators

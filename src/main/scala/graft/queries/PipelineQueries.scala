@@ -389,6 +389,54 @@ object PipelineQueries {
         .orderBy("split", "grp", "shard")
     },
 
+    // P10: poison-document quarantine — the per-blob failure isolation
+    // the reference host gets from the Functions runtime
+    // (BlobTriggerFunction.cs:40-54 / blob-trigger poison queue),
+    // re-expressed engine-side. Every 25th document is planted as a
+    // corrupt binary (an extension routed to an extractor that
+    // rejects it); the isolating router must quarantine exactly those
+    // (stage 'extract', a non-empty error, the exact byte length) and
+    // chunk every other document normally — one job, no task failure.
+    // The oracle recomputes membership, stage, and the UTF-8 byte
+    // length from first principles.
+    "p11_quarantine" -> QueryDef(
+      """SELECT doc_id,
+        |       doc_id % 25 = 0 AS quarantined,
+        |       CASE WHEN doc_id % 25 = 0 THEN 'extract' ELSE '' END AS stage,
+        |       CAST(CASE WHEN doc_id % 25 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |         AS nchunks,
+        |       CASE WHEN doc_id % 25 = 0
+        |            THEN CAST(octet_length(encode(text)) AS BIGINT)
+        |            ELSE CAST(-1 AS BIGINT) END AS qbytes
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val files = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val ext = if (id % 25 == 0) "bin" else "txt"
+          (s"doc://$id.$ext", text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      val poison = new graft.extract.Extractor {
+        override def extract(path: String, content: Array[Byte]) =
+          throw new IllegalArgumentException(s"corrupt payload: $path")
+      }
+      val outcomes = IngestPipeline.routeAndChunkIsolated(files, poison)
+      val both = outcomes.toDF().select(
+        coalesce(col("chunk.document_url"), col("quarantined.document_url"))
+          .as("url"),
+        col("quarantined").isNotNull.as("q"),
+        coalesce(col("quarantined.stage"), lit("")).as("stage"),
+        coalesce(col("quarantined.byte_length"), lit(-1L)).as("qbytes"))
+      both.groupBy(
+          regexp_extract(col("url"), "^doc://(\\d+)\\.", 1)
+            .cast("long").as("doc_id"))
+        .agg(max(col("q")).as("quarantined"),
+          max(col("stage")).as("stage"),
+          sum(when(col("q"), 0L).otherwise(1L)).as("nchunks"),
+          max(col("qbytes")).as("qbytes"))
+        .orderBy("doc_id")
+    },
+
     // Raw pipeline output surface. Embedding VALUES are spec'd by the
     // deterministic embedder (not SQL), so the embedding projects to
     // its unit norm plus a well-formedness check of the sha2 content

@@ -106,6 +106,62 @@ class PipelineSpec extends SparkSpec {
     assert(m2.snapshot("chunks") == routed.length.toLong)
   }
 
+  test("poison documents quarantine instead of failing the job") {
+    import spark.implicits._
+    import graft.pipeline.IngestMetrics
+    val poison = new graft.extract.Extractor {
+      override def extract(path: String, content: Array[Byte]) =
+        if (path.endsWith(".bin"))
+          throw new IllegalArgumentException(s"corrupt payload: $path")
+        else StubAnalyzeExtractor().extract(path, content)
+    }
+    val m = new IngestMetrics(spark.sparkContext)
+    val files = Seq(
+      ("a.txt", "alpha text".getBytes(UTF_8)),
+      ("bad.bin", Array[Byte](0, 1, 2, 3, 4)),
+      ("b.md", "# t\nbody".getBytes(UTF_8)),
+      ("c.pdf", "extractable".getBytes(UTF_8))).toDS()
+    val outcomes = IngestPipeline
+      .routeAndChunkIsolated(files, poison, metrics = Some(m)).cache()
+    val chunks = IngestPipeline.chunksOf(outcomes).collect()
+    val quarantined = IngestPipeline.quarantineOf(outcomes).collect()
+    // the job completed; N-1 documents chunked, 1 quarantined
+    assert(chunks.map(_.document_url).distinct.sorted.toSeq ==
+      Seq("a.txt", "b.md", "c.pdf"))
+    assert(quarantined.length == 1)
+    val q = quarantined.head
+    assert(q.document_url == "bad.bin")
+    assert(q.stage == "extract")
+    assert(q.error.contains("IllegalArgumentException") &&
+      q.error.contains("corrupt payload: bad.bin"))
+    assert(q.byte_length == 5L)
+    assert(m.snapshot("quarantined") == 1L)
+    assert(m.snapshot("docs") == 3L) // quarantined docs don't count as routed
+    outcomes.unpersist()
+
+    // the strict router still throws — production callers choose
+    intercept[org.apache.spark.SparkException] {
+      IngestPipeline.routeAndChunk(files, poison).collect()
+    }
+  }
+
+  test("ingest metrics are at-least-once under stage re-execution") {
+    import spark.implicits._
+    import graft.pipeline.IngestMetrics
+    // Accumulators in transformations are at-least-once (documented in
+    // IngestMetrics): a re-executed stage re-counts. Pin exactly that —
+    // two actions over the same uncached routing double the counters.
+    val m = new IngestMetrics(spark.sparkContext)
+    val files = Seq(
+      ("a.txt", "alpha text".getBytes(UTF_8)),
+      ("b.txt", "beta text".getBytes(UTF_8))).toDS()
+    val routed = IngestPipeline.routeAndChunk(files, StubAnalyzeExtractor(),
+      metrics = Some(m))
+    routed.count(); routed.count()
+    assert(m.snapshot("docs") == 4L,
+      "re-execution double-counts: the documented at-least-once contract")
+  }
+
   test("extension routing: txt/md decode in-process, others extract (A3)") {
     import spark.implicits._
     val line = "word " * 30

@@ -51,6 +51,55 @@ class StreamingSpec extends SparkSpec {
     assert(urls.length == 1 && urls.head.endsWith("a.txt"))
   }
 
+  test("poison document quarantines per micro-batch; the batch commits") {
+    val in = Files.createTempDirectory("graft-quarantine-in")
+    val storeDir = Files.createTempDirectory("graft-quarantine-store")
+      .toString + "/chunks"
+    val ckpt = Files.createTempDirectory("graft-quarantine-ckpt")
+    val qDir = Files.createTempDirectory("graft-quarantine-q")
+      .toString + "/rows"
+    val store = new ChunkStore(spark, storeDir)
+    val poison = new graft.extract.Extractor {
+      override def extract(path: String, content: Array[Byte]) =
+        if (path.endsWith(".bin"))
+          throw new IllegalStateException("simulated extractor giving up")
+        else StubAnalyzeExtractor().extract(path, content)
+    }
+
+    write(in, "good1.txt", "alpha text one")
+    write(in, "corrupt.bin", "whatever bytes")
+    write(in, "good2.txt", "beta text two")
+
+    def runOnce(ck: String): Unit = {
+      val q = StreamingIngest.start(spark, in.toString, store,
+        DeterministicEmbedder(16), poison, IngestPipeline.Config(),
+        checkpointDir = ck, quarantineDir = Some(qDir))
+      q.awaitTermination(60000)
+    }
+    runOnce(ckpt.toString + "/1")
+
+    // the batch committed: both healthy docs landed, the poison one
+    // produced exactly one quarantine row with the failing stage
+    val urls = store.read().select("document_url").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(urls.exists(_.endsWith("good1.txt")) &&
+      urls.exists(_.endsWith("good2.txt")) && urls.size == 2)
+    val qRows = spark.read.parquet(qDir)
+    assert(qRows.count() == 1)
+    val r = qRows.select("document_url", "stage", "error").head()
+    assert(r.getString(0).endsWith("corrupt.bin"))
+    assert(r.getString(1) == "extract")
+    assert(r.getString(2).contains("simulated extractor giving up"))
+    assert(qRows.columns.contains("quarantined_at"))
+
+    // a later micro-batch with a NEW poison doc appends, never rewrites
+    write(in, "corrupt2.bin", "more bad bytes")
+    runOnce(ckpt.toString + "/2")
+    assert(spark.read.parquet(qDir)
+      .where(col("document_url").endsWith("corrupt2.bin")).count() >= 1)
+    assert(store.read().select("document_url").distinct().count() == 2)
+  }
+
   test("streaming ingest composes with the manifest table format " +
       "(log-committed upsert + delete detection)") {
     import org.apache.spark.sql.functions.col
