@@ -171,8 +171,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       new GraftTable(fullName, spark, tblSchema, files,
         // time-travel reads are frozen history: never writable
         insert = if (asOf.isDefined) None else Some(store.append),
+        // url-keyed whole-document DELETE only when the table has the
+        // key column; key-less tables route DELETE to the row-level
+        // predicate path instead
         deleteDocs =
-          if (asOf.isDefined) None else Some(store.delete(_: Seq[String])),
+          if (asOf.isDefined || !mtf.hasUrlKey) None
+          else Some(store.delete(_: Seq[String])),
         updateRows =
           if (asOf.isDefined) None else Some(store.update),
         deleteRows =
@@ -227,6 +231,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** CREATE TABLE / CTAS. Manifest-format tables
+    * (`TBLPROPERTIES ('format'='manifest')`) accept ANY top-level DDL
+    * schema — the creation-time schema persists as the table's base
+    * schema sidecar and all DML/time-travel/CDF machinery applies to
+    * it; the `document_url` fast lanes (bloom stats, keyed
+    * upsert/delete, point reads) exist exactly when the schema carries
+    * a STRING `document_url` column. `PARTITIONED BY` (identity
+    * transforms only) also needs the manifest format: partition
+    * columns become stats-clustered write columns — every write
+    * clusters rows by them, so the per-file min/max stats prune
+    * partition predicates to a strict file subset (Hive pruning as
+    * data skipping, no directory-per-value tree). Parquet layouts
+    * (per-document / bucketed) keep the fixed chunk schema and refuse
+    * both loudly — never silently.
+    */
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -234,22 +253,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): Table = {
     val dir = tableDir(ident)
     val manifest = properties.asScala.get("format").contains("manifest")
-    val store =
-      if (manifest)
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      if (t.name != "identity" || t.references.length != 1 ||
+          t.references.head.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"$catalogName.${ident.name()}: only identity PARTITIONED BY " +
+            s"columns are supported, got $t")
+      t.references.head.fieldNames.head
+    }
+    if (partCols.nonEmpty && !manifest)
+      throw new UnsupportedOperationException(
+        s"$catalogName.${ident.name()}: PARTITIONED BY needs the " +
+          "manifest table format — add TBLPROPERTIES " +
+          "('format'='manifest') (parquet chunk layouts have a fixed " +
+          "physical partitioning)")
+    if (manifest) {
+      val store =
         new ChunkStore(spark, dir, format = ManifestTableFormat.factory)
-      else properties.asScala.get("buckets") match {
-        case Some(n) => new ChunkStore(spark, dir, buckets = Some(n.toInt))
-        case None => new ChunkStore(spark, dir)
-      }
-    require(schema.isEmpty ||
-        schema.fieldNames.toSeq == store.schema.fieldNames.toSeq,
-      s"graft tables have the fixed chunk schema " +
-        s"${store.schema.simpleString}; got ${schema.simpleString}")
-    if (manifest)
       // the empty LOG is the empty manifest table (ensure()'s hive
       // bootstrap would stamp the wrong layout for this format)
       fs.mkdirs(new Path(dir, "_log"))
-    else store.ensure()
+      val chunkShape =
+        store.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      val custom = schema.nonEmpty &&
+        schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq !=
+          chunkShape
+      if (custom || partCols.nonEmpty)
+        new ManifestTableFormat(spark, dir, store.schema)
+          .initializeTable(if (custom) Some(schema) else None, partCols)
+    } else {
+      val store = properties.asScala.get("buckets") match {
+        case Some(n) => new ChunkStore(spark, dir, buckets = Some(n.toInt))
+        case None => new ChunkStore(spark, dir)
+      }
+      require(schema.isEmpty ||
+          schema.fieldNames.toSeq == store.schema.fieldNames.toSeq,
+        s"parquet-layout graft tables have the fixed chunk schema " +
+          s"${store.schema.simpleString}; got ${schema.simpleString}. " +
+          "For an arbitrary schema use TBLPROPERTIES ('format'='manifest')")
+      store.ensure()
+    }
     loadTable(ident)
   }
 

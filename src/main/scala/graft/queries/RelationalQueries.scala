@@ -1239,6 +1239,99 @@ object RelationalQueries {
         "ORDER BY document_url")
     },
 
+    // C37p: ARBITRARY-SCHEMA CREATE TABLE on the manifest format — a
+    // lineitem-shaped table (no document_url, no chunk columns)
+    // created by DDL, filled by INSERT, mutated by UPDATE + row
+    // DELETE, evolved by ADD COLUMN, appended post-evolution, and
+    // time-traveled across the whole history. The oracle replays
+    // every operation relationally, and the v0/v2 time-travel counts
+    // ride along as columns — a misapplied op at ANY version breaks
+    // the hash. (l_quantity is integer-valued in the harness data, so
+    // the double sums are exact.)
+    "c37p_ddl_schema_dml" -> QueryDef(
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |  FROM lineitem),
+        |upd AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_returnflag = 'R' THEN l_quantity + 100
+        |              ELSE l_quantity END AS q,
+        |         l_returnflag, CAST(NULL AS VARCHAR) AS note
+        |  FROM base),
+        |del AS (SELECT * FROM upd WHERE l_orderkey % 7 <> 0),
+        |late AS (
+        |  SELECT l_orderkey + 10000000 AS l_orderkey, l_linenumber,
+        |         l_quantity AS q, l_returnflag, 'late' AS note
+        |  FROM base WHERE l_orderkey % 100 = 0),
+        |fin AS (SELECT * FROM del UNION ALL SELECT * FROM late)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(q) AS DOUBLE) AS qty,
+        |       CAST(COUNT(note) AS BIGINT) AS n_note,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS v0_rows,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM del) AS v2_rows
+        |FROM fin GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-ddl").toString
+      val cat = QueryDef.freshCatalog(s, "graft_ddl", wh)
+      t(s, dir, "lineitem").createOrReplaceTempView("c37p_src")
+      s.sql(s"CREATE TABLE $cat.li (l_orderkey BIGINT, " +
+        "l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING) " +
+        "TBLPROPERTIES ('format'='manifest')")
+      s.sql(s"INSERT INTO $cat.li SELECT l_orderkey, l_linenumber, " +
+        "l_quantity, l_returnflag FROM c37p_src")                  // v0
+      s.sql(s"UPDATE $cat.li SET l_quantity = l_quantity + 100 " +
+        "WHERE l_returnflag = 'R'")                                // v1
+      s.sql(s"DELETE FROM $cat.li WHERE l_orderkey % 7 = 0")       // v2
+      s.sql(s"ALTER TABLE $cat.li ADD COLUMN note STRING")         // v3
+      s.sql(s"INSERT INTO $cat.li SELECT l_orderkey + 10000000, " +
+        "l_linenumber, l_quantity, l_returnflag, 'late' " +
+        "FROM c37p_src WHERE l_orderkey % 100 = 0")                // v4
+      val v0 = s.sql(s"SELECT count(*) FROM $cat.li VERSION AS OF 0")
+        .head().getLong(0)
+      val v2 = s.sql(s"SELECT count(*) FROM $cat.li VERSION AS OF 2")
+        .head().getLong(0)
+      // pre-evolution history keeps its era's shape
+      require(!s.sql(s"SELECT * FROM $cat.li VERSION AS OF 2")
+        .columns.contains("note"), "v2 must not show the evolved column")
+      s.sql(s"SELECT l_returnflag, count(*) AS n, " +
+          s"CAST(sum(l_quantity) AS DOUBLE) AS qty, " +
+          s"count(note) AS n_note FROM $cat.li GROUP BY l_returnflag")
+        .withColumn("v0_rows", lit(v0)).withColumn("v2_rows", lit(v2))
+        .orderBy("l_returnflag")
+    },
+
+    // C37q: PARTITIONED BY on the manifest format — identity
+    // partition columns become stats-clustered write columns (every
+    // write shuffles rows by them so each file covers one or few
+    // values; the per-file min/max stats then prune partition
+    // predicates to a strict file subset — Hive pruning as data
+    // skipping, no directory-per-value tree). The oracle checks the
+    // partition-predicate query's exact result; the strict file
+    // subset and the non-manifest/non-identity refusals are pinned in
+    // GraftCatalogSpec.
+    "c37q_partitioned_by" -> QueryDef(
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(l_quantity) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-part").toString
+      val cat = QueryDef.freshCatalog(s, "graft_part", wh)
+      t(s, dir, "lineitem").createOrReplaceTempView("c37q_src")
+      s.sql(s"CREATE TABLE $cat.li (l_orderkey BIGINT, " +
+        "l_quantity DOUBLE, l_returnflag STRING) " +
+        "PARTITIONED BY (l_returnflag) " +
+        "TBLPROPERTIES ('format'='manifest')")
+      s.sql(s"INSERT INTO $cat.li SELECT l_orderkey, l_quantity, " +
+        "l_returnflag FROM c37q_src")
+      s.sql(s"SELECT l_returnflag, count(*) AS n, " +
+        s"CAST(sum(l_quantity) AS DOUBLE) AS qty FROM $cat.li " +
+        "WHERE l_returnflag = 'R' GROUP BY l_returnflag " +
+        "ORDER BY l_returnflag")
+    },
+
     // B12b: path-based `format("graft")` — the catalog-free handle to
     // a manifest table (Delta's format("delta") next to its catalog):
     // the write goes through the V1 relation seam (mode=append = A18

@@ -121,6 +121,91 @@ class ManifestTableFormat(
 
   private val maxCommitRetries = 20
 
+  // ---- table identity: base schema + partition columns --------------
+  //
+  // A catalog-created table may carry an ARBITRARY creation-time (DDL)
+  // schema instead of the chunk shape: the `_base.schema.json` sidecar
+  // under `_log/` (written once at CREATE TABLE, never rewritten)
+  // overrides the constructor's schema as the evolution floor. The
+  // document_url fast lanes (per-file url bloom + lo/hi, keyed
+  // upsert/delete, point reads) exist exactly when the base schema
+  // carries a STRING `document_url` column; without one those entry
+  // points refuse loudly and everything else — INSERT, UPDATE, DELETE,
+  // MERGE INTO, time travel, CDF, constraints, compaction — works
+  // unchanged (they are schema-generic copy-on-write commits).
+
+  private def baseSchemaPath = new Path(logDir, "_base.schema.json")
+  private def partitionColsPath = new Path(logDir, "_partition.cols")
+
+  /** The evolution floor: the persisted DDL schema when this table was
+    * created with one, else the constructor schema (the chunk shape).
+    */
+  private lazy val baseSchema: StructType =
+    if (fs.exists(baseSchemaPath))
+      org.apache.spark.sql.types.DataType
+        .fromJson(readText(baseSchemaPath)) match {
+        case s: StructType => s
+        case other => throw new IllegalStateException(
+          s"base schema sidecar $baseSchemaPath holds a " +
+            s"${other.typeName}, not a struct — corrupt or foreign file")
+      }
+    else schema
+
+  /** True when the url-keyed fast lanes apply: the base schema has a
+    * STRING `document_url` column (the chunk shape always does).
+    */
+  def hasUrlKey: Boolean = baseSchema.fields.exists(f =>
+    f.name.equalsIgnoreCase("document_url") &&
+      f.dataType == org.apache.spark.sql.types.StringType)
+
+  /** Declared partition columns (identity transforms from
+    * `PARTITIONED BY`): every write clusters its rows by these before
+    * the file write, so each data file covers one (or few) partition
+    * values and the per-file min/max stats prune partition predicates
+    * to a strict file subset — Hive partition pruning re-expressed as
+    * data skipping, without a directory-per-value metastore bomb.
+    */
+  lazy val partitionColumns: Seq[String] =
+    if (fs.exists(partitionColsPath))
+      readText(partitionColsPath).linesIterator
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+
+  /** One-time table initialization for catalog CREATE TABLE: persist
+    * the DDL schema (when it differs from the chunk shape) and the
+    * identity partition columns. Refuses on an already-initialized
+    * table — the base schema is immutable by definition (evolution
+    * goes through ADD/DROP COLUMN sidecars).
+    */
+  def initializeTable(
+      ddlSchema: Option[StructType],
+      partCols: Seq[String]): Unit = {
+    fs.mkdirs(logDir)
+    ddlSchema.foreach { s =>
+      require(!fs.exists(baseSchemaPath),
+        s"table at $path already has a base schema — CREATE TABLE " +
+          "ran twice, or the directory is being reused")
+      val out = fs.create(baseSchemaPath, false)
+      try out.write(s.json.getBytes("UTF-8")) finally out.close()
+    }
+    if (partCols.nonEmpty) {
+      val known = ddlSchema.getOrElse(schema).fieldNames
+      partCols.foreach(c => require(
+        known.exists(_.equalsIgnoreCase(c)),
+        s"PARTITIONED BY column '$c' is not in the table schema " +
+          s"(${known.mkString(", ")})"))
+      val out = fs.create(partitionColsPath, false)
+      try out.write(partCols.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private def requireUrlKey(what: String): Unit =
+    if (!hasUrlKey) throw new UnsupportedOperationException(
+      s"table at $path has no STRING document_url column — $what needs " +
+        "the url key. Use SQL UPDATE/DELETE/MERGE INTO with explicit " +
+        "predicates instead.")
+
   // ---- log entries -------------------------------------------------
 
   /** Per-column skipping stats an add-action may carry (the
@@ -462,13 +547,13 @@ class ManifestTableFormat(
   /** Effective schema at `asOf` (−1/any pre-first-commit = base). */
   def schemaAtVersion(asOf: Long): StructType = {
     val vs = schemaVersions(fs).filter(_ <= asOf)
-    if (vs.isEmpty) schema else parseSchemaFile(vs.max)
+    if (vs.isEmpty) baseSchema else parseSchemaFile(vs.max)
   }
 
   /** The current effective schema (base + committed ADD COLUMNs). */
   def currentSchema: StructType = {
     val vs = schemaVersions(fs)
-    if (vs.isEmpty) schema else parseSchemaFile(vs.max)
+    if (vs.isEmpty) baseSchema else parseSchemaFile(vs.max)
   }
 
   /** ADD COLUMN: nullable, top-level, default-null read of old files.
@@ -521,9 +606,9 @@ class ManifestTableFormat(
     * solve. Time travel keeps each era's shape ([[schemaAtVersion]]).
     */
   def dropColumn(name: String): Unit = {
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+    require(!baseSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"ALTER TABLE at $path: cannot drop base column '$name' — the " +
-        "store's readers depend on the base chunk schema")
+        "table's readers depend on its creation-time base schema")
     var attempt = 0
     var done = false
     while (!done) {
@@ -684,7 +769,7 @@ class ManifestTableFormat(
     val have = df.columns.map(_.toLowerCase).toSet
     df.select(s.fields.toIndexedSeq.map { f =>
       if (have.contains(f.name.toLowerCase)) col(f.name)
-      else if (schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      else if (baseSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
         col(f.name) // base column missing: fail loudly downstream
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
@@ -742,7 +827,7 @@ class ManifestTableFormat(
   private[sink] def snapshot(): Snapshot = {
     val f = fs
     if (!f.exists(logDir))
-      return Snapshot(-1L, None, Map.empty, Set.empty, schema)
+      return Snapshot(-1L, None, Map.empty, Set.empty, baseSchema)
     val (entries, jsonCkpts, pqCkpts, schemaVers) = census(f)
     val jc = if (jsonCkpts.isEmpty) -1L else jsonCkpts.max
     val pc = if (pqCkpts.isEmpty) -1L else pqCkpts.max
@@ -781,7 +866,7 @@ class ManifestTableFormat(
       if (parquetBase) Some(ckptParquetPath(pc)) else None,
       base,
       if (parquetBase) removed else Set.empty,
-      if (sv.isEmpty) schema else parseSchemaFile(sv.max),
+      if (sv.isEmpty) baseSchema else parseSchemaFile(sv.max),
       txns)
   }
 
@@ -976,15 +1061,21 @@ class ManifestTableFormat(
     */
   private def statColumns(s: StructType): Seq[StructField] = {
     import org.apache.spark.sql.types._
-    s.fields.toIndexedSeq.filter { f =>
-      !f.name.equalsIgnoreCase("document_url") && (f.dataType match {
-        case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
-             _: FloatType | _: DoubleType | _: DecimalType |
-             _: BooleanType | _: DateType | _: TimestampType |
-             _: StringType => true
-        case _ => false
-      })
-    }.take(ManifestTableFormat.maxStatsColumns)
+    val eligible = s.fields.toIndexedSeq.filter { f =>
+      !(hasUrlKey && f.name.equalsIgnoreCase("document_url")) &&
+        (f.dataType match {
+          case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+               _: FloatType | _: DoubleType | _: DecimalType |
+               _: BooleanType | _: DateType | _: TimestampType |
+               _: StringType => true
+          case _ => false
+        })
+    }
+    // declared partition columns FIRST: their stats are the pruning
+    // contract and must survive the column cap on any schema width
+    val (parts, rest) = eligible.partition(f =>
+      partitionColumns.exists(_.equalsIgnoreCase(f.name)))
+    (parts ++ rest).take(ManifestTableFormat.maxStatsColumns)
   }
 
   /** The column as its stats ENCODING: min/max aggregate over this
@@ -1048,8 +1139,24 @@ class ManifestTableFormat(
   private def writeData(rows: DataFrame, s: StructType): Seq[Action] = {
     val batchDir = new Path(dataDir,
       s"batch-${java.util.UUID.randomUUID()}")
-    rows.select(s.fieldNames.map(col).toIndexedSeq: _*)
-      .write.parquet(batchDir.toString)
+    val projected = rows.select(s.fieldNames.map(col).toIndexedSeq: _*)
+    // declared partition columns cluster every write: RANGE
+    // partitioning keeps each task on a contiguous value range (hash
+    // would collide distinct values into one task), so each file's
+    // min/max stats carry tight partition bounds and partition
+    // predicates prune to a strict file subset. The partition count
+    // is EXPLICIT — an implicit one lets AQE coalesce a small batch
+    // into one value-spanning file and the pruning guarantee
+    // evaporates; file sizing is the write batch's and compaction's
+    // job, value-contiguity is this one's.
+    val clusterCols = partitionColumns.filter(pc =>
+      s.fieldNames.exists(_.equalsIgnoreCase(pc)))
+    val clustered =
+      if (clusterCols.isEmpty) projected
+      else projected.repartitionByRange(
+        math.max(1, spark.sessionState.conf.numShufflePartitions),
+        clusterCols.map(col): _*)
+    clustered.write.parquet(batchDir.toString)
     val written = spark.read.schema(s).parquet(batchDir.toString)
     if (written.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
     // CHECK enforcement at the single choke point: the just-written
@@ -1074,13 +1181,21 @@ class ManifestTableFormat(
           max(statEncode(f)).as(s"__hi$i"),
           sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn$i"))
       }
+    // url bloom + lo/hi only when the table HAS the url key; key-less
+    // tables carry an all-zero bloom and empty bounds, which nothing
+    // ever probes (every url-keyed entry point refuses up front)
+    val urlAggs =
+      if (hasUrlKey)
+        Seq(agg(xxhash64(col("document_url"))).as("bits"),
+          min("document_url").as("lo"), max("document_url").as("hi"))
+      else Seq.empty
+    val allAggs = urlAggs ++ extraAggs
+    val emptyBits = Seq.fill(bloomBits / 64)(0L)
     written
       .select(input_file_name().as("f") +:
         s.fieldNames.map(col).toIndexedSeq: _*)
       .groupBy("f")
-      .agg(agg(xxhash64(col("document_url"))).as("bits"),
-        (Seq(min("document_url").as("lo"), max("document_url").as("hi")) ++
-          extraAggs): _*)
+      .agg(allAggs.head, allAggs.tail: _*)
       .collect()
       .map { r =>
         val rowCount = r.getLong(r.fieldIndex("__rows"))
@@ -1096,9 +1211,11 @@ class ManifestTableFormat(
         }
         val file = r.getString(0)
         Action(add = true, file, Some(FileStats(
-          r.getSeq[Long](r.fieldIndex("bits")),
-          Option(r.getString(r.fieldIndex("lo"))).getOrElse(""),
-          Option(r.getString(r.fieldIndex("hi"))).getOrElse(""),
+          if (hasUrlKey) r.getSeq[Long](r.fieldIndex("bits")) else emptyBits,
+          if (hasUrlKey)
+            Option(r.getString(r.fieldIndex("lo"))).getOrElse("") else "",
+          if (hasUrlKey)
+            Option(r.getString(r.fieldIndex("hi"))).getOrElse("") else "",
           bloomBits, bloomHashes, Some(rowCount), cols,
           Some(fs.getFileStatus(new Path(file)).getLen))))
       }
@@ -1198,6 +1315,7 @@ class ManifestTableFormat(
   // ---- TableFormat -------------------------------------------------
 
   override def merge(rows: DataFrame): Unit = {
+    requireUrlKey("keyed upsert (merge by document_url)")
     // conform up-front (prunes pipeline working columns before the
     // persist; null-fills evolved columns the caller doesn't carry),
     // re-conform per attempt in case an ALTER lands mid-retry
@@ -1230,6 +1348,7 @@ class ManifestTableFormat(
     * probe), and the hint is that contract's documented memory bound.
     */
   override def delete(urls: DataFrame): Unit = {
+    requireUrlKey("document-keyed delete")
     val probe = urls.select(col("document_url").cast("string")
       .as("document_url")).distinct().persist()
     try {
@@ -1812,6 +1931,7 @@ class ManifestTableFormat(
     * scan-and-filter.
     */
   override def readDocuments(urls: Seq[String]): Option[DataFrame] = {
+    requireUrlKey("document point read")
     import spark.implicits._
     val probe = urls.distinct.toDF("document_url")
     val snap = snapshot()

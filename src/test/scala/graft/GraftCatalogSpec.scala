@@ -377,6 +377,122 @@ class GraftCatalogSpec extends SparkSpec
       .collect().map(_.getString(0)).toSeq == Seq("y"))
   }
 
+  private def plannedFiles(q: DataFrame): Int = {
+    q.collect()
+    val scans = collectWithSubqueries(q.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b
+    }
+    scans.head.scan
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+      .fileIndex.inputFiles.length
+  }
+
+  test("arbitrary-schema CREATE TABLE: key-less manifest table works " +
+      "through generic DML; url-keyed fast lanes refuse loudly") {
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.kv (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('format'='manifest')")
+    spark.sql(s"INSERT INTO $cat.kv VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"UPDATE $cat.kv SET v = 'B' WHERE k = 2")
+    spark.sql(s"DELETE FROM $cat.kv WHERE k = 3")
+    assert(spark.sql(s"SELECT k, v FROM $cat.kv ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "B")))
+    // SQL MERGE with an explicit ON works without a url key
+    import spark.implicits._
+    Seq((2L, "merged"), (4L, "new")).toDF("k", "v")
+      .createOrReplaceTempView("kv_src")
+    spark.sql(s"MERGE INTO $cat.kv t USING kv_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)")
+    assert(spark.sql(s"SELECT v FROM $cat.kv ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "merged", "new"))
+    // time travel holds from birth
+    assert(spark.sql(s"SELECT * FROM $cat.kv VERSION AS OF 0").count() == 3)
+    // the url-keyed fast lanes refuse with the reason
+    val store = new ChunkStore(spark, s"$wh/kv",
+      format = ManifestTableFormat.factory)
+    val e1 = intercept[UnsupportedOperationException] {
+      store.upsert(Seq((9L, "x")).toDF("k", "v"))
+    }
+    assert(e1.getMessage.contains("document_url"))
+    val e2 = intercept[UnsupportedOperationException] {
+      store.delete(Seq("doc://nope"))
+    }
+    assert(e2.getMessage.contains("document_url"))
+    // base (creation-time) columns refuse to drop; evolved ones drop
+    spark.sql(s"ALTER TABLE $cat.kv ADD COLUMN extra INT")
+    val e3 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.kv DROP COLUMN v")
+    }
+    assert(e3.getMessage.contains("base"))
+    spark.sql(s"ALTER TABLE $cat.kv DROP COLUMN extra")
+    assert(!spark.table(s"$cat.kv").columns.contains("extra"))
+  }
+
+  test("CTAS with an arbitrary schema lands as a manifest table when " +
+      "the properties say so") {
+    val (cat, _) = freshCatalog()
+    import spark.implicits._
+    Seq((1L, 2.5, "x"), (2L, 3.5, "y")).toDF("id", "score", "tag")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE $cat.scored " +
+      "TBLPROPERTIES ('format'='manifest') AS SELECT * FROM ctas_src")
+    assert(spark.sql(s"SELECT * FROM $cat.scored").count() == 2)
+    assert(spark.table(s"$cat.scored").columns.toSeq ==
+      Seq("id", "score", "tag"))
+    // the CTAS fill was log-committed: history exists from birth
+    assert(spark.sql(s"SELECT * FROM $cat.scored VERSION AS OF 0")
+      .count() == 2)
+  }
+
+  test("PARTITIONED BY: identity columns cluster writes and prune " +
+      "partition predicates to a strict file subset") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ev (id BIGINT, kind STRING, x DOUBLE) " +
+      "PARTITIONED BY (kind) TBLPROPERTIES ('format'='manifest')")
+    import spark.implicits._
+    (0 until 300).map(i =>
+        (i.toLong, Seq("click", "view", "buy")(i % 3), i * 0.5))
+      .toDF("id", "kind", "x").createOrReplaceTempView("ev_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM ev_src")
+    val all = plannedFiles(spark.sql(s"SELECT * FROM $cat.ev"))
+    assert(all >= 3, s"clustered write should emit >= 3 files, got $all")
+    val q = spark.sql(s"SELECT id FROM $cat.ev WHERE kind = 'buy'")
+    assert(q.collect().length == 100)
+    val pruned = plannedFiles(q)
+    assert(pruned < all,
+      s"partition predicate must plan a strict file subset " +
+        s"($pruned of $all)")
+    // each clustered file covers exactly one kind here, so the subset
+    // is minimal as well as strict
+    assert(pruned == all / 3 || pruned == 1,
+      s"expected ~1-in-3 files, got $pruned of $all")
+  }
+
+  test("PARTITIONED BY refuses loudly off the manifest format and on " +
+      "non-identity transforms") {
+    val (cat, _) = freshCatalog()
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE TABLE $cat.p1 (chunk_id INT, " +
+        "chunk_text STRING, embedding ARRAY<FLOAT>, page_number INT, " +
+        "document_url STRING) PARTITIONED BY (document_url)")
+    }
+    assert(e1.getMessage.contains("manifest"))
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"CREATE TABLE $cat.p2 (id BIGINT, kind STRING) " +
+        "PARTITIONED BY (bucket(8, kind)) " +
+        "TBLPROPERTIES ('format'='manifest')")
+    }
+    assert(e2.getMessage.contains("identity"))
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.p3 (id BIGINT, kind STRING) " +
+        "PARTITIONED BY (missing) TBLPROPERTIES ('format'='manifest')")
+    }
+    assert(e3.getMessage.toLowerCase.contains("missing"))
+  }
+
   test("DDL basics: SHOW TABLES, CREATE TABLE, DROP TABLE") {
     val (cat, wh) = freshCatalog()
     new ChunkStore(spark, s"$wh/chunks",

@@ -323,4 +323,142 @@ class Round8DmlFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("key-less DDL-schema fuzz: generic DML sequences on an " +
+      "arbitrary-schema manifest table agree with the model") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // the persisted-base-schema path: the table is initialized with a
+    // (k, v, x) schema and every MTF instance is constructed with the
+    // CHUNK schema — the sidecar must override it
+    val ddl = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("x", IntegerType)))
+    for (seed <- Seq(7373, 5151)) {
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-ddlfuzz$seed").toString + "/t"
+      val store = new ChunkStore(spark, dir,
+        format = ManifestTableFormat.factory)
+      new ManifestTableFormat(spark, dir, store.schema)
+        .initializeTable(Some(ddl), Seq.empty)
+      def mtf = new ManifestTableFormat(spark, dir, store.schema)
+      assert(mtf.currentSchema.fieldNames.toSeq == Seq("k", "v", "x"))
+
+      type Rec = Map[String, Any]
+      val model = mutable.LinkedHashMap.empty[Long, Rec]
+      var evolved = Vector.empty[String]
+      def allCols = Seq("k", "v", "x") ++ evolved
+      def df(recs: Seq[Rec]): DataFrame = {
+        val s = StructType(
+          Seq(StructField("k", LongType), StructField("v", StringType),
+            StructField("x", IntegerType)) ++
+            evolved.map(StructField(_, StringType)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            recs.map(r => Row.fromSeq(
+              s.fieldNames.toSeq.map(n => r.get(n).orNull))), 2), s)
+      }
+      var kSeq = 0L
+      def fresh(): Rec = {
+        kSeq += 1
+        Map("k" -> kSeq, "v" -> s"v${rnd.nextInt(4)}-${rnd.nextInt(99)}",
+          "x" -> rnd.nextInt(10)) ++ evolved.map(_ -> null)
+      }
+      case class P(sql: Column, m: Rec => Boolean)
+      def pred(): P = rnd.nextInt(3) match {
+        case 0 =>
+          val t = rnd.nextInt(3)
+          P(col("k") % 3 === t, r => r("k").asInstanceOf[Long] % 3 == t)
+        case 1 =>
+          val t = rnd.nextInt(10)
+          P(col("x") <= t, r => r("x").asInstanceOf[Int] <= t)
+        case _ =>
+          val p = s"v${rnd.nextInt(4)}"
+          P(col("v").startsWith(p),
+            r => r("v").asInstanceOf[String].startsWith(p))
+      }
+      val history = mutable.ArrayBuffer.empty[(Long, Map[Long, Rec])]
+
+      (1 to 22).foreach { _ =>
+        rnd.nextInt(10) match {
+          case 0 | 1 => // append
+            val recs = Seq.fill(1 + rnd.nextInt(3))(fresh())
+            mtf.append(df(recs))
+            recs.foreach(r => model(r("k").asInstanceOf[Long]) = r)
+          case 2 | 3 => // row-level UPDATE
+            val p = pred()
+            val tag = s"+u${rnd.nextInt(100)}"
+            mtf.update(Some(p.sql),
+              Seq("v" -> concat(col("v"), lit(tag)),
+                "x" -> (col("x") + 1)))
+            model.mapValuesInPlace { (_, r) =>
+              if (p.m(r))
+                r + ("v" -> (r("v").asInstanceOf[String] + tag)) +
+                  ("x" -> (r("x").asInstanceOf[Int] + 1))
+              else r
+            }
+          case 4 => // row-level DELETE
+            val p = pred()
+            mtf.deleteWhere(p.sql)
+            model.filterInPlace((_, r) => !p.m(r))
+          case 5 => // MERGE on the surrogate key
+            val matched = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            val inserts = Seq.fill(rnd.nextInt(2))(fresh())
+            val src = matched.map(k =>
+              fresh() + ("k" -> k)) ++ inserts
+            if (src.nonEmpty) {
+              mtf.mergeInto(df(src),
+                col("__graft_t.k") === col("__graft_s.k"),
+                matched = Seq(GraftMergeUpdate(None,
+                  Seq("v" -> col("__graft_s.v")))),
+                notMatched = Seq(GraftMergeInsert(None,
+                  allCols.map(c => c -> col(s"__graft_s.$c")))),
+                notMatchedBySource = Seq.empty,
+                urlProbe = None)
+              val byK = src.map(r => r("k").asInstanceOf[Long] -> r).toMap
+              model.mapValuesInPlace { (k, r) =>
+                byK.get(k).fold(r)(s => r + ("v" -> s("v")))
+              }
+              inserts.foreach(r => model(r("k").asInstanceOf[Long]) = r)
+            }
+          case 6 => // ADD COLUMN (bounded)
+            if (evolved.size < 2) {
+              val c = s"e${evolved.size}"
+              mtf.addColumn(c, StringType)
+              evolved :+= c
+              model.mapValuesInPlace((_, r) => r + (c -> null))
+            }
+          case 7 => // TRUNCATE / RESTORE
+            if (rnd.nextBoolean() || history.isEmpty) {
+              mtf.truncate(); model.clear()
+            } else {
+              val (v, snap) = history(rnd.nextInt(history.size))
+              if (v >= 0) {
+                val before = model.toMap
+                try {
+                  mtf.restore(v)
+                  model.clear(); model ++= snap
+                } catch {
+                  case _: IllegalArgumentException =>
+                    assert(model.toMap == before)
+                }
+              }
+            }
+          case 8 => mtf.checkpoint()
+          case _ => mtf.vacuum()
+        }
+        history += ((mtf.version, model.toMap))
+      }
+
+      def canon(rows: Seq[Rec]): Seq[Seq[String]] =
+        rows.map(r => allCols.map(c =>
+          r.get(c).flatMap(Option(_)).fold("NULL")(_.toString)))
+          .sortBy(_.mkString("|"))
+      val got = mtf.read().get.collect().toIndexedSeq.map(r =>
+        allCols.map(c => c -> r.get(r.fieldIndex(c))).toMap)
+      assert(canon(got) == canon(model.values.toSeq),
+        s"seed $seed key-less final state diverged")
+    }
+  }
 }
