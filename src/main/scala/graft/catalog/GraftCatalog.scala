@@ -296,14 +296,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** Schema evolution: `ALTER TABLE … ADD COLUMN` on manifest-format
-    * tables — nullable, top-level, appended at the end; old data
-    * files read the new column as NULL (no rewrite; the schema change
-    * is one sidecar + one empty commit in the log). Everything else —
-    * drops, renames, type changes, NOT NULL, nested/positioned adds,
-    * non-manifest layouts — refuses loudly: the store's readers
-    * depend on the base chunk columns, and a 100 TB table must never
-    * be silently committed to a full rewrite by a DDL statement.
+  /** Schema evolution on manifest-format tables — all metadata-only,
+    * never a data rewrite: `ADD COLUMN` (nullable, top-level,
+    * appended; old files read NULL), `DROP COLUMN` (evolved columns
+    * only), and `RENAME COLUMN` (v5 column mapping: the stable
+    * physical name keeps data files and per-file stats valid; a
+    * dropped name can be re-added because the re-add allocates a
+    * fresh physical name). Everything else — type changes, NOT NULL,
+    * nested/positioned adds, non-manifest layouts — refuses loudly: a
+    * 100 TB table must never be silently committed to a full rewrite
+    * by a DDL statement.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -336,14 +338,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new UnsupportedOperationException(
             s"$catalogName.${ident.name()}: only top-level DROP COLUMN " +
               s"is supported, got ${del.fieldNames().mkString(".")}")
-        // metadata-only; evolved columns only, never re-addable — the
-        // format enforces both (base columns refuse, resurrection
-        // guard on later ADDs)
+        // metadata-only; evolved columns only (base columns refuse by
+        // physical identity); re-adding a dropped name is safe — the
+        // format allocates a fresh physical name (v5 column mapping)
         mtf.dropColumn(del.fieldNames()(0))
+      case ren: TableChange.RenameColumn =>
+        if (ren.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName.${ident.name()}: only top-level RENAME " +
+              s"COLUMN is supported, got ${ren.fieldNames().mkString(".")}")
+        // one metadata commit: the stable physical name keeps data
+        // files and their stats valid; only the logical name moves
+        mtf.renameColumn(ren.fieldNames()(0), ren.newName())
       case other => throw new UnsupportedOperationException(
         s"$catalogName.${ident.name()}: unsupported ALTER $other — " +
-          "only ADD/DROP COLUMN (nullable, top-level) evolves a graft " +
-          "table")
+          "only ADD/DROP/RENAME COLUMN (nullable, top-level) evolves " +
+          "a graft table")
     }
     loadTable(ident)
   }

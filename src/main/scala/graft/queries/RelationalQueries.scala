@@ -1332,6 +1332,41 @@ object RelationalQueries {
         "ORDER BY l_returnflag")
     },
 
+    // C37o: RENAME COLUMN via column mapping (protocol v5) — the
+    // rename is ONE metadata commit (stable physical names keep the
+    // data files and their per-file stats valid), the table works
+    // under the new name across UPDATE + SELECT, and time travel
+    // shows each era under its own name. The oracle replays the
+    // whole sequence relationally; v0 is read under the OLD name and
+    // joined in, so a rename that touched data, lost history, or
+    // leaked the wrong era's name breaks the hash. Stats-pruning
+    // survival across the rename is pinned in GraftCatalogSpec.
+    "c37o_rename_column" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       CAST(CASE WHEN doc_id % 10 = 3 THEN doc_id % 10 + 100
+        |                 ELSE doc_id % 10 END AS INTEGER) AS page,
+        |       CAST(doc_id % 10 AS INTEGER) AS old_page
+        |FROM documents ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-ren").toString
+      val store = new graft.sink.ChunkStore(s, s"$wh/chunks",
+        format = graft.sink.ManifestTableFormat.factory)
+      store.upsert(t(s, dir, "documents").select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        (col("doc_id") % 10).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url"))) // v0
+      val cat = QueryDef.freshCatalog(s, "graft_ren", wh)
+      s.sql(s"ALTER TABLE $cat.chunks RENAME COLUMN page_number TO page")
+      s.sql(s"UPDATE $cat.chunks SET page = page + 100 WHERE page = 3")
+      val cur = s.sql(s"SELECT document_url, page FROM $cat.chunks")
+      require(!cur.columns.contains("page_number"),
+        "head must present the new name only")
+      val v0 = s.sql(s"SELECT document_url, page_number AS old_page " +
+        s"FROM $cat.chunks VERSION AS OF 0")
+      cur.join(v0, Seq("document_url")).orderBy("document_url")
+    },
+
     // B12b: path-based `format("graft")` — the catalog-free handle to
     // a manifest table (Delta's format("delta") next to its catalog):
     // the write goes through the V1 relation seam (mode=append = A18

@@ -96,10 +96,23 @@ import graft.ops.Layout
   *    LOGS stay v2-readable; v3 CHECKPOINTS are not).
   *  - v4: streaming transaction actions (`"a":"txn"`) + the
   *    checkpoint txns sidecar.
+  *  - v5: COLUMN MAPPING — schema-sidecar fields may carry a
+  *    `graft.physical` metadata entry naming the column's stable
+  *    on-disk name; data files and per-file column stats always use
+  *    physical names (identical to logical until the first RENAME or
+  *    re-ADD, so pre-v5 tables are byte-identical). RENAME COLUMN is
+  *    one metadata commit; re-adding a dropped name allocates a fresh
+  *    physical name so stale bytes never resurrect. CAVEAT: this is
+  *    the first sidecar change an older binary cannot DETECT — a
+  *    pre-v5 reader on a renamed table silently reads the renamed
+  *    column as NULL (it reads by logical name). Do not point pre-v5
+  *    engine builds at renamed tables — same operational contract as
+  *    raising a Delta table's reader version with column mapping.
   *  - Versioned SIDECARS (never vacuumed; bounded by ALTER count):
-  *    `<v>.schema.json` (ADD/DROP COLUMN eras), `<v>.constraints.json`
-  *    (the named CHECK set), `<v>.txns.json` (checkpoint-subsumed
-  *    stream markers).
+  *    `<v>.schema.json` (ADD/DROP/RENAME COLUMN eras),
+  *    `<v>.constraints.json` (the named CHECK set), `<v>.txns.json`
+  *    (checkpoint-subsumed stream markers), `_base.schema.json` +
+  *    `_partition.cols` (creation-time identity).
   *
   * Use with the per-document-free layout only (`buckets = None` and
   * this format — the log supersedes hive partitioning):
@@ -558,11 +571,17 @@ class ManifestTableFormat(
 
   /** ADD COLUMN: nullable, top-level, default-null read of old files.
     * Incompatible evolution (duplicate name, dropping the nullable
-    * guarantee) refuses loudly; drops/renames/type-changes are not
-    * supported at all — the store's readers depend on the base
-    * columns. Linearized: the new schema's version is claimed with an
-    * empty log entry, so concurrent ALTERs serialize and a lost race
-    * re-validates against the winner's schema.
+    * guarantee) refuses loudly. Linearized: the new schema's version
+    * is claimed with an empty log entry, so concurrent ALTERs
+    * serialize and a lost race re-validates against the winner's
+    * schema.
+    *
+    * Column mapping (v5) makes RE-ADDING a previously dropped name
+    * safe: the new column gets a FRESH physical name whenever the
+    * logical name was ever used physically, so files written while
+    * the old column lived cannot resurrect their stale values into
+    * the new one — they simply lack the new physical column and read
+    * NULL (the hazard the pre-v5 resurrection guard refused on).
     */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType)
       : Unit = {
@@ -577,12 +596,20 @@ class ManifestTableFormat(
           .exists(_.equalsIgnoreCase(name)),
         s"ALTER TABLE at $path: column '$name' already exists " +
           s"(schema: ${snap.tableSchema.fieldNames.mkString(", ")})")
-      require(!everNamed(fs).contains(name.toLowerCase),
-        s"ALTER TABLE at $path: column '$name' was previously DROPPED " +
-          "— re-adding it would resurrect stale values from files " +
-          "written while it lived; use a fresh name")
+      val used = everPhysical(fs)
+      val phys =
+        if (!used.contains(name.toLowerCase)) name
+        else {
+          var i = snap.version + 1
+          while (used.contains(s"${name.toLowerCase}__v$i")) i += 1
+          s"${name}__v$i"
+        }
+      val meta =
+        if (phys == name) org.apache.spark.sql.types.Metadata.empty
+        else new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(ManifestTableFormat.physicalKey, phys).build()
       val next = StructType(snap.tableSchema.fields :+
-        StructField(name, dataType, nullable = true))
+        StructField(name, dataType, nullable = true, metadata = meta))
       if (tryCommit(snap, Seq.empty)) {
         val out = fs.create(schemaFilePath(snap.version + 1), false)
         try out.write(next.json.getBytes("UTF-8")) finally out.close()
@@ -593,22 +620,77 @@ class ManifestTableFormat(
     }
   }
 
+  /** RENAME COLUMN — one metadata commit (protocol v5 column
+    * mapping): the field keeps its stable PHYSICAL name (data files
+    * and per-file stats are untouched and stay valid) and only the
+    * logical name changes in the new schema sidecar. Time travel
+    * keeps each era's name ([[schemaAtVersion]]). `document_url` is
+    * the url-key contract on tables that have it — renaming it (or
+    * renaming anything TO it) refuses, as do collisions with any
+    * current logical name.
+    */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    require(!oldName.equalsIgnoreCase(newName),
+      s"RENAME at $path: '$oldName' to itself is a no-op")
+    if (hasUrlKey) {
+      require(!oldName.equalsIgnoreCase("document_url"),
+        s"RENAME at $path: document_url is the table's key column " +
+          "(bloom stats, keyed upsert/delete, point reads key on it)")
+      require(!newName.equalsIgnoreCase("document_url"),
+        s"RENAME at $path: 'document_url' is reserved as the key " +
+          "column name")
+    }
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"RENAME at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      val field = snap.tableSchema.fields
+        .find(_.name.equalsIgnoreCase(oldName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"RENAME at $path: no column '$oldName' " +
+            s"(schema: ${snap.tableSchema.fieldNames.mkString(", ")})"))
+      require(!snap.tableSchema.fieldNames
+          .exists(_.equalsIgnoreCase(newName)),
+        s"RENAME at $path: column '$newName' already exists")
+      val phys = ManifestTableFormat.physicalName(field)
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(ManifestTableFormat.physicalKey, phys).build()
+      val next = StructType(snap.tableSchema.fields.map { f =>
+        if (f.name.equalsIgnoreCase(oldName))
+          StructField(newName, f.dataType, f.nullable, meta)
+        else f
+      })
+      if (tryCommit(snap, Seq.empty)) {
+        val out = fs.create(schemaFilePath(snap.version + 1), false)
+        try out.write(next.json.getBytes("UTF-8")) finally out.close()
+        done = true
+      }
+    }
+  }
+
   /** DROP COLUMN — metadata-only, EVOLVED columns only: a new schema
     * sidecar without the column claims the next version; data files
     * keep their bytes and the explicit read schema simply stops
     * projecting the column (the by-name parquet read ignores extras).
-    * Base columns refuse (the store's readers depend on them), and a
-    * dropped name can never be RE-ADDED: files written while the
-    * column lived still hold its values, so a re-add would silently
-    * resurrect stale data into the "new" column — [[addColumn]]
-    * checks the full sidecar history (bounded by ALTER count) and
-    * refuses, the same hazard Delta's column-mapping ids exist to
-    * solve. Time travel keeps each era's shape ([[schemaAtVersion]]).
+    * Base columns refuse (the table's readers depend on the
+    * creation-time schema — matched by PHYSICAL name, so a renamed
+    * base column still refuses). A dropped name CAN be re-added since
+    * v5 column mapping: the re-add allocates a fresh physical name,
+    * so stale values never resurrect ([[addColumn]]). Time travel
+    * keeps each era's shape ([[schemaAtVersion]]).
     */
   def dropColumn(name: String): Unit = {
-    require(!baseSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
-      s"ALTER TABLE at $path: cannot drop base column '$name' — the " +
-        "table's readers depend on its creation-time base schema")
+    val basePhys = baseSchema.fields
+      .map(f => ManifestTableFormat.physicalName(f).toLowerCase).toSet
+    currentSchema.fields.find(_.name.equalsIgnoreCase(name)).foreach { f =>
+      require(!basePhys.contains(
+          ManifestTableFormat.physicalName(f).toLowerCase),
+        s"ALTER TABLE at $path: cannot drop base column '$name' — the " +
+          "table's readers depend on its creation-time base schema")
+    }
     var attempt = 0
     var done = false
     while (!done) {
@@ -629,12 +711,16 @@ class ManifestTableFormat(
     }
   }
 
-  /** Every column name ANY schema sidecar ever carried — the
-    * resurrection guard's memory (see [[dropColumn]]).
+  /** Every PHYSICAL column name any schema era ever carried
+    * (sidecars + base) — [[addColumn]]'s fresh-physical-name
+    * allocator consults this so a re-added logical name can never
+    * collide with bytes an old file still holds.
     */
-  private def everNamed(f: org.apache.hadoop.fs.FileSystem): Set[String] =
-    schemaVersions(f).flatMap(v => parseSchemaFile(v).fieldNames)
-      .map(_.toLowerCase).toSet
+  private def everPhysical(f: org.apache.hadoop.fs.FileSystem)
+      : Set[String] =
+    (baseSchema.fields ++
+        schemaVersions(f).flatMap(v => parseSchemaFile(v).fields))
+      .map(fi => ManifestTableFormat.physicalName(fi).toLowerCase).toSet
 
   // ---- CHECK constraints -------------------------------------------
   //
@@ -767,9 +853,12 @@ class ManifestTableFormat(
     */
   private def conform(df: DataFrame, s: StructType): DataFrame = {
     val have = df.columns.map(_.toLowerCase).toSet
+    val basePhys = baseSchema.fields
+      .map(f => ManifestTableFormat.physicalName(f).toLowerCase).toSet
     df.select(s.fields.toIndexedSeq.map { f =>
       if (have.contains(f.name.toLowerCase)) col(f.name)
-      else if (baseSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      else if (basePhys.contains(
+          ManifestTableFormat.physicalName(f).toLowerCase))
         col(f.name) // base column missing: fail loudly downstream
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
@@ -971,11 +1060,19 @@ class ManifestTableFormat(
   /** Read `files` under the effective schema `s`: files written
     * before an ADD COLUMN lack the new columns and come back NULL
     * through the explicit read schema — old and new files mix in one
-    * scan with no rewrite.
+    * scan with no rewrite. Data files store PHYSICAL column names
+    * (v5 column mapping), so the read happens under the physical
+    * schema and projects back to the logical names; on a never-
+    * renamed table the two are identical and the projection is a
+    * no-op Catalyst collapses.
     */
-  private def readFiles(files: Seq[String], s: StructType): DataFrame =
-    if (files.isEmpty) emptyFrame(s)
-    else spark.read.schema(s).parquet(files: _*)
+  private def readFiles(files: Seq[String], s: StructType): DataFrame = {
+    if (files.isEmpty) return emptyFrame(s)
+    val phys = ManifestTableFormat.physicalSchema(s)
+    spark.read.schema(phys).parquet(files: _*)
+      .select(s.fields.toIndexedSeq.map(f =>
+        col(ManifestTableFormat.physicalName(f)).as(f.name)): _*)
+  }
 
   /** The snapshot's per-file stats as a DataFrame, shaped for
     * [[Layout.bloomTest]] — so affected-file selection runs as a Spark
@@ -1139,32 +1236,41 @@ class ManifestTableFormat(
   private def writeData(rows: DataFrame, s: StructType): Seq[Action] = {
     val batchDir = new Path(dataDir,
       s"batch-${java.util.UUID.randomUUID()}")
-    val projected = rows.select(s.fieldNames.map(col).toIndexedSeq: _*)
-    // declared partition columns cluster every write: RANGE
-    // partitioning keeps each task on a contiguous value range (hash
-    // would collide distinct values into one task), so each file's
-    // min/max stats carry tight partition bounds and partition
+    val sPhys = ManifestTableFormat.physicalSchema(s)
+    // data files store PHYSICAL names (v5 column mapping): renames are
+    // pure metadata, and per-file stats recorded under physical names
+    // stay valid across them
+    val projected = rows.select(s.fields.toIndexedSeq.map(f =>
+      col(f.name).as(ManifestTableFormat.physicalName(f))): _*)
+    // declared partition columns (physical names) cluster every write:
+    // RANGE partitioning keeps each task on a contiguous value range
+    // (hash would collide distinct values into one task), so each
+    // file's min/max stats carry tight partition bounds and partition
     // predicates prune to a strict file subset. The partition count
     // is EXPLICIT — an implicit one lets AQE coalesce a small batch
     // into one value-spanning file and the pruning guarantee
     // evaporates; file sizing is the write batch's and compaction's
     // job, value-contiguity is this one's.
     val clusterCols = partitionColumns.filter(pc =>
-      s.fieldNames.exists(_.equalsIgnoreCase(pc)))
+      sPhys.fieldNames.exists(_.equalsIgnoreCase(pc)))
     val clustered =
       if (clusterCols.isEmpty) projected
       else projected.repartitionByRange(
         math.max(1, spark.sessionState.conf.numShufflePartitions),
         clusterCols.map(col): _*)
     clustered.write.parquet(batchDir.toString)
-    val written = spark.read.schema(s).parquet(batchDir.toString)
+    val written = spark.read.schema(sPhys).parquet(batchDir.toString)
     if (written.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
     // CHECK enforcement at the single choke point: the just-written
     // files are still UNREFERENCED, so aborting here leaves no torn
     // state (the leftovers are vacuum fodder, same as a crashed
-    // writer) — one columnar re-scan of the batch, never of the table
+    // writer) — one columnar re-scan of the batch, never of the table.
+    // Constraints are written in LOGICAL names; evaluate over the
+    // logical projection of the batch.
     violationFilter(constraints).foreach { bad =>
-      val hit = written.filter(bad).limit(1)
+      val logicalView = written.select(s.fields.toIndexedSeq.map(f =>
+        col(ManifestTableFormat.physicalName(f)).as(f.name)): _*)
+      val hit = logicalView.filter(bad).limit(1)
       if (!hit.isEmpty) {
         fs.delete(batchDir, true)
         throw new IllegalArgumentException(
@@ -1174,7 +1280,9 @@ class ManifestTableFormat(
       }
     }
     val agg = udaf(Layout.bloomAgg(bloomBits, bloomHashes))
-    val sc = statColumns(s)
+    // stats are computed AND recorded under physical names — they
+    // outlive renames; scan-side probes translate logical→physical
+    val sc = statColumns(sPhys)
     val extraAggs = Seq(count(lit(1)).as("__rows")) ++
       sc.zipWithIndex.flatMap { case (f, i) =>
         Seq(min(statEncode(f)).as(s"__lo$i"),
@@ -1193,7 +1301,7 @@ class ManifestTableFormat(
     val emptyBits = Seq.fill(bloomBits / 64)(0L)
     written
       .select(input_file_name().as("f") +:
-        s.fieldNames.map(col).toIndexedSeq: _*)
+        sPhys.fieldNames.map(col).toIndexedSeq: _*)
       .groupBy("f")
       .agg(allAggs.head, allAggs.tail: _*)
       .collect()
@@ -1534,9 +1642,10 @@ class ManifestTableFormat(
       StatsProbes.extract(
         Seq(org.apache.spark.sql.graftbridge.Bridge
           .expression(spark, condition)),
+        // probes carry PHYSICAL names — the stats were recorded so
         n => snap.tableSchema.fields
           .find(_.name.equalsIgnoreCase(n))
-          .map(f => (f.name, f.dataType)))
+          .map(f => (ManifestTableFormat.physicalName(f), f.dataType)))
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     if (probes.isEmpty) names
     else pruneFilesForScan(names, probes).getOrElse(names)
@@ -2337,6 +2446,27 @@ class ManifestTableFormat(
 }
 
 object ManifestTableFormat {
+
+  /** StructField metadata key carrying a column's stable PHYSICAL
+    * name (protocol v5 column mapping — the Delta/Iceberg column-id
+    * idea expressed as names): data files and per-file stats always
+    * use the physical name; the logical name is presentation. Absent
+    * metadata means physical == logical, which keeps every pre-v5
+    * table byte-identical.
+    */
+  val physicalKey = "graft.physical"
+
+  /** The column's physical (on-disk) name. */
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(physicalKey)) f.metadata.getString(physicalKey)
+    else f.name
+
+  /** The schema rendered in physical names (metadata stripped) — the
+    * shape data files are written and read with.
+    */
+  def physicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => StructField(
+      physicalName(f), f.dataType, f.nullable)))
 
   /** Stats rows per checkpoint manifest part (~100 MB of per-file
     * stats each) and the vacuum listing batch size — the two knobs

@@ -383,7 +383,11 @@ class GraftCatalogSpec extends SparkSpec
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b
     }
-    scans.head.scan
+    val scan = scans.head.scan match {
+      case r: org.apache.spark.sql.graftbridge.RenamedScan => r.inner
+      case s => s
+    }
+    scan
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
       .fileIndex.inputFiles.length
   }
@@ -682,8 +686,9 @@ class GraftCatalogSpec extends SparkSpec
     assert(langs("doc://0001") == Some("en"))
     assert(langs("doc://0002").isEmpty)
     // incompatible DDL refuses loudly, schema unchanged after each
+    // (RENAME COLUMN left this list in round 10 — v5 column mapping
+    // supports it; see the RENAME COLUMN test)
     Seq(
-      s"ALTER TABLE $cat.chunks RENAME COLUMN lang TO language",
       s"ALTER TABLE $cat.chunks ALTER COLUMN lang TYPE INT",
       s"ALTER TABLE $cat.chunks ADD COLUMN score INT NOT NULL",
       s"ALTER TABLE $cat.chunks ADD COLUMN pos INT FIRST"
@@ -721,17 +726,96 @@ class GraftCatalogSpec extends SparkSpec
       s"VERSION AS OF $preDrop")
       .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
     assert(old("doc://0001") == Some("en") && old("doc://0002").isEmpty)
-    // base columns refuse; a dropped name can never come back
+    // base columns refuse
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.chunks DROP COLUMN chunk_text")
     }
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang STRING")
-    }
-    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    // RE-ADDING the dropped name works (v5 column mapping allocates a
+    // fresh physical name) and must NOT resurrect the old values —
+    // doc://0001 had lang='en' before the drop; the re-added column
+    // reads NULL everywhere
+    spark.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang STRING")
+    assert(spark.table(s"$cat.chunks").columns.contains("lang"))
+    val readded = spark.sql(s"SELECT document_url, lang FROM $cat.chunks")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(readded.values.forall(_.isEmpty),
+      s"stale values resurrected: $readded")
+    // and the re-added column is writable under its logical name
+    spark.sql(s"UPDATE $cat.chunks SET lang = 'de' " +
+      "WHERE document_url = 'doc://0002'")
+    val after = spark.sql(s"SELECT document_url, lang FROM $cat.chunks")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(after("doc://0002") == Some("de") && after("doc://0001").isEmpty)
     // a FRESH name evolves fine after the drop
     spark.sql(s"ALTER TABLE $cat.chunks ADD COLUMN lang2 STRING")
     assert(spark.table(s"$cat.chunks").columns.contains("lang2"))
+  }
+
+  test("ALTER TABLE RENAME COLUMN: metadata-only, stats survive, " +
+      "eras keep their names, refusals are loud") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    // three one-file commits with disjoint page ranges → 3 live files
+    def batch(ids: Range, base: Int): DataFrame = {
+      import spark.implicits._
+      ids.map(i => (0, s"t-$i", Seq(1f), base + i % 10, f"doc://$i%04d"))
+        .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+          "document_url").repartition(1)
+    }
+    store.append(batch(0 until 10, 0))
+    store.append(batch(10 until 20, 10))
+    store.append(batch(20 until 30, 20))
+    val mtfPre = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    val filesBefore = mtfPre.liveFiles.toSet
+
+    spark.sql(s"ALTER TABLE $cat.chunks RENAME COLUMN page_number TO pg")
+    // metadata-only: the data files are untouched
+    val mtfPost = new ManifestTableFormat(spark, s"$wh/chunks", store.schema)
+    assert(mtfPost.liveFiles.toSet == filesBefore,
+      "rename must not rewrite data files")
+    assert(mtfPost.currentSchema.fieldNames.toSeq ==
+      Seq("chunk_id", "chunk_text", "embedding", "pg", "document_url"))
+
+    // the per-file stats recorded BEFORE the rename still prune a
+    // predicate on the NEW name to a strict file subset
+    val q = spark.sql(s"SELECT document_url FROM $cat.chunks " +
+      "WHERE pg >= 20")
+    assert(q.collect().length == 10)
+    assert(plannedFiles(q) == 1,
+      "pre-rename stats must keep pruning under the new name")
+
+    // DML under the new name; the old name is gone
+    spark.sql(s"UPDATE $cat.chunks SET pg = pg + 100 WHERE pg = 5")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.chunks WHERE pg = 105")
+      .head().getLong(0) == 1)
+    intercept[Exception] {
+      spark.sql(s"SELECT page_number FROM $cat.chunks").collect()
+    }
+    // each era keeps its own name under time travel
+    assert(spark.sql(s"SELECT * FROM $cat.chunks VERSION AS OF 0")
+      .columns.contains("page_number"))
+    // refusals: document_url (the key), collisions, unknown columns
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.chunks RENAME COLUMN document_url TO u")
+    }
+    assert(e1.getMessage.contains("key column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.chunks RENAME COLUMN pg TO chunk_id")
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.chunks RENAME COLUMN nope TO x")
+    }
+    // CDF after a rename is expressed in the head's logical names
+    val feed = mtfPost.changesBetween(0, mtfPost.version)
+    assert(feed.columns.contains("pg") &&
+      !feed.columns.contains("page_number"))
+    // appends keep working: the conform path wants the NEW name
+    spark.sql(s"INSERT INTO $cat.chunks VALUES " +
+      "(0, 'post-rename', array(1.0F), 77, 'doc://post')")
+    assert(spark.sql(s"SELECT pg FROM $cat.chunks " +
+      "WHERE document_url = 'doc://post'").head().getInt(0) == 77)
   }
 
   test("INSERT OVERWRITE: one atomic replace on manifest tables; the " +

@@ -379,6 +379,14 @@ class Round8DmlFuzzSpec extends SparkSpec {
             r => r("v").asInstanceOf[String].startsWith(p))
       }
       val history = mutable.ArrayBuffer.empty[(Long, Map[Long, Rec])]
+      // logical renames applied so far (old name → new name): RESTORE
+      // reverts the FILE set, never the schema, so a restored model
+      // snapshot must re-key its records to the current names (the
+      // values survive under the stable physical identity)
+      val renameChain = mutable.Map.empty[String, String]
+      def currentName(n: String): String =
+        renameChain.get(n).map(currentName).getOrElse(n)
+      def rekey(r: Rec): Rec = r.map { case (k, v) => currentName(k) -> v }
 
       (1 to 22).foreach { _ =>
         rnd.nextInt(10) match {
@@ -422,8 +430,17 @@ class Round8DmlFuzzSpec extends SparkSpec {
               }
               inserts.foreach(r => model(r("k").asInstanceOf[Long]) = r)
             }
-          case 6 => // ADD COLUMN (bounded)
-            if (evolved.size < 2) {
+          case 6 => // ADD COLUMN (bounded) or RENAME an evolved one
+            if (evolved.nonEmpty && rnd.nextBoolean()) {
+              val i = rnd.nextInt(evolved.size)
+              val from = evolved(i)
+              val to = s"${from}r${rnd.nextInt(90)}"
+              mtf.renameColumn(from, to)
+              evolved = evolved.updated(i, to)
+              renameChain(from) = to
+              model.mapValuesInPlace((_, r) =>
+                r.get(from).fold(r)(v => r - from + (to -> v)))
+            } else if (evolved.size < 2) {
               val c = s"e${evolved.size}"
               mtf.addColumn(c, StringType)
               evolved :+= c
@@ -438,7 +455,8 @@ class Round8DmlFuzzSpec extends SparkSpec {
                 val before = model.toMap
                 try {
                   mtf.restore(v)
-                  model.clear(); model ++= snap
+                  model.clear()
+                  model ++= snap.view.mapValues(rekey).toMap
                 } catch {
                   case _: IllegalArgumentException =>
                     assert(model.toMap == before)
