@@ -37,9 +37,69 @@ import graft.sink.{ChunkStore, ManifestTableFormat}
   * remains the place where they get their routing semantics.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft").start(path)` — the native
+    * streaming sink, EXACTLY-ONCE by the same `(appId, batchId)`
+    * transaction markers the `StreamWriter` wrapper commits
+    * ([[ManifestTableFormat.appendStream]]): a replayed micro-batch
+    * finds its marker in the log and no-ops. Spark routes here
+    * through the V1 sink seam ([[org.apache.spark.sql.sources.StreamSinkProvider]])
+    * because the V2 table deliberately does not claim
+    * `STREAMING_WRITE` — the V1 `Sink.addBatch` contract hands the
+    * sink the whole micro-batch as a frame, which is the shape one
+    * atomic files+marker log commit needs (a V2 `StreamingWrite`
+    * splits the batch across per-task commits and would need its own
+    * two-phase protocol for no gain). The app id defaults to the
+    * query id (stable across restarts from one checkpoint); pass
+    * `.option("appId", …)` to share a target across re-created
+    * queries. `StreamWriter` remains as the explicit-API wrapper.
+    */
+  override def createSink(
+      ctx: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"format(\"graft\") streaming sink supports Append output only, " +
+        s"got $outputMode (appends are log-committed; use batch " +
+        "overwrite/merge for replaces)")
+    require(partitionColumns.isEmpty,
+      "partitionBy on the graft streaming sink is not supported — " +
+        "declare partition columns at CREATE TABLE (PARTITIONED BY) " +
+        "and every write clusters by them")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"graft\") needs a path: .start(<manifest table root>)"))
+    val appIdOpt = parameters.get("appId")
+    val fs = new Path(path)
+      .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path)))
+      fs.mkdirs(new Path(path, "_log"))
+    val mtf = mtfFor(path)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        val app = appIdOpt.orElse(Option(
+            data.sparkSession.sparkContext
+              .getLocalProperty("sql.streaming.queryId")))
+          .getOrElse(throw new IllegalStateException(
+            "graft sink: no appId option and the stream thread " +
+              "publishes no sql.streaming.queryId — pass " +
+              ".option(\"appId\", ...)"))
+        // one execution of the incremental plan, however many actions
+        // the commit path runs (emptiness probe + write + stats job)
+        val batch = org.apache.spark.sql.graftbridge.Bridge
+          .rewrapBatch(data).persist()
+        try { mtf.appendStream(batch, app, batchId); () }
+        finally { batch.unpersist(); () }
+      }
+      override def toString: String = s"GraftSink[$path]"
+    }
+  }
 
   /** `df.write.format("graft")` arrives through the V1 write seam
     * (`DataFrameWriter.save` only takes the V2 write path for tables

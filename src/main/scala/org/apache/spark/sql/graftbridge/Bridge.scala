@@ -33,6 +33,23 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-wrap a streaming Sink.addBatch micro-batch DataFrame as a
+    * plain batch frame over its already-planned rows (the Delta sink
+    * technique: `toRdd` on the incremental execution, rows copied,
+    * re-wrapped with `internalCreateDataFrame`). A sink that runs
+    * MULTIPLE actions over the raw addBatch frame would re-trigger
+    * the incremental plan per action; this pins the batch to one
+    * execution.
+    */
+  def rewrapBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    classic.internalCreateDataFrame(
+      qe.toRdd.map(_.copy()), df.schema, isStreaming = false)
+  }
+
   /** Register a builder for `name` on an existing session (post-hoc; no
     * SparkSessionExtensions needed, so it works on any caller session).
     */

@@ -167,4 +167,77 @@ class StreamWriterSpec extends SparkSpec {
     assert(store.read().count() == 1,
       "same appId + fresh checkpoint must not duplicate batch 0")
   }
+
+  test("native writeStream.format(\"graft\"): exactly-once across " +
+      "checkpoint restarts; parity with StreamWriter on one target") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = fresh()
+    val path = s"$root/t"
+    val ckpt = s"$root/ckpt"
+    val input = MemoryStream[(String, String)]
+    val source = chunkify(input.toDF().toDF("text", "url"))
+    def drain(ck: String, app: Option[String] = None): Unit = {
+      val w = source.writeStream.format("graft")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = app.fold(w)(a => w.option("appId", a)).start(path)
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+
+    input.addData(("a", "doc://1"), ("b", "doc://2"))
+    drain(ckpt)
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    assert(store.read().count() == 2)
+
+    // same checkpoint, nothing new: no-op; new data flows once
+    drain(ckpt)
+    assert(store.read().count() == 2)
+    input.addData(("c", "doc://3"))
+    drain(ckpt)
+    assert(store.read().count() == 3)
+
+    // the append was LOG-committed: time travel + txn marker exist
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    assert(mtf.version >= 1 && mtf.streamTransactions.nonEmpty)
+
+    // explicit appId + FRESH checkpoint: batch 0 re-delivers, the
+    // marker makes it a no-op (restart-no-duplicates, native path)
+    val input2 = MemoryStream[(String, String)]
+    input2.addData(("x", "doc://9"))
+    val src2 = chunkify(input2.toDF().toDF("text", "url"))
+    def drain2(ck: String): Unit = {
+      val q = src2.writeStream.format("graft")
+        .option("checkpointLocation", ck).option("appId", "pipe2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(path)
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    drain2(s"$root/ck-a")
+    drain2(s"$root/ck-b")
+    assert(store.read().filter(col("document_url") === "doc://9")
+      .count() == 1, "fresh checkpoint + same appId must not duplicate")
+
+    // StreamWriter (the wrapper) and the native sink share the same
+    // marker protocol, so they compose on one target table
+    val input3 = MemoryStream[(String, String)]
+    input3.addData(("w", "doc://20"))
+    StreamWriter.sync(chunkify(input3.toDF().toDF("text", "url")),
+      path, s"$root/ck-w", Some("pipe3"))
+    assert(store.read().count() == 5)
+
+    // refusals: Complete mode and partitionBy
+    val e1 = intercept[Exception] {
+      source.writeStream.format("graft")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ck-c").start(path)
+    }
+    assert(e1.getMessage.toLowerCase.contains("append"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      source.writeStream.format("graft").partitionBy("page_number")
+        .option("checkpointLocation", s"$root/ck-d").start(path)
+    }
+    assert(e2.getMessage.contains("PARTITIONED BY"), e2.getMessage)
+  }
 }
