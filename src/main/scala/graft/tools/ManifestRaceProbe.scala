@@ -19,6 +19,19 @@ import graft.sink.{ChunkStore, ManifestTableFormat}
   *    registered [[graft.catalog.GraftCatalog]] — the SQL layer on
   *    top of the same commit protocol (`path` is the WAREHOUSE root;
   *    the table is `<path>/chunks`). Appends, so rows accumulate.
+  *  - `sql-update`: `batches` × full-table
+  *    `UPDATE chunks SET page_number = page_number + 1` — the
+  *    copy-on-write conflict path: two writers rewriting overlapping
+  *    files must serialize (loser re-runs on the new snapshot), so
+  *    every increment applies exactly once.
+  *  - `sql-merge-inc`: `batches` × SQL MERGE incrementing
+  *    page_number on the `rows` seed urls — UPDATE-vs-MERGE
+  *    serializability when raced against `sql-update`.
+  *  - `sql-delete`: batch b deletes seed urls
+  *    ((b-1)*rows, b*rows] by `DELETE FROM … WHERE document_url IN`
+  *    — raced against `compact-loop`, deletes must never resurrect.
+  *  - `compact-loop`: `batches` × `CALL compact('chunks')` — the
+  *    maintenance rewrite racing the other writer's commits.
   *
   * Usage: ManifestRaceProbe <path> <tag> <batches> <rowsPerBatch> [mode]
   */
@@ -61,6 +74,39 @@ object ManifestRaceProbe {
             batchDf(b).createOrReplaceTempView("race_batch")
             spark.sql("INSERT INTO graftrace.chunks " +
               "SELECT * FROM race_batch")
+          }
+        case "sql-update" | "sql-merge-inc" | "sql-delete" |
+            "compact-loop" =>
+          graft.GraftSession.install(spark) // DML strategies
+          spark.conf.set("spark.sql.catalog.graftrace",
+            classOf[graft.catalog.GraftCatalog].getName)
+          spark.conf.set("spark.sql.catalog.graftrace.warehouse", path)
+          def seedUrls(from: Int, to: Int) =
+            (from to to).map(i => f"doc://seed/$i%04d")
+          mode match {
+            case "sql-update" =>
+              for (_ <- 1 to batches)
+                spark.sql("UPDATE graftrace.chunks " +
+                  "SET page_number = page_number + 1")
+            case "sql-merge-inc" =>
+              seedUrls(1, rows).toDF("document_url")
+                .createOrReplaceTempView("merge_src")
+              for (_ <- 1 to batches)
+                spark.sql("MERGE INTO graftrace.chunks t " +
+                  "USING merge_src s " +
+                  "ON t.document_url = s.document_url " +
+                  "WHEN MATCHED THEN UPDATE SET " +
+                  "page_number = t.page_number + 1")
+            case "sql-delete" =>
+              for (b <- 1 to batches) {
+                val urls = seedUrls((b - 1) * rows + 1, b * rows)
+                  .map(u => s"'$u'").mkString(", ")
+                spark.sql("DELETE FROM graftrace.chunks " +
+                  s"WHERE document_url IN ($urls)")
+              }
+            case _ =>
+              for (_ <- 1 to batches)
+                spark.sql("CALL graftrace.compact('chunks')")
           }
         case other =>
           sys.error(s"unknown ManifestRaceProbe mode '$other'")

@@ -480,6 +480,94 @@ class ManifestFormatSpec extends SparkSpec {
     read.unpersist()
   }
 
+  private def launchProbe(path: String, tag: String, batches: Int,
+      rows: Int, mode: String): (Process, java.io.File) = {
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val cp = sys.props("java.class.path")
+    val log = java.io.File.createTempFile(s"race-$tag", ".log")
+    val pb = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx2g",
+      "graft.tools.ManifestRaceProbe", path, tag, batches.toString,
+      rows.toString, mode)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    (pb.start(), log)
+  }
+
+  private def probeTail(f: java.io.File): String = {
+    val s = scala.io.Source.fromFile(f)
+    try s.getLines().toSeq.takeRight(25).mkString("\n") finally s.close()
+  }
+
+  test("two JVMs: UPDATE vs MERGE serialize — every increment applies " +
+      "exactly once (cross-process copy-on-write conflict)") {
+    // both writers rewrite OVERLAPPING files: 3 full-table UPDATEs in
+    // one process race 3 MERGE-matched increments in another. The
+    // copy-on-write conflict check must force the loser to re-run on
+    // the winner's snapshot; a lost or doubled rewrite shows up as a
+    // page_number != 6 somewhere.
+    val wh = freshPath()
+    import spark.implicits._
+    val seed = (1 to 40).map(i =>
+        (0, s"seed-$i", Seq(1f), 0, f"doc://seed/$i%04d"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url")
+    new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory).upsert(seed)
+    val (pa, la) = launchProbe(wh, "ua", 3, 40, "sql-update")
+    val (pb, lb) = launchProbe(wh, "mb", 3, 40, "sql-merge-inc")
+    assert(pa.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      pb.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "writer JVMs did not finish")
+    assert(pa.exitValue() == 0, s"updater failed:\n${probeTail(la)}")
+    assert(pb.exitValue() == 0, s"merger failed:\n${probeTail(lb)}")
+    val read = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory).read().cache()
+    assert(read.count() == 40, "row count must be unchanged")
+    val pages = read.select("page_number").as[Int].collect().toSeq
+    assert(pages.forall(_ == 6),
+      s"3 UPDATEs + 3 MERGE increments must serialize to +6 " +
+        s"everywhere; page_number distribution: ${
+          pages.groupBy(identity).view.mapValues(_.size).toMap}")
+    read.unpersist()
+  }
+
+  test("two JVMs: compaction vs DELETE — deletes never resurrect " +
+      "through a racing rewrite (cross-process)") {
+    // one process runs 3 full compactions while the other deletes 3
+    // disjoint 10-url slices. A compaction that read pre-delete files
+    // and committed anyway would resurrect deleted documents; the
+    // file-level conflict check must make it re-run instead.
+    val wh = freshPath()
+    import spark.implicits._
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    // three separate commits → several live files for compact to bin
+    (0 until 3).foreach { g =>
+      store.append((g * 20 + 1 to g * 20 + 20).map(i =>
+          (0, s"seed-$i", Seq(1f), 0, f"doc://seed/$i%04d"))
+        .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+          "document_url"))
+    }
+    val (pa, la) = launchProbe(wh, "ca", 3, 10, "compact-loop")
+    val (pb, lb) = launchProbe(wh, "db", 3, 10, "sql-delete")
+    assert(pa.waitFor(300, java.util.concurrent.TimeUnit.SECONDS) &&
+      pb.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "writer JVMs did not finish")
+    assert(pa.exitValue() == 0, s"compactor failed:\n${probeTail(la)}")
+    assert(pb.exitValue() == 0, s"deleter failed:\n${probeTail(lb)}")
+    val read = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory).read().cache()
+    // urls 1..30 deleted, 31..60 survive exactly once
+    assert(read.count() == 30,
+      s"expected 30 survivors, got ${read.count()}")
+    assert(read.filter(col("document_url") <= "doc://seed/0030")
+      .count() == 0, "a deleted document resurrected through compaction")
+    val dups = read.groupBy("document_url").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, "a compaction duplicated rows")
+    read.unpersist()
+  }
+
   test("change feed: row-level version deltas from the log's file diff") {
     val path = freshPath()
     val store = new ChunkStore(spark, path,
