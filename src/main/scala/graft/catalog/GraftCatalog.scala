@@ -655,6 +655,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           manifestFor(args(0)).vacuum(args(1).trim.toLong)
         longsRow(nData, nLog)
       }),
+    rowProcedure("clone", Seq("source_table", "target_table"),
+      "manifest log: SHALLOW CLONE — fork <source_table> into the " +
+        "new table <target_table> by copying its commit log only " +
+        "(data files are shared by absolute reference; O(log " +
+        "objects), never O(data)). The fork carries FULL history: " +
+        "time travel, schema eras, CHECK constraints, CDF and " +
+        "stream txn markers all carry over; writes after the fork " +
+        "are invisible across it in both directions. CAVEAT: vacuum " +
+        "on the SOURCE can reclaim shared files a clone still " +
+        "references — vacuum cloned-from tables only after clones " +
+        "are dropped or compacted (clone-side vacuum is always safe)",
+      StructType(Seq(
+        StructField("log_objects_copied", LongType, nullable = false),
+        StructField("version", LongType, nullable = false))))(
+      args => {
+        manifestFor(args(0)) // refuses on non-manifest sources
+        val copied = ManifestTableFormat.cloneLog(spark,
+          s"$warehouse/${args(0)}", s"$warehouse/${args(1)}")
+        longsRow(copied, manifestFor(args(1)).version)
+      }),
     // ---- SQL surface for the D25/D27/D28 operators (the stores'
     // users are SQL-first; Scala-only operators are unreachable for
     // them). Pattern: <source> is any table/view name the session

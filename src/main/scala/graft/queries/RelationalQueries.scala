@@ -1367,6 +1367,51 @@ object RelationalQueries {
       cur.join(v0, Seq("document_url")).orderBy("document_url")
     },
 
+    // C37r: SHALLOW CLONE — `CALL clone(src, dst)` forks the commit
+    // log (metadata-only; data files shared by absolute reference).
+    // The gate clones a table, mutates ONLY the clone (UPDATE +
+    // row-level DELETE), and reads source and clone joined on the
+    // key — so a clone that leaked writes back to the source, lost
+    // rows in the fork, or failed to carry the full history (the
+    // pre-fork version count is replayed through the clone's own
+    // time travel) breaks the hash. Vacuum-across-the-fork safety
+    // and refusals are pinned in CloneSpec.
+    "c37r_clone" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       CAST(doc_id % 10 AS INTEGER) AS src_page,
+        |       CAST(CASE WHEN doc_id % 10 = 3 THEN doc_id % 10 + 100
+        |                 ELSE doc_id % 10 END AS INTEGER) AS clone_page,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+        |         AS clone_v0_rows
+        |FROM documents WHERE doc_id % 10 <> 5
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-clone").toString
+      val store = new graft.sink.ChunkStore(s, s"$wh/chunks",
+        format = graft.sink.ManifestTableFormat.factory)
+      store.upsert(t(s, dir, "documents").select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        (col("doc_id") % 10).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url"))) // v0
+      val cat = QueryDef.freshCatalog(s, "graft_clone", wh)
+      s.sql(s"CALL $cat.clone('chunks', 'chunks2')")
+      s.sql(s"UPDATE $cat.chunks2 SET page_number = page_number + 100 " +
+        "WHERE page_number = 3")
+      s.sql(s"DELETE FROM $cat.chunks2 WHERE page_number = 5")
+      // the fork carried full history: clone-side time travel reads v0
+      val cloneV0 = s.sql(
+          s"SELECT count(*) FROM $cat.chunks2 VERSION AS OF 0")
+        .head().getLong(0)
+      val src = s.sql(s"SELECT document_url, page_number AS src_page " +
+        s"FROM $cat.chunks")
+      val cl = s.sql(s"SELECT document_url, page_number AS clone_page " +
+        s"FROM $cat.chunks2")
+      src.join(cl, Seq("document_url"))
+        .withColumn("clone_v0_rows", lit(cloneV0))
+        .orderBy("document_url")
+    },
+
     // B12b: path-based `format("graft")` — the catalog-free handle to
     // a manifest table (Delta's format("delta") next to its catalog):
     // the write goes through the V1 relation seam (mode=append = A18

@@ -2447,6 +2447,62 @@ class ManifestTableFormat(
 
 object ManifestTableFormat {
 
+  /** SHALLOW CLONE: fork `srcPath`'s table into a new table at
+    * `destPath` by copying its `_log` directory — a metadata-only
+    * copy, O(log objects), never O(data). Every data-file reference
+    * in the log is an ABSOLUTE path and checkpoints are discovered by
+    * listing (never by embedded path), so the copied log is fully
+    * self-contained: the clone reads the source's data files by
+    * reference and all future writes land under the clone's own
+    * `data/`, invisible to the source (and vice versa).
+    *
+    * Fork semantics (stronger than Delta shallow CLONE): the FULL log
+    * history carries over — time travel reaches pre-clone versions,
+    * schema eras, CHECK constraints, CDF, and streaming txn markers
+    * all behave as if the clone had always been this table.
+    *
+    * Consistency: one recursive listing picks the fork point; every
+    * log object is write-once, and a checkpoint caught mid-write
+    * (no `_SUCCESS` yet) replays as a crashed checkpoint exactly as
+    * it would at the source — ignored, falling back to entries.
+    *
+    * CAVEAT (the shallow-clone hazard, same as Delta's): VACUUM on
+    * the SOURCE reclaims files the source dropped after the fork but
+    * the clone may still reference. Vacuum a cloned-from table only
+    * after its clones are dropped or compacted away from the shared
+    * files (clone-side `compact` rewrites into the clone's own dir).
+    * Clone-side vacuum is always safe: it only ever lists the
+    * clone's own `data/`.
+    *
+    * Returns the number of log objects copied.
+    */
+  def cloneLog(spark: SparkSession, srcPath: String,
+      destPath: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(srcPath).getFileSystem(conf)
+    val src = fs.makeQualified(new Path(srcPath, "_log"))
+    val dst = new Path(destPath, "_log")
+    if (!fs.exists(src)) throw new UnsupportedOperationException(
+      s"$srcPath is not a manifest-format table (no _log) — CLONE " +
+        "forks the commit log")
+    if (fs.exists(dst)) throw new IllegalStateException(
+      s"$destPath already holds a manifest table — CLONE refuses to " +
+        "overwrite")
+    val it = fs.listFiles(src, true)
+    var copied = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) {
+        val rel = src.toUri.relativize(
+          fs.makeQualified(f.getPath).toUri).getPath
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, f.getPath, fs, new Path(dst, rel), false, conf)
+        copied += 1
+      }
+    }
+    copied
+  }
+
   /** StructField metadata key carrying a column's stable PHYSICAL
     * name (protocol v5 column mapping — the Delta/Iceberg column-id
     * idea expressed as names): data files and per-file stats always

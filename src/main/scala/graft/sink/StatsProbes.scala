@@ -91,6 +91,11 @@ object StatsProbes {
     case _ => None
   }
 
+  /** Types whose values order on the canonical-string stats grid —
+    * i.e. columns min/max skipping (static or runtime) can prune on.
+    */
+  def statsOrderedKind(t: DataType): Boolean = isNumKind(t)
+
   private def isNumKind(t: DataType): Boolean = t match {
     case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
          _: DateType | _: TimestampType | _: BooleanType |

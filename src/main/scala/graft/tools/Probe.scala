@@ -100,9 +100,9 @@ object Probe {
       println("planned files: " + q.queryExecution.executedPlan
         .collectFirst {
           case b: org.apache.spark.sql.execution.datasources.v2
-              .BatchScanExec => b.scan.asInstanceOf[
-            org.apache.spark.sql.execution.datasources.v2.FileScan]
-            .fileIndex.inputFiles.length
+              .BatchScanExec =>
+            org.apache.spark.sql.graftbridge.Scans.fileScan(b.scan)
+              .fileIndex.inputFiles.length
         }.getOrElse(-1) + " of 3")
       val mtf = new ManifestTableFormat(spark, s"$wh/t", store.schema)
       mtf.compactZorder(Seq("page_number"))

@@ -11,13 +11,32 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * and registering expression builders on a live session. This is the
   * standard technique used by open-source Spark extension libraries
   * (a file placed under the `org.apache.spark.sql` package tree).
+  *
+  * MINOR-VERSION BREAK RISK: every entry point below that casts to
+  * `org.apache.spark.sql.classic.SparkSession` depends on the Spark
+  * 4.x "classic" implementation split (SPARK-44111 Connect refactor).
+  * Each method documents exactly which internal API it touches and
+  * what a Spark upgrade breaking it would look like; `BridgeSpec`
+  * is the compile-and-run canary — it exercises every entry point on
+  * a live session, so a silently-changed internal fails the suite,
+  * not a user query.
   */
 object Bridge {
 
-  /** Wrap a raw Catalyst expression as a Column (Spark 4.x ColumnNode API). */
+  /** Wrap a raw Catalyst expression as a Column (Spark 4.x ColumnNode API).
+    * Internal API: `classic.ExpressionUtils.column` (an
+    * `ExpressionColumnNode` wrapper). Break mode: method moved/renamed
+    * → compile error here; semantics changed → BridgeSpec canary fails
+    * at `column(Literal(1))` evaluation.
+    */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
-  /** Extract the Catalyst expression backing a Column. */
+  /** Extract the Catalyst expression backing a Column.
+    * Internal API: `classic.SparkSession.expression` (ColumnNode →
+    * Expression conversion). Break mode: a non-classic runtime session
+    * (e.g. Connect) → ClassCastException at the `asInstanceOf`; the
+    * canary pins that a locally-built session IS classic.
+    */
   def expression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .expression(c)
@@ -25,6 +44,9 @@ object Bridge {
   /** Materialize an analyzed LogicalPlan as a DataFrame (the hook a
     * command exec needs to evaluate a statement's source relation —
     * e.g. MERGE INTO's USING side — as a frame at execution time).
+    * Internal API: `classic.Dataset.ofRows`. Break mode: signature
+    * drift → compile error; the canary round-trips a plan taken from
+    * a real frame and checks the rows survive.
     */
   def ofRows(
       spark: org.apache.spark.sql.SparkSession,
@@ -40,6 +62,11 @@ object Bridge {
     * MULTIPLE actions over the raw addBatch frame would re-trigger
     * the incremental plan per action; this pins the batch to one
     * execution.
+    * Internal API: `classic.SparkSession.internalCreateDataFrame` +
+    * `QueryExecution.toRdd` (InternalRow contract: rows must be
+    * `.copy()`-ed out of the unsafe buffer). Break mode: either
+    * member going private → compile error; an InternalRow reuse
+    * change → the canary's value check catches corrupted rows.
     */
   def rewrapBatch(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -52,6 +79,10 @@ object Bridge {
 
   /** Register a builder for `name` on an existing session (post-hoc; no
     * SparkSessionExtensions needed, so it works on any caller session).
+    * Internal API: `sessionState.functionRegistry` (private[sql] on
+    * the classic session) + `FunctionRegistry.registerFunction`.
+    * Break mode: registry type/visibility change → compile error; the
+    * canary registers a marker function and evaluates it via SQL.
     */
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession,

@@ -1,15 +1,17 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue, NamedReference, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Predicate}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sink.ManifestTableFormat
@@ -76,6 +78,137 @@ final class RenamedScan(
     inner.columnarSupportMode()
 }
 
+/** Runtime (join-driven) file pruning for manifest tables — the
+  * manifest-format analog of dynamic partition pruning. Spark's
+  * `PartitionPruning` rule sees `filterAttributes` on the built scan,
+  * plants a `DynamicPruningExpression` on the probe side of a
+  * broadcast join, and at execution calls [[filter]] with the build
+  * side's actual key set as V2 `IN` predicates — BEFORE input
+  * partitions are planned. We convert those predicates back to
+  * [[StatsProbe]]s and re-prune the FILE list through the same
+  * log-stats pruner the static path uses (url bloom + min/max), then
+  * rebuild the parquet scan over the surviving subset.
+  *
+  * At 100 TB this is the difference between a selective
+  * fact-to-dimension join reading every manifest file and reading
+  * only the files whose blooms/ranges admit the build side's keys.
+  *
+  * Soundness: strictly an optimization. The pruner is fail-open on
+  * absent stats, conversion is fail-open on unrecognized predicate
+  * shapes (no probes → no pruning), and the join itself still
+  * evaluates every key — a pruned-too-little scan only costs reads.
+  * Pruned files are an INTERSECTION with the statically-pruned list,
+  * so static skipping is never undone.
+  */
+final class ManifestRuntimeFilterScan(
+    @volatile private var delegate: Scan,
+    attrs: Seq[String],
+    typeOf: String => Option[(String, DataType)],
+    pruner: Seq[StatsProbe] => Option[Seq[String]],
+    initialFiles: Seq[String],
+    rebuild: Seq[String] => Scan)
+    extends Scan with SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[String] = initialFiles
+  @volatile private var received: Seq[String] = Nil
+
+  /** Post-filter file list (spec hook; equals `initialFiles` until a
+    * runtime filter actually pruned).
+    */
+  def currentFiles: Seq[String] = files
+
+  /** The V2 predicates the last [[filter]] call received (rendered),
+    * and the probes they extracted — diagnostics for "why didn't the
+    * runtime filter prune".
+    */
+  def lastRuntimeFilter: Seq[String] = received
+
+  /** The wrapped parquet scan (plan-shape test hook). */
+  def innerScan: Scan = delegate
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = delegate.toBatch
+  override def description(): String = delegate.description()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+
+  override def filterAttributes(): Array[NamedReference] =
+    attrs.map(FieldReference.column).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val exprs = predicates.toSeq.flatMap(toCatalyst)
+    val probes = StatsProbes.extract(exprs, typeOf)
+    received = predicates.toSeq.map(_.toString) ++
+      Seq(s"exprs=$exprs", s"probes=$probes")
+    if (probes.nonEmpty) pruner(probes).foreach { keep =>
+      val keepSet = keep.toSet
+      val subset = files.filter(keepSet.contains)
+      if (subset.size < files.size) {
+        files = subset
+        delegate = rebuild(subset)
+      }
+    }
+  }
+
+  private def leaf(e: V2Expression): Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  private def litOf(e: V2Expression): Option[Literal] = e match {
+    case l: LiteralValue[_] => Some(Literal(l.value, l.dataType))
+    case _ => None
+  }
+
+  /** V2 runtime predicates → catalyst conjuncts for probe extraction.
+    * Spark ships DPP key sets as `IN(col, v1..vn)` (and `=` for the
+    * degenerate single-key case); anything else yields no conjunct —
+    * fail-open by construction.
+    */
+  private def toCatalyst(p: Predicate): Seq[Expression] = p match {
+    case a: V2And => toCatalyst(a.left()) ++ toCatalyst(a.right())
+    case _ => (p.name(), p.children().toSeq) match {
+      case ("IN", ref +: vals) if vals.nonEmpty =>
+        (leaf(ref), vals.map(litOf)) match {
+          case (Some(n), ls) if ls.forall(_.isDefined) =>
+            Seq(In(UnresolvedAttribute(Seq(n)), ls.map(_.get)))
+          case _ => Nil
+        }
+      case ("=", Seq(l, r)) =>
+        (for { n <- leaf(l); v <- litOf(r) }
+          yield EqualTo(UnresolvedAttribute(Seq(n)), v): Expression)
+          .orElse(for { n <- leaf(r); v <- litOf(l) }
+            yield EqualTo(UnresolvedAttribute(Seq(n)), v): Expression)
+          .toSeq
+      case _ => Nil
+    }
+  }
+}
+
+/** Unwraps graft scan wrappers down to Spark's own `FileScan`
+  * (plan-shape specs and probes reach the planned file list here,
+  * regardless of which wrappers the table's scan path added).
+  */
+object Scans {
+  @annotation.tailrec
+  def fileScan(s: Scan)
+      : org.apache.spark.sql.execution.datasources.v2.FileScan =
+    s match {
+      case w: ManifestRuntimeFilterScan => fileScan(w.innerScan)
+      case r: RenamedScan => fileScan(r.inner)
+      case f: org.apache.spark.sql.execution.datasources.v2.FileScan => f
+      case other => throw new IllegalStateException(
+        s"not a file-backed scan: ${other.getClass.getName}")
+    }
+}
+
 class ManifestStatsScanBuilder(
     spark: SparkSession,
     tableName: String,
@@ -120,6 +253,11 @@ class ManifestStatsScanBuilder(
       .asInstanceOf[FileScanBuilder]
 
   private var inner: FileScanBuilder = mk(paths)
+  // state needed to rebuild the scan over a runtime-pruned file list
+  private var currentFiles: Seq[String] = paths
+  private var pushedLogical: Seq[Expression] = Nil
+  private var requiredLogical: Option[StructType] = None
+  private var aggPushed = false
 
   /** Probe names are PHYSICAL — that is how the stats were recorded,
     * and renames never invalidate them.
@@ -129,9 +267,13 @@ class ManifestStatsScanBuilder(
       .map(f => (ManifestTableFormat.physicalName(f), f.dataType))
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedLogical = filters
     val probes = StatsProbes.extract(filters, typeOf)
     if (probes.nonEmpty)
-      pruner(probes).foreach { files => inner = mk(files) }
+      pruner(probes).foreach { files =>
+        currentFiles = files
+        inner = mk(files)
+      }
     if (identityMapping) inner.pushFilters(filters)
     else {
       // translate in, map residuals back to the caller's expressions
@@ -145,13 +287,42 @@ class ManifestStatsScanBuilder(
 
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requiredLogical = Some(requiredSchema)
     inner.pruneColumns(physSchema(requiredSchema))
+  }
+
+  /** Columns runtime (join-driven) filters can prune on: every
+    * stats-recorded-type field IN THE SCAN'S OUTPUT (Spark resolves
+    * `filterAttributes` against the pruned output — advertising a
+    * pruned-away column fails analysis). An unprunable runtime
+    * predicate on an advertised column still just yields no probes.
+    */
+  private def runtimeFilterable(out: StructType): Seq[String] =
+    out.fields.collect {
+      case f if f.dataType.isInstanceOf[StringType] ||
+        StatsProbes.statsOrderedKind(f.dataType) => f.name
+    }.toSeq
+
+  private def buildOver(files: Seq[String]): Scan = {
+    val b = mk(files)
+    if (identityMapping) b.pushFilters(pushedLogical)
+    else b.pushFilters(pushedLogical.map(toPhys))
+    requiredLogical.foreach(s => b.pruneColumns(physSchema(s)))
+    val built = b.build()
+    if (identityMapping) built else new RenamedScan(built, logicalOf)
+  }
 
   override def build(): Scan = {
     val built = inner.build()
-    if (identityMapping) built
-    else new RenamedScan(built, logicalOf)
+    val base =
+      if (identityMapping) built else new RenamedScan(built, logicalOf)
+    // no runtime filtering under pushed aggregation: the scan's rows
+    // are already aggregates, not the join's probe rows
+    val attrs = runtimeFilterable(base.readSchema())
+    if (aggPushed || attrs.isEmpty) base
+    else new ManifestRuntimeFilterScan(base, attrs, typeOf,
+      pruner, currentFiles, buildOver)
   }
 
   // aggregate pushdown forwards to the parquet delegate (footer
@@ -160,11 +331,14 @@ class ManifestStatsScanBuilder(
   // delegate's footer aggregation runs over exactly the planned
   // subset. Disabled under a non-identity column mapping: the
   // aggregation references logical names the files don't have.
-  override def pushAggregation(aggregation: Aggregation): Boolean =
-    identityMapping && (inner match {
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val pushed = identityMapping && (inner match {
       case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
       case _ => false
     })
+    if (pushed) aggPushed = true
+    pushed
+  }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     identityMapping && (inner match {

@@ -294,8 +294,7 @@ class GraftCatalogSpec extends SparkSpec
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
           b
       }
-      scans.head.scan
-        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+      org.apache.spark.sql.graftbridge.Scans.fileScan(scans.head.scan)
         .fileIndex.inputFiles.length
     }
 
@@ -383,12 +382,7 @@ class GraftCatalogSpec extends SparkSpec
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b
     }
-    val scan = scans.head.scan match {
-      case r: org.apache.spark.sql.graftbridge.RenamedScan => r.inner
-      case s => s
-    }
-    scan
-      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+    org.apache.spark.sql.graftbridge.Scans.fileScan(scans.head.scan)
       .fileIndex.inputFiles.length
   }
 

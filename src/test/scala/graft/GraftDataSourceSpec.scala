@@ -26,9 +26,10 @@ class GraftDataSourceSpec extends SparkSpec
     collectWithSubqueries(q.queryExecution.executedPlan) {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b
-    }.head.scan
-      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
-      .fileIndex.inputFiles.length
+    }.head.scan match {
+      case s => org.apache.spark.sql.graftbridge.Scans.fileScan(s)
+        .fileIndex.inputFiles.length
+    }
   }
 
   test("head + time-travel reads; stats skipping prunes pushed ranges") {

@@ -45,8 +45,7 @@ class ManifestStatsSkipSpec extends SparkSpec
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b
     }
-    scans.head.scan
-      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+    org.apache.spark.sql.graftbridge.Scans.fileScan(scans.head.scan)
       .fileIndex.inputFiles.length
   }
 

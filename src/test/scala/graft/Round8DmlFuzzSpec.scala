@@ -115,7 +115,7 @@ class Round8DmlFuzzSpec extends SparkSpec {
       def newUrl(): String = { urlSeq += 1; f"doc://$round%d-$urlSeq%04d" }
       var batchSeq = 0L
 
-      (1 to 26).foreach { _ =>
+      (1 to 26).foreach { i =>
         rnd.nextInt(15) match {
           case 13 => // TRUNCATE: reversible rm-all commit
             mtf.truncate()
@@ -251,6 +251,39 @@ class Round8DmlFuzzSpec extends SparkSpec {
           }
         }
         history += ((mtf.version, model.toMap))
+
+        // CLONE arm, deterministic cadence (every 9th op, so it
+        // leaves the seeds' random op sequences untouched): fork the
+        // log at whatever state the fuzz produced — mid-evolution,
+        // post-truncate, post-checkpoint — and check the fork
+        // immediately (fork-point equality + write isolation both
+        // ways), then abandon it. Immediate-check only, because a
+        // LATER source vacuum arm may legitimately reclaim files a
+        // clone references (the documented shallow-clone hazard).
+        if (i % 9 == 0 && mtf.version >= 0) {
+          val clonePath = java.nio.file.Files
+            .createTempDirectory(s"graft-dmlfuzz-clone$i").toString + "/c"
+          ManifestTableFormat.cloneLog(spark, path, clonePath)
+          val cloneStore = new ChunkStore(spark, clonePath,
+            format = ManifestTableFormat.factory)
+          def urlText(df: DataFrame): Set[(String, String)] =
+            df.select("document_url", "chunk_text").collect()
+              .map(r => (r.getString(0), r.getString(1))).toSet
+          val want = model.map { case (u, d) =>
+            (u, d("chunk_text").asInstanceOf[String]) }.toSet
+          assert(urlText(cloneStore.read()) == want,
+            s"clone at v${mtf.version} diverged from fork-point model")
+          // clone-side append: invisible to the source
+          val doc: Map[String, Any] = Map(
+            "chunk_id" -> 0, "chunk_text" -> s"clone-$i",
+            "embedding" -> Seq(1f), "page_number" -> 1,
+            "document_url" -> s"doc://clone-$i") ++
+            evolved.map(_ -> (null: Any))
+          cloneStore.append(rowsDF(Seq(doc), allCols))
+          assert(cloneStore.read().count() == want.size + 1)
+          assert(urlText(store.read()) == want,
+            "a clone-side append leaked into the source")
+        }
       }
 
       // final state: table == model on every column
