@@ -163,7 +163,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val store = new ChunkStore(spark, dir,
         format = ManifestTableFormat.factory)
       val mtf = new ManifestTableFormat(spark, dir, store.schema)
-      val files = asOf.fold(mtf.liveFiles)(mtf.filesAtVersion)
+      val filesDv = asOf.fold(mtf.liveFilesWithDv)(mtf.filesWithDvAtVersion)
+      val files = filesDv.map(_._1)
+      val hasDv = filesDv.exists(_._2.isDefined)
       // effective schema AT the resolved version: ADD COLUMNs apply
       // from their commit on; a pre-ALTER time travel shows the old
       // shape (the Delta/Iceberg schema-tracking convention)
@@ -185,12 +187,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (asOf.isDefined) None else Some(store.mergeInto),
         // file skipping off the log's own per-file stats — sound for
         // time-travel reads too (a pre-stats or vacuumed-away file
-        // simply fails open and is read)
-        statsPruner = Some(mtf.pruneFilesForScan(files, _)),
+        // simply fails open and is read). A DELETION-VECTOR snapshot
+        // routes through the V1 fallback instead: rows are files
+        // minus position deletes, which a plain file scan cannot
+        // express (compaction / CALL rewrite_dvs restores this path)
+        statsPruner =
+          if (hasDv) None else Some(mtf.pruneFilesForScan(files, _)),
         overwriteHook =
           if (asOf.isDefined) None else Some(mtf.overwrite),
         truncateHook =
-          if (asOf.isDefined) None else Some(() => mtf.truncate()))
+          if (asOf.isDefined) None else Some(() => mtf.truncate()),
+        dvRead =
+          if (hasDv) Some(() => mtf.readPinned(filesDv, tblSchema))
+          else None)
     } else layoutTag(dir) match {
       case Some(tag) =>
         if (asOf.isDefined) throw new UnsupportedOperationException(
@@ -675,6 +684,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"$warehouse/${args(0)}", s"$warehouse/${args(1)}")
         longsRow(copied, manifestFor(args(1)).version)
       }),
+    rowProcedure("rewrite_dvs", Seq("table"),
+      "manifest log: MATERIALIZE deletion vectors (the Delta `REORG " +
+        "TABLE … APPLY (PURGE)` idea) — every DV-carrying live file " +
+        "rewrites without its deleted rows and drops the reference, " +
+        "returning reads to the zero-overhead stats-pruned scan; " +
+        "returns the number of files purged. Merge-on-read DELETEs " +
+        "(SET spark.graft.deletionVectors=true) commit O(deleted " +
+        "rows); this is the deferred rewrite, on the operator's " +
+        "maintenance cadence",
+      StructType(Seq(
+        StructField("files_purged", LongType, nullable = false))))(
+      args => longsRow(manifestFor(args(0)).rewriteDvs())),
     // ---- SQL surface for the D25/D27/D28 operators (the stores'
     // users are SQL-first; Scala-only operators are unreachable for
     // them). Pattern: <source> is any table/view name the session
@@ -816,7 +837,8 @@ private[graft] class GraftTable(
       Seq[graft.sink.ManifestTableFormat.StatsProbe] =>
         Option[Seq[String]]] = None,
     overwriteHook: Option[DataFrame => Unit] = None,
-    truncateHook: Option[() => Unit] = None)
+    truncateHook: Option[() => Unit] = None,
+    dvRead: Option[() => DataFrame] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -935,7 +957,19 @@ private[graft] class GraftTable(
       overwriteHook.map(_ => TableCapability.TRUNCATE)).asJava
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder = sidecarDir match {
+      options: CaseInsensitiveStringMap): ScanBuilder = dvRead match {
+    case Some(reader) =>
+      // DELETION-VECTOR snapshot: rows are parquet files MINUS the
+      // referenced position deletes — not a plain file scan. Served
+      // through the DSv2 V1 read fallback (the public JDBC-connector
+      // seam): the Scan hands Spark a TableScan relation whose RDD is
+      // the DV-aware frame (anti-join on parquet row positions).
+      // Filters stay ABOVE the relation (nothing is claimed pushed),
+      // so results are exact; the scan-speed tax is the documented
+      // merge-on-read trade, reclaimed by compaction / CALL
+      // rewrite_dvs. DV-free tables never take this branch.
+      new DvV1ScanBuilder(tableSchema, reader)
+    case None => sidecarDir match {
     case Some(dir) =>
       // sidecar-aware scan: `_hulls`/`_keybloom` shrink the file list
       // from the pushed predicates before parquet plans the read
@@ -949,6 +983,7 @@ private[graft] class GraftTable(
         new org.apache.spark.sql.graftbridge.ManifestStatsScanBuilder(
           spark, tableName, tableSchema, paths, options, pruner)
       case None => delegate.newScanBuilder(options)
+    }
     }
   }
 
@@ -983,4 +1018,35 @@ private[graft] class GraftTable(
       }
     }
   }
+}
+
+/** The DSv2 → V1 read fallback for DELETION-VECTOR snapshots: a
+  * [[org.apache.spark.sql.connector.read.V1Scan]] whose relation
+  * serves the DV-aware DataFrame (parquet scan anti-joined with the
+  * referenced position deletes). Nothing is claimed pushed, so every
+  * predicate re-applies above the relation — exact results, at the
+  * documented merge-on-read scan tax (compaction / CALL rewrite_dvs
+  * reclaims the fast path). The same public seam the JDBC connector
+  * reads through.
+  */
+private[graft] class DvV1ScanBuilder(
+    scanSchema: StructType,
+    reader: () => DataFrame)
+    extends org.apache.spark.sql.connector.read.ScanBuilder {
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = scanSchema
+      override def toV1TableScan[
+          T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        (new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = scanSchema
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            reader().rdd
+        }).asInstanceOf[T]
+    }
 }

@@ -1412,6 +1412,92 @@ object RelationalQueries {
         .orderBy("document_url")
     },
 
+    // C37s: MERGE-ON-READ row-level DELETE via protocol-v6 DELETION
+    // VECTORS — with spark.graft.deletionVectors=true a SQL DELETE
+    // commits one position-delete sidecar instead of rewriting files
+    // (the Delta DV idea: at 100 TB, deleting a few rows from a 1 GB
+    // file must not cost a 1 GB rewrite). Two successive DELETEs
+    // exercise the position UNION; `files_unchanged` pins the
+    // merge-on-read contract INSIDE the hash (1 ⇔ the live data-file
+    // set is byte-identical before and after both deletes), and the
+    // SELECT reads through the catalog's DV-aware V1-fallback scan.
+    // The oracle replays both deletes relationally. Mechanics
+    // (vacuum, restore, CDF, conflicts, rewrite_dvs) are pinned in
+    // DeletionVectorSpec.
+    "c37s_deletion_vectors" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text,
+        |       CAST(doc_id % 10 AS INTEGER) AS page_number,
+        |       CAST(1 AS BIGINT) AS files_unchanged
+        |FROM documents WHERE doc_id % 10 NOT IN (3, 4)
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-dvgate").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      store.append(t(s, dir, "documents").select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        (col("doc_id") % 10).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      val mtf = new graft.sink.ManifestTableFormat(s, path, store.schema)
+      val before = mtf.liveFiles.toSet
+      val cat = QueryDef.freshCatalog(s, "graft_dv", wh)
+      s.conf.set("spark.graft.deletionVectors", "true")
+      try {
+        s.sql(s"DELETE FROM $cat.chunks WHERE page_number = 3")
+        s.sql(s"DELETE FROM $cat.chunks WHERE page_number = 4")
+      } finally s.conf.unset("spark.graft.deletionVectors")
+      val unchanged = if (mtf.liveFiles.toSet == before) 1L else 0L
+      s.sql(s"SELECT document_url, chunk_text, page_number " +
+          s"FROM $cat.chunks")
+        .withColumn("files_unchanged", lit(unchanged))
+        .orderBy("document_url")
+    },
+
+    // C37t: METADATA-ONLY DELETE — when per-file stats PROVE every
+    // row of a file matches the predicate (fail-closed exact-probe
+    // implication over the same canonical-string grid the skipping
+    // stats use), the file rm's with NO data read or write (the Delta
+    // metadata-delete fast lane; at 100 TB, `DELETE WHERE ts <
+    // cutoff` on a time-clustered table is a pure log commit). Three
+    // appends land disjoint page decades in disjoint file sets;
+    // `no_new_files` pins the lane inside the hash (1 ⇔ the delete
+    // added no data files — every surviving file predates it).
+    "c37t_metadata_delete" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       text AS chunk_text,
+        |       CAST(30 + doc_id % 10 AS INTEGER) AS page_number,
+        |       CAST(1 AS BIGINT) AS no_new_files
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-mdel").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = t(s, dir, "documents")
+      def decade(m: Int, base: Int) = docs
+        .filter(col("doc_id") % 2 === m)
+        .select(lit(0).as("chunk_id"), col("text").as("chunk_text"),
+          array(lit(0f)).as("embedding"),
+          (lit(base) + col("doc_id") % 10).cast("int").as("page_number"),
+          concat(lit("doc://"), col("doc_id")).as("document_url"))
+      store.append(decade(0, 10)) // pages 10-19: fully covered below
+      store.append(decade(1, 30)) // pages 30-39: untouched
+      val mtf = new graft.sink.ManifestTableFormat(s, path, store.schema)
+      val before = mtf.liveFiles.toSet
+      val cat = QueryDef.freshCatalog(s, "graft_mdel", wh)
+      s.sql(s"DELETE FROM $cat.chunks WHERE page_number < 25")
+      val after = mtf.liveFiles.toSet
+      val noNew = if ((after -- before).isEmpty) 1L else 0L
+      s.sql(s"SELECT document_url, chunk_text, page_number " +
+          s"FROM $cat.chunks")
+        .withColumn("no_new_files", lit(noNew))
+        .orderBy("document_url")
+    },
+
     // B12b: path-based `format("graft")` — the catalog-free handle to
     // a manifest table (Delta's format("delta") next to its catalog):
     // the write goes through the V1 relation seam (mode=append = A18

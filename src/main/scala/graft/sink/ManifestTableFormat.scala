@@ -108,6 +108,14 @@ import graft.ops.Layout
   *    column as NULL (it reads by logical name). Do not point pre-v5
   *    engine builds at renamed tables — same operational contract as
   *    raising a Delta table's reader version with column mapping.
+  *  - v6: DELETION VECTORS — an add-action may carry a `dvp`/`dvc`
+  *    reference to a position-delete sidecar ([[ManifestTableFormat.DvRef]]);
+  *    re-adding a live file with a new DV supersedes its previous
+  *    add (merge-on-read DELETE: one metadata commit + O(deleted
+  *    rows) of sidecar, no file rewrite). CAVEAT (one-way, like v5):
+  *    a pre-v6 reader ignores the unknown fields and reads deleted
+  *    rows back — do not point pre-v6 engine builds at DV-carrying
+  *    tables.
   *  - Versioned SIDECARS (never vacuumed; bounded by ALTER count):
   *    `<v>.schema.json` (ADD/DROP/RENAME COLUMN eras),
   *    `<v>.constraints.json` (the named CHECK set), `<v>.txns.json`
@@ -245,7 +253,8 @@ class ManifestTableFormat(
   private[sink] final case class FileStats(
       bits: Seq[Long], lo: String, hi: String, numBits: Int, numHashes: Int,
       rows: Option[Long] = None, cols: Seq[ColStats] = Nil,
-      bytes: Option[Long] = None)
+      bytes: Option[Long] = None,
+      dv: Option[ManifestTableFormat.DvRef] = None)
 
   /** One committed action: add (with the file's stats), remove, or —
     * when `txn` is set (protocol v4) — a STREAMING TRANSACTION marker
@@ -331,7 +340,13 @@ class ManifestTableFormat(
       // legitimate value, so absence needs its own bit), null counts —
       // plus the file row count. An older reader ignores unknown
       // fields, so v3 logs stay readable by the v2 parser.
-      val sz = st.bytes.fold("")(b => "," + "\"sz\":" + b)
+      val sz = st.bytes.fold("")(b => "," + "\"sz\":" + b) +
+        // protocol v6: deletion-vector reference (path + cardinality).
+        // CAVEAT (one-way, like v5): a pre-v6 reader ignores unknown
+        // fields and would read the file's DELETED rows back — do not
+        // point pre-v6 engine builds at DV-carrying tables.
+        st.dv.fold("")(d =>
+          s""","dvp":"${esc(d.path)}","dvc":${d.card}""")
       val ext = st.rows match {
         case None => sz
         case Some(n) =>
@@ -423,12 +438,17 @@ class ManifestTableFormat(
             if (ok) Some(his(i)) else None, nulls(i))
         }
       }
+    def dvRef: Option[ManifestTableFormat.DvRef] =
+      fieldAt("dvp").map { case (s, e) =>
+        ManifestTableFormat.DvRef(unesc(line.substring(s, e)),
+          numLong("dvc").getOrElse(fail("dvp without dvc")))
+      }
     if (line.contains("\"a\":\"add\"")) {
       if (fieldAt("b").nonEmpty)
         Action(add = true, field("f"), Some(FileStats(
           unpackBits(field("b")), field("lo"), field("hi"),
           num("nb"), num("nh"), numLong("rows"), colStats,
-          numLong("sz"))))
+          numLong("sz"), dvRef)))
       else if (line.contains("\"u\":[")) {
         // PROTOCOL V1 add-action: the file's exact url set instead of
         // bloom stats. Accepted on read — stats are synthesized with
@@ -1090,10 +1110,11 @@ class ManifestTableFormat(
           st.cols.map(_.name), st.cols.map(_.lo.getOrElse("")),
           st.cols.map(_.hi.getOrElse("")),
           st.cols.map(c => if (c.lo.isDefined && c.hi.isDefined) 1 else 0),
-          st.cols.map(_.nulls)) }
+          st.cols.map(_.nulls),
+          st.dv.map(_.path), st.dv.map(_.card)) }
       .toDF("file", "bits", "lo", "hi", "num_bits", "num_hashes",
         "rows", "bytes", "cs_names", "cs_lo", "cs_hi", "cs_valid",
-        "cs_nn")
+        "cs_nn", "dv_path", "dv_card")
     snap.ckptParquet match {
       case None => tail
       case Some(dir) =>
@@ -1126,6 +1147,203 @@ class ManifestTableFormat(
   private def isLiveEmpty(snap: Snapshot): Boolean =
     snap.base.isEmpty &&
       (snap.ckptParquet.isEmpty || statsFrame(snap).isEmpty)
+
+  /** A stats-frame / checkpoint row back to [[FileStats]] (the two
+    * shapes are identical by construction — [[checkpoint]] writes the
+    * stats frame). Pre-v3/v6 rows lack columns entirely; absent or
+    * null means "not recorded" (fail-open downstream).
+    */
+  private def rowToStats(r: org.apache.spark.sql.Row)
+      : (String, FileStats) = {
+    def opt[T](n: String): Option[T] =
+      if (!r.schema.fieldNames.contains(n)) None
+      else {
+        val i = r.fieldIndex(n)
+        if (r.isNullAt(i)) None else Some(r.getAs[T](n))
+      }
+    val names = opt[scala.collection.Seq[String]]("cs_names")
+      .map(_.toSeq).getOrElse(Nil)
+    val los = opt[scala.collection.Seq[String]]("cs_lo")
+      .map(_.toSeq).getOrElse(Nil)
+    val his = opt[scala.collection.Seq[String]]("cs_hi")
+      .map(_.toSeq).getOrElse(Nil)
+    val valid = opt[scala.collection.Seq[Int]]("cs_valid")
+      .map(_.toSeq).getOrElse(Nil)
+    val nulls = opt[scala.collection.Seq[Long]]("cs_nn")
+      .map(_.toSeq).getOrElse(Nil)
+    val cols = names.indices.map { i =>
+      val ok = i < valid.size && valid(i) == 1
+      ColStats(names(i),
+        if (ok) Some(los(i)) else None,
+        if (ok) Some(his(i)) else None,
+        if (i < nulls.size) nulls(i) else 0L)
+    }
+    r.getAs[String]("file") -> FileStats(
+      r.getAs[scala.collection.Seq[Long]]("bits").toSeq,
+      r.getAs[String]("lo"), r.getAs[String]("hi"),
+      r.getAs[Int]("num_bits"), r.getAs[Int]("num_hashes"),
+      opt[Long]("rows"), cols, opt[Long]("bytes"),
+      opt[String]("dv_path").map(p =>
+        ManifestTableFormat.DvRef(p, opt[Long]("dv_card").getOrElse(0L))))
+  }
+
+  /** Full [[FileStats]] for the given live names — one narrow collect,
+    * bounded by the CALLER's list (DML churn), never table size.
+    */
+  private def statsOf(snap: Snapshot, files: Seq[String])
+      : Map[String, FileStats] = {
+    if (files.isEmpty) return Map.empty
+    import spark.implicits._
+    statsFrame(snap).join(files.toDF("file"), Seq("file"), "left_semi")
+      .collect().map(rowToStats).toMap
+  }
+
+  /** (file → deletion-vector ref) for the given live names — the
+    * narrow projection of [[statsOf]] every rewrite read consults.
+    */
+  private def dvOf(snap: Snapshot, files: Seq[String])
+      : Map[String, Option[ManifestTableFormat.DvRef]] = {
+    if (files.isEmpty) return Map.empty
+    import spark.implicits._
+    statsFrame(snap).join(files.toDF("file"), Seq("file"), "left_semi")
+      .select("file", "dv_path", "dv_card").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None
+        else Some(ManifestTableFormat.DvRef(r.getString(1), r.getLong(2)))))
+      .toMap.withDefaultValue(None)
+  }
+
+  /** Live (file, dv) pairs, sorted by name — [[liveNames]] plus each
+    * file's deletion-vector reference.
+    */
+  private[sink] def liveWithDv(snap: Snapshot)
+      : Seq[(String, Option[ManifestTableFormat.DvRef])] =
+    snap.ckptParquet match {
+      case None =>
+        snap.base.toSeq.sortBy(_._1).map { case (f, st) => (f, st.dv) }
+      case Some(_) =>
+        statsFrame(snap).select("file", "dv_path", "dv_card").collect()
+          .map(r => r.getString(0) -> (if (r.isNullAt(1)) None
+            else Some(ManifestTableFormat.DvRef(
+              r.getString(1), r.getLong(2)))))
+          .toSeq.sortBy(_._1)
+    }
+
+  private def baseNameOf(p: String): String = p.split('/').last
+
+  /** DELETION-VECTOR-AWARE read of a pinned (file, dv) list: clean
+    * files scan untouched (the common path — zero overhead); DV'd
+    * files scan with their parquet ROW POSITIONS
+    * (`_metadata.row_index`, the position DVs are keyed by) and
+    * anti-join the deleted (file, pos) set. Each data file consults
+    * EXACTLY the DV object its add-action references — the pair join
+    * on (data-file basename, dv basename) keeps positions a shared DV
+    * object holds for files whose reference has since moved on (e.g.
+    * after RESTORE) inert. The deleted set is broadcast: DV deletes
+    * are churn-scale by contract (a mass delete belongs on the
+    * copy-on-write path), and the hint is that contract's documented
+    * memory bound.
+    */
+  private[sink] def readFilesDv(
+      withDv: Seq[(String, Option[ManifestTableFormat.DvRef])],
+      s: StructType): DataFrame = {
+    val clean = withDv.collect { case (f, None) => f }
+    val dvd = withDv.collect { case (f, Some(d)) => (f, d) }
+    val base = readFiles(clean, s)
+    if (dvd.isEmpty) return base
+    base.unionByName(
+      readDvdFiles(dvd, s)
+        .select(s.fields.toIndexedSeq.map(f =>
+          col(ManifestTableFormat.physicalName(f)).as(f.name)): _*))
+  }
+
+  /** The DV'd branch of [[readFilesDv]], rows still under PHYSICAL
+    * names plus the `__fp` file-path column (for callers that need
+    * per-row file provenance, e.g. the DML pre-scans).
+    */
+  private def readDvdFiles(
+      dvd: Seq[(String, ManifestTableFormat.DvRef)],
+      s: StructType): DataFrame = {
+    import spark.implicits._
+    val phys = ManifestTableFormat.physicalSchema(s)
+    val refs = dvd.map { case (f, d) =>
+      (baseNameOf(f), baseNameOf(d.path)) }.toDF("__name", "__dv")
+    val deleted = spark.read.parquet(dvd.map(_._2.path).distinct: _*)
+      .withColumn("__dv",
+        element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(refs), Seq("__name", "__dv"), "left_semi")
+      .select("__name", "__pos")
+    spark.read.schema(phys).parquet(dvd.map(_._1): _*)
+      .select((Seq(col("_metadata.file_path").as("__fp"),
+        col("_metadata.row_index").as("__pos")) ++
+          phys.fieldNames.toIndexedSeq.map(col)): _*)
+      .withColumn("__name", element_at(split(col("__fp"), "/"), -1))
+      .join(broadcast(deleted), Seq("__name", "__pos"), "left_anti")
+      .drop("__name", "__pos")
+  }
+
+  /** [[readFiles]] with the snapshot's deletion vectors applied — the
+    * read every REWRITE must use (a raw read would resurrect
+    * DV-deleted rows into the rewritten files).
+    */
+  private def readLive(snap: Snapshot, files: Seq[String]): DataFrame = {
+    val dvs = dvOf(snap, files)
+    readFilesDv(files.map(f => f -> dvs(f)), snap.tableSchema)
+  }
+
+  /** Map scan-produced per-row file paths back to the snapshot's
+    * RECORDED names: `input_file_name()` and `_metadata.file_path`
+    * render the same file with different URI normalization, so
+    * pre-scan results key by BASENAME (part-file uuids are globally
+    * unique — the invariant vacuum already relies on).
+    */
+  private def toRecordedNames(
+      recorded: Seq[String], scanned: Seq[String]): Seq[String] = {
+    val byBase = recorded.map(f => baseNameOf(f) -> f).toMap
+    scanned.map(p => byBase.getOrElse(baseNameOf(p), p))
+  }
+
+  /** [[readLive]] plus a per-row source-file column named `fileCol` —
+    * the DML pre-scans' shape ("which files hold a matching row").
+    * The file column binds AT THE SCAN on both branches
+    * (`input_file_name` evaluated past an exchange returns "").
+    */
+  private def readLiveWithFile(
+      snap: Snapshot, files: Seq[String], fileCol: String): DataFrame = {
+    val s = snap.tableSchema
+    val dvs = dvOf(snap, files)
+    val clean = files.filter(dvs(_).isEmpty)
+    val dvd = files.flatMap(f => dvs(f).map(d => (f, d)))
+    val logical = s.fields.toIndexedSeq.map(f =>
+      col(ManifestTableFormat.physicalName(f)).as(f.name))
+    val base = readFiles(clean, s)
+      .withColumn(fileCol, input_file_name())
+    if (dvd.isEmpty) base
+    else base.unionByName(readDvdFiles(dvd, s)
+      .select(logical :+ col("__fp").as(fileCol): _*))
+  }
+
+  /** Publish the (name, pos) frame as ONE deletion-vector parquet
+    * object under `data/` and return its absolute path. Written
+    * staged-then-renamed like every data file: unreferenced until the
+    * commit lands, vacuum fodder if the commit never does.
+    */
+  private def writeDvObject(positions: DataFrame): String = {
+    val tmp = new Path(dataDir,
+      s"dvtmp-${java.util.UUID.randomUUID()}")
+    positions.repartition(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .find(_.getPath.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"deletion-vector write at $tmp produced no part file"))
+      .getPath
+    val target = new Path(dataDir,
+      s"dv-${java.util.UUID.randomUUID()}.parquet")
+    if (!fs.rename(part, target))
+      throw new IllegalStateException(
+        s"could not publish deletion vector at $target")
+    fs.delete(tmp, true)
+    fs.makeQualified(target).toString
+  }
 
   /** Files whose stats say they MAY hold any of `probe`'s urls: the
     * stats frame joins the broadcast distinct url-hash frame; min/max
@@ -1369,6 +1587,12 @@ class ManifestTableFormat(
       guard()
       val snap = snapshot()
       val files = affected(snap)
+      // the (file, dv) pairs this cycle READ — the conflict unit. A
+      // concurrent commit that merely re-adds an input file with a
+      // NEW deletion vector did not remove the name, but our rewrite
+      // applied the OLD vector: committing would resurrect its
+      // deletes. Pair-compare, not name-compare.
+      val inputDv = dvOf(snap, files)
       val adds = writeData(onRewrite(rewrite(snap, files)), snap.tableSchema)
       val actions = files.map(Action(add = false, _, None)) ++ adds
       if (actions.isEmpty) return
@@ -1379,18 +1603,24 @@ class ManifestTableFormat(
       while (!committed && !rerun) {
         guard()
         val now = snapshot()
-        // file-level conflict: the winner removed something we read
-        // (rewrote or planned to remove) — our staged rewrite is
-        // stale, abandon it and re-run against the new snapshot.
-        // Checked as a JOIN: the churn-bounded `files` list
-        // anti-joins the live-name FRAME (checkpoint manifests read
-        // executor-side), so the driver never materializes the live
-        // set — the check stays O(churn) at any table size.
+        // file-level conflict: the winner removed (or re-DV'd)
+        // something we read (rewrote or planned to remove) — our
+        // staged rewrite is stale, abandon it and re-run against the
+        // new snapshot. Checked as a JOIN: the churn-bounded `files`
+        // list anti-joins the live (file, dv) FRAME (checkpoint
+        // manifests read executor-side), so the driver never
+        // materializes the live set — the check stays O(churn) at any
+        // table size.
         val conflicted = files.nonEmpty && {
           import spark.implicits._
-          files.toDF("file")
-            .join(statsFrame(now).select("file"), Seq("file"),
-              "left_anti")
+          val mine = files
+            .map(f => (f, inputDv(f).map(_.path).orNull))
+            .toDF("file", "dv")
+          val live = statsFrame(now)
+            .select(col("file").as("n_file"), col("dv_path").as("n_dv"))
+          mine.join(live,
+              mine("file") === live("n_file") &&
+                mine("dv") <=> live("n_dv"), "left_anti")
             .limit(1).count() > 0
         }
         if (conflicted) {
@@ -1433,7 +1663,7 @@ class ManifestTableFormat(
       val probe = incoming.select("document_url").distinct().persist()
       try commitCycle(
         snap => affectedFiles(snap, probe),
-        (snap, files) => readFiles(files, snap.tableSchema)
+        (snap, files) => readLive(snap, files)
           .join(broadcast(probe), Seq("document_url"), "left_anti")
           .unionByName(conform(incoming, snap.tableSchema)))
       finally probe.unpersist()
@@ -1463,7 +1693,7 @@ class ManifestTableFormat(
       if (probe.isEmpty) return
       commitCycle(
         snap => affectedFiles(snap, probe),
-        (snap, files) => readFiles(files, snap.tableSchema)
+        (snap, files) => readLive(snap, files)
           .join(broadcast(probe), Seq("document_url"), "left_anti"))
     } finally probe.unpersist()
   }
@@ -1521,15 +1751,14 @@ class ManifestTableFormat(
           else urlProbe match {
             case Some(p) => affectedFiles(snap, p)
             case None =>
-              // input_file_name must bind BEFORE the join: evaluated
-              // past an exchange it returns "" (no current file in
-              // that task context)
-              readFiles(names, snap.tableSchema)
-                .withColumn("__graft_f", input_file_name())
-                .alias("__graft_t")
-                .join(src.alias("__graft_s"), onCond, "left_semi")
-                .select("__graft_f").distinct()
-                .collect().map(_.getString(0)).toSeq.sorted
+              // the file column binds AT THE SCAN (readLiveWithFile):
+              // input_file_name evaluated past an exchange returns ""
+              toRecordedNames(names,
+                readLiveWithFile(snap, names, "__graft_f")
+                  .alias("__graft_t")
+                  .join(src.alias("__graft_s"), onCond, "left_semi")
+                  .select("__graft_f").distinct()
+                  .collect().map(_.getString(0)).toSeq).sorted
           }
         },
         (snap, files) => mergeOutput(snap, files, src, onCond,
@@ -1546,7 +1775,7 @@ class ManifestTableFormat(
       matched: Seq[GraftMergeAction],
       notMatched: Seq[GraftMergeAction],
       notMatchedBySource: Seq[GraftMergeAction]): DataFrame = {
-    val t = readFiles(files, snap.tableSchema).alias("__graft_t")
+    val t = readLive(snap, files).alias("__graft_t")
     val s = src.alias("__graft_s")
 
     // ambiguity guard: row-id tags are assigned and counted inside
@@ -1651,19 +1880,260 @@ class ManifestTableFormat(
     else pruneFilesForScan(names, probes).getOrElse(names)
   }
 
+  /** Row-level DELETE. Two physical strategies, same result:
+    *
+    *  - COPY-ON-WRITE (default): affected files rewrite without the
+    *    matching rows — read-path cost stays zero, write cost is the
+    *    touched bytes.
+    *  - MERGE-ON-READ deletion vectors (`spark.graft.deletionVectors`
+    *    = true, or [[deleteWhereDv]] directly): affected files stay
+    *    put; the commit re-adds them with a position-delete sidecar —
+    *    write cost O(deleted rows), read cost one broadcast anti-join
+    *    until compaction/[[rewriteDvs]] materializes. The Delta DV
+    *    trade: at 100 TB, deleting 100 rows from a 1 GB file must not
+    *    cost a 1 GB rewrite.
+    *
+    * BOTH take the METADATA-ONLY fast lane first: files whose
+    * per-file stats PROVE every row matches (fail-closed exact-probe
+    * implication — `DELETE WHERE ts < cutoff` on a time-clustered
+    * table) are rm'd without being read or rewritten.
+    */
   override def deleteWhere(
       condition: org.apache.spark.sql.Column): Boolean = {
+    if (spark.conf.get("spark.graft.deletionVectors", "false").toBoolean) {
+      deleteWhereDv(condition)
+      return true
+    }
+    var provable = Set.empty[String]
     commitCycle(
       snap => {
         val names = preScanCandidates(snap, condition)
         if (names.isEmpty) Seq.empty
-        else readFiles(names, snap.tableSchema).filter(condition)
-          .select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        else {
+          // metadata-only lane: stats prove EVERY row matches — the
+          // whole file is dead, skip its pre-scan and its rewrite
+          provable = fullMatchFiles(snap, names, condition).toSet
+          val scanned = names.filterNot(provable)
+          val hit =
+            if (scanned.isEmpty) Seq.empty
+            else toRecordedNames(scanned,
+              readLiveWithFile(snap, scanned, "__f")
+                .filter(condition)
+                .select(col("__f")).distinct()
+                .collect().map(_.getString(0)).toSeq)
+          (provable.toSeq ++ hit).sorted
+        }
       },
-      (snap, files) => readFiles(files, snap.tableSchema)
-        .filter(!coalesce(condition, lit(false))))
+      (snap, files) =>
+        readLive(snap, files.filterNot(provable))
+          .filter(!coalesce(condition, lit(false))))
     true
+  }
+
+  /** MERGE-ON-READ row-level DELETE (protocol v6 deletion vectors):
+    * matching row POSITIONS in each affected file are computed once
+    * (parquet `_metadata.row_index`), unioned with the file's
+    * existing vector, and committed as ONE position-delete sidecar +
+    * re-adds of the untouched data files — no data rewrite. Files the
+    * new vector covers COMPLETELY (all rows deleted) are rm'd
+    * outright, as are files whose stats prove a full match without
+    * any read (the metadata-only lane). Conflict-checked on (file,
+    * dv) pairs like every commit: a racing DELETE/rewrite on the same
+    * file re-runs against the new snapshot. Returns (files removed,
+    * files newly carrying a vector).
+    */
+  def deleteWhereDv(condition: org.apache.spark.sql.Column)
+      : (Long, Long) = {
+    import spark.implicits._
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"DV delete at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      val names = preScanCandidates(snap, condition)
+      if (names.isEmpty) return (0L, 0L)
+      val stats = statsOf(snap, names)
+      val provable = fullMatchFiles(snap, names, condition).toSet
+      val scanned = names.filterNot(provable)
+      val byBase = scanned.map(f => baseNameOf(f) -> f).toMap
+      // matching positions in the RAW files (an already-deleted row
+      // re-matching is harmless — the union below is idempotent)
+      val phys = ManifestTableFormat.physicalSchema(snap.tableSchema)
+      val hits =
+        if (scanned.isEmpty)
+          spark.emptyDataset[(String, Long)].toDF("__name", "__pos")
+        else {
+          val logical = snap.tableSchema.fields.toIndexedSeq.map(f =>
+            col(ManifestTableFormat.physicalName(f)).as(f.name))
+          spark.read.schema(phys).parquet(scanned: _*)
+            .select((Seq(col("_metadata.file_path").as("__fp"),
+              col("_metadata.row_index").as("__pos")) ++ logical): _*)
+            .filter(condition)
+            .select(element_at(split(col("__fp"), "/"), -1).as("__name"),
+              col("__pos"))
+        }
+      // carry the existing vectors forward: the new vector is the
+      // position UNION (keyed by the exact (file, dv) pair)
+      val olds = scanned.flatMap(f => stats(f).dv.map(d => (f, d)))
+      val oldPos =
+        if (olds.isEmpty)
+          spark.emptyDataset[(String, Long)].toDF("__name", "__pos")
+        else {
+          val refs = olds.map { case (f, d) =>
+            (baseNameOf(f), baseNameOf(d.path)) }.toDF("__name", "__dv")
+          spark.read.parquet(olds.map(_._2.path).distinct: _*)
+            .withColumn("__dv",
+              element_at(split(input_file_name(), "/"), -1))
+            .join(broadcast(refs), Seq("__name", "__dv"), "left_semi")
+            .select("__name", "__pos")
+        }
+      val newDv = hits.unionByName(oldPos).distinct().persist()
+      try {
+        val counts = newDv.groupBy("__name").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val oldCard = scanned.map(f =>
+          f -> stats(f).dv.map(_.card).getOrElse(0L)).toMap
+        // fully dead: the vector covers every physical row
+        val fullyDead = scanned.filter(f =>
+          stats(f).rows.exists(_ == counts.getOrElse(baseNameOf(f), 0L)))
+        // newly touched: strictly more positions than before
+        val toDv = scanned.filterNot(fullyDead.toSet).filter(f =>
+          counts.getOrElse(baseNameOf(f), 0L) > oldCard(f))
+        if (provable.isEmpty && fullyDead.isEmpty && toDv.isEmpty)
+          return (0L, 0L)
+        val dvPath =
+          if (toDv.isEmpty) None
+          else {
+            val keep = toDv.map(baseNameOf).toDF("__name")
+            Some(writeDvObject(
+              newDv.join(broadcast(keep), Seq("__name"), "left_semi")))
+          }
+        val actions =
+          (provable.toSeq ++ fullyDead).sorted
+            .map(Action(add = false, _, None)) ++
+          toDv.sorted.map { f =>
+            Action(add = true, f, Some(stats(f).copy(
+              dv = Some(ManifestTableFormat.DvRef(dvPath.get,
+                counts(baseNameOf(f)))))))
+          }
+        // conflict unit is the (file, dv) pair — same as commitCycle
+        var committed = tryCommit(snap, actions)
+        var stale = false
+        while (!committed && !stale) {
+          attempt += 1
+          require(attempt <= maxCommitRetries,
+            s"DV delete at $path lost $maxCommitRetries commit races")
+          val now = snapshot()
+          val mine = names
+            .map(f => (f, stats.get(f).flatMap(_.dv).map(_.path).orNull))
+            .toDF("file", "dv")
+          val live = statsFrame(now)
+            .select(col("file").as("n_file"), col("dv_path").as("n_dv"))
+          val conflicted = mine.join(live,
+              mine("file") === live("n_file") &&
+                mine("dv") <=> live("n_dv"), "left_anti")
+            .limit(1).count() > 0
+          if (conflicted) {
+            dvPath.foreach(p => fs.delete(new Path(p), false))
+            stale = true
+          } else committed = tryCommit(now, actions)
+        }
+        if (committed)
+          return ((provable.size + fullyDead.size).toLong, toDv.size.toLong)
+      } finally newDv.unpersist()
+      // stale: loop re-runs against the new snapshot
+    }
+    (0L, 0L) // unreachable
+  }
+
+  /** Materialize every live deletion vector (the Delta
+    * `REORG TABLE … APPLY (PURGE)` idea): DV-carrying files rewrite
+    * without their deleted rows and drop the reference — the read
+    * path returns to the zero-overhead clean scan. Returns the number
+    * of files purged.
+    */
+  def rewriteDvs(): Long = {
+    var purged = 0L
+    commitCycle(
+      snap => {
+        val files = liveWithDv(snap).collect {
+          case (f, Some(_)) => f }
+        purged = files.size.toLong
+        files
+      },
+      (snap, files) => readLive(snap, files))
+    purged
+  }
+
+  /** Files among `names` whose stats PROVE every row matches
+    * `condition` — the metadata-only DELETE lane. FAIL-CLOSED
+    * throughout (the mirror of [[pruneFilesForScan]]'s fail-open):
+    * only predicates every conjunct of which converts to an exact
+    * probe qualify, only stats-exact column kinds prove non-strict
+    * bounds, absent/uncastable stats and any recorded NULL disqualify
+    * the file. An empty answer just means "read the file".
+    */
+  private def fullMatchFiles(
+      snap: Snapshot,
+      names: Seq[String],
+      condition: org.apache.spark.sql.Column): Seq[String] = {
+    import ManifestTableFormat._
+    import org.apache.spark.sql.types.DecimalType
+    if (names.isEmpty) return Seq.empty
+    val probes = try {
+      StatsProbes.extractExact(
+        Seq(org.apache.spark.sql.graftbridge.Bridge
+          .expression(spark, condition)),
+        n => snap.tableSchema.fields
+          .find(_.name.equalsIgnoreCase(n))
+          .map(f => (ManifestTableFormat.physicalName(f), f.dataType)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    probes match {
+      case None => Seq.empty
+      case Some(Nil) => Seq.empty
+      case Some(ps) =>
+        import spark.implicits._
+        val dec = DecimalType(38, 18)
+        val st = statsFrame(snap)
+          .join(names.toDF("file"), Seq("file"), "left_semi")
+        def statVal(arr: String, name: String): Column = {
+          val pos = array_position(col("cs_names"), name).cast("int")
+          when(pos > 0 && element_at(col("cs_valid"), pos) === 1,
+            element_at(col(arr), pos))
+        }
+        def nullsOf(name: String): Column = {
+          val pos = array_position(col("cs_names"), name).cast("int")
+          when(pos > 0, element_at(col("cs_nn"), pos))
+        }
+        def closed(c: Column): Column = coalesce(c, lit(false))
+        val proof = ps.map {
+          case ExactCmp(c, op, v, exactGrid) =>
+            val loS = statVal("cs_lo", c).try_cast(dec)
+            val hiS = statVal("cs_hi", c).try_cast(dec)
+            val l = lit(v).try_cast(dec)
+            // the canonical-string grid is monotone (a<=b ⇒ g(a)<=g(b))
+            // but not injective for float kinds: STRICT grid
+            // inequality proves strict value inequality everywhere;
+            // grid equality proves value bounds only on exact-grid
+            // kinds (integral/date/timestamp/boolean)
+            val cmp = op match {
+              case "lt" => hiS < l
+              case "le" => if (exactGrid) hiS <= l else hiS < l
+              case "gt" => loS > l
+              case "ge" => if (exactGrid) loS >= l else loS > l
+              case "eq" =>
+                if (exactGrid) loS === l && hiS === l else lit(false)
+            }
+            closed(cmp) && closed(nullsOf(c) === 0L)
+          case ExactNull(c, true) =>
+            closed(nullsOf(c) === col("rows"))
+          case ExactNull(c, false) =>
+            closed(nullsOf(c) === 0L)
+        }.reduce(_ && _)
+        st.filter(proof && col("rows").isNotNull && col("rows") > 0)
+          .select("file").collect().map(_.getString(0)).toSeq.sorted
+    }
   }
 
   /** SQL `UPDATE t SET … WHERE …` as a copy-on-write commit (the
@@ -1698,12 +2168,13 @@ class ManifestTableFormat(
         val names = condition.fold(liveNames(snap))(
           preScanCandidates(snap, _))
         if (names.isEmpty) Seq.empty
-        else readFiles(names, snap.tableSchema).filter(cond)
-          .select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        else toRecordedNames(names,
+          readLiveWithFile(snap, names, "__f").filter(cond)
+            .select(col("__f")).distinct()
+            .collect().map(_.getString(0)).toSeq).sorted
       },
       (snap, files) => {
-        val src = readFiles(files, snap.tableSchema)
+        val src = readLive(snap, files)
         val projected = snap.tableSchema.fields.toIndexedSeq.map { f =>
           set.find(_._1 == f.name) match {
             case Some((_, v)) =>
@@ -1739,7 +2210,7 @@ class ManifestTableFormat(
         val parts = math.max(1L,
           (totalBytes + targetFileBytes - 1) / targetFileBytes)
           .min(Int.MaxValue.toLong).toInt
-        readFiles(files, snap.tableSchema).repartition(parts)
+        readLive(snap, files).repartition(parts)
       })
   }
 
@@ -1776,7 +2247,7 @@ class ManifestTableFormat(
         val parts = math.max(1L,
           (totalBytes + targetFileBytes - 1) / targetFileBytes)
           .min(Int.MaxValue.toLong).toInt
-        readFiles(files, snap.tableSchema).repartition(parts)
+        readLive(snap, files).repartition(parts)
       })
     rewritten
   }
@@ -1815,7 +2286,7 @@ class ManifestTableFormat(
           (totalBytes + targetFileBytes - 1) / targetFileBytes)
           .min(Int.MaxValue.toLong).toInt
         Layout.zorderFrameAuto(
-          readFiles(files, snap.tableSchema), dimNames, parts)
+          readLive(snap, files), dimNames, parts)
           .drop("__z")
       })
   }
@@ -1864,39 +2335,8 @@ class ManifestTableFormat(
         s"entries in (${ckpt}, $asOf] were vacuumed")
     var live = Map.empty[String, FileStats]
     if (pc >= jc && pc >= 0) {
-      val rows = spark.read.parquet(ckptParquetPath(pc).toString)
-        .collect()
-      live = rows.map { r =>
-        // pre-stats checkpoints lack the stats columns entirely
-        def opt[T](n: String): Option[T] =
-          if (!r.schema.fieldNames.contains(n)) None
-          else {
-            val i = r.fieldIndex(n)
-            if (r.isNullAt(i)) None else Some(r.getAs[T](n))
-          }
-        val names = opt[scala.collection.Seq[String]]("cs_names")
-          .map(_.toSeq).getOrElse(Nil)
-        val los = opt[scala.collection.Seq[String]]("cs_lo")
-          .map(_.toSeq).getOrElse(Nil)
-        val his = opt[scala.collection.Seq[String]]("cs_hi")
-          .map(_.toSeq).getOrElse(Nil)
-        val valid = opt[scala.collection.Seq[Int]]("cs_valid")
-          .map(_.toSeq).getOrElse(Nil)
-        val nulls = opt[scala.collection.Seq[Long]]("cs_nn")
-          .map(_.toSeq).getOrElse(Nil)
-        val cols = names.indices.map { i =>
-          val ok = i < valid.size && valid(i) == 1
-          ColStats(names(i),
-            if (ok) Some(los(i)) else None,
-            if (ok) Some(his(i)) else None,
-            if (i < nulls.size) nulls(i) else 0L)
-        }
-        r.getAs[String]("file") -> FileStats(
-          r.getAs[scala.collection.Seq[Long]]("bits").toSeq,
-          r.getAs[String]("lo"), r.getAs[String]("hi"),
-          r.getAs[Int]("num_bits"), r.getAs[Int]("num_hashes"),
-          opt[Long]("rows"), cols, opt[Long]("bytes"))
-      }.toMap
+      live = spark.read.parquet(ckptParquetPath(pc).toString)
+        .collect().map(rowToStats).toMap
     } else if (ckpt >= 0)
       readText(checkpointPath(ckpt)).linesIterator.filter(_.nonEmpty)
         .foreach { line =>
@@ -1939,15 +2379,24 @@ class ManifestTableFormat(
       val snap = snapshot()
       if (snap.version == asOf) return (0L, 0L)
       val wanted = statsAtVersion(asOf)
-      val current = liveNames(snap).toSet
-      val toAdd = wanted.filterNot { case (n, _) => current.contains(n) }
-      val toRm = current.filterNot(wanted.contains).toSeq.sorted
-      val gone = toAdd.keys.filterNot(n => fs.exists(new Path(n)))
-        .toSeq.sorted
+      val currentDv = liveWithDv(snap).toMap
+      // re-add when not live now, OR live under a DIFFERENT deletion
+      // vector (a replay add replaces the pair — the restore must
+      // reset post-asOf DV drift, not just name churn)
+      val toAdd = wanted.filter { case (n, st) =>
+        currentDv.get(n) match {
+          case None => true
+          case Some(dv) => dv != st.dv
+        }
+      }
+      val toRm = currentDv.keys.filterNot(wanted.contains).toSeq.sorted
+      val gone = (toAdd.keys ++
+          toAdd.values.flatMap(_.dv.map(_.path)))
+        .filterNot(n => fs.exists(new Path(n))).toSeq.sorted
       require(gone.isEmpty,
-        s"RESTORE to $asOf at $path: ${gone.size} data files were " +
-          s"already vacuumed (first: ${gone.headOption.getOrElse("")})" +
-          " — that version's bytes are gone")
+        s"RESTORE to $asOf at $path: ${gone.size} data/deletion-vector " +
+          s"files were already vacuumed (first: ${
+            gone.headOption.getOrElse("")}) — that version's bytes are gone")
       if (toAdd.isEmpty && toRm.isEmpty) return (0L, 0L)
       val actions = toRm.map(Action(add = false, _, None)) ++
         toAdd.toSeq.sortBy(_._1).map { case (n, st) =>
@@ -2028,7 +2477,7 @@ class ManifestTableFormat(
 
   override def read(): Option[DataFrame] = {
     val snap = snapshot()
-    Some(readFiles(liveNames(snap), snap.tableSchema))
+    Some(readFilesDv(liveWithDv(snap), snap.tableSchema))
   }
 
   /** Point/multi-document reads prune to the files whose stats MAY
@@ -2045,7 +2494,7 @@ class ManifestTableFormat(
     val probe = urls.distinct.toDF("document_url")
     val snap = snapshot()
     val files = affectedFiles(snap, probe)
-    Some(readFiles(files, snap.tableSchema)
+    Some(readLive(snap, files)
       .join(broadcast(probe), Seq("document_url"), "left_semi")
       .select(snap.tableSchema.fieldNames.map(col).toIndexedSeq: _*))
   }
@@ -2095,7 +2544,8 @@ class ManifestTableFormat(
   def tableStats(): (Long, Long, Long, Long) = {
     val snap = snapshot()
     val agg = statsFrame(snap)
-      .agg(count(lit(1)).as("files"), sum("rows").as("rows"),
+      .agg(count(lit(1)).as("files"),
+        sum(col("rows") - coalesce(col("dv_card"), lit(0L))).as("rows"),
         count("rows").as("rows_known"), sum("bytes").as("bytes"),
         count("bytes").as("bytes_known"))
       .collect().head
@@ -2125,6 +2575,23 @@ class ManifestTableFormat(
     * — the file-set handle the SQL catalog builds its scans from.
     */
   def liveFiles: Seq[String] = liveNames(snapshot())
+
+  /** Live (file, deletion-vector) pairs of the current snapshot —
+    * the catalog's handle for DV-aware resolution: all-`None` means
+    * the plain stats-pruned parquet scan serves; any `Some` routes
+    * SQL reads through [[readPinned]].
+    */
+  def liveFilesWithDv: Seq[(String, Option[ManifestTableFormat.DvRef])] =
+    liveWithDv(snapshot())
+
+  /** DV-aware read of a PINNED (file, dv) list under `s` — the SQL
+    * catalog's scan body for deletion-vector snapshots (snapshot
+    * isolation comes from the pinned pairs, exactly like the pinned
+    * file lists of the plain scan path).
+    */
+  def readPinned(
+      pairs: Seq[(String, Option[ManifestTableFormat.DvRef])],
+      s: StructType): DataFrame = readFilesDv(pairs, s)
 
   /** FILE SKIPPING for a planned scan (the Delta data-skipping idea,
     * manifest-native): given the scan's PINNED file list and the
@@ -2218,7 +2685,16 @@ class ManifestTableFormat(
   /** Live data files AS OF `asOf` (the [[readVersion]] replay without
     * the read) — backs `VERSION AS OF` through the SQL catalog.
     */
-  def filesAtVersion(asOf: Long): Seq[String] = {
+  def filesAtVersion(asOf: Long): Seq[String] =
+    filesWithDvAtVersion(asOf).map(_._1)
+
+  /** Live (file, deletion-vector) pairs AS OF `asOf` — names-plus-dv
+    * replay: a parquet checkpoint contributes via a three-column
+    * Spark read, a legacy JSON one by driver parse; an add for a live
+    * name replaces its previous pair (how a DV commit supersedes).
+    */
+  def filesWithDvAtVersion(asOf: Long)
+      : Seq[(String, Option[ManifestTableFormat.DvRef])] = {
     val f = fs
     require(f.exists(logDir), s"no log at $path")
     val (entries, jsonCkpts, pqCkpts, schemaVers) = census(f)
@@ -2235,40 +2711,50 @@ class ManifestTableFormat(
       s"version $asOf at $path is no longer reconstructable — " +
         s"entries in (${ckpt}, $asOf] were vacuumed (history " +
         "retention is bounded by checkpoint + vacuum)")
-    // names-only replay: a parquet checkpoint contributes via a
-    // single-column Spark read, a legacy JSON one by driver parse
-    var live = Set.empty[String]
-    if (pc >= jc && pc >= 0)
-      live = spark.read.parquet(ckptParquetPath(pc).toString)
-        .select("file").collect().map(_.getString(0)).toSet
-    else if (ckpt >= 0)
+    var live = Map.empty[String, Option[ManifestTableFormat.DvRef]]
+    if (pc >= jc && pc >= 0) {
+      val ck = spark.read.parquet(ckptParquetPath(pc).toString)
+      val hasDv = ck.schema.fieldNames.contains("dv_path")
+      val cols =
+        if (hasDv) ck.select("file", "dv_path", "dv_card")
+        else ck.select(col("file"),
+          lit(null).cast("string").as("dv_path"),
+          lit(null).cast("long").as("dv_card"))
+      live = cols.collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None
+         else Some(ManifestTableFormat.DvRef(
+           r.getString(1), r.getLong(2))))).toMap
+    } else if (ckpt >= 0)
       readText(checkpointPath(ckpt)).linesIterator.filter(_.nonEmpty)
         .foreach { line =>
           val a = parseAction(line)
           if (a.txn.isEmpty) {
-            if (a.add) live += a.file else live -= a.file
+            if (a.add) live += (a.file -> a.stats.flatMap(_.dv))
+            else live -= a.file
           }
         }
     wanted.foreach { v =>
       readText(entryPath(v)).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
         if (a.txn.isEmpty) {
-          if (a.add) live += a.file else live -= a.file
+          if (a.add) live += (a.file -> a.stats.flatMap(_.dv))
+          else live -= a.file
         }
       }
     }
-    live.toSeq.sorted
+    live.toSeq.sortBy(_._1)
   }
 
   /** Time-travel read: the table AS OF `asOf` — replay up to that
-    * version from the newest checkpoint at or below it. History is
-    * bounded by [[vacuum]] (pruned entries make old versions
+    * version from the newest checkpoint at or below it (each file
+    * under the deletion vector it carried AT that version). History
+    * is bounded by [[vacuum]] (pruned entries make old versions
     * unreachable — the retention trade every log-structured table
     * documents), and a gap in the surviving entries fails loudly
     * rather than silently serving a wrong state.
     */
   def readVersion(asOf: Long): DataFrame =
-    readFiles(filesAtVersion(asOf), schemaAtVersion(asOf))
+    readFilesDv(filesWithDvAtVersion(asOf), schemaAtVersion(asOf))
 
   /** CHANGE FEED: the row-level delta between two committed versions —
     * the capability the reference's store exposes as the Cosmos change
@@ -2295,15 +2781,21 @@ class ManifestTableFormat(
     require(fromVersion <= toVersion,
       s"changesBetween needs fromVersion <= toVersion, " +
         s"got ($fromVersion, $toVersion]")
+    // the diff unit is the (file, deletion-vector) PAIR: a DV-only
+    // commit keeps the name but changes the pair, so the file reads
+    // on both sides (old vector vs new) and the surviving rows cancel
+    // — the newly vectored positions surface as deletes, exactly like
+    // a copy-on-write rewrite's
     val before =
-      if (fromVersion < 0) Set.empty[String]
-      else filesAtVersion(fromVersion).toSet
-    val after = filesAtVersion(toVersion).toSet
+      if (fromVersion < 0)
+        Set.empty[(String, Option[ManifestTableFormat.DvRef])]
+      else filesWithDvAtVersion(fromVersion).toSet
+    val after = filesWithDvAtVersion(toVersion).toSet
     // both sides read under the TO version's schema: the delta is
     // expressed in the evolved shape, pre-ALTER rows null-filled
     val s = schemaAtVersion(toVersion)
-    val addedRows = readFiles((after -- before).toSeq.sorted, s)
-    val removedRows = readFiles((before -- after).toSeq.sorted, s)
+    val addedRows = readFilesDv((after -- before).toSeq.sortBy(_._1), s)
+    val removedRows = readFilesDv((before -- after).toSeq.sortBy(_._1), s)
     addedRows.exceptAll(removedRows)
       .withColumn("_change_type", lit("insert"))
       .unionByName(removedRows.exceptAll(addedRows)
@@ -2372,8 +2864,14 @@ class ManifestTableFormat(
       // garbage, never by table size. The live set itself stays in
       // the checkpoint manifests, read executor-side per batch.
       import spark.implicits._
-      val liveBase = statsFrame(snapshot())
+      // live names = data files PLUS referenced deletion-vector
+      // objects (superseded DVs drop out of the stats frame and
+      // reclaim like any removed file)
+      val sf = statsFrame(snapshot())
+      val liveBase = sf
         .select(element_at(split(col("file"), "/"), -1).as("name"))
+        .union(sf.filter(col("dv_path").isNotNull)
+          .select(element_at(split(col("dv_path"), "/"), -1).as("name")))
         .persist()
       try {
         val it = f.listFiles(dataDir, true)
@@ -2503,6 +3001,22 @@ object ManifestTableFormat {
     copied
   }
 
+  /** A DELETION VECTOR reference (protocol v6 — the Delta DV /
+    * Iceberg position-delete idea): an add-action may name a DV
+    * object holding the file's deleted ROW POSITIONS, so a row-level
+    * DELETE commits O(deleted rows) of sidecar instead of rewriting
+    * the file (merge-on-read). `path` is the absolute DV parquet
+    * object (columns `__name` = data-file basename, `__pos` = parquet
+    * row index — one object may serve many files of one commit);
+    * `card` is THIS file's deleted-position count (distinct), so
+    * row accounting stays metadata-only. The file's other stats keep
+    * describing the PHYSICAL file — a sound over-approximation for
+    * every skipping probe. A later DELETE re-adds the file with a new
+    * DV carrying the position UNION; compaction/rewrites materialize
+    * and drop the reference.
+    */
+  final case class DvRef(path: String, card: Long)
+
   /** StructField metadata key carrying a column's stable PHYSICAL
     * name (protocol v5 column mapping — the Delta/Iceberg column-id
     * idea expressed as names): data files and per-file stats always
@@ -2578,6 +3092,21 @@ object ManifestTableFormat {
     * bloom (no false negatives) + url min/max range.
     */
   final case class UrlIn(values: Seq[String]) extends StatsProbe
+
+  /** An EXACT probe — the fail-closed mirror of [[StatsProbe]] for
+    * the metadata-only DELETE lane: extraction
+    * ([[StatsProbes.extractExact]]) succeeds only when EVERY conjunct
+    * of the predicate converts losslessly, so "all rows of this file
+    * match" is provable from stats alone. `op` ∈ lt/le/gt/ge/eq;
+    * `exactGrid` marks column kinds whose canonical-string stats grid
+    * is injective (integral/date/timestamp/boolean) — float kinds
+    * prove only STRICT grid inequalities.
+    */
+  sealed trait ExactProbe
+  final case class ExactCmp(column: String, op: String, value: String,
+      exactGrid: Boolean) extends ExactProbe
+  final case class ExactNull(column: String, isNull: Boolean)
+      extends ExactProbe
 
   /** Compaction's output file-size target (the parquet sweet spot —
     * row groups fill, scans split well).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFu
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.types._
 
-import graft.sink.ManifestTableFormat.{NullTest, NumRange, StatsProbe, StrRange, UrlIn}
+import graft.sink.ManifestTableFormat.{ExactCmp, ExactNull, ExactProbe, NullTest, NumRange, StatsProbe, StrRange, UrlIn}
 
 /** Catalyst expression → [[ManifestTableFormat.StatsProbe]]
   * extraction, shared by the SQL scan path
@@ -30,6 +30,65 @@ object StatsProbes {
       conjuncts: Seq[Expression],
       typeOf: String => Option[(String, DataType)]): Seq[StatsProbe] =
     conjuncts.flatMap(split).flatMap(probe(_, typeOf))
+
+  /** EXACT extraction for the metadata-only DELETE lane — the
+    * FAIL-CLOSED mirror of [[extract]]: returns `Some(probes)` only
+    * when EVERY conjunct converts losslessly to an
+    * [[ManifestTableFormat.ExactProbe]] (numeric-kind column vs
+    * same-type literal comparison, or IS [NOT] NULL), so "every row
+    * of this file satisfies the predicate" is provable from per-file
+    * stats alone. Any other shape — string comparisons (truncated
+    * stats), IN lists, ORs, expressions over columns — yields `None`
+    * and the caller reads the file.
+    */
+  def extractExact(
+      conjuncts: Seq[Expression],
+      typeOf: String => Option[(String, DataType)])
+      : Option[Seq[ExactProbe]] = {
+    val parts = conjuncts.flatMap(split)
+    val probes = parts.map(exactProbe(_, typeOf))
+    if (probes.exists(_.isEmpty)) None else Some(probes.flatten)
+  }
+
+  /** Kinds whose canonical-string stats grid is INJECTIVE (distinct
+    * values render to distinct grid points), so non-strict bounds and
+    * equality are provable; float kinds prove only strict grid
+    * inequalities (two doubles can collide on the DECIMAL(38,18)
+    * grid).
+    */
+  private def exactGridKind(t: DataType): Boolean = t match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+         _: DateType | _: TimestampType | _: BooleanType => true
+    case _ => false
+  }
+
+  private def exactProbe(e: Expression,
+      typeOf: String => Option[(String, DataType)]): Option[ExactProbe] = {
+    def side(l: Expression, r: Expression, op: String, flipped: String)
+        : Option[ExactProbe] =
+      cmp(l, r, typeOf).collect {
+        case (n, t, v) if isNumKind(t) && !t.isInstanceOf[DecimalType] =>
+          ExactCmp(n, op, v, exactGridKind(t))
+      }.orElse(cmp(r, l, typeOf).collect {
+        case (n, t, v) if isNumKind(t) && !t.isInstanceOf[DecimalType] =>
+          ExactCmp(n, flipped, v, exactGridKind(t))
+      })
+    e match {
+      case GreaterThan(l, r) => side(l, r, "gt", "lt")
+      case GreaterThanOrEqual(l, r) => side(l, r, "ge", "le")
+      case LessThan(l, r) => side(l, r, "lt", "gt")
+      case LessThanOrEqual(l, r) => side(l, r, "le", "ge")
+      case EqualTo(l, r) => side(l, r, "eq", "eq")
+      case EqualNullSafe(l, r) => side(l, r, "eq", "eq")
+      case IsNull(lf) =>
+        leafName(lf).flatMap(typeOf).map { case (n, _) =>
+          ExactNull(n, isNull = true) }
+      case IsNotNull(lf) =>
+        leafName(lf).flatMap(typeOf).map { case (n, _) =>
+          ExactNull(n, isNull = false) }
+      case _ => None
+    }
+  }
 
   private def split(e: Expression): Seq[Expression] = normalize(e) match {
     case And(l, r) => split(l) ++ split(r)

@@ -225,15 +225,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val store = new ChunkStore(spark, path,
       format = ManifestTableFormat.factory)
     val pin = asOf(options, mtf)
-    val files = pin.fold(mtf.liveFiles)(mtf.filesAtVersion)
+    val filesDv = pin.fold(mtf.liveFilesWithDv)(mtf.filesWithDvAtVersion)
+    val files = filesDv.map(_._1)
+    val hasDv = filesDv.exists(_._2.isDefined)
+    val tblSchema = pin.fold(mtf.currentSchema)(mtf.schemaAtVersion)
     new graft.catalog.GraftTable(
-      s"graft.`$path`", spark,
-      pin.fold(mtf.currentSchema)(mtf.schemaAtVersion), files,
+      s"graft.`$path`", spark, tblSchema, files,
       insert = if (pin.isDefined) None else Some(store.append),
-      statsPruner = Some(mtf.pruneFilesForScan(files, _)),
+      // a DELETION-VECTOR snapshot reads through the V1 fallback
+      // (files minus position deletes — not a plain file scan)
+      statsPruner =
+        if (hasDv) None else Some(mtf.pruneFilesForScan(files, _)),
       overwriteHook = if (pin.isDefined) None else Some(mtf.overwrite),
       truncateHook =
-        if (pin.isDefined) None else Some(() => mtf.truncate()))
+        if (pin.isDefined) None else Some(() => mtf.truncate()),
+      dvRead =
+        if (hasDv) Some(() => mtf.readPinned(filesDv, tblSchema))
+        else None)
   }
 
   override def supportsExternalMetadata(): Boolean = false

@@ -186,9 +186,18 @@ class Round8DmlFuzzSpec extends SparkSpec {
                     (d("page_number").asInstanceOf[Int] + 1))
               else d
             }
-          case 4 => // row-level DELETE
+          case 4 => // row-level DELETE — randomly MERGE-ON-READ
+            // (protocol-v6 deletion vectors) or copy-on-write; the
+            // model must not be able to tell the strategies apart,
+            // and every later op (time travel, CDF, restore,
+            // compaction, vacuum, SQL count) runs over whichever
+            // physical state this left behind
             val p = preds(rnd, evolved)
-            store.deleteWhere(p.sql)
+            if (rnd.nextBoolean()) {
+              spark.conf.set("spark.graft.deletionVectors", "true")
+              try store.deleteWhere(p.sql)
+              finally spark.conf.unset("spark.graft.deletionVectors")
+            } else store.deleteWhere(p.sql)
             model.filterInPlace((_, d) => !p.model(d))
           case 5 => // keyed delete
             val urls = rnd.shuffle(model.keys.toSeq)
@@ -247,7 +256,10 @@ class Round8DmlFuzzSpec extends SparkSpec {
                 model(d("document_url").asInstanceOf[String]) = d)
             }
           case 8 => mtf.checkpoint()
-          case _ => mtf.vacuum()
+          case _ => // maintenance: sometimes purge deletion vectors
+            // (rows unchanged), always vacuum
+            if (rnd.nextBoolean()) mtf.rewriteDvs()
+            mtf.vacuum()
           }
         }
         history += ((mtf.version, model.toMap))
