@@ -59,7 +59,8 @@ import graft.sink.StatsProbes
   */
 final class RenamedScan(
     val inner: Scan,
-    logicalOf: Map[String, String]) extends Scan {
+    logicalOf: Map[String, String]) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType =
     StructType(inner.readSchema().fields.map { f =>
       logicalOf.get(f.name.toLowerCase)
@@ -76,6 +77,12 @@ final class RenamedScan(
     inner.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     inner.columnarSupportMode()
+  // forward the delegate's size estimate: without this the wrapper
+  // hides FileScan's statistics and the planner sees the default
+  // (maximal) size — a small renamed dim table would never broadcast
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    Scans.statisticsOf(inner)
 }
 
 /** Runtime (join-driven) file pruning for manifest tables — the
@@ -107,7 +114,8 @@ final class ManifestRuntimeFilterScan(
     pruner: Seq[StatsProbe] => Option[Seq[String]],
     initialFiles: Seq[String],
     rebuild: Seq[String] => Scan)
-    extends Scan with SupportsRuntimeV2Filtering {
+    extends Scan with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private var files: Seq[String] = initialFiles
   @volatile private var received: Seq[String] = Nil
@@ -137,6 +145,14 @@ final class ManifestRuntimeFilterScan(
     delegate.reportDriverMetrics()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
+
+  // forward the (possibly runtime-re-pruned) delegate's size estimate
+  // — hiding FileScan's statistics behind this wrapper would make the
+  // planner see the default (maximal) size and never static-broadcast
+  // a small manifest table
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    Scans.statisticsOf(delegate)
 
   override def filterAttributes(): Array[NamedReference] =
     attrs.map(FieldReference.column).toArray
@@ -197,6 +213,24 @@ final class ManifestRuntimeFilterScan(
   * regardless of which wrappers the table's scan path added).
   */
 object Scans {
+
+  /** The delegate's own statistics, or the conservative "unknown"
+    * answer when the wrapped scan reports none (Spark treats absent
+    * estimates as the default size — never broadcast).
+    */
+  def statisticsOf(s: Scan)
+      : org.apache.spark.sql.connector.read.Statistics = s match {
+    case r: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      r.estimateStatistics()
+    case _ =>
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+  }
+
   @annotation.tailrec
   def fileScan(s: Scan)
       : org.apache.spark.sql.execution.datasources.v2.FileScan =

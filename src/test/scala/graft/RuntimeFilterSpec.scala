@@ -97,14 +97,26 @@ class RuntimeFilterSpec extends SparkSpec
         s"${scan.currentFiles.size}: ${scan.currentFiles}")
   }
 
+  /** A padded fact batch: now that the scan wrappers REPORT real
+    * statistics, DPP's benefit heuristic correctly skips trivially
+    * small probe sides — the fact side must look like a fact side.
+    */
+  private def fatBatch(ids: Range, page: Int): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (0, s"t-$i-" + ("x" * 200), Seq(1f), page,
+        f"doc://$i%06d"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url").repartition(1)
+  }
+
   test("broadcast join on a numeric column: runtime IN lowers to a " +
       "min/max superset probe and prunes files") {
     val (cat, wh) = freshCatalog()
     val store = new ChunkStore(spark, s"$wh/t",
       format = ManifestTableFormat.factory)
-    store.append(batch(0 until 20, 5))
-    store.append(batch(20 until 40, 15))
-    store.append(batch(40 until 60, 25))
+    store.append(fatBatch(0 until 2000, 5))
+    store.append(fatBatch(2000 until 4000, 15))
+    store.append(fatBatch(4000 until 6000, 25))
     import spark.implicits._
     parquetView("rf_pages",
       Seq((25, "x"), (999, "x"), (5, "y")).toDF("page_number", "tag"))
@@ -115,7 +127,7 @@ class RuntimeFilterSpec extends SparkSpec
          |WHERE d.tag = 'x'""".stripMargin)
     // collect(), not head(): head() executes a separate limit(1)
     // QueryExecution whose scan instance is not the one inspected here
-    assert(q.collect().map(_.getLong(0)).toSeq == Seq(20L))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2000L))
     assert(runtimeFiltered(q),
       "no DynamicPruning filter was planted on the scan:\n" +
         q.queryExecution.executedPlan)
@@ -175,5 +187,35 @@ class RuntimeFilterSpec extends SparkSpec
       assert(on == off && on.size == 9)
     } finally spark.conf.set(
       "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+  }
+
+  test("manifest scans report real statistics through the wrappers: " +
+      "a small manifest dim STATIC-broadcasts (no AQE rescue needed)") {
+    val (cat, wh) = freshCatalog()
+    val dim = new ChunkStore(spark, s"$wh/dim",
+      format = ManifestTableFormat.factory)
+    dim.append(batch(0 until 10, 1)) // a few KB — far under the
+                                     // broadcast threshold IF reported
+    val fact = new ChunkStore(spark, s"$wh/fact",
+      format = ManifestTableFormat.factory)
+    fact.append(batch(0 until 60, 2))
+    // disable AQE for the assertion: the STATIC planner must already
+    // pick broadcast from the scan's estimateStatistics — before the
+    // wrappers forwarded SupportsReportStatistics they reported the
+    // default (maximal) size and this planned as a sort-merge join
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.sql(
+        s"""SELECT f.document_url FROM $cat.fact f
+           |JOIN $cat.dim d ON f.document_url = d.document_url""".stripMargin)
+      val bhj = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        "small manifest dim did not static-broadcast:\n" +
+          q.queryExecution.executedPlan)
+      assert(q.count() == 10)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
