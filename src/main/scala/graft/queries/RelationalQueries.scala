@@ -1456,6 +1456,47 @@ object RelationalQueries {
         .orderBy("document_url")
     },
 
+    // C37u: MERGE-ON-READ UPDATE via deletion vectors — under the
+    // same conf a SQL UPDATE tombstones the matched rows' positions
+    // in place and APPENDS the updated copies: write cost O(matched
+    // rows), never a touched-file rewrite. `files_kept` pins the
+    // contract inside the hash (1 ⇔ every pre-update data file is
+    // still live afterwards); the read goes through the DV-aware
+    // scan. The oracle replays the update relationally.
+    "c37u_dv_update" -> QueryDef(
+      """SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |       CASE WHEN doc_id % 10 = 6 THEN text || ' v2'
+        |            ELSE text END AS chunk_text,
+        |       CAST(CASE WHEN doc_id % 10 = 6 THEN 66
+        |                 ELSE doc_id % 10 END AS INTEGER) AS page_number,
+        |       CAST(1 AS BIGINT) AS files_kept
+        |FROM documents
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-dvup").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      store.append(t(s, dir, "documents").select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        (col("doc_id") % 10).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      val mtf = new graft.sink.ManifestTableFormat(s, path, store.schema)
+      val before = mtf.liveFiles.toSet
+      val cat = QueryDef.freshCatalog(s, "graft_dvu", wh)
+      s.conf.set("spark.graft.deletionVectors", "true")
+      try s.sql(s"UPDATE $cat.chunks " +
+        "SET chunk_text = chunk_text || ' v2', page_number = 66 " +
+        "WHERE page_number = 6")
+      finally s.conf.unset("spark.graft.deletionVectors")
+      val kept = if (before.subsetOf(mtf.liveFiles.toSet)) 1L else 0L
+      s.sql(s"SELECT document_url, chunk_text, page_number " +
+          s"FROM $cat.chunks")
+        .withColumn("files_kept", lit(kept))
+        .orderBy("document_url")
+    },
+
     // C37t: METADATA-ONLY DELETE — when per-file stats PROVE every
     // row of a file matches the predicate (fail-closed exact-probe
     // implication over the same canonical-string grid the skipping

@@ -1574,7 +1574,8 @@ class ManifestTableFormat(
     */
   private def commitCycle(
       affected: Snapshot => Seq[String],
-      rewrite: (Snapshot, Seq[String]) => DataFrame): Unit = {
+      rewrite: (Snapshot, Seq[String]) => DataFrame,
+      txn: Option[(String, Long)] = None): Unit = {
     var attempt = 0
     def guard(): Unit = {
       attempt += 1
@@ -1582,10 +1583,18 @@ class ManifestTableFormat(
         s"manifest commit at $path lost $maxCommitRetries races — " +
           "livelocked writers; widen the retry bound or serialize")
     }
+    // a commit may carry a STREAMING TRANSACTION marker (the
+    // appendStream idempotence contract, extended to rewrites): an
+    // already-applied (appId, batchId) makes the whole cycle a no-op,
+    // checked against every fresh snapshot — exactly-once derived
+    // maintenance (IncrementalAgg) rides on this
+    def applied(s: Snapshot): Boolean = txn.exists { case (a, b) =>
+      s.txns.get(a).exists(_ >= b) }
     var done = false
     while (!done) {
       guard()
       val snap = snapshot()
+      if (applied(snap)) return
       val files = affected(snap)
       // the (file, dv) pairs this cycle READ — the conflict unit. A
       // concurrent commit that merely re-adds an input file with a
@@ -1594,8 +1603,10 @@ class ManifestTableFormat(
       // deletes. Pair-compare, not name-compare.
       val inputDv = dvOf(snap, files)
       val adds = writeData(onRewrite(rewrite(snap, files)), snap.tableSchema)
-      val actions = files.map(Action(add = false, _, None)) ++ adds
-      if (actions.isEmpty) return
+      val dataActions = files.map(Action(add = false, _, None)) ++ adds
+      if (dataActions.isEmpty && txn.isEmpty) return
+      val actions = dataActions ++
+        txn.map { case (a, b) => Action(add = false, "", None, Some((a, b))) }
       beforeCommit()
       var base = snap
       var committed = tryCommit(base, actions)
@@ -1603,6 +1614,12 @@ class ManifestTableFormat(
       while (!committed && !rerun) {
         guard()
         val now = snapshot()
+        if (applied(now)) {
+          // a racing replay of this very marker landed: the work IS
+          // in the table exactly once — abandon our staged files
+          adds.foreach(a => fs.delete(new Path(a.file), false))
+          return
+        }
         // file-level conflict: the winner removed (or re-DV'd)
         // something we read (rewrote or planned to remove) — our
         // staged rewrite is stale, abandon it and re-run against the
@@ -1728,7 +1745,8 @@ class ManifestTableFormat(
       matched: Seq[GraftMergeAction],
       notMatched: Seq[GraftMergeAction],
       notMatchedBySource: Seq[GraftMergeAction],
-      urlProbe: Option[DataFrame]): Unit = {
+      urlProbe: Option[DataFrame],
+      txn: Option[(String, Long)] = None): Unit = {
     require(!source.columns.exists(_.startsWith("__graft_")),
       "source column prefix __graft_ is reserved by MERGE")
     matched.foreach {
@@ -1762,7 +1780,8 @@ class ManifestTableFormat(
           }
         },
         (snap, files) => mergeOutput(snap, files, src, onCond,
-          matched, notMatched, notMatchedBySource))
+          matched, notMatched, notMatchedBySource),
+        txn)
     } finally src.unpersist()
   }
 
@@ -2154,14 +2173,11 @@ class ManifestTableFormat(
   override def update(
       condition: Option[org.apache.spark.sql.Column],
       set: Seq[(String, org.apache.spark.sql.Column)]): Boolean = {
-    require(set.nonEmpty, "UPDATE needs at least one assignment")
-    val known = currentSchema.fieldNames.toSet
-    set.foreach { case (n, _) => require(known.contains(n),
-      s"UPDATE at $path: unknown column '$n' " +
-        s"(table columns: ${known.toSeq.sorted.mkString(", ")})") }
-    require(set.map(_._1).distinct.size == set.size,
-      s"UPDATE at $path assigns a column twice: " +
-        set.map(_._1).mkString(", "))
+    validateUpdate(set)
+    if (spark.conf.get("spark.graft.deletionVectors", "false").toBoolean) {
+      updateDv(condition, set)
+      return true
+    }
     val cond = condition.getOrElse(lit(true))
     commitCycle(
       snap => {
@@ -2186,6 +2202,149 @@ class ManifestTableFormat(
         src.select(projected: _*)
       })
     true
+  }
+
+  private def validateUpdate(
+      set: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val known = currentSchema.fieldNames.toSet
+    set.foreach { case (n, _) => require(known.contains(n),
+      s"UPDATE at $path: unknown column '$n' " +
+        s"(table columns: ${known.toSeq.sorted.mkString(", ")})") }
+    require(set.map(_._1).distinct.size == set.size,
+      s"UPDATE at $path assigns a column twice: " +
+        set.map(_._1).mkString(", "))
+  }
+
+  /** MERGE-ON-READ row-level UPDATE (the deletion-vector sibling of
+    * [[deleteWhereDv]]): the matched LIVE rows' positions join the
+    * affected files' vectors (tombstoning the old copies in place)
+    * and the updated copies append as new files — write cost
+    * O(matched rows), never a touched-file rewrite. The matched scan
+    * anti-joins the files' EXISTING vectors first, so an
+    * already-deleted row can never be "updated" back to life. Files
+    * whose new vector covers every physical row rm outright (their
+    * rows all moved). CHECK constraints enforce on the appended
+    * copies at the shared write choke point. Conflict-checked on
+    * (file, dv) pairs; a lost race re-runs. Returns (files
+    * tombstone-extended, updated rows appended).
+    */
+  def updateDv(
+      condition: Option[org.apache.spark.sql.Column],
+      set: Seq[(String, org.apache.spark.sql.Column)]): (Long, Long) = {
+    validateUpdate(set)
+    import spark.implicits._
+    val cond = condition.getOrElse(lit(true))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"DV update at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      val names = condition.fold(liveNames(snap))(
+        preScanCandidates(snap, _))
+      if (names.isEmpty) return (0L, 0L)
+      val stats = statsOf(snap, names)
+      val s = snap.tableSchema
+      val phys = ManifestTableFormat.physicalSchema(s)
+      val logical = s.fields.toIndexedSeq.map(f =>
+        col(ManifestTableFormat.physicalName(f)).as(f.name))
+      // the files' existing vectors (pair-keyed, as everywhere)
+      val olds = names.flatMap(f => stats(f).dv.map(d => (f, d)))
+      val oldPos =
+        if (olds.isEmpty)
+          spark.emptyDataset[(String, Long)].toDF("__name", "__pos")
+        else {
+          val refs = olds.map { case (f, d) =>
+            (baseNameOf(f), baseNameOf(d.path)) }.toDF("__name", "__dv")
+          spark.read.parquet(olds.map(_._2.path).distinct: _*)
+            .withColumn("__dv",
+              element_at(split(input_file_name(), "/"), -1))
+            .join(broadcast(refs), Seq("__name", "__dv"), "left_semi")
+            .select("__name", "__pos")
+        }
+      // matched LIVE rows with their positions: raw scan + position,
+      // minus the already-deleted positions, then the predicate
+      val matched = spark.read.schema(phys).parquet(names: _*)
+        .select((Seq(
+          element_at(split(col("_metadata.file_path"), "/"), -1)
+            .as("__name"),
+          col("_metadata.row_index").as("__pos")) ++ logical): _*)
+        .join(broadcast(oldPos), Seq("__name", "__pos"), "left_anti")
+        .filter(cond)
+        .persist()
+      try {
+        // updated copies (appended): SQL three-valued WHERE already
+        // applied — only TRUE-matching rows are here
+        val updatedCols = s.fields.toIndexedSeq.map { f =>
+          set.find(_._1 == f.name) match {
+            case Some((_, v)) => v.cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }
+        val adds = writeData(matched.select(updatedCols: _*), s)
+        // tombstones: matched positions union the existing vectors
+        val newDv = matched.select("__name", "__pos")
+          .unionByName(oldPos).distinct().persist()
+        try {
+          val counts = newDv.groupBy("__name").count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val oldCard = names.map(f =>
+            f -> stats(f).dv.map(_.card).getOrElse(0L)).toMap
+          val fullyDead = names.filter(f =>
+            stats(f).rows.exists(_ == counts.getOrElse(baseNameOf(f), 0L)))
+          val toDv = names.filterNot(fullyDead.toSet).filter(f =>
+            counts.getOrElse(baseNameOf(f), 0L) > oldCard(f))
+          if (fullyDead.isEmpty && toDv.isEmpty) {
+            // no live row matched: abandon any staged adds (there are
+            // none — an empty matched frame writes nothing)
+            adds.foreach(a => fs.delete(new Path(a.file), false))
+            return (0L, 0L)
+          }
+          val dvPath =
+            if (toDv.isEmpty) None
+            else {
+              val keep = toDv.map(baseNameOf).toDF("__name")
+              Some(writeDvObject(
+                newDv.join(broadcast(keep), Seq("__name"), "left_semi")))
+            }
+          val actions =
+            fullyDead.sorted.map(Action(add = false, _, None)) ++
+            toDv.sorted.map { f =>
+              Action(add = true, f, Some(stats(f).copy(
+                dv = Some(ManifestTableFormat.DvRef(dvPath.get,
+                  counts(baseNameOf(f)))))))
+            } ++ adds
+          var committed = tryCommit(snap, actions)
+          var stale = false
+          while (!committed && !stale) {
+            attempt += 1
+            require(attempt <= maxCommitRetries,
+              s"DV update at $path lost $maxCommitRetries commit races")
+            val now = snapshot()
+            val mine = names
+              .map(f => (f, stats.get(f).flatMap(_.dv).map(_.path).orNull))
+              .toDF("file", "dv")
+            val live = statsFrame(now)
+              .select(col("file").as("n_file"), col("dv_path").as("n_dv"))
+            val conflicted = mine.join(live,
+                mine("file") === live("n_file") &&
+                  mine("dv") <=> live("n_dv"), "left_anti")
+              .limit(1).count() > 0
+            if (conflicted) {
+              dvPath.foreach(p => fs.delete(new Path(p), false))
+              adds.foreach(a => fs.delete(new Path(a.file), false))
+              stale = true
+            } else committed = tryCommit(now, actions)
+          }
+          if (committed)
+            return ((fullyDead.size + toDv.size).toLong,
+              adds.flatMap(_.stats.flatMap(_.rows)).sum)
+        } finally newDv.unpersist()
+      } finally matched.unpersist()
+      // stale: loop re-runs against the new snapshot
+    }
+    (0L, 0L) // unreachable
   }
 
   override def compact(): Unit =

@@ -189,6 +189,65 @@ class DeletionVectorSpec extends SparkSpec {
     assert(store.read().filter(col("page_number") === 6).isEmpty)
   }
 
+  test("MERGE-ON-READ UPDATE: old files stay, matched rows tombstone " +
+      "+ re-append updated, deleted rows never update back to life") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.append(rows(0 until 40))
+    val mtf = mtfOf(path)
+    val before = mtf.liveFiles.toSet
+
+    // DV-delete page 3 first: the update below must not resurrect it
+    mtf.deleteWhereDv(col("page_number") === 3)
+
+    val (dvd, updated) = mtf.updateDv(
+      Some(col("page_number") === 5),
+      Seq("chunk_text" -> concat(col("chunk_text"), lit("+u"))))
+    assert(dvd > 0 && updated == 4, s"got ($dvd, $updated)")
+    assert(before.subsetOf(mtf.liveFiles.toSet),
+      "MoR UPDATE must keep every original data file in place")
+
+    val now = store.read()
+    assert(now.count() == 36) // page 3 still deleted
+    assert(urls(now.filter(col("chunk_text").endsWith("+u"))) ==
+      (0 until 40).filter(_ % 10 == 5).map(i => f"doc://$i%04d").toSet)
+    assert(now.filter(col("page_number") === 3).isEmpty)
+    // non-matched rows byte-identical
+    assert(now.filter(col("page_number") === 6 &&
+      !col("chunk_text").startsWith("text-")).isEmpty)
+
+    // SQL UPDATE routes to MoR under the conf; second update unions
+    // tombstones over the already-vectored files
+    val wh = path.stripSuffix("/t")
+    val cat = "dvupcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try spark.sql(
+      s"UPDATE $cat.t SET page_number = 77 WHERE page_number = 7")
+    finally spark.conf.unset("spark.graft.deletionVectors")
+    assert(before.subsetOf(mtfOf(path).liveFiles.toSet))
+    val after = store.read()
+    assert(after.count() == 36)
+    assert(after.filter(col("page_number") === 7).isEmpty)
+    assert(after.filter(col("page_number") === 77).count() == 4)
+
+    // an update matching nothing commits nothing
+    val v = mtfOf(path).version
+    assert(mtf.updateDv(Some(col("page_number") === 999),
+      Seq("chunk_text" -> lit("x"))) == ((0L, 0L)))
+    assert(mtfOf(path).version == v)
+
+    // CDF across the MoR update commit: updated rows as delete+insert
+    val delta = mtf.changesBetween(v - 1, v)
+    assert(urls(delta.filter(col("_change_type") === "delete")) ==
+      urls(delta.filter(col("_change_type") === "insert")))
+    assert(delta.filter(col("_change_type") === "insert" &&
+      col("page_number") =!= 77).isEmpty)
+  }
+
   test("time travel, CDF, checkpoint and RESTORE are DV-exact") {
     val path = freshPath()
     val store = new ChunkStore(spark, path,

@@ -172,12 +172,19 @@ class Round8DmlFuzzSpec extends SparkSpec {
             store.append(rowsDF(docs, allCols))
             docs.foreach(d =>
               model(d("document_url").asInstanceOf[String]) = d)
-          case 3 => // row-level UPDATE
+          case 3 => // row-level UPDATE — randomly merge-on-read
+            // (tombstone + re-append via deletion vectors) or
+            // copy-on-write; the model cannot tell them apart
             val p = preds(rnd, evolved)
             val tag = s"u${rnd.nextInt(100)}"
-            store.update(Some(p.sql),
+            val assigns =
               Seq("chunk_text" -> concat(col("chunk_text"), lit(tag)),
-                "page_number" -> (col("page_number") + 1)))
+                "page_number" -> (col("page_number") + 1))
+            if (rnd.nextBoolean()) {
+              spark.conf.set("spark.graft.deletionVectors", "true")
+              try store.update(Some(p.sql), assigns)
+              finally spark.conf.unset("spark.graft.deletionVectors")
+            } else store.update(Some(p.sql), assigns)
             model.mapValuesInPlace { (_, d) =>
               if (p.model(d))
                 d + ("chunk_text" ->
