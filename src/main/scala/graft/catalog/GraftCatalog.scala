@@ -684,6 +684,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"$warehouse/${args(0)}", s"$warehouse/${args(1)}")
         longsRow(copied, manifestFor(args(1)).version)
       }),
+    rowProcedure("sync_agg",
+      Seq("table", "agg_table", "group_cols", "sum_cols"),
+      "incremental aggregate maintenance: advance the derived GROUP " +
+        "BY table <agg_table> (count + SQL-semantics sum + non-null " +
+        "count per <sum_cols> measure; comma-separated column lists) " +
+        "to <table>'s head off the change feed — O(churn), " +
+        "exactly-once (the delta merge carries a txn marker " +
+        "atomically). Creates <agg_table> on first call; AVG = " +
+        "sum/nn at read time; MIN/MAX refuse (not maintainable " +
+        "under deletes). Sync at least as often as the source's " +
+        "checkpoint+vacuum cadence (CDF retention)",
+      StructType(Seq(
+        StructField("from_version", LongType, nullable = false),
+        StructField("to_version", LongType, nullable = false),
+        StructField("groups_touched", LongType, nullable = false))))(
+      args => {
+        manifestFor(args(0)) // change feed needs the manifest log
+        val split = (s: String) =>
+          s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val st = graft.pipeline.IncrementalAgg.catchUp(spark,
+          s"$warehouse/${args(0)}", s"$warehouse/${args(1)}",
+          split(args(2)), split(args(3)))
+        longsRow(st.fromVersion, st.toVersion, st.groups)
+      }),
     rowProcedure("rewrite_dvs", Seq("table"),
       "manifest log: MATERIALIZE deletion vectors (the Delta `REORG " +
         "TABLE … APPLY (PURGE)` idea) — every DV-carrying live file " +

@@ -458,6 +458,75 @@ object PipelineQueries {
           sha2(to_json(col("embedding")), 256).rlike("^[0-9a-f]{64}$")
             .as("embedding_sha_ok"))
         .orderBy("document_url", "chunk_id")
+    },
+
+    // P12: INCREMENTAL AGGREGATE MAINTENANCE off the change feed —
+    // a derived GROUP BY table (count + SQL-semantics SUM + non-null
+    // count per measure) advances to the source's head in O(churn)
+    // via signed CDF deltas merged exactly-once (txn marker atomic
+    // with the merge commit). The agg table is maintained through a
+    // bootstrap catch-up, then an upsert that MOVES documents across
+    // groups + a row-level DELETE, then a second catch-up; the oracle
+    // recomputes the final GROUP BY from scratch — any double-applied
+    // delta, missed group, wrong NULL-sum rule, or undead group row
+    // breaks the hash. Mechanics (markers, vanishing groups, DV
+    // sources, refusals) are pinned in IncrementalAggSpec.
+    "p12_incremental_agg" -> QueryDef(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 7 AS INTEGER) AS grp,
+        |         CASE WHEN doc_id % 11 = 0 THEN NULL
+        |              ELSE CAST(LENGTH(text) AS INTEGER) END AS m,
+        |         text
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN 6 ELSE grp END AS grp,
+        |         CASE WHEN doc_id % 5 = 0 THEN
+        |              CASE WHEN doc_id % 11 = 0 THEN NULL
+        |                   ELSE CAST(LENGTH(text || ' v2') AS INTEGER) END
+        |              ELSE m END AS m
+        |  FROM base),
+        |final AS (SELECT * FROM v2 WHERE grp <> 3)
+        |SELECT CAST(grp AS INTEGER) AS page_number,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(m) AS BIGINT) AS sum_chunk_id,
+        |       CAST(COUNT(m) AS BIGINT) AS nn_chunk_id
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-iagg").toString
+      val src = s"$wh/chunks"
+      val agg = s"$wh/chunks_by_page"
+      val store = new graft.sink.ChunkStore(s, src,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = Tables(s, dir, "documents")
+      store.append(docs.select(
+        when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(length(col("text"))).cast("int").as("chunk_id"),
+        col("text").as("chunk_text"), array(lit(0f)).as("embedding"),
+        (col("doc_id") % 7).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      graft.pipeline.IncrementalAgg.catchUp(s, src, agg,
+        Seq("page_number"), Seq("chunk_id"))
+      // upsert MOVES every doc_id % 5 = 0 document to group 6 with
+      // new text (its measure changes too); then a row-level DELETE
+      // kills group 3
+      store.upsert(docs.filter(col("doc_id") % 5 === 0).select(
+        when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(length(concat(col("text"), lit(" v2"))))
+          .cast("int").as("chunk_id"),
+        concat(col("text"), lit(" v2")).as("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        lit(6).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      store.deleteWhere(col("page_number") === 3)
+      graft.pipeline.IncrementalAgg.catchUp(s, src, agg,
+        Seq("page_number"), Seq("chunk_id"))
+      new graft.sink.ChunkStore(s, agg,
+          format = graft.sink.ManifestTableFormat.factory).read()
+        .select(col("page_number"), col("cnt"),
+          col("sum_chunk_id"), col("nn_chunk_id"))
+        .orderBy("page_number")
     }
   )
 }
