@@ -30,6 +30,12 @@ import graft.sink.{ChunkStore, ManifestTableFormat}
   *  - `sql-delete`: batch b deletes seed urls
   *    ((b-1)*rows, b*rows] by `DELETE FROM … WHERE document_url IN`
   *    — raced against `compact-loop`, deletes must never resurrect.
+  *  - `dv-delete`: batch b runs `DELETE … WHERE page_number =
+  *    rows + b - 1` under `spark.graft.deletionVectors=true` (`rows`
+  *    doubles as the PAGE OFFSET so two probes can target disjoint
+  *    pages of the SAME files) — merge-on-read commits racing another
+  *    DV writer or a compaction: the (file, dv) pair conflict check
+  *    must serialize them, no vector may be lost.
   *  - `compact-loop`: `batches` × `CALL compact('chunks')` — the
   *    maintenance rewrite racing the other writer's commits.
   *
@@ -76,7 +82,7 @@ object ManifestRaceProbe {
               "SELECT * FROM race_batch")
           }
         case "sql-update" | "sql-merge-inc" | "sql-delete" |
-            "compact-loop" =>
+            "dv-delete" | "compact-loop" =>
           graft.GraftSession.install(spark) // DML strategies
           spark.conf.set("spark.sql.catalog.graftrace",
             classOf[graft.catalog.GraftCatalog].getName)
@@ -104,6 +110,11 @@ object ManifestRaceProbe {
                 spark.sql("DELETE FROM graftrace.chunks " +
                   s"WHERE document_url IN ($urls)")
               }
+            case "dv-delete" =>
+              spark.conf.set("spark.graft.deletionVectors", "true")
+              for (b <- 1 to batches)
+                spark.sql("DELETE FROM graftrace.chunks " +
+                  s"WHERE page_number = ${rows + b - 1}")
             case _ =>
               for (_ <- 1 to batches)
                 spark.sql("CALL graftrace.compact('chunks')")

@@ -310,6 +310,71 @@ class DeletionVectorSpec extends SparkSpec {
     assert(store.read().count() == 36)
   }
 
+  private def launchProbe(wh: String, tag: String, batches: Int,
+      rowsArg: Int, mode: String): (Process, java.io.File) = {
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val cp = sys.props("java.class.path")
+    val log = java.io.File.createTempFile(s"dvrace-$tag", ".log")
+    val pb = new ProcessBuilder(javaBin, "-cp", cp, "-Xmx2g",
+      "graft.tools.ManifestRaceProbe", wh, tag, batches.toString,
+      rowsArg.toString, mode)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    (pb.start(), log)
+  }
+
+  private def probeTail(f: java.io.File): String = {
+    val s = scala.io.Source.fromFile(f)
+    try s.getLines().toSeq.takeRight(25).mkString("\n") finally s.close()
+  }
+
+  private def awaitProbes(ps: Seq[(Process, java.io.File)]): Unit = {
+    ps.foreach { case (p, _) =>
+      assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        "probe JVM did not finish") }
+    ps.foreach { case (p, l) =>
+      assert(p.exitValue() == 0, s"probe failed:\n${probeTail(l)}") }
+  }
+
+  test("two JVMs: concurrent DV deletes on the SAME files — the " +
+      "(file, dv) pair conflict serializes them, no vector is lost") {
+    // every seeded file holds all ten pages, so both processes'
+    // vectors target every file: each commit must observe the other's
+    // latest vector (carry its positions forward) or re-run — a lost
+    // update resurrects a page
+    val wh = Files.createTempDirectory("graft-dvrace1").toString
+    new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory).append(rows(0 until 80))
+    awaitProbes(Seq(
+      launchProbe(wh, "da", 3, 0, "dv-delete"),   // pages 0, 1, 2
+      launchProbe(wh, "db", 3, 3, "dv-delete")))  // pages 3, 4, 5
+    val read = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory).read()
+    assert(read.count() == 32, // 80 − 6 pages × 8 rows
+      s"lost/doubled vectors: ${read.count()} rows survive")
+    assert(read.filter(col("page_number") < 6).isEmpty,
+      "a racing DV delete was lost (deleted page resurrected)")
+  }
+
+  test("two JVMs: DV deletes racing compaction — a rewrite that read " +
+      "stale vectors must re-run, deletes never resurrect") {
+    val wh = Files.createTempDirectory("graft-dvrace2").toString
+    val store = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory)
+    // several commits → several files for the compactor to bin
+    store.append(rows(0 until 30))
+    store.append(rows(30 until 60))
+    store.append(rows(60 until 80))
+    awaitProbes(Seq(
+      launchProbe(wh, "dc", 3, 0, "dv-delete"),   // pages 0, 1, 2
+      launchProbe(wh, "cc", 3, 25, "compact-loop")))
+    val read = new ChunkStore(spark, s"$wh/chunks",
+      format = ManifestTableFormat.factory).read()
+    assert(read.count() == 56, s"expected 56 rows, got ${read.count()}")
+    assert(read.filter(col("page_number") < 3).isEmpty,
+      "compaction resurrected DV-deleted rows")
+  }
+
   test("vacuum keeps live DV objects and reclaims superseded ones; " +
       "clone shares them by reference") {
     val path = freshPath()
