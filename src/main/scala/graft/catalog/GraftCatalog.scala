@@ -199,7 +199,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (asOf.isDefined) None else Some(() => mtf.truncate()),
         dvRead =
           if (hasDv) Some(() => mtf.readPinned(filesDv, tblSchema))
-          else None)
+          else None,
+        // numRows for the planned file list, answered from the log —
+        // the CBO's row estimate next to FileScan's byte estimate
+        rowsOf = Some(mtf.rowCountOf))
     } else layoutTag(dir) match {
       case Some(tag) =>
         if (asOf.isDefined) throw new UnsupportedOperationException(
@@ -862,7 +865,8 @@ private[graft] class GraftTable(
         Option[Seq[String]]] = None,
     overwriteHook: Option[DataFrame => Unit] = None,
     truncateHook: Option[() => Unit] = None,
-    dvRead: Option[() => DataFrame] = None)
+    dvRead: Option[() => DataFrame] = None,
+    rowsOf: Option[Seq[String] => Option[Long]] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -1005,7 +1009,7 @@ private[graft] class GraftTable(
         // (url bloom + per-column min/max) shrink the pinned file
         // list from the pushed predicates before parquet plans
         new org.apache.spark.sql.graftbridge.ManifestStatsScanBuilder(
-          spark, tableName, tableSchema, paths, options, pruner)
+          spark, tableName, tableSchema, paths, options, pruner, rowsOf)
       case None => delegate.newScanBuilder(options)
     }
     }

@@ -2735,6 +2735,28 @@ class ManifestTableFormat(
     */
   def liveFiles: Seq[String] = liveNames(snapshot())
 
+  /** Live-row count of exactly `files`, answered from the log's
+    * per-file stats alone (physical rows minus deletion-vector
+    * cardinality) — the `numRows` a planned scan can report to the
+    * optimizer. `None` when any of the files predates row stats
+    * (fail-honest, like [[tableStats]]). One narrow metadata job,
+    * bounded by the pinned list the caller already holds.
+    */
+  def rowCountOf(files: Seq[String]): Option[Long] = {
+    if (files.isEmpty) return Some(0L)
+    import spark.implicits._
+    val agg = statsFrame(snapshot())
+      .join(files.toDF("file"), Seq("file"), "left_semi")
+      .agg(count(lit(1)).as("files"),
+        sum(col("rows") - coalesce(col("dv_card"), lit(0L))).as("rows"),
+        count("rows").as("rows_known"))
+      .collect().head
+    if (agg.getLong(0) == files.size && agg.getLong(2) == agg.getLong(0)
+        && !agg.isNullAt(1))
+      Some(agg.getLong(1))
+    else None
+  }
+
   /** Live (file, deletion-vector) pairs of the current snapshot —
     * the catalog's handle for DV-aware resolution: all-`None` means
     * the plain stats-pruned parquet scan serves; any `Some` routes

@@ -241,7 +241,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         if (pin.isDefined) None else Some(() => mtf.truncate()),
       dvRead =
         if (hasDv) Some(() => mtf.readPinned(filesDv, tblSchema))
-        else None)
+        else None,
+      rowsOf = Some(mtf.rowCountOf))
   }
 
   override def supportsExternalMetadata(): Boolean = false

@@ -113,12 +113,14 @@ final class ManifestRuntimeFilterScan(
     typeOf: String => Option[(String, DataType)],
     pruner: Seq[StatsProbe] => Option[Seq[String]],
     initialFiles: Seq[String],
-    rebuild: Seq[String] => Scan)
+    rebuild: Seq[String] => Scan,
+    rowsOf: Option[Seq[String] => Option[Long]] = None)
     extends Scan with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private var files: Seq[String] = initialFiles
   @volatile private var received: Seq[String] = Nil
+  @volatile private var cachedRows: Option[Option[Long]] = None
 
   /** Post-filter file list (spec hook; equals `initialFiles` until a
     * runtime filter actually pruned).
@@ -149,10 +151,29 @@ final class ManifestRuntimeFilterScan(
   // forward the (possibly runtime-re-pruned) delegate's size estimate
   // — hiding FileScan's statistics behind this wrapper would make the
   // planner see the default (maximal) size and never static-broadcast
-  // a small manifest table
+  // a small manifest table. The manifest log additionally answers
+  // numRows for the pinned file list (FileScan only knows bytes) —
+  // row counts feed the CBO's join estimates; absent/partial stats
+  // fall back to bytes-only, never a guess.
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
-    Scans.statisticsOf(delegate)
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val base = Scans.statisticsOf(delegate)
+    val logRows: java.util.OptionalLong = rowsOf match {
+      case None => java.util.OptionalLong.empty()
+      case Some(f) =>
+        if (cachedRows.isEmpty) cachedRows = Some(
+          try f(files) catch { case scala.util.control.NonFatal(_) => None })
+        cachedRows.get.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+    }
+    if (!logRows.isPresent) base
+    else new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        if (base.numRows().isPresent) base.numRows() else logRows
+    }
+  }
 
   override def filterAttributes(): Array[NamedReference] =
     attrs.map(FieldReference.column).toArray
@@ -168,6 +189,7 @@ final class ManifestRuntimeFilterScan(
       if (subset.size < files.size) {
         files = subset
         delegate = rebuild(subset)
+        cachedRows = None // row estimate follows the pruned list
       }
     }
   }
@@ -249,7 +271,8 @@ class ManifestStatsScanBuilder(
     tableSchema: StructType,
     paths: Seq[String],
     options: CaseInsensitiveStringMap,
-    pruner: Seq[StatsProbe] => Option[Seq[String]])
+    pruner: Seq[StatsProbe] => Option[Seq[String]],
+    rowsOf: Option[Seq[String] => Option[Long]] = None)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
@@ -356,7 +379,7 @@ class ManifestStatsScanBuilder(
     val attrs = runtimeFilterable(base.readSchema())
     if (aggPushed || attrs.isEmpty) base
     else new ManifestRuntimeFilterScan(base, attrs, typeOf,
-      pruner, currentFiles, buildOver)
+      pruner, currentFiles, buildOver, rowsOf)
   }
 
   // aggregate pushdown forwards to the parquet delegate (footer

@@ -217,5 +217,13 @@ class RuntimeFilterSpec extends SparkSpec
           q.queryExecution.executedPlan)
       assert(q.count() == 10)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    // and the scan reports ROW counts from the log (FileScan alone
+    // only knows bytes) — the CBO's row estimate for join planning
+    val scan = manifestScan(spark.sql(s"SELECT * FROM $cat.dim"))
+    val st = scan.estimateStatistics()
+    assert(st.numRows().isPresent && st.numRows().getAsLong == 10L,
+      s"expected numRows=10 from the log, got ${st.numRows()}")
+    assert(st.sizeInBytes().isPresent && st.sizeInBytes().getAsLong > 0)
   }
 }
