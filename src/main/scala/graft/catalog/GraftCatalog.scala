@@ -711,6 +711,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           split(args(2)), split(args(3)))
         longsRow(st.fromVersion, st.toVersion, st.groups)
       }),
+    rowProcedure("dv_stats", Seq("table"),
+      "deletion-vector observability: (files with a vector, total " +
+        "tombstoned rows, live rows) from the log alone — the " +
+        "merge-on-read debt gauge that tells the operator when CALL " +
+        "rewrite_dvs / compact is due",
+      StructType(Seq(
+        StructField("dv_files", LongType, nullable = false),
+        StructField("deleted_rows", LongType, nullable = false),
+        StructField("live_rows", LongType, nullable = false))))(
+      args => {
+        val m = manifestFor(args(0))
+        val pairs = m.liveFilesWithDv
+        val dvd = pairs.flatMap(_._2)
+        val (_, _, liveRows, _) = m.tableStats()
+        longsRow(dvd.size.toLong, dvd.map(_.card).sum, liveRows)
+      }),
     rowProcedure("rewrite_dvs", Seq("table"),
       "manifest log: MATERIALIZE deletion vectors (the Delta `REORG " +
         "TABLE … APPLY (PURGE)` idea) — every DV-carrying live file " +

@@ -1704,6 +1704,10 @@ class ManifestTableFormat(
     */
   override def delete(urls: DataFrame): Unit = {
     requireUrlKey("document-keyed delete")
+    if (spark.conf.get("spark.graft.deletionVectors", "false").toBoolean) {
+      deleteDocumentsDv(urls)
+      return
+    }
     val probe = urls.select(col("document_url").cast("string")
       .as("document_url")).distinct().persist()
     try {
@@ -1962,6 +1966,72 @@ class ManifestTableFormat(
     * files newly carrying a vector).
     */
   def deleteWhereDv(condition: org.apache.spark.sql.Column)
+      : (Long, Long) =
+    dvDelete(
+      snap => preScanCandidates(snap, condition),
+      (snap, names) => fullMatchFiles(snap, names, condition),
+      (snap, scanned) => rawWithPos(snap, scanned)
+        .filter(condition)
+        .select(col("__name"), col("__pos")))
+
+  /** Document-keyed MERGE-ON-READ delete: the DV sibling of
+    * [[delete(urls*]] — affected files come from the bloom stats,
+    * matched positions from one semi-join against the broadcast url
+    * frame, and the commit is position tombstones + metadata re-adds
+    * (no rewrite). The reference's A20 delete at 100 TB: dropping a
+    * few documents from GB-scale files costs O(their rows). Bloom
+    * may-match cannot PROVE a full file matches, so there is no
+    * metadata-only lane here; a file whose every row matches still
+    * rm's through the vector-covers-all check.
+    */
+  def deleteDocumentsDv(urls: DataFrame): (Long, Long) = {
+    requireUrlKey("document-keyed delete")
+    val probe = urls.select(col("document_url").cast("string")
+      .as("document_url")).distinct().persist()
+    try {
+      if (probe.isEmpty) return (0L, 0L)
+      dvDelete(
+        snap => affectedFiles(snap, probe),
+        (_, _) => Seq.empty,
+        (snap, scanned) => rawWithPos(snap, scanned)
+          .join(broadcast(probe), Seq("document_url"), "left_semi")
+          .select(col("__name"), col("__pos")))
+    } finally probe.unpersist()
+  }
+
+  /** Raw (pre-deletion-vector) read of `files` under the snapshot's
+    * LOGICAL names plus (`__name`, `__pos`) parquet position columns
+    * — the DV write paths' hit-scan shape. Already-deleted rows may
+    * re-match; the position union downstream is idempotent.
+    */
+  private def rawWithPos(snap: Snapshot, files: Seq[String]): DataFrame = {
+    val s = snap.tableSchema
+    val phys = ManifestTableFormat.physicalSchema(s)
+    if (files.isEmpty)
+      return emptyFrame(StructType(
+        Seq(StructField("__name", org.apache.spark.sql.types.StringType),
+          StructField("__pos", org.apache.spark.sql.types.LongType)) ++
+          s.fields))
+    val logical = s.fields.toIndexedSeq.map(f =>
+      col(ManifestTableFormat.physicalName(f)).as(f.name))
+    spark.read.schema(phys).parquet(files: _*)
+      .select((Seq(
+        element_at(split(col("_metadata.file_path"), "/"), -1)
+          .as("__name"),
+        col("_metadata.row_index").as("__pos")) ++ logical): _*)
+  }
+
+  /** The shared MERGE-ON-READ delete machine behind [[deleteWhereDv]]
+    * and [[deleteDocumentsDv]]: `candidates` picks the files that MAY
+    * hold a match (metadata only), `fullMatch` the subset PROVABLY
+    * all-matching (rm'd with no read), `hits` the matched (name, pos)
+    * positions in the remaining candidates. Commits tombstones +
+    * re-adds under the (file, dv) pair conflict rule.
+    */
+  private def dvDelete(
+      candidates: Snapshot => Seq[String],
+      fullMatch: (Snapshot, Seq[String]) => Seq[String],
+      hitPositions: (Snapshot, Seq[String]) => DataFrame)
       : (Long, Long) = {
     import spark.implicits._
     var attempt = 0
@@ -1970,28 +2040,16 @@ class ManifestTableFormat(
       require(attempt <= maxCommitRetries,
         s"DV delete at $path lost $maxCommitRetries commit races")
       val snap = snapshot()
-      val names = preScanCandidates(snap, condition)
+      val names = candidates(snap)
       if (names.isEmpty) return (0L, 0L)
       val stats = statsOf(snap, names)
-      val provable = fullMatchFiles(snap, names, condition).toSet
+      val provable = fullMatch(snap, names).toSet
       val scanned = names.filterNot(provable)
       val byBase = scanned.map(f => baseNameOf(f) -> f).toMap
-      // matching positions in the RAW files (an already-deleted row
-      // re-matching is harmless — the union below is idempotent)
-      val phys = ManifestTableFormat.physicalSchema(snap.tableSchema)
       val hits =
         if (scanned.isEmpty)
           spark.emptyDataset[(String, Long)].toDF("__name", "__pos")
-        else {
-          val logical = snap.tableSchema.fields.toIndexedSeq.map(f =>
-            col(ManifestTableFormat.physicalName(f)).as(f.name))
-          spark.read.schema(phys).parquet(scanned: _*)
-            .select((Seq(col("_metadata.file_path").as("__fp"),
-              col("_metadata.row_index").as("__pos")) ++ logical): _*)
-            .filter(condition)
-            .select(element_at(split(col("__fp"), "/"), -1).as("__name"),
-              col("__pos"))
-        }
+        else hitPositions(snap, scanned)
       // carry the existing vectors forward: the new vector is the
       // position UNION (keyed by the exact (file, dv) pair)
       val olds = scanned.flatMap(f => stats(f).dv.map(d => (f, d)))

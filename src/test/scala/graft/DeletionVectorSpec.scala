@@ -119,6 +119,51 @@ class DeletionVectorSpec extends SparkSpec {
       == Set("doc://0008"))
   }
 
+  test("document-keyed DV delete: the A20 delete shape goes " +
+      "merge-on-read under the conf (bloom candidates, position " +
+      "tombstones, no rewrite) — including the SQL url fast lane") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.append(rows(0 until 40))
+    val mtf = mtfOf(path)
+    val before = mtf.liveFiles.toSet
+
+    import spark.implicits._
+    val (rm, dvd) = mtf.deleteDocumentsDv(
+      Seq("doc://0003", "doc://0017", "doc://absent").toDF("document_url"))
+    assert(rm == 0 && dvd > 0)
+    assert(mtf.liveFiles.toSet == before,
+      "a document-keyed DV delete must not rewrite files")
+    assert(urls(store.read()) ==
+      (0 until 40).filterNot(i => i == 3 || i == 17)
+        .map(i => f"doc://$i%04d").toSet)
+
+    // SQL `DELETE WHERE document_url = …` (the SupportsDelete fast
+    // lane) routes merge-on-read under the conf too
+    val wh = path.stripSuffix("/t")
+    val cat = "dvdoccat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try spark.sql(
+      s"DELETE FROM $cat.t WHERE document_url = 'doc://0021'")
+    finally spark.conf.unset("spark.graft.deletionVectors")
+    assert(mtfOf(path).liveFiles.toSet == before)
+    assert(store.read().count() == 37)
+    assert(store.readDocuments(Seq("doc://0021")).isEmpty)
+
+    // dv_stats: the merge-on-read debt gauge
+    val gauge = spark.sql(s"CALL $cat.dv_stats('t')").head()
+    assert(gauge.getLong(0) > 0 && gauge.getLong(1) == 3L &&
+      gauge.getLong(2) == 37L, s"dv_stats: $gauge")
+    spark.sql(s"CALL $cat.rewrite_dvs('t')")
+    val purged = spark.sql(s"CALL $cat.dv_stats('t')").head()
+    assert(purged.getLong(0) == 0L && purged.getLong(1) == 0L &&
+      purged.getLong(2) == 37L)
+  }
+
   test("metadata-only lane: a provably-all-matching file rm's with " +
       "no data read or write (CoW and DV modes)") {
     val path = freshPath()

@@ -206,11 +206,15 @@ class Round8DmlFuzzSpec extends SparkSpec {
               finally spark.conf.unset("spark.graft.deletionVectors")
             } else store.deleteWhere(p.sql)
             model.filterInPlace((_, d) => !p.model(d))
-          case 5 => // keyed delete
+          case 5 => // keyed delete — randomly merge-on-read too
             val urls = rnd.shuffle(model.keys.toSeq)
               .take(rnd.nextInt(3))
             if (urls.nonEmpty) {
-              store.delete(urls)
+              if (rnd.nextBoolean()) {
+                spark.conf.set("spark.graft.deletionVectors", "true")
+                try store.delete(urls)
+                finally spark.conf.unset("spark.graft.deletionVectors")
+              } else store.delete(urls)
               urls.foreach(model.remove)
             }
           case 6 => // ADD COLUMN (alternate string/int, bounded)
