@@ -56,6 +56,50 @@ object IncrementalAgg {
   /** Outcome of one catch-up: the span applied and groups touched. */
   final case class Stats(fromVersion: Long, toVersion: Long, groups: Long)
 
+  /** Run the maintenance CONTINUOUSLY: a `graft-cdf` stream on the
+    * source is the wake signal, each micro-batch tick runs one
+    * [[catchUp]]. The agg's own version-keyed txn marker — not the
+    * stream checkpoint — is the exactly-once state, so the runner
+    * converges from ANY checkpoint state (fresh, stale, deleted):
+    * the stream only decides WHEN to look, never what was applied.
+    * Caller owns the query lifecycle (same contract as
+    * [[ChangeFeedSync.start]]).
+    */
+  def start(
+      spark: SparkSession,
+      srcPath: String,
+      aggPath: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-cdf")
+      .option("path", srcPath)
+      .load()
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        catchUp(spark, srcPath, aggPath, groupCols, sumCols)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+
+  /** Drain everything currently committed and return — the
+    * maintenance-cadence entry point.
+    */
+  def syncOnce(
+      spark: SparkSession,
+      srcPath: String,
+      aggPath: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      checkpointDir: String): Unit =
+    start(spark, srcPath, aggPath, groupCols, sumCols, checkpointDir)
+      .awaitTermination()
+
   /** The marker app id recorded in the AGG table's log for `src`. */
   def appId(srcPath: String): String = s"graft-incr-agg:$srcPath"
 

@@ -2021,6 +2021,43 @@ class ManifestTableFormat(
         col("_metadata.row_index").as("__pos")) ++ logical): _*)
   }
 
+  /** Commit `actions` under the (file, dv) PAIR conflict rule shared
+    * by every merge-on-read writer: true when committed; false when a
+    * racing commit changed an input pair — the `staged` artifact
+    * paths are deleted and the caller re-runs against a fresh
+    * snapshot. `bumpAttempt` shares the caller's retry budget.
+    */
+  private def commitPaired(
+      base: Snapshot,
+      readSet: Seq[(String, Option[ManifestTableFormat.DvRef])],
+      actions: Seq[Action],
+      staged: Seq[String],
+      bumpAttempt: () => Unit): Boolean = {
+    import spark.implicits._
+    var b = base
+    var committed = tryCommit(b, actions)
+    while (!committed) {
+      bumpAttempt()
+      val now = snapshot()
+      val mine = readSet
+        .map { case (f, d) => (f, d.map(_.path).orNull) }
+        .toDF("file", "dv")
+      val live = statsFrame(now)
+        .select(col("file").as("n_file"), col("dv_path").as("n_dv"))
+      val conflicted = mine.join(live,
+          mine("file") === live("n_file") &&
+            mine("dv") <=> live("n_dv"), "left_anti")
+        .limit(1).count() > 0
+      if (conflicted) {
+        staged.foreach(p => fs.delete(new Path(p), false))
+        return false
+      }
+      b = now
+      committed = tryCommit(b, actions)
+    }
+    true
+  }
+
   /** The shared MERGE-ON-READ delete machine behind [[deleteWhereDv]]
     * and [[deleteDocumentsDv]]: `candidates` picks the files that MAY
     * hold a match (metadata only), `fullMatch` the subset PROVABLY
@@ -2095,28 +2132,12 @@ class ManifestTableFormat(
                 counts(baseNameOf(f)))))))
           }
         // conflict unit is the (file, dv) pair — same as commitCycle
-        var committed = tryCommit(snap, actions)
-        var stale = false
-        while (!committed && !stale) {
-          attempt += 1
-          require(attempt <= maxCommitRetries,
-            s"DV delete at $path lost $maxCommitRetries commit races")
-          val now = snapshot()
-          val mine = names
-            .map(f => (f, stats.get(f).flatMap(_.dv).map(_.path).orNull))
-            .toDF("file", "dv")
-          val live = statsFrame(now)
-            .select(col("file").as("n_file"), col("dv_path").as("n_dv"))
-          val conflicted = mine.join(live,
-              mine("file") === live("n_file") &&
-                mine("dv") <=> live("n_dv"), "left_anti")
-            .limit(1).count() > 0
-          if (conflicted) {
-            dvPath.foreach(p => fs.delete(new Path(p), false))
-            stale = true
-          } else committed = tryCommit(now, actions)
-        }
-        if (committed)
+        val readSet = names.map(f => f -> stats.get(f).flatMap(_.dv))
+        if (commitPaired(snap, readSet, actions, dvPath.toSeq, () => {
+            attempt += 1
+            require(attempt <= maxCommitRetries,
+              s"DV delete at $path lost $maxCommitRetries commit races")
+          }))
           return ((provable.size + fullyDead.size).toLong, toDv.size.toLong)
       } finally newDv.unpersist()
       // stale: loop re-runs against the new snapshot
@@ -2373,29 +2394,13 @@ class ManifestTableFormat(
                 dv = Some(ManifestTableFormat.DvRef(dvPath.get,
                   counts(baseNameOf(f)))))))
             } ++ adds
-          var committed = tryCommit(snap, actions)
-          var stale = false
-          while (!committed && !stale) {
-            attempt += 1
-            require(attempt <= maxCommitRetries,
-              s"DV update at $path lost $maxCommitRetries commit races")
-            val now = snapshot()
-            val mine = names
-              .map(f => (f, stats.get(f).flatMap(_.dv).map(_.path).orNull))
-              .toDF("file", "dv")
-            val live = statsFrame(now)
-              .select(col("file").as("n_file"), col("dv_path").as("n_dv"))
-            val conflicted = mine.join(live,
-                mine("file") === live("n_file") &&
-                  mine("dv") <=> live("n_dv"), "left_anti")
-              .limit(1).count() > 0
-            if (conflicted) {
-              dvPath.foreach(p => fs.delete(new Path(p), false))
-              adds.foreach(a => fs.delete(new Path(a.file), false))
-              stale = true
-            } else committed = tryCommit(now, actions)
-          }
-          if (committed)
+          val readSet = names.map(f => f -> stats.get(f).flatMap(_.dv))
+          if (commitPaired(snap, readSet, actions,
+              dvPath.toSeq ++ adds.map(_.file), () => {
+                attempt += 1
+                require(attempt <= maxCommitRetries,
+                  s"DV update at $path lost $maxCommitRetries commit races")
+              }))
             return ((fullyDead.size + toDv.size).toLong,
               adds.flatMap(_.stats.flatMap(_.rows)).sum)
         } finally newDv.unpersist()

@@ -155,6 +155,32 @@ class IncrementalAggSpec extends SparkSpec {
     assert(aggState(agg) == recompute(src))
   }
 
+  test("streaming runner: the cdf stream schedules catch-ups; the " +
+      "version-keyed marker — not the checkpoint — carries the state") {
+    val (src, agg) = fresh()
+    val ckpt = Files.createTempDirectory("graft-iagg-ckpt").toString
+    val store = new ChunkStore(spark, src,
+      format = ManifestTableFormat.factory)
+    store.append(rows(Seq(("a", 1, "doc://1"), ("b", 2, "doc://2"))))
+    IncrementalAgg.syncOnce(spark, src, agg,
+      Seq("chunk_text"), Seq("chunk_id"), ckpt)
+    assert(aggState(agg) == recompute(src))
+
+    store.append(rows(Seq(("a", 5, "doc://3"))))
+    store.deleteWhere(col("chunk_text") === "b")
+    IncrementalAgg.syncOnce(spark, src, agg,
+      Seq("chunk_text"), Seq("chunk_id"), ckpt)
+    assert(aggState(agg) == recompute(src))
+    assert(aggState(agg) == Set(("a", 2L, 6L, 2L)))
+
+    // a FRESH checkpoint replays the cdf stream from scratch; the
+    // marker makes every replayed tick a no-op — still convergent
+    val ckpt2 = Files.createTempDirectory("graft-iagg-ckpt2").toString
+    IncrementalAgg.syncOnce(spark, src, agg,
+      Seq("chunk_text"), Seq("chunk_id"), ckpt2)
+    assert(aggState(agg) == Set(("a", 2L, 6L, 2L)))
+  }
+
   test("refusals: non-numeric sum, group∩sum overlap, spec drift on " +
       "an existing agg table") {
     val (src, agg) = fresh()
