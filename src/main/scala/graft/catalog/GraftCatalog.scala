@@ -518,6 +518,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "serve selective predicates through file skipping")(args =>
       manifestFor(args(0)).compactZorder(
         args(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq)),
+    rowProcedure("compact_zorder_where",
+      Seq("table", "columns", "predicate"),
+      "predicate-scoped z-order compaction (Delta OPTIMIZE WHERE " +
+        "ZORDER BY): re-cluster only the small files whose stats " +
+        "overlap <predicate> on the morton curve of <columns> — a " +
+        "maintenance tick sweeps the fragmented region, never the " +
+        "table; returns files rewritten",
+      StructType(Seq(
+        StructField("files_rewritten", LongType, nullable = false))))(
+      args => longsRow(manifestFor(args(0)).compactZorderWhere(
+        args(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        org.apache.spark.sql.functions.expr(args(2))))),
     procedure("checkpoint", Seq("table"),
       "manifest log: write a full-state summary entry so replay is " +
         "O(commits since checkpoint)")(args =>

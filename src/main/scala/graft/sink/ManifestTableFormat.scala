@@ -2513,6 +2513,46 @@ class ManifestTableFormat(
       })
   }
 
+  /** PREDICATE-SCOPED Z-ORDER COMPACTION (Delta's
+    * `OPTIMIZE t WHERE … ZORDER BY …`): [[compactWhere]]'s
+    * metadata-only candidate selection (stats-overlapping files under
+    * `targetFileBytes`) with [[compactZorder]]'s clustered rewrite —
+    * at 100 TB a maintenance tick re-clusters exactly the region a
+    * workload fragmented, never the table. Returns files rewritten
+    * (0 = fewer than two candidates).
+    */
+  def compactZorderWhere(
+      dimNames: Seq[String],
+      condition: org.apache.spark.sql.Column,
+      targetFileBytes: Long = ManifestTableFormat.defaultTargetFileBytes)
+      : Long = {
+    require(dimNames.nonEmpty, "compactZorderWhere needs a column")
+    require(targetFileBytes > 0,
+      s"targetFileBytes must be positive, got $targetFileBytes")
+    var rewritten = 0L
+    commitCycle(
+      snap => {
+        val known = snap.tableSchema.fieldNames.toSet
+        dimNames.foreach(d => require(known.contains(d),
+          s"compactZorderWhere at $path: unknown column '$d' " +
+            s"(table columns: ${known.toSeq.sorted.mkString(", ")})"))
+        val pruned = preScanCandidates(snap, condition)
+        val sizes = sizesOf(snap, pruned)
+        val candidates = pruned.filter(sizes(_) < targetFileBytes)
+        rewritten = if (candidates.size < 2) 0L else candidates.size.toLong
+        if (rewritten == 0L) Seq.empty else candidates
+      },
+      (snap, files) => {
+        val totalBytes = sizesOf(snap, files).values.sum
+        val parts = math.max(1L,
+          (totalBytes + targetFileBytes - 1) / targetFileBytes)
+          .min(Int.MaxValue.toLong).toInt
+        Layout.zorderFrameAuto(readLive(snap, files), dimNames, parts)
+          .drop("__z")
+      })
+    rewritten
+  }
+
   /** A18 append, log-committed: new files only, no removes — so a
     * lost commit race can never conflict and simply recommits.
     */

@@ -331,6 +331,63 @@ class ManifestStatsSkipSpec extends SparkSpec
     assert(r.getLong(0) == 0L, s"single candidate file, got $r")
   }
 
+  test("compactZorderWhere re-clusters only the predicate's region: " +
+      "untouched files stay put, the swept region prunes on the curve") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    // fragmented low region (interleaved appends spanning chunk_id)
+    // + one untouched high-page file
+    def grid(seed: Int) = spark.range(1000).select(
+      (col("id") % 100).cast("int").as("chunk_id"),
+      concat(lit(s"t$seed-"), col("id")).as("chunk_text"),
+      array(lit(1f)).as("embedding"),
+      (col("id") / 100).cast("int").as("page_number"),
+      concat(lit(s"doc://$seed/"), col("id")).as("document_url"))
+      .repartition(2)
+    store.append(grid(1))
+    store.append(grid(2))
+    store.append(spark.range(100).select(
+      (col("id") % 100).cast("int").as("chunk_id"),
+      concat(lit("hi-"), col("id")).as("chunk_text"),
+      array(lit(1f)).as("embedding"),
+      lit(50).cast("int").as("page_number"),
+      concat(lit("doc://hi/"), col("id")).as("document_url")))
+    val mtf = new ManifestTableFormat(spark, s"$wh/t", store.schema)
+    val before = store.read().inputFiles.toSet
+
+    val n = mtf.compactZorderWhere(Seq("page_number", "chunk_id"),
+      col("page_number") < 20, targetFileBytes = 16 << 10)
+    assert(n == 4L, s"must rewrite the 4 low-region fragments, got $n")
+    val after = store.read().inputFiles.toSet
+    assert(before.intersect(after).size == before.size - n,
+      "every non-candidate (high-page) file must stay physically " +
+        s"untouched: ${before.size} before, $n rewritten, " +
+        s"${before.intersect(after).size} kept")
+    assert(store.read().count() == 2100, "layout op must keep rows")
+
+    // the swept region now prunes on the curve
+    val all = plannedFiles(spark.sql(
+      s"SELECT * FROM $cat.t WHERE page_number < 20"))
+    val q = spark.sql(s"SELECT document_url FROM $cat.t " +
+      "WHERE page_number BETWEEN 1 AND 3 AND chunk_id BETWEEN 5 AND 14")
+    assert(q.count() == 60) // 3 pages × 10 ids × 2 grids
+    assert(plannedFiles(q) < all,
+      s"curve locality must prune: ${plannedFiles(q)} of $all")
+
+    // the high region sweeps independently; a re-sweep of the now
+    // single-file region is a no-op
+    assert(mtf.compactZorderWhere(Seq("page_number"),
+      col("page_number") >= 50, targetFileBytes = 16 << 10) == 4L)
+    assert(mtf.compactZorderWhere(Seq("page_number"),
+      col("page_number") >= 50, targetFileBytes = 16 << 10) == 0L)
+    val r = spark.sql(s"CALL $cat.compact_zorder_where(" +
+      "'t', 'page_number, chunk_id', 'page_number < 20')")
+      .collect().head
+    assert(r.getLong(0) >= 2L, s"CALL must sweep the region, got $r")
+  }
+
   test("timestamp columns skip via epoch-micros stats") {
     val (cat, wh) = freshCatalog()
     val store = new ChunkStore(spark, s"$wh/t",
