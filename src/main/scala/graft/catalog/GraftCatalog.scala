@@ -679,6 +679,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           manifestFor(args(0)).vacuum(args(1).trim.toLong)
         longsRow(nData, nLog)
       }),
+    rowProcedure("vacuum_dry_run", Seq("table"),
+      "manifest log: what vacuum WOULD reclaim (same dead-file / " +
+        "stale-log detection, nothing deleted) — look before you " +
+        "leap on a table whose clones or pinned scans may still " +
+        "reference shared bytes",
+      StructType(Seq(
+        StructField("data_files_reclaimable", LongType, nullable = false),
+        StructField("log_entries_reclaimable", LongType, nullable = false))))(
+      args => {
+        val (nData, nLog) =
+          manifestFor(args(0)).vacuum(0L, dryRun = true)
+        longsRow(nData, nLog)
+      }),
     rowProcedure("clone", Seq("source_table", "target_table"),
       "manifest log: SHALLOW CLONE — fork <source_table> into the " +
         "new table <target_table> by copying its commit log only " +

@@ -3135,8 +3135,19 @@ class ManifestTableFormat(
     * `0` = reclaim immediately, the maintenance-window default the
     * gates use).
     */
-  def vacuum(retentionMs: Long): (Long, Long) = {
+  def vacuum(retentionMs: Long): (Long, Long) =
+    vacuum(retentionMs, dryRun = false)
+
+  /** [[vacuum]] with a DRY-RUN mode: `dryRun = true` walks the same
+    * dead-file/stale-log detection and returns what WOULD be
+    * reclaimed without deleting anything — the operator's
+    * look-before-you-leap on a table whose clones/pinned scans might
+    * still want the bytes (the Delta `VACUUM … DRY RUN` idea).
+    */
+  def vacuum(retentionMs: Long, dryRun: Boolean): (Long, Long) = {
     val f = fs
+    def reclaim(p: Path, recursive: Boolean): Unit =
+      if (!dryRun) { f.delete(p, recursive); () }
     val keepAfter = System.currentTimeMillis() - retentionMs
     var nData = 0L
     var nLog = 0L
@@ -3165,7 +3176,7 @@ class ManifestTableFormat(
           val dead = batch.toSeq.toDF("path", "name")
             .join(liveBase, Seq("name"), "left_anti")
             .select("path").collect().map(_.getString(0))
-          dead.foreach(p => f.delete(new Path(p), false))
+          dead.foreach(p => reclaim(new Path(p), recursive = false))
           nData += dead.length
           batch.clear()
         }
@@ -3188,19 +3199,19 @@ class ManifestTableFormat(
       if (all.nonEmpty) {
         val ckpt = all.max
         val oldEntries = entries.filter(_ <= ckpt)
-        oldEntries.foreach(v => f.delete(entryPath(v), false))
+        oldEntries.foreach(v => reclaim(entryPath(v), recursive = false))
         val oldJson = jsonCkpts.filter(_ < ckpt)
-        oldJson.foreach(v => f.delete(checkpointPath(v), false))
+        oldJson.foreach(v => reclaim(checkpointPath(v), recursive = false))
         val oldPq = pqCkpts.filter(_ < ckpt)
-        oldPq.foreach(v => f.delete(ckptParquetPath(v), true))
+        oldPq.foreach(v => reclaim(ckptParquetPath(v), recursive = true))
         // txn sidecars of superseded checkpoints are subsumed by the
         // newest checkpoint's own sidecar (markers only ever grow)
-        (oldJson ++ oldPq).foreach(v => f.delete(txnsFilePath(v), false))
+        (oldJson ++ oldPq).foreach(v => reclaim(txnsFilePath(v), recursive = false))
         nLog += oldEntries.size + oldJson.size + oldPq.size
         // a same-version legacy JSON twin is subsumed by the parquet
         // checkpoint (identical state, heavier replay) — drop it
         if (pqCkpts.contains(ckpt) && jsonCkpts.contains(ckpt)) {
-          f.delete(checkpointPath(ckpt), false)
+          reclaim(checkpointPath(ckpt), recursive = false)
           nLog += 1
         }
       }
@@ -3210,7 +3221,7 @@ class ManifestTableFormat(
         .filter(_.matches("\\d{12}\\.checkpoint\\.parquet"))
         .map(_.stripSuffix(".checkpoint.parquet").toLong)
         .filterNot(validCkptParquet(f, _))
-      torn.foreach(v => f.delete(ckptParquetPath(v), true))
+      torn.foreach(v => reclaim(ckptParquetPath(v), recursive = true))
       nLog += torn.size
       // stale commit/checkpoint staging leftovers (hard-killed
       // writers): never referenced, reclaimed only once provably
@@ -3220,7 +3231,7 @@ class ManifestTableFormat(
       val strays = f.listStatus(logDir).toSeq
         .filter(st => st.getPath.getName.startsWith("tmp-") &&
           now - st.getModificationTime > staleMs)
-      strays.foreach(st => f.delete(st.getPath, true))
+      strays.foreach(st => reclaim(st.getPath, recursive = true))
       nLog += strays.size
     }
     (nData, nLog)

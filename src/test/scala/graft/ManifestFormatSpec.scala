@@ -125,6 +125,36 @@ class ManifestFormatSpec extends SparkSpec {
     assert(state(store) == Set(("doc://a", 0, "v3-ours")))
   }
 
+  test("vacuum dry run reports without deleting; the real vacuum then " +
+      "reclaims exactly what was reported") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.upsert(chunksOf("doc://a", "a1"))
+    store.upsert(chunksOf("doc://a", "a2")) // rm's the first file
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    mtf.checkpoint() // makes the pre-checkpoint entries reclaimable
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataCount(): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/data"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().isFile) n += 1 }
+      n
+    }
+    val before = dataCount()
+    val (dryData, dryLog) = mtf.vacuum(0L, dryRun = true)
+    assert(dryData > 0 && dryLog > 0, s"dry run found ($dryData, $dryLog)")
+    assert(dataCount() == before, "dry run must delete NOTHING")
+    assert(state(store) == Set(("doc://a", 0, "a2")))
+    val (gotData, gotLog) = mtf.vacuum()
+    assert((gotData, gotLog) == ((dryData, dryLog)),
+      s"real vacuum reclaimed ($gotData, $gotLog), dry run promised " +
+        s"($dryData, $dryLog)")
+    assert(dataCount() == before - dryData.toInt)
+    assert(state(store) == Set(("doc://a", 0, "a2")))
+  }
+
   test("crash leftovers are invisible; vacuum reclaims them and removed files") {
     val path = freshPath()
     val store = new ChunkStore(spark, path,
