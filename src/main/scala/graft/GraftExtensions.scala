@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.PrenormalizeCosine)
+    // operator-optimization seat: sees the un-converted
+    // DataSourceV2Relation, so the substituted DV plan gets the full
+    // pushdown/pruning/codegen treatment from the remaining passes
+    ext.injectOptimizerRule(_ => graft.plans.DvColumnarRead)
     ext.injectPlannerStrategy(_ => graft.plans.GraftDmlStrategy)
   }
 }

@@ -31,6 +31,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
+      // extension rules get the operator-optimization seat (the
+      // extraOptimizations fallback in install() runs post-pushdown)
+      .withExtensions(new GraftExtensions)
 
   /** Create (or reuse) a session with all graft functions and
     * optimizer rules registered.
@@ -48,6 +51,15 @@ object GraftSession {
     if (!extra.contains(graft.plans.PrenormalizeCosine))
       spark.experimental.extraOptimizations =
         extra :+ graft.plans.PrenormalizeCosine
+    // DV columnar read on externally-created sessions: this seat runs
+    // after scan pushdown, so the rule matches the already-built scan
+    // relation (still vectorized + codegen'd; sessions built via
+    // GraftSession.builder get the early extension seat instead, and
+    // the substitution there is a no-op here by idempotence)
+    val extra2 = spark.experimental.extraOptimizations
+    if (!extra2.contains(graft.plans.DvColumnarRead))
+      spark.experimental.extraOptimizations =
+        extra2 :+ graft.plans.DvColumnarRead
     // SQL UPDATE on graft catalog tables: extra strategies run before
     // the built-ins, claiming UpdateTable before BasicOperators
     // rejects it (see graft.plans.GraftDmlStrategy)

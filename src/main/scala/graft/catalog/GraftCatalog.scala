@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBui
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sink.{ChunkStore, ManifestTableFormat}
@@ -188,17 +188,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // file skipping off the log's own per-file stats — sound for
         // time-travel reads too (a pre-stats or vacuumed-away file
         // simply fails open and is read). A DELETION-VECTOR snapshot
-        // routes through the V1 fallback instead: rows are files
-        // minus position deletes, which a plain file scan cannot
-        // express (compaction / CALL rewrite_dvs restores this path)
+        // routes through dvInfo instead: graft.plans.DvColumnarRead
+        // substitutes the vectorized parquet + position-anti-join
+        // plan (with its own stats skipping); rule-less sessions
+        // keep the exact V1 fallback
         statsPruner =
           if (hasDv) None else Some(mtf.pruneFilesForScan(files, _)),
         overwriteHook =
           if (asOf.isDefined) None else Some(mtf.overwrite),
         truncateHook =
           if (asOf.isDefined) None else Some(() => mtf.truncate()),
-        dvRead =
-          if (hasDv) Some(() => mtf.readPinned(filesDv, tblSchema))
+        dvInfo =
+          if (hasDv) Some(graft.plans.DvScanInfo(
+            filesDv, tblSchema, mtf.readPinned(_, tblSchema),
+            mtf.pruneFilesForScan(files, _)))
           else None,
         // numRows for the planned file list, answered from the log —
         // the CBO's row estimate next to FileScan's byte estimate
@@ -435,11 +438,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * summaries — a handful of longs — not data (data reads go through
     * the table surface).
     */
+  /** String-parameter procedure; the last `defaulted` parameters are
+    * OPTIONAL (SQL default `''`), so older call sites keep working
+    * when a procedure grows trailing options.
+    */
   private def rowProcedure(
       pname: String,
       params: Seq[String],
       descr: String,
-      resultSchema: StructType)(
+      resultSchema: StructType,
+      defaulted: Int = 0)(
       run: Seq[String] => Array[InternalRow]): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = pname
@@ -449,8 +457,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           override def name(): String = pname
           override def description(): String = descr
           override def parameters(): Array[ProcedureParameter] =
-            params.map(p => ProcedureParameter
-              .in(p, org.apache.spark.sql.types.StringType).build()).toArray
+            params.zipWithIndex.map { case (p, i) =>
+              val b = ProcedureParameter
+                .in(p, org.apache.spark.sql.types.StringType)
+              (if (i >= params.size - defaulted) b.defaultValue("''")
+               else b).build()
+            }.toArray
           override def isDeterministic: Boolean = false
           override def call(input: InternalRow): util.Iterator[Scan] = {
             val out =
@@ -713,28 +725,82 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         longsRow(copied, manifestFor(args(1)).version)
       }),
     rowProcedure("sync_agg",
-      Seq("table", "agg_table", "group_cols", "sum_cols"),
+      Seq("table", "agg_table", "group_cols", "sum_cols",
+        "min_cols", "max_cols"),
       "incremental aggregate maintenance: advance the derived GROUP " +
         "BY table <agg_table> (count + SQL-semantics sum + non-null " +
-        "count per <sum_cols> measure; comma-separated column lists) " +
+        "count per <sum_cols> measure, plus optional MIN/MAX per " +
+        "<min_cols>/<max_cols>; comma-separated column lists) " +
         "to <table>'s head off the change feed — O(churn), " +
         "exactly-once (the delta merge carries a txn marker " +
         "atomically). Creates <agg_table> on first call; AVG = " +
-        "sum/nn at read time; MIN/MAX refuse (not maintainable " +
-        "under deletes). Sync at least as often as the source's " +
-        "checkpoint+vacuum cadence (CDF retention)",
+        "sum/nn at read time; MIN/MAX delta-apply inserts and " +
+        "bounded-recompute only groups whose held extremum a delete " +
+        "endangered (file-pruned by group-key stats). Sync at least " +
+        "as often as the source's checkpoint+vacuum cadence (CDF " +
+        "retention)",
       StructType(Seq(
         StructField("from_version", LongType, nullable = false),
         StructField("to_version", LongType, nullable = false),
-        StructField("groups_touched", LongType, nullable = false))))(
+        StructField("groups_touched", LongType, nullable = false))),
+      defaulted = 2)(
       args => {
         manifestFor(args(0)) // change feed needs the manifest log
         val split = (s: String) =>
           s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val st = graft.pipeline.IncrementalAgg.catchUp(spark,
           s"$warehouse/${args(0)}", s"$warehouse/${args(1)}",
-          split(args(2)), split(args(3)))
+          split(args(2)), split(args(3)),
+          split(args(4)), split(args(5)))
         longsRow(st.fromVersion, st.toVersion, st.groups)
+      }),
+    rowProcedure("auto_optimize",
+      Seq("table", "index_paths", "text_index_paths", "agg_tables",
+        "target_file_bytes"),
+      "log-stats-driven maintenance policy (graft.ops.AutoOptimize): " +
+        "ONE call reads the manifest's own gauges and runs exactly " +
+        "the needed subset, in order — rewrite_dvs past the DV-debt " +
+        "thresholds (any file >=50% tombstoned, table >=5%, or >=64 " +
+        "DV'd files), RECLUSTER when >=30% of live files postdate " +
+        "the recorded z-order spec (subsumes compaction), small-file " +
+        "compaction at >=4 files under target, catch-up for the " +
+        "named derived artifacts (vector/text indexes by path, agg " +
+        "tables by name — specs derive from the agg tables " +
+        "themselves), and a report-only vacuum dry run. Optional " +
+        "args: comma-separated lists, empty = none; " +
+        "target_file_bytes defaults to the format's target",
+      StructType(Seq(
+        StructField("version_before", LongType, nullable = false),
+        StructField("version_after", LongType, nullable = false),
+        StructField("dv_files_purged", LongType, nullable = false),
+        StructField("files_compacted", LongType, nullable = false),
+        StructField("reclustered", LongType, nullable = false),
+        StructField("index_appended", LongType, nullable = false),
+        StructField("index_tombstoned", LongType, nullable = false),
+        StructField("agg_groups", LongType, nullable = false),
+        StructField("reclaimable_data_files", LongType, nullable = false),
+        StructField("reclaimable_log_entries", LongType, nullable = false),
+        StructField("actions", StringType, nullable = false))),
+      defaulted = 4)(
+      args => {
+        manifestFor(args(0))
+        val split = (s: String) =>
+          s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val r = graft.ops.AutoOptimize.run(spark,
+          s"$warehouse/${args(0)}",
+          indexPaths = split(args(1)),
+          textIndexPaths = split(args(2)),
+          aggPaths = split(args(3)).map(t => s"$warehouse/$t"),
+          targetFileBytes =
+            if (args(4).trim.isEmpty)
+              ManifestTableFormat.defaultTargetFileBytes
+            else args(4).trim.toLong)
+        mixedRows(Seq(Seq(
+          r.versionBefore, r.versionAfter, r.dvFilesPurged,
+          r.filesCompacted, if (r.reclustered) 1L else 0L,
+          r.indexAppended, r.indexTombstoned, r.aggGroups,
+          r.reclaimableDataFiles, r.reclaimableLogEntries,
+          if (r.actions.isEmpty) "none" else r.actions.mkString("; "))))
       }),
     rowProcedure("dv_stats", Seq("table"),
       "deletion-vector observability: (files with a vector, total " +
@@ -906,7 +972,7 @@ private[graft] class GraftTable(
         Option[Seq[String]]] = None,
     overwriteHook: Option[DataFrame => Unit] = None,
     truncateHook: Option[() => Unit] = None,
-    dvRead: Option[() => DataFrame] = None,
+    dvInfo: Option[graft.plans.DvScanInfo] = None,
     rowsOf: Option[Seq[String] => Option[Long]] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
@@ -1025,19 +1091,25 @@ private[graft] class GraftTable(
       insert.map(_ => TableCapability.V1_BATCH_WRITE) ++
       overwriteHook.map(_ => TableCapability.TRUNCATE)).asJava
 
+  /** The DV-substitution hook [[graft.plans.DvColumnarRead]] reads —
+    * defined exactly when this table pins a DELETION-VECTOR snapshot.
+    */
+  private[graft] def dvScanInfo: Option[graft.plans.DvScanInfo] = dvInfo
+
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder = dvRead match {
-    case Some(reader) =>
+      options: CaseInsensitiveStringMap): ScanBuilder = dvInfo match {
+    case Some(info) =>
       // DELETION-VECTOR snapshot: rows are parquet files MINUS the
-      // referenced position deletes — not a plain file scan. Served
-      // through the DSv2 V1 read fallback (the public JDBC-connector
-      // seam): the Scan hands Spark a TableScan relation whose RDD is
-      // the DV-aware frame (anti-join on parquet row positions).
-      // Filters stay ABOVE the relation (nothing is claimed pushed),
-      // so results are exact; the scan-speed tax is the documented
-      // merge-on-read trade, reclaimed by compaction / CALL
-      // rewrite_dvs. DV-free tables never take this branch.
-      new DvV1ScanBuilder(tableSchema, reader)
+      // referenced position deletes — not a plain file scan. On a
+      // graft-installed session this ScanBuilder is never planned:
+      // graft.plans.DvColumnarRead substitutes the relation with the
+      // equivalent vectorized-parquet + broadcast-anti-join logical
+      // plan before physical planning. This V1 fallback (the public
+      // JDBC-connector seam — TableScan relation whose RDD is the
+      // DV-aware frame) keeps results exact on sessions without the
+      // rule; filters stay above the relation, nothing claimed
+      // pushed. DV-free tables never take this branch.
+      new DvV1ScanBuilder(tableSchema, () => info.read(info.pairs))
     case None => sidecarDir match {
     case Some(dir) =>
       // sidecar-aware scan: `_hulls`/`_keybloom` shrink the file list

@@ -164,11 +164,15 @@ object IngestPipeline {
       } catch {
         case scala.util.control.NonFatal(e) =>
           metrics.foreach(_.quarantined.add(1L))
-          val msg = Option(e.getMessage).getOrElse("")
+          // fold the CAUSE CHAIN before truncating: a wrapper whose
+          // own message is null would otherwise render as a bare
+          // class name, hiding the root failure the operator needs
+          val chain = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).take(8).map(t =>
+              s"${t.getClass.getName}: ${Option(t.getMessage).getOrElse("")}")
+            .mkString(" <- ")
           Seq(RoutedOutcome(None, Some(QuarantinedDoc(
-            path, stage,
-            s"${e.getClass.getName}: $msg".take(512),
-            bytes.length.toLong))))
+            path, stage, chain.take(512), bytes.length.toLong))))
       }
     }
   }

@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.sink.{ManifestTableFormat, StatsProbes}
+
+/** Everything the optimizer needs to serve a DELETION-VECTOR snapshot
+  * through Spark's own vectorized parquet path instead of the DSv2 V1
+  * row fallback: the pinned (file, dv) list, the table's logical
+  * schema, the DV-aware reader ([[ManifestTableFormat.readPinned]] —
+  * clean files scan untouched, DV'd files anti-join their position
+  * sidecars on `_metadata.row_index`), and the log-stats file pruner.
+  */
+final case class DvScanInfo(
+    pairs: Seq[(String, Option[ManifestTableFormat.DvRef])],
+    schema: StructType,
+    read: Seq[(String, Option[ManifestTableFormat.DvRef])] => DataFrame,
+    pruner: Seq[ManifestTableFormat.StatsProbe] => Option[Seq[String]])
+
+/** Kills the DELETION-VECTOR read tax: a DV'd manifest snapshot loaded
+  * through the DSv2 seam would otherwise read via the `V1Scan`
+  * fallback — `RowDataSourceScan`, per-row `Row` conversion, no
+  * vectorized parquet reader, no pushdown, no file skipping. This rule
+  * replaces the relation AT THE LOGICAL LEVEL with the equivalent
+  * declarative plan:
+  *
+  * {{{
+  *   clean files        → vectorized parquet scan
+  *   UNION ALL
+  *   DV'd files         → vectorized parquet scan (+ _metadata.row_index)
+  *                        LEFT ANTI broadcast-join deleted (file, pos)
+  * }}}
+  *
+  * so Catalyst's remaining passes push predicates and column pruning
+  * into the parquet scans (the anti-join is null-filtering on the left
+  * side, so left-side predicates descend through it), whole-stage
+  * codegen fuses the filter/join, and the scan stays columnar — the
+  * plan a user would have written by hand against the file list.
+  *
+  * Static file skipping: when a Filter sits directly on the relation
+  * (operator optimization puts it there), its conjuncts are probed
+  * against the manifest's per-file stats and the pinned (file, dv)
+  * list shrinks BEFORE the parquet relation is built — the DV twin of
+  * `ManifestStatsScanBuilder`'s skipping, fail-open on every absent
+  * stat (the full predicate still evaluates above).
+  *
+  * Registered both as a session-extension operator-optimization rule
+  * ([[graft.GraftExtensions]]) — where the un-converted
+  * `DataSourceV2Relation` shape is matched and every later optimizer
+  * pass applies to the substituted subtree — and as an
+  * `experimental.extraOptimizations` fallback for externally-created
+  * sessions, where the already-built scan relation shape is matched
+  * (still vectorized + codegen'd; parquet-level pushdown needs the
+  * early seat). Sessions with neither keep the exact-but-slow V1
+  * fallback ([[graft.catalog.DvV1ScanBuilder]]) — three layers, same
+  * rows. Output attributes keep the relation's exprIds (alias remap),
+  * so the surrounding plan never re-resolves. DV-free tables never
+  * match: their scans already take the stats-pruned vectorized path.
+  */
+object DvColumnarRead extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def infoOf(t: Table): Option[DvScanInfo] = t match {
+    case g: graft.catalog.GraftTable => g.dvScanInfo
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // DML/DDL commands (DELETE/UPDATE/MERGE/INSERT …) keep their
+    // target relation AS a relation — DataSourceV2Strategy pattern-
+    // matches it to route the operation (our GraftDmlStrategy too).
+    // The manifest format's own DML paths read DV-aware internally;
+    // a command's embedded query side falls back to the exact V1
+    // read. Only genuine queries take the columnar substitution.
+    case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
+    case _ => rewrite(plan)
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, r: DataSourceV2Relation) =>
+      infoOf(r.table)
+        .flatMap(substitute(r.output, _, splitConjunctivePredicates(cond)))
+        .map(Filter(cond, _)).getOrElse(f)
+    case r: DataSourceV2Relation =>
+      infoOf(r.table).flatMap(substitute(r.output, _, Nil)).getOrElse(r)
+    case f @ Filter(cond, s: DataSourceV2ScanRelation) =>
+      infoOf(s.relation.table)
+        .flatMap(substitute(s.output, _, splitConjunctivePredicates(cond)))
+        .map(Filter(cond, _)).getOrElse(f)
+    case s: DataSourceV2ScanRelation =>
+      infoOf(s.relation.table)
+        .flatMap(substitute(s.output, _, Nil)).getOrElse(s)
+  }
+
+  /** The DV-aware logical plan, output-aliased to the relation's own
+    * attribute ids — or None when anything is off (missing column,
+    * reader failure), leaving the exact V1 fallback in place.
+    */
+  private def substitute(
+      out: Seq[Attribute],
+      info: DvScanInfo,
+      conjuncts: Seq[Expression]): Option[LogicalPlan] =
+    try {
+      val typeOf: String => Option[(String, DataType)] = n =>
+        info.schema.fields.find(_.name.equalsIgnoreCase(n))
+          .map(f => (ManifestTableFormat.physicalName(f), f.dataType))
+      val probes = StatsProbes.extract(conjuncts, typeOf)
+      val pairs =
+        if (probes.isEmpty) info.pairs
+        else info.pruner(probes).fold(info.pairs) { keep =>
+          val k = keep.toSet
+          info.pairs.filter(p => k(p._1))
+        }
+      // the reader's plan is ANALYZED, not optimized — fold its
+      // broadcast() hints into join-hint form here, because the
+      // optimizer's own EliminateResolvedHint (Finish Analysis) has
+      // already run by the time this rule substitutes
+      val child = org.apache.spark.sql.catalyst.optimizer
+        .EliminateResolvedHint(info.read(pairs).queryExecution.analyzed)
+      val byName = child.output.map(a => a.name.toLowerCase -> a).toMap
+      if (!out.forall(a => byName.contains(a.name.toLowerCase))) None
+      else Some(Project(out.map { a =>
+        Alias(byName(a.name.toLowerCase), a.name)(
+          exprId = a.exprId, qualifier = a.qualifier)
+      }, child))
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

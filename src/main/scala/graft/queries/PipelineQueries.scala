@@ -527,6 +527,81 @@ object PipelineQueries {
         .select(col("page_number"), col("cnt"),
           col("sum_chunk_id"), col("nn_chunk_id"))
         .orderBy("page_number")
+    },
+
+    // P12b: MIN/MAX incremental aggregates — the bounded-recompute
+    // contract. Same churn script as p12 (bootstrap → group-moving
+    // upsert + group kill → catch-up) plus an EXTREMUM-killing
+    // row-level DELETE (every row at/beyond the band edges), so the
+    // final catch-up must detect each group's endangered extremum
+    // from the feed and re-derive exactly those groups from the
+    // source (file-pruned by group-key stats). The oracle recomputes
+    // the final GROUP BY with MIN/MAX from scratch: a stale extremum
+    // (delta-only maintenance), a recompute over the wrong version,
+    // or NULL-measure mishandling all break the hash.
+    "p12b_incremental_agg_minmax" -> QueryDef(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 7 AS INTEGER) AS grp,
+        |         CASE WHEN doc_id % 11 = 0 THEN NULL
+        |              ELSE CAST(LENGTH(text) AS INTEGER) END AS m,
+        |         text
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN 6 ELSE grp END AS grp,
+        |         CASE WHEN doc_id % 5 = 0 THEN
+        |              CASE WHEN doc_id % 11 = 0 THEN NULL
+        |                   ELSE CAST(LENGTH(text || ' v2') AS INTEGER) END
+        |              ELSE m END AS m
+        |  FROM base),
+        |kept AS (SELECT * FROM v2 WHERE grp <> 3),
+        |final AS (
+        |  SELECT * FROM kept
+        |  WHERE m IS NULL OR (m > 100 AND m < 450))
+        |SELECT CAST(grp AS INTEGER) AS page_number,
+        |       CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(m) AS BIGINT) AS sum_chunk_id,
+        |       CAST(COUNT(m) AS BIGINT) AS nn_chunk_id,
+        |       CAST(MIN(m) AS INTEGER) AS min_chunk_id,
+        |       CAST(MAX(m) AS INTEGER) AS max_chunk_id
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-iaggmm").toString
+      val src = s"$wh/chunks"
+      val agg = s"$wh/chunks_by_page"
+      val store = new graft.sink.ChunkStore(s, src,
+        format = graft.sink.ManifestTableFormat.factory)
+      val docs = Tables(s, dir, "documents")
+      store.append(docs.select(
+        when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(length(col("text"))).cast("int").as("chunk_id"),
+        col("text").as("chunk_text"), array(lit(0f)).as("embedding"),
+        (col("doc_id") % 7).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      def sync(): Unit = graft.pipeline.IncrementalAgg.catchUp(s, src,
+        agg, Seq("page_number"), Seq("chunk_id"),
+        minCols = Seq("chunk_id"), maxCols = Seq("chunk_id"))
+      sync() // bootstrap: extrema held from the insert-only delta
+      store.upsert(docs.filter(col("doc_id") % 5 === 0).select(
+        when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(length(concat(col("text"), lit(" v2"))))
+          .cast("int").as("chunk_id"),
+        concat(col("text"), lit(" v2")).as("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        lit(6).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      store.deleteWhere(col("page_number") === 3)
+      sync() // held extrema now real before the extremum kill
+      store.deleteWhere(
+        col("chunk_id") >= 450 || col("chunk_id") <= 100)
+      sync() // endangered-group bounded recompute
+      new graft.sink.ChunkStore(s, agg,
+          format = graft.sink.ManifestTableFormat.factory).read()
+        .select(col("page_number"), col("cnt"),
+          col("sum_chunk_id"), col("nn_chunk_id"),
+          col("min_chunk_id"), col("max_chunk_id"))
+        .orderBy("page_number")
     }
   )
 }

@@ -2511,6 +2511,7 @@ class ManifestTableFormat(
           readLive(snap, files), dimNames, parts)
           .drop("__z")
       })
+    recordClusterSpec(dimNames)
   }
 
   /** PREDICATE-SCOPED Z-ORDER COMPACTION (Delta's
@@ -2550,7 +2551,87 @@ class ManifestTableFormat(
         Layout.zorderFrameAuto(readLive(snap, files), dimNames, parts)
           .drop("__z")
       })
+    if (rewritten > 0L) recordClusterSpec(dimNames)
     rewritten
+  }
+
+  // ---- clustering-spec sidecar + maintenance gauges ------------------
+
+  /** Record the table's CLUSTERING SPEC (`_graft_cluster` sidecar at
+    * the table root): the z-order dims and the version the last
+    * recluster landed at. Purely ADVISORY state for the maintenance
+    * policy ([[graft.ops.AutoOptimize]]) — never read on the query
+    * path, never part of a commit; a torn/stale write costs at most
+    * one redundant or skipped recluster, never correctness.
+    */
+  def recordClusterSpec(dims: Seq[String]): Unit = {
+    require(dims.nonEmpty && dims.forall(d => !d.contains(",")),
+      s"cluster dims must be non-empty, comma-free: $dims")
+    val p = new Path(path, "_graft_cluster")
+    val out = fs.create(p, true)
+    try out.write(s"${version}\n${dims.mkString(",")}\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The recorded clustering spec: (dims, version at last recluster),
+    * or None when the table was never z-ordered.
+    */
+  def clusterSpec: Option[(Seq[String], Long)] = {
+    val p = new Path(path, "_graft_cluster")
+    if (!fs.exists(p)) return None
+    val lines = readText(p).linesIterator.toSeq
+    if (lines.size < 2) return None
+    scala.util.Try((lines(1).split(",").toSeq, lines(0).trim.toLong))
+      .toOption.filter(_._1.nonEmpty)
+  }
+
+  /** Fraction of the CURRENT live file set that did not exist at
+    * `sinceVersion` — the z-curve dilution gauge: freshly-appended
+    * files carry arbitrary curve coordinates, so a high fraction
+    * means clustered reads degrade toward unclustered. O(log replay),
+    * no data reads. 0.0 on an empty table.
+    */
+  def newFileFraction(sinceVersion: Long): Double = {
+    val live = liveNames(snapshot())
+    if (live.isEmpty) return 0.0
+    val old = filesAtVersion(sinceVersion).toSet
+    live.count(f => !old.contains(f)).toDouble / live.size
+  }
+
+  /** One-pass maintenance gauges off the log's own stats — what
+    * [[graft.ops.AutoOptimize]]'s policy reads. `smallFiles` counts
+    * live files under `targetFileBytes` (the same candidacy rule
+    * [[compactWhere]] uses); `maxDvFrac` is the worst per-file
+    * tombstone ratio (deletion-vector cardinality / physical rows).
+    * Absent stats fail toward "no action" (a pre-stats file counts
+    * as neither small nor DV'd) — maintenance is advisory, reads
+    * stay exact either way.
+    */
+  def maintenanceStats(targetFileBytes: Long)
+      : ManifestTableFormat.MaintenanceStats = {
+    val snap = snapshot()
+    val agg = statsFrame(snap).agg(
+      count(lit(1)).as("files"),
+      sum(coalesce(col("bytes"), lit(0L))).as("bytes"),
+      sum(when(col("bytes") < targetFileBytes, 1L).otherwise(0L))
+        .as("small"),
+      sum(when(col("bytes") < targetFileBytes,
+        col("bytes")).otherwise(0L)).as("small_bytes"),
+      sum(when(coalesce(col("dv_card"), lit(0L)) > 0L, 1L)
+        .otherwise(0L)).as("dv_files"),
+      sum(coalesce(col("dv_card"), lit(0L))).as("dv_deleted"),
+      sum(coalesce(col("rows"), lit(0L))).as("phys_rows"),
+      max(when(col("rows") > 0L,
+        coalesce(col("dv_card"), lit(0L)).cast("double") / col("rows"))
+        .otherwise(lit(0.0))).as("max_dv_frac"))
+      .collect().head
+    def l(i: Int) = if (agg.isNullAt(i)) 0L else agg.getLong(i)
+    ManifestTableFormat.MaintenanceStats(
+      version = snap.version,
+      files = l(0), bytes = l(1),
+      smallFiles = l(2), smallBytes = l(3),
+      dvFiles = l(4), dvDeletedRows = l(5), physicalRows = l(6),
+      maxDvFrac = if (agg.isNullAt(7)) 0.0 else agg.getDouble(7))
   }
 
   /** A18 append, log-committed: new files only, no removes — so a
@@ -3311,6 +3392,20 @@ object ManifestTableFormat {
     * and drop the reference.
     */
   final case class DvRef(path: String, card: Long)
+
+  /** Log-derived maintenance gauges (see
+    * [[ManifestTableFormat.maintenanceStats]]).
+    */
+  final case class MaintenanceStats(
+      version: Long,
+      files: Long,
+      bytes: Long,
+      smallFiles: Long,
+      smallBytes: Long,
+      dvFiles: Long,
+      dvDeletedRows: Long,
+      physicalRows: Long,
+      maxDvFrac: Double)
 
   /** StructField metadata key carrying a column's stable PHYSICAL
     * name (protocol v5 column mapping — the Delta/Iceberg column-id

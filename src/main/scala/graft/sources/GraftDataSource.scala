@@ -68,18 +68,32 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       s"format(\"graft\") streaming sink supports Append output only, " +
         s"got $outputMode (appends are log-committed; use batch " +
         "overwrite/merge for replaces)")
-    require(partitionColumns.isEmpty,
-      "partitionBy on the graft streaming sink is not supported — " +
-        "declare partition columns at CREATE TABLE (PARTITIONED BY) " +
-        "and every write clusters by them")
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "format(\"graft\") needs a path: .start(<manifest table root>)"))
     val appIdOpt = parameters.get("appId")
     val fs = new Path(path)
       .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(path)))
-      fs.mkdirs(new Path(path, "_log"))
+    val mtf0 = mtfFor(path)
+    // .partitionBy(...) carries the c37q PARTITIONED BY semantics:
+    // identity columns recorded once at table bootstrap, every write
+    // (streaming or batch) range-clusters rows by them so partition
+    // predicates prune to a strict file subset. On an existing table
+    // the declaration must MATCH what the table recorded — a sink
+    // cannot silently re-partition a table it didn't create.
+    if (!fs.exists(new Path(path)) ||
+        !fs.exists(new Path(path, "_log"))) {
+      mtf0.initializeTable(None, partitionColumns)
+    } else if (partitionColumns.nonEmpty) {
+      val recorded = mtf0.partitionColumns
+      require(recorded.map(_.toLowerCase) ==
+          partitionColumns.map(_.toLowerCase),
+        s"graft sink at $path: .partitionBy(${
+          partitionColumns.mkString(", ")}) does not match the " +
+          s"table's recorded partition columns (${
+            if (recorded.isEmpty) "none" else recorded.mkString(", ")
+          }) — partition columns are fixed at table creation")
+    }
     val mtf = mtfFor(path)
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -232,15 +246,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     new graft.catalog.GraftTable(
       s"graft.`$path`", spark, tblSchema, files,
       insert = if (pin.isDefined) None else Some(store.append),
-      // a DELETION-VECTOR snapshot reads through the V1 fallback
-      // (files minus position deletes — not a plain file scan)
+      // a DELETION-VECTOR snapshot routes through dvInfo instead:
+      // DvColumnarRead substitutes the vectorized anti-join plan
+      // (with its own stats-driven file skipping); the V1 fallback
+      // covers rule-less sessions
       statsPruner =
         if (hasDv) None else Some(mtf.pruneFilesForScan(files, _)),
       overwriteHook = if (pin.isDefined) None else Some(mtf.overwrite),
       truncateHook =
         if (pin.isDefined) None else Some(() => mtf.truncate()),
-      dvRead =
-        if (hasDv) Some(() => mtf.readPinned(filesDv, tblSchema))
+      dvInfo =
+        if (hasDv) Some(graft.plans.DvScanInfo(
+          filesDv, tblSchema, mtf.readPinned(_, tblSchema),
+          mtf.pruneFilesForScan(files, _)))
         else None,
       rowsOf = Some(mtf.rowCountOf))
   }

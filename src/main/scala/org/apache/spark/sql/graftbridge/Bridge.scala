@@ -32,14 +32,19 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
   /** Extract the Catalyst expression backing a Column.
-    * Internal API: `classic.SparkSession.expression` (ColumnNode →
-    * Expression conversion). Break mode: a non-classic runtime session
-    * (e.g. Connect) → ClassCastException at the `asInstanceOf`; the
-    * canary pins that a locally-built session IS classic.
+    * Internal API: `classic.ExpressionUtils.expression` (the static
+    * ColumnNode → Expression converter; it reads the ACTIVE session's
+    * conf through `SQLConf.get`, so no session cast is needed — one
+    * fewer `classic.SparkSession` break point than the per-session
+    * converter). Break mode: method moved/renamed → compile error;
+    * converter semantics changed → BridgeSpec's round-trip canary.
+    * The `spark` parameter is kept for signature stability (call
+    * sites name the session whose conf must be active).
     */
-  def expression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .expression(c)
+  def expression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression = {
+    val _ = spark
+    ExpressionUtils.expression(c)
+  }
 
   /** Materialize an analyzed LogicalPlan as a DataFrame (the hook a
     * command exec needs to evaluate a statement's source relation —

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** Plan pins for [[graft.plans.DvColumnarRead]] — the round-11 fix for
+  * the DELETION-VECTOR read tax. A DV'd snapshot read through SQL or
+  * the path source must plan as Spark's own vectorized parquet scan
+  * plus a broadcast anti-join on `_metadata.row_index`, NOT the DSv2
+  * V1 row fallback: pushed filters reach the parquet scan, manifest
+  * stats still skip files, and results stay bit-identical to the
+  * fallback (which DeletionVectorSpec pins and rule-less sessions
+  * still use).
+  */
+class DvColumnarReadSpec extends SparkSpec {
+
+  private def freshWh(): String =
+    Files.createTempDirectory("graft-dvcol").toString
+
+  private def rows(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (0, s"text-$i", Seq(1f), i % 10, f"doc://$i%04d"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url")
+  }
+
+  private def catFor(wh: String, name: String): String = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    name
+  }
+
+  /** All FileSourceScanExec leaves, through AQE wrappers. */
+  private def fileScans(df: DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectWithSubqueries { case f: FileSourceScanExec => f }
+  }
+
+  /** A DV'd store: 40 docs appended in several files, pages 3 and 4
+    * deleted merge-on-read (data files untouched, two DV commits).
+    */
+  private def dvTable(wh: String): ChunkStore = {
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(rows(0 until 20))
+    store.append(rows(20 until 40))
+    val mtf = new ManifestTableFormat(spark, s"$wh/t", store.schema)
+    assert(mtf.deleteWhereDv(col("page_number") === 3)._2 > 0)
+    assert(mtf.deleteWhereDv(col("page_number") === 4)._2 > 0)
+    store
+  }
+
+  test("DV'd catalog read plans as vectorized parquet scans with the " +
+      "predicate pushed — no V1 row fallback") {
+    val wh = freshWh()
+    dvTable(wh)
+    val cat = catFor(wh, "dvcol1")
+    // page 2 lives in the SAME files as the deleted pages 3/4, so the
+    // DV'd branch must survive pruning: plan = vectorized parquet scan
+    // + broadcast LeftAnti on _metadata.row_index, predicate pushed
+    val q = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number = 2")
+
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("RowDataSourceScan"),
+      s"DV read took the V1 fallback:\n$plan")
+    val scans = fileScans(q)
+    assert(scans.nonEmpty, s"no parquet FileSourceScan in:\n$plan")
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("page_number"))),
+      "predicate did not reach any parquet scan: " +
+        scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString("; "))
+    // the DV'd branch scans row positions and anti-joins them
+    assert(plan.contains("row_index"),
+      s"no position column in the DV branch:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"no position anti-join in the DV branch:\n$plan")
+
+    // exactness vs the store read (which DeletionVectorSpec pins)
+    assert(q.collect().map(_.getString(0)).sorted.toSeq ==
+      (0 until 40).filter(_ % 10 == 2).map(i => f"doc://$i%04d"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 32)
+
+    // a predicate whose rows live only in CLEAN files prunes the
+    // DV'd branch away entirely — no join at all, one parquet scan
+    val clean = spark.sql(
+      s"SELECT document_url FROM $cat.t WHERE page_number = 7")
+    val cleanPlan = clean.queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("LeftAnti") &&
+        !cleanPlan.contains("RowDataSourceScan"),
+      s"stats pruning should have dropped every DV'd file:\n$cleanPlan")
+    assert(clean.count() == 4)
+  }
+
+  test("path source (spark.read.format graft) gets the same columnar " +
+      "DV read") {
+    val wh = freshWh()
+    dvTable(wh)
+    val q = spark.read.format("graft").load(s"$wh/t")
+      .filter(col("page_number") === 7).select("document_url")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("RowDataSourceScan"),
+      s"path-source DV read took the V1 fallback:\n$plan")
+    assert(fileScans(q).nonEmpty)
+    assert(q.count() == 4)
+  }
+
+  test("manifest stats still skip files on a DV'd snapshot: a " +
+      "url-bloom point probe reads a strict file subset") {
+    val wh = freshWh()
+    val store = dvTable(wh)
+    val cat = catFor(wh, "dvcol2")
+    val all = spark.sql(s"SELECT * FROM $cat.t")
+    val probed = spark.sql(
+      s"SELECT chunk_text FROM $cat.t WHERE document_url = 'doc://0007'")
+    val allFiles = fileScans(all)
+      .flatMap(_.relation.location.inputFiles).distinct.size
+    val probedFiles = fileScans(probed)
+      .flatMap(_.relation.location.inputFiles).distinct.size
+    assert(allFiles >= 2, s"need a multi-file table, got $allFiles")
+    assert(probedFiles < allFiles,
+      s"url probe read $probedFiles of $allFiles files — no skipping")
+    assert(probed.collect().map(_.getString(0)).toSeq == Seq("text-7"))
+    // deleted rows stay deleted under the pruned read
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE document_url = " +
+      "'doc://0003'").isEmpty)
+    store.read() // keep the store referenced (API parity with DV spec)
+  }
+
+  test("time-travel to a DV'd version takes the columnar path and " +
+      "applies exactly that version's vectors") {
+    val wh = freshWh()
+    dvTable(wh)
+    val cat = catFor(wh, "dvcol3")
+    val mtf = new ManifestTableFormat(spark, s"$wh/t",
+      new ChunkStore(spark, s"$wh/t",
+        format = ManifestTableFormat.factory).schema)
+    val vAfterFirstDelete = mtf.version - 1
+    val q = spark.sql(s"SELECT count(*) FROM $cat.t " +
+      s"VERSION AS OF $vAfterFirstDelete")
+    assert(!q.queryExecution.executedPlan.toString
+        .contains("RowDataSourceScan"))
+    assert(q.head().getLong(0) == 36, "first DV delete only (4 rows)")
+  }
+}

@@ -181,6 +181,68 @@ class IncrementalAggSpec extends SparkSpec {
     assert(aggState(agg) == Set(("a", 2L, 6L, 2L)))
   }
 
+  test("MIN/MAX maintenance: delta-applied inserts, bounded recompute " +
+      "on extremum deletes, null groups, vanished extrema") {
+    val (src, agg) = fresh()
+    val store = new ChunkStore(spark, src,
+      format = ManifestTableFormat.factory)
+    def sync() = IncrementalAgg.catchUp(spark, src, agg,
+      Seq("chunk_text"), Seq("chunk_id"),
+      minCols = Seq("chunk_id"), maxCols = Seq("chunk_id"))
+    def state(): Set[(String, Long, Any, Any)] =
+      new ChunkStore(spark, agg, format = ManifestTableFormat.factory)
+        .read()
+        .select("chunk_text", "cnt", "min_chunk_id", "max_chunk_id")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getInt(2),
+          if (r.isNullAt(3)) null else r.getInt(3))).toSet
+    def full(): Set[(String, Long, Any, Any)] =
+      new ChunkStore(spark, src, format = ManifestTableFormat.factory)
+        .read().groupBy("chunk_text")
+        .agg(count(lit(1)).as("cnt"), min("chunk_id").as("mn"),
+          max("chunk_id").as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getInt(2),
+          if (r.isNullAt(3)) null else r.getInt(3))).toSet
+
+    store.append(rows(Seq(
+      ("a", 10, "doc://1"), ("a", 30, "doc://2"), ("a", 20, "doc://3"),
+      ("b", null, "doc://4"), // all-null group: MIN/MAX NULL, cnt 1
+      ("c", 5, "doc://5"))))
+    sync() // bootstrap: extrema from the insert-only delta
+    assert(state() == full())
+    assert(state().contains(("b", 1L, null, null)))
+
+    // pure inserts: new extremum on one side — delta path, no rescan
+    store.append(rows(Seq(("a", 99, "doc://6"), ("a", 15, "doc://7"))))
+    sync()
+    assert(state() == full())
+    assert(state().contains(("a", 5L, 10, 99)))
+
+    // delete the current max AND the current min of group a — the
+    // feed proves endangerment, only group a re-derives
+    store.deleteWhere(col("document_url").isin("doc://6", "doc://1"))
+    sync()
+    assert(state() == full())
+    assert(state().contains(("a", 3L, 15, 30)))
+
+    // delete every non-null row of c: group survives nowhere (cnt 0)
+    // — row drops; delete a's remaining extremes one more time via
+    // upsert (replace doc://2's measure) to catch update-shaped churn
+    store.deleteWhere(col("chunk_text") === "c")
+    store.upsert(rows(Seq(("a", 7, "doc://2")))) // 30 → 7: new min
+    sync()
+    assert(state() == full())
+    assert(!state().exists(_._1 == "c"))
+    assert(state().contains(("a", 3L, 7, 20)))
+
+    // null-measure inserts never disturb held extrema
+    store.append(rows(Seq(("a", null, "doc://8"))))
+    sync()
+    assert(state() == full())
+    assert(state().contains(("a", 4L, 7, 20)))
+  }
+
   test("refusals: non-numeric sum, group∩sum overlap, spec drift on " +
       "an existing agg table") {
     val (src, agg) = fresh()
@@ -195,11 +257,26 @@ class IncrementalAggSpec extends SparkSpec {
       IncrementalAgg.catchUp(spark, src, agg,
         Seq("chunk_id"), Seq("chunk_id")) // overlap
     }
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.catchUp(spark, src, agg,
+        Seq("chunk_text"), Nil,
+        minCols = Seq("embedding")) // array MIN: not orderable
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.catchUp(spark, src, agg,
+        Seq("chunk_text"), Nil,
+        maxCols = Seq("chunk_text")) // group∩max overlap
+    }
     IncrementalAgg.catchUp(spark, src, agg,
       Seq("chunk_text"), Seq("chunk_id"))
     intercept[IllegalArgumentException] {
       IncrementalAgg.catchUp(spark, src, agg,
         Seq("chunk_text"), Seq("page_number")) // different spec
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.catchUp(spark, src, agg,
+        Seq("chunk_text"), Seq("chunk_id"),
+        minCols = Seq("chunk_id")) // extrema added to an existing spec
     }
   }
 }

@@ -143,6 +143,22 @@ class PipelineSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] {
       IngestPipeline.routeAndChunk(files, poison).collect()
     }
+
+    // a null-message wrapper must still render its ROOT CAUSE: the
+    // rendering folds the cause chain before the 512-char truncation
+    val wrapping = new graft.extract.Extractor {
+      override def extract(path: String, content: Array[Byte]) =
+        throw new RuntimeException(null: String,
+          new java.io.IOException("disk sector unreadable"))
+    }
+    val wrapped = IngestPipeline.quarantineOf(IngestPipeline
+      .routeAndChunkIsolated(
+        Seq(("x.pdf", "p".getBytes(UTF_8))).toDS(), wrapping)).collect()
+    assert(wrapped.length == 1)
+    assert(wrapped.head.error.contains("RuntimeException"),
+      wrapped.head.error)
+    assert(wrapped.head.error.contains("disk sector unreadable"),
+      s"cause chain lost: ${wrapped.head.error}")
   }
 
   test("ingest metrics are at-least-once under stage re-execution") {

@@ -227,7 +227,8 @@ class StreamWriterSpec extends SparkSpec {
       path, s"$root/ck-w", Some("pipe3"))
     assert(store.read().count() == 5)
 
-    // refusals: Complete mode and partitionBy
+    // refusals: Complete mode; partitionBy that contradicts the
+    // EXISTING table's (empty) recorded partition columns
     val e1 = intercept[Exception] {
       source.writeStream.format("graft")
         .outputMode("complete")
@@ -238,6 +239,49 @@ class StreamWriterSpec extends SparkSpec {
       source.writeStream.format("graft").partitionBy("page_number")
         .option("checkpointLocation", s"$root/ck-d").start(path)
     }
-    assert(e2.getMessage.contains("PARTITIONED BY"), e2.getMessage)
+    assert(e2.getMessage.contains("partition columns"), e2.getMessage)
+  }
+
+  test("native sink .partitionBy bootstraps PARTITIONED BY (c37q) " +
+      "semantics: recorded once, every batch clusters, mismatch " +
+      "refuses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = fresh()
+    val path = s"$root/pt"
+    val input = MemoryStream[(String, String)]
+    val source = chunkify(input.toDF().toDF("text", "url"))
+      .withColumn("page_number",
+        (length(col("chunk_text")) % 4).cast("int"))
+    def drain(ck: String, parts: Seq[String]): Unit = {
+      val w = source.writeStream.format("graft")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = (if (parts.isEmpty) w else w.partitionBy(parts: _*))
+        .start(path)
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    input.addData(("a", "doc://1"), ("bb", "doc://2"), ("ccc", "doc://3"),
+      ("dddd", "doc://4"))
+    drain(s"$root/ck-1", Seq("page_number"))
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    assert(mtf.partitionColumns == Seq("page_number"),
+      "the sink's partitionBy must be recorded as the table's " +
+        s"partition columns, got ${mtf.partitionColumns}")
+    assert(store.read().count() == 4)
+
+    // a restarted query with NO partitionBy keeps writing (the
+    // recorded columns cluster every write regardless of declaration)
+    input.addData(("eeeee", "doc://5"))
+    drain(s"$root/ck-1", Nil)
+    assert(store.read().count() == 5)
+    // … but a CONTRADICTING declaration refuses loudly
+    val e = intercept[Exception] {
+      source.writeStream.format("graft").partitionBy("chunk_id")
+        .option("checkpointLocation", s"$root/ck-3").start(path)
+    }
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
   }
 }
