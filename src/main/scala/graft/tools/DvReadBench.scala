@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.{ChunkStore, ManifestTableFormat}
+
+/** DV read-tax gauge: the same SQL aggregate over one manifest table,
+  * CLEAN vs DV'd (~1% merge-on-read tombstones), through the catalog
+  * scan path. With `graft.plans.DvColumnarRead` installed the DV'd
+  * read must stay within ~1.3× of the clean read (the round-11 "kill
+  * the DV read tax" acceptance bound) — before it, the V1 row
+  * fallback cost whatever a full de-vectorized scan costs.
+  *
+  * Prints ONE JSON line:
+  * `{"clean_s":…,"dv_s":…,"ratio":…,"rows":…,"dv_files":…}`.
+  * Table size follows `SPARK_GRAFT_SF_DIR` (documents → chunk rows).
+  */
+object DvReadBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.install(graft.GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus)
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-dvbench").toString
+    val tbl = s"$wh/t"
+    val store = new ChunkStore(spark, tbl,
+      format = ManifestTableFormat.factory)
+    val docs = graft.Tables(spark, sfDir, "documents")
+    // several appends → a multi-file table (pruning/union shapes real)
+    (0 until 4).foreach { k =>
+      store.append(docs.filter(col("doc_id") % 4 === k).select(
+        col("doc_id").cast("int").as("chunk_id"),
+        col("text").as("chunk_text"),
+        array(lit(1f)).as("embedding"),
+        (col("doc_id") % 10).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+    }
+    spark.conf.set("spark.sql.catalog.dvbench",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvbench.warehouse", wh)
+
+    val q = "SELECT page_number, count(*) AS n, " +
+      "sum(length(chunk_text)) AS b FROM dvbench.t " +
+      "WHERE page_number <> 3 GROUP BY page_number"
+    def time(): Double = {
+      val t0 = System.nanoTime()
+      spark.sql(q).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def best(n: Int): Double = (0 until n).map(_ => time()).min
+
+    best(2) // warm
+    val clean = best(3)
+
+    val mtf = new ManifestTableFormat(spark, tbl, store.schema)
+    val (_, dvRows) = mtf.deleteWhereDv(col("chunk_id") % 97 === 0)
+    val dvFiles = mtf.liveFilesWithDv.count(_._2.isDefined)
+    require(dvFiles > 0 && dvRows > 0, "bench needs a DV'd snapshot")
+    val dvd = best(3)
+
+    val (_, _, rows, _) = mtf.tableStats()
+    println(f"""{"clean_s":$clean%.3f,"dv_s":$dvd%.3f,""" +
+      f""""ratio":${dvd / clean}%.2f,"rows":$rows,""" +
+      s""""dv_files":$dvFiles}""")
+    spark.stop()
+  }
+}
