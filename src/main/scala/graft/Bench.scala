@@ -87,7 +87,22 @@ object Bench {
         }
       } else ""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$ingest,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$ingest,"sf":"$sfDir"}"""
+    println(line)
+    // Durability: the driver captures only the stdout TAIL, which has
+    // truncated the per-query map two rounds running (a/b/c families
+    // invisible cross-round). Also write the full JSON to a file in-repo
+    // so every round's complete per-query map survives on disk.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_full_latest.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] full-json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

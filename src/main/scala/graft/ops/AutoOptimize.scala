@@ -83,6 +83,20 @@ object AutoOptimize {
     val before = mtf.version
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
 
+    // Validate EVERY agg spec up front: a bad aggPath must fail fast
+    // with no work done, not throw after rewrite_dvs/recluster/compact
+    // have already committed (partial, unreported maintenance).
+    val aggSpecs = aggPaths.map { ap =>
+      val spec @ (src, _, _, _, _) = IncrementalAgg.specOf(spark, ap)
+        .getOrElse(throw new IllegalArgumentException(
+          s"auto_optimize: $ap is not an incremental-agg table " +
+            "(no graft-incr-agg txn marker / derivable spec)"))
+      require(new org.apache.hadoop.fs.Path(src).toUri.getPath ==
+          new org.apache.hadoop.fs.Path(tablePath).toUri.getPath,
+        s"auto_optimize: agg table $ap follows $src, not $tablePath")
+      ap -> spec
+    }
+
     // 1. deletion-vector debt
     val s0 = mtf.maintenanceStats(targetFileBytes)
     val dvPurged =
@@ -130,14 +144,7 @@ object AutoOptimize {
         actions += s"sync_text_index($ip ${st.fromVersion}->${st.toVersion})"
     }
     var aggGroups = 0L
-    aggPaths.foreach { ap =>
-      val (src, g, s, mn, mx) = IncrementalAgg.specOf(spark, ap)
-        .getOrElse(throw new IllegalArgumentException(
-          s"auto_optimize: $ap is not an incremental-agg table " +
-            "(no graft-incr-agg txn marker / derivable spec)"))
-      require(new org.apache.hadoop.fs.Path(src).toUri.getPath ==
-          new org.apache.hadoop.fs.Path(tablePath).toUri.getPath,
-        s"auto_optimize: agg table $ap follows $src, not $tablePath")
+    aggSpecs.foreach { case (ap, (_, g, s, mn, mx)) =>
       val st = IncrementalAgg.catchUp(spark, tablePath, ap, g, s, mn, mx)
       aggGroups += st.groups
       if (st.toVersion > st.fromVersion)

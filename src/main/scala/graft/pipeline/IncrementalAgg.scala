@@ -194,6 +194,18 @@ object IncrementalAgg {
     require(groupCols.intersect(minCols ++ maxCols).isEmpty,
       s"a column cannot be both group and min/max: ${
         groupCols.intersect(minCols ++ maxCols).mkString(", ")}")
+    // duplicate names (e.g. min_cols='a,a' via CALL sync_agg) would
+    // derive a schema with duplicate min_a fields and fail much later
+    // in table init/merge with a confusing error — refuse loudly here
+    // like every other invalid spec
+    Seq("group" -> groupCols, "sum" -> sumCols,
+        "min" -> minCols, "max" -> maxCols).foreach { case (kind, cs) =>
+      val dups = cs.groupBy(_.toLowerCase).collect {
+        case (_, vs) if vs.size > 1 => vs.head }
+      require(dups.isEmpty,
+        s"incremental agg at $aggPath: duplicate $kind column(s): ${
+          dups.mkString(", ")}")
+    }
     val srcStore = new ChunkStore(spark, srcPath,
       format = ManifestTableFormat.factory)
     val srcMtf = new ManifestTableFormat(spark, srcPath, srcStore.schema)

@@ -142,6 +142,19 @@ class ManifestTableFormat(
 
   private val maxCommitRetries = 20
 
+  /** OBSERVABILITY PIN for the metadata-only DELETE lane: how many
+    * files the most recent `deleteWhere`/`deleteWhereDv` on THIS
+    * instance rm'd purely from stats proof (no read, no rewrite), or
+    * -1 before any delete ran. The round-11 regression killed the lane
+    * SILENTLY — every result stayed correct because the lane
+    * fail-closes to copy-on-write, so no oracle gate and no
+    * "writes nothing" assertion could see the death. Specs pin this
+    * counter > 0 on a provable predicate; a future change that makes
+    * `StatsProbes.extractExact` blind again fails a test, not a
+    * 100 TB production delete's cost model.
+    */
+  @volatile var lastMetadataOnlyFiles: Long = -1L
+
   // ---- table identity: base schema + partition columns --------------
   //
   // A catalog-created table may carry an ARBITRARY creation-time (DDL)
@@ -1950,6 +1963,7 @@ class ManifestTableFormat(
       (snap, files) =>
         readLive(snap, files.filterNot(provable))
           .filter(!coalesce(condition, lit(false))))
+    lastMetadataOnlyFiles = provable.size.toLong
     true
   }
 
@@ -2078,7 +2092,7 @@ class ManifestTableFormat(
         s"DV delete at $path lost $maxCommitRetries commit races")
       val snap = snapshot()
       val names = candidates(snap)
-      if (names.isEmpty) return (0L, 0L)
+      if (names.isEmpty) { lastMetadataOnlyFiles = 0L; return (0L, 0L) }
       val stats = statsOf(snap, names)
       val provable = fullMatch(snap, names).toSet
       val scanned = names.filterNot(provable)
@@ -2114,8 +2128,10 @@ class ManifestTableFormat(
         // newly touched: strictly more positions than before
         val toDv = scanned.filterNot(fullyDead.toSet).filter(f =>
           counts.getOrElse(baseNameOf(f), 0L) > oldCard(f))
-        if (provable.isEmpty && fullyDead.isEmpty && toDv.isEmpty)
+        if (provable.isEmpty && fullyDead.isEmpty && toDv.isEmpty) {
+          lastMetadataOnlyFiles = 0L
           return (0L, 0L)
+        }
         val dvPath =
           if (toDv.isEmpty) None
           else {
@@ -2137,8 +2153,10 @@ class ManifestTableFormat(
             attempt += 1
             require(attempt <= maxCommitRetries,
               s"DV delete at $path lost $maxCommitRetries commit races")
-          }))
+          })) {
+          lastMetadataOnlyFiles = provable.size.toLong
           return ((provable.size + fullyDead.size).toLong, toDv.size.toLong)
+        }
       } finally newDv.unpersist()
       // stale: loop re-runs against the new snapshot
     }

@@ -173,8 +173,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   private def mtfFor(path: String): ManifestTableFormat = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // An existing EMPTY directory is admissible: the streaming sink
+    // bootstraps it (createSink's `!exists(_log)` branch — previously
+    // unreachable because this require fired first). A NON-empty
+    // directory without _log stays refused: that's a plain parquet
+    // tree, and bootstrapping a manifest log over it would orphan it.
     require(!fs.exists(new Path(path)) ||
-        fs.exists(new Path(path, "_log")),
+        fs.exists(new Path(path, "_log")) ||
+        fs.listStatus(new Path(path)).isEmpty,
       s"format(\"graft\"): $path is not a manifest-format table " +
         "(no _log) — plain store layouts read as parquet directly")
     val store = new ChunkStore(spark, path,

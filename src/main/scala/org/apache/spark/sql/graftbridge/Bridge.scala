@@ -31,20 +31,28 @@ object Bridge {
     */
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
-  /** Extract the Catalyst expression backing a Column.
-    * Internal API: `classic.ExpressionUtils.expression` (the static
-    * ColumnNode → Expression converter; it reads the ACTIVE session's
-    * conf through `SQLConf.get`, so no session cast is needed — one
-    * fewer `classic.SparkSession` break point than the per-session
-    * converter). Break mode: method moved/renamed → compile error;
-    * converter semantics changed → BridgeSpec's round-trip canary.
-    * The `spark` parameter is kept for signature stability (call
-    * sites name the session whose conf must be active).
+  /** Extract the Catalyst expression backing a Column, EAGERLY converted
+    * to the real Catalyst tree.
+    *
+    * Internal API: `classic.SparkSession.expression(Column)` — the
+    * per-session ColumnNode → Expression converter. This MUST be the
+    * session converter, not `ExpressionUtils.expression`: the static
+    * helper returns a lazy `ColumnNodeExpression` WRAPPER whose children
+    * are opaque until analysis, so structural consumers
+    * (`StatsProbes.extract`/`extractExact`, which pattern-match
+    * comparison nodes to derive file-skipping probes) see nothing inside
+    * it and fail open/closed — DML pre-scans stop pruning, the
+    * metadata-only delete lane dies, predicate-scoped compaction sweeps
+    * everything. Using the named session's converter also guarantees the
+    * conversion runs under THAT session's SQLConf (a caller holding a
+    * non-active session in a multi-session JVM still converts correctly).
+    * Break mode: method moved/renamed → compile error; lazy-wrapper
+    * semantics reintroduced → BridgeSpec's Column-API probe canary
+    * (`StatsProbes.extract(expression(spark, col("x") > 20)).nonEmpty`)
+    * fails, plus the ManifestStatsSkipSpec file-count pins.
     */
-  def expression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression = {
-    val _ = spark
-    ExpressionUtils.expression(c)
-  }
+  def expression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 
   /** Materialize an analyzed LogicalPlan as a DataFrame (the hook a
     * command exec needs to evaluate a statement's source relation —

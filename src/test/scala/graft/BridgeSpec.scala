@@ -38,6 +38,45 @@ class BridgeSpec extends SparkSpec {
     assert(e.eval(null) == 42, s"expected 42 from $e")
   }
 
+  // The round-11 blind spot: the old canary only round-tripped a
+  // catalyst-BUILT literal tree, so a rewrite of expression() that
+  // returned a lazy ColumnNodeExpression WRAPPER (opaque to structural
+  // pattern-matching) passed while killing every stats-probe consumer.
+  // These arms pin the user-shaped paths: a Column-API comparison and a
+  // functions.expr-parsed predicate must both convert EAGERLY to trees
+  // StatsProbes can see inside.
+  test("canary: expression() on a Column-API-built comparison yields a " +
+      "tree StatsProbes can extract from (no lazy wrapper)") {
+    val e = Bridge.expression(spark, col("page_number") > 20)
+    val probes = graft.sink.StatsProbes.extract(Seq(e),
+      n => if (n.equalsIgnoreCase("page_number"))
+        Some(("page_number", org.apache.spark.sql.types.IntegerType))
+      else None)
+    assert(probes.nonEmpty,
+      s"Column-API predicate extracted ZERO stats probes from $e — " +
+        "expression() is returning an opaque wrapper again; DML " +
+        "pre-scan pruning, the metadata-only delete lane, and " +
+        "predicate-scoped compaction are all dead")
+  }
+
+  test("canary: expression() on a functions.expr-parsed predicate " +
+      "yields a probe-extractable tree (the CALL-procedure path)") {
+    val e = Bridge.expression(spark, expr("page_number > 20"))
+    val probes = graft.sink.StatsProbes.extract(Seq(e),
+      n => if (n.equalsIgnoreCase("page_number"))
+        Some(("page_number", org.apache.spark.sql.types.IntegerType))
+      else None)
+    assert(probes.nonEmpty,
+      s"expr()-parsed predicate extracted ZERO stats probes from $e")
+    // and the exact (fail-closed) lane must also see it
+    val exact = graft.sink.StatsProbes.extractExact(Seq(e),
+      n => if (n.equalsIgnoreCase("page_number"))
+        Some(("page_number", org.apache.spark.sql.types.IntegerType))
+      else None)
+    assert(exact.nonEmpty && exact.get.nonEmpty,
+      s"exact lane saw nothing inside $e — metadata-only delete dead")
+  }
+
   test("canary: ofRows() materializes an analyzed plan as a DataFrame " +
       "(classic.Dataset.ofRows)") {
     import spark.implicits._

@@ -184,18 +184,33 @@ class DeletionVectorSpec extends SparkSpec {
     // page_number < 25 covers EXACTLY the first decade's files: stats
     // prove the full match — the commit must be rm-only (no new data
     // files, no DV objects)
-    store.deleteWhere(col("page_number") < 25)
+    assert(mtf.deleteWhere(col("page_number") < 25))
     val after = mtf.liveFiles.toSet
     assert(after.subsetOf(before),
       s"metadata-only delete must write nothing: new files ${after -- before}")
     assert(before.size - after.size > 0, "whole files must have been rm'd")
     assert(store.read().filter(col("page_number") < 25).isEmpty)
     assert(store.read().count() == 24)
+    // READ-SIDE PIN: "writes nothing" above can't distinguish the
+    // metadata lane from a CoW delete of fully-matching files (both
+    // write zero files). The lane counter can: > 0 means those files
+    // were excluded from the pre-scan AND the rewrite — rm'd from
+    // stats proof alone. The round-11 Bridge regression silently
+    // zeroed exactly this (extractExact saw an opaque wrapper), and
+    // every result-level assertion stayed green; this counter is the
+    // assertion that would have gone red.
+    assert(mtf.lastMetadataOnlyFiles > 0,
+      "Column-predicate delete took the scan lane on a provably-all-" +
+        "matching decade — the metadata-only lane is dead (extractExact " +
+        "returned None/empty on an exact-probe predicate)")
 
     // same lane inside the DV path
     val (rm, dvd) = mtf.deleteWhereDv(col("page_number") >= 45)
     assert(rm > 0 && dvd == 0,
       s"expected rm-only on a fully-covered decade, got ($rm, $dvd)")
+    assert(mtf.lastMetadataOnlyFiles > 0,
+      "DV delete's metadata-only lane is dead: the rm came from the " +
+        "vector-covers-all check (which READS the files), not stats proof")
     assert(urls(store.read()) ==
       (0 until 12).map(i => f"doc://${30}%03d-$i%04d").toSet)
   }

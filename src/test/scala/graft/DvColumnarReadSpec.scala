@@ -137,6 +137,49 @@ class DvColumnarReadSpec extends SparkSpec {
     store.read() // keep the store referenced (API parity with DV spec)
   }
 
+  test("vanilla session + GraftSession.install: the extraOptimizations " +
+      "fallback seat (DataSourceV2ScanRelation branch) is columnar and " +
+      "exact") {
+    val wh = freshWh()
+    dvTable(wh)
+    // a session with NO extensions over the shared context — the shape
+    // an external caller has before GraftSession.install. Its optimizer
+    // runs every default batch, converts the relation to a
+    // DataSourceV2ScanRelation (V1 fallback scan), and ONLY then hits
+    // the installed extraOptimizations seat — the branch at
+    // DvColumnarRead.rewrite's ScanRelation cases, which no
+    // GraftSession.builder-built session ever reaches (the extension
+    // seat substitutes pre-pushdown).
+    val vanilla = org.apache.spark.sql.graftbridge.TestSessions
+      .vanilla(spark)
+    try {
+      GraftSession.install(vanilla)
+      vanilla.conf.set("spark.sql.catalog.dvcolv",
+        classOf[graft.catalog.GraftCatalog].getName)
+      vanilla.conf.set("spark.sql.catalog.dvcolv.warehouse", wh)
+
+      val q = vanilla.sql(
+        "SELECT document_url FROM dvcolv.t WHERE page_number = 2")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("RowDataSourceScan"),
+        s"fallback-seat DV read took the V1 row path:\n$plan")
+      assert(plan.contains("LeftAnti") && plan.contains("row_index"),
+        s"no DV anti-join branch in the fallback-seat plan:\n$plan")
+      // exactness: pages 3/4 deleted, page 2 intact
+      assert(q.collect().map(_.getString(0)).sorted.toSeq ==
+        (0 until 40).filter(_ % 10 == 2).map(i => f"doc://$i%04d"))
+      assert(vanilla.sql("SELECT count(*) FROM dvcolv.t")
+        .head().getLong(0) == 32)
+      // and a failure inside the substituted subtree must fall back to
+      // the exact V1 path, not kill the query: deleted rows stay deleted
+      assert(vanilla.sql("SELECT * FROM dvcolv.t " +
+        "WHERE document_url = 'doc://0003'").isEmpty)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("time-travel to a DV'd version takes the columnar path and " +
       "applies exactly that version's vectors") {
     val wh = freshWh()
