@@ -205,7 +205,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else None,
         // numRows for the planned file list, answered from the log —
         // the CBO's row estimate next to FileScan's byte estimate
-        rowsOf = Some(mtf.rowCountOf))
+        rowsOf = Some(mtf.rowCountOf),
+        // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
+        // snapshots only; time travel is frozen history
+        streamWrite =
+          if (asOf.isDefined) None
+          else Some(inf =>
+            new graft.streaming.GraftStreamingWrite(spark, dir, inf)))
     } else layoutTag(dir) match {
       case Some(tag) =>
         if (asOf.isDefined) throw new UnsupportedOperationException(
@@ -973,7 +979,11 @@ private[graft] class GraftTable(
     overwriteHook: Option[DataFrame => Unit] = None,
     truncateHook: Option[() => Unit] = None,
     dvInfo: Option[graft.plans.DvScanInfo] = None,
-    rowsOf: Option[Seq[String] => Option[Long]] = None)
+    rowsOf: Option[Seq[String] => Option[Long]] = None,
+    streamWrite: Option[
+      org.apache.spark.sql.connector.write.LogicalWriteInfo =>
+        org.apache.spark.sql.connector.write.streaming.StreamingWrite] =
+      None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -1089,7 +1099,8 @@ private[graft] class GraftTable(
   override def capabilities(): util.Set[TableCapability] =
     (Set(TableCapability.BATCH_READ) ++
       insert.map(_ => TableCapability.V1_BATCH_WRITE) ++
-      overwriteHook.map(_ => TableCapability.TRUNCATE)).asJava
+      overwriteHook.map(_ => TableCapability.TRUNCATE) ++
+      streamWrite.map(_ => TableCapability.STREAMING_WRITE)).asJava
 
   /** The DV-substitution hook [[graft.plans.DvColumnarRead]] reads —
     * defined exactly when this table pins a DELETION-VECTOR snapshot.
@@ -1143,7 +1154,9 @@ private[graft] class GraftTable(
       override def truncate(): WriteBuilder = {
         overwriteMode = true; this
       }
-      override def build(): V1Write = new V1Write {
+      override def build(): V1Write = new V1Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
@@ -1156,6 +1169,47 @@ private[graft] class GraftTable(
               else doInsert(data)
             }
           }
+        // DSv2 STREAMING_WRITE (claimed in capabilities iff the hook
+        // is wired — manifest head snapshots only): Append output
+        // only, same as the V1 sink; Complete arrives as truncate()
+        // on this builder and refuses here rather than silently
+        // appending
+        private var builtStreaming: Option[org.apache.spark.sql
+          .connector.write.streaming.StreamingWrite] = None
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!overwriteMode,
+            s"$tableName streaming sink supports Append output only " +
+              "(appends are log-committed; use batch overwrite/merge " +
+              "for replaces)")
+          val sw = streamWrite.getOrElse(
+            throw new UnsupportedOperationException(
+              s"$tableName does not support streaming writes " +
+                "(manifest-format head snapshots only)"))(info)
+          builtStreaming = Some(sw)
+          sw
+        }
+        // Distribution/ordering live on the WRITE in the V2 contract
+        // (DistributionAndOrderingUtils inspects this object, after
+        // toStreaming in the same V2Writes application). Delegate to
+        // the streaming write's requirements ONLY once streaming was
+        // requested: the V1 batch lane must stay unspecified, or
+        // every INSERT would pay an extra exchange on top of
+        // writeData's own range-clustering.
+        private def streamingDist = builtStreaming.collect {
+          case s: org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering => s
+        }
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          streamingDist.map(_.requiredDistribution()).getOrElse(
+            org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified())
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          streamingDist.map(_.requiredOrdering()).getOrElse(Array.empty)
+        override def requiredNumPartitions(): Int =
+          streamingDist.map(_.requiredNumPartitions()).getOrElse(0)
       }
     }
   }

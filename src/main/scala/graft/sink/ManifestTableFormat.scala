@@ -1492,24 +1492,44 @@ class ManifestTableFormat(
     clustered.write.parquet(batchDir.toString)
     val written = spark.read.schema(sPhys).parquet(batchDir.toString)
     if (written.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
-    // CHECK enforcement at the single choke point: the just-written
-    // files are still UNREFERENCED, so aborting here leaves no torn
-    // state (the leftovers are vacuum fodder, same as a crashed
-    // writer) — one columnar re-scan of the batch, never of the table.
-    // Constraints are written in LOGICAL names; evaluate over the
-    // logical projection of the batch.
+    enforceConstraints(written, s, () => fs.delete(batchDir, true))
+    statsActionsFor(written, sPhys)
+  }
+
+  /** CHECK enforcement at the single write choke point: `written` is
+    * an UNREFERENCED just-written batch (physical names), so aborting
+    * here leaves no torn state — `cleanup` deletes the staged bytes
+    * (the leftovers of a crashed writer look the same: vacuum
+    * fodder) and the throw guarantees no rows were committed.
+    * Constraints are written in LOGICAL names; evaluate over the
+    * logical projection of the batch. One columnar re-scan of the
+    * batch, never of the table.
+    */
+  private def enforceConstraints(
+      written: DataFrame, s: StructType, cleanup: () => Unit): Unit =
     violationFilter(constraints).foreach { bad =>
       val logicalView = written.select(s.fields.toIndexedSeq.map(f =>
         col(ManifestTableFormat.physicalName(f)).as(f.name)): _*)
       val hit = logicalView.filter(bad).limit(1)
       if (!hit.isEmpty) {
-        fs.delete(batchDir, true)
+        cleanup()
         throw new IllegalArgumentException(
           s"write to $path violates a CHECK constraint (${
             constraints.map { case (n, e) => s"$n: $e" }
               .mkString("; ")}) — no rows were committed")
       }
     }
+
+  /** Per-file add-actions for already-written parquet data files
+    * (physical schema): ONE columnar aggregate job over the batch
+    * computes every file's row count, url bloom + bounds, and
+    * per-column min/max/null stats — shared by the driver-side write
+    * path ([[writeData]]) and the DSv2 streaming commit
+    * ([[commitStagedStream]], whose files were written by executor
+    * tasks).
+    */
+  private def statsActionsFor(
+      written: DataFrame, sPhys: StructType): Seq[Action] = {
     val agg = udaf(Layout.bloomAgg(bloomBits, bloomHashes))
     // stats are computed AND recorded under physical names — they
     // outlive renames; scan-side probes translate logical→physical
@@ -2828,6 +2848,80 @@ class ManifestTableFormat(
         }
         // append-only: no file-level conflict possible — recommit
         // under the next version as-is
+        base = now
+        committed = tryCommit(base, actions)
+      }
+      return true
+    }
+    false // unreachable
+  }
+
+  /** Where DSv2 streaming tasks stage their parquet files (under the
+    * table's data dir, one fresh sub-directory per micro-batch
+    * attempt): files here are UNREFERENCED until
+    * [[commitStagedStream]] adds them to the log — a crashed batch
+    * leaves plain vacuum fodder, exactly like a crashed writer.
+    */
+  def newStreamStagingDir(): String =
+    new Path(dataDir,
+      s"stream-${java.util.UUID.randomUUID()}").toString
+
+  /** Physical schema of the CURRENT table schema — what DSv2
+    * streaming tasks write their staged parquet files in (v5 column
+    * mapping: stats and data outlive renames).
+    */
+  def currentPhysicalSchema: StructType =
+    ManifestTableFormat.physicalSchema(currentSchema)
+
+  /** EXACTLY-ONCE commit of ALREADY-STAGED parquet files — the driver
+    * half of the DSv2 STREAMING_WRITE two-phase protocol. Executor
+    * tasks wrote `files` (physical schema) under the staging dir;
+    * this validates CHECK constraints, computes the per-file stats
+    * with the same one-job aggregate as every other write, and
+    * commits add-actions + the `(appId, batchId)` transaction marker
+    * in ONE atomic log entry — the identical idempotence/race
+    * contract as [[appendStream]]: a replayed micro-batch (or the
+    * loser of a same-batch race) finds the marker, deletes its staged
+    * files, and returns false. An empty batch still commits its
+    * marker.
+    */
+  def commitStagedStream(
+      files: Seq[String], appId: String, batchId: Long): Boolean = {
+    require(appId.nonEmpty, "commitStagedStream needs a non-empty appId")
+    val f = fs
+    def dropStaged(): Unit =
+      files.foreach(n => f.delete(new Path(n), false))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= maxCommitRetries,
+        s"streaming commit at $path lost $maxCommitRetries commit races")
+      val snap = snapshot()
+      if (snap.txns.get(appId).exists(_ >= batchId)) {
+        dropStaged(); return false
+      }
+      val sPhys = ManifestTableFormat.physicalSchema(snap.tableSchema)
+      val adds =
+        if (files.isEmpty) Seq.empty
+        else {
+          val written = spark.read.schema(sPhys).parquet(files: _*)
+          enforceConstraints(written, snap.tableSchema, () => dropStaged())
+          statsActionsFor(written, sPhys)
+        }
+      val actions = adds :+
+        Action(add = false, "", None, Some((appId, batchId)))
+      beforeCommit()
+      var base = snap
+      var committed = tryCommit(base, actions)
+      while (!committed) {
+        attempt += 1
+        require(attempt <= maxCommitRetries,
+          s"streaming commit at $path lost $maxCommitRetries commit races")
+        val now = snapshot()
+        if (now.txns.get(appId).exists(_ >= batchId)) {
+          dropStaged(); return false
+        }
+        // append-only: no file-level conflict possible — recommit
         base = now
         committed = tryCommit(base, actions)
       }

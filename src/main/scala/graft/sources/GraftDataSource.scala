@@ -228,17 +228,57 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val options = new CaseInsensitiveStringMap(properties)
     val path = pathOf(options)
     if (!exists(path)) {
-      // write-bootstrap handle: DataFrameWriter loads the table before
-      // routing to the V1 write seam — a capability-less Table lets
-      // the write fall through to createRelation while reads of the
-      // missing path fail loudly (no SupportsRead)
+      // write-bootstrap handle. BATCH: DataFrameWriter loads the table
+      // before routing — no batch capability claimed, so the write
+      // falls through to the V1 createRelation seam, which bootstraps.
+      // STREAMING: claiming STREAMING_WRITE routes writeStream here
+      // (the DSv2 path); the write builder bootstraps the table —
+      // with `.option("partitionColumns", "a,b")` carrying the c37q
+      // partition declaration, since the V2 seam does not forward
+      // `.partitionBy` (set spark.sql.streaming.disabledV2Writers to
+      // this source's class name to use the V1 sink's partitionBy).
+      // Reads of the missing path still fail loudly (no SupportsRead).
       val fixed = schema
-      return new Table {
+      return new Table
+          with org.apache.spark.sql.connector.catalog.SupportsWrite {
         override def name(): String = s"graft.`$path`"
         override def schema(): StructType = fixed
         override def capabilities(): util.Set[
           org.apache.spark.sql.connector.catalog.TableCapability] =
-          java.util.Collections.emptySet()
+          java.util.Collections.singleton(
+            org.apache.spark.sql.connector.catalog.TableCapability
+              .STREAMING_WRITE)
+        override def newWriteBuilder(
+            info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+            : org.apache.spark.sql.connector.write.WriteBuilder =
+          new org.apache.spark.sql.connector.write.WriteBuilder {
+            override def build()
+                : org.apache.spark.sql.connector.write.Write = {
+              // bootstrap happens at write-plan time (build is only
+              // called when the write is actually planned), so the
+              // streaming write resolves the fresh table's schema and
+              // partition columns — and can expose its distribution
+              // requirements on THIS Write, where
+              // DistributionAndOrderingUtils looks for them
+              bootstrapFor(path, declaredPartitionCols(info))
+              val sw = new graft.streaming.GraftStreamingWrite(
+                spark, path, info)
+              new org.apache.spark.sql.connector.write.Write
+                  with org.apache.spark.sql.connector.write
+                    .RequiresDistributionAndOrdering {
+                override def toStreaming: org.apache.spark.sql
+                    .connector.write.streaming.StreamingWrite = sw
+                override def requiredDistribution(): org.apache.spark
+                    .sql.connector.distributions.Distribution =
+                  sw.requiredDistribution()
+                override def requiredOrdering(): Array[
+                    org.apache.spark.sql.connector.expressions.SortOrder] =
+                  sw.requiredOrdering()
+                override def requiredNumPartitions(): Int =
+                  sw.requiredNumPartitions()
+              }
+            }
+          }
       }
     }
     val mtf = mtfFor(path)
@@ -266,7 +306,55 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           filesDv, tblSchema, mtf.readPinned(_, tblSchema),
           mtf.pruneFilesForScan(files, _)))
         else None,
-      rowsOf = Some(mtf.rowCountOf))
+      rowsOf = Some(mtf.rowCountOf),
+      streamWrite =
+        if (pin.isDefined) None
+        else Some { inf =>
+          // c37q on an existing table: a declared partition spec must
+          // MATCH what the table recorded — a sink cannot silently
+          // re-partition a table it didn't create
+          val declared = declaredPartitionCols(inf)
+          if (declared.nonEmpty) {
+            val recorded = mtf.partitionColumns
+            require(recorded.map(_.toLowerCase) ==
+                declared.map(_.toLowerCase),
+              s"graft sink at $path: partitionColumns (${
+                declared.mkString(", ")}) does not match the table's " +
+                s"recorded partition columns (${
+                  if (recorded.isEmpty) "none" else recorded.mkString(", ")
+                }) — partition columns are fixed at table creation")
+          }
+          new graft.streaming.GraftStreamingWrite(spark, path, inf)
+        })
+  }
+
+  /** Partition columns a DSv2 streaming write declares: the
+    * documented `partitionColumns` option (comma-separated), or the
+    * JSON-encoded key `DataStreamWriter` uses on the V1 seam (honored
+    * here too, should a Spark version start forwarding it).
+    */
+  private def declaredPartitionCols(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : Seq[String] = {
+    val opts = info.options()
+    Option(opts.get("partitionColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .orElse(Option(opts.get(org.apache.spark.sql.graftbridge
+          .StreamingParquet.partitioningColumnsKey))
+        .map(org.apache.spark.sql.graftbridge.StreamingParquet
+          .decodePartitioningColumns))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Bootstrap a not-yet-existing manifest table for a streaming
+    * write (the DSv2 twin of createSink's bootstrap branch).
+    */
+  private def bootstrapFor(
+      path: String, partitionCols: Seq[String]): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path, "_log")))
+      mtfFor(path).initializeTable(None, partitionCols)
   }
 
   override def supportsExternalMetadata(): Boolean = false
