@@ -71,13 +71,27 @@ object DvColumnarRead extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    // DML/DDL commands (DELETE/UPDATE/MERGE/INSERT …) keep their
-    // target relation AS a relation — DataSourceV2Strategy pattern-
-    // matches it to route the operation (our GraftDmlStrategy too).
-    // The manifest format's own DML paths read DV-aware internally;
-    // a command's embedded query side falls back to the exact V1
-    // read. Only genuine queries take the columnar substitution.
-    case c: org.apache.spark.sql.catalyst.plans.logical.Command => c
+    // DML/DDL commands (DELETE/UPDATE/MERGE …) keep their TARGET
+    // relation AS a relation — DataSourceV2Strategy pattern-matches
+    // it to route the operation (our GraftDmlStrategy too). But a
+    // command's QUERY side is a genuine read and must NOT silently
+    // drop to the V1 row fallback: `INSERT INTO … SELECT FROM dv_t`,
+    // CTAS over a DV'd table, and every `df.write` of a DV'd read
+    // (the round-12 finding: the write re-plans the query under a
+    // Command root, so a blanket skip made exactly those reads pay
+    // the de-vectorized tax — linear, invisible to SELECT-only plan
+    // pins). V2 write commands carry their target as a FIELD (`table`),
+    // so their one child IS the query — rewrite it wholesale; for
+    // every other command, rewrite children but leave BARE relation
+    // children (the DML target shape) untouched.
+    case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+      w.withNewQuery(rewrite(w.query))
+    case c: org.apache.spark.sql.catalyst.plans.logical.Command =>
+      c.mapChildren {
+        case r: DataSourceV2Relation => r
+        case s: DataSourceV2ScanRelation => s
+        case other => rewrite(other)
+      }
     case _ => rewrite(plan)
   }
 

@@ -1261,35 +1261,49 @@ class ManifestTableFormat(
       s: StructType): DataFrame = {
     val clean = withDv.collect { case (f, None) => f }
     val dvd = withDv.collect { case (f, Some(d)) => (f, d) }
-    val base = readFiles(clean, s)
-    if (dvd.isEmpty) return base
-    base.unionByName(
-      readDvdFiles(dvd, s)
-        .select(s.fields.toIndexedSeq.map(f =>
-          col(ManifestTableFormat.physicalName(f)).as(f.name)): _*))
+    val dvdLogical = () => readDvdFiles(dvd, s)
+      .select(s.fields.toIndexedSeq.map(f =>
+        col(ManifestTableFormat.physicalName(f)).as(f.name)): _*)
+    if (dvd.isEmpty) return readFiles(clean, s)
+    // no empty union leg when every file carries a vector — the
+    // empty-frame RDD leg costs a scheduled stage of no-op tasks
+    if (clean.isEmpty) return dvdLogical()
+    readFiles(clean, s).unionByName(dvdLogical())
   }
 
   /** The DV'd branch of [[readFilesDv]], rows still under PHYSICAL
-    * names plus the `__fp` file-path column (for callers that need
-    * per-row file provenance, e.g. the DML pre-scans).
+    * names. `withPath = true` adds the `__fp` file-path column (for
+    * callers that need per-row file provenance, e.g. the DML
+    * pre-scans) — OFF for plain reads so no per-row path string is
+    * ever materialized on the query path (even a dropped column can
+    * cost if pruning misses it; the hot path should not rely on the
+    * optimizer to delete work this code can simply not declare).
     */
   private def readDvdFiles(
       dvd: Seq[(String, ManifestTableFormat.DvRef)],
-      s: StructType): DataFrame = {
+      s: StructType,
+      withPath: Boolean = false): DataFrame = {
     import spark.implicits._
     val phys = ManifestTableFormat.physicalSchema(s)
     val refs = dvd.map { case (f, d) =>
       (baseNameOf(f), baseNameOf(d.path)) }.toDF("__name", "__dv")
+    // _metadata.file_name, NOT split(file_path): the basename feeds
+    // the per-row anti-join key, and a per-row split/array-alloc over
+    // the whole DV'd branch was the measurable chunk of the DV read
+    // tax (the metadata column is materialized from the file status,
+    // no string surgery in the row loop)
     val deleted = spark.read.parquet(dvd.map(_._2.path).distinct: _*)
-      .withColumn("__dv",
-        element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__dv", col("_metadata.file_name"))
       .join(broadcast(refs), Seq("__name", "__dv"), "left_semi")
       .select("__name", "__pos")
+    val pathCol =
+      if (withPath) Seq(col("_metadata.file_path").as("__fp"))
+      else Seq.empty
     spark.read.schema(phys).parquet(dvd.map(_._1): _*)
-      .select((Seq(col("_metadata.file_path").as("__fp"),
+      .select((pathCol ++ Seq(
+        col("_metadata.file_name").as("__name"),
         col("_metadata.row_index").as("__pos")) ++
           phys.fieldNames.toIndexedSeq.map(col)): _*)
-      .withColumn("__name", element_at(split(col("__fp"), "/"), -1))
       .join(broadcast(deleted), Seq("__name", "__pos"), "left_anti")
       .drop("__name", "__pos")
   }
@@ -1331,7 +1345,7 @@ class ManifestTableFormat(
     val base = readFiles(clean, s)
       .withColumn(fileCol, input_file_name())
     if (dvd.isEmpty) base
-    else base.unionByName(readDvdFiles(dvd, s)
+    else base.unionByName(readDvdFiles(dvd, s, withPath = true)
       .select(logical :+ col("__fp").as(fileCol): _*))
   }
 
@@ -2050,8 +2064,7 @@ class ManifestTableFormat(
       col(ManifestTableFormat.physicalName(f)).as(f.name))
     spark.read.schema(phys).parquet(files: _*)
       .select((Seq(
-        element_at(split(col("_metadata.file_path"), "/"), -1)
-          .as("__name"),
+        col("_metadata.file_name").as("__name"),
         col("_metadata.row_index").as("__pos")) ++ logical): _*)
   }
 
@@ -2131,8 +2144,7 @@ class ManifestTableFormat(
           val refs = olds.map { case (f, d) =>
             (baseNameOf(f), baseNameOf(d.path)) }.toDF("__name", "__dv")
           spark.read.parquet(olds.map(_._2.path).distinct: _*)
-            .withColumn("__dv",
-              element_at(split(input_file_name(), "/"), -1))
+            .withColumn("__dv", col("_metadata.file_name"))
             .join(broadcast(refs), Seq("__name", "__dv"), "left_semi")
             .select("__name", "__pos")
         }
@@ -2375,8 +2387,7 @@ class ManifestTableFormat(
           val refs = olds.map { case (f, d) =>
             (baseNameOf(f), baseNameOf(d.path)) }.toDF("__name", "__dv")
           spark.read.parquet(olds.map(_._2.path).distinct: _*)
-            .withColumn("__dv",
-              element_at(split(input_file_name(), "/"), -1))
+            .withColumn("__dv", col("_metadata.file_name"))
             .join(broadcast(refs), Seq("__name", "__dv"), "left_semi")
             .select("__name", "__pos")
         }
@@ -2384,8 +2395,7 @@ class ManifestTableFormat(
       // minus the already-deleted positions, then the predicate
       val matched = spark.read.schema(phys).parquet(names: _*)
         .select((Seq(
-          element_at(split(col("_metadata.file_path"), "/"), -1)
-            .as("__name"),
+          col("_metadata.file_name").as("__name"),
           col("_metadata.row_index").as("__pos")) ++ logical): _*)
         .join(broadcast(oldPos), Seq("__name", "__pos"), "left_anti")
         .filter(cond)

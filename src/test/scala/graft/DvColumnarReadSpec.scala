@@ -180,6 +180,50 @@ class DvColumnarReadSpec extends SparkSpec {
     }
   }
 
+  test("WRITE-side reads of a DV'd table are columnar too: a write's " +
+      "re-planned query (Command root) must not drop to the V1 row " +
+      "fallback (round-12 regression class)") {
+    val wh = freshWh()
+    dvTable(wh)
+    val cat = catFor(wh, "dvcol5")
+    // capture the plan the WRITE actually executes — df.write re-plans
+    // under a Command root, the exact shape the old blanket
+    // `case c: Command => c` guard silently sent to the V1 fallback
+    @volatile var captured: Option[String] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (qe.analyzed.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans
+              .logical.Command]))
+          captured = Some(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql(s"SELECT document_url FROM $cat.t WHERE page_number = 2")
+        .write.format("noop").mode("overwrite").save()
+      // listener delivery is async — bounded wait
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val plan = captured.getOrElse(fail("write plan not captured"))
+      assert(!plan.contains("RowDataSourceScan"),
+        s"a WRITE of a DV'd read executed the V1 row fallback:\n$plan")
+      assert(plan.contains("LeftAnti"),
+        s"no DV anti-join in the write's executed plan:\n$plan")
+    } finally spark.listenerManager.unregister(listener)
+
+    // and the DML lanes still route: a DELETE on the same table works
+    // (the command TARGET stayed a relation for the strategies)
+    spark.sql(s"DELETE FROM $cat.t WHERE document_url = 'doc://0022'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+      == 31)
+  }
+
   test("time-travel to a DV'd version takes the columnar path and " +
       "applies exactly that version's vectors") {
     val wh = freshWh()
