@@ -206,6 +206,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // numRows for the planned file list, answered from the log —
         // the CBO's row estimate next to FileScan's byte estimate
         rowsOf = Some(mtf.rowCountOf),
+        perFileRows = Some(mtf.fileRowCounts),
         // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
         // snapshots only; time travel is frozen history
         streamWrite =
@@ -980,6 +981,7 @@ private[graft] class GraftTable(
     truncateHook: Option[() => Unit] = None,
     dvInfo: Option[graft.plans.DvScanInfo] = None,
     rowsOf: Option[Seq[String] => Option[Long]] = None,
+    perFileRows: Option[Seq[String] => Option[Map[String, Long]]] = None,
     streamWrite: Option[
       org.apache.spark.sql.connector.write.LogicalWriteInfo =>
         org.apache.spark.sql.connector.write.streaming.StreamingWrite] =
@@ -1133,7 +1135,8 @@ private[graft] class GraftTable(
         // (url bloom + per-column min/max) shrink the pinned file
         // list from the pushed predicates before parquet plans
         new org.apache.spark.sql.graftbridge.ManifestStatsScanBuilder(
-          spark, tableName, tableSchema, paths, options, pruner, rowsOf)
+          spark, tableName, tableSchema, paths, options, pruner, rowsOf,
+          perFileRows)
       case None => delegate.newScanBuilder(options)
     }
     }

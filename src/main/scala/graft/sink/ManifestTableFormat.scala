@@ -3048,6 +3048,28 @@ class ManifestTableFormat(
     * (fail-honest, like [[tableStats]]). One narrow metadata job,
     * bounded by the pinned list the caller already holds.
     */
+  /** Per-file LIVE row counts (rows − DV cardinality) for `files`,
+    * answered from the log's stats frame in one narrow job — `None`
+    * unless EVERY asked file has an exact recorded count (fail-open:
+    * a pre-stats file, a vacuumed name, a foreign path all disable
+    * the caller's optimization rather than skew it). The LIMIT
+    * pushdown's gauge: `SELECT … LIMIT n` on a 10⁷-file table plans
+    * the smallest file prefix covering n rows instead of listing
+    * every live file into the scan.
+    */
+  def fileRowCounts(files: Seq[String]): Option[Map[String, Long]] = {
+    if (files.isEmpty) return Some(Map.empty)
+    import spark.implicits._
+    val rows = statsFrame(snapshot())
+      .join(files.toDF("file"), Seq("file"), "left_semi")
+      .select(col("file"),
+        (col("rows") - coalesce(col("dv_card"), lit(0L))).as("n"))
+      .collect()
+    if (rows.length == files.size && rows.forall(!_.isNullAt(1)))
+      Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    else None
+  }
+
   def rowCountOf(files: Seq[String]): Option[Long] = {
     if (files.isEmpty) return Some(0L)
     import spark.implicits._

@@ -42,21 +42,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   override def shortName(): String = "graft"
 
-  /** `df.writeStream.format("graft").start(path)` — the native
-    * streaming sink, EXACTLY-ONCE by the same `(appId, batchId)`
-    * transaction markers the `StreamWriter` wrapper commits
-    * ([[ManifestTableFormat.appendStream]]): a replayed micro-batch
-    * finds its marker in the log and no-ops. Spark routes here
-    * through the V1 sink seam ([[org.apache.spark.sql.sources.StreamSinkProvider]])
-    * because the V2 table deliberately does not claim
-    * `STREAMING_WRITE` — the V1 `Sink.addBatch` contract hands the
-    * sink the whole micro-batch as a frame, which is the shape one
-    * atomic files+marker log commit needs (a V2 `StreamingWrite`
-    * splits the batch across per-task commits and would need its own
-    * two-phase protocol for no gain). The app id defaults to the
-    * query id (stable across restarts from one checkpoint); pass
-    * `.option("appId", …)` to share a target across re-created
-    * queries. `StreamWriter` remains as the explicit-API wrapper.
+  /** The V1 streaming sink seam — KEPT for compatibility, no longer
+    * the default route. Since round 12 the table claims
+    * `STREAMING_WRITE`, so `df.writeStream.format("graft")` plans the
+    * DSv2 path ([[graft.streaming.GraftStreamingWrite]]: executor
+    * tasks stage parquet, the epoch commit is one atomic adds+marker
+    * log entry). Spark only calls THIS seam when the V2 route is
+    * disabled (`spark.sql.streaming.disabledV2Writers` naming this
+    * class) — which is also how `.partitionBy` bootstrap stays
+    * reachable, since the V2 seam does not forward partitionBy (its
+    * twin is `.option("partitionColumns", …)`). Same EXACTLY-ONCE
+    * `(appId, batchId)` marker contract on both seams
+    * ([[ManifestTableFormat.appendStream]] here,
+    * `commitStagedStream` there): a replayed micro-batch finds its
+    * marker and no-ops. The app id defaults to the query id (stable
+    * across restarts from one checkpoint); pass `.option("appId", …)`
+    * to share a target across re-created queries. `StreamWriter`
+    * remains as the explicit-API wrapper.
     */
   override def createSink(
       ctx: SQLContext,
@@ -307,6 +309,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           mtf.pruneFilesForScan(files, _)))
         else None,
       rowsOf = Some(mtf.rowCountOf),
+      perFileRows = Some(mtf.fileRowCounts),
       streamWrite =
         if (pin.isDefined) None
         else Some { inf =>

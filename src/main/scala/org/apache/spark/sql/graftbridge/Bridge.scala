@@ -20,6 +20,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * is the compile-and-run canary — it exercises every entry point on
   * a live session, so a silently-changed internal fails the suite,
   * not a user query.
+  *
+  * PUBLIC-EQUIVALENT AUDIT (round 12, per-method): none of the five
+  * entry points has a public replacement in Spark 4.1 —
+  * `column`/`expression` (ColumnNode ↔ Catalyst) have no public
+  * bridge by design of the Connect split; `ofRows` (LogicalPlan →
+  * DataFrame) has no public constructor — `spark.sql` round-trips
+  * through SQL text and loses exprIds; `rewrapBatch` needs
+  * `QueryExecution.toRdd` to pin a streaming batch to one execution
+  * (public actions re-trigger the incremental plan); and
+  * `registerFunction` needs the session `FunctionRegistry` because
+  * `spark.udf.register` takes typed closures, not Expression
+  * builders, and `SparkSessionExtensions.injectFunction` only works
+  * at session BUILD time, not on an externally-created session. The
+  * canary keeps each pinned with a user-shaped call; re-audit on any
+  * Spark upgrade.
   */
 object Bridge {
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, E
 import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue, NamedReference, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Predicate}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -272,11 +272,13 @@ class ManifestStatsScanBuilder(
     paths: Seq[String],
     options: CaseInsensitiveStringMap,
     pruner: Seq[StatsProbe] => Option[Seq[String]],
-    rowsOf: Option[Seq[String] => Option[Long]] = None)
+    rowsOf: Option[Seq[String] => Option[Long]] = None,
+    perFileRows: Option[Seq[String] => Option[Map[String, Long]]] = None)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   // logical → physical (lower-cased logical key); identity when the
   // table was never renamed
@@ -403,4 +405,41 @@ class ManifestStatsScanBuilder(
         a.supportCompletePushDown(aggregation)
       case _ => false
     })
+
+  /** LIMIT pushdown as FILE-LIST pushdown: `SELECT … LIMIT n` (no
+    * predicates, no pushed aggregate) plans the smallest prefix of
+    * the pinned file list whose log-recorded live row counts cover
+    * `n`, instead of handing every live file to the scan — at 10⁷
+    * files a peek query stops being a full file-listing plan. Sound
+    * because an un-predicated LIMIT may take ANY n table rows, and
+    * only fires when EVERY file has an exact recorded count
+    * (fail-open otherwise); with any pushed/residual filter the
+    * per-file match count is unknowable from stats, so the trim is
+    * refused outright. Always PARTIAL: Spark keeps its own Limit
+    * above the scan (`isPartiallyPushed`), this only shrinks the
+    * files feeding it. Runs before `pruneColumns` in Spark's
+    * pushdown order, so rebuilding the inner builder here is safe.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit <= 0 || aggPushed || pushedLogical.nonEmpty) return false
+    val counts = perFileRows.flatMap(_(currentFiles)).getOrElse {
+      return false
+    }
+    var acc = 0L
+    val keep = Seq.newBuilder[String]
+    val it = currentFiles.iterator
+    while (acc < limit && it.hasNext) {
+      val f = it.next()
+      keep += f
+      acc += counts(f)
+    }
+    val kept = keep.result()
+    if (kept.size < currentFiles.size) {
+      currentFiles = kept
+      inner = mk(kept)
+    }
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 }

@@ -429,4 +429,50 @@ class ManifestStatsSkipSpec extends SparkSpec
       .select("document_url")
     assert(q2.collect().length == 3)
   }
+
+  test("LIMIT pushdown: an un-predicated LIMIT plans only the file " +
+      "prefix covering it; filters and big limits fail open") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(batch(0 until 10, _ => 5))
+    store.append(batch(10 until 20, _ => 15))
+    store.append(batch(20 until 30, _ => 25))
+
+    // LIMIT 7 < one file's 10 rows → exactly 1 file planned
+    val q = spark.sql(s"SELECT * FROM $cat.t LIMIT 7")
+    assert(q.collect().length == 7)
+    assert(plannedFiles(q) == 1,
+      "LIMIT 7 over 10-row files must plan exactly 1 file")
+
+    // LIMIT 15 spans two files
+    val q2 = spark.sql(s"SELECT document_url FROM $cat.t LIMIT 15")
+    assert(q2.collect().length == 15)
+    assert(plannedFiles(q2) == 2)
+
+    // LIMIT beyond the table: all files, full result
+    val q3 = spark.sql(s"SELECT * FROM $cat.t LIMIT 500")
+    assert(q3.collect().length == 30)
+    assert(plannedFiles(q3) == 3)
+
+    // a PREDICATED limit must NOT trim by raw row counts (the per-file
+    // match count is unknowable) — stats skipping still applies, and
+    // the result keeps LIMIT's min(n, matching) contract
+    val q4 = spark.sql(
+      s"SELECT * FROM $cat.t WHERE page_number >= 20 LIMIT 8")
+    assert(q4.collect().length == 8)
+    assert(plannedFiles(q4) == 1, "stats skipping (not limit) prunes here")
+    val q5 = spark.sql(
+      s"SELECT * FROM $cat.t WHERE chunk_id = 0 LIMIT 25")
+    assert(q5.collect().length == 25,
+      "a filtered LIMIT must still return min(n, matching) rows")
+
+    // deletes shrink the recorded counts: after dropping the first
+    // file's rows, LIMIT 7 needs the next file
+    store.deleteWhere(col("page_number") === 5)
+    val q6 = spark.sql(s"SELECT * FROM $cat.t LIMIT 7")
+    assert(q6.collect().length == 7)
+    assert(q6.select("page_number").distinct().collect()
+      .map(_.getInt(0)).forall(_ != 5))
+  }
 }

@@ -178,6 +178,58 @@ class StreamWriterV2Spec extends SparkSpec {
     assert(msg.contains("partition columns"), msg)
   }
 
+  test("commitStagedStream: two committers racing the SAME epoch — " +
+      "exactly one lands, the loser's staged files are reclaimed " +
+      "eagerly") {
+    import spark.implicits._
+    val root = fresh()
+    val path = s"$root/t"
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.append(chunkify(
+      Seq(("seed", "doc://0")).toDF("text", "url"))) // table exists
+    def stage(mtf: ManifestTableFormat, tag: String): Seq[String] = {
+      val dir = mtf.newStreamStagingDir()
+      chunkify(Seq((s"$tag-a", s"doc://$tag-1"), (s"$tag-b", s"doc://$tag-2"))
+        .toDF("text", "url"))
+        .repartition(1).write.parquet(dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+    }
+    val competitor = new ManifestTableFormat(spark, path, store.schema)
+    val competitorFiles = stage(competitor, "win")
+    var injected = false
+    val victim = new ManifestTableFormat(spark, path, store.schema) {
+      override protected def beforeCommit(): Unit =
+        if (!injected) {
+          injected = true
+          assert(competitor.commitStagedStream(
+            competitorFiles, "app", 5L))
+        }
+    }
+    val victimFiles = stage(victim, "lose")
+    assert(!victim.commitStagedStream(victimFiles, "app", 5L),
+      "the losing replay must detect the winner's marker and abort")
+    // exactly the winner's rows landed
+    assert(store.read().count() == 3)
+    assert(store.read().filter(col("chunk_text").startsWith("lose"))
+      .isEmpty, "the loser's rows must not be visible")
+    // the loser's staged files were deleted eagerly (no vacuum debt)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    victimFiles.foreach(f =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(f)),
+        s"loser's staged file survived: $f"))
+    // replay of the same epoch on a fresh instance also no-ops
+    val replay = new ManifestTableFormat(spark, path, store.schema)
+    val replayFiles = stage(replay, "replay")
+    assert(!replay.commitStagedStream(replayFiles, "app", 5L))
+    assert(store.read().count() == 3)
+  }
+
   test("writeStream.toTable onto a catalog manifest table (V2-only " +
       "surface) — exactly-once, CHECK constraints enforce on the " +
       "staged batch") {
