@@ -207,6 +207,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the CBO's row estimate next to FileScan's byte estimate
         rowsOf = Some(mtf.rowCountOf),
         perFileRows = Some(mtf.fileRowCounts),
+        perFileRanges = Some(mtf.fileColumnRanges),
         // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
         // snapshots only; time travel is frozen history
         streamWrite =
@@ -982,6 +983,8 @@ private[graft] class GraftTable(
     dvInfo: Option[graft.plans.DvScanInfo] = None,
     rowsOf: Option[Seq[String] => Option[Long]] = None,
     perFileRows: Option[Seq[String] => Option[Map[String, Long]]] = None,
+    perFileRanges: Option[(Seq[String], String) =>
+      Option[Seq[graft.sink.ManifestTableFormat.FileRange]]] = None,
     streamWrite: Option[
       org.apache.spark.sql.connector.write.LogicalWriteInfo =>
         org.apache.spark.sql.connector.write.streaming.StreamingWrite] =
@@ -1136,7 +1139,7 @@ private[graft] class GraftTable(
         // list from the pushed predicates before parquet plans
         new org.apache.spark.sql.graftbridge.ManifestStatsScanBuilder(
           spark, tableName, tableSchema, paths, options, pruner, rowsOf,
-          perFileRows)
+          perFileRows, perFileRanges)
       case None => delegate.newScanBuilder(options)
     }
     }

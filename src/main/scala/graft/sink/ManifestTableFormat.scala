@@ -3048,6 +3048,54 @@ class ManifestTableFormat(
     * (fail-honest, like [[tableStats]]). One narrow metadata job,
     * bounded by the pinned list the caller already holds.
     */
+  /** Per-file `(live rows, null count, lo, hi)` for one NUMERIC-KIND
+    * column (physical name) — the TopN file-pruning gauge: `ORDER BY
+    * ts LIMIT k` can drop every file whose range provably sorts
+    * after k other rows. Values decode on the same canonical grid
+    * the stats were written in (epoch micros/days for time kinds,
+    * plain decimal otherwise). `None` — the caller's fail-open —
+    * unless EVERY asked file has an exact row count, a zero DV
+    * cardinality (deleted rows would inflate the "provably before"
+    * count), and either a VALID lo/hi slot or a provably all-null
+    * column (nulls == rows); unparseable bounds (NaN/Infinity) also
+    * disqualify.
+    */
+  def fileColumnRanges(files: Seq[String], physCol: String)
+      : Option[Seq[ManifestTableFormat.FileRange]] = {
+    if (files.isEmpty) return Some(Seq.empty)
+    import spark.implicits._
+    val p = array_position(col("cs_names"), physCol).cast("int")
+    val got = statsFrame(snapshot())
+      .join(files.toDF("file"), Seq("file"), "left_semi")
+      .select(col("file"), col("rows"), col("dv_card"),
+        when(p > 0, element_at(col("cs_valid"), p)).as("v"),
+        when(p > 0, element_at(col("cs_lo"), p)).as("lo"),
+        when(p > 0, element_at(col("cs_hi"), p)).as("hi"),
+        when(p > 0, element_at(col("cs_nn"), p)).as("nn"))
+      .collect()
+    if (got.length != files.size) return None
+    val out = Seq.newBuilder[ManifestTableFormat.FileRange]
+    got.foreach { r =>
+      if (r.isNullAt(1) || r.isNullAt(6)) return None
+      if (!r.isNullAt(2) && r.getLong(2) != 0L) return None
+      val rows = r.getLong(1)
+      val nulls = r.getLong(6)
+      val valid = !r.isNullAt(3) && r.getInt(3) == 1
+      if (valid && !r.isNullAt(4) && !r.isNullAt(5)) {
+        val lo = scala.util.Try(BigDecimal(r.getString(4))).toOption
+        val hi = scala.util.Try(BigDecimal(r.getString(5))).toOption
+        if (lo.isEmpty || hi.isEmpty) return None
+        out += ManifestTableFormat.FileRange(
+          r.getString(0), rows, nulls, lo, hi)
+      } else if (nulls == rows) {
+        // all-null column: no bounds to record, and none needed
+        out += ManifestTableFormat.FileRange(
+          r.getString(0), rows, nulls, None, None)
+      } else return None
+    }
+    Some(out.result())
+  }
+
   /** Per-file LIVE row counts (rows − DV cardinality) for `files`,
     * answered from the log's stats frame in one narrow job — `None`
     * unless EVERY asked file has an exact recorded count (fail-open:
@@ -3464,6 +3512,19 @@ class ManifestTableFormat(
 }
 
 object ManifestTableFormat {
+
+  /** One file's per-column range summary for TopN file pruning
+    * ([[ManifestTableFormat!.fileColumnRanges]]): live row count,
+    * null count, and the column's bounds decoded on the canonical
+    * stats grid — `lo`/`hi` are `None` exactly for a provably
+    * all-null column (`nulls == rows`).
+    */
+  final case class FileRange(
+      file: String,
+      rows: Long,
+      nulls: Long,
+      lo: Option[BigDecimal],
+      hi: Option[BigDecimal])
 
   /** SHALLOW CLONE: fork `srcPath`'s table into a new table at
     * `destPath` by copying its `_log` directory — a metadata-only

@@ -310,6 +310,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         else None,
       rowsOf = Some(mtf.rowCountOf),
       perFileRows = Some(mtf.fileRowCounts),
+      perFileRanges = Some(mtf.fileColumnRanges),
       streamWrite =
         if (pin.isDefined) None
         else Some { inf =>

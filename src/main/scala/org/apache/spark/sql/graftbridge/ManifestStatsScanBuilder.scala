@@ -3,10 +3,10 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, Literal}
-import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue, NamedReference, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue, NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Predicate}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -273,12 +273,15 @@ class ManifestStatsScanBuilder(
     options: CaseInsensitiveStringMap,
     pruner: Seq[StatsProbe] => Option[Seq[String]],
     rowsOf: Option[Seq[String] => Option[Long]] = None,
-    perFileRows: Option[Seq[String] => Option[Map[String, Long]]] = None)
+    perFileRows: Option[Seq[String] => Option[Map[String, Long]]] = None,
+    perFileRanges: Option[(Seq[String], String) =>
+      Option[Seq[ManifestTableFormat.FileRange]]] = None)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   // logical → physical (lower-cased logical key); identity when the
   // table was never renamed
@@ -442,4 +445,91 @@ class ManifestStatsScanBuilder(
   }
 
   override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown as FILE pruning: `ORDER BY key [ASC|DESC] LIMIT k`
+    * (no predicates, no pushed aggregate, numeric/date/timestamp
+    * first key) drops every file whose rows are PROVABLY preceded by
+    * ≥ k rows of the kept files — on a time-clustered 10⁷-file table
+    * `ORDER BY ts DESC LIMIT 100` plans a handful of head files
+    * instead of every live file.
+    *
+    * Soundness (ASC; DESC mirrors with lo): pick the smallest
+    * threshold V with `base + Σ_{g: hi(g) ≤ V} nonNull(g) ≥ k`
+    * (base = total nulls when NULLS FIRST — every such g has
+    * `hi(g) ≤ V`, hence is itself KEPT, so the counted rows exist in
+    * the scanned subset). A file f drops only when BOTH parts are
+    * excluded: its non-null rows (`lo(f) > V` — strictly after the
+    * ≥ k counted rows; grid monotonicity makes the strict grid
+    * inequality imply the strict real one) and its null rows (none,
+    * or NULLS LAST with ≥ k non-null rows surviving in kept files).
+    * Ties and later sort keys cannot resurrect a dropped row: the
+    * counted rows precede it STRICTLY on the first key. Fail-open
+    * everywhere: any file without exact stats, a DV'd file, an
+    * unparseable bound, a non-column or non-numeric-kind first key —
+    * no pruning. Always PARTIAL: Spark's own TopN stays above and
+    * does the actual ordering.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    if (limit <= 0 || aggPushed || pushedLogical.nonEmpty ||
+      orders.isEmpty) return false
+    val head = orders.head
+    val colName = head.expression() match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        n.fieldNames()(0)
+      case _ => return false
+    }
+    val (physName, dt) = typeOf(colName).getOrElse(return false)
+    if (!StatsProbes.statsOrderedKind(dt) ||
+      dt.isInstanceOf[org.apache.spark.sql.types.BooleanType])
+      return false
+    val ranges = perFileRanges.flatMap(_(currentFiles, physName))
+      .getOrElse(return false)
+    if (ranges.isEmpty) return false
+
+    val asc = head.direction() == SortDirection.ASCENDING
+    val nullsFirst = head.nullOrdering() == NullOrdering.NULLS_FIRST
+    val totalNulls = ranges.map(_.nulls).sum
+    val bounded = ranges.filter(r => r.rows - r.nulls > 0)
+    // contract check (all-null ⇔ no bounds); anything else fails open
+    if (bounded.exists(r => r.lo.isEmpty || r.hi.isEmpty)) return false
+
+    val base = if (nullsFirst) totalNulls else 0L
+    // threshold V: smallest hi (ASC) / largest lo (DESC) at which the
+    // cumulative provably-preceding row count reaches k
+    var acc = base
+    var v: Option[BigDecimal] = None
+    if (acc < limit) {
+      val it = (if (asc) bounded.sortBy(_.hi.get)
+        else bounded.sortBy(_.lo.get)(Ordering[BigDecimal].reverse))
+        .iterator
+      while (v.isEmpty && it.hasNext) {
+        val g = it.next()
+        acc += g.rows - g.nulls
+        if (acc >= limit) v = Some(if (asc) g.hi.get else g.lo.get)
+      }
+    }
+    if (acc < limit) return false // fewer than k provable rows: no-op
+
+    def nonNullExcluded(r: ManifestTableFormat.FileRange): Boolean =
+      r.rows - r.nulls == 0 || (v match {
+        case Some(t) => if (asc) r.lo.get > t else r.hi.get < t
+        case None => true // base (nulls) alone covers k
+      })
+    // non-null rows surviving in kept files — what may exclude nulls
+    // under NULLS LAST (they all precede every null row)
+    val keptNonNull = ranges.collect {
+      case r if !nonNullExcluded(r) => r.rows - r.nulls
+    }.sum
+    def nullExcluded(r: ManifestTableFormat.FileRange): Boolean =
+      r.nulls == 0 || (!nullsFirst && keptNonNull >= limit)
+
+    val keepSet = ranges.collect {
+      case r if !nonNullExcluded(r) || !nullExcluded(r) => r.file
+    }.toSet
+    val kept = currentFiles.filter(keepSet)
+    if (kept.isEmpty || kept.size >= currentFiles.size) return kept.nonEmpty
+    currentFiles = kept
+    inner = mk(kept)
+    true
+  }
 }

@@ -475,4 +475,81 @@ class ManifestStatsSkipSpec extends SparkSpec
     assert(q6.select("page_number").distinct().collect()
       .map(_.getInt(0)).forall(_ != 5))
   }
+
+  test("TopN pushdown: ORDER BY + LIMIT plans only the files whose " +
+      "ranges can reach the top-k; exact results both directions") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    // three files with DISJOINT page ranges: [0..9], [10..19], [20..29]
+    store.append(batch(0 until 10, i => i))
+    store.append(batch(10 until 20, i => i))
+    store.append(batch(20 until 30, i => i))
+
+    // ASC LIMIT 5: only the low file can hold the 5 smallest
+    val asc = spark.sql(
+      s"SELECT page_number FROM $cat.t ORDER BY page_number LIMIT 5")
+    assert(asc.collect().map(_.getInt(0)).toSeq == (0 until 5))
+    assert(plannedFiles(asc) == 1,
+      "ORDER BY ASC LIMIT 5 must plan only the lowest-range file")
+
+    // DESC LIMIT 12 spans the top two files
+    val desc = spark.sql(s"SELECT page_number FROM $cat.t " +
+      "ORDER BY page_number DESC LIMIT 12")
+    assert(desc.collect().map(_.getInt(0)).toSeq ==
+      (29 to 18 by -1))
+    assert(plannedFiles(desc) == 2,
+      "ORDER BY DESC LIMIT 12 must plan the two highest-range files")
+
+    // LIMIT beyond the table: everything planned, full sorted result
+    val all = spark.sql(s"SELECT page_number FROM $cat.t " +
+      "ORDER BY page_number LIMIT 100")
+    assert(all.collect().map(_.getInt(0)).toSeq == (0 until 30))
+    assert(plannedFiles(all) == 3)
+
+    // a predicate disables the trim (match counts unknowable) but
+    // stats skipping still applies and results stay exact
+    val filtered = spark.sql(s"SELECT page_number FROM $cat.t " +
+      "WHERE page_number >= 10 ORDER BY page_number LIMIT 5")
+    assert(filtered.collect().map(_.getInt(0)).toSeq == (10 until 15))
+  }
+
+  test("TopN pushdown with NULLs: NULLS FIRST keeps null-carrying " +
+      "files; NULLS LAST drops them when enough non-null rows precede") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    def scored(ids: Range, score: Int => java.lang.Double): DataFrame =
+      ids.map(i => (i, s"t-$i", Seq(1f), 0, f"doc://$i%04d",
+          score(i): java.lang.Double))
+        .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+          "document_url", "score").repartition(1)
+    // file A: scores 1..10; file B: scores 11..20; file C: all NULL
+    spark.sql(s"CREATE TABLE $cat.s (chunk_id INT, chunk_text STRING, " +
+      "embedding ARRAY<FLOAT>, page_number INT, document_url STRING, " +
+      "score DOUBLE) TBLPROPERTIES ('format'='manifest')")
+    val t = s"$wh/s"
+    val st2 = new ChunkStore(spark, t, format = ManifestTableFormat.factory)
+    st2.append(scored(1 to 10, i => i.toDouble))
+    st2.append(scored(11 to 20, i => i.toDouble))
+    st2.append(scored(21 to 25, _ => null))
+    store.read() // keep first store referenced
+
+    // ASC (NULLS FIRST default): the all-null file MUST stay planned —
+    // its rows ARE the top of the ordering
+    val nf = spark.sql(
+      s"SELECT chunk_id FROM $cat.s ORDER BY score LIMIT 3")
+    assert(nf.collect().map(_.getInt(0)).toSet.subsetOf((21 to 25).toSet),
+      "NULLS FIRST top-3 must be null-score rows")
+
+    // DESC (NULLS LAST default) LIMIT 5: the top file covers it; both
+    // the low file and the all-null file prune away
+    val nl = spark.sql(
+      s"SELECT chunk_id FROM $cat.s ORDER BY score DESC LIMIT 5")
+    assert(nl.collect().map(_.getInt(0)).toSeq == (20 to 16 by -1))
+    assert(plannedFiles(nl) == 1,
+      "DESC NULLS LAST LIMIT 5 must plan only the top-range file " +
+        "(null rows sort last, low file provably after top-5)")
+  }
 }
