@@ -206,8 +206,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // numRows for the planned file list, answered from the log —
         // the CBO's row estimate next to FileScan's byte estimate
         rowsOf = Some(mtf.rowCountOf),
-        perFileRows = Some(mtf.fileRowCounts),
-        perFileRanges = Some(mtf.fileColumnRanges),
+        // LIMIT/TopN trimming and log-answered aggregates consult the
+        // HEAD stats frame — sound only when the scanned list IS the
+        // head's (a pinned old version's files may since have gained
+        // deletion vectors, skewing live counts): time travel keeps
+        // the hooks off and fails open to the plain scan
+        perFileRows =
+          if (asOf.isDefined) None else Some(mtf.fileRowCounts),
+        perFileRanges =
+          if (asOf.isDefined) None else Some(mtf.fileColumnRanges),
         // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
         // snapshots only; time travel is frozen history
         streamWrite =

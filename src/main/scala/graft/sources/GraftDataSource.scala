@@ -309,8 +309,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           mtf.pruneFilesForScan(files, _)))
         else None,
       rowsOf = Some(mtf.rowCountOf),
-      perFileRows = Some(mtf.fileRowCounts),
-      perFileRanges = Some(mtf.fileColumnRanges),
+      perFileRows =
+        if (pin.isDefined) None else Some(mtf.fileRowCounts),
+      perFileRanges =
+        if (pin.isDefined) None else Some(mtf.fileColumnRanges),
       streamWrite =
         if (pin.isDefined) None
         else Some { inf =>

@@ -2,11 +2,11 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, In, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GenericInternalRow, In, Literal}
 import org.apache.spark.sql.connector.expressions.{FieldReference, LiteralValue, NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Predicate}
-import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -376,6 +376,17 @@ class ManifestStatsScanBuilder(
   }
 
   override def build(): Scan = {
+    logAgg.foreach { case (schema, row) =>
+      return new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[org.apache.spark.sql.catalyst
+          .InternalRow] = Array(row)
+        override def description(): String =
+          s"GraftLogStatsAggScan[$tableName](${schema.fieldNames
+            .mkString(", ")})"
+        override def toString: String = description()
+      }
+    }
     val built = inner.build()
     val base =
       if (identityMapping) built else new RenamedScan(built, logicalOf)
@@ -387,13 +398,24 @@ class ManifestStatsScanBuilder(
       pruner, currentFiles, buildOver, rowsOf)
   }
 
-  // aggregate pushdown forwards to the parquet delegate (footer
-  // MIN/MAX/COUNT, behind spark.sql.parquet.aggregatePushdown) — the
-  // file list is already pruned by the time the planner asks, so the
-  // delegate's footer aggregation runs over exactly the planned
-  // subset. Disabled under a non-identity column mapping: the
-  // aggregation references logical names the files don't have.
+  // aggregate pushdown, two lanes in preference order:
+  //
+  //  1. LOG-ANSWERED (metadata-only): an unfiltered, ungrouped
+  //     COUNT(*)/COUNT(col)/MIN/MAX over stats-exact column kinds is
+  //     answered straight from the manifest's per-file stats as ONE
+  //     LocalScan row — O(log), ZERO data or footer reads. At 10⁷
+  //     files `SELECT count(*), max(ts) FROM t` stops being 10⁷
+  //     footer RPCs. Fail-open contract mirrors every stats consumer:
+  //     any pushed filter, group-by, DISTINCT, float/double/decimal/
+  //     string extremum (grid collision / truncated bounds), DV'd or
+  //     stats-less file → lane refused, next lane tries.
+  //  2. The parquet delegate (footer MIN/MAX/COUNT, behind
+  //     spark.sql.parquet.aggregatePushdown) over the already-pruned
+  //     file list. Disabled under a non-identity column mapping: the
+  //     aggregation references logical names the files don't have.
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    logAgg = tryLogAggregate(aggregation)
+    if (logAgg.isDefined) { aggPushed = true; return true }
     val pushed = identityMapping && (inner match {
       case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
       case _ => false
@@ -403,11 +425,104 @@ class ManifestStatsScanBuilder(
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    identityMapping && (inner match {
-      case a: SupportsPushDownAggregates =>
-        a.supportCompletePushDown(aggregation)
-      case _ => false
-    })
+    tryLogAggregate(aggregation).isDefined ||
+      (identityMapping && (inner match {
+        case a: SupportsPushDownAggregates =>
+          a.supportCompletePushDown(aggregation)
+        case _ => false
+      }))
+
+  private var logAgg: Option[(StructType, GenericInternalRow)] = None
+
+  /** Stats-EXACT kinds for log-answered MIN/MAX: the canonical grid
+    * round-trips these losslessly (floats/decimals can collide on the
+    * DECIMAL(38,18) grid; string bounds may be truncated) — same
+    * taxonomy as the metadata-only delete lane's exact probes.
+    */
+  private def exactKind(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.IntegerType |
+         _: org.apache.spark.sql.types.LongType |
+         _: org.apache.spark.sql.types.ShortType |
+         _: org.apache.spark.sql.types.ByteType |
+         _: org.apache.spark.sql.types.DateType |
+         _: org.apache.spark.sql.types.TimestampType |
+         _: org.apache.spark.sql.types.BooleanType => true
+    case _ => false
+  }
+
+  private def singleCol(e: V2Expression): Option[String] = e match {
+    case n: NamedReference if n.fieldNames().length == 1 =>
+      Some(n.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Catalyst-internal value from the canonical grid decimal. */
+  private def decode(v: BigDecimal, dt: DataType): Option[Any] =
+    scala.util.Try[Any] {
+      dt match {
+        case _: org.apache.spark.sql.types.IntegerType |
+             _: org.apache.spark.sql.types.DateType => v.toIntExact
+        case _: org.apache.spark.sql.types.LongType |
+             _: org.apache.spark.sql.types.TimestampType => v.toLongExact
+        case _: org.apache.spark.sql.types.ShortType => v.toShortExact
+        case _: org.apache.spark.sql.types.ByteType => v.toByteExact
+        case _: org.apache.spark.sql.types.BooleanType => v.toIntExact == 1
+      }
+    }.toOption
+
+  /** The log-answered aggregate row, or None when ANY part of the
+    * aggregation cannot be answered exactly from the manifest stats.
+    */
+  private def tryLogAggregate(aggregation: Aggregation)
+      : Option[(StructType, GenericInternalRow)] = {
+    if (pushedLogical.nonEmpty ||
+      aggregation.groupByExpressions().nonEmpty) return None
+    if (perFileRanges.isEmpty || perFileRows.isEmpty) return None
+    val rangeCache = scala.collection.mutable.Map[
+      String, Option[Seq[ManifestTableFormat.FileRange]]]()
+    def rangesFor(phys: String) = rangeCache.getOrElseUpdate(phys,
+      perFileRanges.flatMap(_(currentFiles, phys)))
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    aggregation.aggregateExpressions().foreach {
+      case _: CountStar =>
+        val total = perFileRows.flatMap(_(currentFiles))
+          .getOrElse(return None).values.sum
+        fields += StructField("count_star",
+          org.apache.spark.sql.types.LongType, nullable = false)
+        values += total
+      case c: Count if !c.isDistinct =>
+        val name = singleCol(c.column).getOrElse(return None)
+        val (phys, _) = typeOf(name).getOrElse(return None)
+        val rs = rangesFor(phys).getOrElse(return None)
+        fields += StructField(s"count_$name",
+          org.apache.spark.sql.types.LongType, nullable = false)
+        values += rs.map(r => r.rows - r.nulls).sum
+      case m: Min =>
+        val name = singleCol(m.column).getOrElse(return None)
+        val (phys, dt) = typeOf(name).getOrElse(return None)
+        if (!exactKind(dt)) return None
+        val rs = rangesFor(phys).getOrElse(return None)
+        val lows = rs.flatMap(_.lo)
+        val v = if (lows.isEmpty) null
+          else decode(lows.min, dt).getOrElse(return None)
+        fields += StructField(s"min_$name", dt, nullable = true)
+        values += v
+      case m: Max =>
+        val name = singleCol(m.column).getOrElse(return None)
+        val (phys, dt) = typeOf(name).getOrElse(return None)
+        if (!exactKind(dt)) return None
+        val rs = rangesFor(phys).getOrElse(return None)
+        val his = rs.flatMap(_.hi)
+        val v = if (his.isEmpty) null
+          else decode(his.max, dt).getOrElse(return None)
+        fields += StructField(s"max_$name", dt, nullable = true)
+        values += v
+      case _ => return None // SUM/AVG/DISTINCT/UDAF: not stats-exact
+    }
+    Some((StructType(fields.result()),
+      new GenericInternalRow(values.result().toArray)))
+  }
 
   /** LIMIT pushdown as FILE-LIST pushdown: `SELECT … LIMIT n` (no
     * predicates, no pushed aggregate) plans the smallest prefix of

@@ -198,21 +198,66 @@ class ManifestStatsSkipSpec extends SparkSpec
     assert(r2.getLong(0) == 2L && r2.getLong(2) == 29L, s"got $r2")
   }
 
-  test("aggregate pushdown forwards to the parquet delegate") {
+  test("log-answered aggregates: unfiltered count/min/max plan ONE " +
+      "LocalScan row from the manifest stats — zero data or footer " +
+      "reads") {
     val (cat, wh) = freshCatalog()
     val store = new ChunkStore(spark, s"$wh/t",
       format = ManifestTableFormat.factory)
     store.append(batch(0 until 10, _ => 5))
     store.append(batch(10 until 20, _ => 15))
+    // no parquet footer-agg conf needed: the LOG answers
+    val q = spark.sql(s"SELECT count(*) AS c, min(page_number) AS lo, " +
+      s"max(page_number) AS hi, count(page_number) AS cc FROM $cat.t")
+    val r = q.collect().head
+    assert(r.getLong(0) == 20 && r.getInt(1) == 5 && r.getInt(2) == 15 &&
+      r.getLong(3) == 20)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLogStatsAggScan") ||
+      plan.contains("LocalTableScan"),
+      s"log lane must plan a LocalScan, got:\n$plan")
+    assert(!plan.contains("FileScan") && !plan.contains("BatchScanExec"),
+      s"log-answered aggregate must read NO files:\n$plan")
+
+    // a metadata-only delete moves the answer (stats are live-only)
+    store.deleteWhere(col("page_number") === 5)
+    val r2 = spark.sql(s"SELECT count(*), min(page_number), " +
+      s"max(page_number) FROM $cat.t").collect().head
+    assert(r2.getLong(0) == 10 && r2.getInt(1) == 15 && r2.getInt(2) == 15)
+
+    // a FILTER refuses the lane (and results stay exact via the scan)
+    val qf = spark.sql(
+      s"SELECT count(*) FROM $cat.t WHERE page_number = 15")
+    assert(qf.collect().head.getLong(0) == 10)
+
+    // TIME TRAVEL keeps the lane off (a pinned version's files may
+    // since have gained deletion vectors; head stats would skew live
+    // counts) — the versioned aggregate scans and stays exact
+    val mtf = new ManifestTableFormat(spark, s"$wh/t",
+      new ChunkStore(spark, s"$wh/t",
+        format = ManifestTableFormat.factory).schema)
+    val vBefore = mtf.version - 1 // before the page-5 delete
+    val tq = spark.sql(s"SELECT count(*), min(page_number) FROM " +
+      s"$cat.t VERSION AS OF $vBefore")
+    val tr = tq.collect().head
+    assert(tr.getLong(0) == 20 && tr.getInt(1) == 5)
+  }
+
+  test("aggregate pushdown forwards to the parquet delegate when the " +
+      "log lane refuses (double extremum: grid not exact)") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.t (k INT, score DOUBLE) " +
+      "TBLPROPERTIES ('format'='manifest')")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 1.5), (2, 7.25), (3, 0.5)")
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     try {
-      val q = spark.sql(s"SELECT count(*) AS c, min(page_number) AS lo, " +
-        s"max(page_number) AS hi FROM $cat.t")
+      val q = spark.sql(s"SELECT min(score), max(score) FROM $cat.t")
       val r = q.collect().head
-      assert(r.getLong(0) == 20 && r.getInt(1) == 5 && r.getInt(2) == 15)
+      assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 7.25)
       assert(q.queryExecution.executedPlan.toString
         .contains("PushedAggregation"),
-        "count/min/max must reach the parquet footers")
+        "double min/max must fall through to the parquet footers")
     } finally spark.conf.unset("spark.sql.parquet.aggregatePushdown")
   }
 
