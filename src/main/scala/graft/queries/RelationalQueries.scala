@@ -1567,6 +1567,85 @@ object RelationalQueries {
         .filter(col("page_number").between(5, 9))
         .select("document_url", "chunk_text", "page_number")
         .orderBy("document_url")
+    },
+
+    // B12c: LOG-ANSWERED AGGREGATES — an unfiltered count/min/max on
+    // a manifest table plans as ONE LocalScan row from the log's
+    // per-file stats (no data files, no parquet footers; O(log) at
+    // any file count). `metadata_lane` pins the plan inside the hash:
+    // 1 ⇔ the physical plan is a LocalTableScan, not a file scan.
+    "b12c_metadata_agg" -> QueryDef(
+      """SELECT COUNT(*) AS n,
+        |       MIN(o_orderkey) AS lo_k, MAX(o_orderkey) AS hi_k,
+        |       MIN(o_orderdate) AS lo_ts, MAX(o_orderdate) AS hi_ts,
+        |       CAST(1 AS BIGINT) AS metadata_lane
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-mdagg").toString
+      val cat = QueryDef.freshCatalog(s, "graft_mdagg", wh)
+      s.sql(s"CREATE TABLE $cat.o (k BIGINT, ts TIMESTAMP) " +
+        "TBLPROPERTIES ('format'='manifest')")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderdate").as("ts"))
+        .createOrReplaceTempView("graft_mdagg_src")
+      s.sql(s"INSERT INTO $cat.o SELECT * FROM graft_mdagg_src")
+      val q = s.sql(
+        s"""SELECT COUNT(*) AS n,
+           |       MIN(k) AS lo_k, MAX(k) AS hi_k,
+           |       MIN(ts) AS lo_ts, MAX(ts) AS hi_ts FROM $cat.o"""
+          .stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      val lane =
+        if ((plan.contains("LocalTableScan") ||
+            plan.contains("GraftLogStatsAggScan")) &&
+          !plan.contains("FileScan")) 1L
+        else 0L
+      q.withColumn("metadata_lane", lit(lane))
+    },
+
+    // B12d: TopN FILE PRUNING — `ORDER BY key LIMIT k` on a
+    // key-clustered manifest table plans only the files whose ranges
+    // can reach the top-k (per-file lo/hi + row counts from the log).
+    // Four range-disjoint commits; the top-100 smallest keys live in
+    // the first range, so the scan must plan a STRICT file subset —
+    // `topn_pruned` pins that inside the hash.
+    "b12d_topn_limit" -> QueryDef(
+      """SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS topn_pruned
+        |FROM orders ORDER BY k LIMIT 100""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-topn").toString
+      val cat = QueryDef.freshCatalog(s, "graft_topn", wh)
+      s.sql(s"CREATE TABLE $cat.o (k BIGINT) " +
+        "TBLPROPERTIES ('format'='manifest')")
+      val orders = t(s, dir, "orders")
+      val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      orders.select(col("o_orderkey").as("k"))
+        .createOrReplaceTempView("graft_topn_src")
+      (0 until 4).foreach { i =>
+        val lo = if (i == 0) Long.MinValue else maxK * i / 4
+        val hi = if (i == 3) Long.MaxValue else maxK * (i + 1) / 4
+        s.sql(s"INSERT INTO $cat.o SELECT /*+ REPARTITION(1) */ k " +
+          s"FROM graft_topn_src WHERE k > $lo AND k <= $hi")
+      }
+      def planned(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        plan.collectWithSubqueries {
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec =>
+            org.apache.spark.sql.graftbridge.Scans.fileScan(b.scan)
+              .fileIndex.inputFiles.length
+        }.sum
+      }
+      val all = planned(s.sql(s"SELECT k FROM $cat.o"))
+      val q = s.sql(s"SELECT k FROM $cat.o ORDER BY k LIMIT 100")
+      val top = planned(q)
+      val pruned = if (all >= 4 && top < all) 1L else 0L
+      q.withColumn("topn_pruned", lit(pruned))
     }
   )
 }
