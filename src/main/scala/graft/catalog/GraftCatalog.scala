@@ -215,6 +215,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (asOf.isDefined) None else Some(mtf.fileRowCounts),
         perFileRanges =
           if (asOf.isDefined) None else Some(mtf.fileColumnRanges),
+        // metadata COUNT(*) on a DV'd HEAD snapshot (pinned versions
+        // must not count from head stats)
+        dvLiveRows =
+          if (asOf.isDefined || !hasDv) None
+          else Some(() => mtf.rowCountOf(files)),
         // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
         // snapshots only; time travel is frozen history
         streamWrite =
@@ -995,7 +1000,8 @@ private[graft] class GraftTable(
     streamWrite: Option[
       org.apache.spark.sql.connector.write.LogicalWriteInfo =>
         org.apache.spark.sql.connector.write.streaming.StreamingWrite] =
-      None)
+      None,
+    dvLiveRows: Option[() => Option[Long]] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -1132,7 +1138,8 @@ private[graft] class GraftTable(
       // DV-aware frame) keeps results exact on sessions without the
       // rule; filters stay above the relation, nothing claimed
       // pushed. DV-free tables never take this branch.
-      new DvV1ScanBuilder(tableSchema, () => info.read(info.pairs))
+      new DvV1ScanBuilder(tableSchema, () => info.read(info.pairs),
+        dvLiveRows)
     case None => sidecarDir match {
     case Some(dir) =>
       // sidecar-aware scan: `_hulls`/`_keybloom` shrink the file list
@@ -1239,9 +1246,65 @@ private[graft] class GraftTable(
   */
 private[graft] class DvV1ScanBuilder(
     scanSchema: StructType,
-    reader: () => DataFrame)
-    extends org.apache.spark.sql.connector.read.ScanBuilder {
-  override def build(): org.apache.spark.sql.connector.read.Scan =
+    reader: () => DataFrame,
+    liveRows: Option[() => Option[Long]] = None)
+    extends org.apache.spark.sql.connector.read.ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  // COUNT(*) on a DELETION-VECTOR snapshot is pure metadata: the log
+  // records every file's row count AND its vector's cardinality, so
+  // the live total is Σ(rows − dv_card) — no scan, no anti-join, at
+  // any table size. Only CountStar qualifies (extremum/count(col)
+  // would need the DELETED rows' values/null-ness, which the vector
+  // does not record); any filter keeps the normal read path (this
+  // builder pushes no predicates, so Spark never offers a filtered
+  // aggregate here). The hook is None on time-travel handles — a
+  // pinned version's counts must not come from head stats.
+  private var cachedCount: Option[Option[Long]] = None
+  private var pushedCount: Option[Long] = None
+
+  private def countOf(): Option[Long] = {
+    if (cachedCount.isEmpty) cachedCount = Some(liveRows.flatMap(_()))
+    cachedCount.get
+  }
+
+  private def countStarOnly(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    liveRows.isDefined && agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(_.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    countStarOnly(agg) && countOf().isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    if (!countStarOnly(agg)) return false
+    countOf() match {
+      case Some(n) => pushedCount = Some(n); true
+      case None => false
+    }
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    pushedCount.foreach { n =>
+      val schema = StructType(Seq(
+        StructField("count_star", LongType, nullable = false)))
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](n)))
+        override def description(): String =
+          s"GraftDvCountScan($n)"
+        override def toString: String = description()
+      }
+    }
     new org.apache.spark.sql.connector.read.V1Scan {
       override def readSchema(): StructType = scanSchema
       override def toV1TableScan[
@@ -1257,4 +1320,5 @@ private[graft] class DvV1ScanBuilder(
             reader().rdd
         }).asInstanceOf[T]
     }
+  }
 }

@@ -95,7 +95,20 @@ object DvColumnarRead extends Rule[LogicalPlan] with PredicateHelper {
     case _ => rewrite(plan)
   }
 
-  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  /** Manual recursion (NOT transformDown — descent must stop at the
+    * bare-count guard): substitution happens at the relation shapes,
+    * everything else recurses into children.
+    */
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    // `SELECT count(*) FROM dv_table` stays UNSUBSTITUTED: the V1
+    // builder answers it from the log (Σ rows − dv_card — see
+    // DvV1ScanBuilder's aggregate lane), which beats the columnar
+    // anti-join read by the whole scan. Any other aggregate, any
+    // filter, any grouping takes the normal substitution below.
+    case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.isEmpty &&
+          a.aggregateExpressions.forall(_.references.isEmpty) &&
+          bareCountStar(a) && isDvRelation(a.child) => a
     case f @ Filter(cond, r: DataSourceV2Relation) =>
       infoOf(r.table)
         .flatMap(substitute(r.output, _, splitConjunctivePredicates(cond)))
@@ -109,6 +122,31 @@ object DvColumnarRead extends Rule[LogicalPlan] with PredicateHelper {
     case s: DataSourceV2ScanRelation =>
       infoOf(s.relation.table)
         .flatMap(substitute(s.output, _, Nil)).getOrElse(s)
+    case other => other.mapChildren(rewrite)
+  }
+
+  private def bareCountStar(
+      a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Boolean = {
+    val aggs = a.aggregateExpressions.flatMap(_.collect {
+      case e: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression => e
+    })
+    aggs.nonEmpty && aggs.forall { e =>
+      !e.isDistinct && (e.aggregateFunction match {
+        case c: org.apache.spark.sql.catalyst.expressions.aggregate
+            .Count => c.children.forall(_.foldable)
+        case _ => false
+      })
+    }
+  }
+
+  private def isDvRelation(plan: LogicalPlan): Boolean = plan match {
+    // column pruning interposes a (often empty) Project under the
+    // count — transparent for a row-count
+    case p: Project => isDvRelation(p.child)
+    case r: DataSourceV2Relation => infoOf(r.table).isDefined
+    case s: DataSourceV2ScanRelation => infoOf(s.relation.table).isDefined
+    case _ => false
   }
 
   /** The DV-aware logical plan, output-aliased to the relation's own

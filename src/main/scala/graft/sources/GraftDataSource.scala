@@ -313,6 +313,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         if (pin.isDefined) None else Some(mtf.fileRowCounts),
       perFileRanges =
         if (pin.isDefined) None else Some(mtf.fileColumnRanges),
+      dvLiveRows =
+        if (pin.isDefined || !hasDv) None
+        else Some(() => mtf.rowCountOf(files)),
       streamWrite =
         if (pin.isDefined) None
         else Some { inf =>

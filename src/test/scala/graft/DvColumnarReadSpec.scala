@@ -224,6 +224,45 @@ class DvColumnarReadSpec extends SparkSpec {
       == 31)
   }
 
+  test("COUNT(*) on a DV'd table is metadata-only: one LocalScan row " +
+      "from rows − dv_card, no files read; filters and time travel " +
+      "keep the scanning paths") {
+    val wh = freshWh()
+    dvTable(wh)
+    val cat = catFor(wh, "dvcol6")
+
+    val q = spark.sql(s"SELECT count(*) AS n FROM $cat.t")
+    assert(q.head().getLong(0) == 32)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") ||
+      plan.contains("GraftDvCountScan"),
+      s"DV count(*) must plan a LocalScan:\n$plan")
+    assert(!plan.contains("FileScan") &&
+      !plan.contains("RowDataSourceScan"),
+      s"DV count(*) must read NO files:\n$plan")
+
+    // count moves with further DV deletes (live = rows − dv_card)
+    val mtf = new ManifestTableFormat(spark, s"$wh/t",
+      new ChunkStore(spark, s"$wh/t",
+        format = ManifestTableFormat.factory).schema)
+    mtf.deleteWhereDv(col("page_number") === 5)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0)
+      == 28)
+
+    // a FILTER keeps the real (columnar) read; results exact
+    val qf = spark.sql(
+      s"SELECT count(*) FROM $cat.t WHERE page_number = 2")
+    assert(qf.head().getLong(0) == 4)
+    assert(!qf.queryExecution.executedPlan.toString
+      .contains("GraftDvCountScan"))
+
+    // time travel never counts from head stats (vectors drifted since)
+    val vBefore = mtf.version - 1
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.t VERSION AS OF $vBefore")
+      .head().getLong(0) == 32)
+  }
+
   test("time-travel to a DV'd version takes the columnar path and " +
       "applies exactly that version's vectors") {
     val wh = freshWh()
