@@ -1039,7 +1039,10 @@ class ManifestTableFormat(
       val parts = math.max(1L,
         stats.count() / ManifestTableFormat.statsPerManifestPart).toInt
       stats.repartition(parts).write.parquet(tmp.toString)
-      if (!(!f.exists(target) && f.rename(tmp, target)))
+      // directory publish through the same seam: a lost race is sound
+      // here (checkpoint content is deterministic per version), but an
+      // UNREGISTERED scheme still refuses — same policy as commits
+      if (!commitPublisher.putDirIfAbsent(f, tmp, target))
         f.delete(tmp, true)
     } catch {
       case e: Throwable => f.delete(tmp, true); throw e
@@ -1059,29 +1062,27 @@ class ManifestTableFormat(
     val out = f.create(tmp, false)
     try out.write(actions.map(renderAction).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // The commit is an atomic publish of `tmp` at `target`:
-    //  - local filesystems: hard-link-if-absent — POSIX link(2) FAILS
-    //    if the target exists, so two writers racing the same version
-    //    get exactly one winner (rename would silently OVERWRITE on
-    //    POSIX; the old exists pre-check left a two-writer window,
-    //    closed here — pinned by the cross-process race test).
-    //  - HDFS-class stores: rename-if-absent (rename fails onto an
-    //    existing destination there — a true check-and-commit).
-    //  - S3-class stores substitute a conditional put (same contract
-    //    as Delta's LogStore requirement).
-    val won =
-      if (f.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else !f.exists(target) && f.rename(tmp, target)
+    // The commit is an atomic publish of `tmp` at `target`, delegated
+    // to the scheme's registered [[CommitPublisher]] (link(2)-if-absent
+    // local, rename-if-absent HDFS-class, LOUD REFUSAL on schemes
+    // without a registered conditional-put publisher — see the trait's
+    // doc for why exists+rename on S3-class stores is a lost-commit
+    // race, not a fallback). Pinned by the cross-process race tests
+    // and the seam race/refusal tests in ManifestFormatSpec.
+    val won = commitPublisher.putFileIfAbsent(f, tmp, target)
     f.delete(tmp, false) // link published a second name; tmp always goes
     won
+  }
+
+  /** The publish primitive for this table's store, resolved from the
+    * table path's URI scheme (falling back to the FileSystem's scheme
+    * for scheme-less local paths). Resolved per call so a publisher
+    * registered after the table handle was built is still honored.
+    */
+  private def commitPublisher: CommitPublisher = {
+    val scheme = Option(new Path(path).toUri.getScheme)
+      .getOrElse(fs.getScheme)
+    CommitPublisher.forScheme(scheme)
   }
 
   // ---- data files --------------------------------------------------
