@@ -96,7 +96,7 @@ object Bench {
     // so every round's complete per-query map survives on disk.
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/root/repo/BENCH_full_latest.json")
+        "BENCH_full_latest.json") // relative to the working directory
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
     } catch {

@@ -216,10 +216,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         perFileRanges =
           if (asOf.isDefined) None else Some(mtf.fileColumnRanges),
         // metadata COUNT(*) on a DV'd HEAD snapshot (pinned versions
-        // must not count from head stats)
+        // must not count from head stats). Live count = immutable
+        // total rows − the DV cardinalities PINNED AT RESOLUTION, so
+        // a DV delete landing between resolution and execution cannot
+        // make count(*) on a held DataFrame disagree with collect()
+        // on the same handle.
         dvLiveRows =
           if (asOf.isDefined || !hasDv) None
-          else Some(() => mtf.rowCountOf(files)),
+          else {
+            val pinnedDvCard = filesDv.flatMap(_._2).map(_.card).sum
+            Some(() => mtf.totalRowsOf(files).map(_ - pinnedDvCard))
+          },
         // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
         // snapshots only; time travel is frozen history
         streamWrite =

@@ -87,10 +87,25 @@ object DvColumnarRead extends Rule[LogicalPlan] with PredicateHelper {
     case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
       w.withNewQuery(rewrite(w.query))
     case c: org.apache.spark.sql.catalyst.plans.logical.Command =>
-      c.mapChildren {
-        case r: DataSourceV2Relation => r
-        case s: DataSourceV2ScanRelation => s
-        case other => rewrite(other)
+      // only the row-level DML commands route a child relation as
+      // their TARGET; everything else's relation children are genuine
+      // reads (CTAS whose query collapsed to the bare relation, a
+      // MERGE source that IS a bare DV'd relation) and must not pay
+      // the V1 row fallback — so the exemption names the exact target
+      // positions instead of sparing every bare relation child
+      val targets: Seq[LogicalPlan] = c match {
+        case d: org.apache.spark.sql.catalyst.plans.logical
+            .DeleteFromTable => Seq(d.table)
+        case u: org.apache.spark.sql.catalyst.plans.logical
+            .UpdateTable => Seq(u.table)
+        case m: org.apache.spark.sql.catalyst.plans.logical
+            .MergeIntoTable => Seq(m.targetTable)
+        case _ => Seq.empty
+      }
+      // reference equality: a self-merge's source is structurally
+      // equal to the target but is still a genuine read
+      c.mapChildren { child =>
+        if (targets.exists(_ eq child)) child else rewrite(child)
       }
     case _ => rewrite(plan)
   }

@@ -3119,6 +3119,29 @@ class ManifestTableFormat(
     else None
   }
 
+  /** TOTAL recorded rows of `files` (no DV subtraction) — a per-file
+    * row count is immutable for the file's whole life, so this is safe
+    * to answer from the HEAD stats frame even for a file list pinned
+    * at an earlier resolution: the caller subtracts ITS pinned DV
+    * cardinalities to get the live count AS OF resolution, immune to
+    * concurrent DV churn (the time-travel-skew carve-out, applied to
+    * the resolution-to-execution window). Fail-open (`None`) when any
+    * asked file has since been vacuumed or lacks an exact count.
+    */
+  def totalRowsOf(files: Seq[String]): Option[Long] = {
+    if (files.isEmpty) return Some(0L)
+    import spark.implicits._
+    val agg = statsFrame(snapshot())
+      .join(files.toDF("file"), Seq("file"), "left_semi")
+      .agg(count(lit(1)).as("files"), sum(col("rows")).as("rows"),
+        count("rows").as("rows_known"))
+      .collect().head
+    if (agg.getLong(0) == files.size && agg.getLong(2) == agg.getLong(0)
+        && !agg.isNullAt(1))
+      Some(agg.getLong(1))
+    else None
+  }
+
   def rowCountOf(files: Seq[String]): Option[Long] = {
     if (files.isEmpty) return Some(0L)
     import spark.implicits._

@@ -313,9 +313,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         if (pin.isDefined) None else Some(mtf.fileRowCounts),
       perFileRanges =
         if (pin.isDefined) None else Some(mtf.fileColumnRanges),
+      // live count from resolution-pinned DV cardinalities (see the
+      // catalog twin): immune to DV churn in the plan's lifetime
       dvLiveRows =
         if (pin.isDefined || !hasDv) None
-        else Some(() => mtf.rowCountOf(files)),
+        else {
+          val pinnedDvCard = filesDv.flatMap(_._2).map(_.card).sum
+          Some(() => mtf.totalRowsOf(files).map(_ - pinnedDvCard))
+        },
       streamWrite =
         if (pin.isDefined) None
         else Some { inf =>

@@ -119,6 +119,33 @@ class DeletionVectorSpec extends SparkSpec {
       == Set("doc://0008"))
   }
 
+  test("metadata COUNT(*) on a held DV handle is pinned at resolution: " +
+      "a concurrent DV delete cannot skew it against collect()") {
+    val wh = Files.createTempDirectory("graft-dvpin").toString
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(rows(0 until 40))
+    val cat = "dvpincat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try {
+      spark.sql(s"DELETE FROM $cat.t WHERE page_number = 7") // 36 live
+      // resolve a handle NOW — its files + DV pairs pin here
+      val held = spark.table(s"$cat.t")
+      // concurrent DV delete lands between resolution and execution
+      spark.sql(s"DELETE FROM $cat.t WHERE page_number = 3") // 32 live
+      // the held handle's metadata count must agree with its own
+      // collect() (the resolution-time snapshot), not the new head
+      assert(held.count() == held.collect().length.toLong)
+      assert(held.count() == 36,
+        "held DV handle must count its pinned snapshot, not HEAD")
+      // a fresh handle sees the head
+      assert(spark.table(s"$cat.t").count() == 32)
+    } finally spark.conf.unset("spark.graft.deletionVectors")
+  }
+
   test("document-keyed DV delete: the A20 delete shape goes " +
       "merge-on-read under the conf (bloom candidates, position " +
       "tombstones, no rewrite) — including the SQL url fast lane") {

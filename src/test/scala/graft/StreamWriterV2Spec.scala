@@ -230,6 +230,52 @@ class StreamWriterV2Spec extends SparkSpec {
     assert(store.read().count() == 3)
   }
 
+  test("EXISTING-table toTable lane: streaming epochs range-cluster " +
+      "on the table's recorded partition columns (value-contiguous " +
+      "staged files)") {
+    // The bootstrap-lane clustering pin above goes through
+    // GraftDataSource's eager write; THIS lane goes through the
+    // catalog WriteBuilder, whose RequiresDistributionAndOrdering
+    // delegates to the streaming write built by toStreaming — an
+    // ordering V2Writes happens to guarantee in Spark 4.1.2 but no
+    // contract does. If a Spark upgrade reorders the rule and
+    // clustering silently drops, these files stop being
+    // single-valued and this test fails loudly.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = fresh()
+    spark.conf.set("spark.sql.catalog.swv2c",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.swv2c.warehouse", root)
+    spark.sql("CREATE TABLE swv2c.pt (k INT, v STRING) " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('format'='manifest')")
+
+    val input = MemoryStream[(Int, String)]
+    // 12 rows over 3 distinct k, interleaved so an unclustered write
+    // would stage multi-valued files with near-certainty
+    input.addData((0 until 12).map(i => (i % 3, s"v$i")): _*)
+    val q = input.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("swv2c.pt")
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+
+    assert(spark.sql("SELECT count(*) FROM swv2c.pt").head().getLong(0)
+      == 12)
+    // live files from the manifest itself (a catalog-table scan's
+    // inputFiles is empty by design — DSv2 wrapper)
+    val mtf = new ManifestTableFormat(spark, s"$root/pt",
+      spark.table("swv2c.pt").schema)
+    val perFile = mtf.liveFilesWithDv.map(_._1).map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).head()
+      (r.getInt(0), r.getInt(1))
+    }
+    assert(perFile.size >= 3, s"expected >=3 clustered files: $perFile")
+    assert(perFile.forall { case (lo, hi) => lo == hi },
+      "staged files must be value-contiguous under streaming range " +
+        s"clustering: $perFile")
+  }
+
   test("writeStream.toTable onto a catalog manifest table (V2-only " +
       "surface) — exactly-once, CHECK constraints enforce on the " +
       "staged batch") {
