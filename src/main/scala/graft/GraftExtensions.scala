@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (FunctionIdentifier(name), new ExpressionInfo("graft", name), builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.PrenormalizeCosine)
+    // BEFORE DvColumnarRead: the filtered metadata-COUNT fold must
+    // see the bare relation in the same batch pass, or the DV
+    // substitution dissolves the match
+    ext.injectOptimizerRule(_ => graft.plans.MetadataFilteredCount)
     // operator-optimization seat: sees the un-converted
     // DataSourceV2Relation, so the substituted DV plan gets the full
     // pushdown/pruning/codegen treatment from the remaining passes

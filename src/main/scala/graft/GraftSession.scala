@@ -56,6 +56,10 @@ object GraftSession {
     // relation (still vectorized + codegen'd; sessions built via
     // GraftSession.builder get the early extension seat instead, and
     // the substitution there is a no-op here by idempotence)
+    val extraMc = spark.experimental.extraOptimizations
+    if (!extraMc.contains(graft.plans.MetadataFilteredCount))
+      spark.experimental.extraOptimizations =
+        extraMc :+ graft.plans.MetadataFilteredCount
     val extra2 = spark.experimental.extraOptimizations
     if (!extra2.contains(graft.plans.DvColumnarRead))
       spark.experimental.extraOptimizations =

@@ -199,10 +199,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         truncateHook =
           if (asOf.isDefined) None else Some(() => mtf.truncate()),
         dvInfo =
-          if (hasDv) Some(graft.plans.DvScanInfo(
-            filesDv, tblSchema, mtf.readPinned(_, tblSchema),
-            mtf.pruneFilesForScan(files, _)))
-          else None,
+          if (hasDv) {
+            val pinnedDv = filesDv.collect {
+              case (f, Some(dv)) => f -> dv.card }.toMap
+            Some(graft.plans.DvScanInfo(
+              filesDv, tblSchema, mtf.readPinned(_, tblSchema),
+              mtf.pruneFilesForScan(files, _),
+              // TopN/LIMIT pair pruning: immutable per-file stats
+              // from the head frame, dvCard from the PINNED refs
+              ranges = Some(phys =>
+                mtf.fileColumnRanges(files, phys).map(_.map(r =>
+                  r.copy(dvCard = pinnedDv.getOrElse(r.file, 0L))))),
+              liveRows = Some(() =>
+                mtf.fileTotalRowCounts(files).map(_.map {
+                  case (f, n) => f -> (n - pinnedDv.getOrElse(f, 0L))
+                }))))
+          } else None,
         // numRows for the planned file list, answered from the log —
         // the CBO's row estimate next to FileScan's byte estimate
         rowsOf = Some(mtf.rowCountOf),
@@ -227,6 +239,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             val pinnedDvCard = filesDv.flatMap(_._2).map(_.card).sum
             Some(() => mtf.totalRowsOf(files).map(_ - pinnedDvCard))
           },
+        // filtered metadata COUNT: files + DV cardinalities pinned at
+        // resolution; all other stats consulted are immutable per
+        // file, so the lane is exact even for time-travel handles
+        metaCounts = {
+          val pinnedDv = filesDv.collect {
+            case (f, Some(dv)) => f -> dv.card }.toMap
+          Some((probes, targets) =>
+            mtf.filteredCounts(files, pinnedDv, probes, targets))
+        },
         // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
         // snapshots only; time travel is frozen history
         streamWrite =
@@ -1008,7 +1029,10 @@ private[graft] class GraftTable(
       org.apache.spark.sql.connector.write.LogicalWriteInfo =>
         org.apache.spark.sql.connector.write.streaming.StreamingWrite] =
       None,
-    dvLiveRows: Option[() => Option[Long]] = None)
+    dvLiveRows: Option[() => Option[Long]] = None,
+    metaCounts: Option[
+      (Seq[graft.sink.ManifestTableFormat.ExactProbe],
+        Seq[Option[String]]) => Option[Seq[Long]]] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -1131,6 +1155,15 @@ private[graft] class GraftTable(
     * defined exactly when this table pins a DELETION-VECTOR snapshot.
     */
   private[graft] def dvScanInfo: Option[graft.plans.DvScanInfo] = dvInfo
+
+  /** The filtered metadata-COUNT hook ([[graft.plans
+    * .MetadataFilteredCount]]): probes + COUNT targets → log-answered
+    * counts, boundary files scanned inside. Resolution-pinned file
+    * list and DV cardinalities — exact for this handle's snapshot.
+    */
+  private[graft] def metaCountsOf: Option[
+    (Seq[graft.sink.ManifestTableFormat.ExactProbe],
+      Seq[Option[String]]) => Option[Seq[Long]]] = metaCounts
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = dvInfo match {

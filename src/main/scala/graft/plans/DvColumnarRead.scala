@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.Table
@@ -21,7 +21,17 @@ final case class DvScanInfo(
     pairs: Seq[(String, Option[ManifestTableFormat.DvRef])],
     schema: StructType,
     read: Seq[(String, Option[ManifestTableFormat.DvRef])] => DataFrame,
-    pruner: Seq[ManifestTableFormat.StatsProbe] => Option[Seq[String]])
+    pruner: Seq[ManifestTableFormat.StatsProbe] => Option[Seq[String]],
+    /** Per-file column ranges for the pinned pair list (physical
+      * column name), with `dvCard` taken from the PINNED DvRefs —
+      * the TopN pair-pruning gauge. None = stats unavailable.
+      */
+    ranges: Option[String =>
+      Option[Seq[ManifestTableFormat.FileRange]]] = None,
+    /** Per-file LIVE row counts (total − pinned DV cardinality) for
+      * the pinned pair list — the bare-LIMIT pair-pruning gauge.
+      */
+    liveRows: Option[() => Option[Map[String, Long]]] = None)
 
 /** Kills the DELETION-VECTOR read tax: a DV'd manifest snapshot loaded
   * through the DSv2 seam would otherwise read via the `V1Scan`
@@ -124,6 +134,29 @@ object DvColumnarRead extends Rule[LogicalPlan] with PredicateHelper {
         if a.groupingExpressions.isEmpty &&
           a.aggregateExpressions.forall(_.references.isEmpty) &&
           bareCountStar(a) && isDvRelation(a.child) => a
+    // TopN over a DV'd relation: files whose LIVE rows provably sort
+    // after the top k are dropped from the pair list BEFORE the
+    // anti-join plan is built — the DV twin of
+    // ManifestStatsScanBuilder.pushTopN, sharing its threshold
+    // arithmetic (topNKeepFiles with live lower bounds). Sort + Limit
+    // stay above; exactness is theirs.
+    case gl @ org.apache.spark.sql.catalyst.plans.logical.GlobalLimit(
+        Literal(n: Int, _),
+        ll @ org.apache.spark.sql.catalyst.plans.logical.LocalLimit(_,
+          srt @ org.apache.spark.sql.catalyst.plans.logical.Sort(
+            orders, true, inner, _))) =>
+      topNSubstitute(n, orders, inner)
+        .map(ni => gl.copy(child = ll.copy(child = srt.copy(child = ni))))
+        .getOrElse(gl.mapChildren(rewrite))
+    // bare LIMIT: plan the smallest pair-list prefix whose live
+    // counts cover n (an un-predicated LIMIT may take ANY n rows)
+    case gl @ org.apache.spark.sql.catalyst.plans.logical.GlobalLimit(
+        Literal(n: Int, _),
+        ll @ org.apache.spark.sql.catalyst.plans.logical.LocalLimit(
+          _, inner)) =>
+      limitSubstitute(n, inner)
+        .map(ni => gl.copy(child = ll.copy(child = ni)))
+        .getOrElse(gl.mapChildren(rewrite))
     case f @ Filter(cond, r: DataSourceV2Relation) =>
       infoOf(r.table)
         .flatMap(substitute(r.output, _, splitConjunctivePredicates(cond)))
@@ -162,6 +195,85 @@ object DvColumnarRead extends Rule[LogicalPlan] with PredicateHelper {
     case r: DataSourceV2Relation => infoOf(r.table).isDefined
     case s: DataSourceV2ScanRelation => infoOf(s.relation.table).isDefined
     case _ => false
+  }
+
+  /** Both relation shapes with a DV table behind them. */
+  private object DvRel {
+    def unapply(p: LogicalPlan): Option[(Seq[Attribute], DvScanInfo)] =
+      p match {
+        case r: DataSourceV2Relation =>
+          infoOf(r.table).map((r.output, _))
+        case s: DataSourceV2ScanRelation =>
+          infoOf(s.relation.table).map((s.output, _))
+        case _ => None
+      }
+  }
+
+  /** The TopN pair-pruned substitution, or None (fall through to the
+    * generic rewrite). Descends through attribute-only Projects; the
+    * first sort key must be a stats-ordered column OF THE RELATION
+    * (matched by exprId).
+    */
+  private def topNSubstitute(
+      limit: Int,
+      orders: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder],
+      plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case p: Project if p.projectList.forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .AttributeReference]) =>
+      topNSubstitute(limit, orders, p.child)
+        .map(c => p.copy(child = c))
+    case DvRel(out, info) if limit > 0 =>
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, NullsFirst}
+      for {
+        rangesHook <- info.ranges
+        head <- orders.headOption
+        att <- head.child match {
+          case a: AttributeReference => Some(a)
+          case _ => None
+        }
+        if out.exists(_.exprId == att.exprId)
+        field <- info.schema.fields.find(
+          _.name.equalsIgnoreCase(att.name))
+        if StatsProbes.statsOrderedKind(field.dataType) &&
+          !field.dataType.isInstanceOf[
+            org.apache.spark.sql.types.BooleanType]
+        rs <- rangesHook(ManifestTableFormat.physicalName(field))
+        if rs.nonEmpty
+        keep <- ManifestTableFormat.topNKeepFiles(rs, limit,
+          asc = head.direction == Ascending,
+          nullsFirst = head.nullOrdering == NullsFirst)
+        if keep.size < info.pairs.size
+        sub <- substitute(out,
+          info.copy(pairs = info.pairs.filter(p => keep(p._1))), Nil)
+      } yield sub
+    case _ => None
+  }
+
+  /** The bare-LIMIT pair-prefix substitution, or None. */
+  private def limitSubstitute(
+      limit: Int, plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case p: Project if p.projectList.forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .AttributeReference]) =>
+      limitSubstitute(limit, p.child).map(c => p.copy(child = c))
+    case DvRel(out, info) if limit > 0 =>
+      for {
+        liveHook <- info.liveRows
+        counts <- liveHook()
+        if info.pairs.forall(p => counts.contains(p._1))
+        kept = {
+          var acc = 0L
+          info.pairs.takeWhile { p =>
+            val take = acc < limit
+            acc += counts(p._1)
+            take
+          }
+        }
+        if kept.size < info.pairs.size
+        sub <- substitute(out, info.copy(pairs = kept), Nil)
+      } yield sub
+    case _ => None
   }
 
   /** The DV-aware logical plan, output-aliased to the relation's own

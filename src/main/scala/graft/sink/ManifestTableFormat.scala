@@ -3,9 +3,10 @@ package graft.sink
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
 
 import graft.ops.Layout
+import graft.sink.ManifestTableFormat.{ExactCmp, ExactNull, ExactProbe}
 
 /** A manifest-committing [[TableFormat]] — the Delta/Iceberg commit
   * model in miniature, implemented on plain parquet + one numbered
@@ -2243,46 +2244,246 @@ class ManifestTableFormat(
       case Some(Nil) => Seq.empty
       case Some(ps) =>
         import spark.implicits._
-        val dec = DecimalType(38, 18)
         val st = statsFrame(snap)
           .join(names.toDF("file"), Seq("file"), "left_semi")
-        def statVal(arr: String, name: String): Column = {
-          val pos = array_position(col("cs_names"), name).cast("int")
-          when(pos > 0 && element_at(col("cs_valid"), pos) === 1,
-            element_at(col(arr), pos))
-        }
-        def nullsOf(name: String): Column = {
-          val pos = array_position(col("cs_names"), name).cast("int")
-          when(pos > 0, element_at(col("cs_nn"), pos))
-        }
-        def closed(c: Column): Column = coalesce(c, lit(false))
-        val proof = ps.map {
-          case ExactCmp(c, op, v, exactGrid) =>
-            val loS = statVal("cs_lo", c).try_cast(dec)
-            val hiS = statVal("cs_hi", c).try_cast(dec)
-            val l = lit(v).try_cast(dec)
-            // the canonical-string grid is monotone (a<=b ⇒ g(a)<=g(b))
-            // but not injective for float kinds: STRICT grid
-            // inequality proves strict value inequality everywhere;
-            // grid equality proves value bounds only on exact-grid
-            // kinds (integral/date/timestamp/boolean)
-            val cmp = op match {
-              case "lt" => hiS < l
-              case "le" => if (exactGrid) hiS <= l else hiS < l
-              case "gt" => loS > l
-              case "ge" => if (exactGrid) loS >= l else loS > l
-              case "eq" =>
-                if (exactGrid) loS === l && hiS === l else lit(false)
-            }
-            closed(cmp) && closed(nullsOf(c) === 0L)
-          case ExactNull(c, true) =>
-            closed(nullsOf(c) === col("rows"))
-          case ExactNull(c, false) =>
-            closed(nullsOf(c) === 0L)
-        }.reduce(_ && _)
-        st.filter(proof && col("rows").isNotNull && col("rows") > 0)
+        st.filter(allMatchProof(ps) &&
+            col("rows").isNotNull && col("rows") > 0)
           .select("file").collect().map(_.getString(0)).toSeq.sorted
     }
+  }
+
+  // ---- exact-probe proof predicates over the stats frame ----------
+  // Shared by the metadata-only DELETE lane (fullMatchFiles) and the
+  // filtered log-answered COUNT lane (filteredCounts). All proofs are
+  // FAIL-CLOSED: an absent/invalid stat coalesces to "not proven".
+
+  private def statVal(arr: String, name: String): Column = {
+    val pos = array_position(col("cs_names"), name).cast("int")
+    when(pos > 0 && element_at(col("cs_valid"), pos) === 1,
+      element_at(col(arr), pos))
+  }
+  private def nullsOf(name: String): Column = {
+    val pos = array_position(col("cs_names"), name).cast("int")
+    when(pos > 0, element_at(col("cs_nn"), pos))
+  }
+  private def closedProof(c: Column): Column = coalesce(c, lit(false))
+
+  /** "EVERY row of the file satisfies the conjunction" — provable
+    * from stats alone.
+    */
+  private def allMatchProof(ps: Seq[ExactProbe]): Column = {
+    val dec = DecimalType(38, 18)
+    ps.map {
+      case ExactCmp(c, op, v, exactGrid) =>
+        val loS = statVal("cs_lo", c).try_cast(dec)
+        val hiS = statVal("cs_hi", c).try_cast(dec)
+        val l = lit(v).try_cast(dec)
+        // the canonical-string grid is monotone (a<=b ⇒ g(a)<=g(b))
+        // but not injective for float kinds: STRICT grid
+        // inequality proves strict value inequality everywhere;
+        // grid equality proves value bounds only on exact-grid
+        // kinds (integral/date/timestamp/boolean)
+        val cmp = op match {
+          case "lt" => hiS < l
+          case "le" => if (exactGrid) hiS <= l else hiS < l
+          case "gt" => loS > l
+          case "ge" => if (exactGrid) loS >= l else loS > l
+          case "eq" =>
+            if (exactGrid) loS === l && hiS === l else lit(false)
+        }
+        closedProof(cmp) && closedProof(nullsOf(c) === 0L)
+      case ExactNull(c, true) =>
+        closedProof(nullsOf(c) === col("rows"))
+      case ExactNull(c, false) =>
+        closedProof(nullsOf(c) === 0L)
+    }.reduce(_ && _)
+  }
+
+  /** "NO row of the file satisfies the conjunction" — provable when
+    * ANY conjunct is provably false for every row. For a comparison
+    * conjunct, rows where the column is NULL fail it automatically
+    * (three-valued WHERE), so an all-null column also proves the
+    * file out. Mirrors [[allMatchProof]]'s grid-monotonicity rules:
+    * strict grid inequality proves strict value inequality on every
+    * kind; non-strict needs an exact (injective) grid.
+    */
+  private def noneMatchProof(ps: Seq[ExactProbe]): Column = {
+    val dec = DecimalType(38, 18)
+    ps.map {
+      case ExactCmp(c, op, v, exactGrid) =>
+        val loS = statVal("cs_lo", c).try_cast(dec)
+        val hiS = statVal("cs_hi", c).try_cast(dec)
+        val l = lit(v).try_cast(dec)
+        val failAll = op match {
+          // col < v fails everywhere iff min ≥ v
+          case "lt" => if (exactGrid) loS >= l else loS > l
+          // col ≤ v fails everywhere iff min > v
+          case "le" => loS > l
+          // col > v fails everywhere iff max ≤ v
+          case "gt" => if (exactGrid) hiS <= l else hiS < l
+          // col ≥ v fails everywhere iff max < v
+          case "ge" => hiS < l
+          // col = v fails everywhere iff v outside [min, max]
+          case "eq" => loS > l || hiS < l
+        }
+        closedProof(failAll) ||
+          closedProof(nullsOf(c) === col("rows"))
+      case ExactNull(c, true) =>
+        closedProof(nullsOf(c) === 0L)
+      case ExactNull(c, false) =>
+        closedProof(nullsOf(c) === col("rows"))
+    }.reduce(_ || _)
+  }
+
+  /** Filtered log-answered COUNT — the fusion of the metadata-only
+    * DELETE lane's exact proofs with the log-answered aggregate lane:
+    * for `COUNT(*)`/`COUNT(col)` under an exactly-probed predicate,
+    * files whose stats PROVE every row matches contribute their
+    * log-recorded counts, files proven to match nothing contribute 0,
+    * and only the BOUNDARY files (straddling a predicate bound) are
+    * read — with the predicate applied — in one narrow planning job.
+    * On a time-clustered 10⁷-file table, `COUNT(*) WHERE ts < cutoff`
+    * reads a handful of boundary files instead of every file.
+    *
+    * `targets`: one entry per COUNT in the aggregation — `None` for
+    * `COUNT(*)`, `Some(physCol)` for `COUNT(col)`. Returns the counts
+    * in target order, or `None` (fail-open to the normal scan) when:
+    * any probe column lacks usable stats everywhere it matters, a
+    * boundary file carries a pinned deletion vector (the raw read
+    * would count deleted rows), a `COUNT(col)` touches a DV'd or
+    * stats-less file, any asked file has no stats row (vacuumed /
+    * foreign), or the boundary exceeds [[ManifestTableFormat
+    * .maxMetaCountBoundary]] of the list (past that, the normal lazy
+    * scan with full cluster parallelism beats a planning-time job).
+    *
+    * `pinnedDv`: the caller's RESOLUTION-TIME deletion-vector
+    * cardinalities (empty map = none). All other stats consulted
+    * (rows, per-column bounds/null counts) are immutable for a file's
+    * life, so answering from the HEAD stats frame is exact even for a
+    * pinned older file list — the same carve-out as `dvLiveRows`.
+    */
+  def filteredCounts(
+      files: Seq[String],
+      pinnedDv: Map[String, Long],
+      probes: Seq[ExactProbe],
+      targets: Seq[Option[String]]): Option[Seq[Long]] = {
+    if (probes.isEmpty || targets.isEmpty) return None
+    if (files.isEmpty) return Some(targets.map(_ => 0L))
+    import spark.implicits._
+    val snap = snapshot()
+    val countCols = targets.flatten.distinct
+    val nnSelects = countCols.zipWithIndex.map { case (c, i) =>
+      nullsOf(c).as(s"nn_$i") }
+    val got = statsFrame(snap)
+      .join(files.toDF("file"), Seq("file"), "left_semi")
+      .select(Seq(col("file"), col("rows"),
+        allMatchProof(probes).as("all_m"),
+        noneMatchProof(probes).as("none_m")) ++ nnSelects: _*)
+      .collect()
+    if (got.length != files.size) return None
+
+    val anyColTarget = countCols.nonEmpty
+    var provenStar = 0L
+    val provenCol = scala.collection.mutable.Map[String, Long]()
+    val boundary = Seq.newBuilder[String]
+    var nBoundary = 0L
+    got.foreach { r =>
+      val file = r.getString(0)
+      val dv = pinnedDv.getOrElse(file, 0L)
+      val noneM = !r.isNullAt(3) && r.getBoolean(3)
+      val allM = !r.isNullAt(2) && r.getBoolean(2)
+      if (!noneM) {
+        if (allM && !r.isNullAt(1)) {
+          val rows = r.getLong(1)
+          provenStar += rows - dv
+          countCols.zipWithIndex.foreach { case (c, i) =>
+            // COUNT(col) over a proven file needs its exact null
+            // count AND no DV (live null split is unknowable)
+            if (dv != 0L || r.isNullAt(4 + i)) return None
+            provenCol(c) = provenCol.getOrElse(c, 0L) +
+              (rows - r.getLong(4 + i))
+          }
+        } else {
+          if (dv != 0L) return None // raw read would count deleted rows
+          boundary += file
+          nBoundary += 1
+        }
+      }
+    }
+    val bFiles = boundary.result()
+    if (nBoundary > math.max(ManifestTableFormat.maxMetaCountBoundary,
+        files.size / 16)) return None
+
+    val (bStar, bCol) =
+      if (bFiles.isEmpty) (0L, Map.empty[String, Long])
+      else {
+        val fieldsByPhys = snap.tableSchema.fields
+          .map(f => ManifestTableFormat.physicalName(f) -> f).toMap
+        val probeCols = probes.map {
+          case ExactCmp(c, _, _, _) => c
+          case ExactNull(c, _) => c
+        }
+        val needed = (probeCols ++ countCols).distinct
+        if (!needed.forall(fieldsByPhys.contains)) return None
+        val readSchema = StructType(needed.map { p =>
+          val f = fieldsByPhys(p)
+          StructField(p, f.dataType, f.nullable)
+        })
+        val pred = probes.map(probeColumn(_, fieldsByPhys))
+          .reduceOption((a, b) => a.flatMap(x => b.map(x && _)))
+          .flatten.getOrElse(return None)
+        val aggs = count(lit(1)).as("star") +:
+          countCols.zipWithIndex.map { case (c, i) =>
+            count(col(s"`$c`")).as(s"c_$i") }
+        val row = spark.read.schema(readSchema).parquet(bFiles: _*)
+          .filter(pred).agg(aggs.head, aggs.tail: _*).collect().head
+        (row.getLong(0),
+          countCols.zipWithIndex.map { case (c, i) =>
+            c -> row.getLong(1 + i) }.toMap)
+      }
+    ManifestTableFormat.lastMetaCountSplit =
+      (files.size - nBoundary, nBoundary)
+    Some(targets.map {
+      case None => provenStar + bStar
+      case Some(c) =>
+        provenCol.getOrElse(c, 0L) + bCol.getOrElse(c, 0L)
+    })
+  }
+
+  /** The EXACT re-execution of one probe over raw file rows — the
+    * literal reconstructed at the column's own type from the same
+    * canonical rendering the probe was extracted with, so the
+    * boundary read evaluates precisely the predicate Spark would.
+    * `None` when the value does not parse back (corrupt marker —
+    * fail open).
+    */
+  private def probeColumn(p: ExactProbe,
+      fieldsByPhys: Map[String, StructField]): Option[Column] = p match {
+    case ExactNull(c, isNull) =>
+      Some(if (isNull) col(s"`$c`").isNull else col(s"`$c`").isNotNull)
+    case ExactCmp(c, op, v, _) =>
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+      val dt = fieldsByPhys.get(c).map(_.dataType).getOrElse(return None)
+      val litE = scala.util.Try(dt match {
+        case _: IntegerType | _: DateType => CLit(v.toInt, dt)
+        case _: LongType | _: TimestampType => CLit(v.toLong, dt)
+        case _: ShortType => CLit(v.toShort, dt)
+        case _: ByteType => CLit(v.toByte, dt)
+        case _: BooleanType => CLit(v == "1", dt)
+        case _: FloatType => CLit(v.toFloat, dt)
+        case _: DoubleType => CLit(v.toDouble, dt)
+        case _ => return None
+      }).toOption.getOrElse(return None)
+      val l = org.apache.spark.sql.graftbridge.Bridge.column(litE)
+      val a = col(s"`$c`")
+      Some(op match {
+        case "lt" => a < l
+        case "le" => a <= l
+        case "gt" => a > l
+        case "ge" => a >= l
+        case "eq" => a === l
+      })
   }
 
   /** SQL `UPDATE t SET … WHERE …` as a copy-on-write commit (the
@@ -3049,15 +3250,18 @@ class ManifestTableFormat(
     * (fail-honest, like [[tableStats]]). One narrow metadata job,
     * bounded by the pinned list the caller already holds.
     */
-  /** Per-file `(live rows, null count, lo, hi)` for one NUMERIC-KIND
-    * column (physical name) — the TopN file-pruning gauge: `ORDER BY
-    * ts LIMIT k` can drop every file whose range provably sorts
-    * after k other rows. Values decode on the same canonical grid
-    * the stats were written in (epoch micros/days for time kinds,
-    * plain decimal otherwise). `None` — the caller's fail-open —
-    * unless EVERY asked file has an exact row count, a zero DV
-    * cardinality (deleted rows would inflate the "provably before"
-    * count), and either a VALID lo/hi slot or a provably all-null
+  /** Per-file `(total rows, null count, lo, hi, dvCard)` for one
+    * NUMERIC-KIND column (physical name) — the TopN file-pruning
+    * gauge: `ORDER BY ts LIMIT k` can drop every file whose range
+    * provably sorts after k other rows. Values decode on the same
+    * canonical grid the stats were written in (epoch micros/days for
+    * time kinds, plain decimal otherwise). DV'd files are ADMITTED
+    * with their cardinality recorded: [[ManifestTableFormat
+    * .topNKeepFiles]] uses live lower bounds, while the log-answered
+    * aggregate lanes refuse any `dvCard != 0` themselves (their
+    * counts/extrema would include deleted rows). `None` — the
+    * caller's fail-open — unless EVERY asked file has an exact row
+    * count and either a VALID lo/hi slot or a provably all-null
     * column (nulls == rows); unparseable bounds (NaN/Infinity) also
     * disqualify.
     */
@@ -3078,7 +3282,7 @@ class ManifestTableFormat(
     val out = Seq.newBuilder[ManifestTableFormat.FileRange]
     got.foreach { r =>
       if (r.isNullAt(1) || r.isNullAt(6)) return None
-      if (!r.isNullAt(2) && r.getLong(2) != 0L) return None
+      val dvCard = if (r.isNullAt(2)) 0L else r.getLong(2)
       val rows = r.getLong(1)
       val nulls = r.getLong(6)
       val valid = !r.isNullAt(3) && r.getInt(3) == 1
@@ -3087,11 +3291,11 @@ class ManifestTableFormat(
         val hi = scala.util.Try(BigDecimal(r.getString(5))).toOption
         if (lo.isEmpty || hi.isEmpty) return None
         out += ManifestTableFormat.FileRange(
-          r.getString(0), rows, nulls, lo, hi)
+          r.getString(0), rows, nulls, lo, hi, dvCard)
       } else if (nulls == rows) {
         // all-null column: no bounds to record, and none needed
         out += ManifestTableFormat.FileRange(
-          r.getString(0), rows, nulls, None, None)
+          r.getString(0), rows, nulls, None, None, dvCard)
       } else return None
     }
     Some(out.result())
@@ -3139,6 +3343,23 @@ class ManifestTableFormat(
     if (agg.getLong(0) == files.size && agg.getLong(2) == agg.getLong(0)
         && !agg.isNullAt(1))
       Some(agg.getLong(1))
+    else None
+  }
+
+  /** Per-file TOTAL recorded rows (no DV subtraction; immutable per
+    * file — see [[totalRowsOf]]). The caller subtracts its own pinned
+    * DV cardinalities. Fail-open `None` unless every asked file has
+    * an exact count.
+    */
+  def fileTotalRowCounts(files: Seq[String]): Option[Map[String, Long]] = {
+    if (files.isEmpty) return Some(Map.empty)
+    import spark.implicits._
+    val rows = statsFrame(snapshot())
+      .join(files.toDF("file"), Seq("file"), "left_semi")
+      .select(col("file"), col("rows"))
+      .collect()
+    if (rows.length == files.size && rows.forall(!_.isNullAt(1)))
+      Some(rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
     else None
   }
 
@@ -3538,17 +3759,96 @@ class ManifestTableFormat(
 object ManifestTableFormat {
 
   /** One file's per-column range summary for TopN file pruning
-    * ([[ManifestTableFormat!.fileColumnRanges]]): live row count,
-    * null count, and the column's bounds decoded on the canonical
-    * stats grid — `lo`/`hi` are `None` exactly for a provably
-    * all-null column (`nulls == rows`).
+    * ([[ManifestTableFormat!.fileColumnRanges]]): TOTAL row count,
+    * null count, the column's bounds decoded on the canonical stats
+    * grid — `lo`/`hi` are `None` exactly for a provably all-null
+    * column (`nulls == rows`) — and the file's deletion-vector
+    * cardinality (0 for a clean file). `rows`/`nulls`/bounds describe
+    * ALL rows including DV-deleted ones (stats are immutable);
+    * consumers needing live arithmetic subtract `dvCard` as a bound
+    * (see [[ManifestTableFormat.topNKeepFiles]]) or refuse DV'd files
+    * outright (the log-answered aggregate lanes).
     */
   final case class FileRange(
       file: String,
       rows: Long,
       nulls: Long,
       lo: Option[BigDecimal],
-      hi: Option[BigDecimal])
+      hi: Option[BigDecimal],
+      dvCard: Long = 0L)
+
+  /** The TopN file-pruning decision, shared by the DSv2 TopN pushdown
+    * (`ManifestStatsScanBuilder.pushTopN`, clean tables) and the
+    * deletion-vector read path (`DvColumnarRead`, DV'd snapshots):
+    * keep only files whose rows are NOT provably preceded by ≥ `limit`
+    * rows of the kept files under `ORDER BY col [ASC|DESC] LIMIT k`.
+    *
+    * Soundness (ASC; DESC mirrors with lo): pick the smallest
+    * threshold V with `base + Σ_{g: hi(g) ≤ V} liveNonNull⁻(g) ≥ k`
+    * (base = Σ liveNull⁻ when NULLS FIRST — every such g has
+    * `hi(g) ≤ V`, hence is itself KEPT, so the counted rows exist in
+    * the scanned subset). A file f drops only when BOTH parts are
+    * excluded: its non-null rows (`lo(f) > V` — strictly after the
+    * ≥ k counted rows; grid monotonicity makes the strict grid
+    * inequality imply the strict real one) and its null rows (none,
+    * or NULLS LAST with ≥ k non-null rows surviving in kept files).
+    * DELETION VECTORS only ever shrink the live set, so exclusion by
+    * bounds stays sound unchanged, while every COUNTED quantity uses
+    * the live LOWER bound (`rows − dvCard − nulls` clamped at 0 for
+    * non-nulls, `nulls − dvCard` clamped for nulls) — an undercount
+    * can only keep extra files, never drop a needed one. Ties and
+    * later sort keys cannot resurrect a dropped row: the counted rows
+    * precede it STRICTLY on the first key.
+    *
+    * Returns None when pruning is impossible (missing bounds, fewer
+    * than k provable rows); the caller fails open to the full list.
+    */
+  def topNKeepFiles(
+      ranges: Seq[FileRange],
+      limit: Int,
+      asc: Boolean,
+      nullsFirst: Boolean): Option[Set[String]] = {
+    if (ranges.isEmpty || limit <= 0) return None
+    def liveNonNullLb(r: FileRange): Long =
+      math.max(0L, r.rows - r.dvCard - r.nulls)
+    def liveNullLb(r: FileRange): Long =
+      math.max(0L, r.nulls - r.dvCard)
+    val bounded = ranges.filter(r => r.rows - r.nulls > 0)
+    // contract check (all-null ⇔ no bounds); anything else fails open
+    if (bounded.exists(r => r.lo.isEmpty || r.hi.isEmpty)) return None
+
+    val base = if (nullsFirst) ranges.map(liveNullLb).sum else 0L
+    var acc = base
+    var v: Option[BigDecimal] = None
+    if (acc < limit) {
+      val it = (if (asc) bounded.sortBy(_.hi.get)
+        else bounded.sortBy(_.lo.get)(Ordering[BigDecimal].reverse))
+        .iterator
+      while (v.isEmpty && it.hasNext) {
+        val g = it.next()
+        acc += liveNonNullLb(g)
+        if (acc >= limit) v = Some(if (asc) g.hi.get else g.lo.get)
+      }
+    }
+    if (acc < limit) return None // fewer than k provable rows: no-op
+
+    def nonNullExcluded(r: FileRange): Boolean =
+      r.rows - r.nulls == 0 || (v match {
+        case Some(t) => if (asc) r.lo.get > t else r.hi.get < t
+        case None => true // base (nulls) alone covers k
+      })
+    // live non-null rows surviving in kept files — what may exclude
+    // nulls under NULLS LAST (they all precede every null row)
+    val keptNonNull = ranges.collect {
+      case r if !nonNullExcluded(r) => liveNonNullLb(r)
+    }.sum
+    def nullExcluded(r: FileRange): Boolean =
+      r.nulls == 0 || (!nullsFirst && keptNonNull >= limit)
+
+    Some(ranges.collect {
+      case r if !nonNullExcluded(r) || !nullExcluded(r) => r.file
+    }.toSet)
+  }
 
   /** SHALLOW CLONE: fork `srcPath`'s table into a new table at
     * `destPath` by copying its `_log` directory — a metadata-only
@@ -3662,6 +3962,26 @@ object ManifestTableFormat {
     * that keep driver state bounded at the 10⁷-file end.
     */
   private[sink] val statsPerManifestPart = 100000L
+
+  /** OBSERVABILITY PIN for the filtered metadata-COUNT lane
+    * ([[ManifestTableFormat!.filteredCounts]]): (log-answered files,
+    * boundary files scanned) of the most recent successful split in
+    * this JVM, or null before any ran — JVM-global because the lane
+    * runs on catalog-resolved instances the spec never holds. The
+    * spec asserts boundary < total on a clustered table, so a silent
+    * lane regression (everything boundary) fails a test instead of
+    * only costing reads.
+    */
+  @volatile var lastMetaCountSplit: (Long, Long) = null
+
+  /** Absolute boundary-file allowance for the filtered metadata-COUNT
+    * lane ([[ManifestTableFormat!.filteredCounts]]) — the fractional
+    * cap (1/16 of the list) governs large tables; this floor keeps
+    * the lane usable on small ones. Past the cap the lane refuses:
+    * a planning-time job over a large fraction of the table is worse
+    * than the normal lazy scan it would replace.
+    */
+  private[graft] val maxMetaCountBoundary = 16L
 
   /** At most this many leading skippable columns get per-file min/max
     * stats (Delta's `dataSkippingNumIndexedCols` idea) — metadata per

@@ -304,15 +304,33 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       truncateHook =
         if (pin.isDefined) None else Some(() => mtf.truncate()),
       dvInfo =
-        if (hasDv) Some(graft.plans.DvScanInfo(
-          filesDv, tblSchema, mtf.readPinned(_, tblSchema),
-          mtf.pruneFilesForScan(files, _)))
-        else None,
+        if (hasDv) {
+          val pinnedDv = filesDv.collect {
+            case (f, Some(dv)) => f -> dv.card }.toMap
+          Some(graft.plans.DvScanInfo(
+            filesDv, tblSchema, mtf.readPinned(_, tblSchema),
+            mtf.pruneFilesForScan(files, _),
+            ranges = Some(phys =>
+              mtf.fileColumnRanges(files, phys).map(_.map(r =>
+                r.copy(dvCard = pinnedDv.getOrElse(r.file, 0L))))),
+            liveRows = Some(() =>
+              mtf.fileTotalRowCounts(files).map(_.map {
+                case (f, n) => f -> (n - pinnedDv.getOrElse(f, 0L))
+              }))))
+        } else None,
       rowsOf = Some(mtf.rowCountOf),
       perFileRows =
         if (pin.isDefined) None else Some(mtf.fileRowCounts),
       perFileRanges =
         if (pin.isDefined) None else Some(mtf.fileColumnRanges),
+      // filtered metadata COUNT (see the catalog twin): pinned files
+      // + pinned DV cardinalities, immutable stats — time-travel-safe
+      metaCounts = {
+        val pinnedDv = filesDv.collect {
+          case (f, Some(dv)) => f -> dv.card }.toMap
+        Some((probes, targets) =>
+          mtf.filteredCounts(files, pinnedDv, probes, targets))
+      },
       // live count from resolution-pinned DV cardinalities (see the
       // catalog twin): immune to DV churn in the plan's lifetime
       dvLiveRows =

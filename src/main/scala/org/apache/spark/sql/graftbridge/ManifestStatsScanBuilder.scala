@@ -376,11 +376,11 @@ class ManifestStatsScanBuilder(
   }
 
   override def build(): Scan = {
-    logAgg.foreach { case (schema, row) =>
+    logAgg.foreach { case (schema, aggRows) =>
       return new LocalScan {
         override def readSchema(): StructType = schema
         override def rows(): Array[org.apache.spark.sql.catalyst
-          .InternalRow] = Array(row)
+          .InternalRow] = aggRows.toArray
         override def description(): String =
           s"GraftLogStatsAggScan[$tableName](${schema.fieldNames
             .mkString(", ")})"
@@ -414,7 +414,7 @@ class ManifestStatsScanBuilder(
   //     file list. Disabled under a non-identity column mapping: the
   //     aggregation references logical names the files don't have.
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    logAgg = tryLogAggregate(aggregation)
+    logAgg = memoLogAggregate(aggregation)
     if (logAgg.isDefined) { aggPushed = true; return true }
     val pushed = identityMapping && (inner match {
       case a: SupportsPushDownAggregates => a.pushAggregation(aggregation)
@@ -425,14 +425,39 @@ class ManifestStatsScanBuilder(
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    tryLogAggregate(aggregation).isDefined ||
+    memoLogAggregate(aggregation).isDefined ||
       (identityMapping && (inner match {
         case a: SupportsPushDownAggregates =>
           a.supportCompletePushDown(aggregation)
         case _ => false
       }))
 
-  private var logAgg: Option[(StructType, GenericInternalRow)] = None
+  private var logAgg: Option[(StructType, Seq[GenericInternalRow])] = None
+
+  /** One computation per (planning pass, aggregation): Spark calls
+    * both `supportCompletePushDown` and `pushAggregation` with the
+    * same aggregation, and the computation fires driver-side jobs
+    * over the stats frame — memoizing also guarantees both callbacks
+    * observe ONE snapshot instead of racing a concurrent commit.
+    * Keyed by the V2 expressions' stable renderings (the connector
+    * expression classes do not implement value equality).
+    */
+  private var logAggMemo: Option[
+    (String, Option[(StructType, Seq[GenericInternalRow])])] = None
+
+  private def memoLogAggregate(aggregation: Aggregation)
+      : Option[(StructType, Seq[GenericInternalRow])] = {
+    val key = aggregation.aggregateExpressions().map(_.describe())
+      .mkString(";") + "|" +
+      aggregation.groupByExpressions().map(_.describe()).mkString(";")
+    logAggMemo match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val v = tryLogAggregate(aggregation)
+        logAggMemo = Some((key, v))
+        v
+    }
+  }
 
   /** Stats-EXACT kinds for log-answered MIN/MAX: the canonical grid
     * round-trips these losslessly (floats/decimals can collide on the
@@ -470,18 +495,23 @@ class ManifestStatsScanBuilder(
       }
     }.toOption
 
-  /** The log-answered aggregate row, or None when ANY part of the
+  /** The log-answered aggregate row(s), or None when ANY part of the
     * aggregation cannot be answered exactly from the manifest stats.
     */
   private def tryLogAggregate(aggregation: Aggregation)
-      : Option[(StructType, GenericInternalRow)] = {
-    if (pushedLogical.nonEmpty ||
-      aggregation.groupByExpressions().nonEmpty) return None
+      : Option[(StructType, Seq[GenericInternalRow])] = {
+    if (pushedLogical.nonEmpty) return None
+    if (aggregation.groupByExpressions().nonEmpty)
+      return tryGroupedLogAggregate(aggregation)
     if (perFileRanges.isEmpty || perFileRows.isEmpty) return None
     val rangeCache = scala.collection.mutable.Map[
       String, Option[Seq[ManifestTableFormat.FileRange]]]()
+    // DV'd files refuse the lane: recorded counts/bounds include
+    // deleted rows (COUNT(*) alone stays exact via perFileRows' live
+    // counts, which is why it reads those, not ranges)
     def rangesFor(phys: String) = rangeCache.getOrElseUpdate(phys,
-      perFileRanges.flatMap(_(currentFiles, phys)))
+      perFileRanges.flatMap(_(currentFiles, phys))
+        .filter(_.forall(_.dvCard == 0L)))
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
     aggregation.aggregateExpressions().foreach {
@@ -521,7 +551,114 @@ class ManifestStatsScanBuilder(
       case _ => return None // SUM/AVG/DISTINCT/UDAF: not stats-exact
     }
     Some((StructType(fields.result()),
-      new GenericInternalRow(values.result().toArray)))
+      Seq(new GenericInternalRow(values.result().toArray))))
+  }
+
+  /** GROUP BY a clustering column from stats alone: when range
+    * clustering (c37q `PARTITIONED BY` / z-order) has made every live
+    * file SINGLE-VALUED on the grouped column (lo == hi, no nulls —
+    * or provably all-null, the NULL group), `GROUP BY col` with
+    * COUNT/COUNT(c)/MIN(c)/MAX(c) aggregates is pure log arithmetic:
+    * group files by their one value and fold their recorded stats —
+    * one LocalScan of G rows, zero data reads. `SELECT part, count(*)
+    * FROM t GROUP BY part` on a 10⁷-file table stops reading 10⁷
+    * files. Fail-open mirror of the ungrouped lane: any pushed
+    * filter, multi-column or expression grouping, a file spanning
+    * values or mixing nulls with values, a DV'd or stats-less file
+    * (refused inside `fileColumnRanges`), or a non-exact-kind column
+    * falls through to the scan. Complete pushdown's row contract:
+    * grouping columns FIRST in the schema, then the aggregates, one
+    * row per group, each group exactly once.
+    */
+  private def tryGroupedLogAggregate(aggregation: Aggregation)
+      : Option[(StructType, Seq[GenericInternalRow])] = {
+    if (perFileRanges.isEmpty || perFileRows.isEmpty) return None
+    val groupCol = aggregation.groupByExpressions() match {
+      case Array(one) => singleCol(one).getOrElse(return None)
+      case _ => return None
+    }
+    val (gPhys, gDt) = typeOf(groupCol).getOrElse(return None)
+    if (!exactKind(gDt)) return None
+    val rangeCache = scala.collection.mutable.Map[
+      String, Option[Seq[ManifestTableFormat.FileRange]]]()
+    // DV'd files refuse the grouped lane wholesale: every fold below
+    // (counts AND extrema) is over recorded stats that include
+    // deleted rows
+    def rangesFor(phys: String) = rangeCache.getOrElseUpdate(phys,
+      perFileRanges.flatMap(_(currentFiles, phys))
+        .filter(_.forall(_.dvCard == 0L)))
+    val gRanges = rangesFor(gPhys).getOrElse(return None)
+    if (gRanges.size != currentFiles.size) return None
+    // group key per file: its single value, or the NULL group —
+    // anything mixed refuses
+    val keyOf = gRanges.map { r =>
+      if (r.nulls == r.rows) r.file -> None
+      else if (r.nulls == 0L && r.lo == r.hi && r.lo.isDefined)
+        r.file -> Some(r.lo.get)
+      else return None
+    }.toMap
+    val groups: Seq[(Option[BigDecimal], Seq[String])] =
+      gRanges.groupBy(r => keyOf(r.file))
+        .map { case (k, rs) => k -> rs.map(_.file) }.toSeq
+        .sortBy(_._1.map(_.toString).getOrElse(""))
+
+    val fields = Seq.newBuilder[StructField]
+    fields += StructField(groupCol, gDt, nullable = true)
+    // per-aggregate fold over one group's files
+    type Fold = Seq[ManifestTableFormat.FileRange] => Any
+    val folds = Seq.newBuilder[(String, Seq[String], Fold)]
+    aggregation.aggregateExpressions().foreach {
+      case _: CountStar =>
+        fields += StructField("count_star",
+          org.apache.spark.sql.types.LongType, nullable = false)
+        folds += (("count_star", Seq(gPhys),
+          rs => rs.map(_.rows).sum))
+      case c: Count if !c.isDistinct =>
+        val name = singleCol(c.column).getOrElse(return None)
+        val (phys, _) = typeOf(name).getOrElse(return None)
+        if (rangesFor(phys).isEmpty) return None
+        fields += StructField(s"count_$name",
+          org.apache.spark.sql.types.LongType, nullable = false)
+        folds += ((s"count_$name", Seq(phys),
+          rs => rs.map(r => r.rows - r.nulls).sum))
+      case m: Min =>
+        val name = singleCol(m.column).getOrElse(return None)
+        val (phys, dt) = typeOf(name).getOrElse(return None)
+        if (!exactKind(dt) || rangesFor(phys).isEmpty) return None
+        fields += StructField(s"min_$name", dt, nullable = true)
+        folds += ((s"min_$name", Seq(phys), rs => {
+          val lows = rs.flatMap(_.lo)
+          if (lows.isEmpty) null
+          else decode(lows.min, dt).getOrElse(return None)
+        }))
+      case m: Max =>
+        val name = singleCol(m.column).getOrElse(return None)
+        val (phys, dt) = typeOf(name).getOrElse(return None)
+        if (!exactKind(dt) || rangesFor(phys).isEmpty) return None
+        fields += StructField(s"max_$name", dt, nullable = true)
+        folds += ((s"max_$name", Seq(phys), rs => {
+          val his = rs.flatMap(_.hi)
+          if (his.isEmpty) null
+          else decode(his.max, dt).getOrElse(return None)
+        }))
+      case _ => return None
+    }
+    val foldList = folds.result()
+    // per-column FileRange lookup (all validated non-empty above)
+    val byFile: Map[String, Map[String, ManifestTableFormat.FileRange]] =
+      rangeCache.collect { case (phys, Some(rs)) =>
+        phys -> rs.map(r => r.file -> r).toMap }.toMap
+    val rows = groups.map { case (key, files) =>
+      val gv: Any = key match {
+        case Some(v) => decode(v, gDt).getOrElse(return None)
+        case None => null
+      }
+      val vals = foldList.map { case (_, phys, fold) =>
+        fold(files.map(byFile(phys.head)))
+      }
+      new GenericInternalRow((gv +: vals).toArray)
+    }
+    Some((StructType(fields.result()), rows))
   }
 
   /** LIMIT pushdown as FILE-LIST pushdown: `SELECT … LIMIT n` (no
@@ -603,44 +740,12 @@ class ManifestStatsScanBuilder(
 
     val asc = head.direction() == SortDirection.ASCENDING
     val nullsFirst = head.nullOrdering() == NullOrdering.NULLS_FIRST
-    val totalNulls = ranges.map(_.nulls).sum
-    val bounded = ranges.filter(r => r.rows - r.nulls > 0)
-    // contract check (all-null ⇔ no bounds); anything else fails open
-    if (bounded.exists(r => r.lo.isEmpty || r.hi.isEmpty)) return false
-
-    val base = if (nullsFirst) totalNulls else 0L
-    // threshold V: smallest hi (ASC) / largest lo (DESC) at which the
-    // cumulative provably-preceding row count reaches k
-    var acc = base
-    var v: Option[BigDecimal] = None
-    if (acc < limit) {
-      val it = (if (asc) bounded.sortBy(_.hi.get)
-        else bounded.sortBy(_.lo.get)(Ordering[BigDecimal].reverse))
-        .iterator
-      while (v.isEmpty && it.hasNext) {
-        val g = it.next()
-        acc += g.rows - g.nulls
-        if (acc >= limit) v = Some(if (asc) g.hi.get else g.lo.get)
-      }
-    }
-    if (acc < limit) return false // fewer than k provable rows: no-op
-
-    def nonNullExcluded(r: ManifestTableFormat.FileRange): Boolean =
-      r.rows - r.nulls == 0 || (v match {
-        case Some(t) => if (asc) r.lo.get > t else r.hi.get < t
-        case None => true // base (nulls) alone covers k
-      })
-    // non-null rows surviving in kept files — what may exclude nulls
-    // under NULLS LAST (they all precede every null row)
-    val keptNonNull = ranges.collect {
-      case r if !nonNullExcluded(r) => r.rows - r.nulls
-    }.sum
-    def nullExcluded(r: ManifestTableFormat.FileRange): Boolean =
-      r.nulls == 0 || (!nullsFirst && keptNonNull >= limit)
-
-    val keepSet = ranges.collect {
-      case r if !nonNullExcluded(r) || !nullExcluded(r) => r.file
-    }.toSet
+    // the DV-aware threshold arithmetic lives with the format (shared
+    // with DvColumnarRead's TopN pair pruning); this builder's tables
+    // are clean (dvCard 0 throughout), so live bounds equal totals
+    val keepSet = ManifestTableFormat
+      .topNKeepFiles(ranges, limit, asc, nullsFirst)
+      .getOrElse(return false)
     val kept = currentFiles.filter(keepSet)
     if (kept.isEmpty || kept.size >= currentFiles.size) return kept.nonEmpty
     currentFiles = kept

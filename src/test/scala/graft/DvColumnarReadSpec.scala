@@ -18,7 +18,8 @@ import graft.sink.{ChunkStore, ManifestTableFormat}
   * fallback (which DeletionVectorSpec pins and rule-less sessions
   * still use).
   */
-class DvColumnarReadSpec extends SparkSpec {
+class DvColumnarReadSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def freshWh(): String =
     Files.createTempDirectory("graft-dvcol").toString
@@ -37,13 +38,16 @@ class DvColumnarReadSpec extends SparkSpec {
     name
   }
 
-  /** All FileSourceScanExec leaves, through AQE wrappers. */
+  /** All FileSourceScanExec leaves, through AQE wrappers AND query
+    * stages (the helper trait descends into materialized stages —
+    * `SparkPlan.collectWithSubqueries` alone stops at stage borders).
+    */
   private def fileScans(df: DataFrame): Seq[FileSourceScanExec] = {
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    plan.collectWithSubqueries { case f: FileSourceScanExec => f }
+    collectWithSubqueries(plan) { case f: FileSourceScanExec => f }
   }
 
   /** A DV'd store: 40 docs appended in several files, pages 3 and 4
@@ -135,6 +139,57 @@ class DvColumnarReadSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.t WHERE document_url = " +
       "'doc://0003'").isEmpty)
     store.read() // keep the store referenced (API parity with DV spec)
+  }
+
+  test("TopN and LIMIT on a DV'd snapshot prune the pair list: head " +
+      "queries read a strict file subset, results exact vs full sort") {
+    import spark.implicits._
+    val wh = freshWh()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    // three value-contiguous files on page_number: 0-9 | 10-19 | 20-29
+    def batch(ids: Range): DataFrame =
+      ids.map(i => (0, s"text-$i", Seq(1f), i, f"doc://$i%04d"))
+        .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+          "document_url").repartition(1)
+    store.append(batch(0 until 10))
+    store.append(batch(10 until 20))
+    store.append(batch(20 until 30))
+    val mtf = new ManifestTableFormat(spark, s"$wh/t", store.schema)
+    // DV-delete a head row so the snapshot is DV'd AND the top-k
+    // answer depends on applying the vector (page 0 is deleted)
+    assert(mtf.deleteWhereDv(col("page_number") === 0)._2 > 0)
+    val cat = catFor(wh, "dvcoltopn")
+
+    // ORDER BY ASC LIMIT 3: only the head file can hold the top 3
+    val q = spark.sql(s"SELECT page_number FROM $cat.t " +
+      "ORDER BY page_number LIMIT 3")
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3),
+      "DV must apply under the pruned TopN read")
+    def dataFiles(df: DataFrame): Int = fileScans(df)
+      .flatMap(_.relation.location.inputFiles)
+      .filterNot(_.contains("/dv-")).distinct.size // not the DV sidecars
+    val topNFiles = dataFiles(q)
+    assert(topNFiles == 1,
+      s"ASC LIMIT 3 must plan only the head file, planned $topNFiles")
+
+    // DESC LIMIT 5: only the tail file
+    val qd = spark.sql(s"SELECT page_number FROM $cat.t " +
+      "ORDER BY page_number DESC LIMIT 5")
+    assert(qd.collect().map(_.getInt(0)).toSeq ==
+      Seq(29, 28, 27, 26, 25))
+    assert(dataFiles(qd) == 1)
+
+    // bare LIMIT: a prefix of the pair list covers n live rows
+    val ql = spark.sql(s"SELECT page_number FROM $cat.t LIMIT 4")
+    assert(ql.collect().length == 4)
+    val limFiles = dataFiles(ql)
+    assert(limFiles == 1,
+      s"LIMIT 4 must plan one file (9 live rows there), got $limFiles")
+
+    // a LIMIT past the live total keeps everything and stays exact
+    assert(spark.sql(s"SELECT count(*) FROM (SELECT * FROM $cat.t " +
+      "LIMIT 1000)").head().getLong(0) == 29)
   }
 
   test("vanilla session + GraftSession.install: the extraOptimizations " +

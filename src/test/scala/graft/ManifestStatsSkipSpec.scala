@@ -243,6 +243,115 @@ class ManifestStatsSkipSpec extends SparkSpec
     assert(tr.getLong(0) == 20 && tr.getInt(1) == 5)
   }
 
+  test("filtered metadata COUNT: proven files log-count, ONLY the " +
+      "boundary file is read, the query plans a LocalRelation") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    // three value-contiguous files: pages 0-9 | 10-19 | 20-29
+    store.append(batch(0 until 10, i => i))
+    store.append(batch(10 until 20, i => i))
+    store.append(batch(20 until 30, i => i))
+
+    ManifestTableFormat.lastMetaCountSplit = null
+    val q = spark.sql(s"SELECT count(*) AS n, count(page_number) AS nc " +
+      s"FROM $cat.t WHERE page_number < 15")
+    val r = q.collect().head
+    assert(r.getLong(0) == 15 && r.getLong(1) == 15)
+    // the whole answer folded at optimization: no table scan planned
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"filtered metadata COUNT must fold to a LocalRelation:\n$plan")
+    assert(!plan.contains("BatchScan") && !plan.contains("FileScan"),
+      s"filtered metadata COUNT must not scan the table:\n$plan")
+    // file split: 0-9 proven all-match, 20-29 proven none, 10-19 is
+    // the ONLY boundary file read
+    assert(ManifestTableFormat.lastMetaCountSplit == ((2L, 1L)),
+      s"expected (2 proven, 1 boundary), got ${
+        ManifestTableFormat.lastMetaCountSplit}")
+
+    // zero-boundary case: the cutoff aligns with a file edge
+    ManifestTableFormat.lastMetaCountSplit = null
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "WHERE page_number < 20").collect().head.getLong(0) == 20)
+    assert(ManifestTableFormat.lastMetaCountSplit == ((3L, 0L)))
+
+    // conjunction + IS NOT NULL still folds; equality on a
+    // single-valued file set proves exactly
+    ManifestTableFormat.lastMetaCountSplit = null
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE " +
+      "page_number >= 10 AND page_number < 12 AND " +
+      "page_number IS NOT NULL").collect().head.getLong(0) == 2)
+    assert(ManifestTableFormat.lastMetaCountSplit != null,
+      "conjunctive exact probes must keep the lane on")
+
+    // fail-open: a string predicate is not exactly probeable — the
+    // normal scan answers, exactly
+    val qs = spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "WHERE chunk_text = 't-3'")
+    assert(qs.collect().head.getLong(0) == 1)
+    assert(qs.queryExecution.executedPlan.toString
+      .contains("LocalTableScan") == false)
+
+    // fail-open under DV: a boundary file carrying a deletion vector
+    // refuses the lane (raw reads would count deleted rows); the
+    // result stays exact through the scan
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try spark.sql(s"DELETE FROM $cat.t WHERE page_number = 12")
+    finally spark.conf.unset("spark.graft.deletionVectors")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "WHERE page_number < 15").collect().head.getLong(0) == 14)
+    // proven-all files with DVs still log-count (live = rows - dv):
+    // page < 20 proves files 1+2 all-match; file 2 has the DV
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "WHERE page_number < 20").collect().head.getLong(0) == 19)
+  }
+
+  test("GROUP BY a clustering column folds to log arithmetic: one " +
+      "LocalScan of G rows, zero data reads; spanning files fail open") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    // single-valued files: two files of page 5, one each of 15/25
+    store.append(batch(0 until 10, _ => 5))
+    store.append(batch(10 until 14, _ => 5))
+    store.append(batch(14 until 20, _ => 15))
+    store.append(batch(20 until 30, _ => 25))
+    val q = spark.sql(s"SELECT page_number, count(*) AS n, " +
+      s"count(chunk_id) AS nc, min(chunk_id) AS lo, " +
+      s"max(chunk_id) AS hi FROM $cat.t GROUP BY page_number " +
+      "ORDER BY page_number")
+    val rs = q.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(rs.toSeq == Seq((5, 14L, 14L, 0, 0), (15, 6L, 6L, 0, 0),
+      (25, 10L, 10L, 0, 0)), s"got ${rs.toSeq}")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLogStatsAggScan") ||
+      plan.contains("LocalTableScan"),
+      s"grouped log lane must plan the LocalScan:\n$plan")
+    assert(!plan.contains("BatchScan") && !plan.contains("FileScan"),
+      s"grouped log aggregate must read NO files:\n$plan")
+
+    // chunk_id is single-valued (0) in every file: the lane also
+    // serves a degenerate one-group GROUP BY exactly
+    val q2 = spark.sql(s"SELECT chunk_id, count(*) AS n FROM $cat.t " +
+      "GROUP BY chunk_id")
+    assert(q2.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      == Seq((0, 30L)))
+    val plan2 = q2.queryExecution.executedPlan.toString
+    assert(!plan2.contains("BatchScan") && !plan2.contains("FileScan"))
+
+    // fail-open: one VALUE-SPANNING file (pages 0..9 in one commit)
+    // refuses the lane for page grouping; results exact via the scan
+    store.append(batch(30 until 40, i => i - 30))
+    val q3 = spark.sql(s"SELECT page_number, count(*) AS n FROM $cat.t " +
+      "GROUP BY page_number")
+    assert(q3.collect().map(_.getLong(1)).sum == 40)
+    assert(q3.queryExecution.executedPlan.toString
+      .contains("BatchScan"),
+      "value-spanning files must refuse the grouped log lane (scan)")
+  }
+
   test("aggregate pushdown forwards to the parquet delegate when the " +
       "log lane refuses (double extremum: grid not exact)") {
     import spark.implicits._
