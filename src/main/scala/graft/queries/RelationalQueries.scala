@@ -1646,6 +1646,96 @@ object RelationalQueries {
       val top = planned(q)
       val pruned = if (all >= 4 && top < all) 1L else 0L
       q.withColumn("topn_pruned", lit(pruned))
+    },
+
+    // B12e: FILTERED metadata COUNT — `COUNT(*) WHERE k < cutoff` on
+    // a key-clustered manifest table folds to a LocalRelation at
+    // optimization: files whose stats prove every row matches are
+    // log-counted, proven-none files contribute zero, and ONLY the
+    // cutoff-straddling boundary file is read (one narrow planning
+    // job). `count_lane` pins inside the hash that the plan is a
+    // LocalRelation (no table scan) AND that the split log-answered
+    // a strict majority (boundary < total files).
+    "b12e_filtered_metadata_count" -> QueryDef(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(o_orderdate) AS BIGINT) AS nts,
+        |       CAST(1 AS BIGINT) AS count_lane
+        |FROM orders
+        |WHERE o_orderkey < (SELECT CAST(MAX(o_orderkey) // 3 AS BIGINT)
+        |                    FROM orders)""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-fcount").toString
+      val cat = QueryDef.freshCatalog(s, "graft_fcount", wh)
+      s.sql(s"CREATE TABLE $cat.o (k BIGINT, ts TIMESTAMP) " +
+        "TBLPROPERTIES ('format'='manifest')")
+      val orders = t(s, dir, "orders")
+      val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      orders.select(col("o_orderkey").as("k"),
+          col("o_orderdate").as("ts"))
+        .createOrReplaceTempView("graft_fcount_src")
+      // four key-range commits: the cutoff (maxK/3) lands inside the
+      // second, so exactly one file straddles it
+      (0 until 4).foreach { i =>
+        val lo = if (i == 0) Long.MinValue else maxK * i / 4
+        val hi = if (i == 3) Long.MaxValue else maxK * (i + 1) / 4
+        s.sql(s"INSERT INTO $cat.o SELECT /*+ REPARTITION(1) */ k, ts " +
+          s"FROM graft_fcount_src WHERE k > $lo AND k <= $hi")
+      }
+      val cutoff = maxK / 3
+      graft.sink.ManifestTableFormat.lastMetaCountSplit = null
+      val q = s.sql(s"SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(COUNT(ts) AS BIGINT) AS nts FROM $cat.o " +
+        s"WHERE k < $cutoff")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val split = graft.sink.ManifestTableFormat.lastMetaCountSplit
+      val lane =
+        if (plan.contains("LocalTableScan") &&
+          !plan.contains("BatchScan") && !plan.contains("FileScan") &&
+          split != null && split._2 < split._1 + split._2) 1L
+        else 0L
+      q.withColumn("count_lane", lit(lane))
+    },
+
+    // B12f: GROUP BY from stats — on a table whose every file is
+    // SINGLE-VALUED on the grouped column (one commit per value),
+    // `GROUP BY col` with COUNT/COUNT(c)/MIN/MAX folds to log
+    // arithmetic: one LocalScan of G rows, zero data reads.
+    // `groupby_lane` pins the scan-free plan inside the hash.
+    "b12f_stats_group_by" -> QueryDef(
+      """SELECT l_linenumber AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(l_quantity) AS BIGINT) AS nq,
+        |       CAST(MIN(l_orderkey) AS BIGINT) AS lo,
+        |       CAST(MAX(l_orderkey) AS BIGINT) AS hi,
+        |       CAST(1 AS BIGINT) AS groupby_lane
+        |FROM lineitem GROUP BY l_linenumber
+        |ORDER BY g""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-gstats").toString
+      val cat = QueryDef.freshCatalog(s, "graft_gstats", wh)
+      s.sql(s"CREATE TABLE $cat.li (g INT, q DOUBLE, k BIGINT) " +
+        "TBLPROPERTIES ('format'='manifest')")
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_linenumber").as("g"), col("l_quantity").as("q"),
+          col("l_orderkey").as("k"))
+        .createOrReplaceTempView("graft_gstats_src")
+      val values = li.select(col("l_linenumber")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      // one single-valued commit per distinct group value
+      values.foreach { v =>
+        s.sql(s"INSERT INTO $cat.li SELECT /*+ REPARTITION(1) */ " +
+          s"g, q, k FROM graft_gstats_src WHERE g = $v")
+      }
+      val q = s.sql(s"SELECT g, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(COUNT(q) AS BIGINT) AS nq, " +
+        s"CAST(MIN(k) AS BIGINT) AS lo, CAST(MAX(k) AS BIGINT) AS hi " +
+        s"FROM $cat.li GROUP BY g ORDER BY g")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val lane =
+        if (!plan.contains("BatchScan") && !plan.contains("FileScan")) 1L
+        else 0L
+      q.withColumn("groupby_lane", lit(lane))
     }
   )
 }
