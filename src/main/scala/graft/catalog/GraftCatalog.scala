@@ -227,6 +227,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (asOf.isDefined) None else Some(mtf.fileRowCounts),
         perFileRanges =
           if (asOf.isDefined) None else Some(mtf.fileColumnRanges),
+        // string MIN/MAX from the log (protocol v7 exact markers)
+        perFileStrBounds =
+          if (asOf.isDefined) None else Some(mtf.stringMinMax),
         // metadata COUNT(*) on a DV'd HEAD snapshot (pinned versions
         // must not count from head stats). Live count = immutable
         // total rows − the DV cardinalities PINNED AT RESOLUTION, so
@@ -1025,6 +1028,8 @@ private[graft] class GraftTable(
     perFileRows: Option[Seq[String] => Option[Map[String, Long]]] = None,
     perFileRanges: Option[(Seq[String], String) =>
       Option[Seq[graft.sink.ManifestTableFormat.FileRange]]] = None,
+    perFileStrBounds: Option[(Seq[String], String) =>
+      Option[(Option[String], Option[String])]] = None,
     streamWrite: Option[
       org.apache.spark.sql.connector.write.LogicalWriteInfo =>
         org.apache.spark.sql.connector.write.streaming.StreamingWrite] =
@@ -1193,7 +1198,7 @@ private[graft] class GraftTable(
         // list from the pushed predicates before parquet plans
         new org.apache.spark.sql.graftbridge.ManifestStatsScanBuilder(
           spark, tableName, tableSchema, paths, options, pruner, rowsOf,
-          perFileRows, perFileRanges)
+          perFileRows, perFileRanges, perFileStrBounds)
       case None => delegate.newScanBuilder(options)
     }
     }

@@ -1578,21 +1578,27 @@ object RelationalQueries {
       """SELECT COUNT(*) AS n,
         |       MIN(o_orderkey) AS lo_k, MAX(o_orderkey) AS hi_k,
         |       MIN(o_orderdate) AS lo_ts, MAX(o_orderdate) AS hi_ts,
+        |       MIN(o_orderpriority) AS lo_p, MAX(o_orderpriority) AS hi_p,
         |       CAST(1 AS BIGINT) AS metadata_lane
         |FROM orders""".stripMargin) { (s, dir) =>
       val wh = java.nio.file.Files
         .createTempDirectory("graft-mdagg").toString
       val cat = QueryDef.freshCatalog(s, "graft_mdagg", wh)
-      s.sql(s"CREATE TABLE $cat.o (k BIGINT, ts TIMESTAMP) " +
+      s.sql(s"CREATE TABLE $cat.o (k BIGINT, ts TIMESTAMP, p STRING) " +
         "TBLPROPERTIES ('format'='manifest')")
       t(s, dir, "orders")
-        .select(col("o_orderkey").as("k"), col("o_orderdate").as("ts"))
+        .select(col("o_orderkey").as("k"), col("o_orderdate").as("ts"),
+          col("o_orderpriority").as("p"))
         .createOrReplaceTempView("graft_mdagg_src")
       s.sql(s"INSERT INTO $cat.o SELECT * FROM graft_mdagg_src")
+      // string extrema ride the protocol-v7 exact-bounds marker
+      // (short priorities never truncate); the lane bit pins that the
+      // string MIN/MAX did NOT force a scan
       val q = s.sql(
         s"""SELECT COUNT(*) AS n,
            |       MIN(k) AS lo_k, MAX(k) AS hi_k,
-           |       MIN(ts) AS lo_ts, MAX(ts) AS hi_ts FROM $cat.o"""
+           |       MIN(ts) AS lo_ts, MAX(ts) AS hi_ts,
+           |       MIN(p) AS lo_p, MAX(p) AS hi_p FROM $cat.o"""
           .stripMargin)
       val plan = q.queryExecution.executedPlan.toString
       val lane =

@@ -253,7 +253,14 @@ class ManifestTableFormat(
     * (absent = all-null column, or an unboundable truncated max).
     */
   private[sink] final case class ColStats(
-      name: String, lo: Option[String], hi: Option[String], nulls: Long)
+      name: String, lo: Option[String], hi: Option[String], nulls: Long,
+      /** Bounds are the column's EXACT extrema (always true for the
+        * canonical numeric grid; for strings, true iff neither bound
+        * was truncation-adjusted) — protocol v7's `cse` marker. Absent
+        * on older actions → false (string extremum lane fails open;
+        * nothing else consults it).
+        */
+      exact: Boolean = false)
 
   /** Per-file stats an add-action carries: a bloom bitset over
     * xxhash64(document_url) plus the min/max url — fixed size, so the
@@ -373,8 +380,11 @@ class ManifestTableFormat(
           val valid = cs.map(c => if (c.lo.isDefined && c.hi.isDefined) 1
             else 0).mkString(",")
           val nulls = cs.map(_.nulls).mkString(",")
+          // protocol v7: per-column exact-bounds marker (string
+          // extremum lane); older readers ignore the field
+          val exact = cs.map(c => if (c.exact) 1 else 0).mkString(",")
           s"""$sz,"rows":$n,"csn":[$names],"cslo":[$los],"cshi":[$his],""" +
-            s""""csv":[$valid],"csnn":[$nulls]"""
+            s""""csv":[$valid],"csnn":[$nulls],"cse":[$exact]"""
       }
       s"{$base$ext}"
     case None => a.txn match {
@@ -442,14 +452,18 @@ class ManifestTableFormat(
         val his = parseStringArray(line, "cshi")
         val valid = parseLongArray(line, "csv")
         val nulls = parseLongArray(line, "csnn")
+        val exact = if (line.contains("\"cse\":["))
+          parseLongArray(line, "cse") else Seq.empty
         if (Seq(los, his).exists(_.size != names.size) ||
-            Seq(valid, nulls).exists(_.size != names.size))
+            Seq(valid, nulls).exists(_.size != names.size) ||
+            (exact.nonEmpty && exact.size != names.size))
           fail("ragged column-stats arrays")
         names.indices.map { i =>
           val ok = valid(i) == 1L
           ColStats(names(i),
             if (ok) Some(los(i)) else None,
-            if (ok) Some(his(i)) else None, nulls(i))
+            if (ok) Some(his(i)) else None, nulls(i),
+            exact = i < exact.size && exact(i) == 1L)
         }
       }
     def dvRef: Option[ManifestTableFormat.DvRef] =
@@ -1126,10 +1140,11 @@ class ManifestTableFormat(
           st.cols.map(_.hi.getOrElse("")),
           st.cols.map(c => if (c.lo.isDefined && c.hi.isDefined) 1 else 0),
           st.cols.map(_.nulls),
+          st.cols.map(c => if (c.exact) 1 else 0),
           st.dv.map(_.path), st.dv.map(_.card)) }
       .toDF("file", "bits", "lo", "hi", "num_bits", "num_hashes",
         "rows", "bytes", "cs_names", "cs_lo", "cs_hi", "cs_valid",
-        "cs_nn", "dv_path", "dv_card")
+        "cs_nn", "cs_exact", "dv_path", "dv_card")
     snap.ckptParquet match {
       case None => tail
       case Some(dir) =>
@@ -1186,12 +1201,15 @@ class ManifestTableFormat(
       .map(_.toSeq).getOrElse(Nil)
     val nulls = opt[scala.collection.Seq[Long]]("cs_nn")
       .map(_.toSeq).getOrElse(Nil)
+    val exact = opt[scala.collection.Seq[Int]]("cs_exact")
+      .map(_.toSeq).getOrElse(Nil)
     val cols = names.indices.map { i =>
       val ok = i < valid.size && valid(i) == 1
       ColStats(names(i),
         if (ok) Some(los(i)) else None,
         if (ok) Some(his(i)) else None,
-        if (i < nulls.size) nulls(i) else 0L)
+        if (i < nulls.size) nulls(i) else 0L,
+        exact = i < exact.size && exact(i) == 1)
     }
     r.getAs[String]("file") -> FileStats(
       r.getAs[scala.collection.Seq[Long]]("bits").toSeq,
@@ -1580,7 +1598,16 @@ class ManifestTableFormat(
           val nn = r.getLong(r.fieldIndex(s"__nn$i"))
           if (loV == null || hiV == null) ColStats(f.name, None, None, nn)
           else renderHi(hiV) match {
-            case Some(hi) => ColStats(f.name, Some(renderLo(loV)), Some(hi), nn)
+            case Some(hi) =>
+              // exact-bounds marker: numerics render losslessly;
+              // strings are exact iff NEITHER bound truncated (the
+              // rendered forms equal the collected values)
+              val lo = renderLo(loV)
+              val exact = (loV, hiV) match {
+                case (ls: String, hs: String) => lo == ls && hi == hs
+                case _ => true
+              }
+              ColStats(f.name, Some(lo), Some(hi), nn, exact)
             case None => ColStats(f.name, None, None, nn)
           }
         }
@@ -3299,6 +3326,58 @@ class ManifestTableFormat(
       } else return None
     }
     Some(out.result())
+  }
+
+  /** STRING MIN/MAX from the log — servable only because protocol v7
+    * records a per-column exact-bounds marker at stats-write time
+    * (the writer KNOWS whether truncation happened; stored string
+    * bounds without the marker may be truncation-adjusted and cannot
+    * answer an extremum). `None` — fail-open to the scan — unless
+    * every asked file has stats with the marker set (or is provably
+    * all-null on the column) and carries no deletion vector (deleted
+    * rows could hold the recorded extremum). Extrema compare in
+    * UTF8String (binary UTF-8) order — Spark's own string ordering;
+    * Java String order differs on supplementary characters.
+    * `Some((None, None))` = every row NULL → NULL extrema.
+    */
+  def stringMinMax(files: Seq[String], physCol: String)
+      : Option[(Option[String], Option[String])] = {
+    if (files.isEmpty) return Some((None, None))
+    import spark.implicits._
+    val p = array_position(col("cs_names"), physCol).cast("int")
+    val got = statsFrame(snapshot())
+      .join(files.toDF("file"), Seq("file"), "left_semi")
+      .select(col("file"), col("rows"), col("dv_card"),
+        when(p > 0, element_at(col("cs_valid"), p)).as("v"),
+        when(p > 0, element_at(col("cs_lo"), p)).as("lo"),
+        when(p > 0, element_at(col("cs_hi"), p)).as("hi"),
+        when(p > 0, element_at(col("cs_nn"), p)).as("nn"),
+        when(p > 0, element_at(col("cs_exact"), p)).as("ex"))
+      .collect()
+    if (got.length != files.size) return None
+    val ord = Ordering.comparatorToOrdering(
+      new java.util.Comparator[String] {
+        def compare(a: String, b: String): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b))
+      })
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    got.foreach { r =>
+      if (r.isNullAt(1) || r.isNullAt(6)) return None
+      if (!r.isNullAt(2) && r.getLong(2) != 0L) return None
+      val rows = r.getLong(1)
+      val nulls = r.getLong(6)
+      val valid = !r.isNullAt(3) && r.getInt(3) == 1
+      if (valid && !r.isNullAt(4) && !r.isNullAt(5)) {
+        if (r.isNullAt(7) || r.getInt(7) != 1) return None // not exact
+        val l = r.getString(4); val h = r.getString(5)
+        if (lo.forall(ord.gt(_, l))) lo = Some(l)
+        if (hi.forall(ord.lt(_, h))) hi = Some(h)
+      } else if (nulls != rows) return None // bounds missing, not all-null
+    }
+    Some((lo, hi))
   }
 
   /** Per-file LIVE row counts (rows − DV cardinality) for `files`,

@@ -323,6 +323,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         if (pin.isDefined) None else Some(mtf.fileRowCounts),
       perFileRanges =
         if (pin.isDefined) None else Some(mtf.fileColumnRanges),
+      perFileStrBounds =
+        if (pin.isDefined) None else Some(mtf.stringMinMax),
       // filtered metadata COUNT (see the catalog twin): pinned files
       // + pinned DV cardinalities, immutable stats — time-travel-safe
       metaCounts = {

@@ -275,7 +275,9 @@ class ManifestStatsScanBuilder(
     rowsOf: Option[Seq[String] => Option[Long]] = None,
     perFileRows: Option[Seq[String] => Option[Map[String, Long]]] = None,
     perFileRanges: Option[(Seq[String], String) =>
-      Option[Seq[ManifestTableFormat.FileRange]]] = None)
+      Option[Seq[ManifestTableFormat.FileRange]]] = None,
+    perFileStrBounds: Option[(Seq[String], String) =>
+      Option[(Option[String], Option[String])]] = None)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
@@ -512,6 +514,13 @@ class ManifestStatsScanBuilder(
     def rangesFor(phys: String) = rangeCache.getOrElseUpdate(phys,
       perFileRanges.flatMap(_(currentFiles, phys))
         .filter(_.forall(_.dvCard == 0L)))
+    // STRING extrema (protocol v7 exact-bounds marker): one provider
+    // call per column serves both MIN and MAX; DV'd / unmarked /
+    // truncated files refuse inside the provider
+    val strCache = scala.collection.mutable.Map[
+      String, Option[(Option[String], Option[String])]]()
+    def strBoundsFor(phys: String) = strCache.getOrElseUpdate(phys,
+      perFileStrBounds.flatMap(_(currentFiles, phys)))
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
     aggregation.aggregateExpressions().foreach {
@@ -531,23 +540,33 @@ class ManifestStatsScanBuilder(
       case m: Min =>
         val name = singleCol(m.column).getOrElse(return None)
         val (phys, dt) = typeOf(name).getOrElse(return None)
-        if (!exactKind(dt)) return None
-        val rs = rangesFor(phys).getOrElse(return None)
-        val lows = rs.flatMap(_.lo)
-        val v = if (lows.isEmpty) null
-          else decode(lows.min, dt).getOrElse(return None)
         fields += StructField(s"min_$name", dt, nullable = true)
-        values += v
+        if (dt.isInstanceOf[StringType])
+          values += strBoundsFor(phys).getOrElse(return None)._1
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .orNull
+        else {
+          if (!exactKind(dt)) return None
+          val rs = rangesFor(phys).getOrElse(return None)
+          val lows = rs.flatMap(_.lo)
+          values += (if (lows.isEmpty) null
+            else decode(lows.min, dt).getOrElse(return None))
+        }
       case m: Max =>
         val name = singleCol(m.column).getOrElse(return None)
         val (phys, dt) = typeOf(name).getOrElse(return None)
-        if (!exactKind(dt)) return None
-        val rs = rangesFor(phys).getOrElse(return None)
-        val his = rs.flatMap(_.hi)
-        val v = if (his.isEmpty) null
-          else decode(his.max, dt).getOrElse(return None)
         fields += StructField(s"max_$name", dt, nullable = true)
-        values += v
+        if (dt.isInstanceOf[StringType])
+          values += strBoundsFor(phys).getOrElse(return None)._2
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .orNull
+        else {
+          if (!exactKind(dt)) return None
+          val rs = rangesFor(phys).getOrElse(return None)
+          val his = rs.flatMap(_.hi)
+          values += (if (his.isEmpty) null
+            else decode(his.max, dt).getOrElse(return None))
+        }
       case _ => return None // SUM/AVG/DISTINCT/UDAF: not stats-exact
     }
     Some((StructType(fields.result()),

@@ -243,6 +243,63 @@ class ManifestStatsSkipSpec extends SparkSpec
     assert(tr.getLong(0) == 20 && tr.getInt(1) == 5)
   }
 
+  test("string MIN/MAX from the log: exact-bounds marker serves short " +
+      "strings scan-free; truncated bounds fail open, results exact") {
+    val (cat, wh) = freshCatalog()
+    val store = new ChunkStore(spark, s"$wh/t",
+      format = ManifestTableFormat.factory)
+    store.append(batch(0 until 10, _ => 0))   // texts t-0..t-9
+    store.append(batch(10 until 20, _ => 0))  // texts t-10..t-19
+    val q = spark.sql(s"SELECT MIN(chunk_text) AS lo, " +
+      s"MAX(chunk_text) AS hi FROM $cat.t")
+    val r = q.collect().head
+    assert(r.getString(0) == "t-0" && r.getString(1) == "t-9")
+    val plan = q.queryExecution.executedPlan.toString
+    assert((plan.contains("GraftLogStatsAggScan") ||
+      plan.contains("LocalTableScan")) && !plan.contains("BatchScan"),
+      s"marked-exact string extrema must be log-answered:\n$plan")
+
+    // supplementary characters order in UTF-8 bytes (Spark's own
+    // string order), not UTF-16 code units: U+10000 > U+FFFF
+    val (cat2, wh2) = freshCatalog()
+    val s2 = new ChunkStore(spark, s"$wh2/t",
+      format = ManifestTableFormat.factory)
+    val supp = new String(Character.toChars(0x10000))
+    s2.append(batch(0 until 2, _ => 0, i => if (i == 0) supp else "￿"))
+    val r2 = spark.sql(s"SELECT MIN(chunk_text) AS lo, " +
+      s"MAX(chunk_text) AS hi FROM $cat2.t").collect().head
+    assert(r2.getString(0) == "￿" && r2.getString(1) == supp,
+      s"UTF8 byte order must place U+10000 above U+FFFF, got " +
+        s"(${r2.getString(0)}, ${r2.getString(1)})")
+
+    // truncated bounds (a 100-char value) refuse the lane; the scan
+    // answers exactly
+    val (cat3, wh3) = freshCatalog()
+    val s3 = new ChunkStore(spark, s"$wh3/t",
+      format = ManifestTableFormat.factory)
+    val long = "z" * 100 + "TAIL"
+    s3.append(batch(0 until 3, _ => 0,
+      i => if (i == 0) long else s"t-$i"))
+    val q3 = spark.sql(s"SELECT MIN(chunk_text) AS lo, " +
+      s"MAX(chunk_text) AS hi FROM $cat3.t")
+    val r3 = q3.collect().head
+    assert(r3.getString(0) == "t-1" && r3.getString(1) == long,
+      "truncated stats must not leak into the answer")
+    assert(q3.queryExecution.executedPlan.toString.contains("BatchScan") ||
+      q3.queryExecution.executedPlan.toString.contains("FileScan"),
+      "a truncated bound must refuse the string-extremum lane")
+
+    // an all-null string file keeps the lane (contributes nothing);
+    // a MIXED-null file keeps it too (bounds are over non-nulls)
+    store.append(batch(20 until 25, _ => 0)
+      .withColumn("chunk_text", lit(null).cast("string")))
+    val r4 = spark.sql(s"SELECT MIN(chunk_text) AS lo, " +
+      s"MAX(chunk_text) AS hi, COUNT(chunk_text) AS n FROM $cat.t")
+      .collect().head
+    assert(r4.getString(0) == "t-0" && r4.getString(1) == "t-9" &&
+      r4.getLong(2) == 20)
+  }
+
   test("filtered metadata COUNT: proven files log-count, ONLY the " +
       "boundary file is read, the query plans a LocalRelation") {
     val (cat, wh) = freshCatalog()
