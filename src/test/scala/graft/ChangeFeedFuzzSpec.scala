@@ -142,4 +142,95 @@ class ChangeFeedFuzzSpec extends SparkSpec {
         s"delta ($i, $j] deletes rows absent at $i")
     }
   }
+
+  test("DDL fuzz: spans crossing random ADD/RENAME/DROP COLUMN still " +
+      "reconstruct the later state on the stable columns") {
+    import org.apache.spark.sql.types.StringType
+    val path = Files.createTempDirectory("graft-cdf-ddlfuzz")
+      .toString + "/t"
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    val rnd = new scala.util.Random(1313)
+    val live = scala.collection.mutable.ArrayBuffer.empty[String]
+    val aux = scala.collection.mutable.ArrayBuffer.empty[String]
+    var gen = 0
+
+    /** A write df matching the CURRENT evolved schema: base chunk
+      * columns + every live aux column, in the table's column order.
+      */
+    def writeDf(url: String, texts: String*): DataFrame = {
+      val base = chunksOf(url, texts: _*)
+      val withAux = aux.foldLeft(base)((df, a) =>
+        df.withColumn(a, lit(s"g$gen-$a")))
+      withAux.select(
+        mtf.currentSchema.fieldNames.toIndexedSeq.map(col): _*)
+    }
+
+    val versions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    (0 until 26).foreach { _ =>
+      gen += 1
+      rnd.nextInt(9) match {
+        case 0 | 1 =>
+          val url = s"doc://x$gen"
+          store.upsert(writeDf(url, s"g$gen-a", s"g$gen-b"))
+          live += url
+        case 2 if live.nonEmpty =>
+          store.upsert(writeDf(live(rnd.nextInt(live.size)), s"g$gen-rw"))
+        case 3 if live.nonEmpty =>
+          store.delete(Seq(live.remove(rnd.nextInt(live.size))))
+        case 4 => store.compact()
+        case 5 if aux.size < 2 =>
+          val n = s"aux$gen"
+          mtf.addColumn(n, StringType); aux += n
+          // DDL alone commits a version with no file churn; keep the
+          // step productive so every version is span-sampleable
+          val url = s"doc://x$gen"
+          store.upsert(writeDf(url, s"g$gen-post-add"))
+          live += url
+        case 6 if aux.nonEmpty =>
+          val i = rnd.nextInt(aux.size)
+          val n2 = s"aux${gen}r"
+          mtf.renameColumn(aux(i), n2); aux(i) = n2
+        case 7 if aux.nonEmpty =>
+          mtf.dropColumn(aux.remove(rnd.nextInt(aux.size)))
+        case _ =>
+          mtf.checkpoint()
+          val url = s"doc://x$gen"
+          store.upsert(writeDf(url, s"g$gen-ck"))
+          live += url
+      }
+      versions += mtf.version
+    }
+    assert(aux.nonEmpty || gen > 0) // exercised; keep compiler quiet
+
+    def stateAt(v: Long): Seq[RowKey] =
+      rowsOf(mtf.readVersion(v))
+
+    val distinct: IndexedSeq[Long] = versions.distinct.sorted.toIndexedSeq
+    val pairs: Seq[(Long, Long)] =
+      Seq((distinct.head, distinct.last)) ++
+        distinct.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq ++
+        Seq.fill(15)((distinct(rnd.nextInt(distinct.size)),
+          distinct(rnd.nextInt(distinct.size))))
+          .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    pairs.distinct.foreach { case (i, j) =>
+      // the delta speaks the TO version's schema; the stable columns
+      // exist at every version, so reconstruction checks on them
+      val delta = mtf.changesBetween(i, j)
+        .select("document_url", "chunk_id", "chunk_text", "_change_type")
+        .collect().toSeq
+        .map(r => ((r.getString(0), r.getInt(1), r.getString(2)),
+          r.getString(3)))
+      val inserts = delta.collect { case (k, "insert") => k }
+      val deletes = delta.collect { case (k, "delete") => k }
+      val reconstructed =
+        (stateAt(i).diff(deletes) ++ inserts).sorted
+      assert(reconstructed == stateAt(j),
+        s"DDL-crossing delta ($i, $j] does not reconstruct " +
+          s"(inserts=${inserts.size} deletes=${deletes.size})")
+      assert(deletes.diff(stateAt(i)).isEmpty,
+        s"DDL-crossing delta ($i, $j] deletes rows absent at $i")
+    }
+  }
 }

@@ -206,6 +206,87 @@ class ChangeFeedStreamSpec extends SparkSpec {
       ("doc://new", Some("de"), "insert")), buf.asScala.toSet)
   }
 
+  test("spans crossing ADD/RENAME/DROP COLUMN replay under the head " +
+      "schema: null-fill for pre-ALTER rows, rename maps physically, " +
+      "drop disappears — every restart drains exactly once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StringType
+    val tbl = freshPath("graft-cdf-ddlspan") + "/t"
+    val ckpt = freshPath("graft-cdf-ddlspan-ckpt")
+    val store = new graft.sink.ChunkStore(spark, tbl,
+      format = graft.sink.ManifestTableFormat.factory)
+    val mtf = new graft.sink.ManifestTableFormat(spark, tbl, store.schema)
+
+    def drainCols(cols: String*): Seq[Seq[Option[String]]] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        Seq[Option[String]]]()
+      val q = spark.readStream.format("graft-cdf").option("path", tbl)
+        .load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select(cols.map(c => col(c).cast("string")): _*).collect()
+            .foreach(r => buf.add(
+              cols.indices.map(i => Option(r.getString(i)))))
+        }
+        .queryName("cdf_ddlspan")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+
+    store.upsert(chunksOf("doc://a", "t-a"))                       // v0
+    assert(drainCols("document_url", "_change_type").toSet ==
+      Set(Seq(Some("doc://a"), Some("insert"))))
+
+    // span crossing ADD COLUMN: the restarted stream speaks the head
+    // schema; the pre-ALTER row from the SAME span null-fills
+    mtf.addColumn("lang", StringType)                              // v1
+    import spark.implicits._
+    store.upsert(chunksOf("doc://b", "t-b"))                       // v2
+    store.append(Seq((0, "t-c", Seq(1f), 1, "doc://c", "de"))
+      .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+        "document_url", "lang")
+      .withColumn("embedding", col("embedding").cast("array<float>")))
+    val addSpan = drainCols("document_url", "lang", "_change_type")
+    assert(addSpan.toSet == Set(
+      Seq(Some("doc://b"), None, Some("insert")),
+      Seq(Some("doc://c"), Some("de"), Some("insert"))), addSpan)
+
+    // span crossing RENAME: physical column mapping keeps pre-rename
+    // DATA readable under the new name — both commits' rows carry it
+    mtf.renameColumn("chunk_text", "body")
+    store.upsert(chunksOf("doc://a", "t-a2")
+      .withColumnRenamed("chunk_text", "body")
+      .withColumn("lang", lit(null).cast("string")))
+    val renSpan = drainCols("document_url", "body", "_change_type")
+    // doc://a rewrite: old row out (its PRE-RENAME text readable as
+    // `body`), new row in
+    assert(renSpan.toSet == Set(
+      Seq(Some("doc://a"), Some("t-a"), Some("delete")),
+      Seq(Some("doc://a"), Some("t-a2"), Some("insert"))), renSpan)
+
+    // span crossing DROP: the dropped column is gone from the feed;
+    // rows whose only difference was the dropped value cancel in the
+    // exceptAll under the head schema (documented net-delta algebra)
+    mtf.dropColumn("lang")
+    store.upsert(chunksOf("doc://d", "t-d")
+      .withColumnRenamed("chunk_text", "body"))
+    val dropSpan = drainCols("document_url", "body", "_change_type")
+    assert(dropSpan.toSet ==
+      Set(Seq(Some("doc://d"), Some("t-d"), Some("insert"))), dropSpan)
+    // the feed schema no longer knows `lang` (a non-empty span, so
+    // the consumer's select actually evaluates)
+    store.upsert(chunksOf("doc://e", "t-e")
+      .withColumnRenamed("chunk_text", "body"))
+    val err = intercept[Exception] { drainCols("lang") }
+    assert(Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).exists(t =>
+        Option(t.getMessage).exists(_.contains("lang"))))
+  }
+
   test("staged-delta reader null-fills columns the staged file lacks " +
       "(replay of a pre-ALTER batch under the evolved feed schema)") {
     import org.apache.parquet.schema.MessageTypeParser
