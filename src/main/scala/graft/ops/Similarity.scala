@@ -239,6 +239,18 @@ object Similarity {
     * never the floats — and the `rerankPerProbe` survivors join back
     * to the float vectors for exact cosine rerank (a shuffle bounded
     * by candidates, not base size).
+    *
+    * RECALL SIZING (measured, BENCH_NOTES round 13 @ 20k×64d): the
+    * controlling knobs are code resolution and rerank depth, NOT
+    * nprobe — with 4-bit codes (ks=16) recall@10 is flat in nprobe
+    * (~0.49) because the PQ ranking can't surface the true neighbors
+    * into a 96-deep pool. Either deepen the pool (`rerankPerProbe`
+    * ≈ 25–50×k recovers 0.7–0.86 at unchanged cost — the rerank join
+    * is candidate-bounded) or train 8-bit codes (ks=256: 0.8 at
+    * rerank=96, 0.94 at 256). ks costs TRAINING time only, so for a
+    * served corpus prefer [[VectorIndex.buildIvfPq]] with ks=256 and
+    * query with rerankPerProbe ≈ 25×k; the transient join here keeps
+    * ks=16 as the cheap-training default.
     */
   def ivfPqAnnJoin(
       base: DataFrame,

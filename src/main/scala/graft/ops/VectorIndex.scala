@@ -72,6 +72,13 @@ object VectorIndex {
     * IVF-PQ index for `base` at `path`: per row (nn_id, cell, pq
     * codes, float vec), partitioned by cell; centroids + codebook in
     * the stamp. Overwrites any previous index at `path`.
+    *
+    * ks SIZING: training cost is paid ONCE here and amortized over
+    * every query, so prefer 8-bit codes (ks=256) for a served corpus
+    * — measured recall@10 at 20k×64d: 0.49 (ks=16, rerank=96) →
+    * 0.94 (ks=256, rerank=256) at sub-second query latency
+    * (BENCH_NOTES round 13). The ks=16 default mirrors the transient
+    * [[Similarity.ivfPqAnnJoin]] for result parity in the d3e gate.
     */
   def buildIvfPq(
       base: DataFrame,
