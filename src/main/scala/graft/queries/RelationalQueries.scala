@@ -1654,6 +1654,64 @@ object RelationalQueries {
       q.withColumn("topn_pruned", lit(pruned))
     },
 
+    // B12g: TopN/LIMIT FILE PRUNING ON A DV'D SNAPSHOT — b12d's shape
+    // after a deletion-vector delete: the pair-pruned head read must
+    // (a) exclude the DV'd rows (the vector applies under the pruned
+    // read) and (b) still plan a strict file subset, using LIVE lower
+    // bounds in the threshold arithmetic. `topn_pruned` pins the
+    // subset inside the hash; the oracle replays the delete
+    // relationally.
+    "b12g_topn_dv" -> QueryDef(
+      """SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS topn_pruned
+        |FROM orders
+        |WHERE o_orderkey > (SELECT CAST(MAX(o_orderkey) // 100 AS BIGINT)
+        |                    FROM orders)
+        |ORDER BY k LIMIT 100""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-topndv").toString
+      val cat = QueryDef.freshCatalog(s, "graft_topndv", wh)
+      s.sql(s"CREATE TABLE $cat.o (k BIGINT) " +
+        "TBLPROPERTIES ('format'='manifest')")
+      val orders = t(s, dir, "orders")
+      val maxK = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      orders.select(col("o_orderkey").as("k"))
+        .createOrReplaceTempView("graft_topndv_src")
+      (0 until 4).foreach { i =>
+        val lo = if (i == 0) Long.MinValue else maxK * i / 4
+        val hi = if (i == 3) Long.MaxValue else maxK * (i + 1) / 4
+        s.sql(s"INSERT INTO $cat.o SELECT /*+ REPARTITION(1) */ k " +
+          s"FROM graft_topndv_src WHERE k > $lo AND k <= $hi")
+      }
+      // DV-delete the head 1% so the top-100 depends on the vector
+      val cut = maxK / 100
+      s.conf.set("spark.graft.deletionVectors", "true")
+      try s.sql(s"DELETE FROM $cat.o WHERE k <= $cut")
+      finally s.conf.unset("spark.graft.deletionVectors")
+      def planned(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        new org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanHelper {
+          def files(p: org.apache.spark.sql.execution.SparkPlan): Int =
+            collectWithSubqueries(p) {
+              case f: org.apache.spark.sql.execution
+                  .FileSourceScanExec =>
+                f.relation.location.inputFiles
+                  .count(!_.contains("/dv-"))
+            }.sum
+        }.files(plan)
+      }
+      val all = planned(s.sql(s"SELECT k FROM $cat.o"))
+      val q = s.sql(s"SELECT k FROM $cat.o ORDER BY k LIMIT 100")
+      val top = planned(q)
+      val pruned = if (all >= 4 && top > 0 && top < all) 1L else 0L
+      q.withColumn("topn_pruned", lit(pruned))
+    },
+
     // B12e: FILTERED metadata COUNT — `COUNT(*) WHERE k < cutoff` on
     // a key-clustered manifest table folds to a LocalRelation at
     // optimization: files whose stats prove every row matches are
