@@ -356,6 +356,15 @@ object GraphIndex {
     * task. Global merge = per-probe top-k window over nprobe·k
     * candidate rows. Output: (probe_id, nn_id, dist) — the same
     * surface as the transient ANN joins.
+    *
+    * RECALL SIZING (measured, BENCH_NOTES round 13 @ 20k×64d): `ef`
+    * — the beam width — is the binding recall knob, NOT `nprobe`
+    * (recall is flat in nprobe once the true cell is probed):
+    * ef 64→128→256 moves recall@10 0.918→0.964→0.987 at FLAT query
+    * latency (beam cost is per-candidate pointer chasing inside an
+    * in-memory cell task). `efConstruction` adds ~1-2 recall points
+    * at equal ef for a denser graph, paid once at build. Prefer
+    * raising ef before nprobe.
     */
   def query(
       spark: SparkSession,
