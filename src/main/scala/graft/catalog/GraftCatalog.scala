@@ -249,7 +249,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val pinnedDv = filesDv.collect {
             case (f, Some(dv)) => f -> dv.card }.toMap
           Some((probes, targets) =>
-            mtf.filteredCounts(files, pinnedDv, probes, targets))
+            mtf.filteredAggregates(files, pinnedDv, probes, targets))
         },
         // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
         // snapshots only; time travel is frozen history
@@ -1037,7 +1037,8 @@ private[graft] class GraftTable(
     dvLiveRows: Option[() => Option[Long]] = None,
     metaCounts: Option[
       (Seq[graft.sink.ManifestTableFormat.ExactProbe],
-        Seq[Option[String]]) => Option[Seq[Long]]] = None)
+        Seq[graft.sink.ManifestTableFormat.MetaAgg]) =>
+          Option[Seq[Any]]] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -1161,14 +1162,16 @@ private[graft] class GraftTable(
     */
   private[graft] def dvScanInfo: Option[graft.plans.DvScanInfo] = dvInfo
 
-  /** The filtered metadata-COUNT hook ([[graft.plans
-    * .MetadataFilteredCount]]): probes + COUNT targets → log-answered
-    * counts, boundary files scanned inside. Resolution-pinned file
-    * list and DV cardinalities — exact for this handle's snapshot.
+  /** The filtered metadata-aggregate hook ([[graft.plans
+    * .MetadataFilteredCount]]): probes + COUNT/MIN/MAX targets →
+    * log-answered internal values, boundary files scanned inside.
+    * Resolution-pinned file list and DV cardinalities — exact for
+    * this handle's snapshot.
     */
   private[graft] def metaCountsOf: Option[
     (Seq[graft.sink.ManifestTableFormat.ExactProbe],
-      Seq[Option[String]]) => Option[Seq[Long]]] = metaCounts
+      Seq[graft.sink.ManifestTableFormat.MetaAgg]) =>
+        Option[Seq[Any]]] = metaCounts
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = dvInfo match {

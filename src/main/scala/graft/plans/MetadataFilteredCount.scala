@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.DataType
 
 import graft.sink.{ManifestTableFormat, StatsProbes}
 
-/** FILTERED metadata COUNT: `SELECT count(*) [, count(col)…] FROM t
+/** FILTERED metadata aggregates: `SELECT count(*) [, count(col),
+  * min(col), max(col)…] FROM t
   * WHERE <exactly-probeable predicate>` over a manifest table folds to
   * a [[LocalRelation]] at optimization time — files whose per-file
   * stats PROVE the predicate for every row are log-counted, files
@@ -29,8 +30,14 @@ import graft.sink.{ManifestTableFormat, StatsProbes}
   * operator-optimization seat sees `Aggregate(Filter(relation))`
   * before scan planning and owns the whole answer instead.
   *
+  * MIN/MAX ride the same proof: an all-match file's recorded bounds
+  * ARE its matching rows' bounds, so extrema fold from stats +
+  * boundary scan exactly like counts (stats-exact kinds and
+  * marked-exact strings only; see `filteredAggregates`).
+  *
   * Soundness ladder (every rung fail-open to the normal scan):
-  * the aggregate list must be all non-distinct, unfiltered COUNTs;
+  * the aggregate list must be all non-distinct, unfiltered
+  * COUNT/MIN/MAX;
   * counted columns must be the RELATION's own attributes (matched by
   * exprId through [[PhysicalOperation]]'s alias substitution, so a
   * subquery alias shadowing a real column name cannot spoof the
@@ -77,26 +84,35 @@ object MetadataFilteredCount extends Rule[LogicalPlan]
     def typeOf(n: String): Option[(String, DataType)] =
       table.schema().fields.find(_.name.equalsIgnoreCase(n))
         .map(f => (ManifestTableFormat.physicalName(f), f.dataType))
-    // every output expression must be a plain COUNT (no DISTINCT, no
-    // FILTER clause) over a literal (star) or a relation attribute
-    val targets: Seq[Option[String]] = a.aggregateExpressions.map {
-      case Alias(AggregateExpression(
-          Count(Seq(l: Literal)), Complete, false, None, _), _)
-          if l.value != null => None
-      case Alias(AggregateExpression(
-          Count(Seq(att: Attribute)), Complete, false, None, _), _)
-          if relIds.contains(att.exprId) =>
-        val (phys, _) = typeOf(relIds(att.exprId)).getOrElse(return None)
-        Some(phys)
-      case _ => return None
-    }
+    def physOf(att: Attribute): Option[String] =
+      relIds.get(att.exprId).flatMap(typeOf).map(_._1)
+    // every output expression must be a plain COUNT/MIN/MAX (no
+    // DISTINCT, no FILTER clause) over a literal (count-star) or a
+    // relation attribute
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    val targets: Seq[ManifestTableFormat.MetaAgg] =
+      a.aggregateExpressions.map {
+        case Alias(AggregateExpression(
+            Count(Seq(l: Literal)), Complete, false, None, _), _)
+            if l.value != null => ManifestTableFormat.MetaCountStar
+        case Alias(AggregateExpression(
+            Count(Seq(att: Attribute)), Complete, false, None, _), _) =>
+          ManifestTableFormat.MetaCount(physOf(att).getOrElse(return None))
+        case Alias(AggregateExpression(
+            Min(att: Attribute), Complete, false, None, _), _) =>
+          ManifestTableFormat.MetaMin(physOf(att).getOrElse(return None))
+        case Alias(AggregateExpression(
+            Max(att: Attribute), Complete, false, None, _), _) =>
+          ManifestTableFormat.MetaMax(physOf(att).getOrElse(return None))
+        case _ => return None
+      }
     val probes = StatsProbes.extractExact(filters, typeOf)
       .getOrElse(return None)
     if (probes.isEmpty) return None
-    val counts = hook(probes, targets).getOrElse(return None)
+    val values = hook(probes, targets).getOrElse(return None)
     Some(LocalRelation(
       a.aggregateExpressions.map(_.toAttribute),
       Seq(new GenericInternalRow(
-        counts.toArray[Any]): InternalRow)))
+        values.toArray[Any]): InternalRow)))
   }
 }

@@ -1723,6 +1723,8 @@ object RelationalQueries {
     "b12e_filtered_metadata_count" -> QueryDef(
       """SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(COUNT(o_orderdate) AS BIGINT) AS nts,
+        |       MIN(o_orderkey) AS lo_k, MAX(o_orderkey) AS hi_k,
+        |       MAX(o_orderdate) AS hi_ts,
         |       CAST(1 AS BIGINT) AS count_lane
         |FROM orders
         |WHERE o_orderkey < (SELECT CAST(MAX(o_orderkey) // 3 AS BIGINT)
@@ -1747,9 +1749,12 @@ object RelationalQueries {
       }
       val cutoff = maxK / 3
       graft.sink.ManifestTableFormat.lastMetaCountSplit = null
+      // counts AND extrema fold together: proven files contribute
+      // recorded bounds, the boundary file scans for matching extrema
       val q = s.sql(s"SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
-        s"CAST(COUNT(ts) AS BIGINT) AS nts FROM $cat.o " +
-        s"WHERE k < $cutoff")
+        s"CAST(COUNT(ts) AS BIGINT) AS nts, " +
+        s"MIN(k) AS lo_k, MAX(k) AS hi_k, MAX(ts) AS hi_ts " +
+        s"FROM $cat.o WHERE k < $cutoff")
       q.collect()
       val plan = q.queryExecution.executedPlan.toString
       val split = graft.sink.ManifestTableFormat.lastMetaCountSplit

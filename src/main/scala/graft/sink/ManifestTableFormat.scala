@@ -2362,26 +2362,37 @@ class ManifestTableFormat(
     }.reduce(_ || _)
   }
 
-  /** Filtered log-answered COUNT — the fusion of the metadata-only
-    * DELETE lane's exact proofs with the log-answered aggregate lane:
-    * for `COUNT(*)`/`COUNT(col)` under an exactly-probed predicate,
-    * files whose stats PROVE every row matches contribute their
-    * log-recorded counts, files proven to match nothing contribute 0,
-    * and only the BOUNDARY files (straddling a predicate bound) are
-    * read — with the predicate applied — in one narrow planning job.
-    * On a time-clustered 10⁷-file table, `COUNT(*) WHERE ts < cutoff`
-    * reads a handful of boundary files instead of every file.
+  /** Filtered log-answered AGGREGATES — the fusion of the
+    * metadata-only DELETE lane's exact proofs with the log-answered
+    * aggregate lane: for `COUNT(*)`/`COUNT(col)`/`MIN(col)`/`MAX(col)`
+    * under an exactly-probed predicate, files whose stats PROVE every
+    * row matches contribute their log-recorded counts/bounds, files
+    * proven to match nothing contribute nothing, and only the
+    * BOUNDARY files (straddling a predicate bound) are read — with
+    * the predicate applied — in one narrow planning job. On a
+    * time-clustered 10⁷-file table, `COUNT(*), MAX(ts) WHERE ts <
+    * cutoff` reads a handful of boundary files instead of every file.
     *
-    * `targets`: one entry per COUNT in the aggregation — `None` for
-    * `COUNT(*)`, `Some(physCol)` for `COUNT(col)`. Returns the counts
-    * in target order, or `None` (fail-open to the normal scan) when:
-    * any probe column lacks usable stats everywhere it matters, a
-    * boundary file carries a pinned deletion vector (the raw read
-    * would count deleted rows), a `COUNT(col)` touches a DV'd or
-    * stats-less file, any asked file has no stats row (vacuumed /
-    * foreign), or the boundary exceeds [[ManifestTableFormat
-    * .maxMetaCountBoundary]] of the list (past that, the normal lazy
-    * scan with full cluster parallelism beats a planning-time job).
+    * Extrema soundness: an all-match file's recorded bounds ARE its
+    * matching rows' bounds (every row matches; MIN/MAX ignore nulls,
+    * and bounds are over non-nulls). Numeric kinds decode on the
+    * canonical grid; strings need the protocol-v7 exact marker; a
+    * proven file whose stat is missing/unmarked falls to the boundary
+    * scan (still exact there — all its rows match). Boundary extrema
+    * aggregate over [[statEncode]] so both sides combine in one
+    * encoded space, then convert to the Catalyst-internal value.
+    *
+    * Returns internal values in target order (counts as Long, extrema
+    * as the column's internal type or null), or `None` (fail-open to
+    * the normal scan) when: any probe column lacks usable stats
+    * everywhere it matters, a boundary file carries a pinned deletion
+    * vector (the raw read would see deleted rows), a COUNT(col)/
+    * extremum touches a DV'd file, an extremum column is a
+    * float/double/decimal (grid collision), any asked file has no
+    * stats row (vacuumed / foreign), or the boundary exceeds
+    * [[ManifestTableFormat.maxMetaCountBoundary]] of the list (past
+    * that, the normal lazy scan with full cluster parallelism beats a
+    * planning-time job).
     *
     * `pinnedDv`: the caller's RESOLUTION-TIME deletion-vector
     * cardinalities (empty map = none). All other stats consulted
@@ -2389,29 +2400,87 @@ class ManifestTableFormat(
     * life, so answering from the HEAD stats frame is exact even for a
     * pinned older file list — the same carve-out as `dvLiveRows`.
     */
-  def filteredCounts(
+  def filteredAggregates(
       files: Seq[String],
       pinnedDv: Map[String, Long],
       probes: Seq[ExactProbe],
-      targets: Seq[Option[String]]): Option[Seq[Long]] = {
+      targets: Seq[ManifestTableFormat.MetaAgg]): Option[Seq[Any]] = {
+    import ManifestTableFormat.{MetaAgg, MetaCount, MetaCountStar, MetaMax, MetaMin}
     if (probes.isEmpty || targets.isEmpty) return None
-    if (files.isEmpty) return Some(targets.map(_ => 0L))
-    import spark.implicits._
     val snap = snapshot()
-    val countCols = targets.flatten.distinct
+    val fieldsByPhys = snap.tableSchema.fields
+      .map(f => ManifestTableFormat.physicalName(f) -> f).toMap
+    val countCols = targets.collect { case MetaCount(c) => c }.distinct
+    val extCols = targets.collect {
+      case MetaMin(c) => c
+      case MetaMax(c) => c
+    }.distinct
+    // extrema serve only stats-exact kinds (canonical grid) and
+    // marked-exact strings; anything else refuses the whole lane —
+    // proven files could never contribute and the cap would just trip
+    def dtOf(c: String) = fieldsByPhys.get(c).map(_.dataType)
+    val extKinds: Map[String, org.apache.spark.sql.types.DataType] =
+      extCols.map { c =>
+        val dt = dtOf(c).getOrElse(return None)
+        val ok = dt match {
+          case _: org.apache.spark.sql.types.IntegerType |
+               _: org.apache.spark.sql.types.LongType |
+               _: org.apache.spark.sql.types.ShortType |
+               _: org.apache.spark.sql.types.ByteType |
+               _: org.apache.spark.sql.types.DateType |
+               _: org.apache.spark.sql.types.TimestampType |
+               _: org.apache.spark.sql.types.BooleanType |
+               _: org.apache.spark.sql.types.StringType => true
+          case _ => false
+        }
+        if (!ok) return None
+        c -> dt
+      }.toMap
+    def isStr(c: String) =
+      extKinds(c).isInstanceOf[org.apache.spark.sql.types.StringType]
+    if (files.isEmpty)
+      return Some(targets.map {
+        case MetaCountStar | MetaCount(_) => 0L
+        case _ => null
+      })
+
+    import spark.implicits._
     val nnSelects = countCols.zipWithIndex.map { case (c, i) =>
       nullsOf(c).as(s"nn_$i") }
+    val extSelects = extCols.zipWithIndex.flatMap { case (c, i) =>
+      val pos = array_position(col("cs_names"), c).cast("int")
+      Seq(statVal("cs_lo", c).as(s"xlo_$i"),
+        statVal("cs_hi", c).as(s"xhi_$i"),
+        nullsOf(c).as(s"xnn_$i"),
+        when(pos > 0, element_at(col("cs_exact"), pos)).as(s"xex_$i"))
+    }
+    val base = 4 + countCols.size
     val got = statsFrame(snap)
       .join(files.toDF("file"), Seq("file"), "left_semi")
       .select(Seq(col("file"), col("rows"),
         allMatchProof(probes).as("all_m"),
-        noneMatchProof(probes).as("none_m")) ++ nnSelects: _*)
+        noneMatchProof(probes).as("none_m")) ++
+        nnSelects ++ extSelects: _*)
       .collect()
     if (got.length != files.size) return None
 
-    val anyColTarget = countCols.nonEmpty
+    // encoded-space extrema: numeric kinds as BigDecimal on the
+    // canonical grid, strings compared in UTF8String (binary) order
+    val strOrd = Ordering.comparatorToOrdering(
+      new java.util.Comparator[String] {
+        def compare(a: String, b: String): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(b))
+      })
+    def less(c: String, a: Any, b: Any): Boolean =
+      if (isStr(c)) strOrd.lt(a.asInstanceOf[String], b.asInstanceOf[String])
+      else a.asInstanceOf[BigDecimal] < b.asInstanceOf[BigDecimal]
+
     var provenStar = 0L
-    val provenCol = scala.collection.mutable.Map[String, Long]()
+    val provenCnt = scala.collection.mutable.Map[String, Long]()
+    val provenLo = scala.collection.mutable.Map[String, Any]()
+    val provenHi = scala.collection.mutable.Map[String, Any]()
     val boundary = Seq.newBuilder[String]
     var nBoundary = 0L
     got.foreach { r =>
@@ -2420,18 +2489,44 @@ class ManifestTableFormat(
       val noneM = !r.isNullAt(3) && r.getBoolean(3)
       val allM = !r.isNullAt(2) && r.getBoolean(2)
       if (!noneM) {
-        if (allM && !r.isNullAt(1)) {
+        // a proven file serves from stats alone iff every target's
+        // stat is present AND exact for it; otherwise it falls to the
+        // boundary scan (still correct there: all rows match)
+        val provable = allM && !r.isNullAt(1) &&
+          (dv == 0L || (countCols.isEmpty && extCols.isEmpty)) &&
+          countCols.indices.forall(i => !r.isNullAt(4 + i)) &&
+          extCols.zipWithIndex.forall { case (c, i) =>
+            val o = base + 4 * i
+            val allNull = !r.isNullAt(o + 2) && !r.isNullAt(1) &&
+              r.getLong(o + 2) == r.getLong(1)
+            val bounded = !r.isNullAt(o) && !r.isNullAt(o + 1) &&
+              (!isStr(c) || (!r.isNullAt(o + 3) && r.getInt(o + 3) == 1))
+            val parses = bounded && (isStr(c) ||
+              (scala.util.Try(BigDecimal(r.getString(o))).isSuccess &&
+                scala.util.Try(BigDecimal(r.getString(o + 1))).isSuccess))
+            allNull || parses
+          }
+        if (provable) {
           val rows = r.getLong(1)
           provenStar += rows - dv
           countCols.zipWithIndex.foreach { case (c, i) =>
-            // COUNT(col) over a proven file needs its exact null
-            // count AND no DV (live null split is unknowable)
-            if (dv != 0L || r.isNullAt(4 + i)) return None
-            provenCol(c) = provenCol.getOrElse(c, 0L) +
-              (rows - r.getLong(4 + i))
+            provenCnt(c) = provenCnt.getOrElse(c, 0L) +
+              (rows - r.getLong(4 + i)) }
+          extCols.zipWithIndex.foreach { case (c, i) =>
+            val o = base + 4 * i
+            if (!r.isNullAt(o)) { // bounded (all-null contributes none)
+              val lo: Any = if (isStr(c)) r.getString(o)
+                else BigDecimal(r.getString(o))
+              val hi: Any = if (isStr(c)) r.getString(o + 1)
+                else BigDecimal(r.getString(o + 1))
+              if (!provenLo.contains(c) || less(c, lo, provenLo(c)))
+                provenLo(c) = lo
+              if (!provenHi.contains(c) || less(c, provenHi(c), hi))
+                provenHi(c) = hi
+            }
           }
         } else {
-          if (dv != 0L) return None // raw read would count deleted rows
+          if (dv != 0L) return None // raw read would see deleted rows
           boundary += file
           nBoundary += 1
         }
@@ -2441,40 +2536,86 @@ class ManifestTableFormat(
     if (nBoundary > math.max(ManifestTableFormat.maxMetaCountBoundary,
         files.size / 16)) return None
 
-    val (bStar, bCol) =
-      if (bFiles.isEmpty) (0L, Map.empty[String, Long])
-      else {
-        val fieldsByPhys = snap.tableSchema.fields
-          .map(f => ManifestTableFormat.physicalName(f) -> f).toMap
-        val probeCols = probes.map {
-          case ExactCmp(c, _, _, _) => c
-          case ExactNull(c, _) => c
-        }
-        val needed = (probeCols ++ countCols).distinct
-        if (!needed.forall(fieldsByPhys.contains)) return None
-        val readSchema = StructType(needed.map { p =>
-          val f = fieldsByPhys(p)
-          StructField(p, f.dataType, f.nullable)
-        })
-        val pred = probes.map(probeColumn(_, fieldsByPhys))
-          .reduceOption((a, b) => a.flatMap(x => b.map(x && _)))
-          .flatten.getOrElse(return None)
-        val aggs = count(lit(1)).as("star") +:
-          countCols.zipWithIndex.map { case (c, i) =>
-            count(col(s"`$c`")).as(s"c_$i") }
-        val row = spark.read.schema(readSchema).parquet(bFiles: _*)
-          .filter(pred).agg(aggs.head, aggs.tail: _*).collect().head
-        (row.getLong(0),
-          countCols.zipWithIndex.map { case (c, i) =>
-            c -> row.getLong(1 + i) }.toMap)
+    var bStar = 0L
+    val bCnt = scala.collection.mutable.Map[String, Long]()
+    val bLo = scala.collection.mutable.Map[String, Any]()
+    val bHi = scala.collection.mutable.Map[String, Any]()
+    if (bFiles.nonEmpty) {
+      val probeCols = probes.map {
+        case ExactCmp(c, _, _, _) => c
+        case ExactNull(c, _) => c
       }
+      val needed = (probeCols ++ countCols ++ extCols).distinct
+      if (!needed.forall(fieldsByPhys.contains)) return None
+      val readSchema = StructType(needed.map { p =>
+        val f = fieldsByPhys(p)
+        StructField(p, f.dataType, f.nullable)
+      })
+      val pred = probes.map(probeColumn(_, fieldsByPhys))
+        .reduceOption((a, b) => a.flatMap(x => b.map(x && _)))
+        .flatten.getOrElse(return None)
+      // extrema aggregate over statEncode so the boundary values land
+      // in the SAME encoded space as the stats-decoded bounds
+      val aggs = (count(lit(1)).as("star") +:
+        countCols.zipWithIndex.map { case (c, i) =>
+          count(col(s"`$c`")).as(s"c_$i") }) ++
+        extCols.zipWithIndex.flatMap { case (c, i) =>
+          val enc = statEncode(fieldsByPhys(c))
+          Seq(min(enc).as(s"lo_$i"), max(enc).as(s"hi_$i"))
+        }
+      val row = spark.read.schema(readSchema).parquet(bFiles: _*)
+        .filter(pred).agg(aggs.head, aggs.tail: _*).collect().head
+      bStar = row.getLong(0)
+      countCols.zipWithIndex.foreach { case (c, i) =>
+        bCnt(c) = row.getLong(1 + i) }
+      val eBase = 1 + countCols.size
+      extCols.zipWithIndex.foreach { case (c, i) =>
+        val lo = row.get(eBase + 2 * i)
+        val hi = row.get(eBase + 2 * i + 1)
+        if (lo != null) {
+          val l: Any = if (isStr(c)) lo.asInstanceOf[String]
+            else BigDecimal(lo.toString)
+          val h: Any = if (isStr(c)) hi.asInstanceOf[String]
+            else BigDecimal(hi.toString)
+          if (!bLo.contains(c) || less(c, l, bLo(c))) bLo(c) = l
+          if (!bHi.contains(c) || less(c, bHi(c), h)) bHi(c) = h
+        }
+      }
+    }
     ManifestTableFormat.lastMetaCountSplit =
       (files.size - nBoundary, nBoundary)
-    Some(targets.map {
-      case None => provenStar + bStar
-      case Some(c) =>
-        provenCol.getOrElse(c, 0L) + bCol.getOrElse(c, 0L)
-    })
+
+    // grid value back to the Catalyst-internal value of the column
+    def internal(c: String, v: Any): Any =
+      if (isStr(c))
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(v.asInstanceOf[String])
+      else {
+        import org.apache.spark.sql.types._
+        val d = v.asInstanceOf[BigDecimal]
+        extKinds(c) match {
+          case _: IntegerType | _: DateType => d.toIntExact
+          case _: LongType | _: TimestampType => d.toLongExact
+          case _: ShortType => d.toShortExact
+          case _: ByteType => d.toByteExact
+          case _: BooleanType => d.toIntExact == 1
+          case other => throw new IllegalStateException(other.toString)
+        }
+      }
+    def pick(c: String, m1: scala.collection.Map[String, Any],
+        m2: scala.collection.Map[String, Any], takeMin: Boolean): Any = {
+      val cands = m1.get(c).toSeq ++ m2.get(c).toSeq
+      if (cands.isEmpty) null
+      else internal(c, cands.reduce((a, b) =>
+        if (less(c, a, b) == takeMin) a else b))
+    }
+    scala.util.Try(Some(targets.map {
+      case MetaCountStar => provenStar + bStar
+      case MetaCount(c) =>
+        provenCnt.getOrElse(c, 0L) + bCnt.getOrElse(c, 0L)
+      case MetaMin(c) => pick(c, provenLo, bLo, takeMin = true)
+      case MetaMax(c) => pick(c, provenHi, bHi, takeMin = false)
+    })).getOrElse(None) // unparseable grid value anywhere: fail open
   }
 
   /** The EXACT re-execution of one probe over raw file rows — the
@@ -4120,6 +4261,16 @@ object ManifestTableFormat {
     * is injective (integral/date/timestamp/boolean) — float kinds
     * prove only STRICT grid inequalities.
     */
+  /** A filtered-metadata-aggregate target ([[ManifestTableFormat!
+    * .filteredAggregates]]): COUNT(*) / COUNT(col) / MIN(col) /
+    * MAX(col), columns by PHYSICAL name.
+    */
+  sealed trait MetaAgg
+  case object MetaCountStar extends MetaAgg
+  final case class MetaCount(phys: String) extends MetaAgg
+  final case class MetaMin(phys: String) extends MetaAgg
+  final case class MetaMax(phys: String) extends MetaAgg
+
   sealed trait ExactProbe
   final case class ExactCmp(column: String, op: String, value: String,
       exactGrid: Boolean) extends ExactProbe

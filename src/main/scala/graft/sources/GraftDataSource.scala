@@ -331,7 +331,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         val pinnedDv = filesDv.collect {
           case (f, Some(dv)) => f -> dv.card }.toMap
         Some((probes, targets) =>
-          mtf.filteredCounts(files, pinnedDv, probes, targets))
+          mtf.filteredAggregates(files, pinnedDv, probes, targets))
       },
       // live count from resolution-pinned DV cardinalities (see the
       // catalog twin): immune to DV churn in the plan's lifetime

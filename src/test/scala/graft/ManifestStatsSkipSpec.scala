@@ -342,6 +342,29 @@ class ManifestStatsSkipSpec extends SparkSpec
     assert(ManifestTableFormat.lastMetaCountSplit != null,
       "conjunctive exact probes must keep the lane on")
 
+    // filtered MIN/MAX fold with the counts: proven files contribute
+    // their recorded bounds, the boundary file is scanned for its
+    // matching extrema — and string extrema ride the v7 marker
+    ManifestTableFormat.lastMetaCountSplit = null
+    val qm = spark.sql(s"SELECT count(*) AS n, min(page_number) AS lo, " +
+      s"max(page_number) AS hi, max(chunk_text) AS ht FROM $cat.t " +
+      "WHERE page_number < 15")
+    val rm = qm.collect().head
+    assert(rm.getLong(0) == 15 && rm.getInt(1) == 0 &&
+      rm.getInt(2) == 14 && rm.getString(3) == "t-9",
+      s"filtered extrema wrong: $rm")
+    val mPlan = qm.queryExecution.executedPlan.toString
+    assert(mPlan.contains("LocalTableScan") &&
+      !mPlan.contains("BatchScan"),
+      s"filtered MIN/MAX must fold with the counts:\n$mPlan")
+    assert(ManifestTableFormat.lastMetaCountSplit == ((2L, 1L)))
+    // an empty match yields NULL extrema and zero counts, scan-free
+    val qe = spark.sql(s"SELECT count(*) AS n, min(page_number) AS lo " +
+      s"FROM $cat.t WHERE page_number > 1000")
+    val re = qe.collect().head
+    assert(re.getLong(0) == 0L && re.isNullAt(1))
+    assert(!qe.queryExecution.executedPlan.toString.contains("BatchScan"))
+
     // fail-open: a string predicate is not exactly probeable — the
     // normal scan answers, exactly
     val qs = spark.sql(s"SELECT count(*) FROM $cat.t " +
