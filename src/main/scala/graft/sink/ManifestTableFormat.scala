@@ -117,6 +117,24 @@ import graft.sink.ManifestTableFormat.{ExactCmp, ExactNull, ExactProbe}
   *    a pre-v6 reader ignores the unknown fields and reads deleted
   *    rows back — do not point pre-v6 engine builds at DV-carrying
   *    tables.
+  *  - v7: per-column EXACT-BOUNDS marker (`"cse"` array) — records at
+  *    stats-write time whether a column's lo/hi are the file's exact
+  *    extrema (always for the canonical numeric grid; for strings,
+  *    iff neither bound was truncation-adjusted). Ignored by older
+  *    readers; enables the log-answered string MIN/MAX lane.
+  *  - v8: IN-COMMIT TIMESTAMPS (`"a":"cts"` — the Delta ICT idea):
+  *    every commit entry leads with its own monotone epoch-ms
+  *    timestamp, so timestamp time travel ([[versionAtTimestamp]])
+  *    and history answer from the COMMIT CONTENT, not file mtime —
+  *    mtime shifts on object-store copy/migration and on
+  *    [[ManifestTableFormat.cloneLog]] (which copies log objects),
+  *    and is not even guaranteed monotone across racing writers'
+  *    clocks. Monotonicity is enforced at commit time
+  *    (`max(wall clock, predecessor + 1)`); checkpoints carry the
+  *    subsumed timestamp in the txns sidecar so vacuum never loses
+  *    it. Pre-v8 entries fall back to mtime (documented best-effort,
+  *    exactly the pre-ICT Delta contract). CAVEAT (one-way, like
+  *    v4): a pre-v8 reader fails loudly on the unknown action kind.
   *  - Versioned SIDECARS (never vacuumed; bounded by ALTER count):
   *    `<v>.schema.json` (ADD/DROP/RENAME COLUMN eras),
   *    `<v>.constraints.json` (the named CHECK set), `<v>.txns.json`
@@ -287,7 +305,13 @@ class ManifestTableFormat(
     */
   private[sink] final case class Action(
       add: Boolean, file: String, stats: Option[FileStats],
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      /** Protocol v8 IN-COMMIT TIMESTAMP (`"a":"cts"`): the commit's
+        * own monotone epoch-ms stamp, written as the entry's first
+        * line by [[tryCommit]]. Carries no file; every replay site
+        * must skip it (and may harvest the value).
+        */
+      cts: Option[Long] = None)
 
   /** A replayed snapshot. Driver state is bounded by CHECKPOINT
     * CADENCE, not table size: `base` holds only the stats of files
@@ -306,7 +330,12 @@ class ManifestTableFormat(
       base: Map[String, FileStats],
       removed: Set[String],
       tableSchema: StructType,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      /** Newest in-commit timestamp replayed (protocol v8) — the
+        * monotonicity floor for the next commit. None on pre-v8
+        * tails (the next commit starts the timeline).
+        */
+      cts: Option[Long] = None)
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -390,7 +419,10 @@ class ManifestTableFormat(
     case None => a.txn match {
       case Some((app, batch)) =>
         s"""{"a":"txn","app":"${esc(app)}","batch":$batch}"""
-      case None => s"""{"a":"rm","f":"${esc(a.file)}"}"""
+      case None => a.cts match {
+        case Some(ts) => s"""{"a":"cts","ts":$ts}"""
+        case None => s"""{"a":"rm","f":"${esc(a.file)}"}"""
+      }
     }
   }
 
@@ -506,6 +538,9 @@ class ManifestTableFormat(
       Action(add = false, "", None,
         Some((field("app"), numLong("batch").getOrElse(
           fail("txn action without batch")))))
+    else if (line.contains("\"a\":\"cts\""))
+      Action(add = false, "", None, None,
+        Some(numLong("ts").getOrElse(fail("cts action without ts"))))
     else fail("unknown action")
   }
 
@@ -972,27 +1007,37 @@ class ManifestTableFormat(
     var base = Map.empty[String, FileStats]
     var removed = Set.empty[String]
     var txns = Map.empty[String, Long]
+    var cts: Option[Long] = None
     def takeTxn(app: String, batch: Long): Unit =
       txns += (app -> math.max(batch, txns.getOrElse(app, Long.MinValue)))
+    def takeCts(ts: Long): Unit =
+      cts = Some(cts.fold(ts)(math.max(_, ts)))
     val parquetBase = pc >= jc && pc >= 0
     def replay(p: Path): Unit =
       readText(p).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
         a.txn match {
           case Some((app, batch)) => takeTxn(app, batch)
-          case None =>
-            if (a.add) { base += (a.file -> a.stats.get); removed -= a.file }
-            else { base -= a.file; removed += a.file }
+          case None => a.cts match {
+            case Some(ts) => takeCts(ts)
+            case None =>
+              if (a.add) { base += (a.file -> a.stats.get); removed -= a.file }
+              else { base -= a.file; removed += a.file }
+          }
         }
       }
     if (!parquetBase && ckpt >= 0) replay(checkpointPath(ckpt))
     // a checkpoint's txn SIDECAR carries the markers its subsumed
     // entries held (vacuum prunes those entries; without the sidecar
-    // a very late micro-batch replay could double-append)
+    // a very late micro-batch replay could double-append) — and, from
+    // protocol v8 on, the subsumed in-commit timestamp (without it a
+    // vacuumed table's next commit could step its timeline backwards)
     if (ckpt >= 0 && f.exists(txnsFilePath(ckpt)))
       readText(txnsFilePath(ckpt)).linesIterator.filter(_.nonEmpty)
         .foreach { line =>
-          parseAction(line).txn.foreach { case (a, b) => takeTxn(a, b) }
+          val a = parseAction(line)
+          a.txn.foreach { case (ap, b) => takeTxn(ap, b) }
+          a.cts.foreach(takeCts)
         }
     entries.filter(_ > ckpt).sorted.foreach(v => replay(entryPath(v)))
     val version = (entries ++ jsonCkpts ++ pqCkpts).foldLeft(-1L)(math.max)
@@ -1004,7 +1049,8 @@ class ManifestTableFormat(
       base,
       if (parquetBase) removed else Set.empty,
       if (sv.isEmpty) baseSchema else parseSchemaFile(sv.max),
-      txns)
+      txns,
+      cts)
   }
 
   /** Write the current live state as a PARQUET checkpoint — assembled
@@ -1035,10 +1081,13 @@ class ManifestTableFormat(
     // producing the same file is harmless, and ordering it before the
     // parquet publish means vacuum can never prune marker-carrying
     // entries subsumed by a checkpoint whose sidecar is missing
-    if (snap.txns.nonEmpty && !f.exists(txnsFilePath(snap.version))) {
-      val lines = snap.txns.toSeq.sortBy(_._1).map { case (app, b) =>
-        renderAction(Action(add = false, "", None, Some((app, b))))
-      }
+    if ((snap.txns.nonEmpty || snap.cts.isDefined) &&
+        !f.exists(txnsFilePath(snap.version))) {
+      val lines = snap.cts.toSeq.map(ts =>
+        renderAction(Action(add = false, "", None, None, Some(ts)))) ++
+        snap.txns.toSeq.sortBy(_._1).map { case (app, b) =>
+          renderAction(Action(add = false, "", None, Some((app, b))))
+        }
       val out = f.create(txnsFilePath(snap.version), true)
       try out.write(lines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
@@ -1074,8 +1123,15 @@ class ManifestTableFormat(
     if (f.exists(target)) return false
     val tmp = new Path(logDir,
       s"tmp-${java.util.UUID.randomUUID()}")
+    // protocol v8: the entry leads with its IN-COMMIT TIMESTAMP,
+    // clamped monotone against the predecessor (max(wall, prev+1)) so
+    // timestamp time travel has a total order even across writers
+    // with skewed clocks or a driver clock stepping backwards
+    val stamped = Action(add = false, "", None, None,
+      Some(math.max(nowMillis,
+        base.cts.fold(Long.MinValue)(_ + 1)))) +: actions
     val out = f.create(tmp, false)
-    try out.write(actions.map(renderAction).mkString("\n").getBytes("UTF-8"))
+    try out.write(stamped.map(renderAction).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // The commit is an atomic publish of `tmp` at `target`, delegated
     // to the scheme's registered [[CommitPublisher]] (link(2)-if-absent
@@ -1735,6 +1791,12 @@ class ManifestTableFormat(
     * a file-level conflict) deterministically.
     */
   protected def beforeCommit(): Unit = ()
+
+  /** Clock seam for the in-commit timestamp (protocol v8): tests
+    * inject a controlled clock to pin monotonicity under backward
+    * steps and to give commits known timestamps.
+    */
+  protected def nowMillis: Long = System.currentTimeMillis()
 
   /** Test seam: observes the frame a commit cycle is about to write
     * (the survivor rewrite for merge/delete, the incoming rows for
@@ -3102,7 +3164,7 @@ class ManifestTableFormat(
       readText(checkpointPath(ckpt)).linesIterator.filter(_.nonEmpty)
         .foreach { line =>
           val a = parseAction(line)
-          if (a.txn.isEmpty) {
+          if (a.txn.isEmpty && a.cts.isEmpty) {
             if (a.add) live += (a.file -> a.stats.get)
             else live -= a.file
           }
@@ -3111,7 +3173,7 @@ class ManifestTableFormat(
       readText(entryPath(v)).linesIterator.filter(_.nonEmpty)
         .foreach { line =>
           val a = parseAction(line)
-          if (a.txn.isEmpty) {
+          if (a.txn.isEmpty && a.cts.isEmpty) {
             if (a.add) live += (a.file -> a.stats.get)
             else live -= a.file
           }
@@ -3349,13 +3411,19 @@ class ManifestTableFormat(
     val (entries, jsonCkpts, pqCkpts, schemaVers) = census(f)
     val schemas = schemaVersions(f).toSet
     val commitRows = entries.sorted.map { v =>
-      val acts = readText(entryPath(v)).linesIterator
+      val all = readText(entryPath(v)).linesIterator
         .filter(_.nonEmpty).map(parseAction).toSeq
+      // the v8 in-commit timestamp is commit METADATA: it names the
+      // history row's timestamp (mtime only for pre-v8 entries) and
+      // never counts as an action
+      val acts = all.filter(_.cts.isEmpty)
+      val ts = all.flatMap(_.cts).headOption
+        .getOrElse(f.getFileStatus(entryPath(v)).getModificationTime)
       val kind =
         if (acts.isEmpty && schemas.contains(v)) "schema"
         else if (acts.nonEmpty && acts.forall(_.txn.isDefined)) "txn"
         else "commit"
-      (v, f.getFileStatus(entryPath(v)).getModificationTime,
+      (v, ts,
         acts.count(_.add).toLong,
         acts.count(a => !a.add && a.txn.isEmpty).toLong, kind)
     }
@@ -3750,7 +3818,7 @@ class ManifestTableFormat(
       readText(checkpointPath(ckpt)).linesIterator.filter(_.nonEmpty)
         .foreach { line =>
           val a = parseAction(line)
-          if (a.txn.isEmpty) {
+          if (a.txn.isEmpty && a.cts.isEmpty) {
             if (a.add) live += (a.file -> a.stats.flatMap(_.dv))
             else live -= a.file
           }
@@ -3758,7 +3826,7 @@ class ManifestTableFormat(
     wanted.foreach { v =>
       readText(entryPath(v)).linesIterator.filter(_.nonEmpty).foreach { line =>
         val a = parseAction(line)
-        if (a.txn.isEmpty) {
+        if (a.txn.isEmpty && a.cts.isEmpty) {
           if (a.add) live += (a.file -> a.stats.flatMap(_.dv))
           else live -= a.file
         }
@@ -3835,25 +3903,63 @@ class ManifestTableFormat(
   def versionAtTimestamp(tsMillis: Long): Long = {
     val f = fs
     require(f.exists(logDir), s"no log at $path")
-    val dated = f.listStatus(logDir).toSeq.flatMap { st =>
+    // one listing yields version -> (mtime, has entry/ckpt). Per
+    // version the timestamp is the v8 IN-COMMIT stamp when the commit
+    // carries one (entry first line; checkpoint txns sidecar for
+    // checkpoint-only versions), else the file mtime (pre-v8
+    // fallback — best effort, exactly the pre-ICT Delta contract:
+    // mtime shifts on object-store copy and CLONE, cts does not).
+    val listed = f.listStatus(logDir).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (n.matches("\\d{12}\\.json"))
-        Some(n.stripSuffix(".json").toLong -> st.getModificationTime)
+        Some((n.stripSuffix(".json").toLong, st.getModificationTime, true))
       else if (n.matches("\\d{12}\\.checkpoint\\.json"))
-        Some(n.stripSuffix(".checkpoint.json").toLong ->
-          st.getModificationTime)
+        Some((n.stripSuffix(".checkpoint.json").toLong,
+          st.getModificationTime, false))
       else if (n.matches("\\d{12}\\.checkpoint\\.parquet") &&
           validCkptParquet(f, n.stripSuffix(".checkpoint.parquet").toLong))
-        Some(n.stripSuffix(".checkpoint.parquet").toLong ->
-          st.getModificationTime)
+        Some((n.stripSuffix(".checkpoint.parquet").toLong,
+          st.getModificationTime, false))
       else None
     }
-    val eligible = dated.filter(_._2 <= tsMillis)
-    require(eligible.nonEmpty,
+    // collapse duplicates (a version may have entry + checkpoint):
+    // prefer the ENTRY (it holds the authoritative cts line)
+    val byVersion = listed.groupBy(_._1).map { case (v, rows) =>
+      val entry = rows.find(_._3)
+      (v, entry.getOrElse(rows.head))
+    }
+    def ctsOf(v: Long, isEntry: Boolean): Option[Long] = {
+      val p = if (isEntry) entryPath(v) else txnsFilePath(v)
+      if (!isEntry && !f.exists(p)) None
+      else scala.util.Try(
+        // the stamp is always the FIRST line of a v8 entry/sidecar —
+        // one line parses, pre-v8 shapes simply yield None
+        readText(p).linesIterator.find(_.nonEmpty)
+          .flatMap(parseAction(_).cts)).toOption.flatten
+    }
+    def tsOf(v: Long): Long = {
+      val (_, mtime, isEntry) = byVersion(v)
+      ctsOf(v, isEntry).getOrElse(mtime)
+    }
+    val versions = byVersion.keys.toSeq.sorted
+    require(versions.nonEmpty, s"no committed versions at $path")
+    // in-commit stamps are monotone in version (enforced at commit);
+    // binary-search the newest version at or before the ask, reading
+    // O(log n) commits — never one read per retained version. Mixed
+    // logs (pre-v8 prefix under mtime) keep the same search: entries
+    // were written in version order, so their mtimes are ordered too
+    // unless externally touched — and externally-touched pre-v8 logs
+    // had no reliable answer under any strategy (that is v8's point).
+    var lo = 0
+    var hi = versions.size - 1
+    require(tsOf(versions(lo)) <= tsMillis,
       s"no version of $path was committed at or before epoch-ms " +
-        s"$tsMillis (earliest commit: ${
-          if (dated.isEmpty) "none" else dated.map(_._2).min.toString})")
-    eligible.map(_._1).max
+        s"$tsMillis (earliest commit: ${tsOf(versions(lo))})")
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (tsOf(versions(mid)) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    versions(lo)
   }
 
   /** Delete data files no committed version references (crashed
