@@ -126,7 +126,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     resolve(ident, asOf = None)
 
   override def loadTable(ident: Identifier, version: String): Table =
-    resolve(ident, asOf = Some(version.toLong))
+    // `VERSION AS OF <n>` pins a committed version; `VERSION AS OF
+    // '<branch>'` (non-numeric) reads a BRANCH head — the SQL audit
+    // surface of the write-audit-publish flow. Branch reads are
+    // read-only here: branch WRITES go through the Scala branch
+    // handle (ManifestTableFormat.branchFactory), publish via
+    // CALL fast_forward.
+    if (version.matches("\\d+")) resolve(ident, asOf = Some(version.toLong))
+    else resolve(ident, asOf = None, branchName = Some(version))
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     // Spark hands TIMESTAMP AS OF as MICROS since epoch; commit times
@@ -155,14 +162,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     } finally in.close()
   }
 
-  private def resolve(ident: Identifier, asOf: Option[Long]): Table = {
+  private def resolve(ident: Identifier, asOf: Option[Long],
+      branchName: Option[String] = None): Table = {
     val dir = tableDir(ident)
     if (!fs.exists(new Path(dir))) throw new NoSuchTableException(ident)
     val fullName = s"$catalogName.${ident.name()}"
     if (fs.exists(new Path(dir, "_log"))) {
       val store = new ChunkStore(spark, dir,
         format = ManifestTableFormat.factory)
-      val mtf = new ManifestTableFormat(spark, dir, store.schema)
+      branchName.foreach { b =>
+        if (!fs.exists(new Path(dir, s"_log/branches/$b")))
+          throw new NoSuchTableException(ident)
+      }
+      val mtf = new ManifestTableFormat(spark, dir, store.schema,
+        branch = branchName)
+      // a branch head read is frozen THROUGH THIS SURFACE (the audit
+      // view); branch writes go through the Scala branch handle
+      val frozen = asOf.isDefined || branchName.isDefined
       val filesDv = asOf.fold(mtf.liveFilesWithDv)(mtf.filesWithDvAtVersion)
       val files = filesDv.map(_._1)
       val hasDv = filesDv.exists(_._2.isDefined)
@@ -172,19 +188,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val tblSchema = asOf.fold(mtf.currentSchema)(mtf.schemaAtVersion)
       new GraftTable(fullName, spark, tblSchema, files,
         // time-travel reads are frozen history: never writable
-        insert = if (asOf.isDefined) None else Some(store.append),
+        insert = if (frozen) None else Some(store.append),
         // url-keyed whole-document DELETE only when the table has the
         // key column; key-less tables route DELETE to the row-level
         // predicate path instead
         deleteDocs =
-          if (asOf.isDefined || !mtf.hasUrlKey) None
+          if (frozen || !mtf.hasUrlKey) None
           else Some(store.delete(_: Seq[String])),
         updateRows =
-          if (asOf.isDefined) None else Some(store.update),
+          if (frozen) None else Some(store.update),
         deleteRows =
-          if (asOf.isDefined) None else Some(store.deleteWhere),
+          if (frozen) None else Some(store.deleteWhere),
         mergeHook =
-          if (asOf.isDefined) None else Some(store.mergeInto),
+          if (frozen) None else Some(store.mergeInto),
         // file skipping off the log's own per-file stats — sound for
         // time-travel reads too (a pre-stats or vacuumed-away file
         // simply fails open and is read). A DELETION-VECTOR snapshot
@@ -195,9 +211,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         statsPruner =
           if (hasDv) None else Some(mtf.pruneFilesForScan(files, _)),
         overwriteHook =
-          if (asOf.isDefined) None else Some(mtf.overwrite),
+          if (frozen) None else Some(mtf.overwrite),
         truncateHook =
-          if (asOf.isDefined) None else Some(() => mtf.truncate()),
+          if (frozen) None else Some(() => mtf.truncate()),
         dvInfo =
           if (hasDv) {
             val pinnedDv = filesDv.collect {
@@ -254,7 +270,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
         // snapshots only; time travel is frozen history
         streamWrite =
-          if (asOf.isDefined) None
+          if (frozen) None
           else Some(inf =>
             new graft.streaming.GraftStreamingWrite(spark, dir, inf)))
     } else layoutTag(dir) match {
@@ -775,6 +791,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"$warehouse/${args(0)}", s"$warehouse/${args(1)}")
         longsRow(copied, manifestFor(args(1)).version)
       }),
+    rowProcedure("create_branch", Seq("table", "branch"),
+      "manifest log: fork a BRANCH (write-audit-publish, the " +
+        "Iceberg branch idea) — a self-contained copy of the commit " +
+        "log under the table; branch writes (Scala branch handle / " +
+        "stream) share the table's data namespace and stay " +
+        "invisible to main until CALL fast_forward publishes them. " +
+        "Audit the branch with SELECT ... VERSION AS OF '<branch>'. " +
+        "Returns the fork version",
+      StructType(Seq(
+        StructField("fork_version", LongType, nullable = false))))(
+      args => longsRow(manifestFor(args(0)).createBranch(args(1)))),
+    rowProcedure("fast_forward", Seq("table", "branch"),
+      "manifest log: PUBLISH a branch — land its post-fork commits " +
+        "on main as ONE atomic squash commit of their net data " +
+        "actions (in-branch add+remove cancels; deletion vectors " +
+        "and stream txn markers carry over). STRICT: refuses if " +
+        "main advanced past the fork (the audit certified the " +
+        "forked state; re-branch and re-audit). Returns the " +
+        "published file delta",
+      StructType(Seq(
+        StructField("files_added", LongType, nullable = false),
+        StructField("files_removed", LongType, nullable = false))))(
+      args => {
+        val (a, r) = manifestFor(args(0)).fastForward(args(1))
+        longsRow(a, r)
+      }),
+    procedure("drop_branch", Seq("table", "branch"),
+      "manifest log: drop a branch's log fork; files only it " +
+        "referenced reclaim on the next vacuum")(args =>
+      manifestFor(args(0)).dropBranch(args(1))),
+    rowProcedure("list_branches", Seq("table"),
+      "manifest log: the table's branches and their fork versions",
+      StructType(Seq(
+        StructField("branch", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("fork_version", LongType, nullable = false))))(
+      args => mixedRows(manifestFor(args(0)).listBranches
+        .map { case (b, v) => Seq(b, v) })),
     rowProcedure("sync_agg",
       Seq("table", "agg_table", "group_cols", "sum_cols",
         "min_cols", "max_cols"),

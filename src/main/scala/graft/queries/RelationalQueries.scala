@@ -1412,6 +1412,71 @@ object RelationalQueries {
         .orderBy("document_url")
     },
 
+    // C37v: BRANCHES + WRITE-AUDIT-PUBLISH — `CALL create_branch`
+    // forks the commit log (Iceberg branch / Delta WAP); branch
+    // writes share the table's data namespace but stay INVISIBLE to
+    // main; `SELECT … VERSION AS OF '<branch>'` is the SQL audit
+    // view; `CALL fast_forward` lands the branch's net actions on
+    // main as ONE atomic squash commit. The hash pins: main
+    // unchanged pre-publish (`pre_publish_rows`), the audit view
+    // seeing the branch state (`audit_rows`), and main's post-publish
+    // rows equalling the branch's delete+append relationally.
+    // Divergence refusal, net add/rm cancellation, vacuum-across-
+    // branches, and streaming-to-branch are pinned in BranchSpec.
+    "c37v_branch_wap" -> QueryDef(
+      """SELECT document_url, page_number,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+        |         AS pre_publish_rows,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |          WHERE doc_id % 10 <> 7)
+        |       + (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        |            WHERE doc_id % 10 = 5) AS audit_rows
+        |FROM (
+        |  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS document_url,
+        |         CAST(doc_id % 10 AS INTEGER) AS page_number
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |  UNION ALL
+        |  SELECT 'doc://b/' || CAST(doc_id AS VARCHAR), 55
+        |  FROM documents WHERE doc_id % 10 = 5
+        |)
+        |ORDER BY document_url""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-branch").toString
+      val path = s"$wh/chunks"
+      val store = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.factory)
+      store.append(t(s, dir, "documents").select(
+        lit(0).as("chunk_id"), col("text").as("chunk_text"),
+        array(lit(0f)).as("embedding"),
+        (col("doc_id") % 10).cast("int").as("page_number"),
+        concat(lit("doc://"), col("doc_id")).as("document_url")))
+      val cat = QueryDef.freshCatalog(s, "graft_wap", wh)
+      s.sql(s"CALL $cat.create_branch('chunks', 'audit')")
+      // branch writes: a delete and an append, via the branch handle
+      val bstore = new graft.sink.ChunkStore(s, path,
+        format = graft.sink.ManifestTableFormat.branchFactory("audit"))
+      bstore.deleteWhere(col("page_number") === 7)
+      bstore.append(t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 5).select(
+          lit(0).as("chunk_id"), col("text").as("chunk_text"),
+          array(lit(0f)).as("embedding"),
+          lit(55).cast("int").as("page_number"),
+          concat(lit("doc://b/"), col("doc_id")).as("document_url")))
+      // pre-publish: main still serves the forked state…
+      val prePublish = s.sql(s"SELECT count(*) FROM $cat.chunks")
+        .head().getLong(0)
+      // …while the SQL audit view sees the branch head
+      val auditRows = s.sql(
+          s"SELECT count(*) FROM $cat.chunks VERSION AS OF 'audit'")
+        .head().getLong(0)
+      s.sql(s"CALL $cat.fast_forward('chunks', 'audit')")
+      s.sql(s"CALL $cat.drop_branch('chunks', 'audit')")
+      s.sql(s"SELECT document_url, page_number FROM $cat.chunks")
+        .withColumn("pre_publish_rows", lit(prePublish))
+        .withColumn("audit_rows", lit(auditRows))
+        .orderBy("document_url")
+    },
+
     // C37s: MERGE-ON-READ row-level DELETE via protocol-v6 DELETION
     // VECTORS — with spark.graft.deletionVectors=true a SQL DELETE
     // commits one position-delete sidecar instead of rewriting files

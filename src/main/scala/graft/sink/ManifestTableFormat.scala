@@ -150,12 +150,32 @@ class ManifestTableFormat(
     path: String,
     schema: StructType,
     bloomBits: Int = 8192,
-    bloomHashes: Int = 5) extends TableFormat {
+    bloomHashes: Int = 5,
+    /** BRANCH handle (the Iceberg branch / write-audit-publish idea):
+      * `Some(name)` makes this handle read and commit against the
+      * branch's own log under `_log/branches/<name>/` — a
+      * self-contained fork of the main log created by
+      * [[createBranch]] — while DATA files land in the table's shared
+      * `data/` namespace, which is what makes [[fastForward]] a pure
+      * metadata publish. Branch handles refuse DDL, vacuum, and
+      * branch administration (those run on the main handle).
+      */
+    val branch: Option[String] = None) extends TableFormat {
 
   require(bloomBits % 64 == 0, s"bloomBits must be a multiple of 64: $bloomBits")
+  branch.foreach(b => require(ManifestTableFormat.validBranchName(b),
+    s"invalid branch name '$b' — use [A-Za-z0-9][A-Za-z0-9_.-]*"))
 
-  private val logDir = new Path(path, "_log")
+  private val logDir = branch match {
+    case None => new Path(path, "_log")
+    case Some(b) => new Path(path, s"_log/branches/$b")
+  }
   private val dataDir = new Path(path, "data")
+  private def branchRoot = new Path(path, "_log/branches")
+  // a branch handle only ever points at a FORKED log: a typo'd name
+  // must fail here, not bootstrap a rogue branch on first commit
+  branch.foreach(b => require(fs.exists(logDir),
+    s"no branch '$b' at $path — createBranch / CALL create_branch first"))
   private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -258,6 +278,17 @@ class ManifestTableFormat(
       s"table at $path has no STRING document_url column — $what needs " +
         "the url key. Use SQL UPDATE/DELETE/MERGE INTO with explicit " +
         "predicates instead.")
+
+  /** Operations the MAIN handle owns: DDL (fast-forward publishes net
+    * DATA actions and cannot squash schema eras), vacuum (it owns the
+    * shared `data/` namespace and must see every branch's references),
+    * and branch administration itself.
+    */
+  private def requireMain(what: String): Unit = branch.foreach(b =>
+    throw new UnsupportedOperationException(
+      s"$what is not available on branch handle '$b' of $path — run it " +
+        "on the main table handle (branches carry data commits only; " +
+        "publish with fastForward, then apply DDL/maintenance on main)"))
 
   // ---- log entries -------------------------------------------------
 
@@ -668,6 +699,7 @@ class ManifestTableFormat(
     */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType)
       : Unit = {
+    requireMain("ALTER TABLE ADD COLUMN")
     var attempt = 0
     var done = false
     while (!done) {
@@ -713,6 +745,7 @@ class ManifestTableFormat(
     * current logical name.
     */
   def renameColumn(oldName: String, newName: String): Unit = {
+    requireMain("ALTER TABLE RENAME COLUMN")
     require(!oldName.equalsIgnoreCase(newName),
       s"RENAME at $path: '$oldName' to itself is a no-op")
     if (hasUrlKey) {
@@ -766,6 +799,7 @@ class ManifestTableFormat(
     * keeps each era's shape ([[schemaAtVersion]]).
     */
   def dropColumn(name: String): Unit = {
+    requireMain("ALTER TABLE DROP COLUMN")
     val basePhys = baseSchema.fields
       .map(f => ManifestTableFormat.physicalName(f).toLowerCase).toSet
     currentSchema.fields.find(_.name.equalsIgnoreCase(name)).foreach { f =>
@@ -883,6 +917,7 @@ class ManifestTableFormat(
     * extended set. Duplicate names refuse.
     */
   def addConstraint(name: String, exprSql: String): Unit = {
+    requireMain("ADD CONSTRAINT")
     require(name.nonEmpty, "constraint name must be non-empty")
     var attempt = 0
     var done = false
@@ -909,6 +944,7 @@ class ManifestTableFormat(
 
   /** DROP CONSTRAINT by name (loud error when absent). */
   def dropConstraint(name: String): Unit = {
+    requireMain("DROP CONSTRAINT")
     var attempt = 0
     var done = false
     while (!done) {
@@ -3045,6 +3081,7 @@ class ManifestTableFormat(
     * one redundant or skipped recluster, never correctness.
     */
   def recordClusterSpec(dims: Seq[String]): Unit = {
+    requireMain("recordClusterSpec")
     require(dims.nonEmpty && dims.forall(d => !d.contains(",")),
       s"cluster dims must be non-empty, comma-free: $dims")
     val p = new Path(path, "_graft_cluster")
@@ -3470,6 +3507,198 @@ class ManifestTableFormat(
     */
   def streamTransactions: Seq[(String, Long)] =
     snapshot().txns.toSeq.sortBy(_._1)
+
+  // ---- branches (write-audit-publish) ------------------------------
+
+  /** CREATE BRANCH (the Iceberg branch / WAP idea, adapted to a
+    * directory-per-branch log): fork the current log into
+    * `_log/branches/<name>/` — a SELF-CONTAINED copy (entries, valid
+    * checkpoints, every sidecar), so the branch never reads main's
+    * log again and main's vacuum/checkpoint cadence cannot strand it.
+    * Data files are NOT copied: branch handles write into the
+    * table's shared `data/` namespace, which is what makes
+    * [[fastForward]] a single metadata commit.
+    *
+    * Cost: O(log), not O(data) — for a long-lived table that is the
+    * newest checkpoint + tail, the same bytes a snapshot read plans
+    * over. Creation races (two writers, same name) resolve through
+    * the same staged-directory publish as checkpoints: exactly one
+    * wins, the loser gets the loud refusal.
+    *
+    * Returns the fork version (the branch's first commit is fork+1).
+    */
+  def createBranch(name: String): Long = {
+    requireMain("createBranch")
+    require(ManifestTableFormat.validBranchName(name),
+      s"invalid branch name '$name' — use [A-Za-z0-9][A-Za-z0-9_.-]*")
+    val f = fs
+    require(f.exists(logDir), s"no log at $path")
+    val target = new Path(branchRoot, name)
+    if (f.exists(target)) throw new IllegalStateException(
+      s"branch '$name' already exists at $path")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new Path(logDir, s"tmp-branch-${java.util.UUID.randomUUID()}")
+    try {
+      f.mkdirs(tmp)
+      var fork = -1L
+      f.listStatus(logDir).foreach { st =>
+        val n = st.getPath.getName
+        val isCkptDir = n.matches("\\d{12}\\.checkpoint\\.parquet")
+        if (n.startsWith("tmp-") || n == "branches") ()
+        else if (st.isDirectory && !isCkptDir) ()
+        else if (isCkptDir) {
+          // only COMPLETE checkpoints fork (a torn one is replayed as
+          // absent at the source too)
+          val v = n.stripSuffix(".checkpoint.parquet").toLong
+          if (validCkptParquet(f, v)) {
+            org.apache.hadoop.fs.FileUtil.copy(
+              f, st.getPath, f, new Path(tmp, n), false, conf)
+            fork = math.max(fork, v)
+          }
+        } else {
+          org.apache.hadoop.fs.FileUtil.copy(
+            f, st.getPath, f, new Path(tmp, n), false, conf)
+          if (n.matches("\\d{12}\\.json"))
+            fork = math.max(fork, n.stripSuffix(".json").toLong)
+          else if (n.matches("\\d{12}\\.checkpoint\\.json"))
+            fork = math.max(fork,
+              n.stripSuffix(".checkpoint.json").toLong)
+        }
+      }
+      // the fork marker: the copied log is consistent for ANY
+      // concurrent commit activity (log objects are write-once and
+      // versions contiguous, so the copied set is a committed prefix)
+      val out = f.create(new Path(tmp, "_fork"), false)
+      try out.write(fork.toString.getBytes("UTF-8")) finally out.close()
+      if (!commitPublisher.putDirIfAbsent(f, tmp, target)) {
+        f.delete(tmp, true)
+        throw new IllegalStateException(
+          s"branch '$name' already exists at $path (lost creation race)")
+      }
+      fork
+    } catch {
+      case e: Throwable =>
+        if (f.exists(tmp)) f.delete(tmp, true)
+        throw e
+    }
+  }
+
+  /** The branches of this table: (name, fork version), sorted. */
+  def listBranches: Seq[(String, Long)] = {
+    requireMain("listBranches")
+    val f = fs
+    if (!f.exists(branchRoot)) Nil
+    else f.listStatus(branchRoot).toSeq.filter(_.isDirectory)
+      .map(st => (st.getPath.getName, forkOf(st.getPath))).sortBy(_._1)
+  }
+
+  /** DROP BRANCH: delete the branch's log fork. Data files only the
+    * branch referenced become unreferenced and reclaim on the next
+    * main [[vacuum]] (which unions live names across branches while
+    * they exist).
+    */
+  def dropBranch(name: String): Unit = {
+    requireMain("dropBranch")
+    val f = fs
+    val dir = new Path(branchRoot, name)
+    require(f.exists(dir), s"no branch '$name' at $path")
+    f.delete(dir, true)
+    ()
+  }
+
+  private def forkOf(bdir: Path): Long = {
+    val p = new Path(bdir, "_fork")
+    require(fs.exists(p),
+      s"branch dir $bdir has no _fork marker — not a branch fork")
+    readText(p).trim.toLong
+  }
+
+  /** FAST-FORWARD PUBLISH (the Iceberg `fast_forward` procedure / the
+    * Delta WAP publish step): land the branch's post-fork commits on
+    * main as ONE atomic squash commit of their NET data actions —
+    * files added and removed within the branch cancel without ever
+    * touching main, a file whose final branch state is live publishes
+    * as one add (latest stats, deletion vector included), a pre-fork
+    * file the branch deleted publishes as one rm, and the branch's
+    * streaming txn markers carry over (exactly-once survives the
+    * publish). O(branch churn) driver state — the net replay walks
+    * only the branch's own entries, never a live file set.
+    *
+    * STRICT fast-forward: main's head must still BE the fork version.
+    * If main advanced — including a race during the publish itself —
+    * nothing is published and the refusal says to re-branch: a WAP
+    * audit certified the branch against the forked state, and
+    * publishing it onto a different state would launder the audit.
+    *
+    * Squash semantics (documented divergence from Iceberg, which
+    * moves a ref): main gains ONE commit for the whole branch span,
+    * so main's CDF shows the published net change at one version.
+    * DDL cannot squash — a branch that evolved schema or constraints
+    * after the fork refuses to publish.
+    *
+    * Returns (files added, files removed) as published.
+    */
+  def fastForward(name: String): (Long, Long) = {
+    requireMain("fastForward")
+    val f = fs
+    val bdir = new Path(branchRoot, name)
+    require(f.exists(bdir), s"no branch '$name' at $path")
+    val fork = forkOf(bdir)
+    val names = f.listStatus(bdir).toSeq.map(_.getPath.getName)
+    val bEntries = names.filter(_.matches("\\d{12}\\.json"))
+      .map(_.stripSuffix(".json").toLong).filter(_ > fork).sorted
+    val ddl = names.filter(n =>
+      n.matches("\\d{12}\\.schema\\.json") ||
+        n.matches("\\d{12}\\.constraints\\.json"))
+      .filter(_.takeWhile(_.isDigit).toLong > fork)
+    require(ddl.isEmpty,
+      s"branch '$name' evolved schema/constraints after the fork " +
+        s"(${ddl.mkString(", ")}) — fast-forward publishes net DATA " +
+        "actions and cannot squash DDL; apply the DDL on main and " +
+        "re-branch")
+    require(bEntries == (fork + 1 to fork + bEntries.size),
+      s"branch '$name' entries are not contiguous after fork $fork: " +
+        bEntries.mkString(", "))
+    if (bEntries.isEmpty) return (0L, 0L)
+    // net replay of the branch span: final state per touched file
+    val finals = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[FileStats]]
+    var txns = Map.empty[String, Long]
+    bEntries.foreach { v =>
+      readText(new Path(bdir, f"$v%012d.json")).linesIterator
+        .filter(_.nonEmpty).foreach { line =>
+          val a = parseAction(line)
+          a.txn match {
+            case Some((app, b)) =>
+              txns += (app -> math.max(b, txns.getOrElse(app, Long.MinValue)))
+            case None if a.cts.isDefined => ()
+            case None =>
+              if (a.add) finals(a.file) = Some(a.stats.get)
+              else finals(a.file) = None
+          }
+        }
+    }
+    val rms = finals.collect { case (file, None) => file }.toSeq
+    val adds = finals.collect { case (file, Some(st)) => (file, st) }.toSeq
+    val actions =
+      rms.map(Action(add = false, _, None)) ++
+        adds.map { case (file, st) => Action(add = true, file, Some(st)) } ++
+        txns.toSeq.sortBy(_._1).map { case (app, b) =>
+          Action(add = false, "", None, Some((app, b)))
+        }
+    val snap = snapshot()
+    def refuse(v: Long): Nothing = throw new IllegalStateException(
+      s"main advanced past branch '$name''s fork (head v$v > fork " +
+        s"v$fork) — nothing was published. The audit certified the " +
+        "branch against the forked state; re-branch from the head, " +
+        "re-apply, re-audit, and fast-forward again")
+    if (snap.version != fork) refuse(snap.version)
+    if (!tryCommit(snap, actions)) {
+      // lost the fork+1 publish race — main has advanced by definition
+      refuse(snapshot().version)
+    }
+    (adds.size.toLong, rms.size.toLong)
+  }
 
   /** The current committed version (−1 before the first commit). */
   def version: Long = snapshot().version
@@ -3989,6 +4218,7 @@ class ManifestTableFormat(
     * still want the bytes (the Delta `VACUUM … DRY RUN` idea).
     */
   def vacuum(retentionMs: Long, dryRun: Boolean): (Long, Long) = {
+    requireMain("vacuum")
     val f = fs
     def reclaim(p: Path, recursive: Boolean): Unit =
       if (!dryRun) { f.delete(p, recursive); () }
@@ -4005,13 +4235,20 @@ class ManifestTableFormat(
       import spark.implicits._
       // live names = data files PLUS referenced deletion-vector
       // objects (superseded DVs drop out of the stats frame and
-      // reclaim like any removed file)
-      val sf = statsFrame(snapshot())
-      val liveBase = sf
-        .select(element_at(split(col("file"), "/"), -1).as("name"))
-        .union(sf.filter(col("dv_path").isNotNull)
-          .select(element_at(split(col("dv_path"), "/"), -1).as("name")))
-        .persist()
+      // reclaim like any removed file) — unioned across every BRANCH:
+      // branch handles write into this shared data/ namespace, and a
+      // not-yet-published branch's files must survive main's vacuum
+      // until the branch is dropped or fast-forwarded
+      val frames = statsFrame(snapshot()) +: listBranches.map { case (b, _) =>
+        val bf = new ManifestTableFormat(spark, path, schema,
+          bloomBits, bloomHashes, Some(b))
+        bf.statsFrame(bf.snapshot())
+      }
+      val liveBase = frames.map { sf =>
+        sf.select(element_at(split(col("file"), "/"), -1).as("name"))
+          .union(sf.filter(col("dv_path").isNotNull)
+            .select(element_at(split(col("dv_path"), "/"), -1).as("name")))
+      }.reduce(_ union _).persist()
       try {
         val it = f.listFiles(dataDir, true)
         val batch = scala.collection.mutable
@@ -4396,4 +4633,18 @@ object ManifestTableFormat {
     */
   def factory: ChunkStore => TableFormat = s =>
     new ManifestTableFormat(s.spark, s.path, s.schema)
+
+  /** [[factory]] pinned to a BRANCH: reads and commits go to the
+    * branch's forked log; data files share the table's `data/`
+    * namespace (the write-audit-publish flow —
+    * [[ManifestTableFormat!.createBranch]] /
+    * [[ManifestTableFormat!.fastForward]]).
+    */
+  def branchFactory(branch: String): ChunkStore => TableFormat = s =>
+    new ManifestTableFormat(s.spark, s.path, s.schema,
+      branch = Some(branch))
+
+  /** Branch names are path segments: one liberal-but-safe charset. */
+  def validBranchName(name: String): Boolean =
+    name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*") && name.length <= 255
 }

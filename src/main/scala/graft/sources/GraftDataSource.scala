@@ -76,7 +76,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val appIdOpt = parameters.get("appId")
     val fs = new Path(path)
       .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
-    val mtf0 = mtfFor(path)
+    val mtf0 = mtfFor(path, parameters.get("branch"))
     // .partitionBy(...) carries the c37q PARTITIONED BY semantics:
     // identity columns recorded once at table bootstrap, every write
     // (streaming or batch) range-clusters rows by them so partition
@@ -96,7 +96,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
             if (recorded.isEmpty) "none" else recorded.mkString(", ")
           }) — partition columns are fixed at table creation")
     }
-    val mtf = mtfFor(path)
+    val mtf = mtfFor(path, parameters.get("branch"))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val app = appIdOpt.orElse(Option(
@@ -140,10 +140,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val fs = new Path(path)
       .getFileSystem(ctx.sparkSession.sparkContext.hadoopConfiguration)
     // a fresh path bootstraps an empty manifest table (the log IS the
-    // table); an existing path must already be manifest-format
-    if (!fs.exists(new Path(path)))
+    // table); an existing path must already be manifest-format.
+    // Branch writes (`.option("branch", …)`) never bootstrap: the
+    // branch must have been forked first.
+    if (!fs.exists(new Path(path)) && !parameters.contains("branch"))
       fs.mkdirs(new Path(path, "_log"))
-    val mtf = mtfFor(path)
+    val mtf = mtfFor(path, parameters.get("branch"))
     val exists = mtf.version >= 0
     mode match {
       case SaveMode.Append => mtf.append(data)
@@ -172,7 +174,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new Path(path))
 
-  private def mtfFor(path: String): ManifestTableFormat = {
+  private def mtfFor(path: String,
+      branch: Option[String] = None): ManifestTableFormat = {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // An existing EMPTY directory is admissible: the streaming sink
@@ -185,10 +188,24 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         fs.listStatus(new Path(path)).isEmpty,
       s"format(\"graft\"): $path is not a manifest-format table " +
         "(no _log) — plain store layouts read as parquet directly")
+    // a branch must have been forked first (a typo'd name must not
+    // silently bootstrap a rogue branch log)
+    branch.foreach(b => require(
+      fs.exists(new Path(path, s"_log/branches/$b")),
+      s"format(\"graft\"): no branch '$b' at $path — " +
+        "createBranch / CALL create_branch first"))
     val store = new ChunkStore(spark, path,
-      format = ManifestTableFormat.factory)
-    new ManifestTableFormat(spark, path, store.schema)
+      format = branch.fold(ManifestTableFormat.factory)(
+        ManifestTableFormat.branchFactory))
+    new ManifestTableFormat(spark, path, store.schema, branch = branch)
   }
+
+  /** `.option("branch", name)`: reads and writes target the named
+    * branch's forked log (write-audit-publish); data files share the
+    * table's namespace.
+    */
+  private def branchOf(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("branch"))
 
   /** `versionAsOf` / `timestampAsOf` (epoch millis, or ISO
     * `yyyy-MM-dd HH:mm:ss[.f...]`) resolved to a pinned version;
@@ -218,7 +235,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       new ChunkStore(spark, path, format = ManifestTableFormat.factory)
         .schema
     else {
-      val mtf = mtfFor(path)
+      val mtf = mtfFor(path, branchOf(options))
       asOf(options, mtf).fold(mtf.currentSchema)(mtf.schemaAtVersion)
     }
   }
@@ -283,9 +300,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           }
       }
     }
-    val mtf = mtfFor(path)
+    val branchOpt = branchOf(options)
+    val mtf = mtfFor(path, branchOpt)
     val store = new ChunkStore(spark, path,
-      format = ManifestTableFormat.factory)
+      format = branchOpt.fold(ManifestTableFormat.factory)(
+        ManifestTableFormat.branchFactory))
     val pin = asOf(options, mtf)
     val filesDv = pin.fold(mtf.liveFilesWithDv)(mtf.filesWithDvAtVersion)
     val files = filesDv.map(_._1)

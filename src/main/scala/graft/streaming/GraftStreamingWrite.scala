@@ -46,9 +46,22 @@ class GraftStreamingWrite(
     extends StreamingWrite with RequiresDistributionAndOrdering {
 
   private val mtf = {
+    // `.option("branch", …)`: the stream commits to the branch's
+    // forked log (write-audit-publish); the branch must exist (a
+    // typo'd name must not silently bootstrap a rogue branch log)
+    val branch = Option(info.options.get("branch"))
+    branch.foreach { b =>
+      val fs = new Path(tablePath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new Path(tablePath, s"_log/branches/$b")),
+        s"graft stream: no branch '$b' at $tablePath — " +
+          "createBranch / CALL create_branch first")
+    }
     val store = new ChunkStore(spark, tablePath,
-      format = ManifestTableFormat.factory)
-    new ManifestTableFormat(spark, tablePath, store.schema)
+      format = branch.fold(ManifestTableFormat.factory)(
+        ManifestTableFormat.branchFactory))
+    new ManifestTableFormat(spark, tablePath, store.schema,
+      branch = branch)
   }
 
   private val appId: String =
