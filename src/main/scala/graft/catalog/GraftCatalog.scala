@@ -267,6 +267,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           Some((probes, targets) =>
             mtf.filteredAggregates(files, pinnedDv, probes, targets))
         },
+        // ANALYZE-recorded NDV estimates -> the scan's DSv2 column
+        // statistics (CBO distinct counts); estimates, never exact
+        colNdv = Some(() =>
+          mtf.ndvInfo.map(_._2).getOrElse(Map.empty)),
         // DSv2 STREAMING_WRITE (df.writeStream.toTable) — head
         // snapshots only; time travel is frozen history
         streamWrite =
@@ -829,6 +833,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         StructField("fork_version", LongType, nullable = false))))(
       args => mixedRows(manifestFor(args(0)).listBranches
         .map { case (b, v) => Seq(b, v) })),
+    rowProcedure("analyze", Seq("table", "columns"),
+      "ANALYZE (the Iceberg Puffin idea): one DV-aware scan records " +
+        "an HLL sketch per listed column (comma-separated; lgK=12, " +
+        "~1.6% error) in a version-stamped sidecar; the estimates " +
+        "feed the planner's distinct-count statistics and CALL ndv. " +
+        "Re-run on the maintenance cadence, like OPTIMIZE",
+      StructType(Seq(
+        StructField("column", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("ndv", LongType, nullable = false),
+        StructField("analyzed_version", LongType, nullable = false))))(
+      args => {
+        val (v, est) = manifestFor(args(0)).analyzeNdv(
+          args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        mixedRows(est.toSeq.sortBy(_._1).map { case (c, n) =>
+          Seq(c, n, v) })
+      }),
+    rowProcedure("ndv", Seq("table"),
+      "the newest ANALYZE's distinct-count estimates, with the " +
+        "analyzed and current versions so staleness is visible; " +
+        "refuses if the table was never analyzed",
+      StructType(Seq(
+        StructField("column", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("ndv", LongType, nullable = false),
+        StructField("analyzed_version", LongType, nullable = false),
+        StructField("current_version", LongType, nullable = false))))(
+      args => {
+        val mtf = manifestFor(args(0))
+        val (v, est) = mtf.ndvInfo.getOrElse(
+          throw new IllegalStateException(
+            s"${args(0)} was never analyzed — CALL analyze first"))
+        val cur = mtf.version
+        mixedRows(est.toSeq.sortBy(_._1).map { case (c, n) =>
+          Seq(c, n, v, cur) })
+      }),
     rowProcedure("sync_agg",
       Seq("table", "agg_table", "group_cols", "sum_cols",
         "min_cols", "max_cols"),
@@ -1092,7 +1132,8 @@ private[graft] class GraftTable(
     metaCounts: Option[
       (Seq[graft.sink.ManifestTableFormat.ExactProbe],
         Seq[graft.sink.ManifestTableFormat.MetaAgg]) =>
-          Option[Seq[Any]]] = None)
+          Option[Seq[Any]]] = None,
+    colNdv: Option[() => Map[String, Long]] = None)
     extends Table
     with SupportsRead with SupportsWrite with GraftUpdatable
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -1255,7 +1296,7 @@ private[graft] class GraftTable(
         // list from the pushed predicates before parquet plans
         new org.apache.spark.sql.graftbridge.ManifestStatsScanBuilder(
           spark, tableName, tableSchema, paths, options, pruner, rowsOf,
-          perFileRows, perFileRanges, perFileStrBounds)
+          perFileRows, perFileRanges, perFileStrBounds, colNdv)
       case None => delegate.newScanBuilder(options)
     }
     }

@@ -1777,6 +1777,56 @@ object RelationalQueries {
       q.withColumn("topn_pruned", lit(pruned))
     },
 
+    // B12h: ANALYZE + NDV statistics (the Iceberg Puffin / ANALYZE
+    // TABLE idea) — `CALL analyze` records DataSketches HLL sketches
+    // (lgK=12) per column in a version-stamped sidecar; `CALL ndv`
+    // serves the estimates with staleness visible, and the scan's
+    // DSv2 column statistics expose them as the CBO's distinct
+    // counts (NdvSpec pins that path). The hash pins estimate
+    // QUALITY: each `*_ok` flag is 1 only if the sketch estimate is
+    // within 5% of the exact distinct count (lgK=12 ≈ 1.6% RSE);
+    // `fresh` is 1 only if the sidecar is at the table's current
+    // version.
+    "b12h_ndv_analyze" -> QueryDef(
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_part,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS ndv_supp,
+        |       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv_flag,
+        |       CAST(1 AS BIGINT) AS part_ok,
+        |       CAST(1 AS BIGINT) AS supp_ok,
+        |       CAST(1 AS BIGINT) AS flag_ok,
+        |       CAST(1 AS BIGINT) AS fresh
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-ndv").toString
+      val cat = QueryDef.freshCatalog(s, "graft_ndv", wh)
+      s.sql(s"CREATE TABLE $cat.li (pk BIGINT, sk BIGINT, rf STRING) " +
+        "TBLPROPERTIES ('format'='manifest')")
+      t(s, dir, "lineitem").select(
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          col("l_returnflag").as("rf"))
+        .createOrReplaceTempView("graft_ndv_src")
+      s.sql(s"INSERT INTO $cat.li SELECT * FROM graft_ndv_src")
+      s.sql(s"CALL $cat.analyze('li', 'pk,sk,rf')")
+      val est = s.sql(s"CALL $cat.ndv('li')").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val exact = s.sql("SELECT CAST(COUNT(DISTINCT pk) AS BIGINT), " +
+        "CAST(COUNT(DISTINCT sk) AS BIGINT), " +
+        s"CAST(COUNT(DISTINCT rf) AS BIGINT) FROM $cat.li").head()
+      def ok(col: String, exactN: Long): Long = {
+        val e = est(col)._1
+        if (math.abs(e - exactN) <= 0.05 * exactN) 1L else 0L
+      }
+      val fresh =
+        if (est.values.forall(v => v._2 == v._3)) 1L else 0L
+      import s.implicits._
+      Seq((exact.getLong(0), exact.getLong(1), exact.getLong(2),
+        ok("pk", exact.getLong(0)), ok("sk", exact.getLong(1)),
+        ok("rf", exact.getLong(2)), fresh))
+        .toDF("ndv_part", "ndv_supp", "ndv_flag",
+          "part_ok", "supp_ok", "flag_ok", "fresh")
+    },
+
     // B12e: FILTERED metadata COUNT — `COUNT(*) WHERE k < cutoff` on
     // a key-clustered manifest table folds to a LocalRelation at
     // optimization: files whose stats prove every row matches are

@@ -139,7 +139,8 @@ import graft.sink.ManifestTableFormat.{ExactCmp, ExactNull, ExactProbe}
   *    `<v>.schema.json` (ADD/DROP/RENAME COLUMN eras),
   *    `<v>.constraints.json` (the named CHECK set), `<v>.txns.json`
   *    (checkpoint-subsumed stream markers), `_base.schema.json` +
-  *    `_partition.cols` (creation-time identity).
+  *    `_partition.cols` (creation-time identity); `<v>.ndv.json`
+  *    (ANALYZE's HLL sketches — newest wins, older ones vacuum).
   *
   * Use with the per-document-free layout only (`buckets = None` and
   * this format — the log supersedes hive partitioning):
@@ -3508,6 +3509,80 @@ class ManifestTableFormat(
   def streamTransactions: Seq[(String, Long)] =
     snapshot().txns.toSeq.sortBy(_._1)
 
+  // ---- ANALYZE: table-level NDV sketches ---------------------------
+
+  private def ndvFilePath(v: Long) = new Path(logDir, f"$v%012d.ndv.json")
+
+  /** ANALYZE (the Iceberg Puffin / `ANALYZE TABLE` idea): ONE
+    * DV-aware scan computes a DataSketches HLL sketch per requested
+    * column (lgK=12, ~1.6% relative standard error) and records the
+    * sketches + their estimates in a version-stamped `<v>.ndv.json`
+    * sidecar. Table-level NDV cannot be derived from per-file stats
+    * (per-file distinct counts don't merge — overlap is unknown), and
+    * carrying a per-file sketch in every add-action would multiply
+    * the log size; a periodic one-scan analyze is the trade Iceberg
+    * ships. Consumers ([[ndvInfo]] → the scan's DSv2 column
+    * statistics, `CALL ndv`) serve the NEWEST sidecar and expose its
+    * version so staleness is visible — re-analyze on the maintenance
+    * cadence, like OPTIMIZE. Returns (analyzed version, column →
+    * estimate).
+    */
+  def analyzeNdv(cols: Seq[String]): (Long, Map[String, Long]) = {
+    require(cols.nonEmpty, "analyzeNdv needs at least one column")
+    val snap = snapshot()
+    require(snap.version >= 0, s"analyze: no commits at $path yet")
+    val schemaNow = snap.tableSchema
+    val resolved = cols.map { c =>
+      schemaNow.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"analyze: no column '$c' in ${schemaNow.fieldNames
+            .mkString(", ")}")).name
+    }
+    val df = read().getOrElse(emptyFrame(schemaNow))
+    val sketches = df.agg(
+      org.apache.spark.sql.functions.hll_sketch_agg(col(resolved.head), 12)
+        .as(resolved.head),
+      resolved.tail.map(c =>
+        org.apache.spark.sql.functions.hll_sketch_agg(col(c), 12)
+          .as(c)): _*)
+    val row = sketches.select(resolved.flatMap(c => Seq(
+      // empty input → null sketch → NDV 0
+      coalesce(org.apache.spark.sql.functions.hll_sketch_estimate(col(c)),
+        lit(0L)).as(s"e_$c"),
+      coalesce(base64(col(c)), lit("")).as(s"s_$c"))): _*).head()
+    val entries = resolved.zipWithIndex.map { case (c, i) =>
+      (c, row.getLong(2 * i), row.getString(2 * i + 1))
+    }
+    val body = s"""{"v":${snap.version},"cols":[""" + entries.map {
+      case (c, e, s64) =>
+        s"""{"n":"${esc(c)}","ndv":$e,"s":"$s64"}"""
+    }.mkString(",") + "]}"
+    val out = fs.create(ndvFilePath(snap.version), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    (snap.version, entries.map { case (c, e, _) => c -> e }.toMap)
+  }
+
+  /** The newest recorded NDV analysis: (analyzed version, column →
+    * estimate). None before any [[analyzeNdv]]. Estimates are as-of
+    * the analyzed version — staleness is the caller's call (the CBO
+    * hook serves them as estimates; exact lanes never consult this).
+    */
+  def ndvInfo: Option[(Long, Map[String, Long])] = {
+    val f = fs
+    if (!f.exists(logDir)) return None
+    val vs = f.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{12}\\.ndv\\.json"))
+      .map(_.stripSuffix(".ndv.json").toLong)
+    if (vs.isEmpty) return None
+    val line = readText(ndvFilePath(vs.max))
+    val v = "\"v\":(-?\\d+)".r.findFirstMatchIn(line)
+      .map(_.group(1).toLong).getOrElse(return None)
+    val cols = "\\{\"n\":\"((?:[^\"\\\\]|\\\\.)*)\",\"ndv\":(\\d+)".r
+      .findAllMatchIn(line)
+      .map(m => unesc(m.group(1)) -> m.group(2).toLong).toMap
+    Some((v, cols))
+  }
+
   // ---- branches (write-audit-publish) ------------------------------
 
   /** CREATE BRANCH (the Iceberg branch / WAP idea, adapted to a
@@ -4295,6 +4370,17 @@ class ManifestTableFormat(
           reclaim(checkpointPath(ckpt), recursive = false)
           nLog += 1
         }
+      }
+      // superseded NDV sidecars: only the newest analysis is ever
+      // served — older ones are dead weight
+      val ndvVs = f.listStatus(logDir).toSeq.map(_.getPath.getName)
+        .filter(_.matches("\\d{12}\\.ndv\\.json"))
+        .map(_.stripSuffix(".ndv.json").toLong)
+      if (ndvVs.size > 1) {
+        ndvVs.filter(_ < ndvVs.max).foreach(v =>
+          reclaim(new Path(logDir, f"$v%012d.ndv.json"),
+            recursive = false))
+        nLog += ndvVs.size - 1
       }
       // torn parquet checkpoints (no _SUCCESS): crashed writers'
       // leftovers, never read — reclaim

@@ -352,6 +352,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         Some((probes, targets) =>
           mtf.filteredAggregates(files, pinnedDv, probes, targets))
       },
+      colNdv = Some(() =>
+        mtf.ndvInfo.map(_._2).getOrElse(Map.empty)),
       // live count from resolution-pinned DV cardinalities (see the
       // catalog twin): immune to DV churn in the plan's lifetime
       dvLiveRows =

@@ -114,7 +114,8 @@ final class ManifestRuntimeFilterScan(
     pruner: Seq[StatsProbe] => Option[Seq[String]],
     initialFiles: Seq[String],
     rebuild: Seq[String] => Scan,
-    rowsOf: Option[Seq[String] => Option[Long]] = None)
+    rowsOf: Option[Seq[String] => Option[Long]] = None,
+    colNdv: Option[() => Map[String, Long]] = None)
     extends Scan with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -166,12 +167,37 @@ final class ManifestRuntimeFilterScan(
         cachedRows.get.fold(java.util.OptionalLong.empty())(
           java.util.OptionalLong.of)
     }
-    if (!logRows.isPresent) base
+    // ANALYZE-recorded NDV estimates (newest sidecar) as DSv2 column
+    // statistics: the CBO's distinct-count input for join estimation.
+    // Estimates as-of the analyzed version — correctness never depends
+    // on them (exact lanes have their own fail-closed guards); empty
+    // map when the table was never analyzed.
+    val ndv: Map[String, Long] =
+      colNdv.fold(Map.empty[String, Long])(f =>
+        try f() catch { case scala.util.control.NonFatal(_) => Map.empty })
+    val colStats: java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      ndv.foreach { case (c, n) =>
+        m.put(FieldReference.column(c),
+          new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(n)
+          })
+      }
+      m
+    }
+    if (!logRows.isPresent && colStats.isEmpty) base
     else new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         base.sizeInBytes()
       override def numRows(): java.util.OptionalLong =
         if (base.numRows().isPresent) base.numRows() else logRows
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        if (colStats.isEmpty) base.columnStats() else colStats
     }
   }
 
@@ -277,7 +303,8 @@ class ManifestStatsScanBuilder(
     perFileRanges: Option[(Seq[String], String) =>
       Option[Seq[ManifestTableFormat.FileRange]]] = None,
     perFileStrBounds: Option[(Seq[String], String) =>
-      Option[(Option[String], Option[String])]] = None)
+      Option[(Option[String], Option[String])]] = None,
+    colNdv: Option[() => Map[String, Long]] = None)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
@@ -397,7 +424,7 @@ class ManifestStatsScanBuilder(
     val attrs = runtimeFilterable(base.readSchema())
     if (aggPushed || attrs.isEmpty) base
     else new ManifestRuntimeFilterScan(base, attrs, typeOf,
-      pruner, currentFiles, buildOver, rowsOf)
+      pruner, currentFiles, buildOver, rowsOf, colNdv)
   }
 
   // aggregate pushdown, two lanes in preference order:
