@@ -833,6 +833,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         StructField("fork_version", LongType, nullable = false))))(
       args => mixedRows(manifestFor(args(0)).listBranches
         .map { case (b, v) => Seq(b, v) })),
+    procedure("set_bloom_columns", Seq("table", "columns"),
+      "declare per-column BLOOM FILTERS (the Delta bloom-filter-index " +
+        "idea at file-skipping granularity): every future write " +
+        "records a per-file bloom over each listed column " +
+        "(comma-separated; string/integral/date/timestamp), and an " +
+        "equality probe on it prunes files min/max never could " +
+        "(high-cardinality unclustered columns). Existing files fail " +
+        "open until rewritten; re-declaring replaces the set")(args =>
+      manifestFor(args(0)).recordBloomColumns(
+        args(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)),
     rowProcedure("analyze", Seq("table", "columns"),
       "ANALYZE (the Iceberg Puffin idea): one DV-aware scan records " +
         "an HLL sketch per listed column (comma-separated; lgK=12, " +

@@ -295,12 +295,21 @@ object Layout {
     * floorMod for a positive modulus). Evaluating it in a Spark job
     * is what keeps the probe off the driver.
     */
-  private[graft] def bloomTest: Column = {
-    val h1 = call_function("shiftrightunsigned", col("h"), lit(32))
-    val h2 = col("h").bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L))
-    forall(sequence(lit(0L), col("num_hashes").cast("long") - 1L), i => {
-      val pos = pmod(h1 + i * h2, col("num_bits").cast("long"))
-      val word = element_at(col("bits"),
+  private[graft] def bloomTest: Column =
+    bloomTestOn(col("bits"), col("h"), col("num_bits"), col("num_hashes"))
+
+  /** The bloom membership test over explicit columns — the
+    * [[bloomTest]] bit walk parameterized so callers can aim it at
+    * any (bits, hash, params) triple (e.g. the manifest's per-column
+    * blooms next to its url bloom in one stats frame).
+    */
+  private[graft] def bloomTestOn(bits: Column, h: Column,
+      numBits: Column, numHashes: Column): Column = {
+    val h1 = call_function("shiftrightunsigned", h, lit(32))
+    val h2 = h.bitwiseAND(lit(0xFFFFFFFFL)).bitwiseOR(lit(1L))
+    forall(sequence(lit(0L), numHashes.cast("long") - 1L), i => {
+      val pos = pmod(h1 + i * h2, numBits.cast("long"))
+      val word = element_at(bits,
         (call_function("shiftright", pos, lit(6)) + 1L).cast("int"))
       val mask = call_function("shiftleft", lit(1L),
         pos.bitwiseAND(lit(63L)).cast("int"))

@@ -1777,6 +1777,74 @@ object RelationalQueries {
       q.withColumn("topn_pruned", lit(pruned))
     },
 
+    // C37w: PER-COLUMN BLOOM FILTERS (the Delta bloom-filter-index
+    // idea at FILE-skipping granularity) — `CALL set_bloom_columns`
+    // makes every write record a per-file bloom over the declared
+    // column; an equality probe on a HIGH-CARDINALITY UNCLUSTERED
+    // column (here a multiplicative scramble of the key, so every
+    // file's min/max spans the whole range and ordinary skipping is
+    // useless) prunes to the file(s) whose bloom admits the value.
+    // `bloom_pruned` pins inside the hash that the point query
+    // planned a STRICT subset of the files while the full scan plans
+    // them all; results hash-match DuckDB computing the same
+    // scramble relationally.
+    "c37w_column_bloom" -> QueryDef(
+      """WITH src AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |         CAST((o_orderkey * 2654435761) % 1000000007 AS BIGINT)
+        |           AS sec,
+        |         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT k, sec, CAST(1 AS BIGINT) AS bloom_pruned
+        |FROM src
+        |WHERE rn <= 1000
+        |  AND sec = (SELECT sec FROM src WHERE rn = 1000)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cbloom").toString
+      val cat = QueryDef.freshCatalog(s, "graft_cbloom", wh)
+      s.sql(s"CREATE TABLE $cat.o (k BIGINT, sec BIGINT) " +
+        "TBLPROPERTIES ('format'='manifest')")
+      s.sql(s"CALL $cat.set_bloom_columns('o', 'sec')")
+      // a FIXED 1000-row slice (SF-independent): 250 rows per file
+      // keeps each bloom far from saturation at every scale factor
+      t(s, dir, "orders").select(col("o_orderkey").as("k"),
+          (col("o_orderkey") * 2654435761L % 1000000007L).as("sec"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_orderkey"))).as("rn"))
+        .filter(col("rn") <= 1000)
+        .createOrReplaceTempView("graft_cbloom_src")
+      // four commits of contiguous key quarters: sec is a scramble of
+      // k, so every file's sec min/max spans ~the whole domain —
+      // range skipping cannot prune the point probe, only the bloom
+      (0 until 4).foreach { i =>
+        s.sql(s"INSERT INTO $cat.o SELECT /*+ REPARTITION(1) */ k, sec " +
+          s"FROM graft_cbloom_src WHERE rn > ${i * 250} " +
+          s"AND rn <= ${(i + 1) * 250}")
+      }
+      val probe = s.sql(
+          "SELECT sec FROM graft_cbloom_src WHERE rn = 1000")
+        .head().getLong(0)
+      def planned(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        val scans = new org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanHelper {
+          def scansOf(p: org.apache.spark.sql.execution.SparkPlan) =
+            collectWithSubqueries(p) {
+              case b: org.apache.spark.sql.execution.datasources.v2
+                  .BatchScanExec => b
+            }
+        }.scansOf(df.queryExecution.executedPlan)
+        org.apache.spark.sql.graftbridge.Scans.fileScan(scans.head.scan)
+          .fileIndex.inputFiles.length
+      }
+      val all = planned(s.sql(s"SELECT k, sec FROM $cat.o"))
+      val q = s.sql(s"SELECT k, sec FROM $cat.o WHERE sec = $probe")
+      val hit = planned(q)
+      val pruned = if (all == 4 && hit > 0 && hit < all) 1L else 0L
+      q.withColumn("bloom_pruned", lit(pruned)).orderBy("k")
+    },
+
     // B12h: ANALYZE + NDV statistics (the Iceberg Puffin / ANALYZE
     // TABLE idea) — `CALL analyze` records DataSketches HLL sketches
     // (lgK=12) per column in a version-stamped sidecar; `CALL ndv`

@@ -135,6 +135,14 @@ import graft.sink.ManifestTableFormat.{ExactCmp, ExactNull, ExactProbe}
   *    it. Pre-v8 entries fall back to mtime (documented best-effort,
   *    exactly the pre-ICT Delta contract). CAVEAT (one-way, like
   *    v4): a pre-v8 reader fails loudly on the unknown action kind.
+  *  - v9: PER-COLUMN BLOOMS (`"csb"` array — the Delta bloom-filter-
+  *    index idea at file-skipping granularity): columns declared via
+  *    [[recordBloomColumns]] carry, per add-action, a fixed-size
+  *    bloom over `xxhash64(value)` (same params and bit walk as the
+  *    url bloom); equality probes on them prune files whose bloom
+  *    excludes the value — the point-set complement of min/max
+  *    skipping for high-cardinality UNCLUSTERED columns. Ignored by
+  *    older readers; absent blooms fail open everywhere.
   *  - Versioned SIDECARS (never vacuumed; bounded by ALTER count):
   *    `<v>.schema.json` (ADD/DROP/RENAME COLUMN eras),
   *    `<v>.constraints.json` (the named CHECK set), `<v>.txns.json`
@@ -210,6 +218,7 @@ class ManifestTableFormat(
 
   private def baseSchemaPath = new Path(logDir, "_base.schema.json")
   private def partitionColsPath = new Path(logDir, "_partition.cols")
+  private def bloomColsPath = new Path(logDir, "_bloom.cols")
 
   /** The evolution floor: the persisted DDL schema when this table was
     * created with one, else the constructor schema (the chunk shape).
@@ -244,6 +253,50 @@ class ManifestTableFormat(
       readText(partitionColsPath).linesIterator
         .map(_.trim).filter(_.nonEmpty).toSeq
     else Seq.empty
+
+  /** DECLARE per-column bloom filters (protocol v9 — the Delta bloom
+    * filter index idea at FILE-skipping granularity): every future
+    * write records, per data file, a fixed-size bloom over
+    * `xxhash64(value)` for each declared column, and an equality
+    * probe on a declared column prunes files whose bloom excludes the
+    * value — the point-set complement of min/max skipping, which
+    * cannot prune a high-cardinality UNCLUSTERED column. Existing
+    * files are untouched and fail open until rewritten (compaction
+    * re-records). Types: string, integral, date, timestamp — kinds
+    * whose probe-side literal re-hashes to the write-side hash.
+    * Declared by LOGICAL name, recorded PHYSICAL (rename-proof).
+    * Re-declaring replaces the set (future files only).
+    */
+  def recordBloomColumns(cols: Seq[String]): Unit = {
+    requireMain("recordBloomColumns")
+    import org.apache.spark.sql.types._
+    val s = currentSchema
+    val phys = cols.map { c =>
+      val f = s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom columns: no column '$c' in ${s.fieldNames.mkString(", ")}"))
+      f.dataType match {
+        case StringType | IntegerType | LongType | ShortType |
+             ByteType | DateType | _: TimestampType => ()
+        case dt => throw new IllegalArgumentException(
+          s"bloom columns: '$c' is ${dt.simpleString} — supported " +
+            "kinds are string, integral, date, timestamp")
+      }
+      ManifestTableFormat.physicalName(f)
+    }
+    val out = fs.create(bloomColsPath, true)
+    try out.write(phys.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The declared bloom columns (PHYSICAL names); empty when never
+    * declared. Read per call — a declaration after this handle was
+    * built still applies to its next write.
+    */
+  def bloomColumns: Seq[String] =
+    if (!fs.exists(bloomColsPath)) Seq.empty
+    else readText(bloomColsPath).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
 
   /** One-time table initialization for catalog CREATE TABLE: persist
     * the DDL schema (when it differs from the chunk shape) and the
@@ -310,7 +363,16 @@ class ManifestTableFormat(
         * on older actions → false (string extremum lane fails open;
         * nothing else consults it).
         */
-      exact: Boolean = false)
+      exact: Boolean = false,
+      /** Protocol v9 per-column BLOOM (the Delta bloom-filter-index
+        * idea at file-skipping granularity): set for columns declared
+        * via [[recordBloomColumns]] at write time — a fixed-size
+        * bitset over `xxhash64(value)` (same bit walk and params as
+        * the url bloom), so an equality probe on a high-cardinality
+        * UNCLUSTERED column prunes files min/max never could. Absent
+        * → fail open (the file is read).
+        */
+      bloom: Option[Seq[Long]] = None)
 
   /** Per-file stats an add-action carries: a bloom bitset over
     * xxhash64(document_url) plus the min/max url — fixed size, so the
@@ -444,8 +506,14 @@ class ManifestTableFormat(
           // protocol v7: per-column exact-bounds marker (string
           // extremum lane); older readers ignore the field
           val exact = cs.map(c => if (c.exact) 1 else 0).mkString(",")
+          // protocol v9: per-column blooms for declared columns ("" =
+          // none recorded); older readers ignore the field
+          val blooms =
+            if (cs.forall(_.bloom.isEmpty)) ""
+            else "," + "\"csb\":[" + cs.map(c =>
+              "\"" + c.bloom.fold("")(packBits) + "\"").mkString(",") + "]"
           s"""$sz,"rows":$n,"csn":[$names],"cslo":[$los],"cshi":[$his],""" +
-            s""""csv":[$valid],"csnn":[$nulls],"cse":[$exact]"""
+            s""""csv":[$valid],"csnn":[$nulls],"cse":[$exact]$blooms"""
       }
       s"{$base$ext}"
     case None => a.txn match {
@@ -518,16 +586,21 @@ class ManifestTableFormat(
         val nulls = parseLongArray(line, "csnn")
         val exact = if (line.contains("\"cse\":["))
           parseLongArray(line, "cse") else Seq.empty
+        val blooms = if (line.contains("\"csb\":["))
+          parseStringArray(line, "csb") else Seq.empty
         if (Seq(los, his).exists(_.size != names.size) ||
             Seq(valid, nulls).exists(_.size != names.size) ||
-            (exact.nonEmpty && exact.size != names.size))
+            (exact.nonEmpty && exact.size != names.size) ||
+            (blooms.nonEmpty && blooms.size != names.size))
           fail("ragged column-stats arrays")
         names.indices.map { i =>
           val ok = valid(i) == 1L
           ColStats(names(i),
             if (ok) Some(los(i)) else None,
             if (ok) Some(his(i)) else None, nulls(i),
-            exact = i < exact.size && exact(i) == 1L)
+            exact = i < exact.size && exact(i) == 1L,
+            bloom = if (i < blooms.size && blooms(i).nonEmpty)
+              Some(unpackBits(blooms(i))) else None)
         }
       }
     def dvRef: Option[ManifestTableFormat.DvRef] =
@@ -1234,10 +1307,12 @@ class ManifestTableFormat(
           st.cols.map(c => if (c.lo.isDefined && c.hi.isDefined) 1 else 0),
           st.cols.map(_.nulls),
           st.cols.map(c => if (c.exact) 1 else 0),
+          // per-column blooms (v9); empty seq = not recorded
+          st.cols.map(_.bloom.getOrElse(Seq.empty[Long])),
           st.dv.map(_.path), st.dv.map(_.card)) }
       .toDF("file", "bits", "lo", "hi", "num_bits", "num_hashes",
         "rows", "bytes", "cs_names", "cs_lo", "cs_hi", "cs_valid",
-        "cs_nn", "cs_exact", "dv_path", "dv_card")
+        "cs_nn", "cs_exact", "cs_bloom", "dv_path", "dv_card")
     snap.ckptParquet match {
       case None => tail
       case Some(dir) =>
@@ -1296,13 +1371,18 @@ class ManifestTableFormat(
       .map(_.toSeq).getOrElse(Nil)
     val exact = opt[scala.collection.Seq[Int]]("cs_exact")
       .map(_.toSeq).getOrElse(Nil)
+    val blooms = opt[scala.collection.Seq[
+        scala.collection.Seq[Long]]]("cs_bloom")
+      .map(_.toSeq).getOrElse(Nil)
     val cols = names.indices.map { i =>
       val ok = i < valid.size && valid(i) == 1
       ColStats(names(i),
         if (ok) Some(los(i)) else None,
         if (ok) Some(his(i)) else None,
         if (i < nulls.size) nulls(i) else 0L,
-        exact = i < exact.size && exact(i) == 1)
+        exact = i < exact.size && exact(i) == 1,
+        bloom = if (i < blooms.size && blooms(i).nonEmpty)
+          Some(blooms(i).toSeq) else None)
     }
     r.getAs[String]("file") -> FileStats(
       r.getAs[scala.collection.Seq[Long]]("bits").toSeq,
@@ -1661,11 +1741,21 @@ class ManifestTableFormat(
     // stats are computed AND recorded under physical names — they
     // outlive renames; scan-side probes translate logical→physical
     val sc = statColumns(sPhys)
+    // declared per-column blooms (protocol v9): same params and bit
+    // walk as the url bloom, hashed over the column's NATIVE type
+    // (the probe side re-hashes its literal under that type)
+    val bloomed: Set[String] = {
+      val declared = bloomColumns.map(_.toLowerCase).toSet
+      sc.map(_.name).filter(n => declared.contains(n.toLowerCase)).toSet
+    }
     val extraAggs = Seq(count(lit(1)).as("__rows")) ++
       sc.zipWithIndex.flatMap { case (f, i) =>
         Seq(min(statEncode(f)).as(s"__lo$i"),
           max(statEncode(f)).as(s"__hi$i"),
-          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn$i"))
+          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn$i")) ++
+          (if (bloomed.contains(f.name))
+            Seq(agg(xxhash64(col(f.name))).as(s"__bl$i"))
+          else Seq.empty)
       }
     // url bloom + lo/hi only when the table HAS the url key; key-less
     // tables carry an all-zero bloom and empty bounds, which nothing
@@ -1689,7 +1779,12 @@ class ManifestTableFormat(
           val loV = r.get(r.fieldIndex(s"__lo$i"))
           val hiV = r.get(r.fieldIndex(s"__hi$i"))
           val nn = r.getLong(r.fieldIndex(s"__nn$i"))
-          if (loV == null || hiV == null) ColStats(f.name, None, None, nn)
+          val bl =
+            if (bloomed.contains(f.name))
+              Some(r.getSeq[Long](r.fieldIndex(s"__bl$i")))
+            else None
+          if (loV == null || hiV == null)
+            ColStats(f.name, None, None, nn, bloom = bl)
           else renderHi(hiV) match {
             case Some(hi) =>
               // exact-bounds marker: numerics render losslessly;
@@ -1700,8 +1795,8 @@ class ManifestTableFormat(
                 case (ls: String, hs: String) => lo == ls && hi == hs
                 case _ => true
               }
-              ColStats(f.name, Some(lo), Some(hi), nn, exact)
-            case None => ColStats(f.name, None, None, nn)
+              ColStats(f.name, Some(lo), Some(hi), nn, exact, bl)
+            case None => ColStats(f.name, None, None, nn, bloom = bl)
           }
         }
         val file = r.getString(0)
@@ -4020,10 +4115,11 @@ class ManifestTableFormat(
     import org.apache.spark.sql.types.DecimalType
     if (pinned.isEmpty || probes.isEmpty) return None
     import spark.implicits._
+    val snap = snapshot()
     // no broadcast hint: the pinned list is usually small enough that
     // AQE broadcasts it anyway, but at the 10⁷-file end it must be
     // allowed to shuffle rather than blow the driver's broadcast cap
-    val st = statsFrame(snapshot())
+    val st = statsFrame(snap)
       .join(pinned.toDF("file"), Seq("file"), "left_semi")
 
     def statVal(arr: String, name: String): Column = {
@@ -4037,14 +4133,65 @@ class ManifestTableFormat(
     }
     val dec = DecimalType(38, 18)
     def open(c: Column): Column = coalesce(c, lit(true))
+    // per-column bloom test (protocol v9): on an EQUALITY probe for a
+    // bloom-carrying column, re-hash the literal under the column's
+    // native type driver-side and walk the file's recorded bits.
+    // Strictly narrowing and always fail-open: no recorded bloom (old
+    // file, undeclared column, unhashable literal) keeps the file.
+    val physFields = ManifestTableFormat
+      .physicalSchema(snap.tableSchema).fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    def bloomKeep(c: String, h: Option[Long]): Column = h match {
+      case None => lit(true)
+      case Some(hash) =>
+        val pos = array_position(col("cs_names"), c).cast("int")
+        val bl = when(pos > 0, element_at(col("cs_bloom"), pos))
+        bl.isNull || size(bl) === 0 ||
+          graft.ops.Layout.bloomTestOn(bl, lit(hash),
+            col("num_bits"), col("num_hashes"))
+    }
+    def hashNum(c: String, rendered: String): Option[Long] = {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      // probe values arrive as canonical grid renderings (integral
+      // kinds as plain integers); a non-exact parse fails open
+      try {
+        val v = BigDecimal(rendered)
+        physFields.get(c.toLowerCase).collect {
+          case IntegerType => XxHash64Function.hash(
+            v.toIntExact, IntegerType, 42L)
+          case LongType => XxHash64Function.hash(
+            v.toLongExact, LongType, 42L)
+          case ShortType => XxHash64Function.hash(
+            v.toShortExact, ShortType, 42L)
+          case ByteType => XxHash64Function.hash(
+            v.toByteExact, ByteType, 42L)
+          case DateType => XxHash64Function.hash(
+            v.toIntExact, DateType, 42L)
+          case t: TimestampType => XxHash64Function.hash(
+            v.toLongExact, t, 42L)
+        }
+      } catch {
+        case _: ArithmeticException | _: NumberFormatException => None
+      }
+    }
+    def hashStr(s: String): Option[Long] = Some(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType, 42L))
 
     val survive = probes.collect {
       case NumRange(c, loB, hiB) =>
         val loS = statVal("cs_lo", c).try_cast(dec)
         val hiS = statVal("cs_hi", c).try_cast(dec)
-        (loB.map(l => open(hiS >= lit(l).try_cast(dec))) ++
+        val range = (loB.map(l => open(hiS >= lit(l).try_cast(dec))) ++
           hiB.map(h => open(loS <= lit(h).try_cast(dec))))
           .reduceOption(_ && _).getOrElse(lit(true))
+        (loB, hiB) match {
+          case (Some(l), Some(h)) if l == h =>
+            range && bloomKeep(c, hashNum(c, l))
+          case _ => range
+        }
       case StrRange(c, loB, hiB) =>
         val (loS, hiS) =
           if (c.equalsIgnoreCase("document_url"))
@@ -4053,9 +4200,14 @@ class ManifestTableFormat(
             // "" <= anything keeps it — fail-open, costs one read)
             (col("lo"), col("hi"))
           else (statVal("cs_lo", c), statVal("cs_hi", c))
-        (loB.map(l => open(hiS >= lit(l))) ++
+        val range = (loB.map(l => open(hiS >= lit(l))) ++
           hiB.map(h => open(loS <= lit(h))))
           .reduceOption(_ && _).getOrElse(lit(true))
+        (loB, hiB) match {
+          case (Some(l), Some(h)) if l == h =>
+            range && bloomKeep(c, hashStr(l))
+          case _ => range
+        }
       case NullTest(c, isNull) =>
         if (isNull) open(nullsOf(c) > 0)
         else open(nullsOf(c) < col("rows"))
