@@ -1789,16 +1789,16 @@ object RelationalQueries {
     // them all; results hash-match DuckDB computing the same
     // scramble relationally.
     "c37w_column_bloom" -> QueryDef(
-      """WITH src AS (
+      """WITH lim AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k,
         |         CAST((o_orderkey * 2654435761) % 1000000007 AS BIGINT)
-        |           AS sec,
-        |         ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
-        |  FROM orders)
+        |           AS sec
+        |  FROM orders ORDER BY o_orderkey LIMIT 1000),
+        |src AS (
+        |  SELECT k, sec, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM lim)
         |SELECT k, sec, CAST(1 AS BIGINT) AS bloom_pruned
         |FROM src
-        |WHERE rn <= 1000
-        |  AND sec = (SELECT sec FROM src WHERE rn = 1000)
+        |WHERE sec = (SELECT sec FROM src WHERE rn = 1000)
         |ORDER BY k""".stripMargin) { (s, dir) =>
       val wh = java.nio.file.Files
         .createTempDirectory("graft-cbloom").toString
@@ -1807,12 +1807,17 @@ object RelationalQueries {
         "TBLPROPERTIES ('format'='manifest')")
       s.sql(s"CALL $cat.set_bloom_columns('o', 'sec')")
       // a FIXED 1000-row slice (SF-independent): 250 rows per file
-      // keeps each bloom far from saturation at every scale factor
-      t(s, dir, "orders").select(col("o_orderkey").as("k"),
-          (col("o_orderkey") * 2654435761L % 1000000007L).as("sec"),
+      // keeps each bloom far from saturation at every scale factor.
+      // Bottom-1000 by key via orderBy+limit (TakeOrdered — the
+      // global-window-over-the-whole-table trap would single-thread
+      // a sort of every row); the window then ranks only 1000 rows.
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") * 2654435761L % 1000000007L).as("sec"))
+        .orderBy(col("k")).limit(1000)
+        .select(col("k"), col("sec"),
           row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("o_orderkey"))).as("rn"))
-        .filter(col("rn") <= 1000)
+            .orderBy(col("k"))).as("rn"))
         .createOrReplaceTempView("graft_cbloom_src")
       // four commits of contiguous key quarters: sec is a scramble of
       // k, so every file's sec min/max spans ~the whole domain —
