@@ -181,6 +181,35 @@ class BranchSpec extends SparkSpec {
     assert(urls(store).size == 6)
   }
 
+  test("deletion vectors cross the publish: a branch DV delete " +
+      "lands on main as the same merge-on-read state") {
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    store.append(chunkRows(1 to 10, "base-"))
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    val mainFiles = mtf.liveFiles.toSet
+    mtf.createBranch("dv")
+    val bmtf = new ManifestTableFormat(spark, path, store.schema,
+      branch = Some("dv"))
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try bmtf.deleteWhereDv(col("document_url") <= "doc://00003")
+    finally spark.conf.unset("spark.graft.deletionVectors")
+    // merge-on-read on the branch: same data files, a vector attached
+    assert(bmtf.liveFiles.toSet == mainFiles)
+    assert(bmtf.liveFilesWithDv.exists(_._2.isDefined))
+    mtf.fastForward("dv")
+    // the DV re-add crossed: main keeps the file, applies the vector
+    assert(mtf.liveFiles.toSet == mainFiles,
+      "publish must carry the DV re-add, not a rewrite")
+    assert(mtf.liveFilesWithDv.exists(_._2.isDefined))
+    assert(urls(store) == (4 to 10).map(i => f"doc://$i%05d").toSet)
+    // and vacuum (post-drop) keeps the DV object main now references
+    mtf.dropBranch("dv")
+    mtf.vacuum()
+    assert(urls(store) == (4 to 10).map(i => f"doc://$i%05d").toSet)
+  }
+
   test("empty branch fast-forwards as a no-op; unknown branch and " +
       "duplicate creation refuse") {
     val path = freshPath()
