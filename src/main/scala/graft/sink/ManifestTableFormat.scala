@@ -4211,6 +4211,23 @@ class ManifestTableFormat(
       case NullTest(c, isNull) =>
         if (isNull) open(nullsOf(c) > 0)
         else open(nullsOf(c) < col("rows"))
+      case ValuesIn(c, vs) =>
+        // v9 point-SET pruning: the file survives if ANY value's
+        // bloom test passes. Fail-open on no recorded bloom or any
+        // unhashable value (the envelope probe still applies).
+        val isStr = physFields.get(c.toLowerCase)
+          .exists(_.isInstanceOf[org.apache.spark.sql.types.StringType])
+        val hashes = vs.flatMap(v =>
+          if (isStr) hashStr(v) else hashNum(c, v))
+        if (hashes.size != vs.size || hashes.isEmpty) lit(true)
+        else {
+          val pos = array_position(col("cs_names"), c).cast("int")
+          val bl = when(pos > 0, element_at(col("cs_bloom"), pos))
+          bl.isNull || size(bl) === 0 ||
+            exists(array(hashes.map(lit): _*), h =>
+              graft.ops.Layout.bloomTestOn(bl, h,
+                col("num_bits"), col("num_hashes")))
+        }
     }.foldLeft(lit(true))(_ && _)
 
     var dropped = st.filter(!survive).select("file")
@@ -4832,6 +4849,17 @@ object ManifestTableFormat {
     * bloom (no false negatives) + url min/max range.
     */
   final case class UrlIn(values: Seq[String]) extends StatsProbe
+
+  /** `column IN (v1..vn)` point SET for a non-url column, values on
+    * the canonical stats grid — serviced by the protocol-v9
+    * per-column blooms (a file survives if ANY value's bloom test
+    * passes; no bloom → fail open). Emitted ALONGSIDE the min/max
+    * envelope and capped at [[StatsProbes.maxValuesInProbe]] values
+    * (a larger set — e.g. a runtime DPP key set — keeps only the
+    * envelope, bounding the pruning expression's size).
+    */
+  final case class ValuesIn(column: String, values: Seq[String])
+      extends StatsProbe
 
   /** An EXACT probe — the fail-closed mirror of [[StatsProbe]] for
     * the metadata-only DELETE lane: extraction

@@ -23,6 +23,14 @@ import graft.sink.ManifestTableFormat.{ExactCmp, ExactNull, ExactProbe, NullTest
   */
 object StatsProbes {
 
+  /** Cap on [[ManifestTableFormat.ValuesIn]] emission: beyond this
+    * many IN-values only the min/max envelope survives (bounds the
+    * per-file bloom-test expression a huge runtime key set would
+    * otherwise build).
+    */
+  val maxValuesInProbe = 256
+
+
   /** `typeOf(name)` resolves a column reference to its canonical
     * schema name + type, or None when unknown.
     */
@@ -246,12 +254,26 @@ object StatsProbes {
     if (lits.size != vs.size || lits.isEmpty) Nil
     else if (isUrl(canonical) && t.isInstanceOf[StringType])
       Seq(UrlIn(lits.map(_.toString)))
-    else t match {
-      case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
-        val nums = lits.map(_.asInstanceOf[Number].longValue)
-        Seq(NumRange(canonical,
-          Some(nums.min.toString), Some(nums.max.toString)))
-      case _ => Nil
+    else {
+      // point-SET probe for the v9 per-column blooms, capped so a
+      // runtime DPP key set cannot blow up the pruning expression
+      def pointSet(rendered: Seq[String]): Seq[StatsProbe] =
+        if (rendered.size <= maxValuesInProbe)
+          Seq(ManifestTableFormat.ValuesIn(canonical, rendered))
+        else Nil
+      t match {
+        case _: IntegerType | _: LongType | _: ShortType | _: ByteType =>
+          val nums = lits.map(_.asInstanceOf[Number].longValue)
+          Seq(NumRange(canonical,
+            Some(nums.min.toString), Some(nums.max.toString))) ++
+            pointSet(nums.map(_.toString))
+        case _: StringType =>
+          // non-url strings had no IN probe at all before v9: the
+          // envelope stays absent (truncated stat bounds make string
+          // ranges a separate lane), the point set stands alone
+          pointSet(lits.map(_.toString))
+        case _ => Nil
+      }
     }
   }
 }

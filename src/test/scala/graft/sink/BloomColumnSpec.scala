@@ -101,6 +101,41 @@ class BloomColumnSpec extends SparkSpec {
       "after compaction every live file carries a bloom")
   }
 
+  test("IN-lists prune through the blooms (the runtime DPP key-set " +
+      "shape); oversized sets keep only the envelope") {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, In, Literal}
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    mtf.recordBloomColumns(Seq("page_number"))
+    store.append(scrambled(0 until 250))
+    store.append(scrambled(250 until 500))
+    store.append(scrambled(500 until 750))
+    val attr = AttributeReference("page_number",
+      org.apache.spark.sql.types.IntegerType)()
+    val typeOf = (n: String) =>
+      if (n.equalsIgnoreCase("page_number"))
+        Some(("page_number", org.apache.spark.sql.types.IntegerType))
+      else None
+    def probesIn(vals: Seq[Int]) = StatsProbes.extract(
+      Seq(In(attr, vals.map(Literal(_)))), typeOf)
+    // two values from commits 1 and 3: their IN spans the whole
+    // min/max envelope, only the blooms can drop commit 2's file
+    def sv(i: Long) = ((i * 2654435761L) % 997003L).toInt
+    val kept = mtf.pruneFilesForScan(mtf.liveFiles,
+      probesIn(Seq(sv(10), sv(700))))
+    assert(kept.isDefined && kept.get.size == 2,
+      s"IN must bloom-prune to 2 files, kept ${kept.map(_.size)}")
+    // an IN past the cap keeps only the envelope (no per-value
+    // tests): every file survives — fail-open, never wrong
+    val big = (0 until 300).map(i => sv(i))
+    val keptBig = mtf.pruneFilesForScan(mtf.liveFiles, probesIn(big))
+    assert(keptBig.isEmpty || keptBig.exists(_.size == 3),
+      "oversized IN must fail open to the envelope")
+  }
+
   test("declaration refusals: unknown column, unsupported type, " +
       "branch handle") {
     val path = freshPath()
