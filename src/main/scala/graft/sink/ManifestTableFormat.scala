@@ -1399,6 +1399,13 @@ class ManifestTableFormat(
   private def statsOf(snap: Snapshot, files: Seq[String])
       : Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
+    // checkpoint-less snapshot: the stats already sit in the
+    // driver-held tail map — a Spark semi-join here is pure job-launch
+    // overhead (measured ≥1 job per DML cycle at 30-100 ms each);
+    // with a checkpoint the frame path keeps per-file stats
+    // executor-side as before
+    if (snap.ckptParquet.isEmpty)
+      return files.flatMap(f => snap.base.get(f).map(f -> _)).toMap
     import spark.implicits._
     statsFrame(snap).join(files.toDF("file"), Seq("file"), "left_semi")
       .collect().map(rowToStats).toMap
@@ -1410,6 +1417,11 @@ class ManifestTableFormat(
   private def dvOf(snap: Snapshot, files: Seq[String])
       : Map[String, Option[ManifestTableFormat.DvRef]] = {
     if (files.isEmpty) return Map.empty
+    // same checkpoint-less fast path as [[statsOf]]: dv refs live in
+    // the driver-held tail — no job needed
+    if (snap.ckptParquet.isEmpty)
+      return files.map(f => f -> snap.base.get(f).flatMap(_.dv))
+        .toMap.withDefaultValue(None)
     import spark.implicits._
     statsFrame(snap).join(files.toDF("file"), Seq("file"), "left_semi")
       .select("file", "dv_path", "dv_card").collect()
@@ -1698,9 +1710,14 @@ class ManifestTableFormat(
         clusterCols.map(col): _*)
     clustered.write.parquet(batchDir.toString)
     val written = spark.read.schema(sPhys).parquet(batchDir.toString)
-    if (written.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
+    // one stats pass doubles as the emptiness check (an empty batch
+    // yields zero per-file groups) — the separate isEmpty job this
+    // path used to run first was pure job-launch overhead on every
+    // DML commit
+    val actions = statsActionsFor(written, sPhys)
+    if (actions.isEmpty) { fs.delete(batchDir, true); return Seq.empty }
     enforceConstraints(written, s, () => fs.delete(batchDir, true))
-    statsActionsFor(written, sPhys)
+    actions
   }
 
   /** CHECK enforcement at the single write choke point: `written` is
@@ -1819,12 +1836,20 @@ class ManifestTableFormat(
     */
   private def sizesOf(snap: Snapshot, files: Seq[String])
       : Map[String, Long] = {
-    import spark.implicits._
-    val known = statsFrame(snap)
-      .join(files.toDF("file"), Seq("file"), "left_semi")
-      .select("file", "bytes").collect()
-      .flatMap(r => if (r.isNullAt(1)) None
-        else Some(r.getString(0) -> r.getLong(1))).toMap
+    // checkpoint-less fast path (see [[statsOf]]): bytes come from
+    // the driver-held tail, no job
+    val known: Map[String, Long] =
+      if (snap.ckptParquet.isEmpty)
+        files.flatMap(n => snap.base.get(n).flatMap(_.bytes)
+          .map(n -> _)).toMap
+      else {
+        import spark.implicits._
+        statsFrame(snap)
+          .join(files.toDF("file"), Seq("file"), "left_semi")
+          .select("file", "bytes").collect()
+          .flatMap(r => if (r.isNullAt(1)) None
+            else Some(r.getString(0) -> r.getLong(1))).toMap
+      }
     val f = fs
     files.map(n => n -> known.getOrElse(n,
       f.getFileStatus(new Path(n)).getLen)).toMap
