@@ -28,6 +28,13 @@ object GraftSession {
       // over bare scans (Spark injects only when the application side
       // probably shuffles).
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // let the planner pick SHUFFLED HASH over sort-merge when its
+      // own size conditions hold (build side locally hashable and 3x
+      // smaller — guide §3.1): skips two whole-side sorts. Explicit
+      // `merge` hints (SkewJoin) still force SMJ, and oversized build
+      // sides still fall back to SMJ via the planner's guard, so this
+      // is a preference, not a local-scale tune.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")

@@ -343,8 +343,12 @@ object IncrementalAgg {
                 s"sum_$c" -> (when(col(s"$s.__dnn_$c") === 0L, lit(null))
                   .otherwise(col(s"$s.__dsum_$c")): Column),
                 s"nn_$c" -> (col(s"$s.__dnn_$c"): Column))) ++ extremaSet))
+        // sourceKeyedByOn: mergeSource is a GROUP BY on exactly the
+        // ON keys, so the per-key uniqueness the ambiguity guard
+        // checks holds by construction — skip its job
         aggMtf.mergeInto(mergeSource, onCond, matched, notMatched, Nil,
-          urlProbe = None, txn = Some((app, head)))
+          urlProbe = None, txn = Some((app, head)),
+          sourceKeyedByOn = true)
         Stats(from, head, groups)
       } finally if (hasExtrema) mergeSource.unpersist()
     } finally groupDelta.unpersist()

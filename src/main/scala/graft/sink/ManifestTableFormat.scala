@@ -2045,7 +2045,8 @@ class ManifestTableFormat(
       notMatched: Seq[GraftMergeAction],
       notMatchedBySource: Seq[GraftMergeAction],
       urlProbe: Option[DataFrame],
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      sourceKeyedByOn: Boolean = false): Unit = {
     require(!source.columns.exists(_.startsWith("__graft_")),
       "source column prefix __graft_ is reserved by MERGE")
     matched.foreach {
@@ -2067,6 +2068,20 @@ class ManifestTableFormat(
           else if (notMatchedBySource.nonEmpty) names
           else urlProbe match {
             case Some(p) => affectedFiles(snap, p)
+            case None if names.size <= ManifestTableFormat.mergePreScanMinFiles =>
+              // SMALL-TABLE SHORTCUT: the pre-scan exists to keep a
+              // LARGE table's rewrite churn-bounded, but it reads the
+              // same live files the rewrite would — on a table of at
+              // most one write batch (~shuffle-partition count files)
+              // it costs a full extra pass + join job set to save at
+              // most a few tiny identity rewrites. Rewriting every
+              // live file is SOUND (a superset of the matched set:
+              // unmatched rows survive the rewrite verbatim, and the
+              // INSERT anti-join only needs the affected set to cover
+              // every possible match, which "all files" trivially
+              // does); measured: drops ~10 planning-heavy jobs per
+              // merge on gate-scale tables.
+              names
             case None =>
               // the file column binds AT THE SCAN (readLiveWithFile):
               // input_file_name evaluated past an exchange returns ""
@@ -2079,7 +2094,7 @@ class ManifestTableFormat(
           }
         },
         (snap, files) => mergeOutput(snap, files, src, onCond,
-          matched, notMatched, notMatchedBySource),
+          matched, notMatched, notMatchedBySource, sourceKeyedByOn),
         txn)
     } finally src.unpersist()
   }
@@ -2092,14 +2107,19 @@ class ManifestTableFormat(
       onCond: Column,
       matched: Seq[GraftMergeAction],
       notMatched: Seq[GraftMergeAction],
-      notMatchedBySource: Seq[GraftMergeAction]): DataFrame = {
+      notMatchedBySource: Seq[GraftMergeAction],
+      sourceKeyedByOn: Boolean = false): DataFrame = {
     val t = readLive(snap, files).alias("__graft_t")
     val s = src.alias("__graft_s")
 
     // ambiguity guard: row-id tags are assigned and counted inside
     // ONE job, so the check is self-consistent; nothing is written
-    // before it passes
-    if (matched.nonEmpty && files.nonEmpty) {
+    // before it passes. Skipped when the caller PROVES the source is
+    // unique on the ON keys (`sourceKeyedByOn` — e.g. IncrementalAgg's
+    // source is a GROUP BY on exactly those keys): a target row then
+    // cannot match two source rows, and the guard's join+count job is
+    // saved on every maintenance merge.
+    if (matched.nonEmpty && files.nonEmpty && !sourceKeyedByOn) {
       val dup = t.withColumn("__graft_rid", monotonically_increasing_id())
         .join(s, onCond, "inner")
         .groupBy("__graft_rid").count()
@@ -3276,9 +3296,14 @@ class ManifestTableFormat(
     * lost commit race can never conflict and simply recommits.
     */
   override def append(rows: DataFrame): Boolean = {
-    if (!rows.isEmpty)
-      commitCycle(_ => Seq.empty,
-        (snap, _) => conform(rows, snap.tableSchema))
+    // no isEmpty precheck: it evaluated the incoming query once just
+    // to decide whether to run it again (measured ~2x the write cost
+    // on computed sources). writeData detects an empty batch from its
+    // stats pass and returns no actions, and commitCycle skips the
+    // commit when there is nothing to add — same no-empty-commit
+    // behavior, one evaluation of `rows`.
+    commitCycle(_ => Seq.empty,
+      (snap, _) => conform(rows, snap.tableSchema))
     true
   }
 
@@ -4831,6 +4856,15 @@ object ManifestTableFormat {
     * file stays O(1) however wide an evolved schema grows.
     */
   private[sink] val maxStatsColumns = 32
+
+  /** MERGE skips its affected-file pre-scan when the table holds at
+    * most this many live files (≈ one write batch at the default
+    * shuffle-partition count) and rewrites them all: the pre-scan
+    * reads the same files the rewrite would, so on a small table it
+    * is a pure extra pass. Larger tables keep the pre-scan — the
+    * churn bound that makes MERGE O(matched files) at corpus scale.
+    */
+  private[sink] val mergePreScanMinFiles = 32
 
   /** String column stats keep at most this many chars; a longer max
     * is bounded upward by appending U+10FFFF (see [[truncHi]]).
