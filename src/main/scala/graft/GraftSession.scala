@@ -88,7 +88,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memo of the LAZY DataFrame handle per (session, dir, table): each
+  // `spark.read.parquet` fires a file-listing/footer job at plan-build
+  // time, and the conformance queries re-open the same handful of
+  // immutable input tables hundreds of times per run (measured ~13
+  // such jobs in one gate alone). The memo caches only the UNRESOLVED
+  // PLAN — every action on it still scans the parquet inputs, so no
+  // result or data is ever reused across queries. Keyed weakly by
+  // session so test sessions don't pin plans after they stop.
+  private val memo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, String), DataFrame]]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.synchronized {
+      memo.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate((dir, name), load(spark, dir, name))
+    }
+
+  private def load(spark: SparkSession, dir: String, name: String)
+      : DataFrame =
     if (name == "events") {
       // events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
       // drops and TIMESTAMP(MICROS, ntz) in others — normalize both to

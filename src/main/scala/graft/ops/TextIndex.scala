@@ -81,17 +81,24 @@ object TextIndex {
     require(numBuckets >= 1, s"numBuckets=$numBuckets")
     val spark = docs.sparkSession
     unstamp(spark, path)
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(size(split(col(textCol), " ")).cast("double")).as("sumdl")).head()
-    postingsFor(docs, idCol, textCol, numBuckets)
-      .write.mode(SaveMode.Overwrite).partitionBy("tb")
-      .parquet(postingsPath(path))
-    docs.select(col(idCol).as("doc_id"),
+    // corpus stats ride the doclen frame (persisted: two narrow
+    // columns) instead of a third full tokenize pass over `docs`; the
+    // sums are integer-valued doubles < 2^53, so aggregation order
+    // cannot change them
+    val dlf = docs.select(col(idCol).as("doc_id"),
         size(split(col(textCol), " ")).cast("double").as("dl"))
-      .write.mode(SaveMode.Overwrite).parquet(doclenPath(path))
-    stamp(spark, path, Meta(idCol, stats.getDouble(0), stats.getDouble(1),
-      numBuckets, k1, b))
+      .persist()
+    try {
+      dlf.write.mode(SaveMode.Overwrite).parquet(doclenPath(path))
+      val stats = dlf.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("dl")).as("sumdl")).head()
+      postingsFor(docs, idCol, textCol, numBuckets)
+        .write.mode(SaveMode.Overwrite).partitionBy("tb")
+        .parquet(postingsPath(path))
+      stamp(spark, path, Meta(idCol, stats.getDouble(0), stats.getDouble(1),
+        numBuckets, k1, b))
+    } finally dlf.unpersist()
   }
 
   /** Incrementally index new documents WITHOUT rebuilding: postings
@@ -108,18 +115,24 @@ object TextIndex {
       textCol: String): Unit = {
     val spark = docs.sparkSession
     val meta = load(spark, path)
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(size(split(col(textCol), " ")).cast("double")).as("sumdl")).head()
-    postingsFor(docs, meta.idCol, textCol, meta.numBuckets)
-      .write.mode(SaveMode.Append).partitionBy("tb")
-      .parquet(postingsPath(path))
-    docs.select(col(meta.idCol).as("doc_id"),
+    // batch stats ride the persisted doclen frame — one tokenize pass
+    // fewer per append (see [[build]]); exact-integer double sums keep
+    // build(A)+append(B) bit-identical to build(A∪B) as before
+    val dlf = docs.select(col(meta.idCol).as("doc_id"),
         size(split(col(textCol), " ")).cast("double").as("dl"))
-      .write.mode(SaveMode.Append).parquet(doclenPath(path))
-    stamp(spark, path, meta.copy(
-      docCount = meta.docCount + stats.getDouble(0),
-      sumDl = meta.sumDl + stats.getDouble(1)))
+      .persist()
+    try {
+      val stats = dlf.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("dl")).as("sumdl")).head()
+      postingsFor(docs, meta.idCol, textCol, meta.numBuckets)
+        .write.mode(SaveMode.Append).partitionBy("tb")
+        .parquet(postingsPath(path))
+      dlf.write.mode(SaveMode.Append).parquet(doclenPath(path))
+      stamp(spark, path, meta.copy(
+        docCount = meta.docCount + stats.getDouble(0),
+        sumDl = meta.sumDl + stats.getDouble(1)))
+    } finally dlf.unpersist()
   }
 
   private[ops] def pendingPath(path: String) = s"$path/_append_pending"

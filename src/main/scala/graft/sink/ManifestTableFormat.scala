@@ -3950,12 +3950,50 @@ class ManifestTableFormat(
     * column (nulls == rows); unparseable bounds (NaN/Infinity) also
     * disqualify.
     */
+  /** Checkpoint-less planner fast lane: the per-file stats for
+    * `files` straight from the driver-held snapshot tail — `None`
+    * when a parquet checkpoint exists (callers then run their narrow
+    * frame job as before) or when any asked name is not live (the
+    * frame path would fail the caller open too; falling through just
+    * spends one job reaching the same answer). The planner-time
+    * providers below each fire per QUERY PLANNING pass, so skipping
+    * their Spark jobs on tail-only tables is a per-query win, not a
+    * per-commit one.
+    */
+  private def tailStatsOf(snap: Snapshot, files: Seq[String])
+      : Option[Seq[FileStats]] =
+    if (snap.ckptParquet.nonEmpty) None
+    else {
+      val got = files.flatMap(snap.base.get)
+      if (got.size == files.size) Some(got) else None
+    }
+
   def fileColumnRanges(files: Seq[String], physCol: String)
       : Option[Seq[ManifestTableFormat.FileRange]] = {
     if (files.isEmpty) return Some(Seq.empty)
+    val snap0 = snapshot()
+    tailStatsOf(snap0, files).foreach { sts =>
+      val out = Seq.newBuilder[ManifestTableFormat.FileRange]
+      files.zip(sts).foreach { case (f, st) =>
+        val rows = st.rows.getOrElse(return None)
+        val c = st.cols.find(_.name == physCol).getOrElse(return None)
+        val dvCard = st.dv.map(_.card).getOrElse(0L)
+        if (c.lo.isDefined && c.hi.isDefined) {
+          val lo = scala.util.Try(BigDecimal(c.lo.get)).toOption
+          val hi = scala.util.Try(BigDecimal(c.hi.get)).toOption
+          if (lo.isEmpty || hi.isEmpty) return None
+          out += ManifestTableFormat.FileRange(
+            f, rows, c.nulls, lo, hi, dvCard)
+        } else if (c.nulls == rows)
+          out += ManifestTableFormat.FileRange(
+            f, rows, c.nulls, None, None, dvCard)
+        else return None
+      }
+      return Some(out.result())
+    }
     import spark.implicits._
     val p = array_position(col("cs_names"), physCol).cast("int")
-    val got = statsFrame(snapshot())
+    val got = statsFrame(snap0)
       .join(files.toDF("file"), Seq("file"), "left_semi")
       .select(col("file"), col("rows"), col("dv_card"),
         when(p > 0, element_at(col("cs_valid"), p)).as("v"),
@@ -4001,9 +4039,32 @@ class ManifestTableFormat(
   def stringMinMax(files: Seq[String], physCol: String)
       : Option[(Option[String], Option[String])] = {
     if (files.isEmpty) return Some((None, None))
+    val snap0 = snapshot()
+    tailStatsOf(snap0, files).foreach { sts =>
+      val ord0 = Ordering.comparatorToOrdering(
+        new java.util.Comparator[String] {
+          def compare(a: String, b: String): Int =
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b))
+        })
+      var lo: Option[String] = None
+      var hi: Option[String] = None
+      sts.foreach { st =>
+        val rows = st.rows.getOrElse(return None)
+        if (st.dv.map(_.card).getOrElse(0L) != 0L) return None
+        val c = st.cols.find(_.name == physCol).getOrElse(return None)
+        if (c.lo.isDefined && c.hi.isDefined) {
+          if (!c.exact) return None
+          if (lo.forall(ord0.gt(_, c.lo.get))) lo = c.lo
+          if (hi.forall(ord0.lt(_, c.hi.get))) hi = c.hi
+        } else if (c.nulls != rows) return None
+      }
+      return Some((lo, hi))
+    }
     import spark.implicits._
     val p = array_position(col("cs_names"), physCol).cast("int")
-    val got = statsFrame(snapshot())
+    val got = statsFrame(snap0)
       .join(files.toDF("file"), Seq("file"), "left_semi")
       .select(col("file"), col("rows"), col("dv_card"),
         when(p > 0, element_at(col("cs_valid"), p)).as("v"),
@@ -4049,8 +4110,15 @@ class ManifestTableFormat(
     */
   def fileRowCounts(files: Seq[String]): Option[Map[String, Long]] = {
     if (files.isEmpty) return Some(Map.empty)
+    val snap0 = snapshot()
+    tailStatsOf(snap0, files).foreach { sts =>
+      return if (sts.forall(_.rows.isDefined))
+        Some(files.zip(sts).map { case (f, st) =>
+          f -> (st.rows.get - st.dv.map(_.card).getOrElse(0L)) }.toMap)
+      else None
+    }
     import spark.implicits._
-    val rows = statsFrame(snapshot())
+    val rows = statsFrame(snap0)
       .join(files.toDF("file"), Seq("file"), "left_semi")
       .select(col("file"),
         (col("rows") - coalesce(col("dv_card"), lit(0L))).as("n"))
@@ -4071,8 +4139,14 @@ class ManifestTableFormat(
     */
   def totalRowsOf(files: Seq[String]): Option[Long] = {
     if (files.isEmpty) return Some(0L)
+    val snap0 = snapshot()
+    tailStatsOf(snap0, files).foreach { sts =>
+      return if (sts.forall(_.rows.isDefined))
+        Some(sts.map(_.rows.get).sum)
+      else None
+    }
     import spark.implicits._
-    val agg = statsFrame(snapshot())
+    val agg = statsFrame(snap0)
       .join(files.toDF("file"), Seq("file"), "left_semi")
       .agg(count(lit(1)).as("files"), sum(col("rows")).as("rows"),
         count("rows").as("rows_known"))
@@ -4090,8 +4164,15 @@ class ManifestTableFormat(
     */
   def fileTotalRowCounts(files: Seq[String]): Option[Map[String, Long]] = {
     if (files.isEmpty) return Some(Map.empty)
+    val snap0 = snapshot()
+    tailStatsOf(snap0, files).foreach { sts =>
+      return if (sts.forall(_.rows.isDefined))
+        Some(files.zip(sts).map { case (f, st) =>
+          f -> st.rows.get }.toMap)
+      else None
+    }
     import spark.implicits._
-    val rows = statsFrame(snapshot())
+    val rows = statsFrame(snap0)
       .join(files.toDF("file"), Seq("file"), "left_semi")
       .select(col("file"), col("rows"))
       .collect()
@@ -4102,8 +4183,15 @@ class ManifestTableFormat(
 
   def rowCountOf(files: Seq[String]): Option[Long] = {
     if (files.isEmpty) return Some(0L)
+    val snap0 = snapshot()
+    tailStatsOf(snap0, files).foreach { sts =>
+      return if (sts.forall(_.rows.isDefined))
+        Some(sts.map(st =>
+          st.rows.get - st.dv.map(_.card).getOrElse(0L)).sum)
+      else None
+    }
     import spark.implicits._
-    val agg = statsFrame(snapshot())
+    val agg = statsFrame(snap0)
       .join(files.toDF("file"), Seq("file"), "left_semi")
       .agg(count(lit(1)).as("files"),
         sum(col("rows") - coalesce(col("dv_card"), lit(0L))).as("rows"),
