@@ -4495,12 +4495,36 @@ class ManifestTableFormat(
     // both sides read under the TO version's schema: the delta is
     // expressed in the evolved shape, pre-ALTER rows null-filled
     val s = schemaAtVersion(toVersion)
-    val addedRows = readFilesDv((after -- before).toSeq.sortBy(_._1), s)
-    val removedRows = readFilesDv((before -- after).toSeq.sortBy(_._1), s)
-    addedRows.exceptAll(removedRows)
-      .withColumn("_change_type", lit("insert"))
-      .unionByName(removedRows.exceptAll(addedRows)
-        .withColumn("_change_type", lit("delete")))
+    val addedSet = (after -- before).toSeq.sortBy(_._1)
+    val removedSet = (before -- after).toSeq.sortBy(_._1)
+    val addedRows = readFilesDv(addedSet, s)
+    val removedRows = readFilesDv(removedSet, s)
+    // one-sided spans skip the diff entirely: a bootstrap or pure
+    // append yields inserts with NO shuffle (and a pure retention
+    // delete, deletes) — the common case for a first catch-up over a
+    // large table
+    if (removedSet.isEmpty)
+      return addedRows.withColumn("_change_type", lit("insert"))
+    if (addedSet.isEmpty)
+      return removedRows.withColumn("_change_type", lit("delete"))
+    // Both-direction multiset diff in ONE pass: the two exceptAll
+    // calls this replaces each unioned and shuffled the SAME inputs
+    // (2× the file reads, 2× the exchange bytes). Signed counts give
+    // the identical multiplicities — exceptAll(A,R) keeps max(a−r, 0)
+    // copies, which is exactly the positive (negative) net count
+    // here; sequence-explode restores multiplicity (net is ±1 for
+    // copy-on-write churn, so the explode is almost always 1 row).
+    val cols = s.fieldNames.toSeq
+    val tagged = addedRows.withColumn("__graft_sign", lit(1L))
+      .unionByName(removedRows.withColumn("__graft_sign", lit(-1L)))
+    tagged.groupBy(cols.map(col): _*)
+      .agg(sum(col("__graft_sign")).as("__graft_n"))
+      .filter(col("__graft_n") =!= 0L)
+      .select(col("*"),
+        explode(sequence(lit(1L), abs(col("__graft_n")))).as("__graft_i"))
+      .withColumn("_change_type",
+        when(col("__graft_n") > 0L, lit("insert")).otherwise(lit("delete")))
+      .drop("__graft_n", "__graft_i")
   }
 
   /** The latest version committed at or before `tsMillis` (epoch ms)
