@@ -16,6 +16,23 @@ import graft.ops.{Decontaminate, Dedup, Packing, Sampling, Similarity, TextAnaly
   */
 object LlmOpsQueries {
 
+  /** Total symmetric multiset-difference cardinality of two
+    * same-schema frames as a 1-row frame (`__diff`) — equals
+    * `a.exceptAll(b).unionAll(b.exceptAll(a)).count()`, but computes
+    * each SIDE once (the exceptAll pair unions and shuffles the same
+    * inputs twice; several index gates pay full ANN/BM25 query
+    * pipelines per side). Same sign-count shape as the change feed's
+    * one-pass diff.
+    */
+  private def symDiffCount(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    a.withColumn("__sgn", lit(1L))
+      .unionAll(b.withColumn("__sgn", lit(-1L)))
+      .groupBy(a.columns.toSeq.map(col): _*)
+      .agg(sum(col("__sgn")).as("__net"))
+      .agg(coalesce(sum(abs(col("__net"))), lit(0L)).as("__diff"))
+
   def defs: Map[String, QueryDef] = Map(
 
     // D1: exact dedup by content hash over a synthetic re-upload (the
@@ -290,9 +307,8 @@ object LlmOpsQueries {
       val retrain = Similarity.ivfPqAnnJoin(e, probes,
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4,
         rerankPerProbe = 96)
-      val diff = viaIndex.exceptAll(retrain)
-        .unionAll(retrain.exceptAll(viaIndex))
-      diff.agg((count(lit(1)) === 0).as("index_identical"))
+      symDiffCount(viaIndex, retrain)
+        .select((col("__diff") === 0L).as("index_identical"))
         .crossJoin(viaIndex.agg((count(lit(1)) === lit(50))
           .as("complete_topk")))
     },
@@ -1638,13 +1654,13 @@ object LlmOpsQueries {
         nprobe = 4, rerankPerProbe = 96)
       val q2 = VectorIndex.queryIvfPq(s, p2, probes, k = 5,
         nprobe = 4, rerankPerProbe = 96)
-      val diff = q1.exceptAll(q2).unionAll(q2.exceptAll(q1))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))
       val self = q1.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1 && col("nn_id") === col("probe_id") &&
           col("dist") === 0.0)
-      diff.agg((count(lit(1)) === 0).as("batch_invariant"))
+      symDiffCount(q1, q2)
+        .select((col("__diff") === 0L).as("batch_invariant"))
         .crossJoin(self.agg((count(lit(1)) === 10).as("appended_found")))
         .crossJoin(q1.agg((count(lit(1)) === 50).as("complete_topk")))
     },
@@ -1702,7 +1718,6 @@ object LlmOpsQueries {
       VectorIndex.compact(s, ivfp)
       val post = VectorIndex.queryIvfPq(s, ivfp, probes, k = 5,
         nprobe = 4, rerankPerProbe = 96)
-      val qDiff = pre.exceptAll(post).unionAll(post.exceptAll(pre))
       val meta = VectorIndex.load(s, ivfp, expectKind = "ivfpq")
       val reenc = Similarity.ivfPqIndexFrame(
         e.filter(col("vec_id") >= 10), "vec_id", "embedding",
@@ -1710,15 +1725,14 @@ object LlmOpsQueries {
       val compacted = s.read.parquet(s"$ivfp/data")
         .select(col("nn_id"), col("cell").cast("int").as("cell"),
           col("pq"), col("vec"))
-      val dDiff = compacted.exceptAll(reenc).unionAll(reenc.exceptAll(compacted))
       topk
         .crossJoin(broadcast(pre.agg(
           (sum(when(col("nn_id") < 10, 1).otherwise(0)) === 0 &&
             count(lit(1)) === 25).as("masked_ok"))))
-        .crossJoin(broadcast(qDiff.agg(
-          (count(lit(1)) === 0).as("compact_identical"))))
-        .crossJoin(broadcast(dDiff.agg(
-          (count(lit(1)) === 0).as("reencode_identical"))))
+        .crossJoin(broadcast(symDiffCount(pre, post)
+          .select((col("__diff") === 0L).as("compact_identical"))))
+        .crossJoin(broadcast(symDiffCount(compacted, reenc)
+          .select((col("__diff") === 0L).as("reencode_identical"))))
         .orderBy(col("dist"), col("vec_id"))
     },
 
@@ -1759,12 +1773,11 @@ object LlmOpsQueries {
         .localCheckpoint()
       TextIndex.compact(s, path)
       val post = TextIndex.query(s, path, Seq("window", "filter"), k = 20)
-      val qDiff = pre.exceptAll(post).unionAll(post.exceptAll(pre))
       val leftover = s.read.parquet(s"$path/postings")
         .filter(col("doc_id") % 7 === 0)
       post
-        .crossJoin(broadcast(qDiff.agg(
-          (count(lit(1)) === 0).as("compact_identical"))))
+        .crossJoin(broadcast(symDiffCount(pre, post)
+          .select((col("__diff") === 0L).as("compact_identical"))))
         .crossJoin(broadcast(leftover.agg(
           (count(lit(1)) === 0).as("physically_dropped"))))
         .orderBy(desc("score"), asc("doc_id"))
