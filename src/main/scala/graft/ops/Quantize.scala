@@ -264,6 +264,20 @@ object Quantize {
       seed: Long = 42L,
       lloydIters: Int = 5): PqModel = {
     val sample = hashSample(base, idCol, vecCol, ks * 64, seed)
+    trainPqResidualsFromSample(sample, coarseCentroids, m, ks, lloydIters)
+  }
+
+  /** [[trainPqResiduals]] over an already-collected hash sample (see
+    * [[graft.ops.Similarity.ivfCentroidsFromSample]] — prefix-take of
+    * a wider sample is bit-identical to sampling at this width).
+    */
+  private[ops] def trainPqResidualsFromSample(
+      sampleIn: Array[Array[Float]],
+      coarseCentroids: Seq[Seq[Float]],
+      m: Int,
+      ks: Int,
+      lloydIters: Int): PqModel = {
+    val sample = sampleIn.take(ks * 64)
     val residuals = sample.map { v =>
       var best = 0; var bestD = Double.MaxValue
       var c = 0

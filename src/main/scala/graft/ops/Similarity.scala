@@ -168,6 +168,18 @@ object Similarity {
       seed: Long = 42L): Seq[Seq[Float]] = {
     // the ONE shared index-build sampling primitive (also PQ training)
     val sample = Quantize.hashSample(base, idCol, vecCol, nlist * 64, seed)
+    ivfCentroidsFromSample(sample, nlist)
+  }
+
+  /** [[ivfCentroids]] over an already-collected hash sample — lets a
+    * builder that also trains PQ share ONE TakeOrdered scan: the
+    * sample order is the deterministic hash total order, so a prefix
+    * `take(nlist * 64)` of a larger sample is bit-identical to
+    * sampling at that width directly.
+    */
+  private[ops] def ivfCentroidsFromSample(
+      sampleIn: Array[Array[Float]], nlist: Int): Seq[Seq[Float]] = {
+    val sample = sampleIn.take(nlist * 64)
     if (sample.isEmpty) return Seq(Seq(0f))
     val init: Array[Array[Float]] = sample.take(nlist)
     // one Lloyd iteration over the sample: assign, then per-cell mean

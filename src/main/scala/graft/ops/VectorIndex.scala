@@ -89,9 +89,15 @@ object VectorIndex {
       m: Int = 8,
       ks: Int = 16,
       seed: Long = 42L): Unit = {
-    val cents = Similarity.ivfCentroids(base, idCol, vecCol, nlist, seed)
-    val model = Quantize.trainPqResiduals(base, idCol, vecCol, cents,
-      m, ks, seed)
+    // ONE hash-sample scan serves both centroid and PQ training: the
+    // sample order is the deterministic hash total order, so prefix
+    // takes reproduce each trainer's own sample bit-identically (d3e
+    // pins build ≡ transient-retrain on exactly this property)
+    val sample = Quantize.hashSample(base, idCol, vecCol,
+      math.max(nlist * 64, ks * 64), seed)
+    val cents = Similarity.ivfCentroidsFromSample(sample, nlist)
+    val model = Quantize.trainPqResidualsFromSample(sample, cents,
+      m, ks, lloydIters = 5)
     val spark = base.sparkSession
     unstamp(spark, path)
     Similarity.ivfPqIndexFrame(base, idCol, vecCol, cents, model,

@@ -2068,7 +2068,9 @@ class ManifestTableFormat(
           else if (notMatchedBySource.nonEmpty) names
           else urlProbe match {
             case Some(p) => affectedFiles(snap, p)
-            case None if names.size <= ManifestTableFormat.mergePreScanMinFiles =>
+            case None if names.size <= math.max(
+                ManifestTableFormat.mergePreScanMinFiles,
+                spark.sessionState.conf.numShufflePartitions) =>
               // SMALL-TABLE SHORTCUT: the pre-scan exists to keep a
               // LARGE table's rewrite churn-bounded, but it reads the
               // same live files the rewrite would — on a table of at
@@ -4970,11 +4972,12 @@ object ManifestTableFormat {
   private[sink] val maxStatsColumns = 32
 
   /** MERGE skips its affected-file pre-scan when the table holds at
-    * most this many live files (≈ one write batch at the default
-    * shuffle-partition count) and rewrites them all: the pre-scan
-    * reads the same files the rewrite would, so on a small table it
-    * is a pure extra pass. Larger tables keep the pre-scan — the
-    * churn bound that makes MERGE O(matched files) at corpus scale.
+    * most this many live files (or the session's shuffle-partition
+    * count if larger — "one write batch" at any core count) and
+    * rewrites them all: the pre-scan reads the same files the rewrite
+    * would, so on a small table it is a pure extra pass. Larger
+    * tables keep the pre-scan — the churn bound that makes MERGE
+    * O(matched files) at corpus scale.
     */
   private[sink] val mergePreScanMinFiles = 32
 
