@@ -94,15 +94,28 @@ object Bench {
     // truncated the per-query map two rounds running (a/b/c families
     // invisible cross-round). Also write the full JSON to a file in-repo
     // so every round's complete per-query map survives on disk.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full_latest.json") // relative to the working directory
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "BENCH_full_latest.json") // relative to the working directory
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] full-json write failed: ${e.getMessage}")
     }
+    // The full line above is ~5 KB at 198 queries and the driver keeps
+    // only a 2000-char stdout tail, which has cut it mid-map two rounds
+    // running (PERF_r12/r13 `parsed: null`, empty per_query). Print a
+    // FINAL compact totals line — always under the tail window — so the
+    // last stdout line parses: total/ingest summary + a pointer to the
+    // on-disk full map. Additions only; the full line and its file copy
+    // are unchanged.
+    val ingestCompact =
+      if (ingest.nonEmpty) ingest.replaceFirst(",\"ingest\":", "\"ingest\":")
+      else ""
+    val sep = if (ingestCompact.nonEmpty) "," else ""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries_file":"$out",$ingestCompact$sep"sf":"$sfDir"}""")
     spark.stop()
   }
 }
