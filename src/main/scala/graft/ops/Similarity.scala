@@ -13,12 +13,39 @@ import graft.functions.GraftFunctions.{cosine_distance, dot_product}
   *
   * Scale design: probes broadcast (they are the small side by
   * contract); the base table never shuffles for brute-force k-NN —
-  * per-partition partial top-k via the ranking window only shuffles
-  * (probe_id, dist) pairs, k per probe per partition. The LSH variant
-  * prunes the candidate set to matching buckets before exact rerank,
-  * turning O(|base|·|probes|) into O(candidates).
+  * per-partition partial top-k via the bounded `topk_agg` aggregate
+  * shuffles only (probe_id, nn_id, dist) triples, k per probe per
+  * partition. The LSH variant prunes the candidate set to matching
+  * buckets before exact rerank, turning O(|base|·|probes|) into
+  * O(candidates).
   */
 object Similarity {
+
+  /** Bounded top-k per probe over `(probe_id, nn_id, dist)` rows —
+    * EXACTLY the window form `row_number().over(partitionBy(probe_id)
+    * .orderBy(dist, nn_id)) <= k`, computed as the map-side-combining
+    * `topk_agg` (D16) instead: each partition reduces a probe to ≤ k
+    * pairs BEFORE the exchange, so the shuffle carries
+    * k × probes × partitions pairs and no per-probe sort of the full
+    * candidate set ever runs (guide §2.3 "aggregate before you
+    * shuffle").
+    *
+    * Tie-order equivalence: `topk_agg` keeps the k best under
+    * (score DESC, id ASC); with score = -dist that is (dist ASC,
+    * nn_id ASC) — the window's exact order. Double negation is a
+    * sign-bit flip, so the re-emitted `-score` is bit-identical to the
+    * input dist. OperatorPropertySpec pins the aggregate ≡ window
+    * equivalence; the d3/b2/b10 gates hash-pin the call sites.
+    */
+  private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topk_agg
+    scored
+      .groupBy(col("probe_id"))
+      .agg(topk_agg(k)(-col("dist"), col("nn_id")).as("tk"))
+      .select(col("probe_id"), explode(col("tk")).as("s"))
+      .select(col("probe_id"), col("s.id").as("nn_id"),
+        (-col("s.score")).as("dist"))
+  }
 
   /** D3/B2: exact k-NN join — for every probe row, the k nearest base
     * rows by cosine distance. Distances are rounded before ranking so
@@ -33,13 +60,11 @@ object Similarity {
       k: Int): DataFrame = {
     val b = base.select(col(idCol).as("nn_id"), col(vecCol).as("bv"))
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
-    b.crossJoin(broadcast(p))
-      .select(col("probe_id"), col("nn_id"),
-        round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    topKPerProbe(
+      b.crossJoin(broadcast(p))
+        .select(col("probe_id"), col("nn_id"),
+          round(cosine_distance(col("bv"), col("pv")), 6).as("dist")),
+      k)
   }
 
   /** Random hyperplane signature (sign bits of `numPlanes` seeded
@@ -124,15 +149,15 @@ object Similarity {
       .select(col("probe_id"), col("pv"), col("tbl"),
         explode(array(flips.map(f => col("bucket0").bitwiseXOR(f)): _*))
           .as("bucket"))
-    banded.join(broadcast(p), Seq("tbl", "bucket"))
-      .select(col("probe_id"), col("nn_id"),
-        round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
-      // a pair can match via several probed buckets/tables → dedup
-      .groupBy(col("probe_id"), col("nn_id")).agg(min(col("dist")).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    topKPerProbe(
+      banded.join(broadcast(p), Seq("tbl", "bucket"))
+        .select(col("probe_id"), col("nn_id"),
+          round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
+        // a pair can match via several probed buckets/tables → dedup
+        // (a duplicate pair must not occupy two of the k slots)
+        .groupBy(col("probe_id"), col("nn_id"))
+        .agg(min(col("dist")).as("dist")),
+      k)
   }
 
   /** Per-row argmin over a small centroid set — computed as
@@ -232,13 +257,11 @@ object Similarity {
         Window.partitionBy("probe_id").orderBy(col("cd"), col("cell"))))
       .filter(col("cr") <= nprobe)
       .select(col("probe_id"), col("pv"), col("cell"))
-    b.join(broadcast(probeCells), "cell")
-      .select(col("probe_id"), col("nn_id"),
-        round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    topKPerProbe(
+      b.join(broadcast(probeCells), "cell")
+        .select(col("probe_id"), col("nn_id"),
+          round(cosine_distance(col("bv"), col("pv")), 6).as("dist")),
+      k)
   }
 
   /** D3 scale path #3: IVF-PQ — the composition that keeps BOTH the
@@ -358,25 +381,31 @@ object Similarity {
       cents: Seq[Seq[Float]],
       model: Quantize.PqModel): DataFrame = {
     val probeCells = ivfProbeCells(probes, idCol, vecCol, nprobe, cents)
-    val coarse = indexed.join(broadcast(probeCells), "cell")
-      .select(col("probe_id"), col("nn_id"), col("pv"),
-        round(graft.functions.GraftFunctions.l2_distance(col("pres"),
-          Quantize.pqReconstruct(col("pq"), model).cast("array<float>")), 6)
-          .as("adist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("adist"), col("nn_id"))))
-      .filter(col("rn") <= rerankPerProbe)
-      .select(col("probe_id"), col("nn_id"), col("pv"))
+    // coarse stage: bounded top-rerankPerProbe per probe on the PQ
+    // distance. The probe vector does NOT ride through the aggregate —
+    // the exchange carries (probe_id, nn_id, adist) triples only,
+    // rerankPerProbe × probes × partitions of them at most; pv is
+    // re-attached from the (small-by-contract) probes side afterwards.
+    val coarse = topKPerProbe(
+      indexed.join(broadcast(probeCells), "cell")
+        .select(col("probe_id"), col("nn_id"),
+          round(graft.functions.GraftFunctions.l2_distance(col("pres"),
+            Quantize.pqReconstruct(col("pq"), model).cast("array<float>")),
+            6).as("dist")),
+      rerankPerProbe)
+      .select(col("probe_id"), col("nn_id"))
 
-    // exact rerank: floats fetched ONLY for the surviving candidates
-    coarse
-      .join(floats, "nn_id")
-      .select(col("probe_id"), col("nn_id"),
-        round(cosine_distance(col("bvx"), col("pv")), 6).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    // exact rerank: floats fetched ONLY for the surviving candidates.
+    // The candidate list is ≤ rerankPerProbe × probes rows — broadcast
+    // it so the float table is never shuffled for this join (§3.1).
+    val pvs = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    topKPerProbe(
+      broadcast(coarse)
+        .join(floats, "nn_id")
+        .join(broadcast(pvs), "probe_id")
+        .select(col("probe_id"), col("nn_id"),
+          round(cosine_distance(col("bvx"), col("pv")), 6).as("dist")),
+      k)
   }
 
   /** D6 scale path: near-duplicate pairs with LSH bucket pruning —

@@ -19,6 +19,35 @@ class SimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("knnJoinBrute: topk_agg form ≡ the ranking-window form, bit-exact") {
+    // the r14 rewrite replaced row_number().over(partitionBy(probe_id)
+    // .orderBy(dist, nn_id)) <= k with the bounded topk_agg aggregate
+    // in every Similarity top-k stage; this pins the equivalence —
+    // same rows, same tie-breaks, and bit-identical dist values
+    // (double negation is a sign-bit flip) on the shared helper all
+    // call sites go through
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.GraftFunctions.cosine_distance
+    val probes = emb.filter(col("vec_id") < 15)
+    val agg = Similarity.knnJoinBrute(emb, probes, "vec_id", "embedding",
+      k = 7)
+    val b = emb.select(col("vec_id").as("nn_id"), col("embedding").as("bv"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pv"))
+    val win = b.crossJoin(broadcast(p))
+      .select(col("probe_id"), col("nn_id"),
+        round(cosine_distance(col("bv"), col("pv")), 6).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
+      .filter(col("rn") <= 7)
+      .drop("rn")
+    val toSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    assert(agg.columns.toSeq == Seq("probe_id", "nn_id", "dist"))
+    assert(toSet(agg) == toSet(win))
+  }
+
   test("lshAnnJoin finds perturbed copies of base vectors (near-dup recall)") {
     import spark.implicits._
     // probes = base vectors + small deterministic noise: they must
