@@ -1316,7 +1316,7 @@ class ManifestTableFormat(
     snap.ckptParquet match {
       case None => tail
       case Some(dir) =>
-        val ck = spark.read.parquet(dir.toString)
+        val ck = ManifestTableFormat.ckptFrame(spark, dir.toString)
         // names the tail removed or re-added supersede the checkpoint
         val shadowed = (snap.removed ++ snap.base.keySet).toSeq
         val kept =
@@ -3343,7 +3343,8 @@ class ManifestTableFormat(
         s"entries in (${ckpt}, $asOf] were vacuumed")
     var live = Map.empty[String, FileStats]
     if (pc >= jc && pc >= 0) {
-      live = spark.read.parquet(ckptParquetPath(pc).toString)
+      live = ManifestTableFormat.ckptFrame(spark,
+          ckptParquetPath(pc).toString)
         .collect().map(rowToStats).toMap
     } else if (ckpt >= 0)
       readText(checkpointPath(ckpt)).linesIterator.filter(_.nonEmpty)
@@ -4416,7 +4417,8 @@ class ManifestTableFormat(
         "retention is bounded by checkpoint + vacuum)")
     var live = Map.empty[String, Option[ManifestTableFormat.DvRef]]
     if (pc >= jc && pc >= 0) {
-      val ck = spark.read.parquet(ckptParquetPath(pc).toString)
+      val ck = ManifestTableFormat.ckptFrame(spark,
+        ckptParquetPath(pc).toString)
       val hasDv = ck.schema.fieldNames.contains("dv_path")
       val cols =
         if (hasDv) ck.select("file", "dv_path", "dv_card")
@@ -4739,6 +4741,29 @@ class ManifestTableFormat(
 }
 
 object ManifestTableFormat {
+
+  /** Memo of the LAZY DataFrame handle per (session, checkpoint dir) —
+    * the Tables() pattern applied to checkpoint manifests. A checkpoint
+    * parquet directory is IMMUTABLE once published (versioned name,
+    * `_SUCCESS`-guarded; vacuum only ever deletes SUPERSEDED dirs no
+    * live snapshot references), yet every `spark.read.parquet` on it
+    * fires a fresh schema-inference + file-listing pass — one
+    * driver-side job per stats-frame consultation of a checkpointed
+    * table (measured: 13 such jobs in c37b's post-checkpoint
+    * read/vacuum alone). Caching the unresolved plan removes that;
+    * every action on the handle still reads the checkpoint bytes, so
+    * no row or result is ever reused.
+    */
+  private val ckptMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]()
+
+  private[sink] def ckptFrame(spark: SparkSession, dir: String): DataFrame =
+    ckptMemo.synchronized {
+      ckptMemo.computeIfAbsent(spark,
+          _ => scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(dir, spark.read.parquet(dir))
+    }
 
   /** One file's per-column range summary for TopN file pruning
     * ([[ManifestTableFormat!.fileColumnRanges]]): TOTAL row count,
