@@ -1971,7 +1971,11 @@ class ManifestTableFormat(
     // re-conform per attempt in case an ALTER lands mid-retry
     val incoming = conform(rows, currentSchema).persist()
     try {
-      if (incoming.isEmpty) return
+      // no isEmpty pre-evaluation (the append() rule): an empty
+      // source yields an empty probe, zero affected files, an empty
+      // rewrite-union, zero add-actions, and commitCycle returns
+      // without committing — identical outcome, one full evaluation
+      // of the source saved on every upsert
       val probe = incoming.select("document_url").distinct().persist()
       try commitCycle(
         snap => affectedFiles(snap, probe),
@@ -2005,13 +2009,15 @@ class ManifestTableFormat(
     }
     val probe = urls.select(col("document_url").cast("string")
       .as("document_url")).distinct().persist()
-    try {
-      if (probe.isEmpty) return
-      commitCycle(
-        snap => affectedFiles(snap, probe),
-        (snap, files) => readLive(snap, files)
-          .join(broadcast(probe), Seq("document_url"), "left_anti"))
-    } finally probe.unpersist()
+    // no isEmpty pre-evaluation (the append() rule): an empty probe
+    // yields zero affected files, an empty rewrite, zero add-actions,
+    // and commitCycle returns without committing — identical outcome,
+    // one evaluation of the url set saved on every delete
+    try commitCycle(
+      snap => affectedFiles(snap, probe),
+      (snap, files) => readLive(snap, files)
+        .join(broadcast(probe), Seq("document_url"), "left_anti"))
+    finally probe.unpersist()
   }
 
   /** SQL `MERGE INTO t USING s ON … WHEN …` as ONE copy-on-write
