@@ -2091,10 +2091,21 @@ class ManifestTableFormat(
               // merge on gate-scale tables.
               names
             case None =>
+              // stats/bloom KEY PRE-PRUNE (guide §3.2/§6) before the
+              // pre-scan: for `t.c = <source expr>` equality conjuncts
+              // in ON, the bounded distinct source keys become
+              // IN-probes against the per-file stats — candidate files
+              // the stats PROVE hold no key are never opened by the
+              // pre-scan semi-join. Pruning has no false negatives, so
+              // the affected set is unchanged; fail-open everywhere
+              // (no equality keys, too many keys, null keys, type
+              // mismatch → the full live list scans as before).
+              val candidates = mergePreScanCandidates(
+                snap, names, src, onCond)
               // the file column binds AT THE SCAN (readLiveWithFile):
               // input_file_name evaluated past an exchange returns ""
               toRecordedNames(names,
-                readLiveWithFile(snap, names, "__graft_f")
+                readLiveWithFile(snap, candidates, "__graft_f")
                   .alias("__graft_t")
                   .join(src.alias("__graft_s"), onCond, "left_semi")
                   .select("__graft_f").distinct()
@@ -2105,6 +2116,111 @@ class ManifestTableFormat(
           matched, notMatched, notMatchedBySource, sourceKeyedByOn),
         txn)
     } finally src.unpersist()
+  }
+
+  /** Equality key pairs extracted from a MERGE ON condition: the
+    * target FIELD and the source-side key expression (rebound to bare
+    * source names), taken from top-level `=` / `<=>` conjuncts whose
+    * one side is a single `__graft_t.<col>` reference and whose other
+    * side references only `__graft_s.<col>` attributes (or none —
+    * literals). Fail-open: any unrecognized shape contributes nothing.
+    */
+  private def mergeOnKeyExprs(onCond: Column)
+      : Seq[(StructField, Column)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression}
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    // the Column API builds comparisons as UnresolvedFunction("=",…)
+    // nodes — run them through the probes' own normalizer first
+    def conjuncts(e: Expression): Seq[Expression] =
+      StatsProbes.normalize(e) match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+    def targetCol(e: Expression): Option[String] = e match {
+      case u: UnresolvedAttribute if u.nameParts.length == 2 &&
+          u.nameParts.head.equalsIgnoreCase("__graft_t") =>
+        Some(u.nameParts(1))
+      case _ => None
+    }
+    def sourceOnly(e: Expression): Boolean =
+      e.collect { case u: UnresolvedAttribute => u }.forall(u =>
+        u.nameParts.length == 2 &&
+          u.nameParts.head.equalsIgnoreCase("__graft_s"))
+    def unqualify(e: Expression): Column = bridge.column(e.transform {
+      case u: UnresolvedAttribute if u.nameParts.length == 2 =>
+        UnresolvedAttribute(Seq(u.nameParts(1)))
+    })
+    def pair(l: Expression, r: Expression): Option[(StructField, Column)] =
+      targetCol(l).filter(_ => sourceOnly(r)).flatMap(n =>
+        currentSchema.fields.find(_.name.equalsIgnoreCase(n))
+          .map(_ -> unqualify(r)))
+    val expr =
+      try org.apache.spark.sql.graftbridge.Bridge.expression(spark, onCond)
+      catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+    conjuncts(expr).flatMap {
+      case EqualTo(l, r) => pair(l, r).orElse(pair(r, l))
+      case EqualNullSafe(l, r) => pair(l, r).orElse(pair(r, l))
+      case _ => None
+    }
+  }
+
+  /** Merge pre-scan candidate files: `names` minus the files whose
+    * per-file stats/blooms PROVE they hold none of the source's ON
+    * keys. The key set is driver-collected up to
+    * [[ManifestTableFormat.mergeKeyPruneCap]] distinct tuples
+    * (IN-probe literals); past the cap, on any null key (a `<=>` null
+    * key matches target nulls, which the probes cannot cover), on a
+    * source/target type mismatch (per key — the remaining keys still
+    * prune), or on any extraction failure the full list returns.
+    * Sound for the INSERT anti-join too: a pruned file provably holds
+    * no row any source row can match.
+    */
+  /** Test seam: [[mergePreScanCandidates]] at the head snapshot over
+    * the full live list — lets the spec pin which files the key
+    * pre-prune admits without reaching into [[Snapshot]].
+    */
+  private[graft] def mergePreScanCandidatesAtHead(
+      src: DataFrame, onCond: Column): Seq[String] = {
+    val snap = snapshot()
+    mergePreScanCandidates(snap, liveNames(snap), src, onCond)
+  }
+
+  private[sink] def mergePreScanCandidates(
+      snap: Snapshot,
+      names: Seq[String],
+      src: DataFrame,
+      onCond: Column): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{In, Literal}
+    val keys = mergeOnKeyExprs(onCond).filter { case (f, c) =>
+      // same-type keys only: a differently-typed source key would
+      // need the join's implicit-cast semantics reproduced exactly
+      try src.select(c).schema.head.dataType == f.dataType
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (keys.isEmpty) return names
+    val cap = ManifestTableFormat.mergeKeyPruneCap
+    val rows =
+      try src.select(keys.map { case (f, c) => c.cast(f.dataType) }: _*)
+        .distinct().limit(cap + 1).collect()
+      catch { case scala.util.control.NonFatal(_) => return names }
+    if (rows.isEmpty || rows.length > cap ||
+        rows.exists(r => keys.indices.exists(r.isNullAt))) return names
+    val typeOf: String => Option[(String, org.apache.spark.sql.types
+        .DataType)] = n =>
+      snap.tableSchema.fields.find(_.name.equalsIgnoreCase(n))
+        .map(fl => (ManifestTableFormat.physicalName(fl), fl.dataType))
+    val exprs = keys.zipWithIndex.map { case ((f, _), i) =>
+      In(UnresolvedAttribute(Seq(f.name)),
+        rows.toSeq.map(r => Literal.create(r.get(i), f.dataType)))
+        : org.apache.spark.sql.catalyst.expressions.Expression
+    }
+    val probes =
+      try StatsProbes.extract(exprs, typeOf)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (probes.isEmpty) names
+    else pruneFilesForScan(names, probes).getOrElse(names)
   }
 
   /** The replacement rows for `files` under the merge algebra. */
@@ -5011,6 +5127,14 @@ object ManifestTableFormat {
     * O(matched files) at corpus scale.
     */
   private[sink] val mergePreScanMinFiles = 32
+
+  /** MERGE pre-scan key-prune stops collecting past this many
+    * distinct source key tuples (the IN-probe literals live on the
+    * driver — the same cap family as IncrementalAgg's endangered-key
+    * pruning; past it the pre-scan reads the full live list as
+    * before).
+    */
+  private[sink] val mergeKeyPruneCap = 10000
 
   /** String column stats keep at most this many chars; a longer max
     * is bounded upward by appending U+10FFFF (see [[truncHi]]).

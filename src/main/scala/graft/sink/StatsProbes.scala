@@ -110,7 +110,7 @@ object StatsProbes {
     * `and`s flatten). Unknown functions pass through untouched and
     * simply yield no probe.
     */
-  private def normalize(e: Expression): Expression = e match {
+  private[sink] def normalize(e: Expression): Expression = e match {
     case f: UnresolvedFunction if f.nameParts.length == 1 =>
       val as = f.arguments.map(normalize)
       (f.nameParts.head.toLowerCase, as) match {

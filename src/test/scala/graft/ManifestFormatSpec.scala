@@ -705,4 +705,55 @@ class ManifestFormatSpec extends SparkSpec {
       mtf.addColumn("LANG", StringType) // case-insensitive duplicate
     }
   }
+
+  test("MERGE pre-scan key-prunes candidate files from equality ON " +
+      "stats; result identical to the unpruned plan") {
+    import spark.implicits._
+    import graft.sink.{GraftMergeInsert, GraftMergeUpdate}
+    val path = freshPath()
+    val store = new ChunkStore(spark, path,
+      format = ManifestTableFormat.factory)
+    // 40 single-value-clustered batches: each append's files carry
+    // tight page_number min/max stats, and 40 > the small-table
+    // shortcut threshold, so mergeInto takes the pre-scan branch
+    (0 until 40).foreach { p =>
+      store.append(Seq((p, s"text-$p", Seq(1f), p, s"doc://$p"))
+        .toDF("chunk_id", "chunk_text", "embedding", "page_number",
+          "document_url"))
+    }
+    val mtf = new ManifestTableFormat(spark, path, store.schema)
+    val total = mtf.filesAtVersion(mtf.version).size
+    assert(total >= 40, s"expected >=40 live files, got $total")
+    val src = Seq((3, "updated-3"), (7, "updated-7"), (77, "inserted-77"))
+      .toDF("page_number", "chunk_text")
+    val onCond = col("__graft_t.page_number") ===
+      col("__graft_s.page_number")
+    // the key pre-prune drops files whose page_number stats exclude
+    // {3, 7, 77} — a strict subset survives, never zero
+    val candidates = mtf.mergePreScanCandidatesAtHead(src, onCond)
+    assert(candidates.nonEmpty && candidates.size < total,
+      s"pre-prune kept ${candidates.size} of $total")
+    // an unextractable ON shape fails open to the full list
+    val opaque = mtf.mergePreScanCandidatesAtHead(src,
+      col("__graft_t.page_number") + 0 === col("__graft_s.page_number"))
+    assert(opaque.size == total, s"fail-open kept ${opaque.size}")
+    // and the merge result through the pruned pre-scan is exactly the
+    // relational expectation (update pages 3/7, insert page 77)
+    mtf.mergeInto(src, onCond,
+      matched = Seq(GraftMergeUpdate(None,
+        Seq("chunk_text" -> col("__graft_s.chunk_text")))),
+      notMatched = Seq(GraftMergeInsert(None, Seq(
+        "chunk_id" -> lit(99), "chunk_text" -> col("__graft_s.chunk_text"),
+        "embedding" -> typedlit(Seq(1f)), "page_number" ->
+          col("__graft_s.page_number"),
+        "document_url" -> concat(lit("doc://"),
+          col("__graft_s.page_number"))))),
+      notMatchedBySource = Seq.empty, urlProbe = None)
+    val got = store.read().select("page_number", "chunk_text")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val want = (0 until 40).map(p => (p,
+      if (p == 3 || p == 7) s"updated-$p" else s"text-$p")).toSet +
+      ((77, "inserted-77"))
+    assert(got == want, (got -- want, want -- got).toString)
+  }
 }
