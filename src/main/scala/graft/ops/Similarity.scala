@@ -39,12 +39,24 @@ object Similarity {
     */
   private def topKPerProbe(scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.TopKAggregate.topk_agg
-    scored
-      .groupBy(col("probe_id"))
-      .agg(topk_agg(k)(-col("dist"), col("nn_id")).as("tk"))
-      .select(col("probe_id"), explode(col("tk")).as("s"))
-      .select(col("probe_id"), col("s.id").as("nn_id"),
-        (-col("s.score")).as("dist"))
+    // topk_agg's id slot is a LONG (fixed-size buffer); non-long ids
+    // (e.g. IndexSync's content-addressed string vids) keep the
+    // window form — decided by SCHEMA at plan-build time, and both
+    // forms produce the identical row set (the spec pins it)
+    if (scored.schema("nn_id").dataType !=
+        org.apache.spark.sql.types.LongType)
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("dist"), col("nn_id"))))
+        .filter(col("rn") <= k)
+        .drop("rn")
+    else
+      scored
+        .groupBy(col("probe_id"))
+        .agg(topk_agg(k)(-col("dist"), col("nn_id")).as("tk"))
+        .select(col("probe_id"), explode(col("tk")).as("s"))
+        .select(col("probe_id"), col("s.id").as("nn_id"),
+          (-col("s.score")).as("dist"))
   }
 
   /** D3/B2: exact k-NN join — for every probe row, the k nearest base
